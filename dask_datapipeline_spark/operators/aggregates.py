@@ -1,0 +1,103 @@
+"""Aggregation operators (reference O5 sum, O8 count — generalized).
+
+The reference does one aggregate per group-by pass (reference
+``main.py:142-174``), so its flagship pipeline scans the joined table
+three times (``main.py:314-320``). Here ``group_agg`` takes a LIST of
+agg specs and produces them in one ``groupBy().agg(...)`` — one
+shuffle instead of three, with map-side partial aggregation for free
+(HashAggregateExec partial/final).
+
+Count semantics trap (SURVEY.md §7.4 item 4): the reference's "count"
+is pandas non-null count of the value column (main.py:167 with 'count')
+→ ``F.count(col)``, NOT ``COUNT(*)``.
+
+Rounding trap (item 1): pandas ``.round`` is half-to-even → ``bround``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dask_datapipeline_spark.errors import require_columns, require_dataframe
+from dask_datapipeline_spark.functions.numeric import exact_sum
+
+_AGG_FNS = {
+    "sum": F.sum,
+    "count": F.count,          # non-null count — pandas parity
+    "count_star": lambda _c: F.count(F.lit(1)),
+    "count_distinct": F.count_distinct,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+    "mean": F.avg,
+    "stddev": F.stddev,
+    "first": F.first,
+    "collect_set": F.collect_set,
+    "sum_exact": exact_sum,    # decimal-exact money sum (numeric.py)
+}
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    """One aggregate: ``fn(col)`` rounded to ``round_scale`` (bround,
+    pandas parity) and aliased ``alias``. ``fn`` ∈ _AGG_FNS or a
+    callable Column→Column."""
+
+    col: str
+    fn: str
+    alias: str
+    round_scale: int | None = None
+
+    def to_column(self) -> Column:
+        fn = _AGG_FNS.get(self.fn, self.fn)
+        if not callable(fn):
+            raise ValueError(f"unknown aggregation {self.fn!r}; known: {sorted(_AGG_FNS)}")
+        c = fn(self.col)
+        if self.round_scale is not None:
+            c = F.bround(c, self.round_scale)
+        return c.alias(self.alias)
+
+
+def group_agg(
+    df: DataFrame,
+    group_by: str | Sequence[str],
+    aggs: Sequence[AggSpec] | AggSpec,
+) -> DataFrame:
+    """Hash group-by with N aggregates in one pass.
+
+    Reference-parity call shape (O5): a single AggSpec with
+    ``fn='sum'``, ``round_scale=2`` and a rename via ``alias``
+    reproduces ``dataframe_groupby`` (main.py:142-174) minus the
+    implicit key sort — Spark output order is undefined; sort
+    explicitly at the sink if needed (SURVEY.md §7.4 item 7).
+
+    The projection the reference does pre-groupby (main.py:164) is
+    unnecessary here: Catalyst's ColumnPruning pushes the needed-column
+    set into the scan.
+    """
+    require_dataframe(df)
+    keys = [group_by] if isinstance(group_by, str) else list(group_by)
+    specs = [aggs] if isinstance(aggs, AggSpec) else list(aggs)
+    if not specs:
+        raise ValueError("group_agg requires at least one AggSpec")
+    require_columns(df, keys)
+    require_columns(df, [s.col for s in specs if s.col != "*"])
+    return df.groupBy(*keys).agg(*[s.to_column() for s in specs])
+
+
+def grouping_sets_agg(
+    df: DataFrame,
+    sets: str,
+    cols: Sequence[str],
+    aggs: Sequence[AggSpec],
+) -> DataFrame:
+    """Rollup/cube aggregation — absent from the reference (SURVEY.md
+    §2.1 'no grouping sets/cube/rollup'), part of the generalized
+    relational surface. ``sets`` ∈ {'rollup', 'cube'}."""
+    require_dataframe(df)
+    grouped = df.rollup(*cols) if sets == "rollup" else df.cube(*cols)
+    return grouped.agg(*[s.to_column() for s in aggs])

@@ -1,0 +1,110 @@
+"""Join operators (reference O4 binary inner join, O9 n-ary fold).
+
+The reference supports exactly one join: pandas ``merge`` inner
+equi-join (reference ``main.py:122-140``) plus a left-deep fold of
+inner merges (``main.py:245-258``). Generalized to the full Spark join
+surface with explicit physical strategy control.
+
+Scale strategy (SURVEY.md §4):
+
+- ``broadcast='auto'`` leaves the choice to Catalyst/AQE
+  (autoBroadcastJoinThreshold + runtime size re-check). This is the
+  right default: AQE converts sort-merge → broadcast at runtime when a
+  post-filter side turns out small.
+- ``broadcast='left'|'right'`` forces a broadcast-hash join — use when
+  the caller *knows* a side is a dimension table (the reference's spec
+  literally states transactions ≤100 MB vs ≥10 GB mapping tables —
+  a textbook forced-broadcast case the reference cannot express).
+- Skewed fact-fact joins rely on AQE skew-join splitting (enabled in
+  session.py); for pathological keys use ``salt_join``.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_datapipeline_spark.errors import require_columns, require_dataframe
+
+VALID_HOW = {
+    "inner", "left", "right", "outer", "full", "left_semi", "semi",
+    "left_anti", "anti", "cross",
+}
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    broadcast: str = "auto",
+) -> DataFrame:
+    """Equi-join on shared key column(s).
+
+    Fixes the reference's key-validation bug (main.py:131 checks the
+    *union* of both column sets): the key must be present on BOTH sides
+    (except cross joins, which take no key).
+    """
+    require_dataframe(left, "left")
+    require_dataframe(right, "right")
+    if how not in VALID_HOW:
+        raise ValueError(f"how={how!r} not in {sorted(VALID_HOW)}")
+    if how == "cross":
+        return left.crossJoin(right)
+    keys = [on] if isinstance(on, str) else list(on)
+    require_columns(left, keys, "left")
+    require_columns(right, keys, "right")
+    if broadcast == "left":
+        left = F.broadcast(left)
+    elif broadcast == "right":
+        right = F.broadcast(right)
+    elif broadcast != "auto":
+        raise ValueError(f"broadcast={broadcast!r} not in ('auto','left','right')")
+    return left.join(right, on=keys, how=how)
+
+
+def fold_join(
+    dfs: Iterable[DataFrame],
+    on: str | Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Left-deep fold of equi-joins (reference O9, main.py:257).
+
+    Keeps the reference's semantics exactly: with ``how='inner'`` the
+    result keeps only keys present in EVERY input (README:29 "only
+    those house ids which made transactions"). Catalyst/CBO may reorder
+    the join tree; semantics are order-independent for inner joins.
+
+    Raises ValueError on an empty list (reference main.py:254-255).
+    """
+    df_list = list(dfs)
+    if not df_list:
+        raise ValueError("fold_join requires at least one dataframe")
+    for d in df_list:
+        require_dataframe(d)
+    return reduce(lambda l, r: equi_join(l, r, on=on, how=how), df_list)
+
+
+def salt_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the skewed (left) side with a
+    random bucket, explode the small (right) side across all buckets,
+    join on (key, salt).
+
+    Use only when AQE skew splitting isn't enough (e.g. one key is
+    >50% of rows). Cost: right side replicated ``salt_buckets``×.
+    """
+    salted_left = left.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    exploded_right = right.withColumn(
+        "__salt", F.explode(F.array([F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = salted_left.join(exploded_right, on=[on, "__salt"], how=how)
+    return out.drop("__salt")

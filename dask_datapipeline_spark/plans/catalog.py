@@ -1,0 +1,528 @@
+"""Query catalog: every operator from SURVEY.md §2 (+ §2.2 extensions)
+as a (Spark callable, DuckDB oracle SQL) pair.
+
+This is the single source of truth behind ``__spark_entry__.py``'s
+``queries()`` / ``oracle_sql()`` driver contract.
+
+Cross-engine determinism rules (why every query here hash-matches):
+
+- **Money sums** aggregate on ``DECIMAL(18,2)`` (exact, associative →
+  order-independent under parallelism) and cast the final value to
+  double. Both engines produce the correctly-rounded double of the
+  same exact decimal → bit-identical (values ≪ 2^53).
+- **Averages** are expressed as exact-decimal-sum-cast-double divided
+  by count: one IEEE division of identical operands → bit-identical.
+- **Plain double arithmetic** appears only row-wise (never reordered
+  reductions), where IEEE ops are deterministic.
+- Every computed column is aliased identically on both sides; ties in
+  top-k/window queries are broken by a unique key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dask_datapipeline_spark.functions.numeric import exact_sum
+from dask_datapipeline_spark.functions.timestamps import cast_timestamp
+from dask_datapipeline_spark.operators.aggregates import AggSpec, group_agg, grouping_sets_agg
+from dask_datapipeline_spark.operators.filters import filter_before, filter_between
+from dask_datapipeline_spark.operators.joins import equi_join, fold_join
+from dask_datapipeline_spark.plans import household_features as hf
+from dask_datapipeline_spark.sources.readers import load_testdata
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    """One catalog entry. ``oracle`` is DuckDB SQL over the
+    pre-registered views, or None for non-SQL-expressible ops
+    (driver then records a weaker rows-only check)."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str = ""
+
+
+CATALOG: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, description: str = ""):
+    def deco(fn):
+        CATALOG[name] = QueryDef(fn=fn, oracle=oracle, description=description)
+        return fn
+
+    return deco
+
+
+# SQL fragment: exact money sum, bit-stable across engines.
+def _dsum(col: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"
+
+
+# --------------------------------------------------------------------
+# Flagship pipeline (reference main(), SURVEY.md §3.1)
+# --------------------------------------------------------------------
+
+_FLAGSHIP_CTES = f"""
+WITH tx AS (
+  SELECT user_id AS individual_id, ts AS date, value AS transaction_amount FROM events
+), map AS (
+  SELECT c_custkey AS individual_id, c_nationkey AS hhid FROM customer
+), demo AS (
+  SELECT n_nationkey AS hhid, n_name AS nation_name, r_name AS region_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+), inner_j AS (
+  SELECT m.hhid, t.date, t.transaction_amount
+  FROM tx t JOIN map m ON t.individual_id = m.individual_id
+)
+"""
+
+_W_LO = f"TIMESTAMP '{hf.CAMPAIGN_START}'"
+_W_HI = f"TIMESTAMP '{hf.CAMPAIGN_END}'"
+
+
+@register(
+    "flagship_household_features",
+    _FLAGSHIP_CTES
+    + f"""
+, f2 AS (
+  SELECT hhid, {_dsum('transaction_amount', 'total_amount_before_campaign')}
+  FROM inner_j WHERE date < {_W_LO} GROUP BY hhid
+), f3 AS (
+  SELECT hhid, {_dsum('transaction_amount', 'total_amount_during_campaign')}
+  FROM inner_j WHERE date BETWEEN {_W_LO} AND {_W_HI} GROUP BY hhid
+), f4 AS (
+  SELECT hhid, COUNT(transaction_amount) AS total_transactions FROM inner_j GROUP BY hhid
+)
+SELECT d.hhid, d.nation_name, d.region_name,
+       f2.total_amount_before_campaign, f3.total_amount_during_campaign,
+       f4.total_transactions
+FROM demo d
+JOIN f2 ON d.hhid = f2.hhid
+JOIN f3 ON d.hhid = f3.hhid
+JOIN f4 ON d.hhid = f4.hhid
+""",
+    "Reference main() re-targeted at testdata roles (parity dataflow: 3 aggs + 4-way inner fold)",
+)
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hf.flagship_testdata(spark, sf_dir, onepass=False)
+
+
+@register(
+    "flagship_onepass",
+    _FLAGSHIP_CTES
+    + f"""
+, feats AS (
+  SELECT hhid,
+    CAST(SUM(CASE WHEN date < {_W_LO} THEN CAST(transaction_amount AS DECIMAL(18,2)) END) AS DOUBLE)
+      AS total_amount_before_campaign,
+    CAST(SUM(CASE WHEN date BETWEEN {_W_LO} AND {_W_HI} THEN CAST(transaction_amount AS DECIMAL(18,2)) END) AS DOUBLE)
+      AS total_amount_during_campaign,
+    COUNT(transaction_amount) AS total_transactions
+  FROM inner_j GROUP BY hhid
+)
+SELECT d.hhid, d.nation_name, d.region_name,
+       f.total_amount_before_campaign, f.total_amount_during_campaign, f.total_transactions
+FROM demo d JOIN feats f ON d.hhid = f.hhid
+WHERE f.total_amount_before_campaign IS NOT NULL
+  AND f.total_amount_during_campaign IS NOT NULL
+""",
+    "Scale variant: single groupBy with conditional aggs (1 shuffle vs 3+3) — agrees with parity after window filter",
+)
+def q_flagship_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hf.flagship_testdata(spark, sf_dir, onepass=True)
+
+
+# --------------------------------------------------------------------
+# O1: scan + projection (+ predicate pushdown)
+# --------------------------------------------------------------------
+
+
+@register(
+    "scan_projection",
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity > 45",
+    "O1 generalized: parquet scan with column pruning + predicate pushed to row-group filter",
+)
+def q_scan_projection(spark, sf_dir):
+    li = load_testdata(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_quantity").filter(F.col("l_quantity") > 45)
+
+
+# --------------------------------------------------------------------
+# O3: string → timestamp cast
+# --------------------------------------------------------------------
+
+
+@register(
+    "cast_timestamp",
+    """
+SELECT event_id,
+       strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_parsed
+FROM events
+""",
+    "O3: 'yyyy-MM-dd HH:mm:ss' string column parsed to timestamp (coerce semantics)",
+)
+def q_cast_timestamp(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events")
+    ev = ev.select("event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"))
+    ev = cast_timestamp(ev, "ts_str")
+    return ev.select("event_id", F.col("ts_str").alias("ts_parsed"))
+
+
+# --------------------------------------------------------------------
+# O4: binary equi-joins, all how= variants
+# --------------------------------------------------------------------
+
+
+@register(
+    "join_inner",
+    """
+SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+    "O4: inner equi-join fact→dim; dim side broadcast (hint) — no fact shuffle",
+)
+def q_join_inner(spark, sf_dir):
+    o = load_testdata(spark, sf_dir, "orders")
+    c = load_testdata(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    j = equi_join(o, c, on="o_custkey", broadcast="right")
+    return j.select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
+
+
+@register(
+    "join_left",
+    """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+""",
+    "O4 generalized: left outer join (reference supports inner only, SURVEY.md §2.1)",
+)
+def q_join_left(spark, sf_dir):
+    c = load_testdata(spark, sf_dir, "customer")
+    o = load_testdata(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    j = equi_join(c, o, on="c_custkey", how="left")
+    return j.select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_semi",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 50000)
+""",
+    "O4 generalized: left-semi join (EXISTS)",
+)
+def q_join_semi(spark, sf_dir):
+    c = load_testdata(spark, sf_dir, "customer")
+    o = (
+        load_testdata(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 50000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return equi_join(c, o, on="c_custkey", how="left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F' AND o.o_totalprice > 150000
+)
+""",
+    "O4 generalized: left-anti join (NOT EXISTS); selective inner predicate keeps the result non-vacuous",
+)
+def q_join_anti(spark, sf_dir):
+    c = load_testdata(spark, sf_dir, "customer")
+    o = (
+        load_testdata(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return equi_join(c, o, on="c_custkey", how="left_anti").select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------
+# O5/O8/O11/O12: group-by aggregations
+# --------------------------------------------------------------------
+
+
+@register(
+    "groupby_sum",
+    f"SELECT l_returnflag, {_dsum('l_quantity', 'sum_qty')} FROM lineitem GROUP BY l_returnflag",
+    "O5: hash group-by + sum + round(2) + rename, one pass (map-side partial agg)",
+)
+def q_groupby_sum(spark, sf_dir):
+    li = load_testdata(spark, sf_dir, "lineitem")
+    return group_agg(li, "l_returnflag", AggSpec("l_quantity", "sum_exact", "sum_qty", round_scale=2))
+
+
+@register(
+    "count_agg",
+    "SELECT user_id, COUNT(value) AS total_transactions FROM events GROUP BY user_id",
+    "O8: non-null count (pandas 'count' parity — F.count(col), NOT COUNT(*))",
+)
+def q_count_agg(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events")
+    return group_agg(ev, "user_id", AggSpec("value", "count", "total_transactions"))
+
+
+@register(
+    "multi_agg_pricing",
+    f"""
+SELECT l_returnflag, l_linestatus,
+  {_dsum('l_quantity', 'sum_qty')},
+  {_dsum('l_extendedprice', 'sum_base_price')},
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+    "O5 generalized: TPC-H-Q1-style multi-agg in ONE groupBy pass (reference needs 1 pass per agg)",
+)
+def q_multi_agg_pricing(spark, sf_dir):
+    li = load_testdata(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        exact_sum("l_quantity").alias("sum_qty"),
+        exact_sum("l_extendedprice").alias("sum_base_price"),
+        F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        (exact_sum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------
+# O6/O7: time-range filters feeding aggregation
+# --------------------------------------------------------------------
+
+
+@register(
+    "filter_before_sum",
+    f"""
+SELECT user_id, {_dsum('value', 'total_amount_before_campaign')}
+FROM events WHERE ts < {_W_LO} GROUP BY user_id
+""",
+    "O6: strict-< timestamp filter (feature2); predicate pushed below the agg into the scan",
+)
+def q_filter_before_sum(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events")
+    return group_agg(
+        filter_before(ev, "ts", hf.CAMPAIGN_START),
+        "user_id",
+        AggSpec("value", "sum_exact", "total_amount_before_campaign", round_scale=2),
+    )
+
+
+@register(
+    "filter_between_sum",
+    f"""
+SELECT user_id, {_dsum('value', 'total_amount_during_campaign')}
+FROM events WHERE ts BETWEEN {_W_LO} AND {_W_HI} GROUP BY user_id
+""",
+    "O7: inclusive-both-ends BETWEEN (feature3) — Spark Column.between matches pandas inclusive",
+)
+def q_filter_between_sum(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events")
+    return group_agg(
+        filter_between(ev, "ts", hf.CAMPAIGN_START, hf.CAMPAIGN_END),
+        "user_id",
+        AggSpec("value", "sum_exact", "total_amount_during_campaign", round_scale=2),
+    )
+
+
+@register(
+    "filter_compound",
+    """
+SELECT event_id, user_id, event_type, value FROM events
+WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL AND value > 5.0
+""",
+    "Predicate surface absent from reference (§2.1): IN + IS NOT NULL + compound AND",
+)
+def q_filter_compound(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+        & (F.col("value") > 5.0)
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+# --------------------------------------------------------------------
+# O9: n-ary fold join
+# --------------------------------------------------------------------
+
+
+@register(
+    "fold_join",
+    f"""
+WITH a AS (SELECT l_orderkey, {_dsum('l_quantity', 'sum_qty')} FROM lineitem GROUP BY l_orderkey),
+     b AS (SELECT l_orderkey, COUNT(l_quantity) AS n_lines FROM lineitem GROUP BY l_orderkey),
+     c AS (SELECT l_orderkey, MAX(l_extendedprice) AS max_price FROM lineitem GROUP BY l_orderkey)
+SELECT o.o_orderkey AS l_orderkey, o.o_totalprice, a.sum_qty, b.n_lines, c.max_price
+FROM orders o
+JOIN a ON o.o_orderkey = a.l_orderkey
+JOIN b ON o.o_orderkey = b.l_orderkey
+JOIN c ON o.o_orderkey = c.l_orderkey
+""",
+    "O9: left-deep fold of inner equi-joins — inner semantics drop keys absent from ANY input",
+)
+def q_fold_join(spark, sf_dir):
+    li = load_testdata(spark, sf_dir, "lineitem")
+    o = (
+        load_testdata(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    )
+    a = group_agg(li, "l_orderkey", AggSpec("l_quantity", "sum_exact", "sum_qty", round_scale=2))
+    b = group_agg(li, "l_orderkey", AggSpec("l_quantity", "count", "n_lines"))
+    c = group_agg(li, "l_orderkey", AggSpec("l_extendedprice", "max", "max_price"))
+    out = fold_join([o, a, b, c], on="l_orderkey", how="inner")
+    return out.select("l_orderkey", "o_totalprice", "sum_qty", "n_lines", "max_price")
+
+
+# --------------------------------------------------------------------
+# Generalized relational surface (absent from reference, SURVEY.md §2.1)
+# --------------------------------------------------------------------
+
+
+@register(
+    "window_topk",
+    """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    "Window function: per-group top-k via row_number (deterministic tiebreak on unique key)",
+)
+def q_window_topk(spark, sf_dir):
+    o = load_testdata(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "rollup_agg",
+    f"""
+SELECT r_name, n_name, COUNT(*) AS n_customers, {_dsum('c_acctbal', 'sum_acctbal')}
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    "Rollup grouping sets (region→nation hierarchy) — one shuffle, partial aggs reused",
+)
+def q_rollup_agg(spark, sf_dir):
+    c = load_testdata(spark, sf_dir, "customer")
+    n = load_testdata(spark, sf_dir, "nation")
+    r = load_testdata(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return grouping_sets_agg(
+        j,
+        "rollup",
+        ["r_name", "n_name"],
+        [
+            AggSpec("*", "count_star", "n_customers"),
+            AggSpec("c_acctbal", "sum_exact", "sum_acctbal"),
+        ],
+    )
+
+
+@register(
+    "set_ops",
+    """
+WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     big_spenders AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000)
+SELECT c_custkey FROM (
+  (SELECT c_custkey FROM building UNION SELECT c_custkey FROM big_spenders)
+  EXCEPT
+  (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM big_spenders)
+)
+""",
+    "Set operators (UNION/INTERSECT/EXCEPT, distinct semantics) — symmetric difference",
+)
+def q_set_ops(spark, sf_dir):
+    c = load_testdata(spark, sf_dir, "customer")
+    o = load_testdata(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = (
+        o.filter(F.col("o_totalprice") > 100000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return building.union(big).distinct().subtract(building.intersect(big))
+
+
+@register(
+    "distinct_agg",
+    """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+""",
+    "Distinct aggregation (expand-based two-phase distinct agg in Spark)",
+)
+def q_distinct_agg(spark, sf_dir):
+    li = load_testdata(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@register(
+    "sort_limit",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+    "Global top-k: Spark plans TakeOrderedAndProject (per-partition top-k + driver merge, no full sort)",
+)
+def q_sort_limit(spark, sf_dir):
+    o = load_testdata(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "scalar_functions",
+    """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       length(p_name) AS name_len,
+       substring(p_type, 1, 5) AS type_prefix,
+       concat(p_brand, '#', p_type) AS brand_type,
+       p_size % 7 AS size_mod,
+       abs(p_retailprice - 1000.0) AS price_diff
+FROM part
+""",
+    "Scalar function surface (string/math) — all JVM-side, whole-stage-codegen'd",
+)
+def q_scalar_functions(spark, sf_dir):
+    p = load_testdata(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("price_diff"),
+    )

@@ -1,0 +1,107 @@
+"""Source scans (reference O1 generalized; SURVEY.md §2 / §2.1).
+
+The reference reads CSV only, with scan-time projection via ``usecols``
+and one dtype override (reference ``main.py:68-78``). Generalized here
+to CSV/Parquet/JSON with:
+
+- explicit ``StructType`` (no sampling pass, deterministic types);
+- projection expressed with ``.select`` so Catalyst prunes columns all
+  the way into the scan (``ReadSchema`` in the physical plan shows only
+  the selected columns for Parquet);
+- the reference's path-validation contract (``FileNotFoundError`` for a
+  non-matching extension, main.py:74-77) kept at the wrapper level.
+
+Scale notes: Parquet scans get row-group predicate pushdown and column
+pruning for free once the plan is declarative — this module never
+materializes anything.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from dask_datapipeline_spark.schemas import TESTDATA_SCHEMAS
+
+
+def _check_path(path: str, suffix: str) -> None:
+    """Reference contract: reject paths of the wrong format up front
+    (reference main.py:74-77) instead of a late executor-side failure."""
+    if not path.endswith(suffix):
+        raise FileNotFoundError(f"expected a {suffix} path, got {path!r}")
+
+
+def scan_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    columns: list[str] | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan with pinned schema + projection (reference O1).
+
+    ``columns`` plays the role of the reference's ``usecols``
+    (main.py:75): projection is applied immediately after the scan so
+    downstream code never sees dropped columns. CSV is row-oriented so
+    pruning saves parse work, not I/O — prefer ``scan_parquet`` at scale.
+    """
+    _check_path(path, ".csv")
+    df = spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+    return df.select(*columns) if columns else df
+
+
+def scan_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Parquet scan; schema optional (parquet footers carry exact types).
+
+    Passing ``schema`` pins reader types (safe-cast enforced by Spark);
+    ``columns`` projection reaches the scan as ``ReadSchema`` pruning.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def scan_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """JSON-lines scan with pinned schema (no sampling inference pass)."""
+    df = spark.read.schema(schema).json(path)
+    return df.select(*columns) if columns else df
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load one driver testdata table with its pinned schema.
+
+    Timestamp columns in the testdata are written as parquet
+    timestamp[ns]/[ms]; we pass no schema here (footer types are exact)
+    but validate the name is known, keeping call sites typo-safe.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright. We read nanos as raw int64
+    (``nanosAsLong``) and truncate to microseconds with exact integer
+    division (``DIV`` on longs — float division would lose precision at
+    1.7e18 ns epochs). DuckDB's TIMESTAMP is also microseconds, so both
+    engines see identical truncated values.
+    """
+    if table not in TESTDATA_SCHEMAS:
+        raise KeyError(f"unknown testdata table {table!r}; known: {sorted(TESTDATA_SCHEMAS)}")
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(path)

@@ -1,0 +1,75 @@
+"""Sinks (reference O10 generalized).
+
+The reference writes exactly one CSV file with header and no index
+(reference ``main.py:265-281``), guarded against empty input and
+non-``.csv`` paths. Spark writes a *directory* of part files; the
+single-file contract is kept behind ``single_file=True`` which
+coalesces to one task — fine at reference scale, explicitly NOT the
+default because a 100 TB result must stream out of many tasks in
+parallel (SURVEY.md §7.4 item 8).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+from dask_datapipeline_spark.errors import require_nonempty
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    single_file: bool = False,
+    mode: str = "overwrite",
+    check_nonempty: bool = True,
+) -> bool:
+    """CSV sink. ``single_file=True`` reproduces the reference's
+    one-file contract (main.py:277) via coalesce(1) + rename.
+
+    Returns True on success, matching the reference's API (main.py:281).
+    """
+    if not path.endswith(".csv"):
+        raise FileNotFoundError(f"expected a .csv path, got {path!r}")
+    if check_nonempty:
+        require_nonempty(df, "output")
+    if single_file:
+        out_dir = path + ".spark-tmp"
+        df.coalesce(1).write.mode(mode).option("header", "true").csv(out_dir)
+        part = glob.glob(os.path.join(out_dir, "part-*.csv"))[0]
+        shutil.move(part, path)
+        shutil.rmtree(out_dir)
+    else:
+        df.write.mode(mode).option("header", "true").csv(path)
+    return True
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, list[str]] | None = None,
+    table_name: str | None = None,
+) -> bool:
+    """Parquet sink — the scale path.
+
+    ``partition_by`` gives partition pruning on read (directory-level
+    skip); ``bucket_by=(n, cols)`` writes a bucketed table (requires
+    ``table_name``, saveAsTable) so later equi-joins/aggs on the bucket
+    key run shuffle-free.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        if not table_name:
+            raise ValueError("bucket_by requires table_name (saveAsTable)")
+        writer.bucketBy(n, *cols).sortBy(*cols).option("path", path).saveAsTable(table_name)
+    else:
+        writer.parquet(path)
+    return True

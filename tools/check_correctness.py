@@ -1,0 +1,128 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB at sf0.01, then compares row count, sorted column names, and
+order-insensitive values (exact first, 1e-9 relative tolerance
+reported separately so float-identity regressions are visible).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from dask_datapipeline_spark.schemas import TESTDATA_TABLES  # noqa: E402
+from dask_datapipeline_spark.session import get_spark  # noqa: E402
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return v
+    return v
+
+
+def _rows_sorted(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def _cells_equal(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def _cells_close(a, b, rel=1e-9):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return math.isclose(a, b, rel_tol=rel, abs_tol=1e-9)
+    return _cells_equal(a, b)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("check-correctness")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = list(sdf.columns)
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok?   {name}: rows-only check, {len(s_rows)} rows")
+            continue
+        try:
+            res = con.execute(sql)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if not problems:
+            sn = _rows_sorted(s_cols, s_rows)
+            dn = _rows_sorted(d_cols, d_rows)
+            n_exact = n_close = n_diff = 0
+            first_diff = None
+            for sr, dr in zip(sn, dn):
+                if all(_cells_equal(a, b) for a, b in zip(sr, dr)):
+                    n_exact += 1
+                elif all(_cells_close(a, b) for a, b in zip(sr, dr)):
+                    n_close += 1
+                    if first_diff is None:
+                        first_diff = (sr, dr)
+                else:
+                    n_diff += 1
+                    if first_diff is None:
+                        first_diff = (sr, dr)
+            if n_diff:
+                problems.append(f"{n_diff} rows differ beyond tolerance; first: {first_diff}")
+            elif n_close:
+                problems.append(f"HASH-RISK: {n_close} rows equal only within tolerance; first: {first_diff}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"PASS  {name}: {len(s_rows)} rows exact-match")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
