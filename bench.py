@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ...}
+
+Each query is timed end-to-end including the action (count of the
+result — forces full execution without driver-side collect of wide
+rows). A warmup pass on sf's region table absorbs JVM/codegen
+startup so per-query numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dask_datapipeline_spark.plans.catalog import CATALOG
+from dask_datapipeline_spark.session import get_spark
+
+# Headline set: flagship both variants + the shuffliest/widest operators.
+BENCH_QUERIES = [
+    "flagship_household_features",
+    "flagship_onepass",
+    "multi_agg_pricing",
+    "join_inner",
+    "fold_join",
+    "window_topk",
+    "groupby_sum",
+    "distinct_agg",
+    "rollup_agg",
+    "sort_limit",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+
+    # Warmup: JVM + parquet footer reads + codegen paths.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    extra = [n for n in CATALOG if n not in BENCH_QUERIES]
+    for name in BENCH_QUERIES + extra:
+        if name not in CATALOG:
+            continue
+        t0 = time.perf_counter()
+        n_rows = CATALOG[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n_rows} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,200 @@
+"""Operator unit tests, porting the reference's fixtures and expected
+values (reference test_main.py; FIXTURES.md §B) with real assertions —
+the reference's assertTrue(a, b) bugs (test_main.py:198,213,230) are
+deliberately not replicated (SURVEY.md §7.4 item 9)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_datapipeline_spark.functions.numeric import bround2
+from dask_datapipeline_spark.functions.timestamps import cast_timestamp, parse_timestamp_literal
+from dask_datapipeline_spark.operators.aggregates import AggSpec, group_agg
+from dask_datapipeline_spark.operators.filters import filter_before, filter_between
+from dask_datapipeline_spark.operators.joins import equi_join, fold_join
+
+
+@pytest.fixture(scope="module")
+def df1(spark):
+    # reference test_main.py:113-115
+    return spark.createDataFrame(
+        [(1, 5, 10), (5, 8, 4), (7, 4, 9), (8, 3, 3)], ["A", "B", "C"]
+    )
+
+
+@pytest.fixture(scope="module")
+def df2(spark):
+    # reference test_main.py:118-121
+    rows = [
+        (5, "2021-08-31 21:15:17", 15),
+        (3, "2021-09-05 06:44:27", 18),
+        (1, "2021-12-05 06:24:27", 14),
+        (1, "2021-10-05 06:27:17", 13),
+    ]
+    return spark.createDataFrame(rows, ["A", "date", "transaction_amount"])
+
+
+@pytest.fixture(scope="module")
+def test_df(spark):
+    # reference test_main.py:188-191
+    rows = [
+        (5, "2021-08-31 21:15:17", 15),
+        (3, "2021-09-07 06:44:27", 18),
+        (1, "2021-12-08 06:24:27", 14),
+        (1, "2021-10-05 06:27:17", 13),
+    ]
+    df = spark.createDataFrame(rows, ["hhid", "date", "transaction_amount"])
+    return cast_timestamp(df, "date")
+
+
+# ----- O3: timestamp parsing ----------------------------------------
+
+
+def test_parse_timestamp_literal_ok():
+    assert parse_timestamp_literal("2021-09-06 00:00:00") == dt.datetime(2021, 9, 6)
+
+
+def test_parse_timestamp_literal_malformed():
+    with pytest.raises(ValueError):
+        parse_timestamp_literal("06-09-2021")
+
+
+def test_parse_timestamp_literal_type():
+    with pytest.raises(TypeError):
+        parse_timestamp_literal(20210906)  # type: ignore[arg-type]
+
+
+def test_cast_timestamp_coerce(spark):
+    df = spark.createDataFrame([("2021-09-06 00:00:00",), ("garbage",)], ["date"])
+    out = cast_timestamp(df, "date").collect()
+    assert out[0].date == dt.datetime(2021, 9, 6)
+    assert out[1].date is None  # pandas errors='coerce' parity
+
+
+# ----- O4: equi-join -------------------------------------------------
+
+
+def test_join_duplicate_key_multiplication(df1, df2):
+    # reference test_main.py:149-153: inner merge on A → keys [1,1,5]
+    out = equi_join(df1, df2, on="A").select("A").collect()
+    assert sorted(r.A for r in out) == [1, 1, 5]
+
+
+def test_join_missing_key_either_side(df1, df2):
+    # fixed reference bug (main.py:131 |-union check): key must be on BOTH sides
+    with pytest.raises(KeyError):
+        equi_join(df1.withColumnRenamed("A", "Z"), df2, on="A")
+    with pytest.raises(KeyError):
+        equi_join(df1, df2.withColumnRenamed("A", "Z"), on="A")
+
+
+def test_join_invalid_how(df1, df2):
+    with pytest.raises(ValueError):
+        equi_join(df1, df2, on="A", how="sideways")
+
+
+# ----- O5/O8: group-by aggregation ----------------------------------
+
+
+def test_groupby_sum(df2):
+    # reference test_main.py:165-172: sums [27,18,15] over keys [1,3,5]
+    out = group_agg(df2, "A", AggSpec("transaction_amount", "sum", "total", round_scale=2))
+    got = {r.A: r.total for r in out.collect()}
+    assert got == {1: 27, 3: 18, 5: 15}
+
+
+def test_groupby_count_nonnull(df2):
+    # reference test_main.py:174-181: counts [2,1,1]
+    out = group_agg(df2, "A", AggSpec("transaction_amount", "count", "n"))
+    got = {r.A: r.n for r in out.collect()}
+    assert got == {1: 2, 3: 1, 5: 1}
+
+
+def test_count_is_nonnull_not_star(spark):
+    df = spark.createDataFrame([(1, 1.0), (1, None), (2, None)], ["k", "v"])
+    out = group_agg(df, "k", AggSpec("v", "count", "n"))
+    got = {r.k: r.n for r in out.collect()}
+    assert got == {1: 1, 2: 0}  # F.count(col) skips nulls, unlike COUNT(*)
+
+
+def test_groupby_missing_key(df2):
+    with pytest.raises(KeyError):
+        group_agg(df2, "missing", AggSpec("transaction_amount", "sum", "s"))
+
+
+def test_multi_agg_one_pass(df2):
+    out = group_agg(
+        df2,
+        "A",
+        [
+            AggSpec("transaction_amount", "sum", "s"),
+            AggSpec("transaction_amount", "count", "n"),
+            AggSpec("transaction_amount", "max", "mx"),
+        ],
+    ).collect()
+    row = {r.A: r for r in out}[1]
+    assert (row.s, row.n, row.mx) == (27, 2, 14)
+
+
+# ----- O6/O7: time filters (feature2/feature3 semantics) -------------
+
+
+def test_filter_before_strict(test_df):
+    # reference feature2: strictly < 2021-09-06 → only hhid 5 (15)
+    out = group_agg(
+        filter_before(test_df, "date", "2021-09-06 00:00:00"),
+        "hhid",
+        AggSpec("transaction_amount", "sum", "total_amount_before_campaign", round_scale=2),
+    ).collect()
+    assert {r.hhid: r.total_amount_before_campaign for r in out} == {5: 15}
+
+
+def test_filter_between_inclusive(test_df):
+    # reference feature3 bounds inclusive both ends → rows of hhid 5,3,1(13)
+    out = group_agg(
+        filter_between(test_df, "date", "2021-07-06 00:00:00", "2021-10-05 06:27:17"),
+        "hhid",
+        AggSpec("transaction_amount", "sum", "t", round_scale=2),
+    ).collect()
+    assert {r.hhid: r.t for r in out} == {5: 15, 3: 18, 1: 13}
+
+
+def test_between_boundary_pinning(spark):
+    # exactly-at-start and exactly-at-end rows are IN; before-start is OUT
+    rows = [("2021-09-05 23:59:59",), ("2021-09-06 00:00:00",), ("2021-09-13 23:59:59",)]
+    df = cast_timestamp(spark.createDataFrame(rows, ["date"]), "date")
+    n = filter_between(df, "date", "2021-09-06 00:00:00", "2021-09-13 23:59:59").count()
+    assert n == 2
+
+
+# ----- O9: fold join -------------------------------------------------
+
+
+def test_fold_join_self_multiplicity(test_df):
+    # reference test_main.py:236-239: self-join on hhid → keys [1,1,1,1,3,5]
+    out = fold_join([test_df, test_df], on="hhid").select("hhid").collect()
+    assert sorted(r.hhid for r in out) == [1, 1, 1, 1, 3, 5]
+
+
+def test_fold_join_empty_list():
+    with pytest.raises(ValueError):
+        fold_join([], on="hhid")
+
+
+def test_fold_join_inner_drops(spark, df1, df2):
+    # inner fold keeps only keys present in every input
+    out = fold_join([df1.select("A"), df2.select("A")], on="A").select("A").distinct().collect()
+    assert sorted(r.A for r in out) == [1, 5]
+
+
+# ----- O12: rounding parity -----------------------------------------
+
+
+def test_bround_half_even(spark):
+    df = spark.createDataFrame([(0.125,), (0.135,)], ["x"])
+    out = df.select(bround2("x").alias("r")).collect()
+    # banker's rounding: 0.125→0.12, 0.135→0.14 (pandas/NumPy parity)
+    assert [r.r for r in out] == [0.12, 0.14]

@@ -1,0 +1,79 @@
+"""Source/sink tests (reference O1/O10 contracts, test_main.py:17-95,
+246-281)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from dask_datapipeline_spark.errors import EmptyInputError
+from dask_datapipeline_spark.sources.readers import load_testdata, scan_csv
+from dask_datapipeline_spark.sources.writers import write_csv
+
+NAME_CITY = T.StructType(
+    [T.StructField("Name", T.StringType()), T.StructField("City", T.StringType())]
+)
+
+
+@pytest.fixture()
+def csv_path(tmp_path):
+    # reference test fixture (test_main.py:22-44)
+    p = tmp_path / "test.csv"
+    p.write_text("Name,City\nJack,CO\nAdam,WY\nLisa,NC\nSam,SC\nPam,TX\n")
+    return str(p)
+
+
+def test_scan_csv_projection(spark, csv_path):
+    df = scan_csv(spark, csv_path, NAME_CITY, columns=["Name"])
+    assert df.columns == ["Name"]
+    assert df.count() == 5
+
+
+def test_scan_csv_rejects_non_csv(spark):
+    with pytest.raises(FileNotFoundError):
+        scan_csv(spark, "/tmp/data.txt", NAME_CITY)
+
+
+def test_write_csv_single_file_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("Falcon", 380.0), ("Falcon", 370.0), ("Parrot", 24.0), ("Parrot", 26.0)],
+        ["Animal", "Max_Speed"],
+    )
+    out = str(tmp_path / "out.csv")
+    assert write_csv(df, out, single_file=True) is True
+    assert os.path.isfile(out)
+    schema = T.StructType(
+        [T.StructField("Animal", T.StringType()), T.StructField("Max_Speed", T.DoubleType())]
+    )
+    back = scan_csv(spark, out, schema)
+    assert sorted((r.Animal, r.Max_Speed) for r in back.collect()) == [
+        ("Falcon", 370.0),
+        ("Falcon", 380.0),
+        ("Parrot", 24.0),
+        ("Parrot", 26.0),
+    ]
+
+
+def test_write_csv_rejects_empty(spark, tmp_path):
+    df = spark.createDataFrame([], "a string")
+    with pytest.raises(EmptyInputError):
+        write_csv(df, str(tmp_path / "x.csv"), single_file=True)
+
+
+def test_write_csv_rejects_bad_suffix(spark):
+    df = spark.createDataFrame([("x",)], ["a"])
+    with pytest.raises(FileNotFoundError):
+        write_csv(df, "/tmp/out.parquet1")
+
+
+def test_load_testdata_unknown_table(spark):
+    with pytest.raises(KeyError):
+        load_testdata(spark, "/root/testdata/sf0.001", "nope")
+
+
+def test_load_testdata_events_ts_microseconds(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.count() > 0
