@@ -1,0 +1,102 @@
+"""Text-analysis functions for LLM training-data pipelines
+(SURVEY.md §2.2): token counting, quality scoring, language ID,
+document fingerprinting.
+
+Everything is a JVM-side Column expression (no Python in the hot
+path): at 100 TB these run inside whole-stage codegen over the scan,
+shuffle-free, and column-pruned down to the text column.
+
+Each has an exactly-matching DuckDB oracle: arithmetic is fixed-order
+double ops on integer counts (deterministic), hashes are md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language, ordered by tie-break priority. The
+# profiles are tiny on purpose — language ID by marker-word hit-rate
+# is the classic cheap heuristic; swap in character n-gram profiles
+# for production corpora.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "los", "y", "que", "una", "por", "con", "para"],
+    "fr": ["le", "les", "et", "des", "une", "est", "dans", "pour"],
+    "zh": ["de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "men5"],
+}
+
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _toks(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), " ")
+
+
+def whitespace_token_count(text: Column | str) -> Column:
+    """Token count by single-space split (matches the corpus format)."""
+    return F.size(_toks(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Tokenizer-approximating count: runs of letters, runs of digits,
+    and each punctuation char count as one token each (a rough BPE
+    proxy; real BPE needs the vocab — this is the standard cheap
+    estimator for budgeting)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_PATTERN), 0))
+
+
+def stopword_hits(text: Column | str, lang: str = "en") -> Column:
+    """Number of tokens that are marker stopwords of ``lang``."""
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(_toks(text), lambda t: F.array_contains(markers, t)))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic quality ∈ [0,1]: length saturation (0.4), stopword
+    density (0.4), mean-word-length plausibility (0.2).
+
+    Fixed-order double arithmetic on integer counts → deterministic
+    and oracle-matchable."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = whitespace_token_count(c).cast("double")
+    n_stop = stopword_hits(c).cast("double")
+    mean_wl = (F.length(c) - n_tok + 1) / n_tok
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(F.lit(4.0) * n_stop / n_tok, F.lit(1.0))
+    wl_score = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.lit(0.4) * len_score + F.lit(0.4) * stop_score + F.lit(0.2) * wl_score
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker hit-rate (hits / tokens)."""
+    n_tok = whitespace_token_count(text).cast("double")
+    return {lang: stopword_hits(text, lang).cast("double") / n_tok for lang in LANG_MARKERS}
+
+
+def lang_id(text: Column | str) -> Column:
+    """Predicted language: argmax of marker hit-rate, ties broken by
+    the fixed priority order of LANG_MARKERS (same CASE chain as the
+    SQL oracle)."""
+    scores = lang_scores(text)
+    langs = list(LANG_MARKERS)
+    expr = F.lit(langs[-1])
+    # Build the CASE chain back-to-front: lang wins if its score >= all later langs.
+    for i in range(len(langs) - 2, -1, -1):
+        cond = None
+        for j in range(i + 1, len(langs)):
+            c = scores[langs[i]] >= scores[langs[j]]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(langs[i])).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized lowercased text. Exact-dup detection key
+    that survives whitespace jitter."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))

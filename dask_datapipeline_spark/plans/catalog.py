@@ -526,3 +526,8 @@ def q_scalar_functions(spark, sf_dir):
         (F.col("p_size") % 7).alias("size_mod"),
         F.abs(F.col("p_retailprice") - 1000.0).alias("price_diff"),
     )
+
+
+# Extension surface (dedup / similarity / text / multimodal / windows)
+# registers itself into CATALOG on import — keep this import last.
+from dask_datapipeline_spark.plans import catalog_llm  # noqa: E402,F401

@@ -1,0 +1,393 @@
+"""LLM-data-pipeline catalog entries (SURVEY.md §2.2): dedup,
+similarity search, text analysis, multimodal/JSON, window analytics.
+
+Every oracle here replicates the Spark operator's algorithm exactly in
+DuckDB SQL — including the MinHash/SimHash md5-based hashes — so the
+driver's value-hash comparison is bit-exact, not approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dask_datapipeline_spark.functions import text as TXT
+from dask_datapipeline_spark.operators import dedup as DD
+from dask_datapipeline_spark.operators.similarity import cosine_all_pairs_exact, cosine_topk, knn_join_lsh
+from dask_datapipeline_spark.plans.catalog import register
+from dask_datapipeline_spark.sources.readers import load_testdata
+
+# ----- shared SQL fragments (mirror operators/dedup.py primitives) ---
+
+_SQL_HASH = "CAST(CONCAT('0x', SUBSTRING(md5('{seed}:' || {col}), 1, 15)) AS BIGINT)"
+
+_SQL_SHINGLES = """
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+idx AS (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk)-2, 0))) AS i FROM toks),
+sh0 AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS sh FROM idx),
+sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh <> '')
+"""
+
+_NUM_HASHES, _BANDS, _ROWS_PER_BAND = 16, 4, 4
+
+_SQL_SIG = (
+    "sig AS (SELECT doc_id, "
+    + ", ".join(
+        f"MIN({_SQL_HASH.format(seed=i, col='sh')}) AS mh_{i}" for i in range(_NUM_HASHES)
+    )
+    + " FROM sh GROUP BY doc_id)"
+)
+
+_SQL_BAND_JOINS = " UNION ALL ".join(
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON "
+    + " AND ".join(
+        f"a.mh_{i} = b.mh_{i}"
+        for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+    )
+    + " AND a.doc_id < b.doc_id"
+    for b in range(_BANDS)
+)
+
+_SQL_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT j.id_a, j.id_b, j.jaccard FROM (
+  SELECT i.id_a, i.id_b,
+         CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  {extra_join}
+) j WHERE j.jaccard >= 0.5
+"""
+
+
+# ----- exact dedup ---------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+WITH fp AS (
+  SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint, doc_id
+  FROM documents
+)
+SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+FROM fp GROUP BY fingerprint
+""",
+    "Exact dedup: hash groupBy on normalized-text fingerprint, deterministic min-id survivor",
+)
+def q_dedup_exact(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    fp = docs.select(TXT.fingerprint("text").alias("fingerprint"), "doc_id")
+    return DD.exact_dedup(fp, ["fingerprint"], id_col="doc_id")
+
+
+# ----- n-gram Jaccard (all pairs, the exact baseline) ----------------
+
+
+@register(
+    "jaccard_near_dup",
+    "WITH " + _SQL_SHINGLES + "," + _SQL_JACCARD_TAIL.format(extra_join=""),
+    "Near-dup by exact 3-gram-shingle Jaccard >= 0.5 (self equi-join on shingle, no cross join)",
+)
+def q_jaccard_near_dup(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    return DD.jaccard_pairs(docs, None, threshold=0.5)
+
+
+# ----- MinHash + LSH -------------------------------------------------
+
+
+@register(
+    "minhash_near_dup",
+    "WITH "
+    + _SQL_SHINGLES
+    + ","
+    + _SQL_SIG
+    + f""",
+cand AS (SELECT DISTINCT id_a, id_b FROM ({_SQL_BAND_JOINS}))
+,"""
+    + _SQL_JACCARD_TAIL.format(
+        extra_join="JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b"
+    ),
+    "MinHash(16) → LSH(4 bands) candidates → exact-Jaccard verify; md5-hash-identical to the oracle",
+)
+def q_minhash_near_dup(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    return DD.near_dup_pairs_minhash(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5
+    )
+
+
+# ----- SimHash -------------------------------------------------------
+
+
+@register(
+    "simhash",
+    "WITH "
+    + _SQL_SHINGLES
+    + """,
+h AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', SUBSTRING(md5(sh), 1, 8)) AS BIGINT) AS hi32,
+         CAST(CONCAT('0x', SUBSTRING(md5(sh), 9, 8)) AS BIGINT) AS lo32
+  FROM sh
+),
+bits AS (
+  SELECT doc_id, g.i,
+         SUM(CASE WHEN (CASE WHEN g.i >= 32 THEN hi32 >> (g.i - 32) ELSE lo32 >> g.i END) & 1 = 1
+                  THEN 1 ELSE -1 END) AS cnt
+  FROM h, (SELECT unnest(generate_series(0, 63)) AS i) g
+  GROUP BY doc_id, g.i
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN i >= 32 AND cnt > 0 THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END) AS BIGINT) AS simhash_hi,
+       CAST(SUM(CASE WHEN i < 32 AND cnt > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS simhash_lo
+FROM bits GROUP BY doc_id
+""",
+    "64-bit shingle-SimHash via Arrow-batched pandas UDF; oracle recomputes the identical md5-bit algorithm in SQL",
+)
+def q_simhash(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    return DD.simhash(docs)
+
+
+# ----- similarity search ---------------------------------------------
+
+_COS_SQL = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+
+@register(
+    "knn_brute_topk",
+    f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {_COS_SQL.format(a='e.embedding', b='q.embedding')} AS cosine_sim
+FROM embeddings e, q
+ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
+""",
+    "Exact cosine top-10 for one query vector: broadcast literal + TakeOrderedAndProject, zero shuffle",
+)
+def q_knn_brute_topk(spark, sf_dir):
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(emb, qvec, k=10)
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.4
+""",
+    "Embedding-cosine near-dup pairs (exact all-pairs baseline; LSH path = knn_join_lsh, rows-only)",
+)
+def q_embedding_near_dup(spark, sf_dir):
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return cosine_all_pairs_exact(emb, threshold=0.4)
+
+
+@register(
+    "knn_join_lsh",
+    None,  # seeded-numpy hyperplanes are not reproducible in SQL → rows-only check
+    "Approximate k-NN join via random-hyperplane LSH buckets (scale path for similarity search)",
+)
+def q_knn_join_lsh(spark, sf_dir):
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_join_lsh(queries, emb, k=5, bits_per_table=6, num_tables=6)
+
+
+# ----- text analysis -------------------------------------------------
+
+
+@register(
+    "text_stats",
+    f"""
+SELECT doc_id,
+       len(string_split(lower(text), ' ')) AS n_tokens,
+       len(regexp_extract_all(lower(text), '{TXT.BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+       length(text) AS n_chars_computed,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+""",
+    "Per-doc token counts (whitespace + BPE-ish regex), char count, md5 fingerprint",
+)
+def q_text_stats(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.whitespace_token_count("text").alias("n_tokens"),
+        TXT.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        TXT.fingerprint("text").alias("fingerprint"),
+    )
+
+
+def _lang_sql() -> str:
+    """Mirror of functions/text.py lang_id + quality_score in SQL."""
+    hit = (
+        "len(list_filter(string_split(lower(text), ' '), "
+        "t -> list_contains({markers}, t)))"
+    )
+    score_cols = []
+    for lang, markers in TXT.LANG_MARKERS.items():
+        lit = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        score_cols.append(
+            f"CAST({hit.format(markers=lit)} AS DOUBLE) / n_tok AS s_{lang}"
+        )
+    langs = list(TXT.LANG_MARKERS)
+    # same back-to-front CASE chain as functions/text.py::lang_id
+    case = f"'{langs[-1]}'"
+    for i in range(len(langs) - 2, -1, -1):
+        conds = " AND ".join(f"s_{langs[i]} >= s_{langs[j]}" for j in range(i + 1, len(langs)))
+        case = f"CASE WHEN {conds} THEN '{langs[i]}' ELSE {case} END"
+    en_markers = "[" + ", ".join(f"'{m}'" for m in TXT.LANG_MARKERS["en"]) + "]"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, lang,
+         CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_tok,
+         CAST({hit.format(markers=en_markers)} AS DOUBLE) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, n_tok, n_stop, {', '.join(score_cols)},
+         (length(text) - n_tok + 1) / n_tok AS mean_wl
+  FROM base
+)
+SELECT doc_id, lang, {case} AS lang_pred,
+       0.4 * least(n_tok / 100.0, 1.0)
+     + 0.4 * least(4.0 * n_stop / n_tok, 1.0)
+     + 0.2 * (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1.0 ELSE 0.0 END) AS quality
+FROM scored
+"""
+
+
+@register(
+    "lang_quality",
+    _lang_sql(),
+    "Language-ID (marker-stopword argmax) + heuristic quality score per document",
+)
+def q_lang_quality(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        TXT.lang_id("text").alias("lang_pred"),
+        TXT.quality_score("text").alias("quality"),
+    )
+
+
+# ----- multimodal / JSON props ---------------------------------------
+
+
+@register(
+    "json_props_agg",
+    """
+SELECT event_type, SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k
+FROM events GROUP BY event_type
+""",
+    "Semi-structured column: JSON props parsed JVM-side (get_json_object), aggregated exactly",
+)
+def q_json_props_agg(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
+    )
+
+
+# ----- window analytics over the events stream (batch twins) ---------
+
+
+@register(
+    "tumbling_window",
+    """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY window_start
+""",
+    "10-min tumbling window agg — batch twin of the Structured Streaming pipeline (streaming/windows.py)",
+)
+def q_tumbling_window(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "sliding_window",
+    """
+SELECT window_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '10 minutes', ts, INTERVAL '5 minutes') AS window_start, value FROM events
+) GROUP BY window_start
+""",
+    "10-min window sliding every 5 min (each event in 2 windows; oracle = union of offset bucket grids)",
+)
+def q_sliding_window(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "session_window",
+    """
+WITH lagd AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '6 hours'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, new_s ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagd
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL '6 hours' AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+    "Session windows (6h gap) per user — batch twin of streaming session_window; gaps-and-islands oracle",
+)
+def q_session_window(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

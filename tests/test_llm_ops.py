@@ -1,0 +1,155 @@
+"""Tests for the LLM-data-pipeline extension operators: dedup,
+similarity, text analysis."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dask_datapipeline_spark.functions import text as TXT
+from dask_datapipeline_spark.operators import dedup as DD
+from dask_datapipeline_spark.operators.similarity import (
+    cosine_all_pairs_exact,
+    cosine_topk,
+    knn_join_lsh,
+)
+from dask_datapipeline_spark.sources.readers import load_testdata
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_testdata(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_testdata(spark, sf_dir, "embeddings")
+
+
+# ----- dedup ---------------------------------------------------------
+
+
+def test_exact_dedup_deterministic_survivor(spark):
+    df = spark.createDataFrame(
+        [(3, "a b"), (1, "a b"), (2, "c d")], ["doc_id", "text"]
+    ).select(TXT.fingerprint("text").alias("fp"), "doc_id")
+    out = {r.doc_id: r.n_dups for r in DD.exact_dedup(df, ["fp"], id_col="doc_id").collect()}
+    assert out == {1: 2, 2: 1}  # min-id survivor, dup count right
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame([("a  b ",), ("A b",)], ["text"])
+    fps = [r.fp for r in df.select(TXT.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """LSH candidates + verify must find the same >=0.5-Jaccard pairs
+    as the exact all-pairs baseline on this corpus (high-similarity
+    pairs collide in some band with near-certainty)."""
+    exact = {(r.id_a, r.id_b) for r in DD.jaccard_pairs(docs, None, threshold=0.5).collect()}
+    lsh = {(r.id_a, r.id_b) for r in DD.near_dup_pairs_minhash(docs, threshold=0.5).collect()}
+    assert lsh == exact
+    assert len(exact) > 0  # corpus has planted near-dups
+
+
+def test_simhash_near_dups_close(spark, docs):
+    """Near-dup docs (jaccard>=0.5) should have small SimHash Hamming
+    distance; random pairs large."""
+    pairs = DD.jaccard_pairs(docs, None, threshold=0.5).collect()
+    sh = {r.doc_id: (r.simhash_hi << 32) | r.simhash_lo for r in DD.simhash(docs).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    near = [ham(sh[p.id_a], sh[p.id_b]) for p in pairs]
+    assert near and max(near) <= 16
+    near_set = {(p.id_a, p.id_b) for p in pairs}
+    ids = sorted(sh)
+    far = [
+        ham(sh[ids[i]], sh[ids[i + 25]])
+        for i in range(20)
+        if (ids[i], ids[i + 25]) not in near_set
+    ]
+    # dissimilar docs: typically ~32 bits differ; median must clear the
+    # near-dup band even if one odd pair is moderately similar
+    far.sort()
+    assert far[len(far) // 2] > 16
+
+
+# ----- similarity ----------------------------------------------------
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    q = vecs[0]
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    want = sorted(((cos(vecs[i], q), -i) for i in vecs), reverse=True)[:5]
+    want_ids = [-i for _, i in want]
+    got = cosine_topk(emb, q.tolist(), k=5).collect()
+    assert [r.vec_id for r in got] == want_ids
+    assert all(math.isclose(r.cosine_sim, w[0], rel_tol=1e-9) for r, w in zip(got, want))
+
+
+def test_knn_lsh_recall(spark, emb):
+    """LSH k-NN should recover most of the exact top-5 neighbor sets."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = knn_join_lsh(queries, emb, k=5, bits_per_table=4, num_tables=12)
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    hits = total = 0
+    for qid in range(5):
+        q = vecs[qid]
+        exact = sorted(
+            vecs, key=lambda i: (-(vecs[i] @ q) / (np.linalg.norm(vecs[i]) * np.linalg.norm(q)), i)
+        )[:5]
+        hits += len(set(exact) & approx_sets.get(qid, set()))
+        total += 5
+    assert hits / total >= 0.7  # seeded → deterministic; observed 0.88
+
+
+def test_embedding_near_dup_symmetric_pairs(spark, emb):
+    out = cosine_all_pairs_exact(emb, threshold=0.4).collect()
+    assert all(r.id_a < r.id_b for r in out)
+    assert all(r.cosine_sim >= 0.4 for r in out)
+
+
+# ----- text analysis -------------------------------------------------
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("Hello world, 42 times!",)], ["text"])
+    r = df.select(
+        TXT.whitespace_token_count("text").alias("ws"),
+        TXT.bpe_ish_token_count("text").alias("bpe"),
+    ).collect()[0]
+    assert r.ws == 4
+    # hello|world|,|42|times|! → 6
+    assert r.bpe == 6
+
+
+def test_lang_id_and_quality_bounds(spark, docs):
+    out = docs.select(
+        TXT.lang_id("text").alias("pred"), TXT.quality_score("text").alias("q")
+    ).collect()
+    assert all(r.pred in TXT.LANG_MARKERS for r in out)
+    assert all(0.0 <= r.q <= 1.0 for r in out)
+
+
+def test_lang_id_marker_sensitivity(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is in a tree",), ("der hund ist nicht das problem und so",)],
+        ["text"],
+    )
+    out = [r.pred for r in df.select(TXT.lang_id("text").alias("pred")).collect()]
+    assert out == ["en", "de"]
