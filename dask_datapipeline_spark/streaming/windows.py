@@ -1,0 +1,150 @@
+"""Structured Streaming surface (SURVEY.md §2.2; reference has none —
+strictly batch, SURVEY.md §2.1 'Streaming: none').
+
+Design: every transformation here is written against a plain
+DataFrame, so the SAME function body serves the batch twin (catalog
+queries ``tumbling_window`` / ``sliding_window`` / ``session_window``)
+and the streaming pipeline — the Structured Streaming contract is that
+batch and stream share the plan, differing only in source/sink/
+trigger. Tests run the stream with ``availableNow`` over the testdata
+parquet and assert equality with the batch result.
+
+Scale notes:
+
+- Watermarks bound state: without one, windowed aggregation state
+  grows forever on a 100 TB/day stream. ``with_watermark`` is
+  mandatory in every streaming pipeline here.
+- ``dropDuplicatesWithinWatermark`` gives exactly-once-per-key within
+  the lateness horizon with bounded state — the streaming counterpart
+  of operators/dedup.py's exact dedup.
+- Arbitrary stateful logic uses ``applyInPandasWithState`` (Arrow
+  batches per key group) — the custom-stateful-operator escape hatch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` as a file stream (one-file 'directory'; production:
+    a growing landing dir or Kafka source — same downstream plan).
+
+    Same TIMESTAMP(NANOS) workaround as the batch reader: nanos read
+    as long, exact integer DIV to microseconds."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos-as-long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "30 minutes") -> DataFrame:
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_agg(df: DataFrame, ts_col: str = "ts", width: str = "10 minutes") -> DataFrame:
+    """Tumbling-window count+sum — identical body to the batch twin
+    (catalog ``tumbling_window``)."""
+    return (
+        df.groupBy(F.window(ts_col, width).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def session_agg(df: DataFrame, ts_col: str = "ts", gap: str = "6 hours") -> DataFrame:
+    """Per-user session windows — streaming requires a watermark
+    upstream so closed sessions can be finalized and state dropped."""
+    return (
+        df.groupBy("user_id", F.session_window(ts_col, gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(df: DataFrame, keys: list[str], ts_col: str = "ts", delay: str = "30 minutes") -> DataFrame:
+    """Exactly-once per key within the watermark horizon, bounded state."""
+    return with_watermark(df, ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("tot", T.DoubleType())]
+)
+
+
+def stateful_user_totals(df: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user (count, total value)
+    via ``applyInPandasWithState`` — the pattern for operators Spark's
+    built-ins can't express (per-key accumulators, custom sessions,
+    CEP-ish logic). State is one (n, tot) pair per user — O(keys)."""
+
+    def update(key, pdfs, state: GroupState):
+        n, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+        )
+
+    return df.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    timeout_sec: int = 120,
+) -> None:
+    """Drain a finite stream into the in-memory sink (tests/demos):
+    availableNow trigger processes everything then stops."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream {query_name} did not finish in {timeout_sec}s")

@@ -1,0 +1,64 @@
+"""Structured Streaming tests: the stream plan must equal its batch
+twin on the same finite input (availableNow → memory sink)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_datapipeline_spark.sources.readers import load_testdata
+from dask_datapipeline_spark.streaming import windows as SW
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return load_testdata(spark, sf_dir, "events")
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, batch_events):
+    sdf = SW.tumbling_agg(SW.with_watermark(SW.stream_events(spark, sf_dir)))
+    SW.run_to_memory(sdf, "t_tumbling", output_mode="complete")
+    got = spark.sql("SELECT * FROM t_tumbling")
+    want = SW.tumbling_agg(batch_events)
+    cols = ["window_start", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_session_equals_batch(spark, sf_dir, batch_events):
+    src = SW.with_watermark(SW.stream_events(spark, sf_dir), delay="1 hour")
+    SW.run_to_memory(SW.session_agg(src), "t_session", output_mode="complete")
+    got = spark.sql("SELECT * FROM t_session")
+    want = SW.session_agg(batch_events)
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir):
+    sdf = SW.stream_dedup(SW.stream_events(spark, sf_dir), ["user_id"], delay="10 minutes")
+    SW.run_to_memory(sdf, "t_dedup", output_mode="append")
+    got = spark.sql("SELECT user_id FROM t_dedup")
+    n_users = load_testdata(spark, sf_dir, "events").select("user_id").distinct().count()
+    # finite ordered input + per-user dedup → exactly one row per user
+    assert got.count() == n_users
+    assert got.distinct().count() == n_users
+
+
+def test_stateful_user_totals(spark, sf_dir, batch_events):
+    sdf = SW.stateful_user_totals(SW.stream_events(spark, sf_dir))
+    SW.run_to_memory(sdf, "t_state", output_mode="update")
+    # last update per user = final running total
+    got = spark.sql(
+        """SELECT user_id, n_events, total_value FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+             FROM t_state) WHERE rn = 1"""
+    )
+    want = batch_events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+    g = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in got.collect()}
+    w = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in want.collect()}
+    assert g == w
