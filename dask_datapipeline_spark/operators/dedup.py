@@ -93,11 +93,13 @@ def minhash_signatures(
 
     One explode + one groupBy computing all ``num_hashes`` mins in a
     single pass (partial aggregation map-side — the explode never
-    leaves the executor unreduced)."""
+    leaves the executor unreduced). No distinct before the groupBy:
+    ``min`` over duplicate shingles equals min over the set, and a
+    distinct would cost a full extra shuffle."""
     require_columns(df, [id_col, text_col])
     sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__sh")).where(
         F.col("__sh") != ""
-    ).distinct()
+    )
     aggs = [F.min(seeded_hash64(F.col("__sh"), i)).alias(f"mh_{i}") for i in range(num_hashes)]
     return sh.groupBy(id_col).agg(*aggs)
 
