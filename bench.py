@@ -43,8 +43,15 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
 
-    # Warmup: JVM + parquet footer reads + codegen paths.
+    # Warmup: JVM + parquet footer reads + codegen paths, plus the
+    # Python worker pool (fork + numpy/pandas import per worker) so
+    # pandas-UDF queries measure steady-state execution, as on a
+    # long-lived cluster, not one-time worker spawn.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    n_workers = spark.sparkContext.defaultParallelism
+    spark.range(n_workers, numPartitions=n_workers).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     extra = [n for n in CATALOG if n not in BENCH_QUERIES]

@@ -26,16 +26,36 @@ identical in both engines; swap in a regexp tokenizer per-corpus.
 
 from __future__ import annotations
 
+import hashlib
 from typing import Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dask_datapipeline_spark.errors import require_columns
+from dask_datapipeline_spark.parallel import fan_out
 
 # ----- shared primitives --------------------------------------------
+
+#: Modulus for the affine MinHash family: Mersenne prime 2^31-1.
+#: (a * (h % P) + b) with a, b, h%P < 2^31 stays < 2^62 — exact in
+#: int64 on both Spark and DuckDB, no overflow, no float.
+MERSENNE_P = (1 << 31) - 1
+
+
+def affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the affine hash family
+    g_i(h) = (a_i * h + b_i) mod P. Derived from md5 so the DuckDB
+    oracle builder (catalog_llm.py) embeds the same literals."""
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:8], 16) % (MERSENNE_P - 1) + 1
+        b = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:8], 16) % MERSENNE_P
+        out.append((a, b))
+    return out
 
 
 def tokens(text_col: Column | str) -> Column:
@@ -58,6 +78,25 @@ def shingles(text_col: Column | str, n: int) -> Column:
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, __h) rows — one 60-bit hash per shingle occurrence
+    (duplicates kept; callers distinct/min as needed).
+
+    The single md5 here is the only string hashing in the whole
+    MinHash/Jaccard family; every downstream shuffle, join, and
+    distinct moves 8-byte longs instead of shingle strings — at 100 TB
+    that's the difference between shuffling the corpus's n-grams and
+    shuffling fixed-width keys."""
+    require_columns(df, [id_col, text_col])
+    return fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__sh")
+    ).where(F.col("__sh") != "").select(
+        F.col(id_col), seeded_hash64(F.col("__sh"), 0).alias("__h")
     )
 
 
@@ -89,19 +128,26 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Per-document MinHash signature: sig[i] = min over distinct
-    shingles of h_i(shingle).
+    shingles of g_i(shingle), where g_i(h) = (a_i·h + b_i) mod P is an
+    affine family over ONE md5 base hash per shingle — 1 md5 + 16
+    integer ops instead of 16 md5s, identical math in the SQL oracle.
 
     One explode + one groupBy computing all ``num_hashes`` mins in a
     single pass (partial aggregation map-side — the explode never
     leaves the executor unreduced). No distinct before the groupBy:
     ``min`` over duplicate shingles equals min over the set, and a
     distinct would cost a full extra shuffle."""
-    require_columns(df, [id_col, text_col])
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__sh")).where(
-        F.col("__sh") != ""
-    )
-    aggs = [F.min(seeded_hash64(F.col("__sh"), i)).alias(f"mh_{i}") for i in range(num_hashes)]
-    return sh.groupBy(id_col).agg(*aggs)
+    hashed = hashed_shingles(df, id_col, text_col, shingle_n)
+    return _signatures_from_hashed(hashed, id_col, num_hashes)
+
+
+def _signatures_from_hashed(hashed: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    base = F.col("__h") % MERSENNE_P
+    aggs = [
+        F.min((F.lit(a) * base + F.lit(b)) % MERSENNE_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(affine_params(num_hashes))
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -112,24 +158,35 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banding: docs equal on ALL rows of any band are candidates.
 
-    Implemented as ``bands`` self equi-joins on the band key (a
-    concat of that band's signature slots), unioned + deduped.
-    Shuffle is on the band key → bucket-local work, scales linearly.
+    Implemented as posexplode of the ``bands`` band keys (concat of
+    that band's signature slots) followed by ONE self equi-join on
+    (band index, band key) — versus ``bands`` separate join+union
+    branches, which would recompute the signature aggregation per
+    branch and per side. The two sides of the self-join are identical
+    subplans, so Spark reuses the shuffle (ReusedExchange). Shuffle is
+    on the band key → bucket-local work, scales linearly.
     Output: (id_a, id_b) with id_a < id_b."""
     rows_per_band = num_hashes // bands
-    out = None
-    for b in range(bands):
-        cols = [f"mh_{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        key = F.concat_ws("_", *[F.col(c).cast("string") for c in cols])
-        side = signatures.select(F.col(id_col), key.alias("__band"))
-        pairs = (
-            side.alias("a")
-            .join(side.alias("b"), on="__band")
-            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-            .filter(F.col("id_a") < F.col("id_b"))
+    keys = [
+        F.concat_ws(
+            "_",
+            *[
+                F.col(f"mh_{i}").cast("string")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ],
         )
-        out = pairs if out is None else out.unionByName(pairs)
-    return out.distinct()
+        for b in range(bands)
+    ]
+    side = signatures.select(
+        F.col(id_col), F.posexplode(F.array(*keys)).alias("__t", "__band")
+    )
+    return (
+        side.alias("a")
+        .join(side.alias("b"), on=["__t", "__band"])
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
 
 
 def jaccard_pairs(
@@ -144,19 +201,53 @@ def jaccard_pairs(
     sharing ≥1 shingle when ``candidates`` is None — the small-scale /
     oracle path).
 
-    Intersection via self equi-join on shingle (shuffle on shingle —
-    hot shingles are the skew risk; stopword-ish shingles should be
+    Sets are of 60-bit shingle hashes (see ``hashed_shingles``) —
+    collision probability is negligible and the oracle hashes
+    identically, so the Jaccard values match bit-for-bit. Intersection
+    via self equi-join on the hash (shuffle on an 8-byte long; hot
+    shingles are the skew risk — stopword-ish shingles should be
     filtered upstream at scale). Union by |A|+|B|−∩ from per-doc
-    distinct counts. Output: (id_a, id_b, jaccard ≥ threshold)."""
-    sh = (
-        df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__sh"))
-        .where(F.col("__sh") != "")
-        .distinct()
-    )
+    distinct counts. Output: (id_a, id_b, jaccard ≥ threshold).
+
+    The distinct shingle-hash table is referenced four times in this
+    plan (intersection a/b sides, |A| sizes, |B| sizes); Spark's lazy
+    DAG would recompute the explode+md5 each time, so it is persisted
+    (memory, spilling to disk) — at any scale one materialization beats
+    four recomputes of the corpus's n-grams."""
+    hashed = hashed_shingles(df, id_col, text_col, shingle_n)
+    return _jaccard_from_hashed(hashed, candidates, id_col, threshold)
+
+
+def _jaccard_from_hashed(
+    hashed: DataFrame,
+    candidates: DataFrame | None,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    sh = hashed.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    if candidates is not None:
+        # Verify candidates only: restrict the shingle table to docs
+        # that appear in some candidate pair BEFORE the intersection
+        # self-join — the join output shrinks from all-pairs-sharing-a-
+        # shingle to pairs among candidate docs. Per-doc set sizes are
+        # unaffected by the doc-level filter.
+        ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        # No broadcast hint: AQE broadcasts the id set when it is small
+        # (the common case) but can fall back to a shuffled semi-join
+        # when a pathological corpus yields huge candidate sets.
+        sh = sh.join(ids, on=id_col, how="left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
     inter = (
         sh.alias("a")
-        .join(sh.alias("b"), on="__sh")
+        .join(sh.alias("b"), on="__h")
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
@@ -190,10 +281,23 @@ def near_dup_pairs_minhash(
     threshold: float = 0.5,
 ) -> DataFrame:
     """End-to-end near-dup detection: MinHash → LSH banding →
-    exact-Jaccard verification of candidates only."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    exact-Jaccard verification of candidates only.
+
+    The shingle-hash table is computed ONCE and persisted — signatures
+    and the Jaccard verify both derive from it, so the corpus text is
+    shingled+hashed a single time. Signatures are persisted too: the
+    banding self-join references them on both sides, and one signature
+    row per doc (16 longs) is far cheaper to hold than to recompute."""
+    from pyspark.storagelevel import StorageLevel
+
+    hashed = hashed_shingles(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = _signatures_from_hashed(hashed, id_col, num_hashes).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    return jaccard_pairs(df, cands, id_col, text_col, shingle_n, threshold)
+    return _jaccard_from_hashed(hashed, cands, id_col, threshold)
 
 
 # ----- SimHash -------------------------------------------------------
@@ -222,33 +326,39 @@ def simhash(
     Arrow-batched pandas UDF (mapInPandas): shingle, md5 each distinct
     shingle (same md5-hex → bits algorithm as the SQL oracle), sum ±1
     per bit position, sign → bit. One narrow pass, no shuffle — the
-    scale-correct shape for per-document feature extraction."""
-    import hashlib
-
+    scale-correct shape for per-document feature extraction. The
+    per-bit work is a vectorized numpy unpack over all of a document's
+    shingle hashes at once (not a 64×n_shingles Python loop)."""
     id_name, text_name = id_col, text_col
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def _doc_hash(text) -> tuple[int, int]:
+        toks = (text or "").lower().split(" ")
+        shs = {
+            " ".join(toks[i : i + shingle_n])
+            for i in range(max(len(toks) - shingle_n + 1, 0))
+        } - {""}
+        if not shs:
+            return 0, 0
+        hs = np.array(
+            [int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in shs],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        counts = (2 * bits - 1).sum(axis=0)
+        v = int(((counts > 0).astype(np.uint64) << shifts).sum())
+        return (v >> 32) & 0xFFFFFFFF, v & 0xFFFFFFFF
 
     def _batch(iterator):
         for pdf in iterator:
-            out_ids, his, los = [], [], []
-            for did, text in zip(pdf[id_name], pdf[text_name]):
-                toks = (text or "").lower().split(" ")
-                shs = {
-                    " ".join(toks[i : i + shingle_n])
-                    for i in range(max(len(toks) - shingle_n + 1, 0))
-                } - {""}
-                counts = [0] * 64
-                for t in shs:
-                    h = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
-                    for i in range(64):
-                        counts[i] += 1 if (h >> i) & 1 else -1
-                v = 0
-                for i in range(64):
-                    if counts[i] > 0:
-                        v |= 1 << i
-                out_ids.append(did)
-                his.append((v >> 32) & 0xFFFFFFFF)
-                los.append(v & 0xFFFFFFFF)
-            yield pd.DataFrame({"doc_id": out_ids, "simhash_hi": his, "simhash_lo": los})
+            hilo = [_doc_hash(t) for t in pdf[text_name]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_name].to_numpy(),
+                    "simhash_hi": [h for h, _ in hilo],
+                    "simhash_lo": [l for _, l in hilo],
+                }
+            )
 
-    src = df.select(F.col(id_col), F.col(text_col))
+    src = fan_out(df.select(F.col(id_col), F.col(text_col)))
     return src.mapInPandas(_batch, schema=_SIMHASH_SCHEMA)

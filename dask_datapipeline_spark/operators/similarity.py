@@ -35,6 +35,7 @@ from pyspark.sql import types as T
 
 from dask_datapipeline_spark.errors import require_columns
 from dask_datapipeline_spark.functions.vectors import as_double_array, cosine, dot
+from dask_datapipeline_spark.parallel import fan_out
 
 
 def _vec_lit(vec) -> Column:
@@ -153,17 +154,21 @@ def _lsh_candidate_pairs(
     planes = rng.standard_normal((num_tables, bits_per_table, dim))
     bud = _bucket_udf(planes)
 
-    q = queries.select(
+    q = fan_out(queries.select(id_col, vec_col)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.posexplode(bud(F.col(vec_col))).alias("__t", "__bucket"),
     )
-    c = corpus.select(
+    c = fan_out(corpus.select(id_col, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         F.posexplode(bud(F.col(vec_col))).alias("__t", "__bucket"),
     )
-    scored = q.join(c, on=["__t", "__bucket"]).select(
+    # shuffle_hash, not broadcast: at scale the corpus never fits a
+    # broadcast, and locally a BroadcastExchange built from an
+    # ArrowEvalPython stage serializes the whole UDF stage into the
+    # broadcast-build thread (measured ~3x slower than shuffling).
+    scored = q.join(c.hint("shuffle_hash"), on=["__t", "__bucket"]).select(
         "query_id",
         "neighbor_id",
         _cosine_batch(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
@@ -287,4 +292,4 @@ def cosine_all_pairs_exact(
                 {"id_a": b_ids[r], "id_b": c_ids[c], "cosine_sim": sims[r, c]}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
+    return fan_out(df.select(id_col, vec_col)).mapInPandas(gen, out_schema)

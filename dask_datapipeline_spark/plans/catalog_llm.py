@@ -27,14 +27,34 @@ sh0 AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS sh FROM idx),
 sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh <> '')
 """
 
+# Hashed-shingle twin (mirrors operators/dedup.py::hashed_shingles):
+# one md5 per shingle occurrence, downstream set ops on the 60-bit
+# BIGINT. ``hsh`` keeps duplicates (MinHash mins over it), ``shh`` is
+# the distinct set (Jaccard).
+_SQL_SHINGLES_HASHED = (
+    """
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+idx AS (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk)-2, 0))) AS i FROM toks),
+sh0 AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS sh FROM idx),
+hsh AS (SELECT doc_id, """
+    + _SQL_HASH.format(seed=0, col="sh")
+    + """ AS h FROM sh0 WHERE sh <> ''),
+shh AS (SELECT DISTINCT doc_id, h FROM hsh)
+"""
+)
+
 _NUM_HASHES, _BANDS, _ROWS_PER_BAND = 16, 4, 4
 
+# Affine MinHash family over one md5 base hash — same (a_i, b_i, P)
+# literals as operators/dedup.py::affine_params, imported so the two
+# engines cannot drift.
 _SQL_SIG = (
     "sig AS (SELECT doc_id, "
     + ", ".join(
-        f"MIN({_SQL_HASH.format(seed=i, col='sh')}) AS mh_{i}" for i in range(_NUM_HASHES)
+        f"MIN(({a} * (h % {DD.MERSENNE_P}) + {b}) % {DD.MERSENNE_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(DD.affine_params(_NUM_HASHES))
     )
-    + " FROM sh GROUP BY doc_id)"
+    + " FROM hsh GROUP BY doc_id)"
 )
 
 _SQL_BAND_JOINS = " UNION ALL ".join(
@@ -48,10 +68,10 @@ _SQL_BAND_JOINS = " UNION ALL ".join(
 )
 
 _SQL_JACCARD_TAIL = """
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT j.id_a, j.id_b, j.jaccard FROM (
@@ -91,8 +111,8 @@ def q_dedup_exact(spark, sf_dir):
 
 @register(
     "jaccard_near_dup",
-    "WITH " + _SQL_SHINGLES + "," + _SQL_JACCARD_TAIL.format(extra_join=""),
-    "Near-dup by exact 3-gram-shingle Jaccard >= 0.5 (self equi-join on shingle, no cross join)",
+    "WITH " + _SQL_SHINGLES_HASHED + "," + _SQL_JACCARD_TAIL.format(extra_join=""),
+    "Near-dup by exact 3-gram-shingle Jaccard >= 0.5 (self equi-join on 60-bit shingle hash, no cross join)",
 )
 def q_jaccard_near_dup(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents")
@@ -105,7 +125,7 @@ def q_jaccard_near_dup(spark, sf_dir):
 @register(
     "minhash_near_dup",
     "WITH "
-    + _SQL_SHINGLES
+    + _SQL_SHINGLES_HASHED
     + ","
     + _SQL_SIG
     + f""",
