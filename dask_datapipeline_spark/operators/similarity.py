@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (SURVEY.md §2.2).
 
-Two tiers, same semantics:
+Three tiers, same semantics:
 
 - ``cosine_topk`` — brute-force exact top-k for ONE query vector: the
   query is a broadcast literal, each partition computes similarities
@@ -15,6 +15,11 @@ Two tiers, same semantics:
   bucket keys — shuffle-partitioned by bucket, which is how this
   survives a 1000-executor scale-up. Recall is tuned by ``num_tables``
   independent hash tables (union of candidates, dedup).
+- ``ivf_topk`` — inverted-file index: a small coarse-quantizer
+  codebook partitions the corpus into cells (one shuffle keyed on
+  cell id); each query probes its ``n_probe`` nearest cells and
+  re-ranks exactly within them. The codebook is tiny and broadcast;
+  the corpus shuffle is the build step you'd persist at scale.
 
 Hyperplanes are generated from a seeded NumPy RNG on the driver and
 shipped as literals — deterministic across runs and engines.
@@ -203,6 +208,102 @@ def knn_join_lsh(
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+@F.pandas_udf(T.DoubleType())
+def _cosine_batch_seq(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Row-wise cosine with strictly element-ordered accumulation —
+    bit-identical to DuckDB's ``list_dot_product`` fold (``np.sum``
+    may use pairwise summation; this must not)."""
+    va, vb = _stack(a), _stack(b)
+    num = np.zeros(len(va))
+    na = np.zeros(len(va))
+    nb = np.zeros(len(va))
+    for k in range(va.shape[1]):
+        num += va[:, k] * vb[:, k]
+        na += va[:, k] * va[:, k]
+        nb += vb[:, k] * vb[:, k]
+    return pd.Series(num / (np.sqrt(na) * np.sqrt(nb)))
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate k-NN join by cosine.
+
+    Coarse quantizer: the first ``n_cells`` corpus vectors by id — a
+    deterministic codebook so the DuckDB oracle can replay the exact
+    assignment (production would train k-means|| centroids; the
+    cell-assign → probe → in-cell exact re-rank dataflow is identical
+    and that is what this operator exercises).
+
+    Physical shape, and why it scales: the codebook is a few KiB in
+    the UDF closures (never a join); corpus cell assignment is one
+    vectorized pandas-UDF pass over the scan; the only wide shuffle is
+    the candidate equi-join keyed on cell id — each query probes
+    ``n_probe`` cells, so the work per query is bounded by cell size,
+    not corpus size. At 100 TB the assigned corpus would be written
+    out partitioned by cell (the 'index build'); the probe join then
+    prunes to the probed cells' partitions.
+
+    Ties everywhere break toward the lower id, matching the oracle's
+    ``ORDER BY sim DESC, id ASC`` row_number. Output:
+    (query_id, neighbor_id, cosine_sim, rn).
+    """
+    require_columns(corpus, [id_col, vec_col])
+    require_columns(queries, [id_col, vec_col])
+    cent = sorted(
+        corpus.filter(F.col(id_col) < n_cells).select(id_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    c_ids = np.array([r[0] for r in cent], dtype=np.int64)
+    c_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent])
+    c_norms = np.sqrt(_seq_sq_norm(c_mat))
+
+    def _sims_to_centroids(vecs: pd.Series) -> np.ndarray:
+        v = _stack(vecs)
+        return _seq_dot(v, c_mat) / (np.sqrt(_seq_sq_norm(v))[:, None] * c_norms[None, :])
+
+    @F.pandas_udf(T.LongType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        # argmax returns the FIRST maximum; c_ids is ascending, so
+        # ties resolve to the lowest centroid id.
+        return pd.Series(c_ids[np.argmax(_sims_to_centroids(vecs), axis=1)])
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def probes_of(vecs: pd.Series) -> pd.Series:
+        # stable argsort on -sim + ascending c_ids → ties by id asc.
+        idx = np.argsort(-_sims_to_centroids(vecs), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(c_ids[idx]))
+
+    assigned = fan_out(corpus.select(id_col, vec_col)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        cell_of(F.col(vec_col)).alias("__cell"),
+    )
+    probed = fan_out(queries.select(id_col, vec_col)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probes_of(F.col(vec_col))).alias("__cell"),
+    )
+    # shuffle_hash for the same reason as the LSH bucket join: the
+    # corpus side is never broadcastable at scale, and broadcasting an
+    # ArrowEvalPython stage is slow even when it fits.
+    scored = probed.join(assigned.hint("shuffle_hash"), on="__cell").select(
+        "query_id",
+        "neighbor_id",
+        _cosine_batch_seq(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
 def embedding_near_dup_pairs(

@@ -12,7 +12,12 @@ from pyspark.sql import functions as F
 
 from dask_datapipeline_spark.functions import text as TXT
 from dask_datapipeline_spark.operators import dedup as DD
-from dask_datapipeline_spark.operators.similarity import cosine_all_pairs_exact, cosine_topk, knn_join_lsh
+from dask_datapipeline_spark.operators.similarity import (
+    cosine_all_pairs_exact,
+    cosine_topk,
+    ivf_topk,
+    knn_join_lsh,
+)
 from dask_datapipeline_spark.plans.catalog import register
 from dask_datapipeline_spark.sources.readers import load_testdata
 
@@ -227,6 +232,48 @@ def q_knn_join_lsh(spark, sf_dir):
     return knn_join_lsh(queries, emb, k=5, bits_per_table=6, num_tables=6)
 
 
+@register(
+    "knn_join_ivf",
+    f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_COS_SQL.format(a='e.embedding', b='c.cv')} DESC, c.cid
+         ) AS rn
+  FROM embeddings e CROSS JOIN c
+),
+cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+probe AS (
+  SELECT qid, qv, cid FROM (
+    SELECT q.qid, q.qv, c.cid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY {_COS_SQL.format(a='q.qv', b='c.cv')} DESC, c.cid
+           ) AS rn
+    FROM q CROSS JOIN c) WHERE rn <= 4
+),
+scored AS (
+  SELECT p.qid AS query_id, ce.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='p.qv', b='ce.embedding')} AS cosine_sim
+  FROM probe p JOIN cells ce ON ce.cid = p.cid
+)
+SELECT query_id, neighbor_id, cosine_sim, rn FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= 5
+""",
+    "IVF k-NN: deterministic codebook → cell assignment → probe 4 nearest cells → "
+    "exact in-cell re-rank; oracle replays the identical assignment in SQL",
+)
+def q_knn_join_ivf(spark, sf_dir):
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(queries, emb, k=5, n_cells=16, n_probe=4)
+
+
 # ----- text analysis -------------------------------------------------
 
 
@@ -324,6 +371,58 @@ def q_json_props_agg(spark, sf_dir):
     k = F.get_json_object("props", "$.k").cast("long")
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
+    )
+
+
+@register(
+    "multimodal_features",
+    """
+WITH m AS (
+  SELECT g.range AS media_id,
+         'media-42-' || g.range AS payload_str,
+         (['image','audio','video'])[(g.range % 3)::INT + 1] AS kind,
+         (g.range * 33) % 10000 AS duration_ms
+  FROM generate_series(0, 255) g(range)
+)
+SELECT media_id, kind,
+       sha256(payload_str) AS payload_sha,
+       CAST(length(payload_str) AS BIGINT) AS n_bytes,
+       list_transform(range(0, 16),
+         i -> CAST(CONCAT('0x', substring(sha256(payload_str), 2*i+1, 2)) AS INT) / 256.0
+       ) AS feature,
+       CASE WHEN kind = 'video'
+            THEN CAST(floor(greatest(duration_ms - 1, 0) / 1000) AS BIGINT) + 1
+            ELSE CAST(1 AS BIGINT) END AS n_frames
+FROM m
+""",
+    "Multimodal binary pipeline: opaque payloads + typed metadata, Arrow-batched "
+    "decode/featurize stub (mapInPandas), JVM-side frame sampling; payloads are "
+    "deterministic so the oracle recomputes sha/features/frame counts in SQL",
+)
+def q_multimodal_features(spark, sf_dir):
+    from dask_datapipeline_spark.multimodal.binary import (
+        decode_image_stub,
+        extract_frames_stub,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=256)
+    feats = decode_image_stub(media, dim=16, batch_size=10_000)
+    frames = extract_frames_stub(media).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    return (
+        media.select("media_id", F.col("meta.kind").alias("kind"))
+        .join(feats, "media_id")
+        .join(frames, "media_id")
+        .select(
+            "media_id",
+            "kind",
+            "payload_sha",
+            F.col("n_bytes").cast("long").alias("n_bytes"),
+            F.transform("feature", lambda x: x.cast("double")).alias("feature"),
+            "n_frames",
+        )
     )
 
 

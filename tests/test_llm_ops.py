@@ -14,6 +14,7 @@ from dask_datapipeline_spark.operators import dedup as DD
 from dask_datapipeline_spark.operators.similarity import (
     cosine_all_pairs_exact,
     cosine_topk,
+    ivf_topk,
     knn_join_lsh,
 )
 from dask_datapipeline_spark.sources.readers import load_testdata
@@ -116,6 +117,31 @@ def test_knn_lsh_recall(spark, emb):
         hits += len(set(exact) & approx_sets.get(qid, set()))
         total += 5
     assert hits / total >= 0.7  # seeded → deterministic; observed 0.88
+
+
+def test_ivf_topk_recall_and_shape(spark, emb):
+    """IVF with a quarter of the cells probed should still recover
+    most exact neighbors, self always included (a vector's own cell is
+    always probed first since cos(v, cell(v)) is maximal for v)."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(queries, emb, k=5, n_cells=16, n_probe=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    hits = total = 0
+    for qid in range(5):
+        got = by_q[qid]
+        assert [r.rn for r in sorted(got, key=lambda r: r.rn)] == list(range(1, len(got) + 1))
+        assert qid in {r.neighbor_id for r in got}  # self-neighbor found
+        q = vecs[qid]
+        exact = sorted(
+            vecs, key=lambda i: (-(vecs[i] @ q) / (np.linalg.norm(vecs[i]) * np.linalg.norm(q)), i)
+        )[:5]
+        hits += len(set(exact) & {r.neighbor_id for r in got})
+        total += 5
+    assert hits / total >= 0.5  # deterministic codebook; observed higher
 
 
 def test_embedding_near_dup_symmetric_pairs(spark, emb):
