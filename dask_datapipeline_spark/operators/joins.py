@@ -88,6 +88,69 @@ def fold_join(
     return reduce(lambda l, r: equi_join(l, r, on=on, how=how), df_list)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | Sequence[str],
+    right_cols: Sequence[str] | None = None,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, attach the LATEST right row with
+    ``right.on <= left.on`` within the same ``by`` group (backward
+    inclusive match — DuckDB/pandas ``ASOF JOIN`` semantics). Left rows
+    with no prior right row keep nulls (left-outer).
+
+    Spark has no native as-of join; the naive encodings are a range
+    join (quadratic blowup per key) or a per-key ``applyInPandas``
+    (Python in the hot path). This implementation is pure DataFrame
+    ops: union the two sides tagged, then one window sort per key with
+    ``last(ignorenulls=True)`` carrying the most recent right values
+    forward. Cost = ONE shuffle on the ``by`` key + a per-partition
+    sort — the same shape as a sort-merge join, no row multiplication,
+    fully codegen'd. Skew follows the key distribution (same mitigation
+    as any keyed shuffle: AQE skew split / salting).
+
+    ``right`` must be unique per (by, on) — pre-aggregate duplicates
+    (e.g. ``max_by``) to keep the matched row deterministic.
+    ``tolerance_seconds`` nulls out matches older than the given age.
+    """
+    from pyspark.sql.window import Window
+
+    keys = [by] if isinstance(by, str) else list(by)
+    require_columns(left, [on, *keys], "left")
+    require_columns(right, [on, *keys], "right")
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in {on, *keys}]
+
+    l_tagged = left.withColumn("__is_left", F.lit(1)).withColumn(
+        "__r_ts", F.lit(None).cast(dict(left.dtypes)[on])
+    )
+    r_tagged = right.select(
+        *keys, F.col(on), F.col(on).alias("__r_ts"), *right_cols
+    ).withColumn("__is_left", F.lit(0))
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    # Right rows sort before left rows at equal timestamps → a right
+    # row at exactly t matches a left row at t (inclusive backward).
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(on).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in [*right_cols, "__r_ts"]:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+
+    out = u.filter(F.col("__is_left") == 1).drop("__is_left")
+    if tolerance_seconds is not None:
+        too_old = (
+            F.col(on).cast("double") - F.col("__r_ts").cast("double")
+        ) > tolerance_seconds
+        for c in right_cols:
+            out = out.withColumn(c, F.when(too_old, F.lit(None)).otherwise(F.col(c)))
+    return out.drop("__r_ts")
+
+
 def salt_join(
     left: DataFrame,
     right: DataFrame,

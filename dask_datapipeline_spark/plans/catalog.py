@@ -528,6 +528,99 @@ def q_scalar_functions(spark, sf_dir):
     )
 
 
+@register(
+    "asof_join",
+    """
+WITH r AS (
+  SELECT user_id, ts,
+         MAX(event_id) AS last_click_id,
+         arg_max(value, event_id) AS last_click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.ts, l.value, r.last_click_id, r.last_click_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+    "As-of join (per purchase: the user's latest prior click) — union + last-non-null "
+    "window, one keyed shuffle, no row multiplication; oracle is DuckDB's native ASOF JOIN",
+)
+def q_asof_join(spark, sf_dir):
+    from dask_datapipeline_spark.operators.joins import asof_join
+
+    ev = load_testdata(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("last_click_id"),
+            F.max_by("value", "event_id").alias("last_click_value"),
+        )
+    )
+    return asof_join(left, right, on="ts", by="user_id")
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_event_values",
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)"
+        f" AS {t}_sum"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+    "Pivot: one row per user, one exact-decimal value column per event type "
+    "(single shuffle; explicit pivot values avoid the extra distinct scan)",
+)
+def q_pivot_event_values(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"))
+    )
+    for t in _EVENT_TYPES:
+        out = out.withColumnRenamed(t, f"{t}_sum")
+    return out
+
+
+@register(
+    "running_window",
+    """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+       LAG(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       ROW_NUMBER() OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+""",
+    "Running/cumulative window functions per customer (exact-decimal running sum, "
+    "lag, sequence number) — one shuffle on the partition key, unique sort key",
+)
+def q_running_window(spark, sf_dir):
+    o = load_testdata(spark, sf_dir, "orders")
+    w_ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w_run)
+        .cast("double")
+        .alias("running_total"),
+        F.lag("o_totalprice").over(w_ord).alias("prev_price"),
+        F.row_number().over(w_ord).alias("order_seq"),
+    )
+
+
 # Extension surface (dedup / similarity / text / multimodal / windows)
 # registers itself into CATALOG on import — keep this import last.
 from dask_datapipeline_spark.plans import catalog_llm  # noqa: E402,F401

@@ -198,3 +198,41 @@ def test_bround_half_even(spark):
     out = df.select(bround2("x").alias("r")).collect()
     # banker's rounding: 0.125→0.12, 0.135→0.14 (pandas/NumPy parity)
     assert [r.r for r in out] == [0.12, 0.14]
+
+
+def test_asof_join_semantics(spark):
+    from dask_datapipeline_spark.operators.joins import asof_join
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", ts("2024-01-01 10:00:00")),  # after r@09:00 -> 100
+            (2, "u1", ts("2024-01-01 12:00:00")),  # exactly r@12:00 -> 200 (inclusive)
+            (3, "u1", ts("2024-01-01 08:00:00")),  # before any right -> null
+            (4, "u2", ts("2024-01-01 10:00:00")),  # other key, no right rows -> null
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", ts("2024-01-01 09:00:00"), 100.0),
+            ("u1", ts("2024-01-01 12:00:00"), 200.0),
+        ],
+        "user_id string, ts timestamp, price double",
+    )
+    got = {
+        r.event_id: r.price
+        for r in asof_join(left, right, on="ts", by="user_id").collect()
+    }
+    assert got == {1: 100.0, 2: 200.0, 3: None, 4: None}
+
+    # tolerance: the 10:00 event is 3600s after 09:00 — a 1800s window drops it
+    got_tol = {
+        r.event_id: r.price
+        for r in asof_join(
+            left, right, on="ts", by="user_id", tolerance_seconds=1800
+        ).collect()
+    }
+    assert got_tol == {1: None, 2: 200.0, 3: None, 4: None}
