@@ -476,6 +476,53 @@ def q_sliding_window(spark, sf_dir):
     )
 
 
+_STREAM_SEQ = iter(range(10**9))
+
+_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY window_start
+"""
+
+
+@register(
+    "streaming_tumbling",
+    _TUMBLING_ORACLE,
+    "The ACTUAL Structured Streaming pipeline (readStream parquet → tumbling agg → "
+    "memory sink, availableNow): complete mode over the bounded input must equal the "
+    "batch twin bit-for-bit, so it shares tumbling_window's oracle",
+)
+def q_streaming_tumbling(spark, sf_dir):
+    from dask_datapipeline_spark.streaming.windows import (
+        run_to_memory,
+        stream_events,
+        tumbling_agg,
+    )
+
+    name = f"stream_tumbling_{next(_STREAM_SEQ)}"
+    run_to_memory(tumbling_agg(stream_events(spark, sf_dir)), name, "complete")
+    return spark.table(name)
+
+
+@register(
+    "streaming_user_totals",
+    None,  # applyInPandasWithState float accumulation order is arrival-dependent → rows-only
+    "Custom stateful streaming operator (applyInPandasWithState): running per-user "
+    "count/total with one state row per key",
+)
+def q_streaming_user_totals(spark, sf_dir):
+    from dask_datapipeline_spark.streaming.windows import (
+        run_to_memory,
+        stream_events,
+        stateful_user_totals,
+    )
+
+    name = f"stream_totals_{next(_STREAM_SEQ)}"
+    run_to_memory(stateful_user_totals(stream_events(spark, sf_dir)), name, "update")
+    return spark.table(name)
+
+
 @register(
     "session_window",
     """
