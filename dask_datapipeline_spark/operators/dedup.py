@@ -362,3 +362,55 @@ def simhash(
 
     src = fan_out(df.select(F.col(id_col), F.col(text_col)))
     return src.mapInPandas(_batch, schema=_SIMHASH_SCHEMA)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation is DETERMINISTIC banding, not probabilistic
+    LSH: the 64-bit simhash splits into 4 16-bit chunks, and by
+    pigeonhole any pair within Hamming distance 3 agrees on at least
+    one chunk — so a self equi-join on (chunk index, chunk value) has
+    perfect recall for ``max_hamming < 4``. Exact Hamming
+    (bit_count of xor) verifies candidates. One shuffle keyed on the
+    chunk; same shape and scale behavior as the MinHash banding join.
+    Output: (id_a, id_b, hamming) with id_a < id_b."""
+    if not 0 <= max_hamming < 4:
+        raise ValueError("4-chunk banding guarantees recall only for max_hamming < 4")
+    from pyspark.storagelevel import StorageLevel
+
+    s = simhash(df, id_col, text_col, shingle_n).persist(StorageLevel.MEMORY_AND_DISK)
+    chunks = F.array(
+        F.shiftright(F.col("simhash_hi"), 16),
+        F.col("simhash_hi").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col("simhash_lo"), 16),
+        F.col("simhash_lo").bitwiseAND(F.lit(0xFFFF)),
+    )
+    side = s.select(
+        F.col("doc_id"),
+        F.col("simhash_hi"),
+        F.col("simhash_lo"),
+        F.posexplode(chunks).alias("__i", "__chunk"),
+    )
+    ham = (
+        F.bit_count(F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi")))
+        + F.bit_count(F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo")))
+    )
+    return (
+        side.alias("a")
+        .join(side.alias("b"), on=["__i", "__chunk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -151,8 +151,7 @@ def q_minhash_near_dup(spark, sf_dir):
 # ----- SimHash -------------------------------------------------------
 
 
-@register(
-    "simhash",
+_SQL_SIMHASH_CTES = (
     "WITH "
     + _SQL_SHINGLES
     + """,
@@ -168,17 +167,44 @@ bits AS (
                   THEN 1 ELSE -1 END) AS cnt
   FROM h, (SELECT unnest(generate_series(0, 63)) AS i) g
   GROUP BY doc_id, g.i
+),
+sim AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN i >= 32 AND cnt > 0 THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END) AS BIGINT) AS simhash_hi,
+         CAST(SUM(CASE WHEN i < 32 AND cnt > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS simhash_lo
+  FROM bits GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(SUM(CASE WHEN i >= 32 AND cnt > 0 THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END) AS BIGINT) AS simhash_hi,
-       CAST(SUM(CASE WHEN i < 32 AND cnt > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS simhash_lo
-FROM bits GROUP BY doc_id
-""",
+"""
+)
+
+
+@register(
+    "simhash",
+    _SQL_SIMHASH_CTES + "SELECT doc_id, simhash_hi, simhash_lo FROM sim",
     "64-bit shingle-SimHash via Arrow-batched pandas UDF; oracle recomputes the identical md5-bit algorithm in SQL",
 )
 def q_simhash(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents")
     return DD.simhash(docs)
+
+
+@register(
+    "simhash_near_dup",
+    _SQL_SIMHASH_CTES
+    + """
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash_hi, b.simhash_hi))
+       + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS hamming
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+) WHERE hamming <= 3
+""",
+    "SimHash near-dup pairs (Hamming <= 3): 4x16-bit chunk banding has perfect recall "
+    "by pigeonhole, so the O(N^2) SQL oracle matches the banded join exactly",
+)
+def q_simhash_near_dup(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    return DD.simhash_near_dup_pairs(docs, max_hamming=3)
 
 
 # ----- similarity search ---------------------------------------------

@@ -179,3 +179,21 @@ def test_lang_id_marker_sensitivity(spark):
     )
     out = [r.pred for r in df.select(TXT.lang_id("text").alias("pred")).collect()]
     assert out == ["en", "de"]
+
+
+def test_simhash_near_dup_recall_vs_bruteforce(spark, docs):
+    """Banding must find EXACTLY the brute-force Hamming<=3 pairs
+    (pigeonhole: <=3 differing bits cannot touch all 4 chunks)."""
+    sims = {r.doc_id: (r.simhash_hi << 32) | r.simhash_lo for r in DD.simhash(docs).collect()}
+    ids = sorted(sims)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    got = {(r.id_a, r.id_b) for r in DD.simhash_near_dup_pairs(docs, max_hamming=3).collect()}
+    assert got == want
+
+    with pytest.raises(ValueError):
+        DD.simhash_near_dup_pairs(docs, max_hamming=4)
