@@ -215,18 +215,20 @@ def jaccard_pairs(
     (memory, spilling to disk) — at any scale one materialization beats
     four recomputes of the corpus's n-grams."""
     hashed = hashed_shingles(df, id_col, text_col, shingle_n)
-    return _jaccard_from_hashed(hashed, candidates, id_col, threshold)
+    from pyspark.storagelevel import StorageLevel
+
+    sh = hashed.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    return _jaccard_from_distinct(sh, candidates, id_col, threshold)
 
 
-def _jaccard_from_hashed(
-    hashed: DataFrame,
+def _jaccard_from_distinct(
+    sh: DataFrame,
     candidates: DataFrame | None,
     id_col: str,
     threshold: float,
 ) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
-    sh = hashed.distinct().persist(StorageLevel.MEMORY_AND_DISK)
     if candidates is not None:
         # Verify candidates only: restrict the shingle table to docs
         # that appear in some candidate pair BEFORE the intersection
@@ -283,21 +285,26 @@ def near_dup_pairs_minhash(
     """End-to-end near-dup detection: MinHash → LSH banding →
     exact-Jaccard verification of candidates only.
 
-    The shingle-hash table is computed ONCE and persisted — signatures
-    and the Jaccard verify both derive from it, so the corpus text is
-    shingled+hashed a single time. Signatures are persisted too: the
+    The DISTINCT shingle-hash table is computed once and persisted —
+    signatures and the Jaccard verify both derive from it (min over a
+    set equals min over its duplicates), so the corpus text is
+    shingled+hashed a single time and the cached table is shared with
+    any ``jaccard_pairs`` run in the same session (identical canonical
+    plan → CacheManager hit). Signatures are persisted too: the
     banding self-join references them on both sides, and one signature
     row per doc (16 longs) is far cheaper to hold than to recompute."""
     from pyspark.storagelevel import StorageLevel
 
-    hashed = hashed_shingles(df, id_col, text_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh = (
+        hashed_shingles(df, id_col, text_col, shingle_n)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sigs = _signatures_from_hashed(hashed, id_col, num_hashes).persist(
+    sigs = _signatures_from_hashed(sh, id_col, num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    return _jaccard_from_hashed(hashed, cands, id_col, threshold)
+    return _jaccard_from_distinct(sh, cands, id_col, threshold)
 
 
 # ----- SimHash -------------------------------------------------------
