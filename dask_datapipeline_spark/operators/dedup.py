@@ -371,6 +371,70 @@ def simhash(
     return src.mapInPandas(_batch, schema=_SIMHASH_SCHEMA)
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph →
+    (id, cluster_id, is_canonical), where cluster_id is the MINIMUM id
+    in the component — the deterministic canonical survivor, and rows
+    with ``is_canonical`` false are the ones a dedup pipeline drops.
+
+    Iterative min-label propagation (the standard Spark encoding of an
+    algorithm SQL can't stream): each round joins labels across edges
+    and keeps the per-node min, converging in O(component diameter)
+    rounds — near-dup components are shallow, so a handful. Each round
+    is one keyed join + one groupBy shuffle over the EDGE set only;
+    labels persist between rounds. Driver coordinates the loop and the
+    convergence check (one count per round).
+
+    Raises RuntimeError if ``max_iter`` rounds don't converge (a
+    pathological chain longer than max_iter)."""
+    from pyspark.storagelevel import StorageLevel
+
+    e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        nodes.select(F.col(id_col).alias("u"))
+        .distinct()
+        .withColumn("label", F.col("u"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("u").alias("v"), "label"), on="v"
+        ).select("u", "label")
+        new_labels = (
+            nbr.unionByName(labels.select("u", "label"))
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"label propagation did not converge in {max_iter} rounds")
+    return labels.select(
+        F.col("u").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("u")).alias("is_canonical"),
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -148,6 +148,34 @@ def q_minhash_near_dup(spark, sf_dir):
     )
 
 
+@register(
+    "dup_clusters",
+    "WITH RECURSIVE "
+    + _SQL_SHINGLES_HASHED
+    + ""","""
+    + _SQL_JACCARD_TAIL.format(extra_join="").replace(
+        "SELECT j.id_a, j.id_b, j.jaccard FROM (", ", pairs AS (SELECT j.id_a, j.id_b FROM ("
+    ).replace(") j WHERE j.jaccard >= 0.5", ") j WHERE j.jaccard >= 0.5)")
+    + """,
+e AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(u, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, r.label FROM e JOIN reach r ON r.u = e.v
+)
+SELECT u AS doc_id, MIN(label) AS cluster_id, (MIN(label) = u) AS is_canonical
+FROM reach GROUP BY u
+""",
+    "Near-dup clusters: connected components of the Jaccard>=0.5 pair graph via "
+    "iterative min-label propagation; min-id canonical survivor; oracle is a "
+    "recursive-CTE reachability closure",
+)
+def q_dup_clusters(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    pairs = DD.jaccard_pairs(docs, None, threshold=0.5)
+    return DD.dup_clusters(pairs, docs)
+
+
 # ----- SimHash -------------------------------------------------------
 
 

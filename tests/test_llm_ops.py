@@ -197,3 +197,17 @@ def test_simhash_near_dup_recall_vs_bruteforce(spark, docs):
 
     with pytest.raises(ValueError):
         DD.simhash_near_dup_pairs(docs, max_hamming=4)
+
+
+def test_dup_clusters_chain_and_singletons(spark):
+    """A 5-node chain (min label must propagate 4 hops), a 2-cycle,
+    and isolated singletons."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    out = {r.doc_id: (r.cluster_id, r.is_canonical) for r in DD.dup_clusters(pairs, nodes).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False), 5: (1, False),
+        6: (6, True), 7: (7, True), 8: (8, True), 9: (8, False), 10: (10, True),
+    }
