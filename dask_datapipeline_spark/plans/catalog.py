@@ -528,6 +528,35 @@ def q_scalar_functions(spark, sf_dir):
     )
 
 
+_SQL_Q3ISH = """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 20
+"""
+
+
+@register(
+    "sql_q3ish",
+    _SQL_Q3ISH,
+    "SQL entry point: TPC-H-Q3-shaped query text run via spark.sql over registered "
+    "views — Catalyst parses/plans the same string DuckDB runs (per-row decimal "
+    "product, exact decimal sum, unique-key tiebreak)",
+)
+def q_sql_q3ish(spark, sf_dir):
+    for t in ("customer", "orders", "lineitem"):
+        load_testdata(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_Q3ISH)
+
+
 @register(
     "asof_join",
     """
