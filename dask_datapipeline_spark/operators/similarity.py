@@ -108,12 +108,35 @@ def _bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
     return out
 
 
+def rademacher_planes(num_tables: int, bits: int, dim: int) -> np.ndarray:
+    """±1 hyperplanes (sign-random-projection LSH, a standard SRP
+    variant) derived bit-by-bit from md5 — deterministic and exactly
+    reproducible as literal arrays in the SQL oracle, unlike seeded
+    Gaussian planes."""
+    import hashlib
+
+    out = np.empty((num_tables, bits, dim))
+    for t in range(num_tables):
+        for b in range(bits):
+            h = hashlib.md5(f"plane:{t}:{b}".encode()).digest()
+            while len(h) * 8 < dim:
+                h += hashlib.md5(h).digest()
+            out[t, b] = [1.0 if (h[k // 8] >> (k % 8)) & 1 else -1.0 for k in range(dim)]
+    return out
+
+
 def _bucket_udf(planes: np.ndarray):
     """Vectorized pandas UDF: embedding → array of ``num_tables``
-    bucket ids, ONE matmul per Arrow batch instead of
+    bucket ids, ONE vectorized pass per Arrow batch instead of
     ``num_tables × bits`` interpreted dot-product expressions per row.
     ``planes`` has shape (num_tables, bits, dim) and travels to the
-    executors inside the UDF closure (a few KiB)."""
+    executors inside the UDF closure (a few KiB).
+
+    Dot products accumulate in strict element order (``_seq_dot``),
+    not BLAS matmul: the bucket bit is the SIGN of the dot, and a
+    last-ulp difference from reordered summation could flip it —
+    strict order keeps buckets bit-identical to the SQL oracle's
+    ``list_dot_product`` fold."""
     nt, bits, dim = planes.shape
     flat = planes.reshape(nt * bits, dim)
     weights = (1 << np.arange(bits)).astype(np.int64)
@@ -121,7 +144,7 @@ def _bucket_udf(planes: np.ndarray):
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
         v = _stack(vecs)
-        signs = (v @ flat.T) >= 0
+        signs = _seq_dot(v, flat) >= 0
         b = signs.reshape(len(v), nt, bits).astype(np.int64) @ weights
         return pd.Series(list(b))
 
@@ -146,17 +169,27 @@ def _lsh_candidate_pairs(
     bits_per_table: int,
     num_tables: int,
     seed: int,
+    plane_kind: str = "gaussian",
 ) -> DataFrame:
     """Scored candidate pairs (query_id, neighbor_id, cosine_sim) from a
     bucket equi-join on (table, bucket).
+
+    ``plane_kind='gaussian'`` draws seeded Gaussian hyperplanes (the
+    textbook SRP choice); ``'rademacher'`` uses md5-derived ±1 planes —
+    statistically similar, and exactly reproducible in the SQL oracle.
 
     Shuffle budget: ONE join keyed on (table, bucket) — the posexplode
     replaces ``num_tables`` separate join+union branches — then one
     narrow 3-column dedup shuffle. Vectors are projected away in the
     join output (scored immediately), so the dedup never shuffles the
     embedding payload."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_tables, bits_per_table, dim))
+    if plane_kind == "gaussian":
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((num_tables, bits_per_table, dim))
+    elif plane_kind == "rademacher":
+        planes = rademacher_planes(num_tables, bits_per_table, dim)
+    else:
+        raise ValueError(f"plane_kind={plane_kind!r} not in ('gaussian','rademacher')")
     bud = _bucket_udf(planes)
 
     q = fan_out(queries.select(id_col, vec_col)).select(
@@ -176,7 +209,7 @@ def _lsh_candidate_pairs(
     scored = q.join(c.hint("shuffle_hash"), on=["__t", "__bucket"]).select(
         "query_id",
         "neighbor_id",
-        _cosine_batch(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        _cosine_batch_seq(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
     )
     # cosine_sim is a pure function of the pair, so any surviving
     # duplicate row carries the same value — dedup on keys is safe.
@@ -193,6 +226,7 @@ def knn_join_lsh(
     bits_per_table: int = 8,
     num_tables: int = 4,
     seed: int = 42,
+    plane_kind: str = "gaussian",
 ) -> DataFrame:
     """Approximate k-NN join: for each query row, top-k corpus rows.
 
@@ -202,7 +236,8 @@ def knn_join_lsh(
     bounded fan-out, no cross join — which is how this survives a
     1000-executor scale-up. Recall tuned by ``num_tables``."""
     cand = _lsh_candidate_pairs(
-        queries, corpus, id_col, vec_col, dim, bits_per_table, num_tables, seed
+        queries, corpus, id_col, vec_col, dim, bits_per_table, num_tables, seed,
+        plane_kind,
     )
     from pyspark.sql.window import Window
 

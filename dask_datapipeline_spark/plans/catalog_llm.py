@@ -275,15 +275,63 @@ def q_embedding_near_dup(spark, sf_dir):
     return cosine_all_pairs_exact(emb, threshold=0.4)
 
 
+def _lsh_oracle_sql(num_tables: int, bits: int, dim: int, k: int) -> str:
+    """Replay the Spark SRP-LSH k-NN join in SQL: the md5-derived ±1
+    planes are embedded as list literals, so bucket ids (sign of a
+    strict-order dot product) and exact cosine scores are bit-identical
+    to the pandas-UDF path."""
+    from dask_datapipeline_spark.operators.similarity import rademacher_planes
+
+    planes = rademacher_planes(num_tables, bits, dim)
+
+    def plane_lit(t: int, b: int) -> str:
+        return "[" + ", ".join(f"{v:.1f}" for v in planes[t, b]) + "]"
+
+    def bucket_expr(vec: str, t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(CAST({vec} AS DOUBLE[]), {plane_lit(t, b)}) >= 0"
+            f" THEN {1 << b} ELSE 0 END)"
+            for b in range(bits)
+        )
+
+    qb = "\nUNION ALL\n".join(
+        f"SELECT vec_id AS query_id, embedding AS qv, {t} AS t,"
+        f" {bucket_expr('embedding', t)} AS bucket FROM q0"
+        for t in range(num_tables)
+    )
+    cb = "\nUNION ALL\n".join(
+        f"SELECT vec_id AS neighbor_id, embedding AS cv, {t} AS t,"
+        f" {bucket_expr('embedding', t)} AS bucket FROM embeddings"
+        for t in range(num_tables)
+    )
+    cos = _COS_SQL.format(a="qb.qv", b="cb.cv")
+    return f"""
+WITH q0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+qb AS ({qb}),
+cb AS ({cb}),
+scored AS (
+  SELECT DISTINCT qb.query_id, cb.neighbor_id, {cos} AS cosine_sim
+  FROM qb JOIN cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+)
+SELECT query_id, neighbor_id, cosine_sim, rn FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= {k}
+"""
+
+
 @register(
     "knn_join_lsh",
-    None,  # seeded-numpy hyperplanes are not reproducible in SQL → rows-only check
-    "Approximate k-NN join via random-hyperplane LSH buckets (scale path for similarity search)",
+    _lsh_oracle_sql(num_tables=6, bits=6, dim=64, k=5),
+    "Approximate k-NN join via sign-random-projection LSH buckets (scale path for "
+    "similarity search); md5-derived ±1 planes make the oracle replay exact",
 )
 def q_knn_join_lsh(spark, sf_dir):
     emb = load_testdata(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return knn_join_lsh(queries, emb, k=5, bits_per_table=6, num_tables=6)
+    return knn_join_lsh(
+        queries, emb, k=5, bits_per_table=6, num_tables=6, plane_kind="rademacher"
+    )
 
 
 @register(
