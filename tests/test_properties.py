@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) — the reference's suite is
+fixed-fixture only (SURVEY.md §5 'not present: property-based
+testing'); these pin operator semantics against brute-force Python
+models on randomized inputs.
+
+Strategy notes: Spark jobs are slow per-example, so examples are
+capped low and each property batches ONE Spark action over the whole
+generated dataset.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import defaultdict
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dask_datapipeline_spark.functions.numeric import bround2
+from dask_datapipeline_spark.operators.dedup import dup_clusters, exact_dedup
+from dask_datapipeline_spark.operators.joins import asof_join
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# cents-valued money amounts: exercise the .5-cent rounding boundary
+_amounts = st.integers(min_value=-10_000, max_value=10_000).map(lambda c: c / 100)
+_keys = st.integers(min_value=0, max_value=5)
+
+
+@given(rows=st.lists(st.tuples(_keys, _amounts), min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_groupby_sum_bround_matches_python(spark, rows):
+    """group-by + bround2 == python sum of cents + half-even rounding."""
+    df = spark.createDataFrame(rows, "k long, amt double")
+    got = {
+        r.k: r.total
+        for r in df.groupBy("k").agg(bround2(F.sum("amt")).alias("total")).collect()
+    }
+    want: dict[int, float] = defaultdict(float)
+    for k, amt in rows:
+        want[k] += amt
+    for k, v in want.items():
+        # inputs are exact cents → the sum is exact in double; bround2
+        # at 2dp is then the identity on an already-2dp value
+        assert got[k] == pytest.approx(round(v, 2), abs=1e-9)
+
+
+@given(rows=st.lists(st.tuples(_keys, st.text(alphabet="ab", max_size=3)), min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_exact_dedup_survivor_is_min_id(spark, rows):
+    """exact_dedup keeps the min id per key and counts every dup."""
+    data = [(i, k, t) for i, (k, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, k long, t string")
+    got = {
+        (r.k, r.t): (r.doc_id, r.n_dups)
+        for r in exact_dedup(df, ["k", "t"], id_col="doc_id").collect()
+    }
+    want: dict[tuple, list[int]] = defaultdict(list)
+    for i, k, t in data:
+        want[(k, t)].append(i)
+    assert got == {kt: (min(ids), len(ids)) for kt, ids in want.items()}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] < e[1]),
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_dup_clusters_matches_union_find(spark, edges):
+    """dup_clusters == textbook union-find on the same edge set."""
+    nodes = list(range(10))
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+    pairs = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+    if not edges:
+        pairs = pairs.limit(0)
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs, nodes_df).collect()}
+    assert got == want
+
+
+@given(
+    left_ts=st.lists(st.integers(0, 50), min_size=1, max_size=15),
+    right_ts=st.lists(st.integers(0, 50), min_size=0, max_size=10, unique=True),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_scan(spark, left_ts, right_ts):
+    """asof_join == per-row linear scan for the latest right <= left."""
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, "k", base + dt.timedelta(minutes=t)) for i, t in enumerate(left_ts)],
+        "event_id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", base + dt.timedelta(minutes=t), float(t)) for t in right_ts] or
+        [("pad", base, 0.0)],
+        "k string, ts timestamp, val double",
+    )
+    if not right_ts:
+        right = right.limit(0)
+    got = {r.event_id: r.val for r in asof_join(left, right, on="ts", by="k").collect()}
+    for i, t in enumerate(left_ts):
+        prior = [rt for rt in right_ts if rt <= t]
+        assert got[i] == (float(max(prior)) if prior else None)
