@@ -528,6 +528,51 @@ def q_scalar_functions(spark, sf_dir):
     )
 
 
+@register(
+    "distribution_stats",
+    """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    "Data-profiling aggregates: exact interpolated percentiles (Spark percentile == "
+    "DuckDB quantile_cont bit-for-bit), min/max/count per group",
+)
+def q_distribution_stats(spark, sf_dir):
+    li = load_testdata(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "token_histogram",
+    """
+SELECT (len(string_split(lower(text), ' ')) // 10) * 10 AS bucket_lo,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY bucket_lo
+""",
+    "Corpus profiling: document token-count histogram in width-10 buckets "
+    "(integer bucket math, one shuffle)",
+)
+def q_token_histogram(spark, sf_dir):
+    from dask_datapipeline_spark.functions.text import whitespace_token_count
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    bucket = (whitespace_token_count("text").cast("long") / 10).cast("long") * 10
+    return docs.groupBy(bucket.alias("bucket_lo")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 _SQL_Q3ISH = """
 SELECT l.l_orderkey,
        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
