@@ -456,6 +456,92 @@ def q_lang_quality(spark, sf_dir):
     )
 
 
+@register(
+    "tfidf_top_terms",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS tfidf
+  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+)
+SELECT doc_id, token, tf, round(tfidf, 9) AS tfidf, rn FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+  FROM scored) WHERE rn <= 3
+""",
+    "TF-IDF top-3 terms per document: tf groupBy, doc-frequency groupBy, ln(N/df) "
+    "weighting — all shuffles keyed; emitted weight rounded to 9dp because JVM "
+    "Math.log and libm log differ by 1 ulp on some inputs",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from dask_datapipeline_spark.operators.dedup import tokens
+    from dask_datapipeline_spark.parallel import fan_out
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = (
+        fan_out(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(tokens("text")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .withColumn("tfidf", F.round("tfidf", 9))
+    )
+
+
+@register(
+    "data_split",
+    """
+WITH assigned AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', SUBSTRING(md5('split:' || doc_id), 1, 15)) AS BIGINT) % 100
+           AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM assigned
+""",
+    "Deterministic hash-based train/valid/test split (80/10/10): stable across runs "
+    "and engines, no RNG — the reproducible-split pattern for training corpora",
+)
+def q_data_split(spark, sf_dir):
+    from dask_datapipeline_spark.operators.dedup import seeded_hash64
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    bucket = seeded_hash64(F.col("doc_id").cast("string"), "split") % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 # ----- multimodal / JSON props ---------------------------------------
 
 
