@@ -43,11 +43,17 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("bench")
 
-    # Warmup: JVM + parquet footer reads + codegen paths, plus the
-    # Python worker pool (fork + numpy/pandas import per worker) so
-    # pandas-UDF queries measure steady-state execution, as on a
-    # long-lived cluster, not one-time worker spawn.
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warmup: JVM + parquet footers of every table + codegen paths,
+    # plus the Python worker pool (fork + numpy/pandas import per
+    # worker) so per-query numbers measure steady-state execution, as
+    # on a long-lived cluster — not one-time footer reads/worker spawn.
+    import glob as _glob
+
+    for pq in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        try:
+            spark.read.parquet(pq).count()
+        except Exception:
+            pass  # nanos-timestamp tables are read via load_testdata in queries
     n_workers = spark.sparkContext.defaultParallelism
     spark.range(n_workers, numPartitions=n_workers).mapInPandas(
         lambda it: it, "id long"

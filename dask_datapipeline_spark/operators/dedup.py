@@ -406,6 +406,14 @@ def dup_clusters(
         .withColumn("label", F.col("u"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    def label_sum(lbl: DataFrame) -> int:
+        # Labels only ever decrease, so the exact-decimal sum strictly
+        # decreases iff ANY label changed — a single aggregate on the
+        # cached label table replaces a join-based change count.
+        row = lbl.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0]
+        return int(row[0] if row[0] is not None else 0)
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iter):
         nbr = edges.join(
             labels.select(F.col("u").alias("v"), "label"), on="v"
@@ -416,16 +424,12 @@ def dup_clusters(
             .agg(F.min("label").alias("label"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError(f"label propagation did not converge in {max_iter} rounds")
     return labels.select(
