@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 from pyspark.sql import SparkSession
 
@@ -8,7 +10,18 @@ from dask_datapipeline_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark() -> SparkSession:
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    # warehouse + derby metastore in a temp dir so saveAsTable-based
+    # tests (bucketed tables) never pollute the repo checkout
+    tmp = tempfile.mkdtemp(prefix="spark-wh-")
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            "spark.sql.warehouse.dir": f"{tmp}/warehouse",
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={tmp}/derby",
+        },
+    )
     yield s
     s.stop()
 

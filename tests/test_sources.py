@@ -77,3 +77,34 @@ def test_load_testdata_events_ts_microseconds(spark, sf_dir):
     ev = load_testdata(spark, sf_dir, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert ev.count() > 0
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Writing both join sides bucketed on the key lets the equi-join
+    run with ZERO Exchange operators — the co-located-join technique
+    for repeated 100 TB joins (docs/SCALE.md)."""
+    from dask_datapipeline_spark.sources.readers import load_testdata
+    from dask_datapipeline_spark.sources.writers import write_parquet
+
+    orders = load_testdata(spark, sf_dir, "orders")
+    customer = load_testdata(spark, sf_dir, "customer")
+    write_parquet(
+        orders, str(tmp_path / "o"), bucket_by=(4, ["o_custkey"]), table_name="b_orders"
+    )
+    write_parquet(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        str(tmp_path / "c"),
+        bucket_by=(4, ["o_custkey"]),
+        table_name="b_customer",
+    )
+    try:
+        # disable broadcast so the join would otherwise shuffle both sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == orders.count()  # every order has a customer
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
