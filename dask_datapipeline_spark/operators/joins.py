@@ -122,6 +122,13 @@ def asof_join(
     require_columns(right, [on, *keys], "right")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in {on, *keys}]
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"right columns {sorted(clash)} also exist on the left side — "
+            "rename before joining (the union-based as-of encoding cannot "
+            "disambiguate them)"
+        )
 
     l_tagged = left.withColumn("__is_left", F.lit(1)).withColumn(
         "__r_ts", F.lit(None).cast(dict(left.dtypes)[on])

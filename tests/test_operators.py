@@ -236,3 +236,14 @@ def test_asof_join_semantics(spark):
         ).collect()
     }
     assert got_tol == {1: None, 2: 200.0, 3: None, 4: None}
+
+
+def test_asof_join_rejects_column_clash(spark):
+    from dask_datapipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, "u", 1.0)], "id long, k string, price double")
+    right = spark.createDataFrame([("u", 2.0)], "k string, price double")
+    left = left.withColumn("ts", F.current_timestamp())
+    right = right.withColumn("ts", F.current_timestamp())
+    with pytest.raises(ValueError, match="price"):
+        asof_join(left, right, on="ts", by="k")
