@@ -122,12 +122,22 @@ def asof_join(
     require_columns(right, [on, *keys], "right")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in {on, *keys}]
-    clash = set(right_cols) & set(left.columns)
+    elif isinstance(right_cols, str):
+        right_cols = [right_cols]
+    else:
+        right_cols = list(right_cols)
+    require_columns(right, right_cols, "right")
+    # Spark resolves names case-insensitively by default, so the clash
+    # check must too; the encoding's internal columns are reserved.
+    reserved = {"__is_left", "__r_ts"}
+    left_fold = {c.casefold() for c in left.columns} | reserved
+    clash = {c for c in right_cols if c.casefold() in left_fold or c in reserved}
+    clash |= reserved & {c for c in left.columns}
     if clash:
         raise ValueError(
-            f"right columns {sorted(clash)} also exist on the left side — "
-            "rename before joining (the union-based as-of encoding cannot "
-            "disambiguate them)"
+            f"columns {sorted(clash)} collide between the join sides (or with "
+            "the reserved __is_left/__r_ts internals) — rename before joining "
+            "(the union-based as-of encoding cannot disambiguate them)"
         )
 
     l_tagged = left.withColumn("__is_left", F.lit(1)).withColumn(

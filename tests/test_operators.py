@@ -247,3 +247,27 @@ def test_asof_join_rejects_column_clash(spark):
     right = right.withColumn("ts", F.current_timestamp())
     with pytest.raises(ValueError, match="price"):
         asof_join(left, right, on="ts", by="k")
+
+
+def test_asof_join_guard_edge_cases(spark):
+    from dask_datapipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, "u", 1.0)], "id long, k string, Price double")
+    right = spark.createDataFrame([("u", 2.0)], "k string, price double")
+    left = left.withColumn("ts", F.current_timestamp())
+    right = right.withColumn("ts", F.current_timestamp())
+    # differently-cased clash (Spark resolution is case-insensitive)
+    with pytest.raises(ValueError, match="price"):
+        asof_join(left, right, on="ts", by="k")
+    # explicit right_cols naming a column the right does not have
+    with pytest.raises(KeyError):
+        asof_join(left.drop("Price"), right, on="ts", by="k", right_cols=["missing"])
+    # reserved internal name on the left
+    with pytest.raises(ValueError, match="__is_left"):
+        asof_join(
+            left.drop("Price").withColumn("__is_left", F.lit(9)),
+            right, on="ts", by="k",
+        )
+    # bare-string right_cols is normalized, not iterated as characters
+    got = asof_join(left.drop("Price"), right, on="ts", by="k", right_cols="price")
+    assert "price" in got.columns
