@@ -22,6 +22,14 @@ exactly-matching SQL oracle (no engine-specific hash functions).
 
 Tokenization everywhere: ``split(lower(text), ' ')`` — simple,
 identical in both engines; swap in a regexp tokenizer per-corpus.
+
+Cache contract: operators persist (MEMORY_AND_DISK) intermediates
+that their own plans reference multiple times (shingle tables,
+signatures, labels). Cached tables live for the session — a service
+processing many distinct corpora should call
+``spark.catalog.clearCache()`` between corpora, or materialize the
+intermediate to parquet instead (the 100 TB deployment does the
+latter; see docs/SCALE.md).
 """
 
 from __future__ import annotations
@@ -73,12 +81,18 @@ def seeded_hash64(col: Column, seed: int) -> Column:
 
 def shingles(text_col: Column | str, n: int) -> Column:
     """Word n-gram shingles as an array of strings (consecutive
-    n-token windows joined by spaces)."""
+    n-token windows joined by spaces). Documents with fewer than ``n``
+    tokens yield an EMPTY array — the guard matters because Spark's
+    ``sequence(1, 0)`` is descending ([1, 0]) and ``slice(_, 0, _)``
+    throws, so without it one short document kills the whole job."""
     toks = tokens(text_col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def hashed_shingles(
@@ -166,6 +180,11 @@ def lsh_candidate_pairs(
     subplans, so Spark reuses the shuffle (ReusedExchange). Shuffle is
     on the band key → bucket-local work, scales linearly.
     Output: (id_a, id_b) with id_a < id_b."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be divisible by bands={bands} — "
+            "truncating would silently ignore trailing signature slots"
+        )
     rows_per_band = num_hashes // bands
     keys = [
         F.concat_ws(
@@ -309,13 +328,14 @@ def near_dup_pairs_minhash(
 
 # ----- SimHash -------------------------------------------------------
 
-_SIMHASH_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("simhash_hi", T.LongType()),
-        T.StructField("simhash_lo", T.LongType()),
-    ]
-)
+def _simhash_schema(id_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("simhash_hi", T.LongType()),
+            T.StructField("simhash_lo", T.LongType()),
+        ]
+    )
 
 
 def simhash(
@@ -335,18 +355,25 @@ def simhash(
     per bit position, sign → bit. One narrow pass, no shuffle — the
     scale-correct shape for per-document feature extraction. The
     per-bit work is a vectorized numpy unpack over all of a document's
-    shingle hashes at once (not a 64×n_shingles Python loop)."""
+    shingle hashes at once (not a 64×n_shingles Python loop).
+
+    Documents with no shingles (fewer than ``shingle_n`` tokens) are
+    DROPPED, matching the SQL oracle, which derives hashes from the
+    exploded shingle table. An all-zero hash for feature-less docs
+    would otherwise make every pair of them Hamming distance 0 — a
+    false-positive near-dup clique that also piles a quadratic
+    candidate blowup onto one join bucket."""
     id_name, text_name = id_col, text_col
     shifts = np.arange(64, dtype=np.uint64)
 
-    def _doc_hash(text) -> tuple[int, int]:
+    def _doc_hash(text) -> tuple[int, int] | None:
         toks = (text or "").lower().split(" ")
         shs = {
             " ".join(toks[i : i + shingle_n])
             for i in range(max(len(toks) - shingle_n + 1, 0))
         } - {""}
         if not shs:
-            return 0, 0
+            return None
         hs = np.array(
             [int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in shs],
             dtype=np.uint64,
@@ -358,17 +385,21 @@ def simhash(
 
     def _batch(iterator):
         for pdf in iterator:
-            hilo = [_doc_hash(t) for t in pdf[text_name]]
+            rows = [
+                (i, hl)
+                for i, hl in zip(pdf[id_name], (_doc_hash(t) for t in pdf[text_name]))
+                if hl is not None
+            ]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_name].to_numpy(),
-                    "simhash_hi": [h for h, _ in hilo],
-                    "simhash_lo": [l for _, l in hilo],
+                    id_name: [i for i, _ in rows],
+                    "simhash_hi": [h for _, (h, _) in rows],
+                    "simhash_lo": [l for _, (_, l) in rows],
                 }
             )
 
     src = fan_out(df.select(F.col(id_col), F.col(text_col)))
-    return src.mapInPandas(_batch, schema=_SIMHASH_SCHEMA)
+    return src.mapInPandas(_batch, schema=_simhash_schema(id_col))
 
 
 def dup_clusters(
@@ -406,14 +437,30 @@ def dup_clusters(
         .withColumn("label", F.col("u"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    numeric_ids = dict(labels.dtypes)["label"] in {
+        "tinyint", "smallint", "int", "bigint"
+    }
+
     def label_sum(lbl: DataFrame) -> int:
         # Labels only ever decrease, so the exact-decimal sum strictly
         # decreases iff ANY label changed — a single aggregate on the
         # cached label table replaces a join-based change count.
+        # Integer ids only; decimal(38,0) cannot overflow for any
+        # realistic id×row count.
         row = lbl.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0]
         return int(row[0] if row[0] is not None else 0)
 
-    prev_sum = label_sum(labels)
+    def changed_count(new: DataFrame, old: DataFrame) -> int:
+        # Fallback for non-numeric ids (string keys etc.): join-based
+        # change detection — one extra keyed join per round.
+        return (
+            new.alias("n")
+            .join(old.alias("o"), on="u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+
+    prev_sum = label_sum(labels) if numeric_ids else None
     for _ in range(max_iter):
         nbr = edges.join(
             labels.select(F.col("u").alias("v"), "label"), on="v"
@@ -424,12 +471,16 @@ def dup_clusters(
             .agg(F.min("label").alias("label"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        new_sum = label_sum(new_labels)
+        if numeric_ids:
+            new_sum = label_sum(new_labels)
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = changed_count(new_labels, labels) == 0
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:
+        if converged:
             break
-        prev_sum = new_sum
     else:
         raise RuntimeError(f"label propagation did not converge in {max_iter} rounds")
     return labels.select(
@@ -468,7 +519,7 @@ def simhash_near_dup_pairs(
         F.col("simhash_lo").bitwiseAND(F.lit(0xFFFF)),
     )
     side = s.select(
-        F.col("doc_id"),
+        F.col(id_col),
         F.col("simhash_hi"),
         F.col("simhash_lo"),
         F.posexplode(chunks).alias("__i", "__chunk"),
@@ -480,10 +531,10 @@ def simhash_near_dup_pairs(
     return (
         side.alias("a")
         .join(side.alias("b"), on=["__i", "__chunk"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
             ham.cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)

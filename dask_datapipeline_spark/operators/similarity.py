@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dask_datapipeline_spark.errors import require_columns
-from dask_datapipeline_spark.functions.vectors import as_double_array, cosine, dot
+from dask_datapipeline_spark.functions.vectors import cosine
 from dask_datapipeline_spark.parallel import fan_out
 
 
@@ -96,18 +96,6 @@ def cosine_topk(
     return scored.orderBy(*order).limit(k)
 
 
-def _bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
-    """r-bit LSH bucket id: bit i = sign(v · plane_i)."""
-    bits = [
-        F.when(dot(F.col(vec_col), _vec_lit(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i, p in enumerate(planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
-
-
 def rademacher_planes(num_tables: int, bits: int, dim: int) -> np.ndarray:
     """±1 hyperplanes (sign-random-projection LSH, a standard SRP
     variant) derived bit-by-bit from md5 — deterministic and exactly
@@ -151,15 +139,6 @@ def _bucket_udf(planes: np.ndarray):
     return buckets
 
 
-@F.pandas_udf(T.DoubleType())
-def _cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Row-wise cosine over paired array columns, vectorized per batch."""
-    va, vb = _stack(a), _stack(b)
-    num = (va * vb).sum(axis=1)
-    den = np.sqrt((va * va).sum(axis=1)) * np.sqrt((vb * vb).sum(axis=1))
-    return pd.Series(num / den)
-
-
 def _lsh_candidate_pairs(
     queries: DataFrame,
     corpus: DataFrame,
@@ -170,9 +149,15 @@ def _lsh_candidate_pairs(
     num_tables: int,
     seed: int,
     plane_kind: str = "gaussian",
+    lt_only: bool = False,
 ) -> DataFrame:
     """Scored candidate pairs (query_id, neighbor_id, cosine_sim) from a
     bucket equi-join on (table, bucket).
+
+    ``lt_only`` (self-join near-dup path): push ``query_id <
+    neighbor_id`` into the join output BEFORE scoring — self-pairs and
+    mirrored orderings are more than half the collisions, and
+    filtering them after the cosine UDF would pay for them all.
 
     ``plane_kind='gaussian'`` draws seeded Gaussian hyperplanes (the
     textbook SRP choice); ``'rademacher'`` uses md5-derived ±1 planes —
@@ -206,7 +191,10 @@ def _lsh_candidate_pairs(
     # broadcast, and locally a BroadcastExchange built from an
     # ArrowEvalPython stage serializes the whole UDF stage into the
     # broadcast-build thread (measured ~3x slower than shuffling).
-    scored = q.join(c.hint("shuffle_hash"), on=["__t", "__bucket"]).select(
+    joined = q.join(c.hint("shuffle_hash"), on=["__t", "__bucket"])
+    if lt_only:
+        joined = joined.filter(F.col("query_id") < F.col("neighbor_id"))
+    scored = joined.select(
         "query_id",
         "neighbor_id",
         _cosine_batch_seq(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
@@ -293,10 +281,17 @@ def ivf_topk(
     """
     require_columns(corpus, [id_col, vec_col])
     require_columns(queries, [id_col, vec_col])
-    cent = sorted(
-        corpus.filter(F.col(id_col) < n_cells).select(id_col, vec_col).collect(),
-        key=lambda r: r[0],
+    # Codebook = the n_cells LOWEST ids (not `id < n_cells`, which
+    # silently assumes dense 0-based ids and collects nothing for
+    # corpora whose ids start elsewhere).
+    cent = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .collect()
     )
+    if not cent:
+        raise ValueError("ivf_topk: corpus is empty — cannot build a codebook")
     c_ids = np.array([r[0] for r in cent], dtype=np.int64)
     c_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent])
     c_norms = np.sqrt(_seq_sq_norm(c_mat))
@@ -346,26 +341,25 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    **lsh_kwargs,
+    dim: int = 64,
+    bits_per_table: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    plane_kind: str = "gaussian",
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold (id_a < id_b).
 
     Scale path: LSH-bucketed self-join (near-dups collide with high
     probability at high thresholds), exact cosine verification. No
-    window/rank pass — the threshold filter alone bounds the output."""
+    window/rank pass — the threshold filter alone bounds the output.
+    Explicit keyword parameters (no **kwargs): a silently-dropped
+    ``plane_kind`` or misspelled option would change results without
+    an error."""
     cand = _lsh_candidate_pairs(
-        df,
-        df,
-        id_col,
-        vec_col,
-        lsh_kwargs.get("dim", 64),
-        lsh_kwargs.get("bits_per_table", 8),
-        lsh_kwargs.get("num_tables", 4),
-        lsh_kwargs.get("seed", 42),
+        df, df, id_col, vec_col, dim, bits_per_table, num_tables, seed,
+        plane_kind, lt_only=True,
     )
-    return cand.filter(
-        (F.col("query_id") < F.col("neighbor_id")) & (F.col("cosine_sim") >= threshold)
-    ).select(
+    return cand.filter(F.col("cosine_sim") >= threshold).select(
         F.col("query_id").alias("id_a"),
         F.col("neighbor_id").alias("id_b"),
         "cosine_sim",

@@ -211,3 +211,55 @@ def test_dup_clusters_chain_and_singletons(spark):
         1: (1, True), 2: (1, False), 3: (1, False), 4: (1, False), 5: (1, False),
         6: (6, True), 7: (7, True), 8: (8, True), 9: (8, False), 10: (10, True),
     }
+
+
+def test_short_documents_do_not_crash_dedup(spark):
+    """Docs with fewer than shingle_n tokens previously killed the job
+    (sequence(1,0) is descending → slice(_,0,_) throws)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, "a b"), (4, "a b c d e"), (5, "a b c d e")],
+        "doc_id long, text string",
+    )
+    # shingle explode yields nothing for docs 1-3, pairs for 4/5
+    pairs = DD.jaccard_pairs(df, None, threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(4, 5)}
+    sigs = DD.minhash_signatures(df).collect()
+    assert {r.doc_id for r in sigs} == {4, 5}
+    # simhash drops feature-less docs instead of emitting (0,0) cliques
+    sh = DD.simhash(df).collect()
+    assert {r.doc_id for r in sh} == {4, 5}
+    near = DD.simhash_near_dup_pairs(df, max_hamming=3).collect()
+    assert {(r.id_a, r.id_b) for r in near} == {(4, 5)}
+
+
+def test_lsh_bands_divisibility_guard(spark):
+    sigs = spark.createDataFrame([(1,) + (0,) * 16], ["doc_id"] + [f"mh_{i}" for i in range(16)])
+    with pytest.raises(ValueError):
+        DD.lsh_candidate_pairs(sigs, num_hashes=16, bands=5)
+
+
+def test_embedding_near_dup_plane_kind_respected(spark, emb):
+    from dask_datapipeline_spark.operators.similarity import embedding_near_dup_pairs
+
+    gauss = embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    rade = embedding_near_dup_pairs(emb, threshold=0.4, plane_kind="rademacher").collect()
+    # both find pairs; all satisfy the contract
+    for out in (gauss, rade):
+        assert all(r.id_a < r.id_b and r.cosine_sim >= 0.4 for r in out)
+    with pytest.raises(TypeError):
+        embedding_near_dup_pairs(emb, num_table=8)  # typo must not be swallowed
+
+
+def test_ivf_codebook_non_dense_ids(spark, emb):
+    """Corpus ids offset by 1000: codebook = lowest n_cells ids, not
+    `id < n_cells` (which would collect nothing)."""
+    from dask_datapipeline_spark.operators.similarity import ivf_topk
+
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 1000)
+    out = ivf_topk(shifted.filter(F.col("vec_id") < 1005), shifted, k=3).collect()
+    assert {r.query_id for r in out} == {1000, 1001, 1002, 1003, 1004}
+    assert all(r.query_id in {r2.neighbor_id for r2 in out if r2.query_id == r.query_id}
+               for r in out)  # self found
+
+    with pytest.raises(ValueError, match="empty"):
+        ivf_topk(shifted, shifted.limit(0), k=3)
