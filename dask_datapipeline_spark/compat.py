@@ -32,7 +32,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dask_datapipeline_spark.functions.numeric import bround2
+from dask_datapipeline_spark.functions.numeric import exact_sum
 
 _TS_FORMAT_PY = "%Y-%m-%d %H:%M:%S"
 _TS_FORMAT_SPARK = "yyyy-MM-dd HH:mm:ss"
@@ -96,10 +96,17 @@ class DataProcessor:
     ) -> DataFrame:
         """Equi-join + the reference's baked-in side effect of casting
         a ``date`` string column to timestamp after the join
-        (main.py:122-140). Key must exist on BOTH sides."""
+        (main.py:122-140). Key must exist on BOTH sides. Non-key
+        columns present on both sides get pandas-merge suffixes
+        (``_x``/``_y``) — a plain Spark join would leave them
+        ambiguous and crash on first reference."""
         for side, df in (("df1", df1), ("df2", df2)):
             if common_key not in df.columns:
                 raise KeyError(f"{common_key!r} missing from {side}")
+        dup = [c for c in df1.columns if c in df2.columns and c != common_key]
+        for c in dup:
+            df1 = df1.withColumnRenamed(c, f"{c}_x")
+            df2 = df2.withColumnRenamed(c, f"{c}_y")
         out = df1.join(df2, on=common_key, how=orientation)
         if "date" in out.columns and dict(out.dtypes)["date"] == "string":
             out = out.withColumn("date", F.to_timestamp("date", _TS_FORMAT_SPARK))
@@ -113,9 +120,14 @@ class DataProcessor:
         aggregation_type: str,
         new_column_name: str,
     ) -> DataFrame:
-        """Single-agg hash group-by with pandas-parity half-even
-        rounding and rename (main.py:142-174), sorted by group key to
-        make pandas' implicit key-sort explicit."""
+        """Single-agg hash group-by with 2-dp money rounding and rename
+        (main.py:142-174), sorted by group key to make pandas' implicit
+        key-sort explicit.
+
+        Sums aggregate on DECIMAL(18,2) (exact, order-independent
+        under parallelism — a raw double sum would be partition-order
+        dependent at the rounding boundary); money inputs are 2-dp by
+        contract, so per-row decimal conversion is exact."""
         if not isinstance(p_df, DataFrame):
             raise TypeError("dataframe_groupby expects a Spark DataFrame")
         for c in (groupby_col, transaction_col_name):
@@ -126,7 +138,7 @@ class DataProcessor:
         if p_df.isEmpty():
             raise ValueError("empty dataframe")
         agg = (
-            bround2(F.sum(transaction_col_name))
+            exact_sum(transaction_col_name)
             if aggregation_type == "sum"
             else F.count(transaction_col_name)
         )
@@ -201,9 +213,11 @@ class Loader:
 
         if not isinstance(output_df, DataFrame):
             raise TypeError("write_csv expects a Spark DataFrame")
-        if output_df.isEmpty():
-            raise ValueError("refusing to write an empty dataframe")
+        # cheap path check before any job; single isEmpty scan here,
+        # inner writer's duplicate check disabled
         if not str(output_filepath).endswith(".csv"):
             raise ValueError(f"{output_filepath!r}: output must be .csv")
-        _write(output_df, output_filepath, single_file=True)
+        if output_df.isEmpty():
+            raise ValueError("refusing to write an empty dataframe")
+        _write(output_df, output_filepath, single_file=True, check_nonempty=False)
         return True

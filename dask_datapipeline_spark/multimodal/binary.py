@@ -89,15 +89,20 @@ def _fake_feature(payload: bytes, dim: int) -> list[float]:
     return [h[i % len(h)] / 256.0 for i in range(dim)]
 
 
-def decode_image_stub(df: DataFrame, dim: int = 16, batch_size: int = 64) -> DataFrame:
+def decode_image_stub(df: DataFrame, dim: int = 16) -> DataFrame:
     """'Decode + featurize' pass over binary payloads via mapInPandas.
 
     STUB: emits sha/byte-count/deterministic feature vector instead of
     pixel decoding (no image libs in this container). The Arrow batch
     shape, schema, and memory bounds are the production-real parts.
+
+    Batch sizing: executor memory per task is bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` × payload size —
+    the DEPLOYMENT sets that conf (e.g. 64 for multi-MB media rows).
+    This function deliberately does not set it: a session-wide conf
+    mutation from inside a lazy plan builder would silently resize
+    Arrow batches for every other pandas-UDF operator in the session.
     """
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -595,7 +595,7 @@ def q_multimodal_features(spark, sf_dir):
     )
 
     media = synthetic_media(spark, n=256)
-    feats = decode_image_stub(media, dim=16, batch_size=10_000)
+    feats = decode_image_stub(media, dim=16)
     frames = extract_frames_stub(media).groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames")
     )
@@ -715,7 +715,7 @@ def q_streaming_user_totals(spark, sf_dir):
     "session_window",
     """
 WITH lagd AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR ts - lag(ts) OVER w >= INTERVAL '6 hours'
               THEN 1 ELSE 0 END AS new_s
@@ -723,8 +723,11 @@ WITH lagd AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
+  -- the running sum MUST use the same (ts, event_id) order as lagd:
+  -- ordering ties by new_s would put a tied event BEFORE the row that
+  -- opened its session, assigning it to the previous session
   SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, new_s ROWS UNBOUNDED PRECEDING) AS sid
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
   FROM lagd
 )
 SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL '6 hours' AS session_end,

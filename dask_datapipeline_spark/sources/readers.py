@@ -46,8 +46,24 @@ def scan_csv(
     (main.py:75): projection is applied immediately after the scan so
     downstream code never sees dropped columns. CSV is row-oriented so
     pruning saves parse work, not I/O — prefer ``scan_parquet`` at scale.
+
+    Spark binds an explicit schema to CSV columns BY POSITION (header
+    only skips the first line), so a file whose column order differs
+    from the schema would silently load swapped values into same-typed
+    columns. With ``header=True`` the actual header is checked against
+    the schema's field names up front (one tiny driver-side read).
     """
     _check_path(path, ".csv")
+    if header:
+        first = spark.read.text(path).first()
+        actual = [c.strip() for c in first[0].split(",")] if first else []
+        expected = [f.name for f in schema.fields]
+        if actual != expected:
+            raise ValueError(
+                f"CSV header {actual} does not match schema field order "
+                f"{expected} — Spark binds CSV schemas positionally, so a "
+                "mismatched order silently corrupts columns"
+            )
     df = spark.read.schema(schema).option("header", str(header).lower()).csv(path)
     return df.select(*columns) if columns else df
 
@@ -94,6 +110,14 @@ def load_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     division (``DIV`` on longs — float division would lose precision at
     1.7e18 ns epochs). DuckDB's TIMESTAMP is also microseconds, so both
     engines see identical truncated values.
+
+    The ``nanosAsLong`` flag stays set for the session (restoring it
+    after this call would break THIS lazy scan, since confs are read
+    at execution time). Consequence: a later read of some OTHER
+    nano-timestamp parquet in the same session gets a long column
+    instead of the loud vectorized-reader error — if you add such a
+    source, route it through a reader that handles the cast like this
+    one does.
     """
     if table not in TESTDATA_SCHEMAS:
         raise KeyError(f"unknown testdata table {table!r}; known: {sorted(TESTDATA_SCHEMAS)}")

@@ -39,8 +39,20 @@ def write_csv(
     if single_file:
         out_dir = path + ".spark-tmp"
         df.coalesce(1).write.mode(mode).option("header", "true").csv(out_dir)
-        part = glob.glob(os.path.join(out_dir, "part-*.csv"))[0]
-        shutil.move(part, path)
+        parts = glob.glob(os.path.join(out_dir, "part-*.csv"))
+        if not parts:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise ValueError(
+                f"no CSV part written to {out_dir!r} (zero-partition input?)"
+            )
+        # clear any prior file OR directory at the destination —
+        # shutil.move into an existing directory would silently nest
+        # the part file inside it instead of replacing it
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
+        shutil.move(parts[0], path)
         shutil.rmtree(out_dir)
     else:
         df.write.mode(mode).option("header", "true").csv(path)

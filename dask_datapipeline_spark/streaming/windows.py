@@ -36,15 +36,16 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same TIMESTAMP(NANOS) workaround as the batch reader: nanos read
     as long, exact integer DIV to microseconds."""
+    from dask_datapipeline_spark.schemas import TESTDATA_SCHEMAS
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # derive from the canonical events schema (single source of truth;
+    # a hand-copied duplicate would drift silently into all-null
+    # columns on rename) with ts swapped to nanos-as-long
     schema = T.StructType(
         [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanos-as-long
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
+            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+            for f in TESTDATA_SCHEMAS["events"].fields
         ]
     )
     raw = (

@@ -180,3 +180,12 @@ def test_write_csv_error_paths(spark, df1, tmp_path):
         Loader.write_csv(df1.limit(0), str(tmp_path / "x.csv"))
     with pytest.raises(ValueError):
         Loader.write_csv(df1, str(tmp_path / "x.parquet"))
+
+
+def test_merger_suffixes_duplicate_columns(spark, df1):
+    # both sides carry 'B' → pandas-style _x/_y suffixes, no ambiguity
+    other = spark.createDataFrame([(1, 99)], "A long, B long")
+    out = DataProcessor.dataframe_merger(df1, other, "A", "inner")
+    assert "B_x" in out.columns and "B_y" in out.columns
+    row = out.collect()[0]
+    assert (row.B_x, row.B_y) == (5, 99)

@@ -108,3 +108,34 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_scan_csv_rejects_reordered_header(spark, tmp_path):
+    """Spark binds CSV schemas positionally; a reordered header must be
+    rejected, not silently loaded with swapped columns."""
+    import pyspark.sql.types as T
+
+    from dask_datapipeline_spark.sources.readers import scan_csv
+
+    p = tmp_path / "r.csv"
+    p.write_text("City,Name\nCO,Jack\n")
+    schema = T.StructType(
+        [T.StructField("Name", T.StringType()), T.StructField("City", T.StringType())]
+    )
+    with pytest.raises(ValueError, match="positionally"):
+        scan_csv(spark, str(p), schema)
+
+
+def test_write_csv_single_file_replaces_existing_dir(spark, tmp_path):
+    from dask_datapipeline_spark.sources.writers import write_csv
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    out = str(tmp_path / "o.csv")
+    # prior non-single-file run left a DIRECTORY at the destination
+    df.write.option("header", True).csv(out)
+    write_csv(df, out, single_file=True)
+    import os
+
+    assert os.path.isfile(out)
+    with open(out) as f:
+        assert f.readline().strip() == "id,v"
