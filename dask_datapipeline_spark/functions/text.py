@@ -80,23 +80,32 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
 def lang_id(text: Column | str) -> Column:
     """Predicted language: argmax of marker hit-rate, ties broken by
     the fixed priority order of LANG_MARKERS (same CASE chain as the
-    SQL oracle)."""
-    scores = lang_scores(text)
+    SQL oracle). NULL text → NULL, not the chain's fallback language —
+    without the guard every NULL comparison falls through to the final
+    ELSE and null documents would silently classify as the last
+    registered language."""
+    c = F.col(text) if isinstance(text, str) else text
+    scores = lang_scores(c)
     langs = list(LANG_MARKERS)
     expr = F.lit(langs[-1])
     # Build the CASE chain back-to-front: lang wins if its score >= all later langs.
     for i in range(len(langs) - 2, -1, -1):
         cond = None
         for j in range(i + 1, len(langs)):
-            c = scores[langs[i]] >= scores[langs[j]]
-            cond = c if cond is None else (cond & c)
+            cmp = scores[langs[i]] >= scores[langs[j]]
+            cond = cmp if cond is None else (cond & cmp)
         expr = F.when(cond, F.lit(langs[i])).otherwise(expr)
-    return expr
+    return F.when(c.isNotNull(), expr)
 
 
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized lowercased text. Exact-dup detection key
-    that survives whitespace jitter."""
+    that survives whitespace jitter.
+
+    Edge whitespace is stripped with a regex, NOT ``F.trim`` —
+    trim only removes ASCII spaces, so 'foo\\n' would normalize to
+    'foo ' (trailing newline → residual space) and miss the dup."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
+    stripped = F.regexp_replace(F.lower(c), r"^\s+|\s+$", "")
+    return F.md5(F.regexp_replace(stripped, r"\s+", " "))

@@ -35,11 +35,13 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity; NULL-safe only insofar as null arrays yield
-    null (callers filter). Division by zero yields NULL in ANSI-off,
-    matching DuckDB's NaN/NULL conventions closely enough that callers
-    should pre-filter zero vectors."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity. A ZERO vector is mapped to NULL explicitly:
+    Spark double division yields NaN/Infinity (never NULL), and NaN
+    sorts GREATER than every value in Spark, so an unguarded 0/0 would
+    put zero vectors at the top of every descending top-k. NULL sorts
+    last under ``DESC`` in both Spark and the DuckDB oracle."""
+    den = norm(a) * norm(b)
+    return F.when(den != 0.0, dot(a, b) / den)
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:

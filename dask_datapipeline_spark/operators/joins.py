@@ -105,11 +105,14 @@ def asof_join(
     join (quadratic blowup per key) or a per-key ``applyInPandas``
     (Python in the hot path). This implementation is pure DataFrame
     ops: union the two sides tagged, then one window sort per key with
-    ``last(ignorenulls=True)`` carrying the most recent right values
-    forward. Cost = ONE shuffle on the ``by`` key + a per-partition
-    sort — the same shape as a sort-merge join, no row multiplication,
-    fully codegen'd. Skew follows the key distribution (same mitigation
-    as any keyed shuffle: AQE skew split / salting).
+    ``last(ignorenulls=True)`` carrying the most recent right ROW
+    forward — packed as a single struct so a NULL in one right column
+    cannot be back-filled from an older row than its siblings (the
+    matched row stays atomic, exactly like DuckDB ASOF). Cost = ONE
+    shuffle on the ``by`` key + a per-partition sort — the same shape
+    as a sort-merge join, no row multiplication, fully codegen'd. Skew
+    follows the key distribution (same mitigation as any keyed
+    shuffle: AQE skew split / salting).
 
     ``right`` must be unique per (by, on) — pre-aggregate duplicates
     (e.g. ``max_by``) to keep the matched row deterministic.
@@ -129,22 +132,26 @@ def asof_join(
     require_columns(right, right_cols, "right")
     # Spark resolves names case-insensitively by default, so the clash
     # check must too; the encoding's internal columns are reserved.
-    reserved = {"__is_left", "__r_ts"}
+    reserved = {"__is_left", "__r"}
     left_fold = {c.casefold() for c in left.columns} | reserved
     clash = {c for c in right_cols if c.casefold() in left_fold or c in reserved}
     clash |= reserved & {c for c in left.columns}
     if clash:
         raise ValueError(
             f"columns {sorted(clash)} collide between the join sides (or with "
-            "the reserved __is_left/__r_ts internals) — rename before joining "
+            "the reserved __is_left/__r internals) — rename before joining "
             "(the union-based as-of encoding cannot disambiguate them)"
         )
 
-    l_tagged = left.withColumn("__is_left", F.lit(1)).withColumn(
-        "__r_ts", F.lit(None).cast(dict(left.dtypes)[on])
+    # The matched right row travels as ONE struct: the struct itself is
+    # non-null for every right row (even if all payload members are
+    # null), so last(ignorenulls) picks the latest ROW atomically.
+    r_struct = F.struct(
+        F.col(on).alias("__match_ts"), *[F.col(c) for c in right_cols]
     )
+    l_tagged = left.withColumn("__is_left", F.lit(1))
     r_tagged = right.select(
-        *keys, F.col(on), F.col(on).alias("__r_ts"), *right_cols
+        *keys, F.col(on), r_struct.alias("__r")
     ).withColumn("__is_left", F.lit(0))
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
@@ -155,17 +162,19 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in [*right_cols, "__r_ts"]:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    u = u.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
 
-    out = u.filter(F.col("__is_left") == 1).drop("__is_left")
+    match = F.col("__r")
     if tolerance_seconds is not None:
         too_old = (
-            F.col(on).cast("double") - F.col("__r_ts").cast("double")
+            F.col(on).cast("double") - match["__match_ts"].cast("double")
         ) > tolerance_seconds
-        for c in right_cols:
-            out = out.withColumn(c, F.when(too_old, F.lit(None)).otherwise(F.col(c)))
-    return out.drop("__r_ts")
+        match = F.when(too_old, F.lit(None)).otherwise(match)
+    out = u.filter(F.col("__is_left") == 1)
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[match[c].alias(c) for c in right_cols],
+    )
 
 
 def salt_join(

@@ -17,7 +17,14 @@ from pyspark.sql import DataFrame
 def fan_out(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """Round-robin repartition ``df`` up to ``defaultParallelism *
     min_factor`` partitions iff it currently has fewer. No-op (and no
-    shuffle) when the input is already parallel enough."""
+    shuffle) when the input is already parallel enough.
+
+    CONTRACT: call only on scan-stage DataFrames (select/filter over a
+    source, no joins or aggregations upstream). The partition-count
+    probe goes through ``df.rdd``, which finalizes the AQE plan — for
+    a scan that is free, but a DataFrame with shuffles upstream would
+    EXECUTE those shuffles here and then recompute them in the
+    returned repartition plan."""
     target = df.sparkSession.sparkContext.defaultParallelism * min_factor
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -52,6 +52,10 @@ CATALOG: dict[str, QueryDef] = {}
 
 def register(name: str, oracle: str | None, description: str = ""):
     def deco(fn):
+        if name in CATALOG:
+            # a silent overwrite would drop the shadowed query from the
+            # oracle gate with every check still passing
+            raise ValueError(f"catalog query {name!r} registered twice")
         CATALOG[name] = QueryDef(fn=fn, oracle=oracle, description=description)
         return fn
 

@@ -97,7 +97,7 @@ SELECT j.id_a, j.id_b, j.jaccard FROM (
     "dedup_exact",
     """
 WITH fp AS (
-  SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint, doc_id
+  SELECT md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')) AS fingerprint, doc_id
   FROM documents
 )
 SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
@@ -386,7 +386,7 @@ SELECT doc_id,
        len(string_split(lower(text), ' ')) AS n_tokens,
        len(regexp_extract_all(lower(text), '{TXT.BPE_ISH_PATTERN}')) AS n_bpe_tokens,
        length(text) AS n_chars_computed,
-       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+       md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')) AS fingerprint
 FROM documents
 """,
     "Per-doc token counts (whitespace + BPE-ish regex), char count, md5 fingerprint",
@@ -429,11 +429,12 @@ WITH base AS (
   FROM documents
 ),
 scored AS (
-  SELECT doc_id, lang, n_tok, n_stop, {', '.join(score_cols)},
+  SELECT doc_id, text, lang, n_tok, n_stop, {', '.join(score_cols)},
          (length(text) - n_tok + 1) / n_tok AS mean_wl
   FROM base
 )
-SELECT doc_id, lang, {case} AS lang_pred,
+SELECT doc_id, lang,
+       CASE WHEN text IS NULL THEN NULL ELSE {case} END AS lang_pred,
        0.4 * least(n_tok / 100.0, 1.0)
      + 0.4 * least(4.0 * n_stop / n_tok, 1.0)
      + 0.2 * (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1.0 ELSE 0.0 END) AS quality
@@ -552,11 +553,14 @@ SELECT event_type, SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
        COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k
 FROM events GROUP BY event_type
 """,
-    "Semi-structured column: JSON props parsed JVM-side (get_json_object), aggregated exactly",
+    "Semi-structured column: JSON props parsed JVM-side with the pinned "
+    "EVENT_PROPS_SCHEMA (from_json), aggregated exactly",
 )
 def q_json_props_agg(spark, sf_dir):
+    from dask_datapipeline_spark.schemas import EVENT_PROPS_SCHEMA
+
     ev = load_testdata(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.from_json("props", EVENT_PROPS_SCHEMA)["k"]
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
     )

@@ -44,13 +44,23 @@ def get_spark(
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
-        master = f"local[{cpus}]" if cpus else "local[*]"
+        if cpus:
+            master = f"local[{cpus}]"
+        elif "PYSPARK_GATEWAY_PORT" not in os.environ:
+            # Under spark-submit the JVM gateway pre-exists and already
+            # carries the real master (yarn/k8s/standalone); forcing a
+            # local master here would silently run the whole job on the
+            # driver node. Only default to local when we ARE the ones
+            # starting the JVM.
+            master = "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         # Adaptive execution: post-shuffle coalescing, dynamic join
         # strategy switching, skew-join splitting.
         .config("spark.sql.adaptive.enabled", "true")

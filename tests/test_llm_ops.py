@@ -263,3 +263,19 @@ def test_ivf_codebook_non_dense_ids(spark, emb):
 
     with pytest.raises(ValueError, match="empty"):
         ivf_topk(shifted, shifted.limit(0), k=3)
+
+
+def test_fingerprint_strips_non_space_whitespace(spark):
+    df = spark.createDataFrame([("foo",), ("foo\n",), ("\tfoo",)], ["text"])
+    fps = {r.fp for r in df.select(TXT.fingerprint("text").alias("fp")).collect()}
+    assert len(fps) == 1
+
+
+def test_lang_id_and_cosine_null_inputs(spark):
+    from dask_datapipeline_spark.functions.vectors import cosine
+
+    df = spark.createDataFrame([(None,)], "text string")
+    assert df.select(TXT.lang_id("text").alias("p")).collect()[0].p is None
+    vdf = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>")
+    # zero vector → NULL, never NaN (NaN would sort above every real match)
+    assert vdf.select(cosine("a", "b").alias("c")).collect()[0].c is None

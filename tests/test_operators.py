@@ -271,3 +271,23 @@ def test_asof_join_guard_edge_cases(spark):
     # bare-string right_cols is normalized, not iterated as characters
     got = asof_join(left.drop("Price"), right, on="ts", by="k", right_cols="price")
     assert "price" in got.columns
+
+
+def test_asof_join_atomic_match_with_null_values(spark):
+    """A NULL in one right column must NOT be back-filled from an older
+    right row — the matched row travels atomically (DuckDB ASOF
+    semantics)."""
+    import datetime as dtm
+
+    from dask_datapipeline_spark.operators.joins import asof_join
+
+    def ts(h):
+        return dtm.datetime(2024, 1, 1, h)
+
+    left = spark.createDataFrame([(1, "u", ts(13))], "event_id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("u", ts(10), 3.0, 100), ("u", ts(12), None, 200)],
+        "k string, ts timestamp, price double, qty long",
+    )
+    row = asof_join(left, right, on="ts", by="k").collect()[0]
+    assert row.qty == 200 and row.price is None  # t12's row, NOT t10's price
