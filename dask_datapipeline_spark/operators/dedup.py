@@ -86,13 +86,12 @@ def shingles(text_col: Column | str, n: int) -> Column:
     ``sequence(1, 0)`` is descending ([1, 0]) and ``slice(_, 0, _)``
     throws, so without it one short document kills the whole job."""
     toks = tokens(text_col)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    stop = F.size(toks) - n + 1
+    # branch-free: clamp the sequence to a valid range, then filter
+    # out-of-range indices — avoids a when() whose duplicated branch
+    # expressions can defeat subexpression elimination
+    idx = F.filter(F.sequence(F.lit(1), F.greatest(stop, F.lit(1))), lambda i: i <= stop)
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 
 def hashed_shingles(
