@@ -24,7 +24,7 @@ from __future__ import annotations
 from functools import reduce
 from typing import Iterable, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dask_datapipeline_spark.errors import require_columns, require_dataframe
@@ -174,6 +174,83 @@ def asof_join(
     return out.select(
         *[F.col(c) for c in left.columns],
         *[match[c].alias(c) for c in right_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: float,
+    upper_seconds: float,
+    bucket_seconds: float | None = None,
+) -> DataFrame:
+    """Interval (range) join: pairs of rows sharing the ``by`` key with
+    ``right_ts − left_ts`` in the half-open window
+    ``(lower_seconds, upper_seconds]`` — e.g. "events by the same user
+    within the 2 hours AFTER this event" (reference has no range join;
+    generalizes its single equi-join surface, reference ``main.py:122``).
+
+    Spark plans a raw inequality join as BroadcastNestedLoopJoin —
+    quadratic per key and O(N·M) at scale. This encoding turns it into
+    an EQUI-join Catalyst can hash-partition: time is quantized into
+    buckets of width ``bucket_seconds`` (default: the window span), the
+    left side explodes to every bucket its window overlaps (≤ 2 buckets
+    at the default width — a fixed small blowup, NOT data-dependent),
+    the right side lands in exactly one bucket, and the exact interval
+    predicate runs as a residual filter after the hash join. One
+    shuffle keyed on (by, bucket); each (left, right) pair meets in
+    exactly one bucket, so no distinct is needed. Same shape DuckDB/
+    Flink use for interval joins; skew follows the key distribution.
+
+    Column names of the two sides must be disjoint apart from ``by``
+    (rename upstream). Buckets and the residual predicate both run on
+    INTEGER microseconds (``unix_micros``) — no float rounding, so the
+    window boundaries match an engine doing exact INTERVAL arithmetic
+    (the DuckDB oracle) bit-for-bit.
+    """
+    if upper_seconds <= lower_seconds:
+        raise ValueError(
+            f"empty window: upper_seconds={upper_seconds} must exceed "
+            f"lower_seconds={lower_seconds}"
+        )
+    keys = list(by)
+    require_columns(left, [*keys, left_ts], "left")
+    require_columns(right, [*keys, right_ts], "right")
+    overlap = (set(left.columns) & set(right.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"columns {sorted(overlap)} appear on both sides — rename before "
+            "joining (only the `by` keys may be shared)"
+        )
+    lo_us = round(lower_seconds * 1_000_000)
+    hi_us = round(upper_seconds * 1_000_000)
+    width_us = (
+        round(bucket_seconds * 1_000_000) if bucket_seconds is not None else hi_us - lo_us
+    )
+    if width_us <= 0:
+        raise ValueError(f"bucket_seconds must be a positive width, got {bucket_seconds}")
+
+    def bucket_of(ts_col: str, offset_us: int) -> Column:
+        # exact floorDiv on longs: subtract the (always-positive) pmod
+        # first so the division is exact-integer — floor(long/long)
+        # would round through double and can misbucket at boundaries;
+        # `div` truncates toward zero (wrong for pre-1970 timestamps)
+        a = F.unix_micros(F.col(ts_col)) + F.lit(offset_us)
+        return ((a - F.pmod(a, F.lit(width_us))) / F.lit(width_us)).cast("long")
+
+    l_b = left.withColumn(
+        "__bucket",
+        F.explode(F.sequence(bucket_of(left_ts, lo_us), bucket_of(left_ts, hi_us))),
+    )
+    r_b = right.withColumn("__bucket", bucket_of(right_ts, 0))
+    diff_us = F.unix_micros(F.col(right_ts)) - F.unix_micros(F.col(left_ts))
+    return (
+        l_b.join(r_b, on=[*keys, "__bucket"], how="inner")
+        .filter((diff_us > lo_us) & (diff_us <= hi_us))
+        .drop("__bucket")
     )
 
 

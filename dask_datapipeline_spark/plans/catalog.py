@@ -640,6 +640,64 @@ def q_asof_join(spark, sf_dir):
     return asof_join(left, right, on="ts", by="user_id")
 
 
+@register(
+    "range_join_follow",
+    """
+SELECT a.event_id AS event_id, COUNT(*) AS n_follow,
+       CAST(SUM(CAST(b.value AS DECIMAL(18,2))) AS DOUBLE) AS follow_value
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 7200 SECOND
+GROUP BY a.event_id
+""",
+    "Interval/range join (per event: same-user events in the following 2h) — "
+    "time-bucketed equi-join + exact µs residual, one hash shuffle instead of "
+    "the O(N·M) nested-loop Spark would plan for a raw inequality join",
+)
+def q_range_join_follow(spark, sf_dir):
+    from dask_datapipeline_spark.operators.joins import range_join
+
+    ev = load_testdata(spark, sf_dir, "events")
+    anchors = ev.select("user_id", F.col("event_id").alias("event_id"), F.col("ts").alias("a_ts"))
+    followers = ev.select(
+        "user_id", F.col("ts").alias("b_ts"), F.col("value").alias("b_value")
+    )
+    pairs = range_join(
+        anchors, followers, by=["user_id"], left_ts="a_ts", right_ts="b_ts",
+        lower_seconds=0, upper_seconds=7200,
+    )
+    return pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.sum(F.col("b_value").cast("decimal(18,2)")).cast("double").alias("follow_value"),
+    )
+
+
+@register(
+    "skew_join_salted",
+    """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+    "Skew-mitigated join (salt the fact side, explode the dim across salt buckets, "
+    "join on key+salt) — same rows as the plain join (the oracle), different physical "
+    "plan; the manual fallback for keys AQE skew-splitting can't fix",
+)
+def q_skew_join_salted(spark, sf_dir):
+    from dask_datapipeline_spark.operators.joins import salt_join
+
+    ev = load_testdata(spark, sf_dir, "events")
+    cust = load_testdata(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salt_join(ev, cust, on="user_id", salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 

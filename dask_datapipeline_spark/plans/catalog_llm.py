@@ -716,6 +716,28 @@ def q_streaming_user_totals(spark, sf_dir):
 
 
 @register(
+    "streaming_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    "Streaming exact dedup (append-mode dropDuplicates on the key columns, memory "
+    "sink): projected to the keys, the emitted set is exactly DISTINCT regardless of "
+    "arrival order. Production uses dropDuplicatesWithinWatermark (bounded state; "
+    "see streaming/windows.py::stream_dedup) — unbounded-state dropDuplicates here "
+    "keeps the oracle exact over replayed late data",
+)
+def q_streaming_dedup(spark, sf_dir):
+    from dask_datapipeline_spark.streaming.windows import run_to_memory, stream_events
+
+    name = f"stream_dedup_{next(_STREAM_SEQ)}"
+    dedup = (
+        stream_events(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    run_to_memory(dedup, name, "append")
+    return spark.table(name)
+
+
+@register(
     "session_window",
     """
 WITH lagd AS (

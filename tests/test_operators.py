@@ -291,3 +291,130 @@ def test_asof_join_atomic_match_with_null_values(spark):
     )
     row = asof_join(left, right, on="ts", by="k").collect()[0]
     assert row.qty == 200 and row.price is None  # t12's row, NOT t10's price
+
+
+def test_range_join_semantics(spark):
+    """Half-open window (lower, upper]: strict lower bound, inclusive
+    upper bound, same-key only — checked against a hand-computed
+    brute-force answer, including both boundary offsets."""
+    import datetime as dtm
+
+    from dask_datapipeline_spark.operators.joins import range_join
+
+    base = dtm.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(sec):
+        return base + dtm.timedelta(seconds=sec)
+
+    anchors = spark.createDataFrame(
+        [("u", 1, ts(0)), ("u", 2, ts(5000)), ("v", 3, ts(0))],
+        "k string, a_id long, a_ts timestamp",
+    )
+    others = spark.createDataFrame(
+        [
+            ("u", 10, ts(0)),      # diff 0 from a1 → excluded (strict >)
+            ("u", 11, ts(3600)),   # in (0, 7200] of a1
+            ("u", 12, ts(7200)),   # exactly upper of a1 → included (also in a2's window)
+            ("u", 13, ts(7201)),   # past upper of a1; in window of a2
+            ("w", 14, ts(100)),    # wrong key
+        ],
+        "k string, b_id long, b_ts timestamp",
+    )
+    got = range_join(
+        anchors, others, by=["k"], left_ts="a_ts", right_ts="b_ts",
+        lower_seconds=0, upper_seconds=7200,
+    )
+    pairs = sorted((r.a_id, r.b_id) for r in got.collect())
+    assert pairs == [(1, 11), (1, 12), (2, 12), (2, 13)]
+
+
+def test_range_join_bucket_width_invariance(spark):
+    """The bucket width is a physical knob — any positive width must
+    give the identical logical answer."""
+    import datetime as dtm
+
+    from dask_datapipeline_spark.operators.joins import range_join
+
+    base = dtm.datetime(2024, 1, 1)
+    rows = [("k", i, base + dtm.timedelta(seconds=37 * i)) for i in range(40)]
+    a = spark.createDataFrame(rows, "k string, a_id long, a_ts timestamp")
+    b = spark.createDataFrame(
+        [(k, i + 100, t) for k, i, t in rows], "k string, b_id long, b_ts timestamp"
+    )
+
+    def run(**kw):
+        got = range_join(
+            a, b, by=["k"], left_ts="a_ts", right_ts="b_ts",
+            lower_seconds=0, upper_seconds=100, **kw,
+        )
+        return sorted((r.a_id, r.b_id) for r in got.collect())
+
+    expect = run()
+    assert run(bucket_seconds=1) == expect
+    assert run(bucket_seconds=33.5) == expect
+    assert run(bucket_seconds=10000) == expect
+    assert len(expect) > 0
+
+
+def test_range_join_guards(spark):
+    import datetime as dtm
+
+    from dask_datapipeline_spark.operators.joins import range_join
+
+    df = spark.createDataFrame(
+        [("k", 1, dtm.datetime(2024, 1, 1))], "k string, x long, ts timestamp"
+    )
+    other = spark.createDataFrame(
+        [("k", 2, dtm.datetime(2024, 1, 1))], "k string, y long, ts2 timestamp"
+    )
+    with pytest.raises(ValueError, match="empty window"):
+        range_join(df, other, by=["k"], left_ts="ts", right_ts="ts2",
+                   lower_seconds=10, upper_seconds=10)
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        range_join(df, other, by=["k"], left_ts="ts", right_ts="ts2",
+                   lower_seconds=0, upper_seconds=10, bucket_seconds=0)
+    # overlapping non-key column names must be rejected, not silently aliased
+    clash = spark.createDataFrame(
+        [("k", 5, dtm.datetime(2024, 1, 1))], "k string, x long, ts2 timestamp"
+    )
+    with pytest.raises(ValueError, match="both sides"):
+        range_join(df, clash, by=["k"], left_ts="ts", right_ts="ts2",
+                   lower_seconds=0, upper_seconds=10)
+
+
+def test_range_join_negative_window_before_epoch(spark):
+    """A look-BACK window (negative bounds) and pre-1970 timestamps:
+    the floorDiv bucketing must stay consistent across the epoch."""
+    import datetime as dtm
+
+    from dask_datapipeline_spark.operators.joins import range_join
+
+    base = dtm.datetime(1969, 12, 31, 23, 59, 30)  # straddles epoch
+    a = spark.createDataFrame(
+        [("k", 1, base + dtm.timedelta(seconds=60))], "k string, a_id long, a_ts timestamp"
+    )
+    b = spark.createDataFrame(
+        [("k", 10, base), ("k", 11, base + dtm.timedelta(seconds=55))],
+        "k string, b_id long, b_ts timestamp",
+    )
+    got = range_join(
+        a, b, by=["k"], left_ts="a_ts", right_ts="b_ts",
+        lower_seconds=-10, upper_seconds=-1,
+    )
+    assert [(r.a_id, r.b_id) for r in got.collect()] == [(1, 11)]
+
+
+def test_salt_join_matches_plain_join(spark):
+    """Salting is physical only: row multiset must equal the plain
+    inner join, including duplicate keys on both sides."""
+    from dask_datapipeline_spark.operators.joins import salt_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, l string"
+    )
+    right = spark.createDataFrame(
+        [(1, "X"), (1, "Y"), (2, "Z")], "k long, r string"
+    )
+    got = sorted((r.k, r.l, r.r) for r in salt_join(left, right, on="k").collect())
+    expect = sorted((r.k, r.l, r.r) for r in left.join(right, on="k").collect())
+    assert got == expect and len(expect) == 5
