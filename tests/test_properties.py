@@ -120,3 +120,44 @@ def test_asof_join_matches_scan(spark, left_ts, right_ts):
     for i, t in enumerate(left_ts):
         prior = [rt for rt in right_ts if rt <= t]
         assert got[i] == (float(max(prior)) if prior else None)
+
+
+@given(
+    left_rows=st.lists(st.tuples(_keys, st.integers(0, 500)), min_size=1, max_size=25),
+    right_rows=st.lists(st.tuples(_keys, st.integers(0, 500)), min_size=0, max_size=25),
+    width=st.sampled_from([7.0, 60.0, 333.3]),
+)
+@settings(**_SETTINGS)
+def test_range_join_matches_brute_force(spark, left_rows, right_rows, width):
+    """range_join == brute-force O(N·M) scan for every key, window
+    boundary, and bucket width — including windows smaller/larger than
+    the bucket and duplicate timestamps."""
+    from dask_datapipeline_spark.operators.joins import range_join
+
+    base = dt.datetime(2024, 1, 1)
+    lo, hi = 0.0, 120.0
+    left = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=t)) for i, (k, t) in enumerate(left_rows)],
+        "a_id long, k long, a_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=t)) for i, (k, t) in enumerate(right_rows)]
+        or [(0, 99, base)],
+        "b_id long, k long, b_ts timestamp",
+    )
+    if not right_rows:
+        right = right.limit(0)
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in range_join(
+            left, right, by=["k"], left_ts="a_ts", right_ts="b_ts",
+            lower_seconds=lo, upper_seconds=hi, bucket_seconds=width,
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (lk, lt) in enumerate(left_rows)
+        for j, (rk, rt) in enumerate(right_rows)
+        if lk == rk and lo < rt - lt <= hi
+    )
+    assert got == want
