@@ -644,6 +644,41 @@ def q_tumbling_window(spark, sf_dir):
 
 
 @register(
+    "rollup_hierarchy",
+    """
+SELECT date_trunc('hour', ts) AS hour_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY hour_start
+""",
+    "Hierarchical time-series rollup (hypertable-style continuous aggregate): the "
+    "hourly tier is REAGGREGATED from a minute-level rollup, never from raw events — "
+    "the oracle aggregates raw directly, proving the multi-resolution cascade is "
+    "lossless (exact decimal sums / count / min / max compose associatively). At "
+    "scale each tier is a materialized table ~60x smaller than the one below; "
+    "dashboards and coarser tiers rescan the rollup, not the corpus",
+)
+def q_rollup_hierarchy(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events")
+    minute = ev.groupBy(F.date_trunc("minute", F.col("ts")).alias("minute_start")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        minute.groupBy(F.date_trunc("hour", F.col("minute_start")).alias("hour_start"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
+
+
+@register(
     "sliding_window",
     """
 SELECT window_start, COUNT(*) AS n_events,
