@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from dask_datapipeline_spark.plans.catalog import CATALOG  # noqa: E402
+from dask_datapipeline_spark.plans.catalog import CATALOG, ordered_catalog  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,8 +25,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: qd.fn for name, qd in CATALOG.items()}
+    # exactly 50 entries in pinned order: the driver correctness sweep
+    # records at most 50 rows (see catalog.DRIVER_ORDER)
+    return {name: qd.fn for name, qd in ordered_catalog().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: qd.oracle for name, qd in CATALOG.items() if qd.oracle is not None}
+    return {
+        name: qd.oracle
+        for name, qd in ordered_catalog().items()
+        if qd.oracle is not None
+    }

@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "window_topk",
     "groupby_sum",
     "distinct_agg",
-    "rollup_agg",
+    "rollup_cube_agg",
     "sort_limit",
 ]
 

@@ -49,14 +49,32 @@ class QueryDef:
 
 CATALOG: dict[str, QueryDef] = {}
 
+#: Diagnostic / demoted queries: oracle-checked by the LOCAL gate
+#: (tools/check_correctness.py) but not part of the driver contract.
+#: The driver's correctness sweep records at most 50 rows, so the
+#: driver-facing CATALOG is curated to exactly 50 entries; everything
+#: squeezed out (component sub-queries, exact-but-unscalable recall
+#: oracles) lives here and stays continuously verified.
+EXTRA_CATALOG: dict[str, QueryDef] = {}
+
 
 def register(name: str, oracle: str | None, description: str = ""):
     def deco(fn):
-        if name in CATALOG:
+        if name in CATALOG or name in EXTRA_CATALOG:
             # a silent overwrite would drop the shadowed query from the
             # oracle gate with every check still passing
             raise ValueError(f"catalog query {name!r} registered twice")
         CATALOG[name] = QueryDef(fn=fn, oracle=oracle, description=description)
+        return fn
+
+    return deco
+
+
+def register_extra(name: str, oracle: str | None, description: str = ""):
+    def deco(fn):
+        if name in CATALOG or name in EXTRA_CATALOG:
+            raise ValueError(f"catalog query {name!r} registered twice")
+        EXTRA_CATALOG[name] = QueryDef(fn=fn, oracle=oracle, description=description)
         return fn
 
     return deco
@@ -418,33 +436,42 @@ def q_window_topk(spark, sf_dir):
     )
 
 
-@register(
-    "rollup_agg",
-    f"""
-SELECT r_name, n_name, COUNT(*) AS n_customers, {_dsum('c_acctbal', 'sum_acctbal')}
+_GSET_SQL_BODY = f"""
+SELECT '{{mode}}' AS gmode, r_name, n_name,
+       COUNT(*) AS n_customers, {_dsum('c_acctbal', 'sum_acctbal')}
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
-GROUP BY ROLLUP (r_name, n_name)
-""",
-    "Rollup grouping sets (region→nation hierarchy) — one shuffle, partial aggs reused",
+GROUP BY {{clause}} (r_name, n_name)
+"""
+
+
+@register(
+    "rollup_cube_agg",
+    _GSET_SQL_BODY.format(mode="rollup", clause="ROLLUP")
+    + " UNION ALL "
+    + _GSET_SQL_BODY.format(mode="cube", clause="CUBE"),
+    "Grouping sets, both modes in one row: ROLLUP (region→nation hierarchy) and "
+    "CUBE (adds the nation-only slice), tagged by gmode — Spark plans each as a "
+    "single Expand + one shuffle with partial aggs reused",
 )
-def q_rollup_agg(spark, sf_dir):
+def q_rollup_cube_agg(spark, sf_dir):
     c = load_testdata(spark, sf_dir, "customer")
     n = load_testdata(spark, sf_dir, "nation")
     r = load_testdata(spark, sf_dir, "region")
     j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
         F.broadcast(r), n.n_regionkey == r.r_regionkey
     )
-    return grouping_sets_agg(
-        j,
-        "rollup",
-        ["r_name", "n_name"],
-        [
-            AggSpec("*", "count_star", "n_customers"),
-            AggSpec("c_acctbal", "sum_exact", "sum_acctbal"),
-        ],
-    )
+    aggs = [
+        AggSpec("*", "count_star", "n_customers"),
+        AggSpec("c_acctbal", "sum_exact", "sum_acctbal"),
+    ]
+    parts = [
+        grouping_sets_agg(j, mode, ["r_name", "n_name"], aggs)
+        .select(F.lit(mode).alias("gmode"), "r_name", "n_name", "n_customers", "sum_acctbal")
+        for mode in ("rollup", "cube")
+    ]
+    return parts[0].unionByName(parts[1])
 
 
 @register(
@@ -760,3 +787,89 @@ def q_running_window(spark, sf_dir):
 # Extension surface (dedup / similarity / text / multimodal / windows)
 # registers itself into CATALOG on import — keep this import last.
 from dask_datapipeline_spark.plans import catalog_llm  # noqa: E402,F401
+
+#: The exact enumeration order the driver contract exposes.
+#:
+#: The driver's correctness sweep records at most 50 rows (round 1
+#: registered 52 queries and CORRECTNESS_r01 contains exactly the
+#: first 50 — `streaming_dedup` and `session_window`, positions 50-51,
+#: were silently dropped), so the catalog is curated to EXACTLY 50
+#: driver-facing queries and this list pins their order: reference
+#: parity first, then the generalized relational surface, then
+#: windows/streaming, then the LLM-pipeline operators. Demoted /
+#: diagnostic queries live in EXTRA_CATALOG and are swept by the
+#: local gate only.
+DRIVER_ORDER: list[str] = [
+    # reference parity (SURVEY.md §2, O1-O13 + §3.1 flagship)
+    "flagship_household_features",
+    "flagship_onepass",
+    "scan_projection",
+    "cast_timestamp",
+    "join_inner",
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "groupby_sum",
+    "count_agg",
+    "multi_agg_pricing",
+    "filter_before_sum",
+    "filter_between_sum",
+    "filter_compound",
+    "fold_join",
+    # generalized relational surface (SURVEY.md §2.1 absences)
+    "window_topk",
+    "rollup_cube_agg",
+    "set_ops",
+    "distinct_agg",
+    "sort_limit",
+    "scalar_functions",
+    "distribution_stats",
+    "token_histogram",
+    "sql_q3ish",
+    "asof_join",
+    "range_join_follow",
+    "skew_join_salted",
+    "pivot_event_values",
+    "running_window",
+    # window analytics + streaming
+    "tumbling_window",
+    "sliding_window",
+    "session_window",
+    "rollup_hierarchy",
+    "streaming_tumbling",
+    "streaming_dedup",
+    "streaming_user_totals",
+    # LLM-pipeline operators (SURVEY.md §2.2)
+    "dedup_exact",
+    "jaccard_near_dup",
+    "minhash_near_dup",
+    "dup_clusters",
+    "simhash_near_dup",
+    "text_stats",
+    "tfidf_top_terms",
+    "data_split",
+    "json_props_agg",
+    "multimodal_features",
+    "knn_brute_topk",
+    "embedding_near_dup",
+    "knn_join_lsh",
+    "knn_join_ivf",
+]
+
+
+def ordered_catalog() -> dict[str, QueryDef]:
+    """CATALOG in driver order. Raises if DRIVER_ORDER and the
+    registrations ever drift (a query registered but not ordered
+    would silently fall off the driver gate)."""
+    missing = [n for n in DRIVER_ORDER if n not in CATALOG]
+    unordered = [n for n in CATALOG if n not in DRIVER_ORDER]
+    if missing or unordered:
+        raise RuntimeError(
+            f"catalog/order drift: missing={missing} unordered={unordered}"
+        )
+    if len(DRIVER_ORDER) > 50:
+        raise RuntimeError(
+            f"driver catalog has {len(DRIVER_ORDER)} queries; the driver "
+            "correctness sweep records at most 50 rows"
+        )
+    return {n: CATALOG[n] for n in DRIVER_ORDER}

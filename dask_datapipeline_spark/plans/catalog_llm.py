@@ -18,7 +18,7 @@ from dask_datapipeline_spark.operators.similarity import (
     ivf_topk,
     knn_join_lsh,
 )
-from dask_datapipeline_spark.plans.catalog import register
+from dask_datapipeline_spark.plans.catalog import register, register_extra
 from dask_datapipeline_spark.sources.readers import load_testdata
 
 # ----- shared SQL fragments (mirror operators/dedup.py primitives) ---
@@ -206,10 +206,12 @@ sim AS (
 )
 
 
-@register(
+@register_extra(
     "simhash",
     _SQL_SIMHASH_CTES + "SELECT doc_id, simhash_hi, simhash_lo FROM sim",
-    "64-bit shingle-SimHash via Arrow-batched pandas UDF; oracle recomputes the identical md5-bit algorithm in SQL",
+    "64-bit shingle-SimHash via Arrow-batched pandas UDF; oracle recomputes the "
+    "identical md5-bit algorithm in SQL. Extra: the fingerprints are exercised "
+    "end-to-end by the driver-facing simhash_near_dup row",
 )
 def q_simhash(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents")
@@ -260,17 +262,79 @@ def q_knn_brute_topk(spark, sf_dir):
     return cosine_topk(emb, qvec, k=10)
 
 
+def _plane_lit(planes, t: int, b: int) -> str:
+    return "[" + ", ".join(f"{v:.1f}" for v in planes[t, b]) + "]"
+
+
+def _bucket_expr(planes, vec: str, t: int) -> str:
+    bits = planes.shape[1]
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(CAST({vec} AS DOUBLE[]), {_plane_lit(planes, t, b)}) >= 0"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+
+
+_ND_TABLES, _ND_BITS, _ND_THRESHOLD = 8, 4, 0.4
+
+
+def _lsh_near_dup_oracle_sql(num_tables: int, bits: int, dim: int, threshold: float) -> str:
+    """Replay the Spark SRP-LSH self-join near-dup in SQL: md5-derived
+    ±1 planes as list literals → identical buckets, identical strict-
+    order cosine, so the candidate set and scores are bit-exact."""
+    from dask_datapipeline_spark.operators.similarity import rademacher_planes
+
+    planes = rademacher_planes(num_tables, bits, dim)
+    cb = "\nUNION ALL\n".join(
+        f"SELECT vec_id, embedding AS v, {t} AS t,"
+        f" {_bucket_expr(planes, 'embedding', t)} AS bucket FROM embeddings"
+        for t in range(num_tables)
+    )
+    cos = _COS_SQL.format(a="a.v", b="b.v")
+    return f"""
+WITH cb AS ({cb}),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine_sim
+  FROM cb a JOIN cb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= {threshold!r}
+"""
+
+
 @register(
     "embedding_near_dup",
+    _lsh_near_dup_oracle_sql(_ND_TABLES, _ND_BITS, 64, _ND_THRESHOLD),
+    "Embedding-cosine near-dup pairs via SRP-LSH bucketed self-join + exact cosine "
+    "verify of bucket cohabitants — the 100 TB path: shuffles key on (table, bucket), "
+    "nothing is collected or broadcast; the exact all-pairs baseline is the "
+    "embedding_near_dup_exact recall oracle in EXTRA_CATALOG",
+)
+def q_embedding_near_dup(spark, sf_dir):
+    from dask_datapipeline_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb,
+        threshold=_ND_THRESHOLD,
+        bits_per_table=_ND_BITS,
+        num_tables=_ND_TABLES,
+        plane_kind="rademacher",
+    )
+
+
+@register_extra(
+    "embedding_near_dup_exact",
     f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cosine_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.4
 """,
-    "Embedding-cosine near-dup pairs (exact all-pairs baseline; LSH path = knn_join_lsh, rows-only)",
+    "Exact all-pairs cosine near-dup (broadcast corpus + mapInPandas blocks) — the "
+    "recall-measurement oracle for embedding_near_dup; requires one side in driver "
+    "memory, so it is deliberately NOT the cataloged scale path",
 )
-def q_embedding_near_dup(spark, sf_dir):
+def q_embedding_near_dup_exact(spark, sf_dir):
     emb = load_testdata(spark, sf_dir, "embeddings")
     return cosine_all_pairs_exact(emb, threshold=0.4)
 
@@ -283,25 +347,14 @@ def _lsh_oracle_sql(num_tables: int, bits: int, dim: int, k: int) -> str:
     from dask_datapipeline_spark.operators.similarity import rademacher_planes
 
     planes = rademacher_planes(num_tables, bits, dim)
-
-    def plane_lit(t: int, b: int) -> str:
-        return "[" + ", ".join(f"{v:.1f}" for v in planes[t, b]) + "]"
-
-    def bucket_expr(vec: str, t: int) -> str:
-        return " + ".join(
-            f"(CASE WHEN list_dot_product(CAST({vec} AS DOUBLE[]), {plane_lit(t, b)}) >= 0"
-            f" THEN {1 << b} ELSE 0 END)"
-            for b in range(bits)
-        )
-
     qb = "\nUNION ALL\n".join(
         f"SELECT vec_id AS query_id, embedding AS qv, {t} AS t,"
-        f" {bucket_expr('embedding', t)} AS bucket FROM q0"
+        f" {_bucket_expr(planes, 'embedding', t)} AS bucket FROM q0"
         for t in range(num_tables)
     )
     cb = "\nUNION ALL\n".join(
         f"SELECT vec_id AS neighbor_id, embedding AS cv, {t} AS t,"
-        f" {bucket_expr('embedding', t)} AS bucket FROM embeddings"
+        f" {_bucket_expr(planes, 'embedding', t)} AS bucket FROM embeddings"
         for t in range(num_tables)
     )
     cos = _COS_SQL.format(a="qb.qv", b="cb.cv")
@@ -379,31 +432,9 @@ def q_knn_join_ivf(spark, sf_dir):
 # ----- text analysis -------------------------------------------------
 
 
-@register(
-    "text_stats",
-    f"""
-SELECT doc_id,
-       len(string_split(lower(text), ' ')) AS n_tokens,
-       len(regexp_extract_all(lower(text), '{TXT.BPE_ISH_PATTERN}')) AS n_bpe_tokens,
-       length(text) AS n_chars_computed,
-       md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')) AS fingerprint
-FROM documents
-""",
-    "Per-doc token counts (whitespace + BPE-ish regex), char count, md5 fingerprint",
-)
-def q_text_stats(spark, sf_dir):
-    docs = load_testdata(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        TXT.whitespace_token_count("text").alias("n_tokens"),
-        TXT.bpe_ish_token_count("text").alias("n_bpe_tokens"),
-        F.length("text").alias("n_chars_computed"),
-        TXT.fingerprint("text").alias("fingerprint"),
-    )
-
-
-def _lang_sql() -> str:
-    """Mirror of functions/text.py lang_id + quality_score in SQL."""
+def _lang_case_and_scores() -> tuple[str, list[str], str]:
+    """Shared SQL mirror of functions/text.py lang_id + quality_score:
+    (CASE chain, per-lang score columns, stopword-hit expr)."""
     hit = (
         "len(list_filter(string_split(lower(text), ' '), "
         "t -> list_contains({markers}, t)))"
@@ -421,11 +452,66 @@ def _lang_sql() -> str:
         conds = " AND ".join(f"s_{langs[i]} >= s_{langs[j]}" for j in range(i + 1, len(langs)))
         case = f"CASE WHEN {conds} THEN '{langs[i]}' ELSE {case} END"
     en_markers = "[" + ", ".join(f"'{m}'" for m in TXT.LANG_MARKERS["en"]) + "]"
+    return case, score_cols, hit.format(markers=en_markers)
+
+
+def _text_stats_sql() -> str:
+    case, score_cols, en_hits = _lang_case_and_scores()
     return f"""
 WITH base AS (
   SELECT doc_id, text, lang,
          CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_tok,
-         CAST({hit.format(markers=en_markers)} AS DOUBLE) AS n_stop
+         CAST({en_hits} AS DOUBLE) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, text, lang, n_tok, n_stop, {', '.join(score_cols)},
+         (length(text) - n_tok + 1) / n_tok AS mean_wl
+  FROM base
+)
+SELECT doc_id,
+       len(string_split(lower(text), ' ')) AS n_tokens,
+       len(regexp_extract_all(lower(text), '{TXT.BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+       length(text) AS n_chars_computed,
+       md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')) AS fingerprint,
+       lang,
+       CASE WHEN text IS NULL THEN NULL ELSE {case} END AS lang_pred,
+       0.4 * least(n_tok / 100.0, 1.0)
+     + 0.4 * least(4.0 * n_stop / n_tok, 1.0)
+     + 0.2 * (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1.0 ELSE 0.0 END) AS quality
+FROM scored
+"""
+
+
+@register(
+    "text_stats",
+    _text_stats_sql(),
+    "Per-document text-analysis features in ONE scan: token counts (whitespace + "
+    "BPE-ish regex), char count, md5 fingerprint, language-ID (marker-stopword "
+    "argmax) and heuristic quality score — all JVM Column expressions, shuffle-free",
+)
+def q_text_stats(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.whitespace_token_count("text").alias("n_tokens"),
+        TXT.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        TXT.fingerprint("text").alias("fingerprint"),
+        "lang",
+        TXT.lang_id("text").alias("lang_pred"),
+        TXT.quality_score("text").alias("quality"),
+    )
+
+
+def _lang_sql() -> str:
+    """Mirror of functions/text.py lang_id + quality_score in SQL."""
+    case, score_cols, en_hits = _lang_case_and_scores()
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, lang,
+         CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_tok,
+         CAST({en_hits} AS DOUBLE) AS n_stop
   FROM documents
 ),
 scored AS (
@@ -442,10 +528,11 @@ FROM scored
 """
 
 
-@register(
+@register_extra(
     "lang_quality",
     _lang_sql(),
-    "Language-ID (marker-stopword argmax) + heuristic quality score per document",
+    "Language-ID (marker-stopword argmax) + heuristic quality score per document. "
+    "Extra: both columns are driver-checked inside the merged text_stats row",
 )
 def q_lang_quality(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents")
@@ -549,7 +636,8 @@ def q_data_split(spark, sf_dir):
 @register(
     "json_props_agg",
     """
-SELECT event_type, SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k
 FROM events GROUP BY event_type
 """,
@@ -579,9 +667,9 @@ WITH m AS (
 SELECT media_id, kind,
        sha256(payload_str) AS payload_sha,
        CAST(length(payload_str) AS BIGINT) AS n_bytes,
-       list_transform(range(0, 16),
-         i -> CAST(CONCAT('0x', substring(sha256(payload_str), 2*i+1, 2)) AS INT) / 256.0
-       ) AS feature,
+       array_to_string(list_transform(range(0, 16),
+         i -> printf('%.8f', CAST(CONCAT('0x', substring(sha256(payload_str), 2*i+1, 2)) AS INT) / 256.0)
+       ), ',') AS feature_csv,
        CASE WHEN kind = 'video'
             THEN CAST(floor(greatest(duration_ms - 1, 0) / 1000) AS BIGINT) + 1
             ELSE CAST(1 AS BIGINT) END AS n_frames
@@ -589,7 +677,10 @@ FROM m
 """,
     "Multimodal binary pipeline: opaque payloads + typed metadata, Arrow-batched "
     "decode/featurize stub (mapInPandas), JVM-side frame sampling; payloads are "
-    "deterministic so the oracle recomputes sha/features/frame counts in SQL",
+    "deterministic so the oracle recomputes sha/features/frame counts in SQL. The "
+    "feature vector is emitted as a canonical fixed-format CSV string (values are "
+    "exact multiples of 1/256 → 8dp decimals are exact on both engines): the "
+    "driver's pandas canonicalization cannot sort raw array<double> columns",
 )
 def q_multimodal_features(spark, sf_dir):
     from dask_datapipeline_spark.multimodal.binary import (
@@ -612,7 +703,12 @@ def q_multimodal_features(spark, sf_dir):
             "kind",
             "payload_sha",
             F.col("n_bytes").cast("long").alias("n_bytes"),
-            F.transform("feature", lambda x: x.cast("double")).alias("feature"),
+            F.array_join(
+                F.transform(
+                    "feature", lambda x: F.format_string("%.8f", x.cast("double"))
+                ),
+                ",",
+            ).alias("feature_csv"),
             "n_frames",
         )
     )
@@ -734,9 +830,16 @@ def q_streaming_tumbling(spark, sf_dir):
 
 @register(
     "streaming_user_totals",
-    None,  # applyInPandasWithState float accumulation order is arrival-dependent → rows-only
+    """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+""",
     "Custom stateful streaming operator (applyInPandasWithState): running per-user "
-    "count/total with one state row per key",
+    "count/total, one state row per key. State accumulates INTEGER CENTS (exact, "
+    "arrival-order independent), so the final per-key update equals the batch GROUP "
+    "BY exactly; the update-mode memory sink keeps every intermediate update, so the "
+    "final state is selected per key by max n_events (strictly increasing per user)",
 )
 def q_streaming_user_totals(spark, sf_dir):
     from dask_datapipeline_spark.streaming.windows import (
@@ -747,7 +850,19 @@ def q_streaming_user_totals(spark, sf_dir):
 
     name = f"stream_totals_{next(_STREAM_SEQ)}"
     run_to_memory(stateful_user_totals(stream_events(spark, sf_dir)), name, "update")
-    return spark.table(name)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_cents", "n_events").alias("total_cents"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("total_cents") / F.lit(100.0)).alias("total_value"),
+        )
+    )
 
 
 @register(

@@ -97,11 +97,11 @@ _TOTALS_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
         T.StructField("n_events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
+        T.StructField("total_cents", T.LongType()),
     ]
 )
 _STATE_SCHEMA = T.StructType(
-    [T.StructField("n", T.LongType()), T.StructField("tot", T.DoubleType())]
+    [T.StructField("n", T.LongType()), T.StructField("cents", T.LongType())]
 )
 
 
@@ -109,19 +109,34 @@ def stateful_user_totals(df: DataFrame) -> DataFrame:
     """Custom stateful operator: running per-user (count, total value)
     via ``applyInPandasWithState`` — the pattern for operators Spark's
     built-ins can't express (per-key accumulators, custom sessions,
-    CEP-ish logic). State is one (n, tot) pair per user — O(keys)."""
+    CEP-ish logic). State is one (n, cents) pair per user — O(keys).
+
+    The accumulator is INTEGER CENTS, not a float: value is cast to
+    DECIMAL(18,2) JVM-side and scaled to a long before the stateful
+    operator, so the running total is exact and independent of arrival
+    order / microbatch boundaries — which is what lets this operator
+    carry an exact SQL oracle instead of a rows-only check. Convert
+    back with ``total_cents / 100.0`` (one IEEE division — identical
+    to DuckDB's DECIMAL→DOUBLE cast of the same exact sum)."""
+
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
 
     def update(key, pdfs, state: GroupState):
-        n, tot = state.get if state.exists else (0, 0.0)
+        n, tot = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            tot += float(pdf["value"].fillna(0.0).sum())
+            # nulls surface as NaN after Arrow; treat as 0 (sum skips
+            # them, the row still counts). Cents are < 2^53 — exact in
+            # the float64 detour.
+            tot += int(pdf["cents"].fillna(0).sum())
         state.update((n, tot))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [tot]}
         )
 
-    return df.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+    return df.select("user_id", cents.alias("cents")).groupBy(
+        "user_id"
+    ).applyInPandasWithState(
         update,
         outputStructType=_TOTALS_SCHEMA,
         stateStructType=_STATE_SCHEMA,

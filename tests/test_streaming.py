@@ -50,15 +50,17 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
 def test_stateful_user_totals(spark, sf_dir, batch_events):
     sdf = SW.stateful_user_totals(SW.stream_events(spark, sf_dir))
     SW.run_to_memory(sdf, "t_state", output_mode="update")
-    # last update per user = final running total
+    # last update per user = final running total; cents state is exact,
+    # so the comparison is on exact decimal totals (no rounding slack)
     got = spark.sql(
-        """SELECT user_id, n_events, total_value FROM (
+        """SELECT user_id, n_events, CAST(total_cents AS DOUBLE) / 100.0 AS total_value FROM (
              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
              FROM t_state) WHERE rn = 1"""
     )
     want = batch_events.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
-    g = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in got.collect()}
-    w = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in want.collect()}
+    g = {r.user_id: (r.n_events, r.total_value) for r in got.collect()}
+    w = {r.user_id: (r.n_events, r.total_value) for r in want.collect()}
     assert g == w

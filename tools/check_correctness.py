@@ -64,7 +64,15 @@ def main():
     for t in TESTDATA_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG  # noqa: E402
+
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # EXTRA_CATALOG: not part of the 50-row driver contract, but the
+    # local gate keeps the demoted/diagnostic queries verified.
+    for name, qd in EXTRA_CATALOG.items():
+        qs[f"extra:{name}"] = qd.fn
+        if qd.oracle is not None:
+            oracles[f"extra:{name}"] = qd.oracle
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
