@@ -32,10 +32,20 @@ sh0 AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS sh FROM idx),
 sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh <> '')
 """
 
+#: Hot-shingle document-frequency cap shared by the Spark operators
+#: and every oracle below (operators/dedup.py::cap_document_frequency):
+#: shingles in more than _MAX_DF docs are dropped before any self-join,
+#: bounding the per-key join fan-out at _MAX_DF² regardless of corpus
+#: size. At the test scales nothing is actually dropped (max df is 7
+#: at sf0.01 and 25 at sf0.1), so the cap costs no recall there — it
+#: exists for the 100 TB corpus where one stopword-ish shingle would
+#: otherwise emit k² join rows.
+_MAX_DF = 256
+
 # Hashed-shingle twin (mirrors operators/dedup.py::hashed_shingles):
 # one md5 per shingle occurrence, downstream set ops on the 60-bit
-# BIGINT. ``hsh`` keeps duplicates (MinHash mins over it), ``shh`` is
-# the distinct set (Jaccard).
+# BIGINT. ``hsh`` keeps duplicates, ``shh`` is the distinct set with
+# the document-frequency cap applied (Jaccard + MinHash both read it).
 _SQL_SHINGLES_HASHED = (
     """
 toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
@@ -43,8 +53,10 @@ idx AS (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk)-2, 0))) AS
 sh0 AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS sh FROM idx),
 hsh AS (SELECT doc_id, """
     + _SQL_HASH.format(seed=0, col="sh")
-    + """ AS h FROM sh0 WHERE sh <> ''),
-shh AS (SELECT DISTINCT doc_id, h FROM hsh)
+    + f""" AS h FROM sh0 WHERE sh <> ''),
+shh0 AS (SELECT DISTINCT doc_id, h FROM hsh),
+hkeep AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM shh0 GROUP BY h) WHERE df <= {_MAX_DF}),
+shh AS (SELECT s.doc_id, s.h FROM shh0 s JOIN hkeep k ON s.h = k.h)
 """
 )
 
@@ -59,7 +71,9 @@ _SQL_SIG = (
         f"MIN(({a} * (h % {DD.MERSENNE_P}) + {b}) % {DD.MERSENNE_P}) AS mh_{i}"
         for i, (a, b) in enumerate(DD.affine_params(_NUM_HASHES))
     )
-    + " FROM hsh GROUP BY doc_id)"
+    # signatures read the CAPPED distinct set — same universe as the
+    # Jaccard verify (min over a set == min over its duplicates)
+    + " FROM shh GROUP BY doc_id)"
 )
 
 _SQL_BAND_JOINS = " UNION ALL ".join(
@@ -117,11 +131,13 @@ def q_dedup_exact(spark, sf_dir):
 @register(
     "jaccard_near_dup",
     "WITH " + _SQL_SHINGLES_HASHED + "," + _SQL_JACCARD_TAIL.format(extra_join=""),
-    "Near-dup by exact 3-gram-shingle Jaccard >= 0.5 (self equi-join on 60-bit shingle hash, no cross join)",
+    "Near-dup by exact 3-gram-shingle Jaccard >= 0.5: self equi-join on the 60-bit "
+    "shingle hash (no cross join), hot shingles capped at df<=256 ahead of the join "
+    "so per-key fan-out is bounded at any corpus size (no-op at test scales)",
 )
 def q_jaccard_near_dup(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents")
-    return DD.jaccard_pairs(docs, None, threshold=0.5)
+    return DD.jaccard_pairs(docs, None, threshold=0.5, max_df=_MAX_DF)
 
 
 # ----- MinHash + LSH -------------------------------------------------
@@ -144,7 +160,7 @@ cand AS (SELECT DISTINCT id_a, id_b FROM ({_SQL_BAND_JOINS}))
 def q_minhash_near_dup(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents")
     return DD.near_dup_pairs_minhash(
-        docs, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5, max_df=_MAX_DF
     )
 
 
@@ -152,8 +168,14 @@ def q_minhash_near_dup(spark, sf_dir):
     "dup_clusters",
     "WITH RECURSIVE "
     + _SQL_SHINGLES_HASHED
-    + ""","""
-    + _SQL_JACCARD_TAIL.format(extra_join="").replace(
+    + ","
+    + _SQL_SIG
+    + f""",
+cand AS (SELECT DISTINCT id_a, id_b FROM ({_SQL_BAND_JOINS}))
+,"""
+    + _SQL_JACCARD_TAIL.format(
+        extra_join="JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b"
+    ).replace(
         "SELECT j.id_a, j.id_b, j.jaccard FROM (", ", pairs AS (SELECT j.id_a, j.id_b FROM ("
     ).replace(") j WHERE j.jaccard >= 0.5", ") j WHERE j.jaccard >= 0.5)")
     + """,
@@ -166,13 +188,17 @@ reach(u, label) AS (
 SELECT u AS doc_id, MIN(label) AS cluster_id, (MIN(label) = u) AS is_canonical
 FROM reach GROUP BY u
 """,
-    "Near-dup clusters: connected components of the Jaccard>=0.5 pair graph via "
-    "iterative min-label propagation; min-id canonical survivor; oracle is a "
-    "recursive-CTE reachability closure",
+    "Near-dup clusters: connected components over the MinHash+LSH candidate pairs "
+    "(Jaccard>=0.5 verified) via iterative min-label propagation, min-id canonical "
+    "survivor. The pair graph comes from the BANDED join — bounded per bucket — not "
+    "the all-pairs shingle join, so the clustering input is scale-safe; oracle is "
+    "the identical band replay + a recursive-CTE reachability closure",
 )
 def q_dup_clusters(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents")
-    pairs = DD.jaccard_pairs(docs, None, threshold=0.5)
+    pairs = DD.near_dup_pairs_minhash(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5, max_df=_MAX_DF
+    )
     return DD.dup_clusters(pairs, docs)
 
 
