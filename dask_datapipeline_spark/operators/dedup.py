@@ -370,7 +370,12 @@ def near_dup_pairs_minhash(
     sigs = _signatures_from_hashed(sh, id_col, num_hashes).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    # the candidate pair set is read twice by the verify (doc-id
+    # restriction + pair semi-join); un-persisted, the banding
+    # self-join would run twice per evaluation
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return _jaccard_from_distinct(sh, cands, id_col, threshold)
 
 

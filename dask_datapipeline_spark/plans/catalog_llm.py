@@ -349,6 +349,44 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 @register_extra(
+    "scan_json",
+    """
+SELECT g.range AS rec_id,
+       'user-' || (g.range % 7) AS name,
+       CAST((g.range * 13) % 100 AS BIGINT) AS score
+FROM generate_series(0, 199) g(range)
+""",
+    "JSON-lines source scan with pinned schema (sources/readers.py::scan_json, no "
+    "inference pass): deterministic rows written to a temp JSONL file, read back, "
+    "oracle regenerates them — exercises the reader end-to-end",
+)
+def q_scan_json(spark, sf_dir):
+    import json as _json
+    import os
+    import tempfile
+
+    from dask_datapipeline_spark.sources.readers import scan_json
+    from pyspark.sql import types as T
+
+    d = tempfile.mkdtemp(prefix="scan_json_q_")
+    path = os.path.join(d, "rows.jsonl")
+    with open(path, "w") as fh:
+        for i in range(200):
+            fh.write(
+                _json.dumps({"rec_id": i, "name": f"user-{i % 7}", "score": (i * 13) % 100})
+                + "\n"
+            )
+    schema = T.StructType(
+        [
+            T.StructField("rec_id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.LongType()),
+        ]
+    )
+    return scan_json(spark, path, schema, columns=["rec_id", "name", "score"])
+
+
+@register_extra(
     "embedding_near_dup_exact",
     f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

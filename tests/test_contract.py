@@ -1,0 +1,43 @@
+"""Driver-contract pins: the correctness sweep records at most 50
+rows, so the driver-facing catalog must stay at EXACTLY 50 entries in
+a deliberate order, every one oracle-backed (round 1 registered 52 and
+the last two silently fell off the gate)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from dask_datapipeline_spark.plans.catalog import (
+    CATALOG,
+    DRIVER_ORDER,
+    EXTRA_CATALOG,
+    ordered_catalog,
+)
+
+
+def test_driver_contract_is_exactly_50_ordered():
+    qs = entrymod.queries()
+    assert len(qs) == 50
+    assert list(qs) == DRIVER_ORDER
+
+
+def test_every_driver_query_has_an_oracle():
+    # no rows-only rows left: the whole contract is hash-checkable
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) == set(entrymod.queries())
+    assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
+
+
+def test_catalog_and_order_cannot_drift():
+    assert set(DRIVER_ORDER) == set(CATALOG)
+    assert ordered_catalog() is not None
+
+
+def test_extra_catalog_is_disjoint_and_described():
+    assert not set(EXTRA_CATALOG) & set(CATALOG)
+    for name, qd in EXTRA_CATALOG.items():
+        assert qd.description, f"extra {name} needs a description"
