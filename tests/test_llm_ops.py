@@ -47,6 +47,46 @@ def test_fingerprint_whitespace_invariant(spark):
     assert fps[0] == fps[1]
 
 
+def test_df_cap_drops_hot_shingles_only(spark):
+    """cap_document_frequency removes shingles above the df cap and
+    nothing else; Jaccard over the capped universe ignores the
+    ubiquitous shingle."""
+    # docs 1..4 all share the hot shingle 'x x x'; docs 1,2 also share
+    # a rare one. With the cap at 3 the hot shingle (df=4) is dropped,
+    # so only (1,2) remain similar; uncapped, every pair intersects.
+    rows = [
+        (1, "a b c x x x"),
+        (2, "a b c x x x"),
+        (3, "p q r x x x"),
+        (4, "s t u x x x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = DD.hashed_shingles(df, "doc_id", "text", 3).distinct()
+    uncapped = sh.count()
+    capped = DD.cap_document_frequency(sh, 3)
+    # exactly the df=4 shingle disappears, from every document
+    dropped = sh.subtract(capped)
+    assert dropped.select("__h").distinct().count() == 1
+    assert dropped.count() == 4
+    assert capped.count() == uncapped - 4
+
+    # (3,4) share ONLY the hot shingle: jaccard 1/7 ≈ 0.143 uncapped
+    pairs_capped = {
+        (r.id_a, r.id_b)
+        for r in DD.jaccard_pairs(df, None, threshold=0.1, max_df=3).collect()
+    }
+    pairs_full = {
+        (r.id_a, r.id_b)
+        for r in DD.jaccard_pairs(df, None, threshold=0.1).collect()
+    }
+    assert (1, 2) in pairs_capped
+    assert (3, 4) not in pairs_capped  # only the hot shingle linked them
+    assert (3, 4) in pairs_full
+
+    with pytest.raises(ValueError):
+        DD.cap_document_frequency(sh, 0)
+
+
 def test_minhash_lsh_recall_vs_exact(spark, docs):
     """LSH candidates + verify must find the same >=0.5-Jaccard pairs
     as the exact all-pairs baseline on this corpus (high-similarity

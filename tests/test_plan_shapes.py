@@ -39,3 +39,45 @@ def test_no_quadratic_join_shapes(spark, sf_dir, name):
         "re-encode as an equi-join (bucketing, banding, broadcast of a "
         "bounded side) before this reaches a cluster"
     )
+
+
+def _plan(spark, sf_dir, name) -> str:
+    return CATALOG[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_projection_pushes_filter_and_prunes(spark, sf_dir):
+    """O1's contract at scale: the predicate reaches the parquet
+    row-group filter and the scan reads ONLY the projected columns."""
+    plan = _plan(spark, sf_dir, "scan_projection")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+    # ReadSchema must carry just the 3 projected columns, none of the
+    # other 13 lineitem columns
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_extendedprice" not in read and "l_comment" not in read
+
+
+def test_dimension_joins_broadcast_not_shuffle(spark, sf_dir):
+    """Fact→dim joins must broadcast the bounded dim side; shuffling
+    the fact table on a dim key is the classic 100 TB mistake."""
+    plan = _plan(spark, sf_dir, "join_inner")
+    assert "BroadcastHashJoin" in plan
+    plan = _plan(spark, sf_dir, "flagship_onepass")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aggregations_have_mapside_partial(spark, sf_dir):
+    """groupBy sums must plan two-phase hash aggregation (partial_sum
+    map-side) so the shuffle moves one row per (partition, key), not
+    one per input row."""
+    plan = _plan(spark, sf_dir, "groupby_sum")
+    assert "partial_sum" in plan
+    plan = _plan(spark, sf_dir, "multi_agg_pricing")
+    assert "partial_sum" in plan
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition
+    top-k + driver merge of k rows), never a global Sort exchange."""
+    plan = _plan(spark, sf_dir, "sort_limit")
+    assert "TakeOrderedAndProject" in plan
