@@ -101,3 +101,39 @@ def grouping_sets_agg(
     require_dataframe(df)
     grouped = df.rollup(*cols) if sets == "rollup" else df.cube(*cols)
     return grouped.agg(*[s.to_column() for s in aggs])
+
+
+def tagged_rollup_cube(
+    df: DataFrame,
+    cols: Sequence[str],
+    aggs: Sequence[AggSpec],
+    tag_col: str = "gmode",
+) -> DataFrame:
+    """ROLLUP and CUBE results in one DataFrame, tagged 'rollup'/'cube'.
+
+    Scale shape: rollup's grouping sets are a SUBSET of cube's, so
+    the input is aggregated ONCE — a single cube Expand + one shuffle
+    — and the rollup rows are recovered by filtering on
+    ``grouping_id()`` (a rollup set grouped on a k-column prefix has
+    gid 2^(n-k)-1: the trailing columns' bits set). Aggregating twice
+    (rollup pass + cube pass) would scan and shuffle the fact input
+    twice for identical partial aggregates. The small cube output is
+    persisted because both tagged branches read it."""
+    require_dataframe(df)
+    require_columns(df, list(cols))
+    from pyspark.storagelevel import StorageLevel
+
+    n = len(cols)
+    cube_df = (
+        df.cube(*cols)
+        .agg(*[s.to_column() for s in aggs], F.grouping_id().alias("__gid"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rollup_gids = [(1 << k) - 1 for k in range(n + 1)]
+    out_cols = [*cols, *[s.alias for s in aggs]]
+    rollup_part = (
+        cube_df.filter(F.col("__gid").isin(rollup_gids))
+        .select(F.lit("rollup").alias(tag_col), *out_cols)
+    )
+    cube_part = cube_df.select(F.lit("cube").alias(tag_col), *out_cols)
+    return rollup_part.unionByName(cube_part)

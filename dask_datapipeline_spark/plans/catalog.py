@@ -29,7 +29,11 @@ from pyspark.sql.window import Window
 
 from dask_datapipeline_spark.functions.numeric import exact_sum
 from dask_datapipeline_spark.functions.timestamps import cast_timestamp
-from dask_datapipeline_spark.operators.aggregates import AggSpec, group_agg, grouping_sets_agg
+from dask_datapipeline_spark.operators.aggregates import (
+    AggSpec,
+    group_agg,
+    tagged_rollup_cube,
+)
 from dask_datapipeline_spark.operators.filters import filter_before, filter_between
 from dask_datapipeline_spark.operators.joins import equi_join, fold_join
 from dask_datapipeline_spark.plans import household_features as hf
@@ -452,8 +456,10 @@ GROUP BY {{clause}} (r_name, n_name)
     + " UNION ALL "
     + _GSET_SQL_BODY.format(mode="cube", clause="CUBE"),
     "Grouping sets, both modes in one row: ROLLUP (region→nation hierarchy) and "
-    "CUBE (adds the nation-only slice), tagged by gmode — Spark plans each as a "
-    "single Expand + one shuffle with partial aggs reused",
+    "CUBE (adds the nation-only slice), tagged by gmode. The input is aggregated "
+    "ONCE (single cube Expand + one shuffle); rollup rows are recovered from the "
+    "cube output by grouping_id filter — the oracle aggregates each mode "
+    "independently, proving the derivation exact",
 )
 def q_rollup_cube_agg(spark, sf_dir):
     c = load_testdata(spark, sf_dir, "customer")
@@ -462,16 +468,14 @@ def q_rollup_cube_agg(spark, sf_dir):
     j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
         F.broadcast(r), n.n_regionkey == r.r_regionkey
     )
-    aggs = [
-        AggSpec("*", "count_star", "n_customers"),
-        AggSpec("c_acctbal", "sum_exact", "sum_acctbal"),
-    ]
-    parts = [
-        grouping_sets_agg(j, mode, ["r_name", "n_name"], aggs)
-        .select(F.lit(mode).alias("gmode"), "r_name", "n_name", "n_customers", "sum_acctbal")
-        for mode in ("rollup", "cube")
-    ]
-    return parts[0].unionByName(parts[1])
+    return tagged_rollup_cube(
+        j,
+        ["r_name", "n_name"],
+        [
+            AggSpec("*", "count_star", "n_customers"),
+            AggSpec("c_acctbal", "sum_exact", "sum_acctbal"),
+        ],
+    )
 
 
 @register(

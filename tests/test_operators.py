@@ -418,3 +418,29 @@ def test_salt_join_matches_plain_join(spark):
     got = sorted((r.k, r.l, r.r) for r in salt_join(left, right, on="k").collect())
     expect = sorted((r.k, r.l, r.r) for r in left.join(right, on="k").collect())
     assert got == expect and len(expect) == 5
+
+
+def test_tagged_rollup_cube_matches_two_pass(spark):
+    """The single-cube-pass derivation must equal independent rollup
+    and cube aggregations (grouping_id filter recovers exactly the
+    rollup sets)."""
+    from dask_datapipeline_spark.operators.aggregates import (
+        grouping_sets_agg,
+        tagged_rollup_cube,
+    )
+
+    df = spark.createDataFrame(
+        [("r1", "n1", 1), ("r1", "n1", 2), ("r1", "n2", 4), ("r2", "n3", 8)],
+        "r string, n string, v long",
+    )
+    aggs = [AggSpec("v", "sum", "sv"), AggSpec("*", "count_star", "cnt")]
+    got = tagged_rollup_cube(df, ["r", "n"], aggs)
+    rows = {(r.gmode, r.r, r.n, r.sv, r.cnt) for r in got.collect()}
+    want = set()
+    for mode in ("rollup", "cube"):
+        for r in grouping_sets_agg(df, mode, ["r", "n"], aggs).collect():
+            want.add((mode, r.r, r.n, r.sv, r.cnt))
+    assert rows == want
+    # cube has exactly one extra grouping set: the n-only slice
+    assert len([t for t in rows if t[0] == "cube"]) == \
+        len([t for t in rows if t[0] == "rollup"]) + 3
