@@ -319,3 +319,26 @@ def test_lang_id_and_cosine_null_inputs(spark):
     vdf = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>")
     # zero vector → NULL, never NaN (NaN would sort above every real match)
     assert vdf.select(cosine("a", "b").alias("c")).collect()[0].c is None
+
+
+def test_embedding_near_dup_lsh_precision_and_recall(spark, emb):
+    """The cataloged LSH near-dup path: perfect precision (candidates
+    are exact-cosine verified) and deterministic recall from the
+    md5-derived planes — 46/66 = 0.70 on this corpus with the catalog
+    parameters (bits=4, tables=8, threshold=0.4)."""
+    from dask_datapipeline_spark.operators.similarity import embedding_near_dup_pairs
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_all_pairs_exact(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.4, bits_per_table=4, num_tables=8,
+            plane_kind="rademacher",
+        ).collect()
+    }
+    assert lsh <= exact          # no false positives, ever
+    assert len(exact) > 0
+    assert len(lsh) >= 0.65 * len(exact)
