@@ -368,14 +368,19 @@ def q_scan_json(spark, sf_dir):
     from dask_datapipeline_spark.sources.readers import scan_json
     from pyspark.sql import types as T
 
-    d = tempfile.mkdtemp(prefix="scan_json_q_")
+    # one deterministic path, rewritten atomically per call — repeated
+    # gate runs must not leak a fresh mkdtemp directory each time
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_scan_json")
+    os.makedirs(d, exist_ok=True)
     path = os.path.join(d, "rows.jsonl")
-    with open(path, "w") as fh:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
         for i in range(200):
             fh.write(
                 _json.dumps({"rec_id": i, "name": f"user-{i % 7}", "score": (i * 13) % 100})
                 + "\n"
             )
+    os.replace(tmp, path)
     schema = T.StructType(
         [
             T.StructField("rec_id", T.LongType()),
@@ -519,10 +524,13 @@ def _lang_case_and_scores() -> tuple[str, list[str], str]:
     return case, score_cols, hit.format(markers=en_markers)
 
 
-def _text_stats_sql() -> str:
+def _lang_ctes_and_exprs() -> tuple[str, str, str]:
+    """Single source for the lang/quality SQL mirror: (base+scored CTE
+    body over ``documents``, lang_pred expression, quality expression)
+    — composed by BOTH the driver-facing text_stats oracle and the
+    extra lang_quality oracle, so the two can never drift apart."""
     case, score_cols, en_hits = _lang_case_and_scores()
-    return f"""
-WITH base AS (
+    ctes = f"""base AS (
   SELECT doc_id, text, lang,
          CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_tok,
          CAST({en_hits} AS DOUBLE) AS n_stop
@@ -532,17 +540,28 @@ scored AS (
   SELECT doc_id, text, lang, n_tok, n_stop, {', '.join(score_cols)},
          (length(text) - n_tok + 1) / n_tok AS mean_wl
   FROM base
-)
+)"""
+    lang_pred = f"CASE WHEN text IS NULL THEN NULL ELSE {case} END"
+    quality = (
+        "0.4 * least(n_tok / 100.0, 1.0)\n"
+        "     + 0.4 * least(4.0 * n_stop / n_tok, 1.0)\n"
+        "     + 0.2 * (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1.0 ELSE 0.0 END)"
+    )
+    return ctes, lang_pred, quality
+
+
+def _text_stats_sql() -> str:
+    ctes, lang_pred, quality = _lang_ctes_and_exprs()
+    return f"""
+WITH {ctes}
 SELECT doc_id,
        len(string_split(lower(text), ' ')) AS n_tokens,
        len(regexp_extract_all(lower(text), '{TXT.BPE_ISH_PATTERN}')) AS n_bpe_tokens,
        length(text) AS n_chars_computed,
        md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')) AS fingerprint,
        lang,
-       CASE WHEN text IS NULL THEN NULL ELSE {case} END AS lang_pred,
-       0.4 * least(n_tok / 100.0, 1.0)
-     + 0.4 * least(4.0 * n_stop / n_tok, 1.0)
-     + 0.2 * (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1.0 ELSE 0.0 END) AS quality
+       {lang_pred} AS lang_pred,
+       {quality} AS quality
 FROM scored
 """
 
@@ -570,24 +589,12 @@ def q_text_stats(spark, sf_dir):
 
 def _lang_sql() -> str:
     """Mirror of functions/text.py lang_id + quality_score in SQL."""
-    case, score_cols, en_hits = _lang_case_and_scores()
+    ctes, lang_pred, quality = _lang_ctes_and_exprs()
     return f"""
-WITH base AS (
-  SELECT doc_id, text, lang,
-         CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_tok,
-         CAST({en_hits} AS DOUBLE) AS n_stop
-  FROM documents
-),
-scored AS (
-  SELECT doc_id, text, lang, n_tok, n_stop, {', '.join(score_cols)},
-         (length(text) - n_tok + 1) / n_tok AS mean_wl
-  FROM base
-)
+WITH {ctes}
 SELECT doc_id, lang,
-       CASE WHEN text IS NULL THEN NULL ELSE {case} END AS lang_pred,
-       0.4 * least(n_tok / 100.0, 1.0)
-     + 0.4 * least(4.0 * n_stop / n_tok, 1.0)
-     + 0.2 * (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1.0 ELSE 0.0 END) AS quality
+       {lang_pred} AS lang_pred,
+       {quality} AS quality
 FROM scored
 """
 

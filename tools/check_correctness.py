@@ -73,6 +73,15 @@ def main():
         qs[f"extra:{name}"] = qd.fn
         if qd.oracle is not None:
             oracles[f"extra:{name}"] = qd.oracle
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            # a stale/mistyped name must not produce a zero-check green
+            # exit (extras are addressed as 'extra:<name>')
+            print(f"ERROR unknown queries: {sorted(unknown)}")
+            print(f"known: {sorted(qs)}")
+            sys.exit(2)
+
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
