@@ -161,3 +161,48 @@ def test_range_join_matches_brute_force(spark, left_rows, right_rows, width):
         if lk == rk and lo < rt - lt <= hi
     )
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=24), min_size=1, max_size=8
+    ),
+    max_df=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_capped_jaccard_matches_python_model(spark, texts, max_df):
+    """jaccard_pairs with a df cap == brute-force Python Jaccard over
+    the capped shingle universe (cap can RAISE a pair's similarity by
+    shrinking the union — the model must agree in both directions)."""
+    from dask_datapipeline_spark.operators.dedup import jaccard_pairs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def sh_set(t):
+        toks = t.lower().split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+        } - {""}
+
+    sets = {i: sh_set(t) for i, t in rows}
+    dfreq = defaultdict(int)
+    for s in sets.values():
+        for g in s:
+            dfreq[g] += 1
+    capped = {i: {g for g in s if dfreq[g] <= max_df} for i, s in sets.items()}
+    want = {}
+    ids = sorted(capped)
+    for a in ids:
+        for b in ids:
+            if a < b and capped[a] & capped[b]:
+                j = len(capped[a] & capped[b]) / len(capped[a] | capped[b])
+                if j >= 0.3:
+                    want[(a, b)] = j
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(df, None, threshold=0.3, max_df=max_df).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
