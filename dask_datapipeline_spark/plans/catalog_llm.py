@@ -46,19 +46,27 @@ _MAX_DF = 256
 # one md5 per shingle occurrence, downstream set ops on the 60-bit
 # BIGINT. ``hsh`` keeps duplicates, ``shh`` is the distinct set with
 # the document-frequency cap applied (Jaccard + MinHash both read it).
-_SQL_SHINGLES_HASHED = (
-    """
-toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+# ``src`` parameterizes the corpus CTE so composed pipelines (e.g.
+# corpus_clean) can shingle a filtered subset with the same chain.
+
+
+def _sql_shingles_hashed(src: str = "documents") -> str:
+    return (
+        f"""
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM {src}),
 idx AS (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk)-2, 0))) AS i FROM toks),
 sh0 AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS sh FROM idx),
 hsh AS (SELECT doc_id, """
-    + _SQL_HASH.format(seed=0, col="sh")
-    + f""" AS h FROM sh0 WHERE sh <> ''),
+        + _SQL_HASH.format(seed=0, col="sh")
+        + f""" AS h FROM sh0 WHERE sh <> ''),
 shh0 AS (SELECT DISTINCT doc_id, h FROM hsh),
 hkeep AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM shh0 GROUP BY h) WHERE df <= {_MAX_DF}),
 shh AS (SELECT s.doc_id, s.h FROM shh0 s JOIN hkeep k ON s.h = k.h)
 """
-)
+    )
+
+
+_SQL_SHINGLES_HASHED = _sql_shingles_hashed()
 
 _NUM_HASHES, _BANDS, _ROWS_PER_BAND = 16, 4, 4
 
@@ -994,4 +1002,105 @@ def q_session_window(spark, sf_dir):
             F.col("w.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+# ----- composed end-to-end pipeline ----------------------------------
+
+
+def _corpus_clean_sql() -> str:
+    """End-to-end pipeline oracle, composed from the proven fragments:
+    quality gate → exact-dedup survivors → capped-shingle MinHash+LSH
+    near-dup clustering (keep canonical) → deterministic split."""
+    ctes, _lang_pred, quality = _lang_ctes_and_exprs()
+    pairs_cte = """
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT j.id_a, j.id_b FROM (
+    SELECT i.id_a, i.id_b, CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.id_a
+    JOIN sizes nb ON nb.doc_id = i.id_b
+    JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
+  ) j WHERE j.jaccard >= 0.5
+)"""
+    return (
+        "WITH RECURSIVE "
+        + ctes
+        + f""",
+kept1 AS (SELECT doc_id, text FROM scored WHERE {quality} >= 0.5),
+fpt AS (SELECT doc_id, text,
+        md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')) AS f
+        FROM kept1),
+surv AS (SELECT MIN(doc_id) AS doc_id FROM fpt GROUP BY f),
+kept AS (SELECT t.doc_id, t.text FROM fpt t JOIN surv s ON s.doc_id = t.doc_id),
+"""
+        + _sql_shingles_hashed("kept")
+        + ","
+        + _SQL_SIG
+        + f""",
+cand AS (SELECT DISTINCT id_a, id_b FROM ({_SQL_BAND_JOINS})),"""
+        + pairs_cte
+        + """,
+e AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(u, label) AS (
+  SELECT doc_id, doc_id FROM kept
+  UNION
+  SELECT e.u, r.label FROM e JOIN reach r ON r.u = e.v
+),
+canon AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING MIN(label) = u)
+SELECT doc_id,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(CONCAT('0x', SUBSTRING(md5('split:' || doc_id), 1, 15)) AS BIGINT) % 100
+           AS bucket
+  FROM canon
+)
+"""
+    )
+
+
+@register_extra(
+    "corpus_clean",
+    _corpus_clean_sql(),
+    "THE end-to-end training-corpus pipeline, one composed query: quality gate "
+    "(heuristic score >= 0.5) → exact-dedup min-id survivors → MinHash+LSH near-dup "
+    "clustering over the capped shingle universe, keeping canonical docs → "
+    "deterministic 80/10/10 split. Every stage is the cataloged operator; the oracle "
+    "replays the whole cascade in SQL, proving the stages compose exactly",
+)
+def q_corpus_clean(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        TXT.quality_score("text").alias("__q"),
+        TXT.fingerprint("text").alias("__fp"),
+    )
+    kept1 = scored.filter(F.col("__q") >= 0.5)
+    surv = kept1.groupBy("__fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    kept = kept1.join(surv, on="doc_id", how="left_semi").select("doc_id", "text")
+    pairs = DD.near_dup_pairs_minhash(
+        kept, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5, max_df=_MAX_DF
+    )
+    canon = (
+        DD.dup_clusters(pairs, kept)
+        .filter(F.col("is_canonical"))
+        .select("doc_id")
+    )
+    bucket = DD.seeded_hash64(F.col("doc_id").cast("string"), "split") % 100
+    return canon.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
     )
