@@ -60,7 +60,13 @@ def quality_score(text: Column | str) -> Column:
     density (0.4), mean-word-length plausibility (0.2).
 
     Fixed-order double arithmetic on integer counts → deterministic
-    and oracle-matchable."""
+    and oracle-matchable.
+
+    NULL text → NULL, same guard (and same reason) as ``lang_id``:
+    ``least`` SKIPS null arguments in both Spark and DuckDB, so
+    without the guard a text-less document's len/stop scores each
+    collapse to 1.0 and it scores 0.8 — sailing through any quality
+    gate ahead of genuine short documents."""
     c = F.col(text) if isinstance(text, str) else text
     n_tok = whitespace_token_count(c).cast("double")
     n_stop = stopword_hits(c).cast("double")
@@ -68,7 +74,8 @@ def quality_score(text: Column | str) -> Column:
     len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     stop_score = F.least(F.lit(4.0) * n_stop / n_tok, F.lit(1.0))
     wl_score = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
-    return F.lit(0.4) * len_score + F.lit(0.4) * stop_score + F.lit(0.2) * wl_score
+    score = F.lit(0.4) * len_score + F.lit(0.4) * stop_score + F.lit(0.2) * wl_score
+    return F.when(c.isNotNull(), score)
 
 
 def lang_scores(text: Column | str) -> dict[str, Column]:

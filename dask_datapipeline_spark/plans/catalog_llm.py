@@ -94,22 +94,63 @@ _SQL_BAND_JOINS = " UNION ALL ".join(
     for b in range(_BANDS)
 )
 
-_SQL_JACCARD_TAIL = """
+def _sql_jaccard_verify(extra_join: str = "", as_pairs_cte: bool = False) -> str:
+    """The ONE Jaccard-verify fragment (sizes + intersection self-join
+    + |A∪B| division + threshold) over the capped ``shh`` table.
+    ``as_pairs_cte`` wraps the result as a ``pairs`` CTE for composed
+    oracles (dup_clusters, corpus_clean) instead of the final SELECT —
+    every query in the shingle family composes this single source, so
+    the verify semantics cannot drift between them."""
+    if as_pairs_cte:
+        head = ", pairs AS (SELECT j.id_a, j.id_b FROM ("
+        tail = ") j WHERE j.jaccard >= 0.5)"
+    else:
+        head = "SELECT j.id_a, j.id_b, j.jaccard FROM ("
+        tail = ") j WHERE j.jaccard >= 0.5"
+    return f"""
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
   FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT j.id_a, j.id_b, j.jaccard FROM (
+{head}
   SELECT i.id_a, i.id_b,
          CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) AS jaccard
   FROM inter i
   JOIN sizes na ON na.doc_id = i.id_a
   JOIN sizes nb ON nb.doc_id = i.id_b
   {extra_join}
-) j WHERE j.jaccard >= 0.5
+{tail}
 """
+
+
+#: One fingerprint expression for every oracle (must stay byte-equal
+#: to functions/text.py::fingerprint's normalization).
+_SQL_FINGERPRINT = (
+    "md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+#: Deterministic split fragments shared by data_split and corpus_clean
+#: (mirror of operators/dedup.py::seeded_hash64 with seed 'split').
+_SQL_SPLIT_BUCKET = (
+    "CAST(CONCAT('0x', SUBSTRING(md5('split:' || doc_id), 1, 15)) AS BIGINT) % 100"
+)
+_SQL_SPLIT_CASE = """CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'valid'
+            ELSE 'test' END AS split"""
+
+
+def _split_column():
+    """80/10/10 split tag column (Spark twin of the SQL fragments)."""
+    bucket = DD.seeded_hash64(F.col("doc_id").cast("string"), "split") % 100
+    return (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split")
+    )
 
 
 # ----- exact dedup ---------------------------------------------------
@@ -117,9 +158,9 @@ SELECT j.id_a, j.id_b, j.jaccard FROM (
 
 @register(
     "dedup_exact",
-    """
+    f"""
 WITH fp AS (
-  SELECT md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')) AS fingerprint, doc_id
+  SELECT {_SQL_FINGERPRINT} AS fingerprint, doc_id
   FROM documents
 )
 SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
@@ -138,7 +179,7 @@ def q_dedup_exact(spark, sf_dir):
 
 @register(
     "jaccard_near_dup",
-    "WITH " + _SQL_SHINGLES_HASHED + "," + _SQL_JACCARD_TAIL.format(extra_join=""),
+    "WITH " + _SQL_SHINGLES_HASHED + "," + _sql_jaccard_verify(),
     "Near-dup by exact 3-gram-shingle Jaccard >= 0.5: self equi-join on the 60-bit "
     "shingle hash (no cross join), hot shingles capped at df<=256 ahead of the join "
     "so per-key fan-out is bounded at any corpus size (no-op at test scales)",
@@ -160,7 +201,7 @@ def q_jaccard_near_dup(spark, sf_dir):
     + f""",
 cand AS (SELECT DISTINCT id_a, id_b FROM ({_SQL_BAND_JOINS}))
 ,"""
-    + _SQL_JACCARD_TAIL.format(
+    + _sql_jaccard_verify(
         extra_join="JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b"
     ),
     "MinHash(16) → LSH(4 bands) candidates → exact-Jaccard verify; md5-hash-identical to the oracle",
@@ -181,11 +222,10 @@ def q_minhash_near_dup(spark, sf_dir):
     + f""",
 cand AS (SELECT DISTINCT id_a, id_b FROM ({_SQL_BAND_JOINS}))
 ,"""
-    + _SQL_JACCARD_TAIL.format(
-        extra_join="JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b"
-    ).replace(
-        "SELECT j.id_a, j.id_b, j.jaccard FROM (", ", pairs AS (SELECT j.id_a, j.id_b FROM ("
-    ).replace(") j WHERE j.jaccard >= 0.5", ") j WHERE j.jaccard >= 0.5)")
+    + _sql_jaccard_verify(
+        extra_join="JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b",
+        as_pairs_cte=True,
+    )
     + """,
 e AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
 reach(u, label) AS (
@@ -550,10 +590,15 @@ scored AS (
   FROM base
 )"""
     lang_pred = f"CASE WHEN text IS NULL THEN NULL ELSE {case} END"
+    # NULL-text guard mirrors functions/text.py::quality_score —
+    # least() skips NULLs in both engines, so an unguarded text-less
+    # row would score 0.8
     quality = (
-        "0.4 * least(n_tok / 100.0, 1.0)\n"
+        "CASE WHEN text IS NULL THEN NULL ELSE\n"
+        "       0.4 * least(n_tok / 100.0, 1.0)\n"
         "     + 0.4 * least(4.0 * n_stop / n_tok, 1.0)\n"
         "     + 0.2 * (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 1.0 ELSE 0.0 END)"
+        " END"
     )
     return ctes, lang_pred, quality
 
@@ -566,7 +611,7 @@ SELECT doc_id,
        len(string_split(lower(text), ' ')) AS n_tokens,
        len(regexp_extract_all(lower(text), '{TXT.BPE_ISH_PATTERN}')) AS n_bpe_tokens,
        length(text) AS n_chars_computed,
-       md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')) AS fingerprint,
+       {_SQL_FINGERPRINT} AS fingerprint,
        lang,
        {lang_pred} AS lang_pred,
        {quality} AS quality
@@ -679,34 +724,21 @@ def q_tfidf_top_terms(spark, sf_dir):
 
 @register(
     "data_split",
-    """
+    f"""
 WITH assigned AS (
-  SELECT doc_id,
-         CAST(CONCAT('0x', SUBSTRING(md5('split:' || doc_id), 1, 15)) AS BIGINT) % 100
-           AS bucket
+  SELECT doc_id, {_SQL_SPLIT_BUCKET} AS bucket
   FROM documents
 )
 SELECT doc_id,
-       CASE WHEN bucket < 80 THEN 'train'
-            WHEN bucket < 90 THEN 'valid'
-            ELSE 'test' END AS split
+       {_SQL_SPLIT_CASE}
 FROM assigned
 """,
     "Deterministic hash-based train/valid/test split (80/10/10): stable across runs "
     "and engines, no RNG — the reproducible-split pattern for training corpora",
 )
 def q_data_split(spark, sf_dir):
-    from dask_datapipeline_spark.operators.dedup import seeded_hash64
-
     docs = load_testdata(spark, sf_dir, "documents")
-    bucket = seeded_hash64(F.col("doc_id").cast("string"), "split") % 100
-    return docs.select(
-        "doc_id",
-        F.when(bucket < 80, "train")
-        .when(bucket < 90, "valid")
-        .otherwise("test")
-        .alias("split"),
-    )
+    return docs.select("doc_id", _split_column())
 
 
 # ----- multimodal / JSON props ---------------------------------------
@@ -1013,30 +1045,12 @@ def _corpus_clean_sql() -> str:
     quality gate → exact-dedup survivors → capped-shingle MinHash+LSH
     near-dup clustering (keep canonical) → deterministic split."""
     ctes, _lang_pred, quality = _lang_ctes_and_exprs()
-    pairs_cte = """
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT j.id_a, j.id_b FROM (
-    SELECT i.id_a, i.id_b, CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) AS jaccard
-    FROM inter i
-    JOIN sizes na ON na.doc_id = i.id_a
-    JOIN sizes nb ON nb.doc_id = i.id_b
-    JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b
-  ) j WHERE j.jaccard >= 0.5
-)"""
     return (
         "WITH RECURSIVE "
         + ctes
         + f""",
 kept1 AS (SELECT doc_id, text FROM scored WHERE {quality} >= 0.5),
-fpt AS (SELECT doc_id, text,
-        md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')) AS f
-        FROM kept1),
+fpt AS (SELECT doc_id, text, {_SQL_FINGERPRINT} AS f FROM kept1),
 surv AS (SELECT MIN(doc_id) AS doc_id FROM fpt GROUP BY f),
 kept AS (SELECT t.doc_id, t.text FROM fpt t JOIN surv s ON s.doc_id = t.doc_id),
 """
@@ -1045,8 +1059,11 @@ kept AS (SELECT t.doc_id, t.text FROM fpt t JOIN surv s ON s.doc_id = t.doc_id),
         + _SQL_SIG
         + f""",
 cand AS (SELECT DISTINCT id_a, id_b FROM ({_SQL_BAND_JOINS})),"""
-        + pairs_cte
-        + """,
+        + _sql_jaccard_verify(
+            extra_join="JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b",
+            as_pairs_cte=True,
+        )
+        + f""",
 e AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
 reach(u, label) AS (
   SELECT doc_id, doc_id FROM kept
@@ -1055,13 +1072,9 @@ reach(u, label) AS (
 ),
 canon AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING MIN(label) = u)
 SELECT doc_id,
-       CASE WHEN bucket < 80 THEN 'train'
-            WHEN bucket < 90 THEN 'valid'
-            ELSE 'test' END AS split
+       {_SQL_SPLIT_CASE}
 FROM (
-  SELECT doc_id,
-         CAST(CONCAT('0x', SUBSTRING(md5('split:' || doc_id), 1, 15)) AS BIGINT) % 100
-           AS bucket
+  SELECT doc_id, {_SQL_SPLIT_BUCKET} AS bucket
   FROM canon
 )
 """
@@ -1078,6 +1091,8 @@ FROM (
     "replays the whole cascade in SQL, proving the stages compose exactly",
 )
 def q_corpus_clean(spark, sf_dir):
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_testdata(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
@@ -1085,9 +1100,18 @@ def q_corpus_clean(spark, sf_dir):
         TXT.quality_score("text").alias("__q"),
         TXT.fingerprint("text").alias("__fp"),
     )
-    kept1 = scored.filter(F.col("__q") >= 0.5)
+    # kept1 feeds both the survivor groupBy and the semi-join; kept
+    # feeds the shingle pipeline AND dup_clusters' singleton anti-join
+    # — persist both so the quality/fingerprint scan runs once, not
+    # 2-3 times (the operators persist their own shared intermediates
+    # for the same reason)
+    kept1 = scored.filter(F.col("__q") >= 0.5).persist(StorageLevel.MEMORY_AND_DISK)
     surv = kept1.groupBy("__fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    kept = kept1.join(surv, on="doc_id", how="left_semi").select("doc_id", "text")
+    kept = (
+        kept1.join(surv, on="doc_id", how="left_semi")
+        .select("doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     pairs = DD.near_dup_pairs_minhash(
         kept, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5, max_df=_MAX_DF
     )
@@ -1096,11 +1120,4 @@ def q_corpus_clean(spark, sf_dir):
         .filter(F.col("is_canonical"))
         .select("doc_id")
     )
-    bucket = DD.seeded_hash64(F.col("doc_id").cast("string"), "split") % 100
-    return canon.select(
-        "doc_id",
-        F.when(bucket < 80, "train")
-        .when(bucket < 90, "valid")
-        .otherwise("test")
-        .alias("split"),
-    )
+    return canon.select("doc_id", _split_column())
