@@ -342,3 +342,14 @@ def test_embedding_near_dup_lsh_precision_and_recall(spark, emb):
     assert lsh <= exact          # no false positives, ever
     assert len(exact) > 0
     assert len(lsh) >= 0.65 * len(exact)
+
+
+def test_quality_score_null_text_is_null(spark):
+    """NULL text must score NULL, not 0.8: least() skips NULL
+    arguments in both engines, so an unguarded text-less row would
+    outrank genuine short documents through any quality gate."""
+    df = spark.createDataFrame([(1, None), (2, "a b c")], "doc_id long, text string")
+    rows = {r.doc_id: r.q for r in df.select(
+        "doc_id", TXT.quality_score("text").alias("q")).collect()}
+    assert rows[1] is None
+    assert rows[2] is not None and 0.0 <= rows[2] <= 1.0
