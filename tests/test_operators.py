@@ -444,3 +444,27 @@ def test_tagged_rollup_cube_matches_two_pass(spark):
     # cube has exactly one extra grouping set: the n-only slice
     assert len([t for t in rows if t[0] == "cube"]) == \
         len([t for t in rows if t[0] == "rollup"]) + 3
+
+
+def test_tagged_rollup_cube_three_columns(spark):
+    """gid derivation must generalize past two columns: rollup keeps
+    exactly the prefix sets {2^k - 1}."""
+    from dask_datapipeline_spark.operators.aggregates import (
+        grouping_sets_agg,
+        tagged_rollup_cube,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x", "p", 1), ("a", "x", "q", 2), ("a", "y", "p", 4), ("b", "x", "q", 8)],
+        "c1 string, c2 string, c3 string, v long",
+    )
+    aggs = [AggSpec("v", "sum", "sv")]
+    got = {
+        (r.gmode, r.c1, r.c2, r.c3, r.sv)
+        for r in tagged_rollup_cube(df, ["c1", "c2", "c3"], aggs).collect()
+    }
+    want = set()
+    for mode in ("rollup", "cube"):
+        for r in grouping_sets_agg(df, mode, ["c1", "c2", "c3"], aggs).collect():
+            want.add((mode, r.c1, r.c2, r.c3, r.sv))
+    assert got == want
