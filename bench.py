@@ -58,6 +58,14 @@ def main() -> None:
     spark.range(n_workers, numPartitions=n_workers).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # one tiny shuffle with a decimal aggregate: JIT/codegen of the
+    # exchange + HashAggregate paths otherwise lands on the FIRST
+    # measured query (the flagship, the headline baseline comparison)
+    from pyspark.sql import functions as F
+
+    spark.range(10_000).groupBy((F.col("id") % 7).alias("k")).agg(
+        F.sum(F.col("id").cast("decimal(18,2)")).cast("double")
+    ).count()
 
     timings: dict[str, float] = {}
     extra = [n for n in CATALOG if n not in BENCH_QUERIES]
