@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dask_datapipeline_spark.errors import EmptyInputError
@@ -139,3 +140,21 @@ def test_write_csv_single_file_replaces_existing_dir(spark, tmp_path):
     assert os.path.isfile(out)
     with open(out) as f:
         assert f.readline().strip() == "id,v"
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """partitionBy gives directory-level pruning: a filter on the
+    partition column must reach the scan as a PartitionFilter (only
+    that partition's files are read), not a post-scan Filter."""
+    from dask_datapipeline_spark.sources.readers import load_testdata
+    from dask_datapipeline_spark.sources.writers import write_parquet
+
+    ev = load_testdata(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = str(tmp_path / "events_by_type")
+    write_parquet(ev, out, partition_by=["event_type"])
+
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1].splitlines()[0]
+    want = ev.filter(F.col("event_type") == "click").count()
+    assert back.count() == want and want > 0
