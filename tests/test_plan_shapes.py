@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import pytest
 
-from dask_datapipeline_spark.plans.catalog import CATALOG
+from dask_datapipeline_spark.plans.catalog import CATALOG, EXTRA_CATALOG
 
 # Shapes that are always wrong for data-dependent cardinalities.
 _FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
@@ -24,14 +24,27 @@ _FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
 # checked below (streaming/windows.py shares the functions).
 _SKIP_PREFIX = "streaming"
 
+# embedding_near_dup_exact is the deliberate exception: its contract
+# IS a (vectorized, broadcast-side-bounded) all-pairs comparison — the
+# docstring owns the memory bound and it is demoted to a recall oracle.
+_SKIP_EXTRAS = {"embedding_near_dup_exact"}
+
 
 def _batch_queries():
-    return [n for n in CATALOG if not n.startswith(_SKIP_PREFIX)]
+    names = [n for n in CATALOG if not n.startswith(_SKIP_PREFIX)]
+    names += [f"extra:{n}" for n in EXTRA_CATALOG if n not in _SKIP_EXTRAS]
+    return names
+
+
+def _lookup(name):
+    if name.startswith("extra:"):
+        return EXTRA_CATALOG[name.removeprefix("extra:")]
+    return CATALOG[name]
 
 
 @pytest.mark.parametrize("name", _batch_queries())
 def test_no_quadratic_join_shapes(spark, sf_dir, name):
-    df = CATALOG[name].fn(spark, sf_dir)
+    df = _lookup(name).fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     hits = [m for m in _FORBIDDEN if m in plan]
     assert not hits, (
