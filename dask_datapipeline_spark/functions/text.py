@@ -116,3 +116,40 @@ def fingerprint(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     stripped = F.regexp_replace(F.lower(c), r"^\s+|\s+$", "")
     return F.md5(F.regexp_replace(stripped, r"\s+", " "))
+
+
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """Word n-grams as an array column (consecutive n-token windows
+    joined by spaces), all JVM-side. Same branch-free index clamp as
+    operators/dedup.py::shingles — a sub-n-token document yields an
+    EMPTY array rather than killing the job on slice(_, 0, _)."""
+    toks = _toks(text)
+    stop = F.size(toks) - n + 1
+    idx = F.filter(
+        F.sequence(F.lit(1), F.greatest(stop, F.lit(1))), lambda i: i <= stop
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def dup_ngram_fraction(text: Column | str, n: int = 2) -> Column:
+    """Gopher-style repetition signal: fraction of a document's word
+    n-grams that are repeats of an earlier n-gram
+    (1 - distinct/total; 0.0 for documents with < n tokens).
+
+    Pure array expressions inside whole-stage codegen — per-row, no
+    explode, no shuffle: the cheap first-pass repetition gate a
+    quality pipeline applies to every document before anything
+    heavier runs. NULL text stays NULL (gate it explicitly, don't
+    let it fail open)."""
+    c = F.col(text) if isinstance(text, str) else text
+    grams = word_ngrams(text, n)
+    total = F.size(grams)
+    # explicit NULL gate: legacy size(NULL) is -1 and split(NULL) has
+    # already collapsed to an empty gram array by here, so without it
+    # a NULL document silently scores 0.0 (perfectly non-repetitive)
+    return F.when(
+        c.isNotNull(),
+        F.when(
+            total > 0, F.lit(1.0) - F.size(F.array_distinct(grams)) / total
+        ).otherwise(F.lit(0.0)),
+    )

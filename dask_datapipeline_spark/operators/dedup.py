@@ -617,3 +617,69 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ----- benchmark decontamination ------------------------------------
+
+
+def contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_df: int | None = None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: which training documents contain
+    n-grams from an evaluation set (the overlap check every serious
+    LLM data pipeline runs before training — cf. the GPT-3/PaLM
+    appendix methodology of 8-13-gram collision scans).
+
+    Output per CONTAMINATED train doc (clean docs are absent — at
+    corpus scale emitting "0 hits" for billions of clean rows is
+    pure waste; left-join downstream if a flag column is needed):
+      (id, n_shingles, n_shared, share_frac)
+    where n_shingles is the doc's distinct shingle-hash count,
+    n_shared the count also present anywhere in the eval set, and
+    share_frac their ratio.
+
+    Plan shape / 100 TB design:
+    - Both corpora reduce to DISTINCT 8-byte shingle hashes
+      (``hashed_shingles``): the join and every shuffle move longs,
+      never n-gram strings.
+    - The eval side collapses to a distinct hash SET (no doc ids) —
+      eval suites are thousands of documents, so the set broadcasts
+      (``broadcast_eval``) and the train side joins map-side with NO
+      shuffle of the training corpus. At that point the whole
+      operator is one groupBy(train id) shuffle.
+    - ``max_df`` (see ``cap_document_frequency``) caps hot shingles
+      on the train side; with a broadcast semi-join the cap is not
+      needed for join fan-out (each train hash matches at most once)
+      but keeps share_frac comparable with the near-dup family.
+    """
+    tr = hashed_shingles(train, id_col, text_col, shingle_n).distinct()
+    tr = cap_document_frequency(tr, max_df)
+    ev = (
+        hashed_shingles(eval_df, id_col, text_col, shingle_n)
+        .select("__h")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (
+        tr.join(ev, on="__h", how="left")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") > 0)
+        .select(
+            id_col,
+            "n_shingles",
+            "n_shared",
+            (F.col("n_shared") / F.col("n_shingles")).alias("share_frac"),
+        )
+    )

@@ -788,6 +788,62 @@ def q_running_window(spark, sf_dir):
     )
 
 
+@register_extra(
+    "merge_upsert",
+    """
+WITH upd AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         c_acctbal + 100.0 AS c_acctbal,
+         'UPDATED' AS c_mktsegment,
+         (c_custkey % 97 = 0) AS deleted
+  FROM customer
+  WHERE c_custkey % 10 = 3 OR c_custkey % 97 = 0
+  UNION ALL
+  SELECT 2000 + g.range AS c_custkey,
+         'new-' || (2000 + g.range) AS c_name,
+         CAST((2000 + g.range) % 25 AS INTEGER) AS c_nationkey,
+         0.0 AS c_acctbal,
+         'NEW' AS c_mktsegment,
+         FALSE AS deleted
+  FROM generate_series(0, 9) g(range)
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM upd WHERE NOT deleted
+""",
+    "MERGE INTO as a DataFrame plan (operators/merge.py::merge_upsert): "
+    "upsert + delete batch applied copy-on-write — broadcast anti-join "
+    "keeps the base table unshuffled; the update batch (modified rows, "
+    "ten inserts, %97 deletes) is derived deterministically from customer "
+    "so the oracle replays it exactly",
+)
+def q_merge_upsert(spark, sf_dir):
+    from dask_datapipeline_spark.operators.merge import merge_upsert
+
+    c = load_testdata(spark, sf_dir, "customer")
+    changed = c.filter((F.col("c_custkey") % 10 == 3) | (F.col("c_custkey") % 97 == 0)).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+        (F.col("c_custkey") % 97 == 0).alias("deleted"),
+    )
+    inserts = spark.range(2000, 2010).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("id").cast("string")).alias("c_name"),
+        (F.col("id") % 25).cast("int").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(False).alias("deleted"),
+    )
+    return merge_upsert(
+        c, changed.unionByName(inserts), ["c_custkey"], delete_col="deleted"
+    )
+
+
 # Extension surface (dedup / similarity / text / multimodal / windows)
 # registers itself into CATALOG on import — keep this import last.
 from dask_datapipeline_spark.plans import catalog_llm  # noqa: E402,F401

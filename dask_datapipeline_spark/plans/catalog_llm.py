@@ -1121,3 +1121,97 @@ def q_corpus_clean(spark, sf_dir):
         .select("doc_id")
     )
     return canon.select("doc_id", _split_column())
+
+
+# ----- benchmark decontamination + repetition quality ----------------
+
+_SQL_DECONTAM = (
+    """
+WITH tr_t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+              FROM documents WHERE doc_id % 17 <> 0),
+tr_i AS (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk)-2, 0))) AS i FROM tr_t),
+tr_s AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS sh FROM tr_i),
+tr AS (SELECT DISTINCT doc_id, """
+    + _SQL_HASH.format(seed=0, col="sh")
+    + """ AS h FROM tr_s WHERE sh <> ''),
+ev_t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+         FROM documents WHERE doc_id % 17 = 0),
+ev_i AS (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk)-2, 0))) AS i FROM ev_t),
+ev_s AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS sh FROM ev_i),
+ev AS (SELECT DISTINCT """
+    + _SQL_HASH.format(seed=0, col="sh")
+    + """ AS h FROM ev_s WHERE sh <> ''),
+j AS (SELECT t.doc_id, COUNT(*) AS n_shingles, COUNT(e.h) AS n_shared
+      FROM tr t LEFT JOIN ev e ON t.h = e.h GROUP BY t.doc_id)
+SELECT doc_id, n_shingles, n_shared,
+       CAST(n_shared AS DOUBLE) / n_shingles AS share_frac
+FROM j WHERE n_shared > 0
+"""
+)
+
+
+@register_extra(
+    "decontaminate",
+    _SQL_DECONTAM,
+    "Benchmark decontamination (operators/dedup.py::contamination): training docs "
+    "sharing word-3-gram hashes with a held-out eval slice (doc_id % 17). The eval "
+    "side collapses to a distinct broadcast hash set, so the training corpus is "
+    "never shuffled — one groupBy(doc) after a map-side join; hashes are the same "
+    "md5-derived 60-bit longs as the whole dedup family",
+)
+def q_decontaminate(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 17 == 0)
+    return DD.contamination(train, eval_df, shingle_n=3, max_df=None)
+
+
+_SQL_REPETITION = """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+           FROM documents WHERE text IS NOT NULL),
+i AS (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk)-1, 0))) AS idx FROM t),
+g AS (SELECT doc_id, array_to_string(tk[idx:idx+1], ' ') AS gram FROM i),
+per AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+stats AS (SELECT doc_id, SUM(c) AS n_grams, COUNT(*) AS n_distinct, MAX(c) AS top_cnt
+          FROM per GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+       CASE WHEN s.n_grams IS NULL THEN 0.0
+            ELSE 1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_grams END AS dup_frac,
+       CASE WHEN s.n_grams IS NULL THEN 0.0
+            ELSE CAST(s.top_cnt AS DOUBLE) / s.n_grams END AS top_frac
+FROM t LEFT JOIN stats s ON t.doc_id = s.doc_id
+"""
+
+
+@register_extra(
+    "repetition_quality",
+    _SQL_REPETITION,
+    "Gopher-style repetition filters: per-document duplicate-bigram fraction "
+    "(functions/text.py::dup_ngram_fraction — pure codegen'd array exprs, no "
+    "shuffle) and most-common-bigram mass fraction (explode + two groupBys on "
+    "doc_id, exchange reused). The scalar dup_frac and the exploded counts are "
+    "independent computations of the same universe, cross-checked by the oracle",
+)
+def q_repetition_quality(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    grams = docs.select(
+        "doc_id", F.explode(TXT.word_ngrams("text", 2)).alias("gram")
+    )
+    per = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    stats = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("top_cnt"),
+    )
+    return (
+        docs.select("doc_id", TXT.dup_ngram_fraction("text", 2).alias("dup_frac"))
+        .join(stats, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            "dup_frac",
+            F.coalesce(
+                F.col("top_cnt") / F.col("n_grams"), F.lit(0.0)
+            ).alias("top_frac"),
+        )
+    )

@@ -353,3 +353,77 @@ def test_quality_score_null_text_is_null(spark):
         "doc_id", TXT.quality_score("text").alias("q")).collect()}
     assert rows[1] is None
     assert rows[2] is not None and 0.0 <= rows[2] <= 1.0
+
+
+# ----- decontamination + repetition -----------------------------------
+
+
+def test_contamination_vs_bruteforce(spark):
+    """contamination must equal the brute-force python model: distinct
+    train 3-gram shingles intersected with the union of eval shingles."""
+    train_rows = [
+        (1, "a b c d e"),          # shares 'a b c'/'b c d' with eval doc 10
+        (2, "x y z w q"),          # no overlap
+        (3, "a b c d q"),          # partial overlap
+        (4, "one two"),            # too short for 3-grams
+    ]
+    eval_rows = [(10, "a b c d e f"), (11, "zz yy xx")]
+
+    def sh3(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    ev = set().union(*(sh3(t) for _, t in eval_rows))
+    expect = {}
+    for i, t in train_rows:
+        mine = sh3(t)
+        shared = len(mine & ev)
+        if shared:
+            expect[i] = (len(mine), shared, shared / len(mine))
+
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    edf = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_shingles, r.n_shared, r.share_frac)
+        for r in DD.contamination(train, edf).collect()
+    }
+    assert got == expect
+
+
+def test_contamination_eval_side_broadcasts(spark):
+    train = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    edf = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
+    plan = (
+        DD.contamination(train, edf)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dup_ngram_fraction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "a b c d"),       # 3 distinct of 3
+            (3, "solo"),          # no bigrams
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.f
+        for r in df.select(
+            "doc_id", TXT.dup_ngram_fraction("text", 2).alias("f")
+        ).collect()
+    }
+    assert rows[1] == pytest.approx(1 - 2 / 5)
+    assert rows[2] == 0.0
+    assert rows[3] == 0.0
+    assert rows[4] is None
+
+
+def test_word_ngrams_short_and_empty(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "a"), (3, "")], "i long, t string")
+    rows = {r.i: r.g for r in df.select("i", TXT.word_ngrams("t", 2).alias("g")).collect()}
+    assert rows[1] == ["a b", "b c"]
+    assert rows[2] == []
+    assert rows[3] == []
