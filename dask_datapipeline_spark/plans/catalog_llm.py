@@ -1215,3 +1215,117 @@ def q_repetition_quality(spark, sf_dir):
             ).alias("top_frac"),
         )
     )
+
+
+# ----- deterministic sampling + sequence packing ---------------------
+
+_SQL_SAMPLE_BUCKET = (
+    "CAST(CONCAT('0x', SUBSTRING(md5('sample:' || doc_id), 1, 15)) AS BIGINT) % 10000"
+)
+
+
+@register_extra(
+    "stratified_sample",
+    f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_SQL_SAMPLE_BUCKET} < CASE lang WHEN 'en' THEN 2500
+                                       WHEN 'zh' THEN 10000
+                                       WHEN 'de' THEN 5000
+                                       ELSE 1000 END
+""",
+    "Deterministic stratified sampling (operators/sampling.py): per-language keep "
+    "fractions decided by a pure hash of the row key — reproducible across cluster "
+    "shapes/partitionings (unlike seeded sampleBy), pushdown-friendly stateless "
+    "filter, nested across fractions",
+)
+def q_stratified_sample(spark, sf_dir):
+    from dask_datapipeline_spark.operators.sampling import sample_stratified
+
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sample_stratified(
+        docs,
+        key_col="doc_id",
+        strata_col="lang",
+        fractions={"en": 0.25, "zh": 1.0, "de": 0.5},
+        default_fraction=0.1,
+        seed="sample",
+    )
+
+
+_PACK_CAPACITY = 256
+
+_SQL_PACK_TOKENS = """
+t AS (SELECT lang, doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents)
+"""
+
+
+@register_extra(
+    "pack_chunks",
+    f"""
+WITH {_SQL_PACK_TOKENS},
+c AS (SELECT lang, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT lang, doc_id, n_tokens,
+       cum - n_tokens AS stream_offset,
+       (cum - n_tokens) // {_PACK_CAPACITY} AS chunk_first,
+       greatest(cum - 1, cum - n_tokens) // {_PACK_CAPACITY} AS chunk_last
+FROM c
+""",
+    "GPT-style concat-then-chunk packing (operators/packing.py::chunk_token_stream): "
+    "per-language token stream cut into fixed 256-token blocks, document-to-block "
+    "mapping via one window cumsum — one shuffle on the shard key",
+)
+def q_pack_chunks(spark, sf_dir):
+    from dask_datapipeline_spark.operators.packing import chunk_token_stream
+
+    docs = load_testdata(spark, sf_dir, "documents").select(
+        "lang", "doc_id", TXT.whitespace_token_count("text").cast("long").alias("tok")
+    )
+    return chunk_token_stream(
+        docs, id_col="doc_id", token_col="tok",
+        capacity=_PACK_CAPACITY, partition_col="lang",
+    )
+
+
+@register_extra(
+    "pack_greedy_bins",
+    f"""
+WITH RECURSIVE {_SQL_PACK_TOKENS},
+o AS (SELECT lang, doc_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM t),
+r AS (
+  SELECT lang, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.doc_id, o.n_tokens, o.rn,
+         CASE WHEN r.bin_fill + o.n_tokens > {_PACK_CAPACITY}
+              THEN r.bin_id + 1 ELSE r.bin_id END,
+         CASE WHEN r.bin_fill + o.n_tokens > {_PACK_CAPACITY}
+              THEN o.n_tokens ELSE r.bin_fill + o.n_tokens END
+  FROM r JOIN o ON o.lang = r.lang AND o.rn = r.rn + 1
+)
+SELECT lang, doc_id, n_tokens, bin_id, bin_fill,
+       (n_tokens > {_PACK_CAPACITY}) AS oversize
+FROM r
+""",
+    "No-split sequential first-fit packing (operators/packing.py::pack_greedy): "
+    "Arrow-batched applyInPandas walk per language shard — shards pack in parallel, "
+    "one shuffle on the shard key; the oracle replays the sequential walk as a "
+    "recursive CTE",
+)
+def q_pack_greedy_bins(spark, sf_dir):
+    from dask_datapipeline_spark.operators.packing import pack_greedy
+
+    docs = load_testdata(spark, sf_dir, "documents").select(
+        "lang", "doc_id", TXT.whitespace_token_count("text").cast("long").alias("tok")
+    )
+    return pack_greedy(
+        docs, id_col="doc_id", token_col="tok",
+        capacity=_PACK_CAPACITY, partition_col="lang",
+    )

@@ -1,0 +1,147 @@
+"""Deterministic sampling (operators/sampling.py) and sequence
+packing (operators/packing.py): python-model equivalence,
+partitioning-independence, nesting, and edge cases."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_datapipeline_spark.operators.packing import chunk_token_stream, pack_greedy
+from dask_datapipeline_spark.operators.sampling import (
+    BUCKETS,
+    sample_fraction,
+    sample_stratified,
+)
+
+
+def _bucket_py(key, seed="sample"):
+    h = int(hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:15], 16)
+    return h % BUCKETS
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).select(F.col("id").alias("k"))
+
+
+def test_sample_fraction_matches_python_model(spark, ids):
+    got = {r.k for r in sample_fraction(ids, "k", 0.3).collect()}
+    expect = {k for k in range(2000) if _bucket_py(k) < 3000}
+    assert got == expect
+    assert 0.2 < len(got) / 2000 < 0.4
+
+
+def test_sample_is_partitioning_independent(spark, ids):
+    a = {r.k for r in sample_fraction(ids, "k", 0.2).collect()}
+    b = {r.k for r in sample_fraction(ids.repartition(13), "k", 0.2).collect()}
+    assert a == b
+
+
+def test_samples_nest_across_fractions(spark, ids):
+    small = {r.k for r in sample_fraction(ids, "k", 0.05).collect()}
+    big = {r.k for r in sample_fraction(ids, "k", 0.5).collect()}
+    assert small <= big
+
+
+def test_sample_fraction_bounds(spark, ids):
+    assert sample_fraction(ids, "k", 0.0).count() == 0
+    assert sample_fraction(ids, "k", 1.0).count() == 2000
+    with pytest.raises(ValueError):
+        sample_fraction(ids, "k", 1.5)
+
+
+def test_stratified_fractions_per_stratum(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    out = sample_stratified(
+        df, "k", "s", {"a": 1.0}, default_fraction=0.0
+    ).collect()
+    assert {r.s for r in out} == {"a"}
+    assert len(out) == 1000
+    mixed = sample_stratified(df, "k", "s", {"a": 0.2, "b": 0.8})
+    got = {r.k for r in mixed.collect()}
+    expect = {
+        k
+        for k, s in rows
+        if _bucket_py(k) < (2000 if s == "a" else 8000)
+    }
+    assert got == expect
+
+
+def test_chunk_token_stream_model(spark):
+    # lang x: tokens 3,4,2 capacity 4 -> stream offsets 0,3,7
+    #   doc 1: [0,3) -> chunk 0..0; doc 2: [3,7) -> 0..1; doc 3: [7,9) -> 1..2
+    df = spark.createDataFrame(
+        [("x", 1, 3), ("x", 2, 4), ("x", 3, 2), ("y", 9, 10)],
+        "lang string, doc_id long, tok long",
+    )
+    out = {
+        r.doc_id: (r.stream_offset, r.chunk_first, r.chunk_last)
+        for r in chunk_token_stream(df, "doc_id", "tok", 4, "lang").collect()
+    }
+    assert out == {1: (0, 0, 0), 2: (3, 0, 1), 3: (7, 1, 2), 9: (0, 0, 2)}
+
+
+def test_chunk_token_stream_zero_token_doc(spark):
+    df = spark.createDataFrame(
+        [("x", 1, 4), ("x", 2, 0), ("x", 3, 1)], "lang string, doc_id long, tok long"
+    )
+    out = {
+        r.doc_id: (r.chunk_first, r.chunk_last)
+        for r in chunk_token_stream(df, "doc_id", "tok", 4, "lang").collect()
+    }
+    # doc 2 sits at stream position 4 with no tokens: pinned to chunk 1
+    assert out[2] == (1, 1)
+    assert out[3] == (1, 1)
+
+
+def _greedy_model(tokens, capacity):
+    out, bin_id, fill, first = [], 0, 0, True
+    for t in tokens:
+        if not first and fill + t > capacity:
+            bin_id += 1
+            fill = 0
+        first = False
+        fill += t
+        out.append((bin_id, fill, t > capacity))
+    return out
+
+
+def test_pack_greedy_matches_model(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (lang, i, rng.randint(1, 120))
+        for lang in ("a", "b", "c")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, tok long")
+    got = {
+        (r.lang, r.doc_id): (r.bin_id, r.bin_fill, r.oversize)
+        for r in pack_greedy(df, "doc_id", "tok", 256, "lang").collect()
+    }
+    for lang in ("a", "b", "c"):
+        toks = [t for (l, _, t) in rows if l == lang]
+        model = _greedy_model(toks, 256)
+        for i, m in enumerate(model):
+            assert got[(lang, i)] == m
+
+
+def test_pack_greedy_oversize_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [("x", 1, 2), ("x", 2, 99), ("x", 3, 2)], "lang string, doc_id long, tok long"
+    )
+    out = {r.doc_id: (r.bin_id, r.oversize) for r in pack_greedy(df, "doc_id", "tok", 10, "lang").collect()}
+    assert out == {1: (0, False), 2: (1, True), 3: (2, False)}
+
+
+def test_pack_capacity_validation(spark):
+    df = spark.createDataFrame([("x", 1, 2)], "lang string, doc_id long, tok long")
+    with pytest.raises(ValueError):
+        chunk_token_stream(df, "doc_id", "tok", 0, "lang")
+    with pytest.raises(ValueError):
+        pack_greedy(df, "doc_id", "tok", 0, "lang")
