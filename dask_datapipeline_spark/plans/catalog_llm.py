@@ -1329,3 +1329,37 @@ def q_pack_greedy_bins(spark, sf_dir):
         docs, id_col="doc_id", token_col="tok",
         capacity=_PACK_CAPACITY, partition_col="lang",
     )
+
+
+@register_extra(
+    "outlier_events",
+    """
+WITH c AS (
+  SELECT event_id, event_type, value,
+         CAST(round(value * 100) AS BIGINT) AS cc
+  FROM events
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(cc) AS s1, SUM(cc * cc) AS s2
+  FROM c GROUP BY event_type
+  HAVING COUNT(*) > 1 AND COUNT(*) * SUM(cc * cc) <> SUM(cc) * SUM(cc)
+)
+SELECT event_id, event_type, value, zscore FROM (
+  SELECT c.event_id, c.event_type, c.value,
+         (CAST(c.cc AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n) /
+           sqrt((CAST(s.s2 AS DOUBLE) / s.n
+                 - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n))
+                * s.n / (s.n - 1)) AS zscore
+  FROM c JOIN s ON c.event_type = s.event_type
+) WHERE abs(zscore) >= 2.5
+""",
+    "Per-type z-score outliers with cross-engine deterministic moments "
+    "(operators/aggregates.py::zscore_outliers): values scaled to exact integer "
+    "cents, group sum/sum-of-squares as exact int64, mean/std/z derived by a fixed "
+    "double formula — identical bits on any partitioning; broadcast stats join back",
+)
+def q_outlier_events(spark, sf_dir):
+    from dask_datapipeline_spark.operators.aggregates import zscore_outliers
+
+    ev = load_testdata(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return zscore_outliers(ev, ["event_type"], "value", z_threshold=2.5)

@@ -206,3 +206,85 @@ def test_capped_jaccard_matches_python_model(spark, texts, max_df):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+_mkeys = st.integers(min_value=0, max_value=9)
+
+
+@given(
+    base=st.lists(st.tuples(_mkeys, st.integers(0, 99)), min_size=0, max_size=20),
+    changes=st.lists(
+        st.tuples(_mkeys, st.integers(1, 5), st.integers(0, 99), st.booleans()),
+        min_size=0,
+        max_size=20,
+    ),
+)
+@settings(**_SETTINGS)
+def test_apply_changes_matches_dict_model(spark, base, changes):
+    """CDC merge == the obvious dict replay: latest version per key
+    wins, deletes remove, untouched base keys survive."""
+    from dask_datapipeline_spark.operators.merge import apply_changes
+
+    base = list({k: (k, v) for k, v in base}.values())  # unique base keys
+    # unique (key, version) per the operator contract
+    changes = list({(k, ver): (k, ver, v, d) for k, ver, v, d in changes}.values())
+
+    model = {k: v for k, v in base}
+    latest: dict[int, tuple[int, int, bool]] = {}
+    for k, ver, v, d in changes:
+        if k not in latest or ver > latest[k][0]:
+            latest[k] = (ver, v, d)
+    for k, (_, v, d) in latest.items():
+        if d:
+            model.pop(k, None)
+        else:
+            model[k] = v
+
+    bdf = spark.createDataFrame(base, "k long, v long") if base else spark.createDataFrame([], "k long, v long")
+    cdf = (
+        spark.createDataFrame(changes, "k long, ver long, v long, deleted boolean")
+        if changes
+        else spark.createDataFrame([], "k long, ver long, v long, deleted boolean")
+    )
+    got = {
+        r.k: r.v
+        for r in apply_changes(bdf, cdf, ["k"], "ver", delete_col="deleted").collect()
+    }
+    assert got == model
+
+
+@given(rows=st.lists(st.tuples(_mkeys, st.integers(-500, 500)), min_size=2, max_size=40))
+@settings(**_SETTINGS)
+def test_zscore_outliers_matches_python(spark, rows):
+    """z-scores from exact integer moments == python model on the
+    same formula; singleton groups emit nothing."""
+    from dask_datapipeline_spark.operators.aggregates import zscore_outliers
+
+    df = spark.createDataFrame(
+        [(i, k, c / 100) for i, (k, c) in enumerate(rows)], "i long, k long, value double"
+    )
+    got = {r.i: r.zscore for r in zscore_outliers(df, ["k"], "value", z_threshold=1.0).collect()}
+
+    by_k = defaultdict(list)
+    for i, (k, c) in enumerate(rows):
+        by_k[k].append((i, c))
+    want = {}
+    for k, items in by_k.items():
+        n = len(items)
+        if n < 2:
+            continue
+        s1 = sum(c for _, c in items)
+        s2 = sum(c * c for _, c in items)
+        mean = s1 / n
+        m2 = s2 / n - mean * mean
+        var = m2 * n / (n - 1)
+        if var <= 0:  # constant group: std 0 -> z undefined/inf, never emitted
+            continue
+        std = var ** 0.5
+        for i, c in items:
+            z = (c - mean) / std
+            if abs(z) >= 1.0:
+                want[i] = z
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == pytest.approx(want[i], abs=1e-12)
