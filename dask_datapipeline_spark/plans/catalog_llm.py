@@ -1363,3 +1363,46 @@ def q_outlier_events(spark, sf_dir):
 
     ev = load_testdata(spark, sf_dir, "events").select("event_id", "event_type", "value")
     return zscore_outliers(ev, ["event_type"], "value", z_threshold=2.5)
+
+
+def _batch_oracle(name: str) -> str:
+    """Reuse a batch twin's oracle SQL verbatim for its streaming
+    variant — one source of truth; the streaming query must converge
+    to the batch answer (the Structured Streaming contract)."""
+    from dask_datapipeline_spark.plans.catalog import CATALOG
+
+    return CATALOG[name].oracle
+
+
+@register_extra(
+    "streaming_session",
+    None,  # resolved below after catalog registration completes
+    "Streaming session windows (6h gap, complete mode over availableNow replay): "
+    "same session_agg body as the batch session_window twin, same gaps-and-islands "
+    "oracle — the stream must converge to the batch answer",
+)
+def q_streaming_session(spark, sf_dir):
+    from dask_datapipeline_spark.streaming.windows import (
+        run_to_memory,
+        session_agg,
+        stream_events,
+        with_watermark,
+    )
+
+    name = f"stream_session_{next(_STREAM_SEQ)}"
+    run_to_memory(
+        session_agg(with_watermark(stream_events(spark, sf_dir))), name, "complete"
+    )
+    return spark.table(name)
+
+
+def _late_bind_streaming_session_oracle() -> None:
+    from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG, QueryDef
+
+    qd = EXTRA_CATALOG["streaming_session"]
+    EXTRA_CATALOG["streaming_session"] = QueryDef(
+        fn=qd.fn, oracle=_batch_oracle("session_window"), description=qd.description
+    )
+
+
+_late_bind_streaming_session_oracle()
