@@ -153,3 +153,35 @@ def dup_ngram_fraction(text: Column | str, n: int = 2) -> Column:
             total > 0, F.lit(1.0) - F.size(F.array_distinct(grams)) / total
         ).otherwise(F.lit(0.0)),
     )
+
+
+# PII detection/redaction (beyond-reference; the scrubbing pass every
+# training-data pipeline runs before anything ships). Patterns stay in
+# the common subset of Java regex (Spark) and RE2 (DuckDB oracle):
+# character classes, bounded repetition, \b — no lookaround, no
+# backreferences. Ordered dict = redaction order (patterns are
+# digit-disjoint, so order does not change the result, but keeping it
+# fixed makes the fingerprint reproducible by construction).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Non-overlapping match count per PII class (JVM regexp_count;
+    oracle: len(regexp_extract_all(...)))."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {k: F.regexp_count(c, F.lit(p)) for k, p in PII_PATTERNS.items()}
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with a typed placeholder token
+    (``<EMAIL>``/``<PHONE>``/``<SSN>``), all classes in one chained
+    whole-stage-codegen expression."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = c
+    for k, p in PII_PATTERNS.items():
+        out = F.regexp_replace(out, p, f"<{k.upper()}>")
+    return out

@@ -75,3 +75,49 @@ def sample_stratified(
             F.col(strata_col) == k, F.lit(int(round(v * BUCKETS)))
         ).otherwise(threshold)
     return df.filter(_bucket(F.col(key_col), seed) < threshold)
+
+
+def epoch_mix(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weights: Mapping[str, int],
+    default_weight: int = 1,
+) -> DataFrame:
+    """Data-mixing by integer epoch weights: each row is replicated
+    ``weights[stratum]`` times (e.g. 3 epochs of English, 2 of German,
+    1 of everything else) and tagged with a deterministic global
+    shuffle key — the corpus-assembly step that turns per-source
+    datasets plus mixing ratios into one training stream.
+
+    Adds two columns: ``copy_idx`` (1..w within the row's replicas)
+    and ``mix_key`` (md5 of key:copy). Writing sorted by ``mix_key``
+    interleaves sources and epochs uniformly; at scale that sort is a
+    distributed range-partitioned sort, NOT a single-reducer
+    ``row_number`` over a global window — so this operator emits the
+    key and leaves ordering to the sink. Replication is a per-row
+    ``explode(sequence(...))`` inside the scan stage: no shuffle, no
+    driver participation, and fractional weights compose as an
+    ``epoch_mix`` of ceil(w) followed by ``sample_fraction`` of the
+    last copy.
+    """
+    require_columns(df, [key_col, strata_col])
+    for k, v in weights.items():
+        if v < 0 or v != int(v):
+            raise ValueError(f"weight for stratum {k!r} = {v} must be a non-negative int")
+    w = F.lit(int(default_weight))
+    for k, v in sorted(weights.items()):
+        w = F.when(F.col(strata_col) == k, F.lit(int(v))).otherwise(w)
+    # weight-0 guard: Spark's sequence(1, 0) is DESCENDING ([1, 0]),
+    # so a zero weight would REPLICATE the row twice instead of
+    # dropping it — explode of an explicit empty array drops it
+    copies = F.when(w >= 1, F.sequence(F.lit(1), w)).otherwise(
+        F.array().cast("array<int>")
+    )
+    out = df.withColumn("copy_idx", F.explode(copies))
+    mix_key = F.md5(
+        F.concat(
+            F.col(key_col).cast("string"), F.lit(":"), F.col("copy_idx").cast("string")
+        )
+    )
+    return out.withColumn("mix_key", mix_key)

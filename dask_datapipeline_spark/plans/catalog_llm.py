@@ -1406,3 +1406,170 @@ def _late_bind_streaming_session_oracle() -> None:
 
 
 _late_bind_streaming_session_oracle()
+
+
+# ----- round-2 additions: sketches, LM quality, PII, mixing, ORC -----
+
+from dask_datapipeline_spark.operators.lm import (  # noqa: E402
+    perplexity_oracle_sql,
+    perplexity_scores,
+)
+from dask_datapipeline_spark.operators.sketches import (  # noqa: E402
+    kmv_distinct,
+    kmv_oracle_sql,
+)
+
+_KMV_K = 64  # below the 150 distinct users/type at sf0.01 so the
+#              ESTIMATION path (not the exact small-group fallback)
+#              is what the driver gate exercises
+
+
+@register_extra(
+    "kmv_distinct",
+    kmv_oracle_sql("events", "event_type", "user_id", k=_KMV_K),
+    "KMV distinct-count sketch (operators/sketches.py): mergeable k-minimum-hash "
+    "sketch built map-side (mapInPandas partial k-minima, <= parts*groups*k rows "
+    "cross the shuffle vs every distinct value for exact count-distinct); min-merge "
+    "is exact, so the oracle replays it as a plain rank over the full distinct set",
+)
+def q_kmv_distinct(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events").select("event_type", "user_id")
+    return kmv_distinct(ev, ["event_type"], "user_id", k=_KMV_K)
+
+
+@register_extra(
+    "lm_perplexity",
+    perplexity_oracle_sql(),
+    "CCNet-style corpus quality gate (operators/lm.py): add-one-smoothed unigram "
+    "LM trained on the corpus itself, per-doc avg negative log-likelihood, "
+    "keep/drop flag; ln rounded to 9dp then EXACT decimal accumulation so the "
+    "per-doc sum is independent of addition order",
+)
+def q_lm_perplexity(spark, sf_dir):
+    return perplexity_scores(load_testdata(spark, sf_dir, "documents"))
+
+
+# Deterministic PII injection: the synthetic corpus is PII-free, so a
+# redaction query over it would verify a no-op. Salting every 7th doc
+# with an email+phone and every 11th with an SSN (pure doc_id
+# arithmetic, replayed in SQL) makes match counts and the redacted
+# fingerprint carry real signal through the driver's hash compare.
+_PII_EMAIL_SUFFIX = "@example.com or 555-123-4567."
+_PII_SSN_SUFFIX = " SSN 123-45-6789."
+
+
+def _pii_sql() -> str:
+    pats = TXT.PII_PATTERNS
+    red = "txt"
+    for k, p in pats.items():
+        red = f"regexp_replace({red}, '{p}', '<{k.upper()}>', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(txt, '{p}')) AS BIGINT) AS n_{k}"
+        for k, p in pats.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' Contact user' || CAST(doc_id AS VARCHAR) || '{_PII_EMAIL_SUFFIX}'
+              WHEN doc_id % 11 = 0 THEN text || '{_PII_SSN_SUFFIX}'
+              ELSE text END AS txt
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       {counts},
+       md5({red}) AS redacted_fp
+FROM t
+"""
+
+
+@register_extra(
+    "pii_redact",
+    _pii_sql(),
+    "PII scrub (functions/text.py::redact_pii): per-class regex match counts + "
+    "md5 fingerprint of the redacted text, whole-stage codegen over the scan — "
+    "patterns kept in the Java-regex/RE2 common subset so the oracle replays them; "
+    "deterministic doc_id-keyed PII injection gives the hash compare real signal",
+)
+def q_pii_redact(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    injected = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit(_PII_EMAIL_SUFFIX),
+            ),
+        )
+        .when(F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(_PII_SSN_SUFFIX)))
+        .otherwise(F.col("text"))
+    )
+    t = docs.select("doc_id", injected.alias("txt"))
+    counts = TXT.pii_counts("txt")
+    return t.select(
+        "doc_id",
+        *[c.cast("long").alias(f"n_{k}") for k, c in counts.items()],
+        F.md5(TXT.redact_pii("txt")).alias("redacted_fp"),
+    )
+
+
+_MIX_WEIGHTS = {"en": 3, "de": 2}
+
+
+@register_extra(
+    "corpus_mix",
+    f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN {_MIX_WEIGHTS["en"]}
+                   WHEN 'de' THEN {_MIX_WEIGHTS["de"]} ELSE 1 END AS w
+  FROM documents
+), e AS (
+  SELECT doc_id, lang, unnest(generate_series(1, w)) AS copy_idx FROM w
+)
+SELECT doc_id, lang, CAST(copy_idx AS BIGINT) AS copy_idx,
+       md5(CAST(doc_id AS VARCHAR) || ':' || CAST(copy_idx AS VARCHAR)) AS mix_key
+FROM e
+""",
+    "Epoch-weighted data mixing (operators/sampling.py::epoch_mix): integer "
+    "per-language replication (en x3, de x2) + deterministic md5 interleave key — "
+    "replication is explode(sequence) inside the scan stage, global order is the "
+    "sink's range-partitioned sort on mix_key, never a one-reducer window",
+)
+def q_corpus_mix(spark, sf_dir):
+    from dask_datapipeline_spark.operators.sampling import epoch_mix
+
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = epoch_mix(docs, "doc_id", "lang", _MIX_WEIGHTS)
+    return out.withColumn("copy_idx", F.col("copy_idx").cast("long"))
+
+
+@register_extra(
+    "scan_orc",
+    f"""
+SELECT s_nationkey, COUNT(*) AS n,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+FROM supplier GROUP BY s_nationkey
+""",
+    "ORC source/sink round-trip (sources/writers.py::write_orc + "
+    "readers.py::scan_orc): supplier written to ORC and scanned back, decimal-"
+    "exact money aggregate proves type fidelity through the format conversion",
+)
+def q_scan_orc(spark, sf_dir):
+    import os as _os
+
+    from dask_datapipeline_spark.sources.readers import scan_orc
+    from dask_datapipeline_spark.sources.writers import write_orc
+
+    sup = load_testdata(spark, sf_dir, "supplier")
+    path = _os.path.join(
+        "/tmp/spark_graft_orc", _os.path.basename(sf_dir.rstrip("/")), "supplier"
+    )
+    write_orc(sup, path)
+    back = scan_orc(spark, path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("acctbal_sum"),
+    )

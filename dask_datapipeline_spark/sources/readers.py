@@ -129,3 +129,19 @@ def load_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.parquet(path)
+
+
+def scan_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """ORC scan — same pushdown/pruning contract as ``scan_parquet``
+    (ORC footers carry exact types; predicate pushdown and column
+    pruning reach the scan the same way)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.orc(path)
+    return df.select(*columns) if columns else df

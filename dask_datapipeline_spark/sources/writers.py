@@ -85,3 +85,18 @@ def write_parquet(
     else:
         writer.parquet(path)
     return True
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> bool:
+    """ORC sink (columnar alternative; built into Spark, zstd-capable,
+    same partition-pruning behavior as parquet on read)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+    return True
