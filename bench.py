@@ -72,6 +72,28 @@ def main() -> None:
     spark.range(10_000).groupBy((F.col("id") % 7).alias("k")).agg(
         F.sum(F.col("id").cast("decimal(18,2)")).cast("double")
     ).count()
+    # one tiny streaming microbatch: streaming-engine class loading +
+    # state-store provider init is ~5 s one-time cost that otherwise
+    # lands entirely on the first measured streaming query — a
+    # long-lived cluster pays it once per executor lifetime, not per
+    # query
+    try:
+        from dask_datapipeline_spark.streaming.windows import (
+            run_to_memory,
+            stream_events,
+            tumbling_agg,
+        )
+
+        warm_dir = "/root/testdata/sf0.001"
+        src = warm_dir if os.path.isdir(warm_dir) else sf_dir
+        run_to_memory(
+            tumbling_agg(stream_events(spark, src)),
+            "bench_stream_warmup",
+            "complete",
+            state_partitions=2,
+        )
+    except Exception:
+        pass  # warmup only — a failure here surfaces in the measured query
 
     timings: dict[str, float] = {}
     extra = [n for n in CATALOG if n not in BENCH_QUERIES]

@@ -935,7 +935,9 @@ def q_streaming_tumbling(spark, sf_dir):
     )
 
     name = f"stream_tumbling_{next(_STREAM_SEQ)}"
-    run_to_memory(tumbling_agg(stream_events(spark, sf_dir)), name, "complete")
+    run_to_memory(
+        tumbling_agg(stream_events(spark, sf_dir)), name, "complete", state_partitions=8
+    )
     return spark.table(name)
 
 
@@ -960,7 +962,9 @@ def q_streaming_user_totals(spark, sf_dir):
     )
 
     name = f"stream_totals_{next(_STREAM_SEQ)}"
-    run_to_memory(stateful_user_totals(stream_events(spark, sf_dir)), name, "update")
+    run_to_memory(
+        stateful_user_totals(stream_events(spark, sf_dir)), name, "update", state_partitions=8
+    )
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -994,7 +998,7 @@ def q_streaming_dedup(spark, sf_dir):
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
-    run_to_memory(dedup, name, "append")
+    run_to_memory(dedup, name, "append", state_partitions=8)
     return spark.table(name)
 
 
@@ -1391,7 +1395,10 @@ def q_streaming_session(spark, sf_dir):
 
     name = f"stream_session_{next(_STREAM_SEQ)}"
     run_to_memory(
-        session_agg(with_watermark(stream_events(spark, sf_dir))), name, "complete"
+        session_agg(with_watermark(stream_events(spark, sf_dir))),
+        name,
+        "complete",
+        state_partitions=8,
     )
     return spark.table(name)
 

@@ -150,17 +150,36 @@ def run_to_memory(
     query_name: str,
     output_mode: str = "complete",
     timeout_sec: int = 120,
+    state_partitions: int | None = None,
 ) -> None:
     """Drain a finite stream into the in-memory sink (tests/demos):
-    availableNow trigger processes everything then stops."""
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError(f"stream {query_name} did not finish in {timeout_sec}s")
+    availableNow trigger processes everything then stops.
+
+    ``state_partitions``: stateful streaming runs one state-store
+    instance per shuffle partition, and the count is frozen into the
+    checkpoint at the first batch — so it must be sized to the STREAM's
+    key cardinality, not inherited from the batch session default. A
+    production deployment sizes it to executor count × cores; the local
+    catalog passes a small value because paying 32 store initializations
+    for a bounded test stream measures store setup, not the operator.
+    The session conf is restored afterwards (batch queries in the same
+    session must not see a stray value)."""
+    spark = sdf.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    if state_partitions is not None:
+        spark.conf.set(key, str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(f"stream {query_name} did not finish in {timeout_sec}s")
+    finally:
+        spark.conf.set(key, old)
