@@ -104,31 +104,62 @@ def load_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     timestamp[ns]/[ms]; we pass no schema here (footer types are exact)
     but validate the name is known, keeping call sites typo-safe.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright. We read nanos as raw int64
-    (``nanosAsLong``) and truncate to microseconds with exact integer
-    division (``DIV`` on longs — float division would lose precision at
-    1.7e18 ns epochs). DuckDB's TIMESTAMP is also microseconds, so both
-    engines see identical truncated values.
+    ``events.ts`` has been written by the driver as either parquet
+    TIMESTAMP(NANOS) (which Spark's vectorized reader rejects outright)
+    or TIMESTAMP(MICROS), depending on generator version — so the unit
+    is probed from the parquet footer (one driver-side metadata read,
+    no data I/O). For NANOS we read the raw int64 (``nanosAsLong``) and
+    truncate to microseconds with exact integer division (``DIV`` on
+    longs — float division would lose precision at 1.7e18 ns epochs).
+    DuckDB's TIMESTAMP is also microseconds, so both engines see
+    identical values either way.
 
-    The ``nanosAsLong`` flag stays set for the session (restoring it
-    after this call would break THIS lazy scan, since confs are read
-    at execution time). Consequence: a later read of some OTHER
-    nano-timestamp parquet in the same session gets a long column
-    instead of the loud vectorized-reader error — if you add such a
-    source, route it through a reader that handles the cast like this
-    one does.
+    In the NANOS path the ``nanosAsLong`` flag stays set for the
+    session (restoring it after this call would break THIS lazy scan,
+    since confs are read at execution time). Consequence: a later read
+    of some OTHER nano-timestamp parquet in the same session gets a
+    long column instead of the loud vectorized-reader error — if you
+    add such a source, route it through a reader that handles the cast
+    like this one does.
     """
     if table not in TESTDATA_SCHEMAS:
         raise KeyError(f"unknown testdata table {table!r}; known: {sorted(TESTDATA_SCHEMAS)}")
     path = os.path.join(sf_dir, f"{table}.parquet")
     if table == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if _parquet_ts_unit(path, "ts") == "ns":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # TIMESTAMP(MICROS) with isAdjustedToUTC=false loads as
+        # TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ default.
+        # Normalize to TimestampType (session tz is pinned to UTC, so
+        # the cast is epoch-preserving) — downstream operators use
+        # unix_micros()/window(), which require TIMESTAMP.
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return spark.read.parquet(path)
+
+
+def _parquet_ts_unit(path: str, column: str) -> str | None:
+    """Probe the physical timestamp unit of ``column`` from the parquet
+    footer (pyarrow, driver-side, metadata only). Returns e.g. ``"ns"``
+    or ``"us"``; ``None`` if the file/column can't be probed (callers
+    then take the plain-read path and surface Spark's own error)."""
+    try:
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            parts = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
+            if not parts:
+                return None
+            target = os.path.join(path, parts[0])
+        field = pq.read_schema(target).field(column)
+        return getattr(field.type, "unit", None)
+    except Exception:
+        return None
 
 
 def scan_orc(

@@ -34,26 +34,41 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` as a file stream (one-file 'directory'; production:
     a growing landing dir or Kafka source — same downstream plan).
 
-    Same TIMESTAMP(NANOS) workaround as the batch reader: nanos read
-    as long, exact integer DIV to microseconds."""
-    from dask_datapipeline_spark.schemas import TESTDATA_SCHEMAS
+    Same timestamp-unit probing as the batch reader (parquet footer
+    metadata, driver-side): TIMESTAMP(NANOS) files are read as raw
+    longs and truncated to microseconds with exact integer DIV;
+    TIMESTAMP(MICROS) files stream with the canonical schema as-is."""
+    import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # derive from the canonical events schema (single source of truth;
-    # a hand-copied duplicate would drift silently into all-null
-    # columns on rename) with ts swapped to nanos-as-long
-    schema = T.StructType(
-        [
-            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
-            for f in TESTDATA_SCHEMAS["events"].fields
-        ]
-    )
+    from dask_datapipeline_spark.schemas import TESTDATA_SCHEMAS
+    from dask_datapipeline_spark.sources.readers import _parquet_ts_unit
+
+    schema = TESTDATA_SCHEMAS["events"]
+    nanos = _parquet_ts_unit(os.path.join(sf_dir, "events.parquet"), "ts") == "ns"
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # derive from the canonical events schema (single source of
+        # truth; a hand-copied duplicate would drift silently into
+        # all-null columns on rename) with ts swapped to nanos-as-long
+        schema = T.StructType(
+            [
+                T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+                for f in schema.fields
+            ]
+        )
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        # micros files load as TIMESTAMP_NTZ; normalize to TIMESTAMP
+        # (session tz pinned UTC → epoch-preserving) for watermarks
+        # and window() downstream.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def with_watermark(df: DataFrame, ts_col: str = "ts", delay: str = "30 minutes") -> DataFrame:
