@@ -683,3 +683,96 @@ def contamination(
             (F.col("n_shared") / F.col("n_shingles")).alias("share_frac"),
         )
     )
+
+
+# ----- segment-level exact dedup (C4-style) --------------------------
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 10,
+    seed: int = 0,
+) -> DataFrame:
+    """C4-style segment-level exact dedup: split every document into
+    consecutive ``seg_tokens``-token segments, keep only the FIRST
+    corpus-wide occurrence of each distinct segment (first = smallest
+    ``(id, position)``), and reassemble the surviving segments of each
+    document in their original order.
+
+    C4 does this at line granularity ("three-sentence spans");
+    the driver corpus has no line structure, so the span unit is a
+    fixed token window — the dataflow is identical.
+
+    Output: ``(id, text_dedup, n_kept, n_seg_total)``; documents whose
+    every segment was first seen elsewhere survive with an empty
+    ``text_dedup`` (the caller decides whether to drop empties — that
+    filter is corpus policy, not dedup semantics).
+
+    Physical shape, and why it scales:
+
+    - one posexplode pass builds ``(id, pos, segment)`` — map-only;
+    - segments shuffle ONCE, as 8-byte md5-derived hashes plus their
+      (id, pos) provenance, keyed on the hash (``row_number`` window) —
+      never as strings;
+    - keep-first is ``row_number() = 1`` over (id, pos) within a hash —
+      deterministic, and exactly replayable in SQL (no ``first()``
+      nondeterminism);
+    - reassembly is one groupBy(id) with ``array_sort(collect_list)``
+      over (pos, segment) structs — the sort is per-document
+      (bounded by document length), not global.
+
+    The segment text does ride through the keep-first shuffle alongside
+    its hash (it is needed verbatim for reassembly); at 100 TB you
+    would instead re-join surviving (id, pos) pairs against the segment
+    table to keep that shuffle fixed-width — same plan shape, one more
+    equi-join on (id, pos).
+    """
+    require_columns(df, [id_col, text_col])
+    k = seg_tokens
+    if k < 1:
+        raise ValueError(f"seg_tokens={k} must be >= 1")
+    toks = tokens(text_col)
+    # integer-exact ceil(size / k): doubles are exact here but the
+    # integer form replays verbatim in the oracle with no float step
+    nseg = F.floor((F.size(toks) + (k - 1)) / k).cast("long")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+    )
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.col(text_col), nseg.alias("n_seg_total")
+    )
+    segs = fan_out(base).select(
+        F.col(id_col),
+        F.col("n_seg_total"),
+        F.posexplode(seg_arr).alias("__i", "__seg"),
+    )
+    hashed = segs.select(
+        id_col, "n_seg_total", "__i", "__seg", seeded_hash64(F.col("__seg"), seed).alias("__h")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc(), F.col("__i").asc())
+    kept = hashed.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    assembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__i", "__seg"))),
+                lambda s: s["__seg"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    return (
+        base.select(id_col, "n_seg_total")
+        .join(assembled, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            "n_seg_total",
+        )
+    )

@@ -123,3 +123,142 @@ SELECT {group_col},
 FROM ranked WHERE rn <= {k}
 GROUP BY {group_col}
 """
+
+
+# ----- count-min sketch heavy hitters --------------------------------
+
+CMS_SEED = 1259
+
+
+def cms_counters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    seed: int = CMS_SEED,
+) -> DataFrame:
+    """Build the count-min sketch (Cormode & Muthukrishnan 2005) of
+    ``key_col``'s frequency distribution: ``depth`` hash rows ×
+    ``width`` counters.
+
+    Row ``i``'s hash is the shared md5-derived 60-bit family seeded
+    ``seed + i``, reduced mod ``width`` — deterministic and exactly
+    replayable in SQL (counter cells are plain integer counts; there
+    is no approximation in the SKETCH itself, only in point queries
+    against it).
+
+    Scale shape: one posexplode (×depth) and ONE groupBy whose result
+    is at most ``depth × width`` rows, with map-side partial
+    aggregation — the full keyset never shuffles, which is the entire
+    point of sketching a 100 TB stream.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth={depth} and width={width} must be >= 1")
+    buckets = F.array(
+        *[
+            (seeded_hash64(F.col(key_col).cast("string"), seed + i) % width)
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.posexplode(buckets).alias("__d", "__b"))
+        .groupBy("__d", "__b")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    top: int = 20,
+    seed: int = CMS_SEED,
+) -> DataFrame:
+    """Top-``top`` keys by count-min estimate, with the exact count
+    alongside (the overcount column demonstrates — and tests — the
+    one-sided CMS error: estimate >= exact, always).
+
+    The candidate keys are the distinct keys of ``df`` (the textbook
+    point-query use: sketch absorbs the stream, queries probe
+    candidates). Each candidate probes its ``depth`` cells via a
+    BROADCAST join against the counter table — bounded at
+    ``depth × width`` rows by construction, so the broadcast holds at
+    any corpus scale. Estimate = min over the probed cells.
+
+    Ties in the top-k break on the key ascending (total order, exact
+    integer counts) — same ORDER BY in the SQL oracle.
+    """
+    counters = cms_counters(df, key_col, depth, width, seed)
+    exact = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    probes = exact.select(
+        key_col,
+        "exact_count",
+        F.posexplode(
+            F.array(
+                *[
+                    (seeded_hash64(F.col(key_col).cast("string"), seed + i) % width)
+                    for i in range(depth)
+                ]
+            )
+        ).alias("__d", "__b"),
+    )
+    est = (
+        probes.join(F.broadcast(counters), on=["__d", "__b"])
+        .groupBy(key_col, "exact_count")
+        .agg(F.min("__cnt").alias("cms_est"))
+    )
+    return (
+        est.select(
+            key_col,
+            "cms_est",
+            "exact_count",
+            (F.col("cms_est") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy(F.col("cms_est").desc(), F.col(key_col).asc())
+        .limit(top)
+    )
+
+
+def cms_oracle_sql(
+    table: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    top: int = 20,
+    seed: int = CMS_SEED,
+) -> str:
+    """DuckDB replay of sketch build + point queries — integer counts
+    and md5 hashing only, so the match is exact."""
+    hash_expr = (
+        f"CAST(CONCAT('0x', SUBSTRING(md5(CAST({seed} + i AS VARCHAR) || ':' || "
+        f"CAST({key_col} AS VARCHAR)), 1, 15)) AS BIGINT) % {width}"
+    )
+    return f"""
+WITH ev AS (
+  SELECT {key_col} FROM {table} WHERE {key_col} IS NOT NULL
+), cells AS (
+  SELECT i, {hash_expr} AS b
+  FROM ev, unnest(generate_series(0, {depth - 1})) g(i)
+), counters AS (
+  SELECT i, b, COUNT(*) AS cnt FROM cells GROUP BY i, b
+), exact AS (
+  SELECT {key_col}, COUNT(*) AS exact_count FROM ev GROUP BY {key_col}
+), probes AS (
+  SELECT {key_col}, exact_count, i, {hash_expr} AS b
+  FROM exact, unnest(generate_series(0, {depth - 1})) g(i)
+), est AS (
+  SELECT p.{key_col}, p.exact_count, MIN(c.cnt) AS cms_est
+  FROM probes p JOIN counters c ON p.i = c.i AND p.b = c.b
+  GROUP BY p.{key_col}, p.exact_count
+)
+SELECT {key_col}, cms_est, exact_count, cms_est - exact_count AS overcount
+FROM est
+ORDER BY cms_est DESC, {key_col} ASC
+LIMIT {top}
+"""

@@ -1580,3 +1580,78 @@ def q_scan_orc(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("acctbal_sum"),
     )
+
+
+# --------------------------------------------------------------------
+# Segment-level exact dedup (C4-style) + count-min heavy hitters
+# --------------------------------------------------------------------
+
+_SEG_K = 10
+
+
+@register_extra(
+    "segment_dedup",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk
+  FROM documents WHERE text IS NOT NULL
+), n AS (
+  SELECT doc_id, tk,
+         CAST(floor((len(tk) + {_SEG_K - 1}) / {_SEG_K}.0) AS BIGINT) AS n_seg_total
+  FROM t
+), seg AS (
+  SELECT doc_id, n_seg_total, i,
+         array_to_string(tk[i*{_SEG_K}+1 : i*{_SEG_K}+{_SEG_K}], ' ') AS seg
+  FROM n, unnest(generate_series(0, CAST(n_seg_total - 1 AS INT))) g(i)
+), h AS (
+  SELECT doc_id, i, seg,
+         CAST(CONCAT('0x', SUBSTRING(md5('0:' || seg), 1, 15)) AS BIGINT) AS hh
+  FROM seg
+), ranked AS (
+  SELECT doc_id, i, seg,
+         row_number() OVER (PARTITION BY hh ORDER BY doc_id, i) AS rn
+  FROM h
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY i) AS text_dedup
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT n.doc_id,
+       COALESCE(agg.text_dedup, '') AS text_dedup,
+       COALESCE(agg.n_kept, 0) AS n_kept,
+       n.n_seg_total
+FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
+""",
+    "C4-style segment-level exact dedup (operators/dedup.py::segment_dedup): "
+    "10-token segments, keep the first corpus-wide occurrence of each distinct "
+    "segment (row_number over the md5 segment hash — one fixed-width shuffle), "
+    "reassemble survivors in document order via array_sort(collect_list)",
+)
+def q_segment_dedup(spark, sf_dir):
+    from dask_datapipeline_spark.operators.dedup import segment_dedup
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return segment_dedup(docs, seg_tokens=_SEG_K)
+
+
+from dask_datapipeline_spark.operators.sketches import (  # noqa: E402
+    cms_heavy_hitters,
+    cms_oracle_sql,
+)
+
+_CMS_DEPTH, _CMS_WIDTH, _CMS_TOP = 4, 64, 20
+
+
+@register_extra(
+    "heavy_hitters_cms",
+    cms_oracle_sql("events", "user_id", _CMS_DEPTH, _CMS_WIDTH, _CMS_TOP),
+    "Count-min-sketch heavy hitters (operators/sketches.py::cms_heavy_hitters): "
+    f"{_CMS_DEPTH}x{_CMS_WIDTH} integer sketch built in ONE bounded-output groupBy "
+    "(the keyset never shuffles), candidates probe cells via broadcast join, "
+    "estimate = min cell; exact counts alongside prove the one-sided CMS error",
+)
+def q_heavy_hitters_cms(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events").select("user_id")
+    return cms_heavy_hitters(
+        ev, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH, top=_CMS_TOP
+    )
