@@ -104,12 +104,26 @@ def hashed_shingles(
     MinHash/Jaccard family; every downstream shuffle, join, and
     distinct moves 8-byte longs instead of shingle strings — at 100 TB
     that's the difference between shuffling the corpus's n-grams and
-    shuffling fixed-width keys."""
+    shuffling fixed-width keys.
+
+    The result is persisted (MEMORY_AND_DISK): the shingle table is
+    the shared root of the whole near-dup family — signatures AND the
+    Jaccard verify read it within one query, and Spark's CacheManager
+    plan-matching lets every other query over the same corpus
+    (jaccard / minhash / clustering / decontamination) hit the same
+    cache entry instead of re-exploding and re-hashing the corpus.
+    Identical plans share ONE entry, so repeated calls don't stack
+    copies. See the module docstring's cache contract — a service
+    processing many corpora clears or materializes instead."""
     require_columns(df, [id_col, text_col])
-    return fan_out(df.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__sh")
-    ).where(F.col("__sh") != "").select(
-        F.col(id_col), seeded_hash64(F.col("__sh"), 0).alias("__h")
+    from pyspark.storagelevel import StorageLevel
+
+    return (
+        fan_out(df.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__sh"))
+        .where(F.col("__sh") != "")
+        .select(F.col(id_col), seeded_hash64(F.col("__sh"), 0).alias("__h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
