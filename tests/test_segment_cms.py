@@ -101,3 +101,55 @@ def test_cms_heavy_hitter_surfaces_first(spark, skewed_keys):
 def test_cms_rejects_bad_shape(spark, skewed_keys):
     with pytest.raises(ValueError):
         cms_heavy_hitters(skewed_keys, "user_id", depth=0)
+
+
+# ------------------------ bloom semi-join ----------------------------
+
+
+from dask_datapipeline_spark.operators.bloom import bloom_bits, bloom_semi_join
+
+
+@pytest.fixture(scope="module")
+def bloom_tables(spark):
+    fact = spark.createDataFrame(
+        [(i, i % 100) for i in range(1000)] + [(1000, None)],
+        "row_id long, key long",
+    )
+    dim = spark.createDataFrame([(k,) for k in range(0, 100, 10)], "key long")
+    return fact, dim
+
+
+def test_bloom_pass_is_superset_of_semi_join(spark, bloom_tables):
+    fact, dim = bloom_tables
+    passed = {r.row_id for r in bloom_semi_join(fact, dim, "key", "key").collect()}
+    exact = {
+        r.row_id
+        for r in fact.join(dim, on="key", how="left_semi").collect()
+    }
+    assert exact <= passed  # bloom never drops a true match
+
+
+def test_bloom_null_keys_never_pass(spark, bloom_tables):
+    fact, dim = bloom_tables
+    passed = bloom_semi_join(fact, dim, "key", "key").collect()
+    assert all(r.key is not None for r in passed)
+
+
+def test_bloom_tiny_filter_has_false_positives_but_no_negatives(spark, bloom_tables):
+    fact, dim = bloom_tables
+    # m=64 with 10 keys * 4 hashes -> heavily saturated: FPs certain
+    passed = {r.key for r in bloom_semi_join(fact, dim, "key", "key", m_bits=64).collect()}
+    members = {r.key for r in dim.collect()}
+    assert members <= passed
+    assert passed - members  # saturation must show the one-sided error
+
+
+def test_bloom_bits_bounded(spark, bloom_tables):
+    _, dim = bloom_tables
+    assert bloom_bits(dim, "key", m_bits=256, k_hashes=4).count() <= 256
+
+
+def test_bloom_rejects_bad_m(spark, bloom_tables):
+    fact, dim = bloom_tables
+    with pytest.raises(ValueError):
+        bloom_semi_join(fact, dim, "key", "key", m_bits=100)
