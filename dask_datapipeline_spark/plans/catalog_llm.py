@@ -1738,3 +1738,36 @@ def q_bloom_semi_join(spark, sf_dir):
             ),
         )
     )
+
+
+@register_extra(
+    "streaming_static_join",
+    """
+SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
+       c.c_nationkey AS nationkey,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY window_start, nationkey
+""",
+    "Stream-static enrichment (streaming/windows.py::stream_static_enrich): each "
+    "microbatch broadcast-joins the static customer dim (stream side stays map-only "
+    "before the window agg's own exchange), tumbling per-nation rollup; complete "
+    "mode over the bounded stream equals the batch join+GROUP BY bit-for-bit",
+)
+def q_streaming_static_join(spark, sf_dir):
+    from dask_datapipeline_spark.streaming.windows import (
+        run_to_memory,
+        stream_events,
+        stream_static_enrich,
+    )
+
+    name = f"stream_static_{next(_STREAM_SEQ)}"
+    dim = load_testdata(spark, sf_dir, "customer")
+    run_to_memory(
+        stream_static_enrich(stream_events(spark, sf_dir), dim),
+        name,
+        "complete",
+        state_partitions=8,
+    )
+    return spark.table(name)

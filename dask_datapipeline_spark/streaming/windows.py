@@ -103,6 +103,39 @@ def session_agg(df: DataFrame, ts_col: str = "ts", gap: str = "6 hours") -> Data
     )
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    width: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: each microbatch
+    of the event stream joins the STATIC dimension (re-read per batch —
+    Spark's stream-static contract, so slowly-changing dims pick up
+    updates between batches) and aggregates per (window, nation).
+
+    The dimension side is explicitly broadcast: a stream-static
+    broadcast join keeps the STREAM side map-only — no stream shuffle
+    before the window aggregation's own keyed exchange, which is the
+    shape that survives a high-throughput ingest (the dim is bounded;
+    the stream is not). Money accumulates as DECIMAL(18,2), so the
+    complete-mode result equals the batch twin bit-for-bit."""
+    keyed = dim.select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+    joined = stream.join(F.broadcast(keyed), on="user_id", how="inner")
+    return (
+        joined.groupBy(F.window("ts", width).alias("w"), "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("c_nationkey").alias("nationkey"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_dedup(df: DataFrame, keys: list[str], ts_col: str = "ts", delay: str = "30 minutes") -> DataFrame:
     """Exactly-once per key within the watermark horizon, bounded state."""
     return with_watermark(df, ts_col, delay).dropDuplicatesWithinWatermark(keys)

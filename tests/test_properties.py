@@ -288,3 +288,44 @@ def test_zscore_outliers_matches_python(spark, rows):
     assert set(got) == set(want)
     for i in got:
         assert got[i] == pytest.approx(want[i], abs=1e-12)
+
+
+_seg_words = st.sampled_from(["a", "b", "c", "d"])
+_seg_texts = st.lists(
+    st.lists(_seg_words, min_size=1, max_size=9).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=_seg_texts, k=st.integers(min_value=1, max_value=3))
+@settings(**_SETTINGS)
+def test_segment_dedup_matches_python_model(spark, texts, k):
+    """segment_dedup == brute-force keep-first over (doc_id, position)
+    scan order, with order-preserving reassembly — on a tiny alphabet
+    so cross-document segment collisions are dense."""
+    from dask_datapipeline_spark.operators.dedup import segment_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    seen: set[str] = set()
+    want = {}
+    for i, t in rows:  # ids ascending == keep-first order
+        toks = t.lower().split(" ")
+        segs = [
+            " ".join(toks[j * k : (j + 1) * k])
+            for j in range((len(toks) + k - 1) // k)
+        ]
+        kept = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        want[i] = (" ".join(kept), len(kept), len(segs))
+
+    got = {
+        r.doc_id: (r.text_dedup, r.n_kept, r.n_seg_total)
+        for r in segment_dedup(df, seg_tokens=k).collect()
+    }
+    assert got == want

@@ -64,3 +64,28 @@ def test_stateful_user_totals(spark, sf_dir, batch_events):
     g = {r.user_id: (r.n_events, r.total_value) for r in got.collect()}
     w = {r.user_id: (r.n_events, r.total_value) for r in want.collect()}
     assert g == w
+
+
+def test_stream_static_enrich_equals_batch_twin(spark, sf_dir, batch_events):
+    dim = load_testdata(spark, sf_dir, "customer")
+    sdf = SW.stream_static_enrich(SW.stream_events(spark, sf_dir), dim)
+    SW.run_to_memory(sdf, "t_enrich", state_partitions=4)
+    got = spark.table("t_enrich")
+    want = (
+        batch_events.join(
+            dim.select(F.col("c_custkey").alias("user_id"), "c_nationkey"), on="user_id"
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("c_nationkey").alias("nationkey"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    cols = ["window_start", "nationkey", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
