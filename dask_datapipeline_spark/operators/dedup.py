@@ -286,7 +286,11 @@ def jaccard_pairs(
     plan (intersection a/b sides, |A| sizes, |B| sizes); Spark's lazy
     DAG would recompute the explode+md5 each time, so it is persisted
     (memory, spilling to disk) — at any scale one materialization beats
-    four recomputes of the corpus's n-grams."""
+    four recomputes of the corpus's n-grams.
+
+    The no-candidates path uses PPJoin-style PREFIX FILTERING
+    (Chaudhuri/Ganti/Kaushik 2006, Xiao et al. 2008) — exact, not a
+    heuristic: see ``_jaccard_allpairs_prefix``."""
     hashed = hashed_shingles(df, id_col, text_col, shingle_n)
     from pyspark.storagelevel import StorageLevel
 
@@ -294,7 +298,77 @@ def jaccard_pairs(
         cap_document_frequency(hashed.distinct(), max_df)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if candidates is None:
+        return _jaccard_allpairs_prefix(sh, id_col, threshold)
     return _jaccard_from_distinct(sh, candidates, id_col, threshold)
+
+
+def _jaccard_allpairs_prefix(
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact all-pairs Jaccard ≥ t via prefix filtering.
+
+    With every document's (distinct, capped) shingle hashes SORTED
+    under one global order, any pair with J ≥ t must share an element
+    within both docs' first ``n - ceil(t·n) + 1`` hashes (the smallest
+    common element cannot sit past either prefix — pigeonhole on the
+    ≥ ceil(t·n) common elements). So candidate generation only joins
+    the prefixes (~(1-t) of each set at threshold t: 4× fewer join
+    rows at t=0.5 than the full intersection self-join), and
+    verification computes the EXACT intersection per candidate pair
+    with ``array_intersect`` on the full sorted hash arrays — a
+    per-pair map-side operation bounded by document length, replacing
+    the all-shared-shingle join+groupBy entirely.
+
+    Same output, bit-for-bit, as the naive plan (the oracle SQL is
+    unchanged); the speedup is pure candidate pruning. The per-doc
+    array table is O(corpus shingles) but partitioned by doc — at
+    100 TB it joins candidate pairs by id (AQE broadcasts it only
+    when small). The df cap upstream still bounds prefix-join fan-out
+    per hash key."""
+    from pyspark.storagelevel import StorageLevel
+
+    arrs = (
+        sh.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__h")).alias("__arr"))
+        .withColumn("__n", F.size("__arr"))
+        .withColumn(
+            "__p",
+            F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")).cast("int") + 1,
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pref = arrs.select(
+        F.col(id_col), F.explode(F.slice("__arr", 1, F.col("__p"))).alias("__h")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), on="__h")
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    na = arrs.select(
+        F.col(id_col).alias("id_a"), F.col("__arr").alias("__aa"), F.col("__n").alias("__na")
+    )
+    nb = arrs.select(
+        F.col(id_col).alias("id_b"), F.col("__arr").alias("__ab"), F.col("__n").alias("__nb")
+    )
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("__inter", F.size(F.array_intersect("__aa", "__ab")))
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def _jaccard_from_distinct(

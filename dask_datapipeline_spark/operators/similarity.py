@@ -182,11 +182,28 @@ def _lsh_candidate_pairs(
         F.col(vec_col).alias("__qv"),
         F.posexplode(bud(F.col(vec_col))).alias("__t", "__bucket"),
     )
-    c = fan_out(corpus.select(id_col, vec_col)).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        F.posexplode(bud(F.col(vec_col))).alias("__t", "__bucket"),
-    )
+    if corpus is queries:
+        # Self-join (near-dup) path: the two sides are the SAME
+        # bucketed projection, but Spark does not give ReusedExchange
+        # across separately-built ArrowEvalPython stages — persist the
+        # side so the bucket UDF runs over the corpus ONCE and both
+        # join inputs read the cache (CacheManager dedupes identical
+        # plans; see the dedup module's cache contract).
+        from pyspark.storagelevel import StorageLevel
+
+        q = q.persist(StorageLevel.MEMORY_AND_DISK)
+        c = q.select(
+            F.col("query_id").alias("neighbor_id"),
+            F.col("__qv").alias("__cv"),
+            "__t",
+            "__bucket",
+        )
+    else:
+        c = fan_out(corpus.select(id_col, vec_col)).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            F.posexplode(bud(F.col(vec_col))).alias("__t", "__bucket"),
+        )
     # shuffle_hash, not broadcast: at scale the corpus never fits a
     # broadcast, and locally a BroadcastExchange built from an
     # ArrowEvalPython stage serializes the whole UDF stage into the
