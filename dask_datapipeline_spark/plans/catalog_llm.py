@@ -1771,3 +1771,30 @@ def q_streaming_static_join(spark, sf_dir):
         state_partitions=8,
     )
     return spark.table(name)
+
+
+# --------------------------------------------------------------------
+# Ordered funnel analysis
+# --------------------------------------------------------------------
+
+from dask_datapipeline_spark.operators.funnel import (  # noqa: E402
+    funnel_counts,
+    funnel_oracle_sql,
+)
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@register_extra(
+    "funnel_steps",
+    funnel_oracle_sql(_FUNNEL_STEPS),
+    "Ordered funnel (operators/funnel.py): first view -> first click strictly "
+    "after it -> first purchase strictly after that, walked by an F.aggregate "
+    "fold over each user's time-sorted event array inside codegen (one user-keyed "
+    "shuffle, no self-joins, no Python); broadcast dim join rolls step flags up "
+    "to per-segment counts; oracle replays the equivalent closed form",
+)
+def q_funnel_steps(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events")
+    dim = load_testdata(spark, sf_dir, "customer")
+    return funnel_counts(ev, dim, _FUNNEL_STEPS)

@@ -153,3 +153,50 @@ def test_bloom_rejects_bad_m(spark, bloom_tables):
     fact, dim = bloom_tables
     with pytest.raises(ValueError):
         bloom_semi_join(fact, dim, "key", "key", m_bits=100)
+
+
+# --------------------------- funnel fold -----------------------------
+
+
+from dask_datapipeline_spark.operators.funnel import funnel_times
+
+
+def _ts(s):
+    import datetime as _dt
+
+    return _dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture(scope="module")
+def funnel_events(spark):
+    rows = [
+        # u1: clean view->click->purchase
+        (1, _ts(1), "view"), (1, _ts(2), "click"), (1, _ts(3), "purchase"),
+        # u2: click BEFORE view never counts; no click after view
+        (2, _ts(1), "click"), (2, _ts(2), "view"), (2, _ts(3), "purchase"),
+        # u3: same-instant click does not count (strictly after)
+        (3, _ts(1), "view"), (3, _ts(1), "click"), (3, _ts(2), "click"),
+        # u4: view only
+        (4, _ts(5), "view"),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+def test_funnel_order_constraint(spark, funnel_events):
+    out = {
+        r.user_id: (r.t_view, r.t_click, r.t_purchase)
+        for r in funnel_times(funnel_events, ["view", "click", "purchase"]).collect()
+    }
+    assert out[1] == (_ts(1), _ts(2), _ts(3))
+    # u2: click precedes view -> click step unreached, purchase unreachable
+    assert out[2] == (_ts(2), None, None)
+    # u3: the ts(1) click ties the view instant -> only ts(2) click counts
+    assert out[3] == (_ts(1), _ts(2), None)
+    assert out[4] == (_ts(5), None, None)
+
+
+def test_funnel_rejects_bad_steps(spark, funnel_events):
+    with pytest.raises(ValueError):
+        funnel_times(funnel_events, [])
+    with pytest.raises(ValueError):
+        funnel_times(funnel_events, ["view", "view"])
