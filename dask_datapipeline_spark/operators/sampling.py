@@ -121,3 +121,82 @@ def epoch_mix(
         )
     )
     return out.withColumn("mix_key", mix_key)
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    key_col: str = "doc_id",
+    seed: int = 733,
+) -> DataFrame:
+    """Deterministic weighted sampling without RNG: priority sampling
+    (Duffield, Lund & Thorup, JACM 2007). Each row gets priority
+    ``w / u`` where ``u ∈ (0,1]`` is its md5-derived uniform; the
+    per-group top-k by priority is a weighted sample in which a row's
+    inclusion probability is proportional-to-size capped at 1.
+
+    Why this exact formula: ``u = (h+1) / 2^60`` and ``w / u`` are
+    single correctly-rounded IEEE operations on identical inputs — NO
+    transcendentals (contrast Efraimidis-Spirakis ``u^(1/w)``, whose
+    pow/ln drifts a ulp between libm and the JVM), so priorities are
+    bit-identical in Spark and the SQL oracle and the driver can
+    hash-compare them raw. Ties (astronomically unlikely but cheap to
+    kill) break on the unique key ascending.
+
+    One shuffle (the per-group window); at 100 TB use the map-side
+    top-k pattern (per-partition k-minima, as ``kmv_partial_mins``)
+    before the window to keep the exchange at parts×k rows per group.
+
+    Rows with NULL or non-positive weight are excluded (a zero-weight
+    row must never be sampled; negative weights are a caller bug
+    surfaced by the filter, matching the oracle's WHERE).
+    """
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    require_columns(df, [weight_col, key_col] + (group_cols or []))
+    u = (seeded_hash64(F.col(key_col).cast("string"), seed) + 1).cast(
+        "double"
+    ) / F.lit(float(1 << 60))
+    pri = F.col(weight_col).cast("double") / u
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*(group_cols or [])).orderBy(
+        F.desc("priority"), F.asc(key_col)
+    )
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("priority", pri)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+
+
+def priority_sample_oracle_sql(
+    table: str,
+    weight_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    key_col: str = "doc_id",
+    seed: int = 733,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB replay: identical hash → uniform → division → window."""
+    part = (
+        f"PARTITION BY {', '.join(group_cols)} " if group_cols else ""
+    )
+    return f"""
+WITH pri AS (
+  SELECT {select_cols},
+         CAST({weight_col} AS DOUBLE) /
+           (CAST(CAST(CONCAT('0x', SUBSTRING(md5('{seed}:' || CAST({key_col} AS VARCHAR)), 1, 15)) AS BIGINT) + 1 AS DOUBLE)
+            / {float(1 << 60)!r}) AS priority
+  FROM {table}
+  WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
+)
+SELECT *
+FROM (SELECT *, row_number() OVER ({part}ORDER BY priority DESC, {key_col} ASC) AS rn
+      FROM pri)
+WHERE rn <= {k}
+"""

@@ -1798,3 +1798,34 @@ def q_funnel_steps(spark, sf_dir):
     ev = load_testdata(spark, sf_dir, "events")
     dim = load_testdata(spark, sf_dir, "customer")
     return funnel_counts(ev, dim, _FUNNEL_STEPS)
+
+
+# --------------------------------------------------------------------
+# Deterministic weighted sampling (priority sampling)
+# --------------------------------------------------------------------
+
+from dask_datapipeline_spark.operators.sampling import (  # noqa: E402
+    priority_sample,
+    priority_sample_oracle_sql,
+)
+
+_PRI_K = 25
+
+
+@register_extra(
+    "weighted_sample",
+    priority_sample_oracle_sql(
+        "documents",
+        "n_chars",
+        _PRI_K,
+        group_cols=["lang"],
+        select_cols="doc_id, lang, n_chars",
+    ),
+    "Deterministic weighted sampling (operators/sampling.py::priority_sample, "
+    "Duffield-Lund-Thorup priority sampling): per-language top-k by w/u with an "
+    "md5-derived uniform — division-only, no RNG and no transcendentals, so "
+    "priorities are bit-identical across engines; one window shuffle",
+)
+def q_weighted_sample(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return priority_sample(docs, "n_chars", _PRI_K, group_cols=["lang"])

@@ -145,3 +145,51 @@ def test_pack_capacity_validation(spark):
         chunk_token_stream(df, "doc_id", "tok", 0, "lang")
     with pytest.raises(ValueError):
         pack_greedy(df, "doc_id", "tok", 0, "lang")
+
+
+# ---------------------- priority sampling ----------------------------
+
+
+def test_priority_sample_matches_python_model(spark):
+    import hashlib
+
+    from dask_datapipeline_spark.operators.sampling import priority_sample
+
+    rows = [(i, "g%d" % (i % 2), (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+    def pri(i, w):
+        h = int(hashlib.md5(f"733:{i}".encode()).hexdigest()[:15], 16)
+        return w / ((h + 1) / float(1 << 60))
+
+    want = {}
+    for g in ("g0", "g1"):
+        grp = [(i, w, pri(i, w)) for i, gg, w in rows if gg == g]
+        grp.sort(key=lambda t: (-t[2], t[0]))
+        want[g] = [(i, p) for i, _, p in grp[:5]]
+
+    got = priority_sample(df, "n_chars", 5, group_cols=["lang"]).collect()
+    got_by_g = {}
+    for r in sorted(got, key=lambda r: (r.lang, r.rn)):
+        got_by_g.setdefault(r.lang, []).append((r.doc_id, r.priority))
+    assert got_by_g == want  # bit-exact priorities, same top-k order
+
+
+def test_priority_sample_drops_nonpositive_weights(spark):
+    from dask_datapipeline_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -4), (4, None)], "doc_id long, w long"
+    )
+    out = priority_sample(df, "w", 10).collect()
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_priority_sample_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from dask_datapipeline_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame([(1, 1)], "doc_id long, w long")
+    with _pytest.raises(ValueError):
+        priority_sample(df, "w", 0)
