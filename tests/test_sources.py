@@ -158,3 +158,45 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1].splitlines()[0]
     want = ev.filter(F.col("event_type") == "click").count()
     assert back.count() == want and want > 0
+
+
+def test_load_testdata_events_nanos_parquet(spark, tmp_path):
+    """The driver has shipped events.ts as TIMESTAMP(NANOS) (round 1)
+    and TIMESTAMP(MICROS) (round 2). The reader probes the footer; pin
+    the nanos branch with a synthetic nanos file so it can't rot."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "nanos_sf"
+    d.mkdir()
+    ns = [1_700_000_000_123_456_789, 1_700_000_001_987_654_321]
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(ns, pa.timestamp("ns")),
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["a", "b"]),
+            "value": pa.array([1.0, 2.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(table, d / "events.parquet", coerce_timestamps=None)
+    # copy another table so load_testdata's dir looks normal
+    shutil.copy("/root/testdata/sf0.001/region.parquet", d / "region.parquet")
+
+    from dask_datapipeline_spark.sources.readers import _parquet_ts_unit, load_testdata
+
+    assert _parquet_ts_unit(str(d / "events.parquet"), "ts") == "ns"
+    ev = load_testdata(spark, str(d), "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    got = sorted(r.ts for r in ev.collect())
+    import datetime as dt
+
+    # nanos truncate (not round) to microseconds, UTC session
+    want = sorted(
+        dt.datetime.fromtimestamp(n // 1000 / 1e6, dt.timezone.utc).replace(tzinfo=None)
+        for n in ns
+    )
+    assert got == want
