@@ -1829,3 +1829,67 @@ _PRI_K = 25
 def q_weighted_sample(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return priority_sample(docs, "n_chars", _PRI_K, group_cols=["lang"])
+
+
+# --------------------------------------------------------------------
+# Incremental dedup (incoming batch vs existing corpus)
+# --------------------------------------------------------------------
+
+
+@register_extra(
+    "incremental_dedup",
+    "WITH "
+    + _SQL_SHINGLES_HASHED
+    + ","
+    + _SQL_SIG
+    + f""",
+cand AS (SELECT DISTINCT id_a, id_b FROM ({_SQL_BAND_JOINS}))
+,"""
+    + _sql_jaccard_verify(
+        extra_join="JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b",
+        as_pairs_cte=True,
+    )
+    + """,
+partners AS (
+  -- an incoming (odd-id) doc's dup partner: any existing (even) match,
+  -- or an earlier incoming doc (id_a < id_b always holds in pairs)
+  SELECT id_b AS doc_id, id_a AS partner FROM pairs WHERE id_b % 2 = 1
+  UNION ALL
+  SELECT id_a AS doc_id, id_b AS partner FROM pairs
+  WHERE id_a % 2 = 1 AND id_b % 2 = 0
+), resolved AS (
+  SELECT doc_id, MIN(partner) AS dup_of FROM partners GROUP BY doc_id
+)
+SELECT d.doc_id, r.dup_of, r.dup_of IS NULL AS is_new
+FROM documents d LEFT JOIN resolved r ON d.doc_id = r.doc_id
+WHERE d.doc_id % 2 = 1
+""",
+    "Incremental dedup — the production daily-ingest workflow: flag each doc of "
+    "the incoming batch (odd ids) as new or a near-dup of the existing corpus "
+    "(even ids) / an earlier incoming doc. Reuses the MinHash+LSH banded "
+    "candidate pipeline (one cached signature build serves the whole family); "
+    "at 100 TB the existing side's signatures are read from the materialized "
+    "index, not recomputed",
+)
+def q_incremental_dedup(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    pairs = DD.near_dup_pairs_minhash(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5, max_df=_MAX_DF
+    )
+    incoming_b = pairs.where(F.col("id_b") % 2 == 1).select(
+        F.col("id_b").alias("doc_id"), F.col("id_a").alias("partner")
+    )
+    incoming_a = pairs.where((F.col("id_a") % 2 == 1) & (F.col("id_b") % 2 == 0)).select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("partner")
+    )
+    resolved = (
+        incoming_b.unionByName(incoming_a)
+        .groupBy("doc_id")
+        .agg(F.min("partner").alias("dup_of"))
+    )
+    return (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id")
+        .join(resolved, on="doc_id", how="left")
+        .select("doc_id", "dup_of", F.col("dup_of").isNull().alias("is_new"))
+    )
