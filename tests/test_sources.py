@@ -200,3 +200,35 @@ def test_load_testdata_events_nanos_parquet(spark, tmp_path):
         for n in ns
     )
     assert got == want
+
+
+def test_scan_parquet_pinned_schema_unifies_evolved_files(spark, tmp_path):
+    """Schema evolution contract: a directory whose older files lack a
+    newer column reads cleanly under the pinned schema (missing column
+    → NULLs), instead of depending on mergeSchema inference."""
+    import shutil
+
+    from dask_datapipeline_spark.sources.readers import scan_parquet
+
+    d = tmp_path / "evolved"
+    d.mkdir()
+
+    def one_file(name, df):
+        stage = tmp_path / ("s_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        shutil.copy(next(stage.glob("part-*.parquet")), d / f"{name}.parquet")
+
+    one_file("old", spark.createDataFrame([(1, "a")], "id long, v string"))
+    one_file(
+        "new",
+        spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    got = {r.id: (r.v, r.score) for r in scan_parquet(spark, str(d), schema=schema).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
