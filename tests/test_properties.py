@@ -329,3 +329,47 @@ def test_segment_dedup_matches_python_model(spark, texts, k):
         for r in segment_dedup(df, seg_tokens=k).collect()
     }
     assert got == want
+
+
+_funnel_types = st.sampled_from(["view", "click", "purchase", "other"])
+_funnel_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # user
+        st.integers(min_value=0, max_value=20),  # second offset
+        _funnel_types,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_funnel_rows)
+@settings(**_SETTINGS)
+def test_funnel_times_matches_python_model(spark, rows):
+    """funnel_times == a python walk of each user's (ts, type)-sorted
+    events taking the first step-k event STRICTLY after step k-1."""
+    from dask_datapipeline_spark.operators.funnel import funnel_times
+
+    base = dt.datetime(2024, 1, 1)
+    data = [(u, base + dt.timedelta(seconds=s), t) for u, s, t in rows]
+    df = spark.createDataFrame(data, "user_id long, ts timestamp, event_type string")
+    steps = ["view", "click", "purchase"]
+
+    want = {}
+    for u in {r[0] for r in data if r[2] in steps}:
+        seq = sorted((ts, t) for uu, ts, t in data if uu == u and t in steps)
+        state = [None, None, None]
+        for ts, t in seq:
+            for i, s in enumerate(steps):
+                prev = state[i - 1] if i else None
+                ok_prev = True if i == 0 else (prev is not None and ts > prev)
+                if state[i] is None and t == s and ok_prev:
+                    state[i] = ts
+                    break
+        want[u] = tuple(state)
+
+    got = {
+        r.user_id: (r.t_view, r.t_click, r.t_purchase)
+        for r in funnel_times(df, steps).collect()
+    }
+    assert got == want
