@@ -1893,3 +1893,72 @@ def q_incremental_dedup(spark, sf_dir):
         .join(resolved, on="doc_id", how="left")
         .select("doc_id", "dup_of", F.col("dup_of").isNull().alias("is_new"))
     )
+
+
+# --------------------------------------------------------------------
+# Interval overlap join (concurrent sessions)
+# --------------------------------------------------------------------
+
+_SESSIONS_CTE = """
+lagd AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '6 hours'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagd
+),
+s AS (
+  SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL '6 hours' AS session_end
+  FROM sess GROUP BY user_id, sid
+)"""
+
+
+@register_extra(
+    "concurrent_sessions",
+    "WITH "
+    + _SESSIONS_CTE
+    + """,
+p AS (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM s a JOIN s b
+    ON a.session_start <= b.session_end AND b.session_start <= a.session_end
+   AND a.user_id < b.user_id
+), dirs AS (
+  SELECT ua AS user_id, ub AS partner FROM p
+  UNION ALL
+  SELECT ub AS user_id, ua AS partner FROM p
+)
+SELECT user_id, COUNT(*) AS n_concurrent, COUNT(DISTINCT partner) AS n_partner_users
+FROM dirs GROUP BY user_id
+""",
+    "Interval overlap join (operators/joins.py::interval_overlap_join): cross-user "
+    "concurrent sessions via time-bucket explode + equi-join + exact overlap verify "
+    "— the composition that replaces the nested-loop range self-join Spark would "
+    "otherwise plan; oracle is DuckDB's native inequality (IE) join",
+)
+def q_concurrent_sessions(spark, sf_dir):
+    from dask_datapipeline_spark.operators.joins import interval_overlap_join
+    from dask_datapipeline_spark.streaming.windows import session_agg
+
+    ev = load_testdata(spark, sf_dir, "events")
+    s = session_agg(ev).select("user_id", "session_start", "session_end")
+    pairs = interval_overlap_join(
+        s, s, on_overlap=("session_start", "session_end")
+    ).where(F.col("user_id_a") < F.col("user_id_b"))
+    both = pairs.select(
+        F.col("user_id_a").alias("user_id"), F.col("user_id_b").alias("partner")
+    ).unionByName(
+        pairs.select(
+            F.col("user_id_b").alias("user_id"), F.col("user_id_a").alias("partner")
+        )
+    )
+    return both.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_concurrent"),
+        F.countDistinct("partner").alias("n_partner_users"),
+    )

@@ -200,3 +200,51 @@ def test_funnel_rejects_bad_steps(spark, funnel_events):
         funnel_times(funnel_events, [])
     with pytest.raises(ValueError):
         funnel_times(funnel_events, ["view", "view"])
+
+
+# ---------------------- interval overlap join ------------------------
+
+
+from dask_datapipeline_spark.operators.joins import interval_overlap_join
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    import datetime as _dt
+
+    def t(h):
+        return _dt.datetime(2024, 1, 1, h)
+
+    rows = [
+        (1, t(0), t(2)),   # overlaps 2 (touching at t2) and 3
+        (2, t(2), t(4)),   # closed intervals: touching counts
+        (3, t(1), t(3)),
+        (4, t(10), t(11)), # isolated
+    ]
+    return spark.createDataFrame(rows, "iid long, start timestamp, end timestamp")
+
+
+def test_interval_overlap_matches_bruteforce(spark, intervals):
+    rows = intervals.collect()
+    want = {
+        (a.iid, b.iid)
+        for a in rows
+        for b in rows
+        if a.start <= b.end and b.start <= a.end
+    }
+    got = {
+        (r.iid_a, r.iid_b)
+        for r in interval_overlap_join(intervals, intervals, bucket_seconds=3600).collect()
+    }
+    assert got == want
+
+
+def test_interval_overlap_long_intervals_cross_many_buckets(spark, intervals):
+    # tiny buckets: every pair spans many buckets; distinct must dedup
+    got = interval_overlap_join(intervals, intervals, bucket_seconds=60).collect()
+    assert len(got) == len({(r.iid_a, r.iid_b) for r in got})
+
+
+def test_interval_overlap_rejects_bad_bucket(spark, intervals):
+    with pytest.raises(ValueError):
+        interval_overlap_join(intervals, intervals, bucket_seconds=0)
