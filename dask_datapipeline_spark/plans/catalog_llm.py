@@ -1962,3 +1962,39 @@ def q_concurrent_sessions(spark, sf_dir):
         F.count(F.lit(1)).alias("n_concurrent"),
         F.countDistinct("partner").alias("n_partner_users"),
     )
+
+
+@register_extra(
+    "equi_depth_histogram",
+    """
+WITH ranked AS (
+  SELECT l_extendedprice,
+         ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS decile
+  FROM lineitem
+)
+SELECT decile,
+       COUNT(*) AS n_rows,
+       MIN(l_extendedprice) AS lo,
+       MAX(l_extendedprice) AS hi,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+FROM ranked GROUP BY decile
+""",
+    "Equi-depth histogram via ntile(10) with a TOTAL order (unique-key tiebreak, "
+    "so bucket boundaries are deterministic): the exact form of the boundary "
+    "sampling RangePartitioner does for repartitionByRange; decimal-exact sums",
+)
+def q_equi_depth_histogram(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    li = load_testdata(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_extendedprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("price_sum"),
+        )
+    )
