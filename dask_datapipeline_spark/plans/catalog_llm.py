@@ -1998,3 +1998,79 @@ def q_equi_depth_histogram(spark, sf_dir):
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("price_sum"),
         )
     )
+
+
+@register_extra(
+    "mad_outliers",
+    """
+WITH ev AS (
+  SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+), med AS (
+  SELECT event_type, value AS med FROM ranked WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS adev, m.med
+  FROM ev e JOIN med m ON e.event_type = m.event_type
+), dranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+), mad AS (
+  SELECT event_type, adev AS mad FROM dranked WHERE rn = (n + 1) // 2
+)
+SELECT d.event_type,
+       COUNT(*) AS n_events,
+       MIN(m2.med) AS med,
+       MIN(m2.mad) AS mad,
+       COUNT(*) FILTER (WHERE d.adev > 3 * m2.mad) AS n_outliers
+FROM dev d
+JOIN (SELECT med.event_type, med.med, mad.mad
+      FROM med JOIN mad ON med.event_type = mad.event_type) m2
+  ON d.event_type = m2.event_type
+GROUP BY d.event_type
+""",
+    "Robust MAD outliers: median and MAD as ORDER-STATISTIC selections "
+    "(row_number to the lower-middle element, unique-key tiebreak) — "
+    "interpolation-free, so the statistics are bit-identical across engines "
+    "(quantile interpolation formulas differ in final-ulp between engines); "
+    "flags |x - med| > 3*MAD; two window shuffles plus broadcast stat joins",
+)
+def q_mad_outliers(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = (
+        load_testdata(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+
+    def order_stat(df, val_col, out_name):
+        w = Window.partitionBy("event_type").orderBy(val_col, "event_id")
+        wc = Window.partitionBy("event_type")
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(wc))
+            .where(F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+            .select("event_type", F.col(val_col).alias(out_name))
+        )
+
+    med = order_stat(ev, "value", "med")
+    dev = ev.join(F.broadcast(med), on="event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = order_stat(dev.select("event_id", "event_type", "adev"), "adev", "mad")
+    stats = med.join(mad, on="event_type")
+    return (
+        dev.select("event_id", "event_type", "adev")
+        .join(F.broadcast(stats), on="event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1)).alias("n_outliers"),
+        )
+    )

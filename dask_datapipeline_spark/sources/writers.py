@@ -100,3 +100,49 @@ def write_orc(
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
     return True
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    out_path: str | None = None,
+) -> int:
+    """Compact a directory of small parquet files into ~target-size
+    files; returns the output file count.
+
+    The 100 TB problem this solves: streaming/incremental ingest lands
+    thousands of KB-scale files per partition; every later scan pays
+    per-file open/footer cost and the driver pays listing memory.
+    Periodic compaction keeps scans at full row-group stride.
+
+    File count = ceil(input_bytes / target) from the SOURCE directory
+    size (cheap driver-side listing — no data pass), then ONE
+    round-robin repartition writes evenly sized files. In-place mode
+    (no ``out_path``) stages to a sibling temp dir and atomically
+    renames, so a concurrent reader never sees a half-compacted
+    directory (rename is atomic on the same filesystem; on object
+    stores, write-then-swap-prefix plays the same role).
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    files = [
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    ]
+    if not files:
+        raise FileNotFoundError(f"no parquet files to compact under {path!r}")
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    staging = out_path or (path.rstrip("/") + f".compact-{uuid.uuid4().hex[:8]}")
+    df.repartition(n_out).write.mode("overwrite").parquet(staging)
+    if out_path is None:
+        old = path.rstrip("/") + f".old-{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old)
+    written = staging if out_path else path
+    return len([f for f in os.listdir(written) if f.endswith(".parquet")])

@@ -232,3 +232,36 @@ def test_scan_parquet_pinned_schema_unifies_evolved_files(spark, tmp_path):
     )
     got = {r.id: (r.v, r.score) for r in scan_parquet(spark, str(d), schema=schema).collect()}
     assert got == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_compact_small_files(spark, tmp_path):
+    """20 tiny files -> a handful of right-sized ones, same rows, and
+    the in-place swap leaves a readable directory."""
+    from dask_datapipeline_spark.sources.writers import compact_small_files
+
+    src = str(tmp_path / "landing")
+    for i in range(20):
+        spark.createDataFrame([(i, f"v{i}")], "id long, v string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    import os
+
+    n_in = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_in >= 20
+    before = sorted((r.id, r.v) for r in spark.read.parquet(src).collect())
+
+    n_out = compact_small_files(spark, src, target_file_bytes=10 * 1024 * 1024)
+    assert n_out < n_in
+    after = sorted((r.id, r.v) for r in spark.read.parquet(src).collect())
+    assert after == before
+
+
+def test_compact_small_files_empty_dir(spark, tmp_path):
+    import pytest as _pytest
+
+    from dask_datapipeline_spark.sources.writers import compact_small_files
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    with _pytest.raises(FileNotFoundError):
+        compact_small_files(spark, str(d))
