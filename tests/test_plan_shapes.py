@@ -94,3 +94,42 @@ def test_global_topk_avoids_full_sort(spark, sf_dir):
     top-k + driver merge of k rows), never a global Sort exchange."""
     plan = _plan(spark, sf_dir, "sort_limit")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_probe_plan_is_exchange_free(spark, sf_dir):
+    """The bloom probe's whole point is scan-side pruning: any
+    Exchange in its plan means the filter stopped being map-only."""
+    from pyspark.sql import functions as F
+
+    from dask_datapipeline_spark.operators.bloom import bloom_semi_join
+    from dask_datapipeline_spark.sources.readers import load_testdata
+
+    ev = load_testdata(spark, sf_dir, "events")
+    dim = load_testdata(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    plan = (
+        bloom_semi_join(ev, dim, "user_id", "c_custkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_funnel_plan_has_no_event_self_join(spark, sf_dir):
+    """The funnel must stay a fold over ONE collect_list pass — a
+    rewrite into per-step event self-joins multiplies a 100 TB fact
+    by the step count."""
+    from dask_datapipeline_spark.operators.funnel import funnel_counts
+    from dask_datapipeline_spark.sources.readers import load_testdata
+
+    ev = load_testdata(spark, sf_dir, "events")
+    dim = load_testdata(spark, sf_dir, "customer")
+    plan = (
+        funnel_counts(ev, dim, ["view", "click", "purchase"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 2, plan  # events once, dim once
