@@ -2074,3 +2074,64 @@ def q_mad_outliers(spark, sf_dir):
             F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1)).alias("n_outliers"),
         )
     )
+
+
+
+# --------------------------------------------------------------------
+# Leakage-safe split (clusters never straddle train/test)
+# --------------------------------------------------------------------
+
+_DUP_CLUSTERS_ORACLE = None  # bound after registration completes
+
+
+def _leakage_safe_oracle() -> str:
+    from dask_datapipeline_spark.plans.catalog import CATALOG
+
+    return f"""
+SELECT c.doc_id, c.cluster_id,
+       CASE WHEN c.b < 80 THEN 'train'
+            WHEN c.b < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (
+  SELECT t.doc_id, t.cluster_id,
+         CAST(CONCAT('0x', SUBSTRING(md5('split:' || t.cluster_id), 1, 15)) AS BIGINT) % 100 AS b
+  FROM ({CATALOG["dup_clusters"].oracle}) t
+) c
+"""
+
+
+@register_extra(
+    "leakage_safe_split",
+    None,  # resolved below once dup_clusters' oracle exists
+    "Leakage-safe 80/10/10 split: the split hash keys on the near-dup CLUSTER id, "
+    "not the doc id, so no near-duplicate pair can straddle train/test (the "
+    "contamination channel a doc-keyed split leaves open); reuses the cached "
+    "MinHash+LSH clustering and the deterministic md5 bucket",
+)
+def q_leakage_safe_split(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    pairs = DD.near_dup_pairs_minhash(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5, max_df=_MAX_DF
+    )
+    clusters = DD.dup_clusters(pairs, docs)
+    bucket = DD.seeded_hash64(F.col("cluster_id").cast("string"), "split") % 100
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _late_bind_leakage_safe_oracle() -> None:
+    from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG, QueryDef
+
+    qd = EXTRA_CATALOG["leakage_safe_split"]
+    EXTRA_CATALOG["leakage_safe_split"] = QueryDef(
+        fn=qd.fn, oracle=_leakage_safe_oracle(), description=qd.description
+    )
+
+
+_late_bind_leakage_safe_oracle()

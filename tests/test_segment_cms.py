@@ -248,3 +248,22 @@ def test_interval_overlap_long_intervals_cross_many_buckets(spark, intervals):
 def test_interval_overlap_rejects_bad_bucket(spark, intervals):
     with pytest.raises(ValueError):
         interval_overlap_join(intervals, intervals, bucket_seconds=0)
+
+
+# ------------------------- leakage-safe split ------------------------
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """The contamination property itself: every near-dup pair lands in
+    ONE split (a doc-keyed split leaves this channel open)."""
+    from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG
+
+    out = EXTRA_CATALOG["leakage_safe_split"].fn(spark, "/root/testdata/sf0.001")
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_cluster.where(F.col("n_splits") > 1).count() == 0
+    # and all three splits actually occur
+    assert {r.split for r in out.select("split").distinct().collect()} == {
+        "train", "valid", "test",
+    }
