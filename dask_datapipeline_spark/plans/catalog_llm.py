@@ -2135,3 +2135,40 @@ def _late_bind_leakage_safe_oracle() -> None:
 
 
 _late_bind_leakage_safe_oracle()
+
+
+@register_extra(
+    "streaming_stream_join",
+    """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.ts AS purchase_ts,
+       c.ts AS click_ts
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL '1 hour'
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+""",
+    "Stream-STREAM inner join (streaming/windows.py::stream_stream_click_purchase): "
+    "purchases joined to the same user's clicks in the preceding hour, watermarks "
+    "on both sides + a time-range condition so join state is EVICTABLE (the only "
+    "shape that survives unbounded streams); availableNow replay equals the batch "
+    "join bit-for-bit",
+)
+def q_streaming_stream_join(spark, sf_dir):
+    from dask_datapipeline_spark.streaming.windows import (
+        run_to_memory,
+        stream_stream_click_purchase,
+    )
+
+    name = f"stream_ssj_{next(_STREAM_SEQ)}"
+    run_to_memory(
+        stream_stream_click_purchase(spark, sf_dir),
+        name,
+        "append",
+        state_partitions=8,
+    )
+    return spark.table(name)

@@ -141,6 +141,57 @@ def stream_dedup(df: DataFrame, keys: list[str], ts_col: str = "ts", delay: str 
     return with_watermark(df, ts_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_stream_click_purchase(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback: str = "1 hour",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-STREAM inner join: each purchase paired with the same
+    user's clicks in the preceding ``lookback`` (inclusive bounds).
+
+    The two requirements that make this state-bounded on an unbounded
+    stream: watermarks on BOTH sides (late events beyond ``delay`` may
+    be dropped) and a time-RANGE join condition, which lets Spark
+    evict click state older than purchase_ts - lookback - delay
+    instead of buffering both streams forever. Over the bounded
+    availableNow replay everything lands in one microbatch, so the
+    emitted set equals the batch join exactly — which is what the SQL
+    oracle checks.
+
+    Both sides derive from ONE readStream source (a self-join of the
+    stream) — Spark plans it as two stateful join sides over the same
+    scan, the production shape for funnel-ish stream correlation."""
+    ev = stream_events(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", delay)
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", delay)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""user_id = c_user
+            AND click_ts >= purchase_ts - INTERVAL {lookback}
+            AND click_ts <= purchase_ts"""
+        ),
+        "inner",
+    ).select("user_id", "purchase_id", "click_id", "purchase_ts", "click_ts")
+
+
 _TOTALS_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

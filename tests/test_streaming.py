@@ -129,3 +129,25 @@ def test_streaming_checkpoint_resume(spark, tmp_path):
     drain()
     # resume processed ONLY b2 — no duplicates from b1
     assert sorted(r.id for r in spark.read.parquet(str(sink)).collect()) == [1, 2, 3, 4, 5]
+
+
+def test_stream_stream_join_equals_batch_range_join(spark, sf_dir, batch_events):
+    sdf = SW.stream_stream_click_purchase(spark, sf_dir)
+    SW.run_to_memory(sdf, "t_ssj", output_mode="append", state_partitions=4)
+    got = spark.table("t_ssj")
+    p = batch_events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    c = batch_events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    want = p.join(
+        c,
+        F.expr(
+            "user_id = c_user AND click_ts >= purchase_ts - INTERVAL 1 hour "
+            "AND click_ts <= purchase_ts"
+        ),
+    ).select("user_id", "purchase_id", "click_id", "purchase_ts", "click_ts")
+    cols = ["user_id", "purchase_id", "click_id", "purchase_ts", "click_ts"]
+    assert _rows(got, cols) == _rows(want, cols)
