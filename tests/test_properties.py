@@ -373,3 +373,34 @@ def test_funnel_times_matches_python_model(spark, rows):
         for r in funnel_times(df, steps).collect()
     }
     assert got == want
+
+
+_iv_starts = st.integers(min_value=0, max_value=100)
+_iv_lens = st.integers(min_value=0, max_value=40)
+_intervals = st.lists(st.tuples(_iv_starts, _iv_lens), min_size=1, max_size=12)
+
+
+@given(ivs=_intervals, bucket=st.sampled_from([60, 3600, 7200]))
+@settings(**_SETTINGS)
+def test_interval_overlap_join_matches_bruteforce(spark, ivs, bucket):
+    """bucketized interval join == quadratic python overlap check, for
+    any bucket width (recall must not depend on the tuning knob)."""
+    from dask_datapipeline_spark.operators.joins import interval_overlap_join
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=s), base + dt.timedelta(minutes=s + ln))
+        for i, (s, ln) in enumerate(ivs)
+    ]
+    df = spark.createDataFrame(rows, "iid long, start timestamp, end timestamp")
+    want = {
+        (a[0], b[0])
+        for a in rows
+        for b in rows
+        if a[1] <= b[2] and b[1] <= a[2]
+    }
+    got = {
+        (r.iid_a, r.iid_b)
+        for r in interval_overlap_join(df, df, bucket_seconds=bucket).collect()
+    }
+    assert got == want
