@@ -145,9 +145,11 @@ def priority_sample(
     hash-compare them raw. Ties (astronomically unlikely but cheap to
     kill) break on the unique key ascending.
 
-    One shuffle (the per-group window); at 100 TB use the map-side
-    top-k pattern (per-partition k-minima, as ``kmv_partial_mins``)
-    before the window to keep the exchange at parts×k rows per group.
+    The global window is fed through ``partial_topk`` (map-side
+    per-partition prune under the SAME (priority desc, key asc) total
+    order), so the window's exchange carries at most parts×k rows per
+    group instead of the corpus — exact-preserving, and the shape
+    that holds at 100 TB.
 
     Rows with NULL or non-positive weight are excluded (a zero-weight
     row must never be sampled; negative weights are a caller bug
@@ -156,6 +158,8 @@ def priority_sample(
     if k < 1:
         raise ValueError(f"k={k} must be >= 1")
     require_columns(df, [weight_col, key_col] + (group_cols or []))
+    from dask_datapipeline_spark.operators.sketches import partial_topk
+
     u = (seeded_hash64(F.col(key_col).cast("string"), seed) + 1).cast(
         "double"
     ) / F.lit(float(1 << 60))
@@ -165,12 +169,14 @@ def priority_sample(
     w = Window.partitionBy(*(group_cols or [])).orderBy(
         F.desc("priority"), F.asc(key_col)
     )
-    return (
-        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-        .withColumn("priority", pri)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
+    scored = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("priority", pri)
+    pruned = partial_topk(
+        scored, group_cols or [], "priority", k, descending=True,
+        tiebreak_cols=[key_col],
     )
+    return pruned.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
 
 
 def priority_sample_oracle_sql(

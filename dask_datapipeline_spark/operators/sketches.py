@@ -262,3 +262,45 @@ FROM est
 ORDER BY cms_est DESC, {key_col} ASC
 LIMIT {top}
 """
+
+
+def partial_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Map-side per-partition top-k prune (same contract as
+    ``kmv_partial_mins``): each input partition emits at most k rows
+    per group, so a following global per-group top-k window shuffles
+    ``n_partitions × k`` rows per group instead of the whole table.
+
+    EXACT-preserving for a subsequent global top-k that orders by
+    (order_col, tiebreak_cols asc) — the prune sorts under the SAME
+    total order, so the row the global tiebreak would choose at the
+    k-boundary can never be pruned away. Callers with a tiebroken
+    global window (every catalog top-k) MUST pass the same tiebreak
+    columns here; without them a boundary tie could drop the winner.
+    """
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    schema = df.schema
+    sort_cols = [order_col] + list(tiebreak_cols or [])
+    ascending = [not descending] + [True] * len(tiebreak_cols or [])
+
+    def _prune(batches):
+        state: pd.DataFrame | None = None
+        for pdf in batches:
+            merged = pdf if state is None else pd.concat((state, pdf))
+            merged = merged.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+            state = (
+                merged.groupby(group_cols, sort=False).head(k)
+                if group_cols
+                else merged.head(k)
+            )
+        if state is not None:
+            yield state
+
+    return df.mapInPandas(_prune, schema)

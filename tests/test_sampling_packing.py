@@ -193,3 +193,36 @@ def test_priority_sample_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, 1)], "doc_id long, w long")
     with _pytest.raises(ValueError):
         priority_sample(df, "w", 0)
+
+
+def test_partial_topk_preserves_global_topk_with_ties(spark):
+    """Boundary ties: the prune sorts under the same total order as
+    the global window, so the tiebreak winner survives pruning even
+    when equal order-values straddle the per-partition k cut."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dask_datapipeline_spark.operators.sketches import partial_topk
+
+    # many equal scores; winner under (score desc, id asc) is lowest id
+    rows = [(i, "g", 7.0) for i in range(100)] + [(100, "g", 9.0)]
+    df = spark.createDataFrame(rows, "id long, g string, score double").repartition(8)
+    pruned = partial_topk(df, ["g"], "score", 3, tiebreak_cols=["id"])
+    w = Window.partitionBy("g").orderBy(F.desc("score"), F.asc("id"))
+    got = (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .orderBy("rn")
+        .collect()
+    )
+    assert [r.id for r in got] == [100, 0, 1]
+
+
+def test_partial_topk_bounds_rows_per_partition(spark):
+    from dask_datapipeline_spark.operators.sketches import partial_topk
+
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(400)], "id long, g int, score double"
+    ).repartition(5)
+    out = partial_topk(df, ["g"], "score", 2)
+    assert out.count() <= 5 * 4 * 2
