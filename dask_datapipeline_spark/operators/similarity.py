@@ -440,3 +440,150 @@ def cosine_all_pairs_exact(
             )
 
     return fan_out(df.select(id_col, vec_col)).mapInPandas(gen, out_schema)
+
+
+# ----- product quantization (PQ) + ADC scan --------------------------
+
+
+def _pq_codebook(corpus: DataFrame, id_col: str, vec_col: str, n_codes: int) -> np.ndarray:
+    """Deterministic PQ codebook: the sub-vectors of the ``n_codes``
+    lowest-id corpus vectors (same bounded-collect contract as the IVF
+    codebook — production trains k-means per subspace; the encode →
+    ADC dataflow is identical and is what this operator exercises).
+    Shape (n_codes, dim)."""
+    cent = (
+        corpus.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(n_codes).collect()
+    )
+    if not cent:
+        raise ValueError("pq: corpus is empty — cannot build a codebook")
+    return np.stack([np.asarray(r[1], dtype=np.float64) for r in cent])
+
+
+def _sub_sqdist(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Squared L2 via the dot identity ``(aa - (2*ab)) + bb`` with
+    every dot accumulated in strict element order — the EXACT
+    expression tree the SQL oracle evaluates (list_dot_product folds),
+    so distances are bit-identical across engines.
+
+    a: (n, d'), b: (m, d') → (n, m)."""
+    aa = _seq_sq_norm(a)
+    bb = _seq_sq_norm(b)
+    ab = _seq_dot(a, b)
+    return (aa[:, None] - (2.0 * ab)) + bb[None, :]
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization k-NN (Jégou et al. 2011) with an ADC scan
+    — the billion-scale ANN workhorse: the corpus is stored as
+    ``n_subspaces`` 1-byte codes per vector (64 dims → 8 bytes, an
+    8×-32× memory/IO reduction), and each query scans CODES, not
+    vectors, summing precomputed sub-distances.
+
+    Physical shape, and why it scales:
+
+    - encode: one Arrow-batched pass over the corpus scan → codes
+      (argmin sub-distance per subspace; ties → lowest code id);
+      at 100 TB the codes are written once as the 'index' and
+      re-scanned forever — 8 bytes/vector instead of 256;
+    - query: the per-query distance TABLES
+      (n_queries × n_subspaces × n_codes doubles — KiB) travel in a
+      broadcast; the ADC scan is mapInPandas over the code table,
+      NO join, NO shuffle of vectors;
+    - rank: one window top-k per query over (adc_dist asc, id asc).
+
+    Determinism: codebook = lowest-id sub-vectors; squared L2 via the
+    ``(aa - (2*ab)) + bb`` identity with strict-order dots; the ADC
+    sum is a LEFT-ASSOCIATIVE chain over subspaces in order —
+    bit-identical to the oracle's explicit ``m0 + m1 + ... + m7``.
+    Output: (query_id, neighbor_id, adc_dist, rn)."""
+    require_columns(corpus, [id_col, vec_col])
+    require_columns(queries, [id_col, vec_col])
+    if dim % n_subspaces != 0:
+        raise ValueError(f"dim={dim} not divisible by n_subspaces={n_subspaces}")
+    sub_d = dim // n_subspaces
+    book = _pq_codebook(corpus, id_col, vec_col, n_codes)  # (n_codes, dim)
+
+    spark = corpus.sparkSession
+
+    def _codes_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = _stack(pdf[vec_col])
+            codes = np.empty((len(mat), n_subspaces), dtype=np.int32)
+            for j in range(n_subspaces):
+                sub = mat[:, j * sub_d : (j + 1) * sub_d]
+                cents = book[:, j * sub_d : (j + 1) * sub_d]
+                d = _sub_sqdist(sub, cents)
+                # argmin returns the FIRST minimum; codebook ids are
+                # ascending → ties resolve to the lowest code id,
+                # matching the oracle's ORDER BY d, cid
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    codes_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    corpus_codes = fan_out(corpus.select(id_col, vec_col)).mapInPandas(
+        _codes_batch, codes_schema
+    )
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        raise ValueError("pq: queries side is empty")
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    tables = np.empty((len(q_ids), n_subspaces, n_codes))
+    for j in range(n_subspaces):
+        tables[:, j, :] = _sub_sqdist(
+            q_mat[:, j * sub_d : (j + 1) * sub_d],
+            book[:, j * sub_d : (j + 1) * sub_d],
+        )
+    bc = spark.sparkContext.broadcast((q_ids, tables))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def _adc_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, tabs = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (n, n_subspaces)
+            vec_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            # left-associative accumulation in subspace order — the
+            # oracle's explicit m0 + m1 + ... chain
+            for qi in range(len(ids)):
+                acc = tabs[qi, 0, codes[:, 0]]
+                for j in range(1, n_subspaces):
+                    acc = acc + tabs[qi, j, codes[:, j]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(vec_ids), ids[qi]),
+                        "neighbor_id": vec_ids,
+                        "adc_dist": acc,
+                    }
+                )
+
+    scored = corpus_codes.mapInPandas(_adc_batch, out_schema)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

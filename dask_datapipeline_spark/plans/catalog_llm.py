@@ -2172,3 +2172,65 @@ def q_streaming_stream_join(spark, sf_dir):
         state_partitions=8,
     )
     return spark.table(name)
+
+
+# --------------------------------------------------------------------
+# Product quantization (PQ) k-NN with ADC scan
+# --------------------------------------------------------------------
+
+#: squared-L2 via the dot identity, parenthesized EXACTLY as the
+#: Python side evaluates it ((aa - (2*ab)) + bb, strict-order dots)
+_SQD_SQL = (
+    "((list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))"
+    " - (2 * list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+    " + list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))"
+)
+
+_PQ_SUB = "{v}[g.j*8+1 : g.j*8+8]"
+_PQ_ADC_CHAIN = " + ".join(f"MAX(CASE WHEN j = {j} THEN d END)" for j in range(8))
+
+
+@register_extra(
+    "knn_join_pq",
+    f"""
+WITH cb AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+codes AS (
+  SELECT e.vec_id, g.j, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id, g.j
+           ORDER BY {_SQD_SQL.format(a=_PQ_SUB.format(v='e.embedding'), b=_PQ_SUB.format(v='c.cv'))} ASC, c.cid
+         ) AS rn
+  FROM embeddings e CROSS JOIN cb c, unnest(generate_series(0, 7)) g(j)
+),
+code AS (SELECT vec_id, j, cid AS cod FROM codes WHERE rn = 1),
+tdist AS (
+  SELECT q.qid, g.j, c.cid,
+         {_SQD_SQL.format(a=_PQ_SUB.format(v='q.qv'), b=_PQ_SUB.format(v='c.cv'))} AS d
+  FROM qs q CROSS JOIN cb c, unnest(generate_series(0, 7)) g(j)
+),
+scored AS (
+  SELECT t.qid AS query_id, k.vec_id AS neighbor_id, k.j, t.d
+  FROM code k JOIN tdist t ON t.j = k.j AND t.cid = k.cod
+),
+adc AS (
+  SELECT query_id, neighbor_id, {_PQ_ADC_CHAIN} AS adc_dist
+  FROM scored GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, adc_dist, rn FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id) AS rn
+  FROM adc) WHERE rn <= 5
+""",
+    "Product-quantization k-NN (operators/similarity.py::pq_topk, Jegou et al. "
+    "2011): corpus encoded as 8 one-byte codes (8x-32x index shrink), ADC scan "
+    "sums precomputed sub-distances from a broadcast table — codes scan, no "
+    "vector shuffle; squared-L2 via the strict-order dot identity and a "
+    "left-associative ADC chain make distances bit-identical to the SQL replay",
+)
+def q_knn_join_pq(spark, sf_dir):
+    from dask_datapipeline_spark.operators.similarity import pq_topk
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(queries, emb, k=5, n_subspaces=8, n_codes=16)
