@@ -2234,3 +2234,69 @@ def q_knn_join_pq(spark, sf_dir):
     emb = load_testdata(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_topk(queries, emb, k=5, n_subspaces=8, n_codes=16)
+
+
+@register_extra(
+    "knn_join_ivfpq",
+    f"""
+WITH cb AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+assign AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_COS_SQL.format(a='e.embedding', b='c.cv')} DESC, c.cid
+         ) AS rn
+  FROM embeddings e CROSS JOIN cb c
+),
+cell AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+codes AS (
+  SELECT e.vec_id, g.j, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id, g.j
+           ORDER BY {_SQD_SQL.format(a=_PQ_SUB.format(v='e.embedding'), b=_PQ_SUB.format(v='c.cv'))} ASC, c.cid
+         ) AS rn
+  FROM embeddings e CROSS JOIN cb c, unnest(generate_series(0, 7)) g(j)
+),
+code AS (SELECT vec_id, j, cid AS cod FROM codes WHERE rn = 1),
+probe AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, c.cid AS cell,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY {_COS_SQL.format(a='q.qv', b='c.cv')} DESC, c.cid
+           ) AS rn
+    FROM qs q CROSS JOIN cb c) WHERE rn <= 4
+),
+tdist AS (
+  SELECT q.qid, g.j, c.cid,
+         {_SQD_SQL.format(a=_PQ_SUB.format(v='q.qv'), b=_PQ_SUB.format(v='c.cv'))} AS d
+  FROM qs q CROSS JOIN cb c, unnest(generate_series(0, 7)) g(j)
+),
+scored AS (
+  SELECT p.qid AS query_id, a.vec_id AS neighbor_id, k.j, t.d
+  FROM probe p
+  JOIN cell a ON a.cell = p.cell
+  JOIN code k ON k.vec_id = a.vec_id
+  JOIN tdist t ON t.qid = p.qid AND t.j = k.j AND t.cid = k.cod
+),
+adc AS (
+  SELECT query_id, neighbor_id, {_PQ_ADC_CHAIN} AS adc_dist
+  FROM scored GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, adc_dist, rn FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id) AS rn
+  FROM adc) WHERE rn <= 5
+""",
+    "IVF-PQ k-NN (operators/similarity.py::ivfpq_topk): coarse cells prune the "
+    "scan (probe 4 of 16), PQ codes shrink it (8 bytes/vector), ADC over probed "
+    "cells only — the billion-scale serving composition (residual-free variant; "
+    "oracle composes the proven IVF and PQ replays)",
+)
+def q_knn_join_ivfpq(spark, sf_dir):
+    from dask_datapipeline_spark.operators.similarity import ivfpq_topk
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(queries, emb, k=5, n_cells=16, n_probe=4, n_subspaces=8)

@@ -298,3 +298,18 @@ def test_pq_rejects_bad_shapes(spark):
     empty = emb.where(F.lit(False))
     with pytest.raises(ValueError, match="empty"):
         pq_topk(emb.limit(2), empty, k=2)
+
+
+def test_ivfpq_self_match_and_probe_pruning(spark):
+    """Queries are codebook vectors: own cell is probed first (cos=1)
+    and ADC self-distance is 0 → rank-1 self-match. Neighbor sets are
+    a subset of the probed cells' members (pruning is real)."""
+    from dask_datapipeline_spark.operators.similarity import ivfpq_topk
+    from dask_datapipeline_spark.sources.readers import load_testdata
+
+    emb = load_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    out = ivfpq_topk(emb.filter(F.col("vec_id") < 10), emb, k=3).collect()
+    top1 = {r.query_id: r for r in out if r.rn == 1}
+    assert set(top1) == set(range(10))
+    for q, r in top1.items():
+        assert r.neighbor_id == q and r.adc_dist == 0.0
