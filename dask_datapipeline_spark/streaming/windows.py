@@ -282,3 +282,72 @@ def run_to_memory(
             raise TimeoutError(f"stream {query_name} did not finish in {timeout_sec}s")
     finally:
         spark.conf.set(key, old)
+
+
+def stream_merge_to_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    snapshot_dir: str,
+    key_cols: list[str] | None = None,
+    timeout_sec: int = 120,
+) -> None:
+    """Streaming CDC maintenance: drain the event stream through
+    ``foreachBatch``, MERGE-upserting each microbatch into a parquet
+    snapshot (latest row per key wins) — the production pattern for
+    keeping a queryable table current from a stream when the sink has
+    no native upsert (raw parquet here; Delta/Iceberg MERGE INTO is
+    the table-format twin).
+
+    Per microbatch: collapse the batch to its latest row per key
+    (``latest_per_key`` keyed on the unique, monotone ``event_id`` —
+    the version column, so "latest" is total-ordered even under
+    duplicate timestamps), MERGE with the current snapshot
+    (``merge_upsert``), write the new
+    snapshot to a staging dir and atomically swap. foreachBatch gives
+    at-least-once delivery; the MERGE is IDEMPOTENT per key (replayed
+    batches re-apply the same latest rows), which is what makes the
+    end state exactly-once — the same reasoning every foreachBatch
+    upsert sink relies on.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from dask_datapipeline_spark.operators.merge import latest_per_key, merge_upsert
+
+    keys = key_cols or ["user_id"]
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        changes = latest_per_key(batch_df, keys, "event_id")
+        if os.path.isdir(snapshot_dir):
+            base = spark.read.parquet(snapshot_dir)
+            merged = merge_upsert(base, changes, keys)
+        else:
+            merged = changes
+        staging = snapshot_dir.rstrip("/") + f".stage-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(snapshot_dir):
+            old = snapshot_dir.rstrip("/") + f".old-{uuid.uuid4().hex[:8]}"
+            os.rename(snapshot_dir, old)
+            os.rename(staging, snapshot_dir)
+            shutil.rmtree(old)
+        else:
+            os.rename(staging, snapshot_dir)
+
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            snapshot_dir.rstrip("/") + ".ckpt-" + uuid_hex(),
+        )
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
+def uuid_hex() -> str:
+    import uuid
+
+    return uuid.uuid4().hex[:8]

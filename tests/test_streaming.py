@@ -151,3 +151,20 @@ def test_stream_stream_join_equals_batch_range_join(spark, sf_dir, batch_events)
     ).select("user_id", "purchase_id", "click_id", "purchase_ts", "click_ts")
     cols = ["user_id", "purchase_id", "click_id", "purchase_ts", "click_ts"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_merge_to_parquet_snapshot(spark, sf_dir, batch_events, tmp_path):
+    """foreachBatch MERGE sink: after draining the stream, the parquet
+    snapshot holds exactly the latest event per user (idempotent
+    upsert semantics — the exactly-once end state)."""
+    snap = str(tmp_path / "user_snapshot")
+    SW.stream_merge_to_parquet(spark, sf_dir, snap, key_cols=["user_id"])
+    got = spark.read.parquet(snap)
+    want = (
+        batch_events.groupBy("user_id")
+        .agg(F.max_by("event_id", "event_id").alias("event_id"))
+    )
+    assert got.count() == want.count()
+    g = {(r.user_id, r.event_id) for r in got.select("user_id", "event_id").collect()}
+    w = {(r.user_id, r.event_id) for r in want.collect()}
+    assert g == w
