@@ -404,3 +404,81 @@ def test_interval_overlap_join_matches_bruteforce(spark, ivs, bucket):
         for r in interval_overlap_join(df, df, bucket_seconds=bucket).collect()
     }
     assert got == want
+
+
+_cms_keys = st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60)
+
+
+@given(keys=_cms_keys)
+@settings(**_SETTINGS)
+def test_cms_matches_python_model(spark, keys):
+    """CMS estimates == python replay of the same md5 sketch (exact,
+    including collisions), and never underestimate."""
+    import hashlib
+
+    from dask_datapipeline_spark.operators.sketches import cms_heavy_hitters
+
+    depth, width = 3, 8  # tiny width → real collisions
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+
+    def bucket(v, i):
+        h = int(hashlib.md5(f"{1259 + i}:{v}".encode()).hexdigest()[:15], 16)
+        return h % width
+
+    counters = {}
+    for v in keys:
+        for i in range(depth):
+            c = (i, bucket(v, i))
+            counters[c] = counters.get(c, 0) + 1
+    want = {}
+    for v in set(keys):
+        want[v] = min(counters[(i, bucket(v, i))] for i in range(depth))
+
+    got = {
+        r.user_id: (r.cms_est, r.exact_count)
+        for r in cms_heavy_hitters(
+            df, "user_id", depth=depth, width=width, top=1000
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for v, (est, exact) in got.items():
+        assert est == want[v]
+        assert est >= exact == keys.count(v)
+
+
+_bloom_fact = st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40)
+_bloom_dim = st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=10)
+
+
+@given(fact=_bloom_fact, dim=_bloom_dim)
+@settings(**_SETTINGS)
+def test_bloom_matches_python_model(spark, fact, dim):
+    """bloom_semi_join == python replay of the same bitmap (exact,
+    false positives included)."""
+    import hashlib
+
+    from dask_datapipeline_spark.operators.bloom import bloom_semi_join
+
+    m, k = 64, 3
+    fdf = spark.createDataFrame([(i, v) for i, v in enumerate(fact)], "rid long, key long")
+    ddf = spark.createDataFrame([(v,) for v in dim] or [(None,)], "key long")
+
+    def bits_of(v):
+        return {
+            int(hashlib.md5(f"{4099 + i}:{v}".encode()).hexdigest()[:15], 16) % m
+            for i in range(k)
+        }
+
+    bitset = set()
+    for v in set(dim):
+        bitset |= bits_of(v)
+    want = {
+        i for i, v in enumerate(fact)
+        if all(b in bitset for b in bits_of(v))
+    } if dim else set()
+
+    got = {
+        r.rid
+        for r in bloom_semi_join(fdf, ddf, "key", "key", m_bits=m, k_hashes=k).collect()
+    }
+    assert got == want
