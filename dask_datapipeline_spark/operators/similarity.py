@@ -600,21 +600,33 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    residual: bool = False,
 ) -> DataFrame:
-    """IVF-PQ (residual-free variant): coarse cells prune the scan,
-    PQ codes shrink what's scanned — the composition behind
-    billion-scale ANN serving (FAISS IVFPQ; production additionally
-    encodes residuals x−centroid, same dataflow).
+    """IVF-PQ: coarse cells prune the scan, PQ codes shrink what's
+    scanned — the composition behind billion-scale ANN serving
+    (FAISS IVFPQ).
+
+    ``residual=True`` is the full FAISS design: PQ encodes
+    x − centroid(cell), which concentrates the quantized distribution
+    around 0 (better recall per byte); the residual codebook is the
+    residuals of the NEXT ``n_codes`` lowest-id corpus vectors after
+    the cell codebook (the cell vectors' own residuals are zero —
+    degenerate). ``residual=False`` quantizes raw vectors and can
+    share one codebook for cells and codes. Either way, elementwise
+    subtraction is a single IEEE op per component — the oracle
+    replays residuals with ``list_zip``/``list_transform`` exactly.
 
     Index build (one corpus pass): cell id by max-cosine to the IVF
     codebook + ``n_subspaces`` PQ codes — written out partitioned by
     cell at scale, so a query's probe prunes to n_probe partitions of
     8-byte codes. Query: probe the ``n_probe`` nearest cells, ADC-scan
     ONLY those cells' codes (bucket equi-join on cell id — bounded,
-    no cartesian shape), rank by (adc_dist asc, id asc).
+    no cartesian shape), rank by (adc_dist asc, id asc). In residual
+    mode the query's distance tables are per (query, probed cell) —
+    still KiB-scale broadcast.
 
-    Determinism: both codebooks are lowest-id collects; cell argmax
-    and code argmin tie toward the lower id; distances use the
+    Determinism: codebooks are lowest-id collects; cell argmax and
+    code argmin tie toward the lower id; distances use the
     strict-order dot identity and the left-associative ADC chain —
     the oracle composes the proven IVF and PQ SQL replays."""
     require_columns(corpus, [id_col, vec_col])
@@ -622,15 +634,22 @@ def ivfpq_topk(
     if dim % n_subspaces != 0:
         raise ValueError(f"dim={dim} not divisible by n_subspaces={n_subspaces}")
     sub_d = dim // n_subspaces
-    book = _pq_codebook(corpus, id_col, vec_col, max(n_cells, n_codes))
+    n_book = n_cells + n_codes if residual else max(n_cells, n_codes)
+    book = _pq_codebook(corpus, id_col, vec_col, n_book)
     cells_mat = book[:n_cells]
-    pq_book = book[:n_codes]
     cell_norms = np.sqrt(_seq_sq_norm(cells_mat))
 
     def _cell_sims(mat: np.ndarray) -> np.ndarray:
         return _seq_dot(mat, cells_mat) / (
             np.sqrt(_seq_sq_norm(mat))[:, None] * cell_norms[None, :]
         )
+
+    if residual:
+        raw = book[n_cells:]
+        raw_cells = np.argmax(_cell_sims(raw), axis=1)
+        pq_book = raw - cells_mat[raw_cells]
+    else:
+        pq_book = book[:n_codes]
 
     spark = corpus.sparkSession
 
@@ -640,10 +659,11 @@ def ivfpq_topk(
                 continue
             mat = _stack(pdf[vec_col])
             cell = np.argmax(_cell_sims(mat), axis=1).astype(np.int64)
+            enc = mat - cells_mat[cell] if residual else mat
             codes = np.empty((len(mat), n_subspaces), dtype=np.int32)
             for j in range(n_subspaces):
                 d = _sub_sqdist(
-                    mat[:, j * sub_d : (j + 1) * sub_d],
+                    enc[:, j * sub_d : (j + 1) * sub_d],
                     pq_book[:, j * sub_d : (j + 1) * sub_d],
                 )
                 codes[:, j] = np.argmin(d, axis=1)
@@ -669,17 +689,35 @@ def ivfpq_topk(
     q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     # stable argsort on -sim, ascending cell id on ties (lowest first)
     probes = np.argsort(-_cell_sims(q_mat), axis=1, kind="stable")[:, :n_probe]
-    tables = np.empty((len(q_ids), n_subspaces, n_codes))
-    for j in range(n_subspaces):
-        tables[:, j, :] = _sub_sqdist(
-            q_mat[:, j * sub_d : (j + 1) * sub_d],
-            pq_book[:, j * sub_d : (j + 1) * sub_d],
+
+    def _table_of(vecs: np.ndarray) -> np.ndarray:
+        t = np.empty((len(vecs), n_subspaces, n_codes))
+        for j in range(n_subspaces):
+            t[:, j, :] = _sub_sqdist(
+                vecs[:, j * sub_d : (j + 1) * sub_d],
+                pq_book[:, j * sub_d : (j + 1) * sub_d],
+            )
+        return t
+
+    if residual:
+        # per (query, probed cell): table of the query's residual
+        # w.r.t. THAT cell — n_queries × n_probe tables, still KiB
+        tabs_by_qc = {}
+        for i, q in enumerate(q_ids):
+            res = q_mat[i : i + 1, :] - cells_mat[probes[i]]
+            t = _table_of(res)
+            for pi, c in enumerate(probes[i]):
+                tabs_by_qc[(int(q), int(c))] = t[pi]
+        bc = spark.sparkContext.broadcast(tabs_by_qc)
+    else:
+        tables = _table_of(q_mat)
+        bc = spark.sparkContext.broadcast(
+            {int(q): tables[i] for i, q in enumerate(q_ids)}
         )
-    bc = spark.sparkContext.broadcast({int(q): tables[i] for i, q in enumerate(q_ids)})
     probe_rows = [
         (int(q), int(c)) for i, q in enumerate(q_ids) for c in probes[i]
     ]
-    probe_df = spark.createDataFrame(probe_rows, f"query_id long, __cell long")
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, __cell long")
 
     # bucket equi-join: each query reads only its probed cells' codes
     routed = index.join(F.broadcast(probe_df), on="__cell")
@@ -700,9 +738,15 @@ def ivfpq_topk(
             codes = np.stack(pdf["codes"].to_numpy())
             out_d = np.empty(len(pdf))
             qcol = pdf["query_id"].to_numpy(dtype=np.int64)
-            for q in np.unique(qcol):
-                m = qcol == q
-                t = tabs[int(q)]
+            if residual:
+                ccol = pdf["__cell"].to_numpy(dtype=np.int64)
+                group_keys = [(int(q), int(c)) for q, c in zip(qcol, ccol)]
+            else:
+                group_keys = [int(q) for q in qcol]
+            keys_arr = pd.Series(group_keys)
+            for key in keys_arr.unique():
+                m = (keys_arr == key).to_numpy()
+                t = tabs[key]
                 acc = t[0, codes[m, 0]]
                 for j in range(1, n_subspaces):
                     acc = acc + t[j, codes[m, j]]
@@ -715,9 +759,8 @@ def ivfpq_topk(
                 }
             )
 
-    scored = routed.select("query_id", id_col, "codes").mapInPandas(
-        _adc_batch, out_schema
-    )
+    adc_in_cols = ["query_id", id_col, "codes"] + (["__cell"] if residual else [])
+    scored = routed.select(*adc_in_cols).mapInPandas(_adc_batch, out_schema)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))

@@ -2186,6 +2186,13 @@ _SQD_SQL = (
     " + list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))"
 )
 
+#: elementwise residual a - b, both sides promoted to DOUBLE first
+#: (numeric struct indices: list_zip yields unnamed structs)
+_RES_SQL = (
+    "list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])),"
+    " x -> x[1] - x[2])"
+)
+
 _PQ_SUB = "{v}[g.j*8+1 : g.j*8+8]"
 _PQ_ADC_CHAIN = " + ".join(f"MAX(CASE WHEN j = {j} THEN d END)" for j in range(8))
 
@@ -2234,34 +2241,50 @@ def q_knn_join_pq(spark, sf_dir):
     emb = load_testdata(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_topk(queries, emb, k=5, n_subspaces=8, n_codes=16)
-
-
 @register_extra(
     "knn_join_ivfpq",
     f"""
 WITH cb AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+rb AS (SELECT vec_id AS rid0, embedding AS rv0 FROM embeddings WHERE vec_id >= 16 AND vec_id < 32),
 qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+rb_assign AS (
+  SELECT b.rid0, b.rv0, c.cid,
+         row_number() OVER (
+           PARTITION BY b.rid0
+           ORDER BY {_COS_SQL.format(a='b.rv0', b='c.cv')} DESC, c.cid
+         ) AS rn
+  FROM rb b CROSS JOIN cb c
+),
+rcb AS (
+  SELECT a.rid0 AS rid, {_RES_SQL.format(a='a.rv0', b='c.cv')} AS rv
+  FROM rb_assign a JOIN cb c ON c.cid = a.cid
+  WHERE a.rn = 1
+),
 assign AS (
-  SELECT e.vec_id, c.cid,
+  SELECT e.vec_id, e.embedding, c.cid,
          row_number() OVER (
            PARTITION BY e.vec_id
            ORDER BY {_COS_SQL.format(a='e.embedding', b='c.cv')} DESC, c.cid
          ) AS rn
   FROM embeddings e CROSS JOIN cb c
 ),
-cell AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
-codes AS (
-  SELECT e.vec_id, g.j, c.cid,
-         row_number() OVER (
-           PARTITION BY e.vec_id, g.j
-           ORDER BY {_SQD_SQL.format(a=_PQ_SUB.format(v='e.embedding'), b=_PQ_SUB.format(v='c.cv'))} ASC, c.cid
-         ) AS rn
-  FROM embeddings e CROSS JOIN cb c, unnest(generate_series(0, 7)) g(j)
+cell AS (
+  SELECT a.vec_id, a.cid AS cell, {_RES_SQL.format(a='a.embedding', b='c.cv')} AS re
+  FROM assign a JOIN cb c ON c.cid = a.cid
+  WHERE a.rn = 1
 ),
-code AS (SELECT vec_id, j, cid AS cod FROM codes WHERE rn = 1),
+codes AS (
+  SELECT ce.vec_id, g.j, r.rid,
+         row_number() OVER (
+           PARTITION BY ce.vec_id, g.j
+           ORDER BY {_SQD_SQL.format(a=_PQ_SUB.format(v='ce.re'), b=_PQ_SUB.format(v='r.rv'))} ASC, r.rid
+         ) AS rn
+  FROM cell ce CROSS JOIN rcb r, unnest(generate_series(0, 7)) g(j)
+),
+code AS (SELECT vec_id, j, rid AS cod FROM codes WHERE rn = 1),
 probe AS (
-  SELECT qid, cell FROM (
-    SELECT q.qid, c.cid AS cell,
+  SELECT qid, qv, cell FROM (
+    SELECT q.qid, q.qv, c.cid AS cell,
            row_number() OVER (
              PARTITION BY q.qid
              ORDER BY {_COS_SQL.format(a='q.qv', b='c.cv')} DESC, c.cid
@@ -2269,16 +2292,17 @@ probe AS (
     FROM qs q CROSS JOIN cb c) WHERE rn <= 4
 ),
 tdist AS (
-  SELECT q.qid, g.j, c.cid,
-         {_SQD_SQL.format(a=_PQ_SUB.format(v='q.qv'), b=_PQ_SUB.format(v='c.cv'))} AS d
-  FROM qs q CROSS JOIN cb c, unnest(generate_series(0, 7)) g(j)
+  SELECT p.qid, p.cell, g.j, r.rid,
+         {_SQD_SQL.format(a=_PQ_SUB.format(v=_RES_SQL.format(a='p.qv', b='pc.cv')), b=_PQ_SUB.format(v='r.rv'))} AS d
+  FROM probe p JOIN cb pc ON pc.cid = p.cell
+  CROSS JOIN rcb r, unnest(generate_series(0, 7)) g(j)
 ),
 scored AS (
   SELECT p.qid AS query_id, a.vec_id AS neighbor_id, k.j, t.d
   FROM probe p
   JOIN cell a ON a.cell = p.cell
   JOIN code k ON k.vec_id = a.vec_id
-  JOIN tdist t ON t.qid = p.qid AND t.j = k.j AND t.cid = k.cod
+  JOIN tdist t ON t.qid = p.qid AND t.cell = p.cell AND t.j = k.j AND t.rid = k.cod
 ),
 adc AS (
   SELECT query_id, neighbor_id, {_PQ_ADC_CHAIN} AS adc_dist
@@ -2289,14 +2313,17 @@ SELECT query_id, neighbor_id, adc_dist, rn FROM (
     PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id) AS rn
   FROM adc) WHERE rn <= 5
 """,
-    "IVF-PQ k-NN (operators/similarity.py::ivfpq_topk): coarse cells prune the "
-    "scan (probe 4 of 16), PQ codes shrink it (8 bytes/vector), ADC over probed "
-    "cells only — the billion-scale serving composition (residual-free variant; "
-    "oracle composes the proven IVF and PQ replays)",
+    "IVF-PQ k-NN with RESIDUAL encoding (operators/similarity.py::ivfpq_topk, "
+    "the full FAISS design): PQ quantizes x - centroid(cell), concentrating the "
+    "coded distribution around 0; coarse cells prune the scan (probe 4 of 16), "
+    "ADC over probed cells' 8-byte codes with per-(query,cell) residual tables; "
+    "elementwise residuals replay exactly via list_zip/list_transform",
 )
 def q_knn_join_ivfpq(spark, sf_dir):
     from dask_datapipeline_spark.operators.similarity import ivfpq_topk
 
     emb = load_testdata(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivfpq_topk(queries, emb, k=5, n_cells=16, n_probe=4, n_subspaces=8)
+    return ivfpq_topk(
+        queries, emb, k=5, n_cells=16, n_probe=4, n_subspaces=8, residual=True
+    )

@@ -313,3 +313,23 @@ def test_ivfpq_self_match_and_probe_pruning(spark):
     assert set(top1) == set(range(10))
     for q, r in top1.items():
         assert r.neighbor_id == q and r.adc_dist == 0.0
+
+
+def test_ivfpq_residual_mode_shape_and_nonneg(spark):
+    """Residual mode: full k per query, non-negative ADC distances,
+    and residual encoding actually changes the coding (different
+    adc_dist vs raw mode for at least one pair). Cross-engine
+    exactness is the oracle gate's job."""
+    from dask_datapipeline_spark.operators.similarity import ivfpq_topk
+    from dask_datapipeline_spark.sources.readers import load_testdata
+
+    emb = load_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    res = ivfpq_topk(q, emb, k=5, residual=True).collect()
+    raw = ivfpq_topk(q, emb, k=5, residual=False).collect()
+    assert len(res) == 50 and len(raw) == 50
+    assert all(r.adc_dist >= 0.0 for r in res)
+    r_map = {(r.query_id, r.neighbor_id): r.adc_dist for r in res}
+    w_map = {(r.query_id, r.neighbor_id): r.adc_dist for r in raw}
+    common = set(r_map) & set(w_map)
+    assert any(r_map[p] != w_map[p] for p in common)
