@@ -341,14 +341,54 @@ def _jaccard_allpairs_prefix(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pref = arrs.select(
-        F.col(id_col), F.explode(F.slice("__arr", 1, F.col("__p"))).alias("__h")
+        F.col(id_col),
+        F.col("__n"),
+        F.posexplode(F.slice("__arr", 1, F.col("__p"))).alias("__pos", "__h"),
     )
-    cand = (
+    # POSITIONAL filter (PPJoin, Xiao et al. 2008), exact-safe: a
+    # qualifying pair's FIRST shared element (in the global hash
+    # order) lies in BOTH prefixes (the prefix-filter theorem), and
+    # every other shared element sits after it on both sides, so
+    # overlap <= 1 + min(na-1-i, nb-1-j) at its 0-based positions
+    # (i, j) — prefix position == array position since the prefix is
+    # an array prefix. Qualifying at threshold t needs overlap >=
+    # ceil(t*(na+nb)/(1+t)); pairs whose bound falls short can never
+    # reach t and are dropped BEFORE the array join + verify.
+    # min_by(__h) picks the first-in-order shared prefix element
+    # deterministically; for non-qualifying pairs it may pick a later
+    # one, which only shrinks the bound further (more pruning, still
+    # no false drop of anything qualifying).
+    matched = (
         pref.alias("a")
         .join(pref.alias("b"), on="__h")
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "__h",
+            F.col("a.__pos").alias("__pa"),
+            F.col("a.__n").alias("__na0"),
+            F.col("b.__pos").alias("__pb"),
+            F.col("b.__n").alias("__nb0"),
+        )
+    )
+    cand = (
+        matched.groupBy("id_a", "id_b")
+        .agg(
+            F.min_by("__pa", "__h").alias("__fa"),
+            F.min_by("__pb", "__h").alias("__fb"),
+            F.first("__na0").alias("__na1"),
+            F.first("__nb0").alias("__nb1"),
+        )
+        .filter(
+            (1 + F.least(F.col("__na1") - 1 - F.col("__fa"),
+                         F.col("__nb1") - 1 - F.col("__fb")))
+            >= F.ceil(
+                F.lit(threshold) * (F.col("__na1") + F.col("__nb1"))
+                / F.lit(1.0 + threshold)
+            )
+        )
+        .select("id_a", "id_b")
     )
     na = arrs.select(
         F.col(id_col).alias("id_a"), F.col("__arr").alias("__aa"), F.col("__n").alias("__na")
