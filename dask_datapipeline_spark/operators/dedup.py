@@ -851,11 +851,11 @@ def segment_dedup(
       over (pos, segment) structs — the sort is per-document
       (bounded by document length), not global.
 
-    The segment text does ride through the keep-first shuffle alongside
-    its hash (it is needed verbatim for reassembly); at 100 TB you
-    would instead re-join surviving (id, pos) pairs against the segment
-    table to keep that shuffle fixed-width — same plan shape, one more
-    equi-join on (id, pos).
+    The keep-first shuffle carries ONLY (id, pos, hash): segment text
+    is recovered by re-joining winners against the persisted segment
+    table on (id, pos) — a uniform, skew-free key — so a corpus-hot
+    segment's window partition receives fixed-width rows, never the
+    text payload.
     """
     require_columns(df, [id_col, text_col])
     k = seg_tokens
@@ -877,13 +877,28 @@ def segment_dedup(
         F.col("n_seg_total"),
         F.posexplode(seg_arr).alias("__i", "__seg"),
     )
+    from pyspark.storagelevel import StorageLevel
+
     hashed = segs.select(
         id_col, "n_seg_total", "__i", "__seg", seeded_hash64(F.col("__seg"), seed).alias("__h")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     from pyspark.sql.window import Window
 
+    # Keep-first runs over (id, pos, hash) ONLY — the window shuffle
+    # keys on the segment hash, and a corpus-hot segment (shared by
+    # millions of docs) funnels its entire occurrence set to one
+    # partition; shipping fixed-width rows there instead of segment
+    # TEXT is what keeps the hot partition bounded. Winners re-join
+    # the persisted segment table on (id, pos) — a skew-free uniform
+    # key — to recover the text for reassembly.
+    slim = hashed.select(id_col, "__i", "__h")
     w = Window.partitionBy("__h").orderBy(F.col(id_col).asc(), F.col("__i").asc())
-    kept = hashed.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    winners = (
+        slim.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "__i")
+    )
+    kept = winners.join(hashed, on=[id_col, "__i"])
     assembled = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
