@@ -482,3 +482,67 @@ def test_bloom_matches_python_model(spark, fact, dim):
         for r in bloom_semi_join(fdf, ddf, "key", "key", m_bits=m, k_hashes=k).collect()
     }
     assert got == want
+
+
+_mad_vals = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2), st.integers(min_value=-50, max_value=50)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_mad_vals)
+@settings(**_SETTINGS)
+def test_mad_outliers_matches_python_model(spark, rows):
+    """Order-statistic median/MAD == python replay (lower-middle
+    element, (id) tiebreak), outlier rule |x-med| > 3*MAD."""
+    from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG  # noqa: F401
+
+    data = [(i, f"t{g}", float(v)) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "event_id long, event_type string, value double")
+
+    # inline the catalog query's logic via its operator pieces
+    from pyspark.sql.window import Window
+
+    def order_stat(rows_g, key):
+        s = sorted(rows_g, key=key)
+        return s[(len(s) + 1) // 2 - 1]
+
+    want = {}
+    for g in {r[1] for r in data}:
+        grp = [(i, v) for i, t, v in data if t == g]
+        med = order_stat(grp, key=lambda r: (r[1], r[0]))[1]
+        devs = [(i, abs(v - med)) for i, v in grp]
+        mad = order_stat(devs, key=lambda r: (r[1], r[0]))[1]
+        n_out = sum(1 for _, d in devs if d > 3 * mad)
+        want[g] = (len(grp), med, mad, n_out)
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    med = (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("value").alias("med"))
+    )
+    dev = df.join(med, "event_type").withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    w2 = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w2))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("adev").alias("mad"))
+    )
+    got_rows = (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1)).alias("n_out"),
+        )
+        .collect()
+    )
+    got = {r.event_type: (r.n, r.med, r.mad, r.n_out) for r in got_rows}
+    assert got == want
