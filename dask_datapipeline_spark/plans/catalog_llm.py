@@ -2327,3 +2327,109 @@ def q_knn_join_ivfpq(spark, sf_dir):
     return ivfpq_topk(
         queries, emb, k=5, n_cells=16, n_probe=4, n_subspaces=8, residual=True
     )
+
+
+# --------------------------------------------------------------------
+# Collocation mining (PMI co-occurrence)
+# --------------------------------------------------------------------
+
+_COLLOC_VOCAB, _COLLOC_TOP = 150, 25
+
+
+@register_extra(
+    "collocations",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+dt AS (SELECT DISTINCT doc_id, token FROM toks WHERE token <> ''),
+dfreq AS (SELECT token, COUNT(*) AS df FROM dt GROUP BY token),
+vocab AS (
+  SELECT token, df FROM (
+    SELECT token, df,
+           row_number() OVER (ORDER BY df DESC, token) AS rn
+    FROM dfreq WHERE df >= 2) WHERE rn <= {_COLLOC_VOCAB}
+),
+dtv AS (SELECT dt.doc_id, dt.token FROM dt JOIN vocab USING (token)),
+n AS (SELECT COUNT(*) AS n FROM documents),
+pairs AS (
+  SELECT a.token AS tok_a, b.token AS tok_b, COUNT(*) AS n_co
+  FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY tok_a, tok_b
+)
+SELECT tok_a, tok_b, n_co, df_a, df_b, pmi FROM (
+  SELECT p.tok_a, p.tok_b, p.n_co, va.df AS df_a, vb.df AS df_b,
+         round(ln(CAST(p.n_co * n.n AS DOUBLE) / CAST(va.df * vb.df AS DOUBLE)), 9) AS pmi,
+         row_number() OVER (ORDER BY p.n_co DESC, p.tok_a, p.tok_b) AS rn
+  FROM pairs p
+  JOIN vocab va ON va.token = p.tok_a
+  JOIN vocab vb ON vb.token = p.tok_b
+  CROSS JOIN n)
+WHERE rn <= {_COLLOC_TOP}
+""",
+    "Collocation mining: document-level PMI over a df-ranked vocab cap "
+    f"(top {_COLLOC_VOCAB} tokens — the cap is what bounds the per-doc pair "
+    "fan-out, the same discipline as the shingle df cap), top "
+    f"{_COLLOC_TOP} pairs by co-occurrence; ln of an exact integer ratio "
+    "rounded to 9dp (the tfidf recipe)",
+)
+def q_collocations(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from dask_datapipeline_spark.operators.dedup import tokens
+    from dask_datapipeline_spark.parallel import fan_out
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    dt = (
+        fan_out(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(tokens("text")).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    dfreq = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    wv = Window.orderBy(F.desc("df"), F.asc("token"))
+    vocab = (
+        dfreq.where(F.col("df") >= 2)
+        .withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") <= _COLLOC_VOCAB)
+        .drop("rn")
+    )
+    dtv = dt.join(F.broadcast(vocab.select("token")), on="token").select(
+        "doc_id", "token"
+    )
+    pairs = (
+        dtv.alias("a")
+        .join(dtv.alias("b"), on="doc_id")
+        .where(F.col("a.token") < F.col("b.token"))
+        .groupBy(
+            F.col("a.token").alias("tok_a"), F.col("b.token").alias("tok_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    va = vocab.select(F.col("token").alias("tok_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("token").alias("tok_b"), F.col("df").alias("df_b"))
+    scored = (
+        pairs.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_co",
+            "df_a",
+            "df_b",
+            F.round(
+                F.log(
+                    (F.col("n_co") * n_docs).cast("double")
+                    / (F.col("df_a") * F.col("df_b")).cast("double")
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    wr = Window.orderBy(F.desc("n_co"), F.asc("tok_a"), F.asc("tok_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= _COLLOC_TOP)
+        .drop("rn")
+    )
