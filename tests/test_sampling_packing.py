@@ -226,3 +226,33 @@ def test_partial_topk_bounds_rows_per_partition(spark):
     ).repartition(5)
     out = partial_topk(df, ["g"], "score", 2)
     assert out.count() <= 5 * 4 * 2
+
+
+def test_priority_sample_prune_is_invisible(spark):
+    """The partial_topk prune must be a pure physical optimization:
+    identical rows to a window-only computation, across partitionings."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dask_datapipeline_spark.operators.dedup import seeded_hash64
+    from dask_datapipeline_spark.operators.sampling import priority_sample
+
+    rows = [(i, "g%d" % (i % 3), (i * 7) % 11 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long").repartition(7)
+
+    got = {
+        (r.lang, r.doc_id, r.priority, r.rn)
+        for r in priority_sample(df, "n_chars", 4, group_cols=["lang"]).collect()
+    }
+
+    u = (seeded_hash64(F.col("doc_id").cast("string"), 733) + 1).cast("double") / float(1 << 60)
+    w = Window.partitionBy("lang").orderBy(F.desc("priority"), F.asc("doc_id"))
+    want = {
+        (r.lang, r.doc_id, r.priority, r.rn)
+        for r in df.where(F.col("n_chars") > 0)
+        .withColumn("priority", F.col("n_chars").cast("double") / u)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 4)
+        .collect()
+    }
+    assert got == want
