@@ -2433,3 +2433,56 @@ def q_collocations(spark, sf_dir):
         .where(F.col("rn") <= _COLLOC_TOP)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------
+# Corpus report card
+# --------------------------------------------------------------------
+
+
+def _corpus_report_sql() -> str:
+    ctes, lang_pred, quality = _lang_ctes_and_exprs()
+    return f"""
+WITH {ctes},
+enriched AS (
+  SELECT s.doc_id, d.source, s.n_tok,
+         {lang_pred} AS lang_pred,
+         {quality} AS quality
+  FROM scored s JOIN (SELECT doc_id, source FROM documents) d
+    ON d.doc_id = s.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS total_tokens,
+       COUNT(CASE WHEN lang_pred = 'en' THEN 1 END) AS n_en,
+       COUNT(CASE WHEN quality >= 0.5 THEN 1 END) AS n_high_quality,
+       COUNT(CASE WHEN n_tok < 50 THEN 1 END) AS n_short
+FROM enriched GROUP BY source
+"""
+
+
+@register_extra(
+    "corpus_report",
+    _corpus_report_sql(),
+    "Corpus report card: per-source profile (docs, tokens, language share, "
+    "quality-gate pass count, short-doc count) in ONE scan+groupBy — every "
+    "aggregate an exact integer (per-row quality doubles are deterministic, "
+    "so threshold COUNTs are exact where a double AVG would be "
+    "order-dependent); reuses the shared lang/quality SQL fragments",
+)
+def q_corpus_report(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    n_tok = TXT.whitespace_token_count("text")
+    enriched = docs.select(
+        "source",
+        n_tok.alias("n_tok"),
+        TXT.lang_id("text").alias("lang_pred"),
+        TXT.quality_score("text").alias("quality"),
+    )
+    return enriched.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tok").cast("long")).alias("total_tokens"),
+        F.count(F.when(F.col("lang_pred") == "en", 1)).alias("n_en"),
+        F.count(F.when(F.col("quality") >= 0.5, 1)).alias("n_high_quality"),
+        F.count(F.when(F.col("n_tok") < 50, 1)).alias("n_short"),
+    )
