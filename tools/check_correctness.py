@@ -83,9 +83,11 @@ def main():
             sys.exit(2)
 
     failures = 0
+    n_checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_checked += 1
         try:
             sdf = fn(spark, sf_dir)
             s_cols = list(sdf.columns)
@@ -138,6 +140,7 @@ def main():
         else:
             print(f"PASS  {name}: {len(s_rows)} rows exact-match")
     spark.stop()
+    print(f"SUMMARY {n_checked - failures}/{n_checked} green" + (f", {failures} FAILING" if failures else ""))
     sys.exit(1 if failures else 0)
 
 
