@@ -168,3 +168,22 @@ def test_stream_merge_to_parquet_snapshot(spark, sf_dir, batch_events, tmp_path)
     g = {(r.user_id, r.event_id) for r in got.select("user_id", "event_id").collect()}
     w = {(r.user_id, r.event_id) for r in want.collect()}
     assert g == w
+
+
+def test_cdc_snapshot_then_compaction(spark, sf_dir, batch_events, tmp_path):
+    """The maintenance lifecycle end-to-end: stream → foreachBatch
+    MERGE snapshot → small-file compaction; rows survive both."""
+    from dask_datapipeline_spark.sources.writers import compact_small_files
+
+    snap = str(tmp_path / "snap")
+    SW.stream_merge_to_parquet(spark, sf_dir, snap, key_cols=["user_id"])
+    before = sorted(
+        (r.user_id, r.event_id)
+        for r in spark.read.parquet(snap).select("user_id", "event_id").collect()
+    )
+    compact_small_files(spark, snap, target_file_bytes=64 * 1024 * 1024)
+    after = sorted(
+        (r.user_id, r.event_id)
+        for r in spark.read.parquet(snap).select("user_id", "event_id").collect()
+    )
+    assert after == before and len(after) > 0
