@@ -35,6 +35,7 @@ latter; see docs/SCALE.md).
 from __future__ import annotations
 
 import hashlib
+from fractions import Fraction
 from typing import Sequence
 
 import numpy as np
@@ -303,6 +304,32 @@ def jaccard_pairs(
     return _jaccard_from_distinct(sh, candidates, id_col, threshold)
 
 
+def _exact_ceil_mul(n_col: Column, threshold: float) -> Column:
+    """Integer-exact ``ceil(threshold * n)`` for an integer column.
+
+    ``F.ceil`` over the double product can land one off when the
+    product's rounding crosses an integer, and the prefix-filter math
+    is only safe with the TRUE ceiling (a too-high ceil shortens the
+    prefix and can drop a qualifying pair). The float result is always
+    within 1 of the true ceiling (relative error < 2^-53 on a product
+    < 2^53), so use it as a candidate and correct it with exact
+    integer tests against the threshold's exact binary rational
+    P/Q = Fraction(threshold): the true ceiling m is the unique
+    integer with (m-1)·Q < P·n <= m·Q. decimal(38,0) holds every
+    product exactly (P < 2^53, Q <= 2^53, n < 2^31 → < 10^38)."""
+    frac = Fraction(threshold)
+    p_num, q_den = frac.numerator, frac.denominator
+    dec = "decimal(38,0)"
+    c0 = F.ceil(F.lit(threshold) * n_col).cast("long")
+    pn = F.lit(p_num).cast(dec) * n_col.cast(dec)
+    cq = c0.cast(dec) * F.lit(q_den).cast(dec)
+    return (
+        F.when(pn > cq, c0 + 1)
+        .when(pn <= cq - F.lit(q_den).cast(dec), c0 - 1)
+        .otherwise(c0)
+    )
+
+
 def _jaccard_allpairs_prefix(
     sh: DataFrame,
     id_col: str,
@@ -336,7 +363,7 @@ def _jaccard_allpairs_prefix(
         .withColumn("__n", F.size("__arr"))
         .withColumn(
             "__p",
-            F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")).cast("int") + 1,
+            (F.col("__n") - _exact_ceil_mul(F.col("__n"), threshold) + 1).cast("int"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -380,13 +407,21 @@ def _jaccard_allpairs_prefix(
             F.first("__na0").alias("__na1"),
             F.first("__nb0").alias("__nb1"),
         )
+        # integer bound >= t*(na+nb)/(1+t) tested EXACTLY as
+        # bound*(P+Q) >= P*(na+nb) with P/Q = Fraction(threshold) —
+        # for an integer b, b >= x and b >= ceil(x) are equivalent, so
+        # the rational inequality replaces the float ceil (whose
+        # product/division rounding could raise the requirement by one
+        # and drop a qualifying pair at thresholds like 0.1 or 0.55)
         .filter(
             (1 + F.least(F.col("__na1") - 1 - F.col("__fa"),
                          F.col("__nb1") - 1 - F.col("__fb")))
-            >= F.ceil(
-                F.lit(threshold) * (F.col("__na1") + F.col("__nb1"))
-                / F.lit(1.0 + threshold)
-            )
+            .cast("decimal(38,0)")
+            * F.lit(
+                Fraction(threshold).numerator + Fraction(threshold).denominator
+            ).cast("decimal(38,0)")
+            >= F.lit(Fraction(threshold).numerator).cast("decimal(38,0)")
+            * (F.col("__na1") + F.col("__nb1")).cast("decimal(38,0)")
         )
         .select("id_a", "id_b")
     )

@@ -55,7 +55,11 @@ def kmv_partial_mins(
             merged = merged.drop_duplicates(group_cols + [hash_col]).sort_values(
                 hash_col, kind="mergesort"
             )
-            state = merged.groupby(group_cols, sort=False).head(k)
+            # dropna=False: pandas groupby silently discards NULL group
+            # keys by default, but the downstream global window (and
+            # the SQL oracle) PARTITION BY includes the NULL group —
+            # dropping it here would delete that group's sketch
+            state = merged.groupby(group_cols, sort=False, dropna=False).head(k)
         if state is not None:
             yield state
 
@@ -295,8 +299,13 @@ def partial_topk(
         for pdf in batches:
             merged = pdf if state is None else pd.concat((state, pdf))
             merged = merged.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+            # dropna=False: a NULL group key is a real partition in the
+            # downstream global window (PARTITION BY keeps NULLs) — the
+            # default dropna=True would silently prune that whole
+            # group's rows map-side, breaking the exact-preserving
+            # contract for nullable group columns (documents.lang)
             state = (
-                merged.groupby(group_cols, sort=False).head(k)
+                merged.groupby(group_cols, sort=False, dropna=False).head(k)
                 if group_cols
                 else merged.head(k)
             )

@@ -119,10 +119,14 @@ def compact_small_files(
     File count = ceil(input_bytes / target) from the SOURCE directory
     size (cheap driver-side listing — no data pass), then ONE
     round-robin repartition writes evenly sized files. In-place mode
-    (no ``out_path``) stages to a sibling temp dir and atomically
-    renames, so a concurrent reader never sees a half-compacted
-    directory (rename is atomic on the same filesystem; on object
-    stores, write-then-swap-prefix plays the same role).
+    (no ``out_path``) stages to a sibling temp dir and swaps via two
+    renames (path→old, staging→path). Each rename is atomic, but the
+    SWAP is not: between the two renames the directory briefly does
+    not exist, so a concurrent reader can hit file-not-found (it will
+    never see a HALF-compacted mix, only all-old or all-new or a
+    transient miss). Deployments that need always-readable snapshots
+    should publish through a versioned directory pointer (symlink /
+    manifest flip) instead of renaming the data directory itself.
     """
     import math
     import os

@@ -303,7 +303,10 @@ def stream_merge_to_parquet(
     the version column, so "latest" is total-ordered even under
     duplicate timestamps), MERGE with the current snapshot
     (``merge_upsert``), write the new
-    snapshot to a staging dir and atomically swap. foreachBatch gives
+    snapshot to a staging dir and swap it in via two renames (each
+    rename is atomic; the swap as a whole is not — a concurrent
+    reader can transiently see a missing directory, never a mixed
+    one; see ``compact_small_files``). foreachBatch gives
     at-least-once delivery; the MERGE is IDEMPOTENT per key (replayed
     batches re-apply the same latest rows), which is what makes the
     end state exactly-once — the same reasoning every foreachBatch

@@ -87,6 +87,56 @@ def test_df_cap_drops_hot_shingles_only(spark):
         DD.cap_document_frequency(sh, 0)
 
 
+def test_exact_ceil_mul_matches_rational(spark):
+    """_exact_ceil_mul == ceil over the threshold's exact binary
+    rational for every n — including thresholds whose double sits
+    above/below the decimal (0.1, 0.55), where a float ceil can err."""
+    import pyspark.sql.functions as F
+    from fractions import Fraction
+
+    from dask_datapipeline_spark.operators.dedup import _exact_ceil_mul
+
+    ns = list(range(1, 400))
+    df = spark.createDataFrame([(n,) for n in ns], "n int")
+    for t in [0.1, 0.2, 0.3, 0.5, 0.55, 0.7, 0.95, 1.0]:
+        frac = Fraction(t)
+        got = {
+            r.n: r.c
+            for r in df.select("n", _exact_ceil_mul(F.col("n"), t).alias("c")).collect()
+        }
+        want = {n: -((-frac.numerator * n) // frac.denominator) for n in ns}
+        assert got == want, f"threshold {t}"
+
+
+def test_jaccard_prefix_filter_awkward_thresholds(spark, docs):
+    """The prefix-filtered all-pairs path must equal brute-force
+    Python Jaccard at thresholds that are not exactly representable
+    as doubles (the ADVICE case: a rounded ceil shortening the
+    prefix would silently drop qualifying pairs)."""
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").limit(60).collect()]
+
+    def sh_set(t):
+        toks = (t or "").lower().split(" ")
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))} - {""}
+
+    sets = {i: sh_set(t) for i, t in rows}
+    src = docs.limit(60)
+    for t in [0.1, 0.55]:
+        want = {
+            (a, b)
+            for a in sets
+            for b in sets
+            if a < b
+            and sets[a] & sets[b]
+            and len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= t
+        }
+        got = {
+            (r.id_a, r.id_b)
+            for r in DD.jaccard_pairs(src, None, threshold=t).collect()
+        }
+        assert got == want, f"threshold {t}"
+
+
 def test_minhash_lsh_recall_vs_exact(spark, docs):
     """LSH candidates + verify must find the same >=0.5-Jaccard pairs
     as the exact all-pairs baseline on this corpus (high-similarity

@@ -228,6 +228,48 @@ def test_partial_topk_bounds_rows_per_partition(spark):
     assert out.count() <= 5 * 4 * 2
 
 
+def test_partial_topk_keeps_null_group_keys(spark):
+    """A NULL group key is a real partition in the downstream global
+    window (PARTITION BY keeps NULLs) — the map-side prune must not
+    silently discard it (pandas groupby drops NULL keys by default)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dask_datapipeline_spark.operators.sketches import partial_topk
+
+    rows = [(i, None if i % 2 else "g", float((i * 7) % 13)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, g string, score double").repartition(6)
+    w = Window.partitionBy("g").orderBy(F.desc("score"), F.asc("id"))
+
+    def topk(src):
+        return {
+            (r.g, r.id)
+            for r in src.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .collect()
+        }
+
+    got = topk(partial_topk(df, ["g"], "score", 3, tiebreak_cols=["id"]))
+    want = topk(df)
+    assert got == want
+    assert any(g is None for g, _ in got)
+
+
+def test_kmv_distinct_keeps_null_group_keys(spark):
+    """Same dropna contract for the KMV map-side sketch: the NULL
+    group's distinct count must survive (exact when < k)."""
+    from dask_datapipeline_spark.operators.sketches import kmv_distinct
+
+    rows = [(None if i % 3 == 0 else f"g{i % 2}", f"v{i % 17}") for i in range(120)]
+    df = spark.createDataFrame(rows, "g string, v string").repartition(5)
+    got = {r.g: r.n_sketch for r in kmv_distinct(df, ["g"], "v", k=256).collect()}
+    want = {}
+    for g, v in rows:
+        want.setdefault(g, set()).add(v)
+    assert got == {g: len(vs) for g, vs in want.items()}
+    assert None in got
+
+
 def test_priority_sample_prune_is_invisible(spark):
     """The partial_topk prune must be a pure physical optimization:
     identical rows to a window-only computation, across partitionings."""
