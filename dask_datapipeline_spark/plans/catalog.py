@@ -219,13 +219,15 @@ def q_join_inner(spark, sf_dir):
     return j.select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
 
 
-@register(
+@register_extra(
     "join_left",
     """
 SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
 FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 """,
-    "O4 generalized: left outer join (reference supports inner only, SURVEY.md §2.1)",
+    "O4 generalized: left outer join (reference supports inner only, SURVEY.md §2.1). "
+    "Demoted to the local gate in round 3 to free a driver row for merge_upsert — "
+    "join_inner/join_semi/join_anti keep the join family driver-checked",
 )
 def q_join_left(spark, sf_dir):
     c = load_testdata(spark, sf_dir, "customer")
@@ -788,7 +790,7 @@ def q_running_window(spark, sf_dir):
     )
 
 
-@register_extra(
+@register(
     "merge_upsert",
     """
 WITH upd AS (
@@ -866,7 +868,6 @@ DRIVER_ORDER: list[str] = [
     "scan_projection",
     "cast_timestamp",
     "join_inner",
-    "join_left",
     "join_semi",
     "join_anti",
     "groupby_sum",
@@ -914,6 +915,10 @@ DRIVER_ORDER: list[str] = [
     "embedding_near_dup",
     "knn_join_lsh",
     "knn_join_ivf",
+    # dataset maintenance (MERGE/CDC surface) — promoted round 3 in
+    # place of join_left (the join family stays covered by
+    # join_inner/join_semi/join_anti; join_left is in EXTRA_CATALOG)
+    "merge_upsert",
 ]
 
 
