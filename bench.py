@@ -97,9 +97,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extra = [n for n in CATALOG if n not in BENCH_QUERIES]
-    for name in BENCH_QUERIES + extra:
-        if name not in CATALOG:
-            continue
+    order = [n for n in BENCH_QUERIES + extra if n in CATALOG]
+    for name in order:
         t0 = time.perf_counter()
         n_rows = CATALOG[name].fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -111,6 +110,21 @@ def main() -> None:
         # materialize them once (measured: clearing between queries
         # costs ~40% total wall time rebuilding identical caches).
 
+    # Second, WARM pass: every shared cache (shingle tables, signature
+    # tables, bucketed projections) is now materialized, so per-query
+    # warm numbers attribute each query's OWN work instead of charging
+    # the first dedup-family query with the persist cost the rest of
+    # the family reuses (round-2 lesson: jaccard_near_dup absorbed the
+    # shared shingle persist unlabeled and looked like a regression).
+    # "queries" stays the cold pass — comparable with earlier rounds
+    # and with a fresh-cluster run; "queries_warm" is steady-state.
+    warm: dict[str, float] = {}
+    for name in order:
+        t0 = time.perf_counter()
+        CATALOG[name].fn(spark, sf_dir).count()
+        warm[name] = round(time.perf_counter() - t0, 3)
+        print(f"# warm {name}: {warm[name]:.3f}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -119,6 +133,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "value_warm": round(sum(warm.values()), 3),
                 "sf": float(sf),
             }
         )
