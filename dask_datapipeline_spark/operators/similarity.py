@@ -495,14 +495,29 @@ def pq_topk(
       at 100 TB the codes are written once as the 'index' and
       re-scanned forever — 8 bytes/vector instead of 256;
     - query: the per-query distance TABLES
-      (n_queries × n_subspaces × n_codes doubles — KiB) travel in a
-      broadcast; the ADC scan is mapInPandas over the code table,
-      NO join, NO shuffle of vectors;
+      (n_queries × n_subspaces × n_codes doubles — KiB each) are built
+      EXECUTOR-side (mapInPandas over the queries scan with the
+      codebook in the closure — the queries DataFrame is never
+      collected to the driver, so a corpus-sized query side cannot
+      OOM it) and reach the codes scan through a broadcast hash join
+      on a constant key — the DataFrame spelling of "every scan task
+      sees every query table", which is what an ADC scan is;
+    - ADC: a JVM-side ``F.aggregate`` fold over the subspaces inside
+      whole-stage codegen — table lookups are ``element_at`` on the
+      broadcast row, zero Python in the scan;
     - rank: one window top-k per query over (adc_dist asc, id asc).
+
+    The broadcast is n_queries × n_subspaces × n_codes doubles.
+    PQ/ADC semantically evaluates every (query, code-row) pair, so
+    the QUERY side must be a bounded batch (the FAISS serving
+    contract); the corpus side streams at any scale. For
+    corpus × corpus k-NN use ``ivfpq_topk`` (cell routing bounds the
+    pairing) or ``knn_join_lsh``.
 
     Determinism: codebook = lowest-id sub-vectors; squared L2 via the
     ``(aa - (2*ab)) + bb`` identity with strict-order dots; the ADC
-    sum is a LEFT-ASSOCIATIVE chain over subspaces in order —
+    sum is a LEFT-ASSOCIATIVE fold over subspaces in order (the
+    initial ``0.0 +`` is exact — IEEE ``0.0 + x == x``) —
     bit-identical to the oracle's explicit ``m0 + m1 + ... + m7``.
     Output: (query_id, neighbor_id, adc_dist, rn)."""
     require_columns(corpus, [id_col, vec_col])
@@ -512,7 +527,46 @@ def pq_topk(
     sub_d = dim // n_subspaces
     book = _pq_codebook(corpus, id_col, vec_col, n_codes)  # (n_codes, dim)
 
-    spark = corpus.sparkSession
+    corpus_codes = _pq_encode(corpus, book, id_col, vec_col, n_subspaces, sub_d)
+    qtab = _pq_query_tables(queries, book, id_col, vec_col, n_subspaces, sub_d)
+
+    # broadcast hash join on a DATA-DERIVED constant key (id * 0, not
+    # a literal: Catalyst folds literal keys and degrades the join to
+    # BroadcastNestedLoopJoin): the query-table side is KiB-scale by
+    # contract, the codes side streams map-side — at 100 TB each scan
+    # task reads its codes partition once against the in-memory
+    # tables. Every (query, code-row) pair is evaluated by design —
+    # that is what an ADC full scan is; the pairing is bounded by the
+    # query-batch contract, not by the join operator.
+    joined = corpus_codes.withColumn(
+        "__one", F.col(id_col) * F.lit(0)
+    ).join(
+        F.broadcast(qtab.withColumn("__one", F.col("query_id") * F.lit(0))),
+        on="__one",
+    )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        _adc_fold(n_subspaces, n_codes).alias("adc_dist"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def _pq_encode(
+    corpus: DataFrame,
+    book: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    n_subspaces: int,
+    sub_d: int,
+) -> DataFrame:
+    """One Arrow-batched pass over the corpus scan → (id, codes):
+    argmin sub-distance per subspace. argmin returns the FIRST
+    minimum and codebook ids ascend, so ties resolve to the lowest
+    code id, matching the oracle's ORDER BY d, cid."""
 
     def _codes_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -523,11 +577,7 @@ def pq_topk(
             for j in range(n_subspaces):
                 sub = mat[:, j * sub_d : (j + 1) * sub_d]
                 cents = book[:, j * sub_d : (j + 1) * sub_d]
-                d = _sub_sqdist(sub, cents)
-                # argmin returns the FIRST minimum; codebook ids are
-                # ascending → ties resolve to the lowest code id,
-                # matching the oracle's ORDER BY d, cid
-                codes[:, j] = np.argmin(d, axis=1)
+                codes[:, j] = np.argmin(_sub_sqdist(sub, cents), axis=1)
             yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
 
     codes_schema = T.StructType(
@@ -536,57 +586,72 @@ def pq_topk(
             T.StructField("codes", T.ArrayType(T.IntegerType())),
         ]
     )
-    corpus_codes = fan_out(corpus.select(id_col, vec_col)).mapInPandas(
+    return fan_out(corpus.select(id_col, vec_col)).mapInPandas(
         _codes_batch, codes_schema
     )
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    if not q_rows:
-        raise ValueError("pq: queries side is empty")
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    tables = np.empty((len(q_ids), n_subspaces, n_codes))
-    for j in range(n_subspaces):
-        tables[:, j, :] = _sub_sqdist(
-            q_mat[:, j * sub_d : (j + 1) * sub_d],
-            book[:, j * sub_d : (j + 1) * sub_d],
-        )
-    bc = spark.sparkContext.broadcast((q_ids, tables))
 
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
-            T.StructField("adc_dist", T.DoubleType()),
-        ]
-    )
+def _pq_query_tables(
+    queries: DataFrame,
+    book: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    n_subspaces: int,
+    sub_d: int,
+) -> DataFrame:
+    """Executor-side per-query ADC distance tables:
+    (query_id, __tab: array<double> of n_subspaces × n_codes,
+    flattened row-major). Same ``_sub_sqdist`` arithmetic as the
+    driver-side build it replaces — ``_sub_sqdist`` is row-wise, so
+    batch boundaries cannot change a single bit."""
+    n_codes = book.shape[0]
 
-    def _adc_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, tabs = bc.value
+    def _tables_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if pdf.empty:
                 continue
-            codes = np.stack(pdf["codes"].to_numpy())  # (n, n_subspaces)
-            vec_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            # left-associative accumulation in subspace order — the
-            # oracle's explicit m0 + m1 + ... chain
-            for qi in range(len(ids)):
-                acc = tabs[qi, 0, codes[:, 0]]
-                for j in range(1, n_subspaces):
-                    acc = acc + tabs[qi, j, codes[:, j]]
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.full(len(vec_ids), ids[qi]),
-                        "neighbor_id": vec_ids,
-                        "adc_dist": acc,
-                    }
+            q_mat = _stack(pdf[vec_col])
+            t = np.empty((len(q_mat), n_subspaces, n_codes))
+            for j in range(n_subspaces):
+                t[:, j, :] = _sub_sqdist(
+                    q_mat[:, j * sub_d : (j + 1) * sub_d],
+                    book[:, j * sub_d : (j + 1) * sub_d],
                 )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "__tab": list(t.reshape(len(q_mat), n_subspaces * n_codes)),
+                }
+            )
 
-    scored = corpus_codes.mapInPandas(_adc_batch, out_schema)
-    from pyspark.sql.window import Window
+    tab_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("__tab", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return fan_out(queries.select(id_col, vec_col)).mapInPandas(
+        _tables_batch, tab_schema
+    )
 
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+def _adc_fold(n_subspaces: int, n_codes: int) -> Column:
+    """JVM-side ADC sum: left fold over subspaces j = 0..n-1 of
+    ``__tab[j*n_codes + codes[j]]`` — a left-associative double
+    chain in subspace order, bit-identical to the oracle's explicit
+    ``m0 + m1 + ...`` (and to the numpy loop it replaces). Runs in
+    whole-stage codegen: the ADC scan has zero Python."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("__tab"),
+            (j * n_codes + F.element_at(F.col("codes"), (j + 1).cast("int")) + 1).cast(
+                "int"
+            ),
+        ),
+    )
 
 
 def ivfpq_topk(
@@ -682,14 +747,6 @@ def ivfpq_topk(
         _index_batch, index_schema
     )
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    if not q_rows:
-        raise ValueError("ivfpq: queries side is empty")
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    # stable argsort on -sim, ascending cell id on ties (lowest first)
-    probes = np.argsort(-_cell_sims(q_mat), axis=1, kind="stable")[:, :n_probe]
-
     def _table_of(vecs: np.ndarray) -> np.ndarray:
         t = np.empty((len(vecs), n_subspaces, n_codes))
         for j in range(n_subspaces):
@@ -699,68 +756,65 @@ def ivfpq_topk(
             )
         return t
 
-    if residual:
-        # per (query, probed cell): table of the query's residual
-        # w.r.t. THAT cell — n_queries × n_probe tables, still KiB
-        tabs_by_qc = {}
-        for i, q in enumerate(q_ids):
-            res = q_mat[i : i + 1, :] - cells_mat[probes[i]]
-            t = _table_of(res)
-            for pi, c in enumerate(probes[i]):
-                tabs_by_qc[(int(q), int(c))] = t[pi]
-        bc = spark.sparkContext.broadcast(tabs_by_qc)
-    else:
-        tables = _table_of(q_mat)
-        bc = spark.sparkContext.broadcast(
-            {int(q): tables[i] for i, q in enumerate(q_ids)}
-        )
-    probe_rows = [
-        (int(q), int(c)) for i, q in enumerate(q_ids) for c in probes[i]
-    ]
-    probe_df = spark.createDataFrame(probe_rows, "query_id long, __cell long")
-
-    # bucket equi-join: each query reads only its probed cells' codes
-    routed = index.join(F.broadcast(probe_df), on="__cell")
-
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
-            T.StructField("adc_dist", T.DoubleType()),
-        ]
-    )
-
-    def _adc_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tabs = bc.value
+    # Executor-side query routing + tables: one mapInPandas pass over
+    # the queries scan emits an (query_id, __cell, __tab) row per
+    # probed cell — n_probe rows per query, each carrying that
+    # (query, cell)'s KiB ADC table (in residual mode the table is of
+    # the query's residual w.r.t. THAT cell; in raw mode the same
+    # table repeats per probe). The queries DataFrame is never
+    # collected: a corpus-sized query side streams through executors,
+    # and only the (bounded-batch) table rows enter the broadcast.
+    # Every numpy step is row-wise, so values are bit-identical to
+    # the driver-side build this replaces.
+    def _qtab_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if pdf.empty:
                 continue
-            codes = np.stack(pdf["codes"].to_numpy())
-            out_d = np.empty(len(pdf))
-            qcol = pdf["query_id"].to_numpy(dtype=np.int64)
-            if residual:
-                ccol = pdf["__cell"].to_numpy(dtype=np.int64)
-                group_keys = [(int(q), int(c)) for q, c in zip(qcol, ccol)]
-            else:
-                group_keys = [int(q) for q in qcol]
-            keys_arr = pd.Series(group_keys)
-            for key in keys_arr.unique():
-                m = (keys_arr == key).to_numpy()
-                t = tabs[key]
-                acc = t[0, codes[m, 0]]
-                for j in range(1, n_subspaces):
-                    acc = acc + t[j, codes[m, j]]
-                out_d[m] = acc
+            q_mat = _stack(pdf[vec_col])
+            q_ids_b = pdf[id_col].to_numpy(dtype=np.int64)
+            # stable argsort on -sim, ascending cell id ties (lowest first)
+            probes = np.argsort(-_cell_sims(q_mat), axis=1, kind="stable")[:, :n_probe]
+            out_q: list = []
+            out_c: list = []
+            out_t: list = []
+            for i in range(len(q_ids_b)):
+                if residual:
+                    res = q_mat[i : i + 1, :] - cells_mat[probes[i]]
+                    t = _table_of(res)
+                    for pi, c in enumerate(probes[i]):
+                        out_q.append(q_ids_b[i])
+                        out_c.append(int(c))
+                        out_t.append(t[pi].reshape(-1))
+                else:
+                    t = _table_of(q_mat[i : i + 1])[0].reshape(-1)
+                    for c in probes[i]:
+                        out_q.append(q_ids_b[i])
+                        out_c.append(int(c))
+                        out_t.append(t)
             yield pd.DataFrame(
-                {
-                    "query_id": qcol,
-                    "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
-                    "adc_dist": out_d,
-                }
+                {"query_id": out_q, "__cell": out_c, "__tab": out_t}
             )
 
-    adc_in_cols = ["query_id", id_col, "codes"] + (["__cell"] if residual else [])
-    scored = routed.select(*adc_in_cols).mapInPandas(_adc_batch, out_schema)
+    qtab_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("__cell", T.LongType()),
+            T.StructField("__tab", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    qtab = fan_out(queries.select(id_col, vec_col)).mapInPandas(
+        _qtab_batch, qtab_schema
+    )
+
+    # bucket equi-join on the cell id: each query reads ONLY its
+    # probed cells' codes; the ADC sum is the same JVM-side codegen
+    # fold as pq_topk (zero Python in the scan)
+    routed = index.join(F.broadcast(qtab), on="__cell")
+    scored = routed.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        _adc_fold(n_subspaces, n_codes).alias("adc_dist"),
+    )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
