@@ -1,0 +1,199 @@
+"""Measured recall gate for the ANN family.
+
+Every approximate path (SRP-LSH, IVF, PQ/ADC, IVFPQ) is scored
+against EXACT brute-force top-k / all-pairs computed in-process from
+the same embeddings — so a tuning change that silently craters recall
+fails here, with a number. The full curve lives in docs/SCALE.md
+§Similarity (regenerate with tools/measure_recall.py).
+
+Floors sit ~0.1 below the values measured at sf0.01 (500 vectors,
+64 queries, fixed seeds — the runs are deterministic; the slack is
+for driver-regenerated testdata, not for run-to-run noise):
+
+- near-dup LSH pairs, threshold 0.4: nt=8/bits=4 → 0.746 (catalog
+  setting), nt=16 → 0.983, monotone in num_tables
+- knn_join_lsh recall@5: nt=8/bits=4 → 0.781; catalog (6,6,
+  rademacher) → 0.434 — LSH is a near-dup detector first, a k-NN
+  ranker only with enough tables
+- IVF recall@10: n_probe 2/4/8 → 0.483/0.630/0.800 (monotone)
+- PQ recall@10: 0.283 lowest-id → 0.348 TRAINED (k-means wins)
+- IVFPQ raw recall@10: 0.295 lowest-id → 0.347 TRAINED
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dask_datapipeline_spark.operators import similarity as S
+from dask_datapipeline_spark.sources.readers import load_testdata
+
+SF_DIR = "/root/testdata/sf0.01"
+N_Q = 64
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    emb = load_testdata(spark, SF_DIR, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    o = np.argsort(ids)
+    return emb, ids[o], mat[o]
+
+
+def _truth(ids: np.ndarray, mat: np.ndarray, k: int, metric: str) -> dict[int, set]:
+    q = mat[:N_Q]
+    if metric == "cos":
+        score = (q @ mat.T) / (
+            np.linalg.norm(q, axis=1)[:, None] * np.linalg.norm(mat, axis=1)[None, :]
+        )
+        score = -score  # lexsort ascending
+    else:  # squared L2
+        score = (q**2).sum(1)[:, None] - 2 * (q @ mat.T) + (mat**2).sum(1)[None, :]
+    return {
+        int(ids[i]): set(ids[np.lexsort((ids, score[i]))[:k]].tolist())
+        for i in range(N_Q)
+    }
+
+
+def _knn_recall(df, truth: dict[int, set], k: int) -> float:
+    got: dict[int, set] = {}
+    for r in df.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return float(np.mean([len(got.get(q, set()) & t) / k for q, t in truth.items()]))
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < N_Q)
+
+
+def test_lsh_near_dup_recall_curve(corpus):
+    """Pair recall of the LSH self-join vs exact all-pairs at the
+    catalog threshold: floor at the catalog setting, near-total at
+    2x the tables, monotone in num_tables."""
+    emb, _, _ = corpus
+    exact = {(r.id_a, r.id_b) for r in S.cosine_all_pairs_exact(emb, 0.4).collect()}
+    assert len(exact) > 10  # corpus plants similar pairs
+
+    def rec(nt):
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in S.embedding_near_dup_pairs(
+                emb, threshold=0.4, num_tables=nt, bits_per_table=4
+            ).collect()
+        }
+        return len(lsh & exact) / len(exact)
+
+    r4, r8, r16 = rec(4), rec(8), rec(16)
+    assert r8 >= 0.6  # catalog setting (measured 0.746)
+    assert r16 >= 0.85  # measured 0.983
+    assert r4 <= r8 <= r16
+
+
+def test_knn_lsh_recall(corpus):
+    """k-NN recall@5 of the LSH join: floor at a strong setting and
+    a sanity floor at the catalog's oracle-replayable setting."""
+    emb, ids, mat = corpus
+    truth = _truth(ids, mat, 5, "cos")
+    strong = _knn_recall(
+        S.knn_join_lsh(_queries(emb), emb, k=5, num_tables=8, bits_per_table=4),
+        truth,
+        5,
+    )
+    catalog = _knn_recall(
+        S.knn_join_lsh(
+            _queries(emb), emb, k=5, num_tables=6, bits_per_table=6,
+            plane_kind="rademacher",
+        ),
+        truth,
+        5,
+    )
+    assert strong >= 0.65  # measured 0.781
+    assert catalog >= 0.3  # measured 0.434
+
+
+def test_ivf_recall_monotone_in_probes(corpus):
+    """IVF recall@10 grows with n_probe and clears floors; the
+    trained (spherical k-means) path stays within noise of the
+    lowest-id codebook on this isotropic synthetic corpus (its win
+    is cell BALANCE, asserted separately)."""
+    emb, ids, mat = corpus
+    truth = _truth(ids, mat, 10, "cos")
+
+    def rec(npr, trained=False):
+        return _knn_recall(
+            S.ivf_topk(_queries(emb), emb, k=10, n_cells=16, n_probe=npr,
+                       trained=trained),
+            truth,
+            10,
+        )
+
+    r2, r4, r8 = rec(2), rec(4), rec(8)
+    assert r2 <= r4 <= r8
+    assert r4 >= 0.45  # measured 0.630
+    assert r8 >= 0.65  # measured 0.800
+    assert abs(rec(4, trained=True) - r4) <= 0.15
+
+
+def test_pq_trained_codebook_beats_lowest_id(corpus):
+    """The per-subspace k-means codebook must beat the lowest-id
+    default on ADC recall@10 — the measurable payoff of training
+    (measured 0.348 vs 0.283)."""
+    emb, ids, mat = corpus
+    truth = _truth(ids, mat, 10, "l2")
+    base = _knn_recall(S.pq_topk(_queries(emb), emb, k=10), truth, 10)
+    trained = _knn_recall(
+        S.pq_topk(_queries(emb), emb, k=10, trained=True), truth, 10
+    )
+    assert base >= 0.2
+    assert trained > base
+
+
+def test_ivfpq_trained_codebook_beats_lowest_id(corpus):
+    """Same for the composed index in raw-encoding mode
+    (measured 0.347 trained vs 0.295)."""
+    emb, ids, mat = corpus
+    truth = _truth(ids, mat, 10, "l2")
+    base = _knn_recall(
+        S.ivfpq_topk(_queries(emb), emb, k=10, n_probe=4), truth, 10
+    )
+    trained = _knn_recall(
+        S.ivfpq_topk(_queries(emb), emb, k=10, n_probe=4, trained=True), truth, 10
+    )
+    assert base >= 0.2
+    assert trained >= base
+
+
+def test_trained_ivf_cells_are_balanced(corpus):
+    """What spherical k-means actually buys on isotropic data:
+    balanced cells. The largest trained cell must not exceed the
+    largest lowest-id cell (skew bounds the probe-join fan-out at
+    scale — a hot cell is the scale risk, not average recall)."""
+    emb, ids, mat = corpus
+
+    # assignment balance via direct codebook math
+    from dask_datapipeline_spark.operators.similarity import (
+        _kmeans_lloyd,
+        _train_sample,
+    )
+
+    lowest = mat[:16]
+    trained = _kmeans_lloyd(
+        _train_sample(emb, "vec_id", "embedding", 4096, S.TRAIN_SEED),
+        16,
+        10,
+        S.TRAIN_SEED,
+        spherical=True,
+    )
+
+    def sizes(cents):
+        sims = (mat @ cents.T) / (
+            np.linalg.norm(mat, axis=1)[:, None]
+            * np.linalg.norm(cents, axis=1)[None, :]
+        )
+        a = np.argmax(sims, axis=1)
+        return np.bincount(a, minlength=16)
+
+    assert sizes(trained).max() <= sizes(lowest).max()
