@@ -213,22 +213,17 @@ def _signatures_from_hashed(hashed: DataFrame, id_col: str, num_hashes: int) -> 
     return hashed.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_keys(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """Banding: docs equal on ALL rows of any band are candidates.
-
-    Implemented as posexplode of the ``bands`` band keys (concat of
-    that band's signature slots) followed by ONE self equi-join on
-    (band index, band key) — versus ``bands`` separate join+union
-    branches, which would recompute the signature aggregation per
-    branch and per side. The two sides of the self-join are identical
-    subplans, so Spark reuses the shuffle (ReusedExchange). Shuffle is
-    on the band key → bucket-local work, scales linearly.
-    Output: (id_a, id_b) with id_a < id_b."""
+    """(id, __t, __band) rows — one per (doc, band), where ``__band``
+    concatenates that band's signature slots. The shared banding side
+    of every LSH join (self-join candidates, batch-vs-index
+    incremental flagging): equality on (__t, __band) is the
+    "similar" predicate banding makes joinable."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes={num_hashes} must be divisible by bands={bands} — "
@@ -245,9 +240,28 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    side = signatures.select(
+    return signatures.select(
         F.col(id_col), F.posexplode(F.array(*keys)).alias("__t", "__band")
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Banding: docs equal on ALL rows of any band are candidates.
+
+    Implemented as posexplode of the ``bands`` band keys (concat of
+    that band's signature slots) followed by ONE self equi-join on
+    (band index, band key) — versus ``bands`` separate join+union
+    branches, which would recompute the signature aggregation per
+    branch and per side. The two sides of the self-join are identical
+    subplans, so Spark reuses the shuffle (ReusedExchange). Shuffle is
+    on the band key → bucket-local work, scales linearly.
+    Output: (id_a, id_b) with id_a < id_b."""
+    side = band_keys(signatures, id_col, num_hashes, bands)
     return (
         side.alias("a")
         .join(side.alias("b"), on=["__t", "__band"])

@@ -1836,14 +1836,64 @@ def q_weighted_sample(spark, sf_dir):
 # --------------------------------------------------------------------
 
 
+def _sql_shingles_sfx(src: str, sfx: str) -> str:
+    """Distinct (doc_id, h) shingle-hash chain for one source CTE,
+    suffix-disambiguated so the incremental oracle can shingle the
+    corpus and the batch independently (same chain as
+    ``_sql_shingles_hashed``)."""
+    hash_expr = _SQL_HASH.format(seed=0, col="sh")
+    return f"""
+toks{sfx} AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM {src}),
+idx{sfx} AS (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk)-2, 0))) AS i FROM toks{sfx}),
+sh0{sfx} AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS sh FROM idx{sfx}),
+hsh{sfx} AS (SELECT doc_id, {hash_expr} AS h FROM sh0{sfx} WHERE sh <> ''),
+shh0{sfx} AS (SELECT DISTINCT doc_id, h FROM hsh{sfx})"""
+
+
+def _sql_sig_from(src: str, name: str) -> str:
+    return (
+        f"{name} AS (SELECT doc_id, "
+        + ", ".join(
+            f"MIN(({a} * (h % {DD.MERSENNE_P}) + {b}) % {DD.MERSENNE_P}) AS mh_{i}"
+            for i, (a, b) in enumerate(DD.affine_params(_NUM_HASHES))
+        )
+        + f" FROM {src} GROUP BY doc_id)"
+    )
+
+
+_SQL_INC_BAND_JOINS = " UNION ALL ".join(
+    "SELECT a.doc_id AS u, b.doc_id AS v FROM sigB a JOIN sig b ON "
+    + " AND ".join(
+        f"a.mh_{i} = b.mh_{i}"
+        for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+    )
+    + " AND a.doc_id <> b.doc_id"
+    for b in range(_BANDS)
+)
+
+
 @register_extra(
     "incremental_dedup",
-    "WITH "
-    + _SQL_SHINGLES_HASHED
+    "WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),\n"
+    "batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),"
+    + _sql_shingles_sfx("corpus", "C")
     + ","
-    + _SQL_SIG
+    + _sql_shingles_sfx("batch", "B")
     + f""",
-cand AS (SELECT DISTINCT id_a, id_b FROM ({_SQL_BAND_JOINS}))
+hot AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM shh0C GROUP BY h) WHERE df > {_MAX_DF}),
+shhC AS (SELECT doc_id, h FROM shh0C WHERE h NOT IN (SELECT h FROM hot)),
+shhB AS (SELECT doc_id, h FROM shh0B WHERE h NOT IN (SELECT h FROM hot)),
+shh AS (SELECT * FROM shhC UNION ALL SELECT * FROM shhB),
+"""
+    + _sql_sig_from("shhC", "sigC")
+    + ","
+    + _sql_sig_from("shhB", "sigB")
+    + f""",
+sig AS (SELECT * FROM sigC UNION ALL SELECT * FROM sigB),
+cand AS (
+  SELECT DISTINCT LEAST(u, v) AS id_a, GREATEST(u, v) AS id_b
+  FROM ({_SQL_INC_BAND_JOINS})
+)
 ,"""
     + _sql_jaccard_verify(
         extra_join="JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b",
@@ -1866,33 +1916,44 @@ WHERE d.doc_id % 2 = 1
 """,
     "Incremental dedup — the production daily-ingest workflow: flag each doc of "
     "the incoming batch (odd ids) as new or a near-dup of the existing corpus "
-    "(even ids) / an earlier incoming doc. Reuses the MinHash+LSH banded "
-    "candidate pipeline (one cached signature build serves the whole family); "
-    "at 100 TB the existing side's signatures are read from the materialized "
-    "index, not recomputed",
+    "(even ids) / an earlier incoming doc. The corpus side is a MATERIALIZED "
+    "index (operators/minhash_index.py): shingle hashes + signatures + the "
+    "frozen df-cap hot-hash set written to parquet once (keyed by source mtime "
+    "+ parameters) and only SCANNED per batch — corpus text is never "
+    "re-shingled. The oracle replays the frozen-cap semantics (cap from corpus "
+    "df only, not corpus+batch; identical results at test scales where "
+    "nothing reaches the cap)",
 )
 def q_incremental_dedup(spark, sf_dir):
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from dask_datapipeline_spark.operators.minhash_index import (
+        build_minhash_index,
+        incremental_near_dup_flags,
+    )
+
     docs = load_testdata(spark, sf_dir, "documents")
-    pairs = DD.near_dup_pairs_minhash(
-        docs, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5, max_df=_MAX_DF
-    )
-    incoming_b = pairs.where(F.col("id_b") % 2 == 1).select(
-        F.col("id_b").alias("doc_id"), F.col("id_a").alias("partner")
-    )
-    incoming_a = pairs.where((F.col("id_a") % 2 == 1) & (F.col("id_b") % 2 == 0)).select(
-        F.col("id_a").alias("doc_id"), F.col("id_b").alias("partner")
-    )
-    resolved = (
-        incoming_b.unionByName(incoming_a)
-        .groupBy("doc_id")
-        .agg(F.min("partner").alias("dup_of"))
-    )
-    return (
-        docs.where(F.col("doc_id") % 2 == 1)
-        .select("doc_id")
-        .join(resolved, on="doc_id", how="left")
-        .select("doc_id", "dup_of", F.col("dup_of").isNull().alias("is_new"))
-    )
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    src = _os.path.join(sf_dir, "documents.parquet")
+    key = _hl.md5(
+        f"{src}:{_os.path.getmtime(src)}:{_NUM_HASHES}:{_BANDS}:3:{_MAX_DF}:v1".encode()
+    ).hexdigest()[:16]
+    index_path = _os.path.join(_tf.gettempdir(), "ddps_minhash_index", key)
+    if not _os.path.exists(_os.path.join(index_path, "_META")):
+        # write-once: keyed by source mtime + parameters, so a driver
+        # testdata regeneration or a parameter change rebuilds
+        build_minhash_index(
+            corpus,
+            index_path,
+            num_hashes=_NUM_HASHES,
+            bands=_BANDS,
+            shingle_n=3,
+            max_df=_MAX_DF,
+        )
+    return incremental_near_dup_flags(batch, index_path, threshold=0.5)
 
 
 # --------------------------------------------------------------------
