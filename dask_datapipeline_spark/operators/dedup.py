@@ -637,6 +637,7 @@ def dup_clusters(
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    shortcut: bool = False,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph →
     (id, cluster_id, is_canonical), where cluster_id is the MINIMUM id
@@ -673,6 +674,16 @@ def dup_clusters(
     corpus, so this is the difference between rounds costing
     O(corpus) and O(duplicates).
 
+    ``shortcut=True`` adds pointer doubling (label ← min(label,
+    label[label]) after each relaxation — one extra keyed join per
+    round) which cuts rounds from O(diameter) to O(log diameter).
+    Near-dup graphs are shallow (measured diameter ≤ 2 at sf0.1 — the
+    loop already converges in the minimum 2 rounds: one propagation +
+    one stability proof, so shortcutting is OFF by default to avoid
+    paying the extra join), but for adversarial chain-shaped
+    components it is the difference between converging and hitting
+    ``max_iter`` (tests/test_llm_ops.py exercises a 40-node chain).
+
     Raises RuntimeError if ``max_iter`` rounds don't converge (a
     pathological chain longer than max_iter)."""
     e = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
@@ -681,7 +692,12 @@ def dup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    incident = edges.select("u").distinct().localCheckpoint(eager=True)
+    # incident/labels derive LAZILY from the checkpointed edges — one
+    # distinct over cached blocks; only the per-round label table needs
+    # its own checkpoint (it is the loop-carried state). Fewer eager
+    # actions per call: at sf0.1 the fixed per-action scheduling cost
+    # dominates this operator, not the 2-round loop.
+    incident = edges.select("u").distinct()
     labels = incident.withColumn("label", F.col("u")).localCheckpoint(eager=True)
     numeric_ids = dict(labels.dtypes)["label"] in {
         "tinyint", "smallint", "int", "bigint"
@@ -717,6 +733,25 @@ def dup_clusters(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        if shortcut:
+            # pointer doubling: follow one hop of the label graph —
+            # label[label] is defined for every label (labels point at
+            # incident nodes), so the join is total; least() keeps
+            # monotone non-increase and the component min is a fixed
+            # point, so convergence detection is unchanged
+            lab2 = new_labels.select(
+                F.col("u").alias("label"), F.col("label").alias("__l2")
+            )
+            new_labels = (
+                new_labels.join(lab2, on="label", how="left")
+                .select(
+                    "u",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("__l2"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
         if numeric_ids:
             new_sum = label_sum(new_labels)
             converged = new_sum == prev_sum

@@ -303,6 +303,25 @@ def test_dup_clusters_chain_and_singletons(spark):
     }
 
 
+def test_dup_clusters_shortcut_converges_on_deep_chains(spark):
+    """Pointer doubling (shortcut=True) converges in O(log diameter):
+    a 40-node chain defeats plain propagation at max_iter=10 but the
+    shortcut path finishes — the adversarial-shape insurance; output
+    identical to the converged plain run."""
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.dup_clusters(pairs, nodes, max_iter=10)
+    out = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in DD.dup_clusters(pairs, nodes, max_iter=10, shortcut=True).collect()
+    }
+    assert out == {i: (0, i == 0) for i in range(n)}
+
+
 def test_short_documents_do_not_crash_dedup(spark):
     """Docs with fewer than shingle_n tokens previously killed the job
     (sequence(1,0) is descending → slice(_,0,_) throws)."""
