@@ -97,6 +97,55 @@ def scan_json(
     return df.select(*columns) if columns else df
 
 
+def scan_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    columns: list[str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    driver: str | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """JDBC source scan (SURVEY.md §2.1 — the one absent source kind).
+
+    Scale shape: without ``partition_column`` a JDBC read is ONE
+    connection on one executor — fine for dimension tables, a
+    bottleneck for facts. Passing ``partition_column`` (a numeric/
+    date column) with bounds and ``num_partitions`` makes Spark open
+    ``num_partitions`` parallel connections, each scanning one bound
+    stripe (`WHERE pcol >= lo AND pcol < hi` pushed into the remote
+    database). Projection (``columns``) and subsequent ``.filter``
+    predicates are pushed into the generated SQL by the JDBC relation
+    — verify with ``PushedFilters`` in the plan. The usual caveats
+    apply at scale: stripes should align with the remote index, and
+    bounds define stripe EDGES only (rows outside them still load,
+    into the first/last stripe).
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        reader = reader.option("driver", driver)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise ValueError(
+                "partition_column requires lower_bound, upper_bound and "
+                "num_partitions — without all three Spark silently falls "
+                "back to a single-connection scan"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    return df.select(*columns) if columns else df
+
+
 def load_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one driver testdata table with its pinned schema.
 

@@ -265,3 +265,40 @@ def test_compact_small_files_empty_dir(spark, tmp_path):
     d.mkdir()
     with _pytest.raises(FileNotFoundError):
         compact_small_files(spark, str(d))
+
+
+def test_scan_jdbc_roundtrip_partitioned(spark, tmp_path):
+    """JDBC scan against an embedded Derby database (the in-container
+    JDBC engine): round-trip, projection, filter pushdown into the
+    JDBC relation, and the parallel partitioned read path."""
+    from dask_datapipeline_spark.sources.readers import scan_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/jdbcdb;create=true"
+    src = spark.range(100).select(
+        F.col("id").cast("long").alias("id"), (F.col("id") % 7).alias("k")
+    )
+    src.write.format("jdbc").option("url", url).option("dbtable", "T").save()
+
+    out = scan_jdbc(spark, url, "T")
+    assert out.count() == 100
+    got = scan_jdbc(spark, url, "T", columns=["id"])
+    assert got.columns == ["id"]
+
+    part = scan_jdbc(
+        spark, url, "T",
+        partition_column="id", lower_bound=0, upper_bound=100, num_partitions=4,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 100
+    total = sum(r.id for r in part.filter(F.col("k") == 3).collect())
+    assert total == sum(i for i in range(100) if i % 7 == 3)
+    plan = (
+        part.filter(F.col("k") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "JDBCRelation" in plan
+
+    with pytest.raises(ValueError, match="partition_column requires"):
+        scan_jdbc(spark, url, "T", partition_column="id")
