@@ -941,6 +941,37 @@ def segment_dedup(
     segment's window partition receives fixed-width rows, never the
     text payload.
     """
+    base, hashed = _hashed_segments(df, id_col, text_col, seg_tokens, seed)
+    from pyspark.sql.window import Window
+
+    # Keep-first runs over (id, pos, hash) ONLY — the window shuffle
+    # keys on the segment hash, and a corpus-hot segment (shared by
+    # millions of docs) funnels its entire occurrence set to one
+    # partition; shipping fixed-width rows there instead of segment
+    # TEXT is what keeps the hot partition bounded. Winners re-join
+    # the persisted segment table on (id, pos) — a skew-free uniform
+    # key — to recover the text for reassembly.
+    slim = hashed.select(id_col, "__i", "__h")
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc(), F.col("__i").asc())
+    winners = (
+        slim.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "__i")
+    )
+    kept = winners.join(hashed, on=[id_col, "__i"])
+    return _reassemble(base, kept, id_col, "text_dedup")
+
+
+def _hashed_segments(
+    df: DataFrame, id_col: str, text_col: str, seg_tokens: int, seed: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the segment-level dedup family.
+
+    Returns ``(base, hashed)``: ``base`` is ``(id, text, n_seg_total)``
+    for every non-null-text document; ``hashed`` is the PERSISTED
+    ``(id, n_seg_total, __i, __seg, __h)`` segment table (referenced
+    at least twice by every caller — winner selection/boilerplate
+    counting, then text recovery)."""
     require_columns(df, [id_col, text_col])
     k = seg_tokens
     if k < 1:
@@ -966,23 +997,16 @@ def segment_dedup(
     hashed = segs.select(
         id_col, "n_seg_total", "__i", "__seg", seeded_hash64(F.col("__seg"), seed).alias("__h")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    from pyspark.sql.window import Window
+    return base, hashed
 
-    # Keep-first runs over (id, pos, hash) ONLY — the window shuffle
-    # keys on the segment hash, and a corpus-hot segment (shared by
-    # millions of docs) funnels its entire occurrence set to one
-    # partition; shipping fixed-width rows there instead of segment
-    # TEXT is what keeps the hot partition bounded. Winners re-join
-    # the persisted segment table on (id, pos) — a skew-free uniform
-    # key — to recover the text for reassembly.
-    slim = hashed.select(id_col, "__i", "__h")
-    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc(), F.col("__i").asc())
-    winners = (
-        slim.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(id_col, "__i")
-    )
-    kept = winners.join(hashed, on=[id_col, "__i"])
+
+def _reassemble(base: DataFrame, kept: DataFrame, id_col: str, out_col: str) -> DataFrame:
+    """Rebuild each document from its surviving ``(__i, __seg)`` rows in
+    original order; documents whose every segment was dropped come back
+    with an empty string (the caller decides whether to drop empties —
+    that filter is corpus policy, not dedup semantics). The sort is
+    per-document ``array_sort(collect_list)`` — bounded by document
+    length, never global."""
     assembled = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
@@ -991,15 +1015,69 @@ def segment_dedup(
                 lambda s: s["__seg"],
             ),
             " ",
-        ).alias("text_dedup"),
+        ).alias(out_col),
     )
     return (
         base.select(id_col, "n_seg_total")
         .join(assembled, on=id_col, how="left")
         .select(
             id_col,
-            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
             "n_seg_total",
         )
     )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 5,
+    max_df: int = 1,
+    seed: int = 0,
+    broadcast_boiler: bool = True,
+) -> DataFrame:
+    """Cross-document boilerplate removal (CCNet/RefinedWeb-style line
+    dedup, generalized to fixed token windows — the driver corpus has
+    no line structure): drop EVERY occurrence of any segment that
+    appears in MORE THAN ``max_df`` distinct documents, then
+    reassemble the survivors in document order.
+
+    Contrast with ``segment_dedup`` (C4 keep-first): keep-first leaves
+    one copy of a repeated span somewhere in the corpus; boilerplate
+    strip removes headers/footers/nav chrome EVERYWHERE — a repeated
+    span is evidence the text is template, not content.
+
+    Output: ``(id, text_clean, n_kept, n_seg_total)``.
+
+    Physical shape, and why it scales BETTER than keep-first:
+
+    - document frequency per segment hash is distinct-then-count over
+      fixed-width ``(id, hash)`` rows — two shuffles of 16-byte rows,
+      map-side partial aggs, no text moved;
+    - the boilerplate set (hashes with df > max_df) is by definition
+      SMALL — segments repeated across many documents are few distinct
+      values — so it broadcasts (``broadcast_boiler``) and the corpus
+      is filtered by a map-side LEFT ANTI join: segment TEXT never
+      shuffles at all. If a corpus violates the small-set assumption,
+      ``broadcast_boiler=False`` degrades to a shuffled anti-join on
+      the hash key;
+    - reassembly is the per-document ``array_sort(collect_list)``
+      shared with ``segment_dedup``.
+    """
+    if max_df < 1:
+        raise ValueError(f"max_df={max_df} must be >= 1")
+    base, hashed = _hashed_segments(df, id_col, text_col, seg_tokens, seed)
+    boiler = (
+        hashed.select(id_col, "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") > max_df)
+        .select("__h")
+    )
+    if broadcast_boiler:
+        boiler = F.broadcast(boiler)
+    kept = hashed.join(boiler, on="__h", how="left_anti")
+    return _reassemble(base, kept, id_col, "text_clean")

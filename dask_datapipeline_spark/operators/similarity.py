@@ -270,6 +270,140 @@ def _cosine_batch_seq(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(num / (np.sqrt(na) * np.sqrt(nb)))
 
 
+def _coarse_codebook(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    trained: bool,
+    train_sample: int,
+    train_iter: int,
+    train_seed: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(cell ids, centroid matrix) for the IVF-family coarse quantizer.
+
+    Default: the ``n_cells`` LOWEST-id corpus vectors (not
+    ``id < n_cells``, which silently assumes dense 0-based ids and
+    collects nothing for corpora whose ids start elsewhere) — a
+    deterministic codebook the DuckDB oracle replays exactly.
+    ``trained=True``: seeded spherical k-means on a bounded
+    deterministic sample (better-balanced cells; see
+    tests/test_recall.py)."""
+    if trained:
+        c_mat = _kmeans_lloyd(
+            _train_sample(corpus, id_col, vec_col, train_sample, train_seed),
+            n_cells,
+            train_iter,
+            train_seed,
+            spherical=True,
+        )
+        return np.arange(n_cells, dtype=np.int64), c_mat
+    cent = (
+        corpus.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(n_cells).collect()
+    )
+    if not cent:
+        raise ValueError("coarse codebook: corpus is empty — cannot build a codebook")
+    c_ids = np.array([r[0] for r in cent], dtype=np.int64)
+    c_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent])
+    return c_ids, c_mat
+
+
+def _cell_of_udf(c_ids: np.ndarray, c_mat: np.ndarray):
+    """Vectorized nearest-centroid-by-cosine assignment UDF. argmax
+    returns the FIRST maximum and ``c_ids`` is ascending, so ties
+    resolve to the lowest centroid id — matching the oracle's
+    ``ORDER BY sim DESC, cid`` row_number."""
+    c_norms = np.sqrt(_seq_sq_norm(c_mat))
+
+    @F.pandas_udf(T.LongType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        v = _stack(vecs)
+        sims = _seq_dot(v, c_mat) / (np.sqrt(_seq_sq_norm(v))[:, None] * c_norms[None, :])
+        return pd.Series(c_ids[np.argmax(sims, axis=1)])
+
+    return cell_of
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trained: bool = False,
+    train_sample: int = 4096,
+    train_iter: int = 10,
+    train_seed: int = TRAIN_SEED,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster, then prune
+    inside clusters only (cf. Abbas et al. 2023, "SemDeDup").
+
+    Every vector is assigned to its nearest coarse-codebook centroid
+    by cosine (ties → lowest centroid id); WITHIN each cell a vector
+    is a semantic duplicate iff some LOWER-id cell-mate has cosine ≥
+    ``threshold`` with it (deterministic keep-lowest-id survivor).
+    Output: ``(id_col, cell, is_dup)`` for every input vector — the
+    caller filters ``~is_dup`` for the kept corpus.
+
+    Why this scales where all-pairs cannot: clustering bounds the
+    pairwise verify to Σ|cell|² instead of N². At 100 TB ``n_cells``
+    grows with the corpus (SemDeDup uses ~100k clusters for LAION-
+    scale data) so cells stay bounded; ``trained=True`` fits a real
+    spherical-k-means codebook whose balanced cells keep the bound
+    tight (balance measured in tests/test_recall.py). The default
+    lowest-id codebook keeps the DuckDB oracle exactly replayable.
+
+    Physical shape: the codebook rides in the UDF closure (KiB, never
+    a join); assignment is one vectorized Arrow pass over the scan;
+    the ONLY wide shuffle is the cell-keyed self-join, and the exact
+    cosine verify is a JVM ``F.aggregate`` fold inside codegen — no
+    Python in the join. Pairs split across a cell boundary are not
+    compared — the documented SemDeDup recall trade.
+    """
+    require_columns(df, [id_col, vec_col])
+    c_ids, c_mat = _coarse_codebook(
+        df, id_col, vec_col, n_cells, trained, train_sample, train_iter, train_seed
+    )
+    cell_of = _cell_of_udf(c_ids, c_mat)
+    from pyspark.storagelevel import StorageLevel
+
+    assigned = (
+        fan_out(df.select(id_col, vec_col))
+        .select(
+            F.col(id_col),
+            F.col(vec_col).alias("__v"),
+            cell_of(F.col(vec_col)).alias("cell"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # shuffle_hash, not broadcast: the corpus side is never
+    # broadcastable at scale, and broadcasting an ArrowEvalPython
+    # stage is slow even when it fits (CLAUDE.md).
+    dup_ids = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b").hint("shuffle_hash"),
+            on=[
+                F.col("a.cell") == F.col("b.cell"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .where(cosine(F.col("a.__v"), F.col("b.__v")) >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "cell")
+        .join(dup_ids, on=id_col, how="left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -309,29 +443,9 @@ def ivf_topk(
     """
     require_columns(corpus, [id_col, vec_col])
     require_columns(queries, [id_col, vec_col])
-    if trained:
-        c_mat = _kmeans_lloyd(
-            _train_sample(corpus, id_col, vec_col, train_sample, train_seed),
-            n_cells,
-            train_iter,
-            train_seed,
-            spherical=True,
-        )
-        c_ids = np.arange(n_cells, dtype=np.int64)
-    else:
-        # Codebook = the n_cells LOWEST ids (not `id < n_cells`, which
-        # silently assumes dense 0-based ids and collects nothing for
-        # corpora whose ids start elsewhere).
-        cent = (
-            corpus.select(id_col, vec_col)
-            .orderBy(F.col(id_col).asc())
-            .limit(n_cells)
-            .collect()
-        )
-        if not cent:
-            raise ValueError("ivf_topk: corpus is empty — cannot build a codebook")
-        c_ids = np.array([r[0] for r in cent], dtype=np.int64)
-        c_mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent])
+    c_ids, c_mat = _coarse_codebook(
+        corpus, id_col, vec_col, n_cells, trained, train_sample, train_iter, train_seed
+    )
     c_norms = np.sqrt(_seq_sq_norm(c_mat))
 
     def _sims_to_centroids(vecs: pd.Series) -> np.ndarray:

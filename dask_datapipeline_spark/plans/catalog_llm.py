@@ -456,6 +456,45 @@ def q_embedding_near_dup_exact(spark, sf_dir):
     return cosine_all_pairs_exact(emb, threshold=0.4)
 
 
+_SEMDEDUP_CELLS, _SEMDEDUP_T = 16, 0.4
+
+
+@register_extra(
+    "semantic_dedup",
+    f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT {_SEMDEDUP_CELLS}
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_COS_SQL.format(a='e.embedding', b='c.cv')} DESC, c.cid
+         ) AS rn
+  FROM embeddings e CROSS JOIN c
+),
+cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= {_SEMDEDUP_T!r}
+)
+SELECT ce.vec_id, ce.cid AS cell, (d.vec_id IS NOT NULL) AS is_dup
+FROM cells ce LEFT JOIN dup d ON ce.vec_id = d.vec_id
+""",
+    "SemDeDup-style semantic dedup (operators/similarity.py::semantic_dedup): "
+    "nearest-centroid cell assignment (lowest-id codebook, tie→lowest cid), then "
+    "within-cell cosine >= threshold against any lower-id cell-mate marks a "
+    "duplicate — pairwise work bounded by cell size, never N²; the oracle replays "
+    "the identical assignment and verify in SQL",
+)
+def q_semantic_dedup(spark, sf_dir):
+    from dask_datapipeline_spark.operators.similarity import semantic_dedup
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=_SEMDEDUP_T, n_cells=_SEMDEDUP_CELLS)
+
+
 def _lsh_oracle_sql(num_tables: int, bits: int, dim: int, k: int) -> str:
     """Replay the Spark SRP-LSH k-NN join in SQL: the md5-derived ±1
     planes are embedded as list literals, so bucket ids (sign of a
@@ -1632,6 +1671,58 @@ def q_segment_dedup(spark, sf_dir):
 
     docs = load_testdata(spark, sf_dir, "documents")
     return segment_dedup(docs, seg_tokens=_SEG_K)
+
+
+_BOILER_K, _BOILER_MAX_DF = 5, 1
+
+
+@register_extra(
+    "boilerplate_strip",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk
+  FROM documents WHERE text IS NOT NULL
+), n AS (
+  SELECT doc_id, tk,
+         CAST(floor((len(tk) + {_BOILER_K - 1}) / {_BOILER_K}.0) AS BIGINT) AS n_seg_total
+  FROM t
+), seg AS (
+  SELECT doc_id, n_seg_total, i,
+         array_to_string(tk[i*{_BOILER_K}+1 : i*{_BOILER_K}+{_BOILER_K}], ' ') AS seg
+  FROM n, unnest(generate_series(0, CAST(n_seg_total - 1 AS INT))) g(i)
+), h AS (
+  SELECT doc_id, i, seg,
+         CAST(CONCAT('0x', SUBSTRING(md5('0:' || seg), 1, 15)) AS BIGINT) AS hh
+  FROM seg
+), boiler AS (
+  SELECT hh FROM (
+    SELECT hh, COUNT(DISTINCT doc_id) AS dfc FROM h GROUP BY hh
+  ) WHERE dfc > {_BOILER_MAX_DF}
+), kept AS (
+  SELECT doc_id, i, seg FROM h
+  WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.hh = h.hh)
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY i) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT n.doc_id,
+       COALESCE(agg.text_clean, '') AS text_clean,
+       COALESCE(agg.n_kept, 0) AS n_kept,
+       n.n_seg_total
+FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
+""",
+    "Cross-document boilerplate strip (operators/dedup.py::boilerplate_strip): "
+    "5-token segments occurring in more than one distinct document are removed "
+    "EVERYWHERE (CCNet/RefinedWeb-style line dedup; contrast segment_dedup's C4 "
+    "keep-first) — df count over fixed-width (id, hash) rows, broadcast anti-join "
+    "of the small boilerplate hash set, per-document reassembly",
+)
+def q_boilerplate_strip(spark, sf_dir):
+    from dask_datapipeline_spark.operators.dedup import boilerplate_strip
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return boilerplate_strip(docs, seg_tokens=_BOILER_K, max_df=_BOILER_MAX_DF)
 
 
 from dask_datapipeline_spark.operators.sketches import (  # noqa: E402

@@ -240,6 +240,63 @@ def test_embedding_near_dup_symmetric_pairs(spark, emb):
     assert all(r.cosine_sim >= 0.4 for r in out)
 
 
+def _check_semdedup_flags(rows, vecs, threshold):
+    """is_dup must equal 'some LOWER-id vector in the SAME cell has
+    cosine >= threshold' — checked against the operator's own cell
+    assignment, so it validates both codebook paths."""
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r.vec_id)
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    flags = {r.vec_id: r.is_dup for r in rows}
+    for members in by_cell.values():
+        members.sort()
+        for j, vid in enumerate(members):
+            want = any(
+                cos(vecs[other], vecs[vid]) >= threshold for other in members[:j]
+            )
+            assert flags[vid] == want, vid
+
+
+def test_semantic_dedup_flags_match_model(spark, emb):
+    from dask_datapipeline_spark.operators.similarity import semantic_dedup
+
+    t = 0.4
+    rows = semantic_dedup(emb, threshold=t, n_cells=8).collect()
+    data = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in data}
+    assert len(rows) == len(vecs)  # every vector flagged, none invented
+    # default codebook: assignment must match the numpy argmax model
+    # (lowest-8-ids centroids, ties to the lowest centroid id)
+    cb_ids = sorted(vecs)[:8]
+    for r in rows:
+        sims = [
+            (vecs[c] @ vecs[r.vec_id])
+            / (np.linalg.norm(vecs[c]) * np.linalg.norm(vecs[r.vec_id]))
+            for c in cb_ids
+        ]
+        assert r.cell == cb_ids[int(np.argmax(sims))]
+    _check_semdedup_flags(rows, vecs, t)
+
+
+def test_semantic_dedup_trained_codebook(spark, emb):
+    """trained=True swaps the codebook but keeps the semantics: every
+    vector appears once and flags are consistent with the trained
+    assignment."""
+    from dask_datapipeline_spark.operators.similarity import semantic_dedup
+
+    t = 0.4
+    rows = semantic_dedup(emb, threshold=t, n_cells=8, trained=True).collect()
+    data = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in data}
+    assert len(rows) == len(vecs)
+    assert {r.cell for r in rows} <= set(range(8))  # trained cells are 0..n-1
+    _check_semdedup_flags(rows, vecs, t)
+
+
 # ----- text analysis -------------------------------------------------
 
 

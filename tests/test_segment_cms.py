@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from dask_datapipeline_spark.operators.dedup import segment_dedup
+from dask_datapipeline_spark.operators.dedup import boilerplate_strip, segment_dedup
 from dask_datapipeline_spark.operators.sketches import cms_counters, cms_heavy_hitters
 
 # --------------------------- segment dedup ---------------------------
@@ -63,6 +63,62 @@ def test_segment_dedup_null_text_dropped(spark):
 def test_segment_dedup_rejects_bad_width(spark, seg_docs):
     with pytest.raises(ValueError):
         segment_dedup(seg_docs, seg_tokens=0)
+
+
+# ----------------------- boilerplate strip ---------------------------
+
+
+def test_boilerplate_strip_removes_cross_doc_segments(spark, seg_docs):
+    # 'a b' occurs in docs 1, 2, 3 (df=3 > 1) -> stripped EVERYWHERE;
+    # 'c d' occurs in docs 1 and 3 (df=2 > 1) -> stripped everywhere;
+    # 'x y' (doc 2 only) and 'p q' (doc 4 only, twice WITHIN the doc,
+    # df=1) survive — in-doc repetition is not boilerplate.
+    out = {r.doc_id: r for r in boilerplate_strip(seg_docs, seg_tokens=2).collect()}
+    assert out[1].text_clean == "" and out[1].n_kept == 0
+    assert out[2].text_clean == "x y" and out[2].n_kept == 1
+    assert out[3].text_clean == "" and out[3].n_kept == 0
+    assert out[4].text_clean == "p q p q" and out[4].n_kept == 2
+    assert all(r.n_seg_total == 2 for r in out.values())
+
+
+def test_boilerplate_strip_max_df_threshold(spark, seg_docs):
+    # max_df=2: only segments in MORE than 2 distinct docs go.
+    # 'a b' (df=3) stripped; 'c d' (df=2) kept.
+    out = {
+        r.doc_id: r
+        for r in boilerplate_strip(seg_docs, seg_tokens=2, max_df=2).collect()
+    }
+    assert out[1].text_clean == "c d"
+    assert out[2].text_clean == "x y"
+    assert out[3].text_clean == "c d"
+    assert out[4].text_clean == "p q p q"
+
+
+def test_boilerplate_strip_order_preserved(spark):
+    df = spark.createDataFrame(
+        [(1, "k k a a m m"), (2, "q q a a r r")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in boilerplate_strip(df, seg_tokens=2).collect()}
+    assert out[1].text_clean == "k k m m"
+    assert out[2].text_clean == "q q r r"
+
+
+def test_boilerplate_strip_null_text_and_shuffled_anti_join(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d"), (3, "a b e f")], "doc_id long, text string"
+    )
+    rows = boilerplate_strip(df, seg_tokens=2, broadcast_boiler=False).collect()
+    out = {r.doc_id: r for r in rows}
+    assert sorted(out) == [2, 3]  # null-text doc dropped
+    assert out[2].text_clean == "c d"
+    assert out[3].text_clean == "e f"
+
+
+def test_boilerplate_strip_rejects_bad_params(spark, seg_docs):
+    with pytest.raises(ValueError):
+        boilerplate_strip(seg_docs, seg_tokens=0)
+    with pytest.raises(ValueError):
+        boilerplate_strip(seg_docs, max_df=0)
 
 
 # ------------------------- count-min sketch --------------------------
