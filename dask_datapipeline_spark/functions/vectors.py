@@ -11,6 +11,15 @@ cross-engine.
 Scale note: these expressions are O(dim) per row with zero shuffle —
 the distributed cost of similarity search lives in the join strategy
 (see operators/similarity.py), not here.
+
+Throughput caveat (measured, sf0.1, local[32]): higher-order
+functions evaluate per element OUTSIDE whole-stage codegen's tight
+loop, so for high-volume pair scoring (~10⁶ candidate pairs) the
+Arrow-batched strict-order scorer in operators/similarity.py
+(``_cosine_batch_seq``) is ~3-5× faster than this fold at bit-
+identical results. Use these Column forms for scan-side scoring
+against a literal (``cosine_topk``) and one-off expressions; use the
+Arrow scorer inside candidate-verify joins.
 """
 
 from __future__ import annotations
