@@ -459,7 +459,7 @@ def q_embedding_near_dup_exact(spark, sf_dir):
 _SEMDEDUP_CELLS, _SEMDEDUP_T = 16, 0.4
 
 
-@register_extra(
+@register(
     "semantic_dedup",
     f"""
 WITH c AS (
@@ -486,7 +486,8 @@ FROM cells ce LEFT JOIN dup d ON ce.vec_id = d.vec_id
     "nearest-centroid cell assignment (lowest-id codebook, tie→lowest cid), then "
     "within-cell cosine >= threshold against any lower-id cell-mate marks a "
     "duplicate — pairwise work bounded by cell size, never N²; the oracle replays "
-    "the identical assignment and verify in SQL",
+    "the identical assignment and verify in SQL. Driver row since round 3 "
+    "(join_anti rotated to EXTRA_CATALOG)",
 )
 def q_semantic_dedup(spark, sf_dir):
     from dask_datapipeline_spark.operators.similarity import semantic_dedup
