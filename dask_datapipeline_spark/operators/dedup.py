@@ -1081,3 +1081,145 @@ def boilerplate_strip(
         boiler = F.broadcast(boiler)
     kept = hashed.join(boiler, on="__h", how="left_anti")
     return _reassemble(base, kept, id_col, "text_clean")
+
+
+# ----- winnowing fingerprints (MOSS-style) ---------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    kgram: int = 4,
+    window: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """DISTINCT winnowing fingerprints per document — ``(id, __h)``
+    rows (persisted; the shared root of the winnow family).
+
+    Winnowing (Schleimer/Wilkerson/Aiken's MOSS algorithm): hash every
+    ``kgram``-token gram, slide a ``window``-wide window over the hash
+    sequence, select each window's MINIMUM hash. The guarantee: any
+    shared token run of length ≥ kgram + window - 1 contributes at
+    least one COMMON selected fingerprint, while only ~2/(window+1) of
+    all k-gram hashes are selected — detection with a bounded
+    fingerprint table.
+
+    Taking the DISTINCT SET of window minima makes the classic
+    position tiebreak irrelevant (a tie selects the same VALUE), which
+    is what keeps the SQL oracle a plain window-MIN replay.
+
+    Documents shorter than kgram + window - 1 tokens emit NO
+    fingerprints. The ``when`` guard is load-bearing: Spark's
+    ``sequence(1, m)`` counts DOWNWARD for m < 1 and would fabricate
+    positions for short documents.
+
+    Everything is per-row array expressions over the scan — no
+    shuffle, no Python; the explode emits ~2·n_tokens/(window+1)
+    fixed-width rows per document.
+    """
+    require_columns(df, [id_col, text_col])
+    if kgram < 1:
+        raise ValueError(f"kgram={kgram} must be >= 1")
+    if window < 1:
+        raise ValueError(f"window={window} must be >= 1")
+    toks = tokens(text_col)
+    base = df.where(F.col(text_col).isNotNull()).select(F.col(id_col), toks.alias("__tk"))
+    n_kg = F.size("__tk") - (kgram - 1)
+    kg = base.select(
+        id_col,
+        F.when(
+            n_kg >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_kg),
+                lambda i: seeded_hash64(F.concat_ws(" ", F.slice("__tk", i, kgram)), seed),
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("__kg"),
+    )
+    n_win = F.size("__kg") - (window - 1)
+    fps = kg.select(
+        id_col,
+        F.when(
+            n_win >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n_win),
+                    lambda j: F.array_min(F.slice("__kg", j, window)),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("__fps"),
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    return (
+        fan_out(fps)
+        .select(F.col(id_col), F.explode("__fps").alias("__h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def winnow_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    kgram: int = 4,
+    window: int = 4,
+    min_shared: int = 3,
+    max_df: int | None = 256,
+    seed: int = 0,
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints — the
+    MOSS similarity join.
+
+    Output per qualifying pair (id_a < id_b):
+    ``(id_a, id_b, n_shared, sim)`` where ``n_shared`` is the count of
+    common distinct fingerprints and ``sim = n_shared /
+    least(|fp_a|, |fp_b|)`` (containment-style, over the df-capped
+    fingerprint universe — robust to length asymmetry, unlike plain
+    Jaccard).
+
+    Why a THIRD near-dup family next to MinHash and SimHash: winnowing
+    detects LOCAL plagiarism-style overlap (any shared run ≥
+    kgram+window-1 tokens is guaranteed a shared fingerprint) rather
+    than global set similarity — a document that copies one paragraph
+    from another scores here but not on whole-document MinHash.
+
+    Physical shape / 100 TB: fingerprinting is per-row array exprs
+    over the scan (no shuffle); ``cap_document_frequency`` bounds the
+    per-key fan-out of the fingerprint self-join at max_df² exactly as
+    in the Jaccard family; the join moves only (id, 8-byte hash) rows;
+    per-doc counts join back on the uniform id key. No window/verify
+    pass is needed — the fingerprint intersection IS the evidence.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared={min_shared} must be >= 1")
+    fp = winnow_fingerprints(df, id_col, text_col, kgram, window, seed)
+    fp = cap_document_frequency(fp, max_df)
+    counts = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    pairs = (
+        fp.alias("a")
+        .join(fp.alias("b").hint("shuffle_hash"), on="__h")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        pairs.join(ca, on="id_a")
+        .join(cb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            (F.col("n_shared") / F.least("__na", "__nb")).alias("sim"),
+        )
+    )

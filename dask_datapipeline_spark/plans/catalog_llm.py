@@ -1726,6 +1726,66 @@ def q_boilerplate_strip(spark, sf_dir):
     return boilerplate_strip(docs, seg_tokens=_BOILER_K, max_df=_BOILER_MAX_DF)
 
 
+_WIN_K, _WIN_W, _WIN_MIN_SHARED, _WIN_MAX_DF = 4, 4, 3, 256
+
+
+@register_extra(
+    "winnow_near_dup",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk
+  FROM documents WHERE text IS NOT NULL
+), kg AS (
+  SELECT doc_id, i,
+         CAST(CONCAT('0x', SUBSTRING(md5('0:' || array_to_string(tk[i : i+{_WIN_K - 1}], ' ')), 1, 15)) AS BIGINT) AS hh,
+         len(tk) - {_WIN_K - 1} AS nk
+  FROM t, unnest(generate_series(1, len(tk) - {_WIN_K - 1})) g(i)
+  WHERE len(tk) >= {_WIN_K}
+), win AS (
+  SELECT doc_id, i, nk,
+         MIN(hh) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING
+         ) AS minh
+  FROM kg
+), fps0 AS (
+  SELECT DISTINCT doc_id, minh AS hh FROM win WHERE i <= nk - {_WIN_W - 1}
+), fps AS (
+  SELECT doc_id, hh FROM (
+    SELECT doc_id, hh, COUNT(*) OVER (PARTITION BY hh) AS dfc FROM fps0
+  ) WHERE dfc <= {_WIN_MAX_DF}
+), cnt AS (
+  SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM fps a JOIN fps b ON a.hh = b.hh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+)
+SELECT p.id_a, p.id_b, p.n_shared,
+       p.n_shared / least(ca.n, cb.n) AS sim
+FROM pairs p
+JOIN cnt ca ON ca.doc_id = p.id_a
+JOIN cnt cb ON cb.doc_id = p.id_b
+""",
+    "Winnowing near-dup pairs (operators/dedup.py::winnow_near_dup — the MOSS "
+    "algorithm): 4-gram hashes, window-4 minima as fingerprints (any shared run "
+    ">= 7 tokens guarantees a common fingerprint), df-capped fingerprint "
+    "equi-join, pairs sharing >= 3 fingerprints with containment-style sim; "
+    "the oracle replays selection as a window MIN over the same md5 hashes",
+)
+def q_winnow_near_dup(spark, sf_dir):
+    from dask_datapipeline_spark.operators.dedup import winnow_near_dup
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return winnow_near_dup(
+        docs,
+        kgram=_WIN_K,
+        window=_WIN_W,
+        min_shared=_WIN_MIN_SHARED,
+        max_df=_WIN_MAX_DF,
+    )
+
+
 from dask_datapipeline_spark.operators.sketches import (  # noqa: E402
     cms_heavy_hitters,
     cms_oracle_sql,

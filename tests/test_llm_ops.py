@@ -171,6 +171,71 @@ def test_simhash_near_dups_close(spark, docs):
     assert far[len(far) // 2] > 16
 
 
+# ----- winnowing (MOSS) ----------------------------------------------
+
+
+def test_winnow_detection_guarantee(spark):
+    """Any shared token run of length >= kgram + window - 1 must yield
+    at least one common fingerprint — the MOSS guarantee."""
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 = 4 + 4 - 1
+    df = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven eight nine ten {shared} eleven twelve"),
+            (3, "completely different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = DD.winnow_near_dup(df, kgram=4, window=4, min_shared=1, max_df=None).collect()
+    assert (1, 2) in {(r.id_a, r.id_b) for r in pairs}
+    assert all({r.id_a, r.id_b} != {1, 3} and {r.id_a, r.id_b} != {2, 3} for r in pairs)
+
+
+def test_winnow_identical_docs_full_containment(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    rows = DD.winnow_near_dup(df, kgram=4, window=4, min_shared=1, max_df=None).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b) == (1, 2) and r.sim == 1.0
+
+
+def test_winnow_short_docs_emit_nothing(spark):
+    # < kgram + window - 1 = 7 tokens -> no complete window -> no rows;
+    # must not crash on the descending-sequence trap either
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a b c"), (3, "a b c d e f")], "doc_id long, text string"
+    )
+    assert DD.winnow_fingerprints(df, kgram=4, window=4).count() == 0
+
+
+def test_winnow_density_bounds(spark):
+    """Distinct fingerprints per doc: at most one per window, at least
+    one per `window` consecutive windows (a single minimum can cover
+    at most `window` windows)."""
+    text = " ".join(f"tok{i}" for i in range(50))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    k, w = 4, 4
+    n_windows = (50 - k + 1) - w + 1
+    got = DD.winnow_fingerprints(df, kgram=k, window=w).count()
+    assert got <= n_windows
+    assert got >= -(-n_windows // w)  # ceil
+
+
+def test_winnow_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        DD.winnow_fingerprints(df, kgram=0)
+    with _pytest.raises(ValueError):
+        DD.winnow_fingerprints(df, window=0)
+    with _pytest.raises(ValueError):
+        DD.winnow_near_dup(df, min_shared=0)
+
+
 # ----- similarity ----------------------------------------------------
 
 
