@@ -331,6 +331,102 @@ def test_segment_dedup_matches_python_model(spark, texts, k):
     assert got == want
 
 
+@given(texts=_seg_texts, k=st.integers(min_value=1, max_value=3), max_df=st.integers(min_value=1, max_value=3))
+@settings(**_SETTINGS)
+def test_boilerplate_strip_matches_python_model(spark, texts, k, max_df):
+    """boilerplate_strip == brute-force df-count-then-filter: a segment
+    occurring in more than max_df DISTINCT docs is removed everywhere;
+    in-doc repetition alone never strips."""
+    from dask_datapipeline_spark.operators.dedup import boilerplate_strip
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def segs_of(t):
+        toks = t.lower().split(" ")
+        return [
+            " ".join(toks[j * k : (j + 1) * k])
+            for j in range((len(toks) + k - 1) // k)
+        ]
+
+    from collections import Counter
+
+    dfc = Counter()
+    for _, t in rows:
+        for s in set(segs_of(t)):
+            dfc[s] += 1
+    boiler = {s for s, c in dfc.items() if c > max_df}
+    want = {}
+    for i, t in rows:
+        kept = [s for s in segs_of(t) if s not in boiler]
+        want[i] = (" ".join(kept), len(kept), len(segs_of(t)))
+
+    got = {
+        r.doc_id: (r.text_clean, r.n_kept, r.n_seg_total)
+        for r in boilerplate_strip(df, seg_tokens=k, max_df=max_df).collect()
+    }
+    assert got == want
+
+
+_win_texts = st.lists(
+    st.lists(_seg_words, min_size=1, max_size=14).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(
+    texts=_win_texts,
+    k=st.integers(min_value=1, max_value=3),
+    w=st.integers(min_value=1, max_value=3),
+    max_df=st.sampled_from([None, 1, 2]),
+)
+@settings(**_SETTINGS)
+def test_winnow_near_dup_matches_python_model(spark, texts, k, w, max_df):
+    """winnow_near_dup == a python replay of the same md5 k-gram
+    hashes, window minima, df cap, and containment sim — tiny alphabet
+    so fingerprint collisions across docs are dense."""
+    import hashlib
+    from collections import Counter
+
+    from dask_datapipeline_spark.operators.dedup import winnow_near_dup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def fps_of(t):
+        toks = t.lower().split(" ")
+        if len(toks) < k + w - 1:
+            return set()
+        hs = [
+            int(hashlib.md5(f"0:{' '.join(toks[i:i + k])}".encode()).hexdigest()[:15], 16)
+            for i in range(len(toks) - k + 1)
+        ]
+        return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+    fps = {i: fps_of(t) for i, t in rows}
+    if max_df is not None:
+        dfc = Counter(h for s in fps.values() for h in s)
+        hot = {h for h, c in dfc.items() if c > max_df}
+        fps = {i: s - hot for i, s in fps.items()}
+    want = {}
+    ids = sorted(fps)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            shared = len(fps[a] & fps[b])
+            if shared >= 1:
+                want[(a, b)] = (shared, shared / min(len(fps[a]), len(fps[b])))
+
+    got = {
+        (r.id_a, r.id_b): (r.n_shared, r.sim)
+        for r in winnow_near_dup(
+            df, kgram=k, window=w, min_shared=1, max_df=max_df
+        ).collect()
+    }
+    assert got == want
+
+
 _funnel_types = st.sampled_from(["view", "click", "purchase", "other"])
 _funnel_rows = st.lists(
     st.tuples(
