@@ -897,6 +897,63 @@ def contamination(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: how much of each document's
+    n-gram set also occurs in OTHER documents of the corpus. The
+    complement of novelty ("copied fraction") is the standard cheap
+    memorization/duplication risk signal — a document whose shingles
+    are mostly corpus-frequent is boilerplate or a near-copy even
+    when no single pair-wise match crosses a near-dup threshold.
+
+    Output per document that has >= 1 shingle:
+      (id, n_shingles, n_copied, copied_frac)
+    where n_shingles counts the doc's DISTINCT shingle hashes and
+    n_copied those with corpus document-frequency >= 2 (i.e. present
+    in at least one other document — the distinct set makes df a true
+    document count, so a shingle repeated within one doc does not
+    mark itself as copied).
+
+    Plan shape / 100 TB design:
+    - Reuses the shared persisted shingle-hash table
+      (``hashed_shingles``), so the corpus is exploded and hashed
+      once across the whole dedup family.
+    - Deliberately UNCAPPED: the highest-df shingles are exactly the
+      copied mass this operator measures, so ``cap_document_frequency``
+      would bias it. Unlike the self-join family, df here never
+      fans out: the frequency groupBy emits ONE row per hash and the
+      join back is row-count-preserving — per-key work is O(df), not
+      O(df²), so hot shingles are safe without the cap.
+    - Two bounded shuffles total (hash → df, id → per-doc counts);
+      everything shuffled is an 8-byte long.
+    - Exact integer counts; the single double division is
+      correctly-rounded IEEE on both engines, and n_shingles >= 1
+      by construction (groups only exist for docs with rows).
+    """
+    dist = hashed_shingles(df, id_col, text_col, shingle_n).distinct()
+    dfreq = dist.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        dist.join(dfreq, on="__h")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0)).alias("n_copied"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_copied",
+            (F.col("n_copied").cast("double") / F.col("n_shingles").cast("double")).alias(
+                "copied_frac"
+            ),
+        )
+    )
+
+
 # ----- segment-level exact dedup (C4-style) --------------------------
 
 

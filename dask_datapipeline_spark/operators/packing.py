@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dask_datapipeline_spark.errors import require_columns
+from dask_datapipeline_spark.operators.dedup import seeded_hash64
 
 
 def chunk_token_stream(
@@ -117,3 +118,79 @@ def pack_greedy(
         return pdf
 
     return narrow.groupBy(partition_col).applyInPandas(_pack, schema)
+
+
+def shard_by_tokens(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    shard_tokens: int,
+    seed: str = "shard",
+    n_buckets_bits: int = 10,
+) -> DataFrame:
+    """Token-balanced training-shard assignment over a GLOBAL
+    deterministic shuffle — the export step that turns a cleaned
+    corpus into equal-token training shards.
+
+    Documents are ordered by a pure hash of their id (a
+    reproducible global shuffle: same order on any cluster, any
+    partitioning — Spark's ``rand``-based shuffle is neither), the
+    token stream is laid end-to-end in that order, and each document
+    is assigned the shard its FIRST token lands in:
+    ``shard_id = stream_offset div shard_tokens``.
+
+    Output: ``(id, n_tokens, stream_offset, shard_id)``.
+
+    Plan shape / 100 TB design — the two-pass distributed prefix sum
+    (this is the "two-pass prefix-sum" the module docstring says a
+    global stream needs, implemented):
+    - A naive global window (``Window.orderBy(hash)``) moves the
+      WHOLE corpus into one partition — the canonical Spark
+      scale-killer. Instead the hash's TOP ``n_buckets_bits`` bits
+      form a coarse bucket that is a prefix of the total order, so
+      ordering by (bucket, hash, id) == ordering by (hash, id):
+      pass 1 computes per-bucket token totals (one groupBy emitting
+      2^bits rows) and turns them into exclusive bucket offsets with
+      a window over those 2^bits rows only; pass 2 computes the
+      within-bucket running sum with a window PARTITIONED by bucket
+      and adds the broadcast bucket offset. Nothing ever
+      concentrates on one executor; bucket skew is bounded because
+      md5 is uniform.
+    - All arithmetic is exact BIGINT (offsets, totals, the shard
+      division uses integer ``div``) — bit-identical to the oracle's
+      single-window replay under any partitioning.
+    - Ties: md5 collisions are broken by ``id_col`` on both engines,
+      keeping the stream order total.
+    """
+    require_columns(df, [id_col, token_col])
+    if shard_tokens < 1:
+        raise ValueError(f"shard_tokens={shard_tokens} must be >= 1")
+    h = seeded_hash64(F.col(id_col).cast("string"), seed)
+    narrow = df.select(
+        F.col(id_col),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        h.alias("__h"),
+    ).withColumn("__b", F.shiftright("__h", 60 - n_buckets_bits))
+
+    totals = narrow.groupBy("__b").agg(F.sum("n_tokens").alias("__t"))
+    # window over at most 2^n_buckets_bits rows — bounded, not corpus-sized
+    w_bucket = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__t").over(w_bucket), F.lit(0)).alias("__off")
+    )
+
+    w_local = Window.partitionBy("__b").orderBy("__h", id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local_cum = F.sum("n_tokens").over(w_local)
+    start = (F.col("__off") + local_cum - F.col("n_tokens")).alias("stream_offset")
+    return (
+        narrow.join(F.broadcast(offsets), on="__b")
+        .select(id_col, "n_tokens", "__h", "__b", "__off", start)
+        .select(
+            id_col,
+            "n_tokens",
+            "stream_offset",
+            F.expr(f"stream_offset DIV CAST({shard_tokens} AS BIGINT)").alias("shard_id"),
+        )
+    )

@@ -1,0 +1,136 @@
+"""Time-series regularization: resample to a fixed grid + gap-fill.
+
+Event streams are irregular; downstream feature pipelines and
+monitoring dashboards want a REGULAR grid per entity (one row per
+user per hour) with gaps filled by the last observation carried
+forward (LOCF) — the standard as-of semantics for metrics that hold
+until changed.
+
+Everything here is per-entity: the spine explode, the join, and the
+fill window all partition on the entity key, so the operator scales
+with the number of entities and never concentrates data. The fill
+value is CARRIED, never recomputed — no floating-point arithmetic is
+performed on it, so results are bit-exact vs the DuckDB oracle by
+construction.
+
+Reference parity note: the reference (``/root/reference/main.py``)
+has no time-series surface; this extends the events-table analytics
+family (as-of join, session windows) per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dask_datapipeline_spark.errors import require_columns
+
+
+def resample_locf(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    unit: str = "hour",
+) -> DataFrame:
+    """Resample ``df`` to one row per ``entity_col`` per ``unit``
+    bucket between that entity's first and last observed bucket,
+    carrying the last observed ``value_col`` forward across gaps.
+
+    The representative observation of a bucket is its LAST event
+    (latest ``ts_col``; ties broken by the largest ``value_col`` —
+    callers with an id column should pre-pick if a different
+    tiebreak is needed). Output:
+
+      (entity, bucket_ts, value, is_gap)
+
+    where ``is_gap`` marks carried rows. The first spine row of each
+    entity is its first OBSERVED bucket, so ``value`` is never NULL.
+
+    Plan shape / 100 TB design:
+    - ONE shuffle on the entity key serves the last-per-bucket
+      window, the per-entity bounds agg, and the fill window (same
+      partitioning reused across stages).
+    - The spine is ``explode(sequence(min_bucket, max_bucket,
+      step))`` — generated per entity on the executor that owns it;
+      its size is bounded by the time range, not the event count.
+    - No global window, no driver materialization, no Python.
+    """
+    require_columns(df, [entity_col, ts_col, value_col])
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("__bucket")
+    ev = df.select(entity_col, bucket, F.col(ts_col).alias("__ts"), F.col(value_col))
+
+    w_last = Window.partitionBy(entity_col, "__bucket").orderBy(
+        F.col("__ts").desc(), F.col(value_col).desc()
+    )
+    last_per_bucket = (
+        ev.withColumn("__rn", F.row_number().over(w_last))
+        .filter(F.col("__rn") == 1)
+        .select(entity_col, "__bucket", F.col(value_col).alias("__obs"))
+    )
+
+    spine = (
+        ev.groupBy(entity_col)
+        .agg(F.min("__bucket").alias("__b0"), F.max("__bucket").alias("__b1"))
+        .select(
+            entity_col,
+            F.explode(F.expr(f"sequence(__b0, __b1, interval {step})")).alias("__bucket"),
+        )
+    )
+
+    w_fill = Window.partitionBy(entity_col).orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(last_per_bucket, on=[entity_col, "__bucket"], how="left")
+        .select(
+            entity_col,
+            F.col("__bucket").alias("bucket_ts"),
+            F.last("__obs", ignorenulls=True).over(w_fill).alias("value"),
+            F.col("__obs").isNull().alias("is_gap"),
+        )
+    )
+
+
+def resample_locf_sql(
+    src: str = "events",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+    unit: str = "hour",
+) -> str:
+    """DuckDB oracle twin of :func:`resample_locf`: same bucket
+    truncation, same last-event-per-bucket tiebreak, same inclusive
+    spine, same IGNORE NULLS carry."""
+    return f"""
+WITH e AS (
+  SELECT {entity_col}, date_trunc('{unit}', {ts_col}) AS bkt,
+         {ts_col} AS ts, {value_col} AS v
+  FROM {src}
+),
+last_per AS (
+  SELECT {entity_col}, bkt, v FROM (
+    SELECT {entity_col}, bkt, v,
+           ROW_NUMBER() OVER (PARTITION BY {entity_col}, bkt
+                              ORDER BY ts DESC, v DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+),
+bounds AS (
+  SELECT {entity_col}, MIN(bkt) AS b0, MAX(bkt) AS b1 FROM e GROUP BY {entity_col}
+),
+spine AS (
+  SELECT {entity_col}, unnest(generate_series(b0, b1, INTERVAL {step})) AS bkt
+  FROM bounds
+)
+SELECT s.{entity_col}, s.bkt AS bucket_ts,
+       last_value(l.v IGNORE NULLS) OVER (
+         PARTITION BY s.{entity_col} ORDER BY s.bkt
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       l.v IS NULL AS is_gap
+FROM spine s LEFT JOIN last_per l
+  ON s.{entity_col} = l.{entity_col} AND s.bkt = l.bkt
+"""

@@ -2699,3 +2699,130 @@ def q_corpus_report(spark, sf_dir):
         F.count(F.when(F.col("quality") >= 0.5, 1)).alias("n_high_quality"),
         F.count(F.when(F.col("n_tok") < 50, 1)).alias("n_short"),
     )
+
+
+# ----- hashed linear quality classifier ------------------------------
+
+from dask_datapipeline_spark.operators.classifier import (  # noqa: E402
+    hashed_linear_score,
+    hashed_linear_score_sql,
+)
+
+
+@register_extra(
+    "quality_classifier",
+    hashed_linear_score_sql(seed="qw", scale=1000),
+    "fastText-style hashed linear classifier (operators/classifier.py): "
+    "per-token integer weights from the shared md5 hash family, exact "
+    "BIGINT margin accumulation, one correctly-rounded division — a pure "
+    "map over the corpus scan with ZERO shuffles",
+)
+def q_quality_classifier(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    return hashed_linear_score(docs, "doc_id", "text", seed="qw", scale=1000)
+
+
+# ----- per-document n-gram novelty -----------------------------------
+
+_SQL_NOVELTY = (
+    "WITH "
+    + _SQL_SHINGLES_HASHED
+    + """,
+dfreq AS (SELECT h, COUNT(*) AS df FROM shh0 GROUP BY h),
+per AS (
+  SELECT s.doc_id, COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_copied
+  FROM shh0 s JOIN dfreq d ON s.h = d.h GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, n_copied,
+       CAST(n_copied AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS copied_frac
+FROM per
+"""
+)
+
+
+@register_extra(
+    "ngram_novelty",
+    _SQL_NOVELTY,
+    "Per-document copied-n-gram fraction (operators/dedup.py::ngram_novelty): "
+    "distinct shingle hashes with corpus document-frequency >= 2, over the "
+    "UNCAPPED shingle universe (df here is row-preserving, never a join "
+    "fan-out) — the cheap memorization/boilerplate risk signal",
+)
+def q_ngram_novelty(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    return DD.ngram_novelty(docs, "doc_id", "text", shingle_n=3)
+
+
+# ----- token-balanced training shards --------------------------------
+
+_SHARD_TOKENS = 2000
+
+_SQL_TRAINING_SHARDS = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         CAST(CONCAT('0x', SUBSTRING(md5('shard:' || doc_id), 1, 15)) AS BIGINT) AS h
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS stream_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, stream_offset,
+       stream_offset // {_SHARD_TOKENS} AS shard_id
+FROM c
+"""
+
+
+@register_extra(
+    "training_shards",
+    _SQL_TRAINING_SHARDS,
+    "Token-balanced training-shard assignment (operators/packing.py::"
+    "shard_by_tokens): deterministic md5 global shuffle + TWO-PASS distributed "
+    "prefix sum (bucket totals from the hash's top bits, then per-bucket "
+    "windows) — no corpus-sized single-partition window anywhere; the oracle "
+    "replays it as one plain window cumsum",
+)
+def q_training_shards(spark, sf_dir):
+    from dask_datapipeline_spark.functions import text as _TXT
+    from dask_datapipeline_spark.operators.packing import shard_by_tokens
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    docs = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", _TXT.whitespace_token_count("text").alias("n_tok")
+    )
+    return shard_by_tokens(docs, "doc_id", "n_tok", shard_tokens=_SHARD_TOKENS)
+
+
+# ----- time-series resample + LOCF gap-fill --------------------------
+
+
+def _resample_sql() -> str:
+    from dask_datapipeline_spark.operators.timeseries import resample_locf_sql
+
+    inner = resample_locf_sql(
+        src="(SELECT * FROM events WHERE user_id % 10 = 0)",
+        entity_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        step="1 hour",
+        unit="hour",
+    )
+    return inner
+
+
+@register_extra(
+    "resample_locf",
+    _resample_sql(),
+    "Hourly resample + last-observation-carried-forward gap-fill "
+    "(operators/timeseries.py::resample_locf) over a deterministic user "
+    "subset: per-entity spine explode + fill window share ONE entity-keyed "
+    "shuffle; the carried value is never recomputed, so doubles are exact",
+)
+def q_resample_locf(spark, sf_dir):
+    from dask_datapipeline_spark.operators.timeseries import resample_locf
+
+    ev = load_testdata(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
+    return resample_locf(ev, "user_id", "ts", "value", step="1 hour", unit="hour")
