@@ -370,13 +370,17 @@ def q_filter_between_sum(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "filter_compound",
     """
 SELECT event_id, user_id, event_type, value FROM events
 WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL AND value > 5.0
 """,
-    "Predicate surface absent from reference (§2.1): IN + IS NOT NULL + compound AND",
+    "Predicate surface absent from reference (§2.1): IN + IS NOT NULL + compound AND "
+    "— rotated to the extras in round 3 to free a driver slot for "
+    "training_shards (the reference filter operators O6/O7 stay "
+    "driver-checked via filter_before_sum/filter_between_sum, and the "
+    "IN/IS NOT NULL predicates remain exercised here by the local gate)",
 )
 def q_filter_compound(spark, sf_dir):
     ev = load_testdata(spark, sf_dir, "events")
@@ -877,7 +881,6 @@ DRIVER_ORDER: list[str] = [
     "multi_agg_pricing",
     "filter_before_sum",
     "filter_between_sum",
-    "filter_compound",
     "fold_join",
     # generalized relational surface (SURVEY.md §2.1 absences)
     "window_topk",
@@ -926,6 +929,12 @@ DRIVER_ORDER: list[str] = [
     # place of join_left (the join family stays covered by
     # join_inner/join_semi/join_anti; join_left is in EXTRA_CATALOG)
     "merge_upsert",
+    # training-shard export (two-pass distributed prefix sum) —
+    # promoted round 3 in place of filter_compound so the
+    # sampling/packing/export family has a driver row (O6/O7 keep the
+    # filter operators driver-checked; filter_compound is in
+    # EXTRA_CATALOG)
+    "training_shards",
 ]
 
 

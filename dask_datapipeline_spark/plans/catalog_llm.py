@@ -2776,7 +2776,7 @@ FROM c
 """
 
 
-@register_extra(
+@register(
     "training_shards",
     _SQL_TRAINING_SHARDS,
     "Token-balanced training-shard assignment (operators/packing.py::"
@@ -2826,3 +2826,70 @@ def q_resample_locf(spark, sf_dir):
 
     ev = load_testdata(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
     return resample_locf(ev, "user_id", "ts", "value", step="1 hour", unit="hour")
+
+
+# ----- retention cohort analysis -------------------------------------
+
+_SQL_RETENTION = """
+WITH wk AS (
+  -- DuckDB's week-precision date_trunc returns DATE; Spark returns
+  -- TIMESTAMP — cast so the driver's schema compare agrees
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events
+),
+first_wk AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
+),
+joined AS (
+  SELECT f.cohort_week, w.user_id,
+         date_diff('day', f.cohort_week, w.week) // 7 AS week_offset
+  FROM wk w JOIN first_wk f ON w.user_id = f.user_id
+),
+cohort_sizes AS (
+  SELECT cohort_week, COUNT(*) AS n_cohort FROM first_wk GROUP BY cohort_week
+),
+ret AS (
+  SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_active
+  FROM joined GROUP BY cohort_week, week_offset
+)
+SELECT r.cohort_week, r.week_offset, r.n_active, c.n_cohort,
+       CAST(r.n_active AS DOUBLE) / CAST(c.n_cohort AS DOUBLE) AS retention_frac
+FROM ret r JOIN cohort_sizes c ON r.cohort_week = c.cohort_week
+"""
+
+
+@register_extra(
+    "retention_cohorts",
+    _SQL_RETENTION,
+    "Weekly retention cohorts: users grouped by first-active week, per-week-"
+    "offset distinct-active counts and retention fraction — integer-exact "
+    "counts, one user-keyed shuffle for cohort assignment + one "
+    "(cohort, offset) groupBy; day-diff//7 keeps the offset an exact integer "
+    "on both engines (date_diff('week') counts boundary crossings, not weeks)",
+)
+def q_retention_cohorts(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    first_wk = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = wk.join(first_wk, on="user_id").select(
+        "cohort_week",
+        "user_id",
+        F.expr("datediff(week, cohort_week) DIV 7").alias("week_offset"),
+    )
+    cohort_sizes = first_wk.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    ret = joined.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    return ret.join(cohort_sizes, on="cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        (F.col("n_active").cast("double") / F.col("n_cohort").cast("double")).alias(
+            "retention_frac"
+        ),
+    )

@@ -642,3 +642,68 @@ def test_mad_outliers_matches_python_model(spark, rows):
     )
     got = {r.event_type: (r.n, r.med, r.mad, r.n_out) for r in got_rows}
     assert got == want
+
+
+# ---------------- hashed linear classifier (round 3) -----------------
+
+_cls_texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=12), min_size=1, max_size=12
+)
+
+
+@given(texts=_cls_texts)
+@settings(**_SETTINGS)
+def test_classifier_matches_python_model(spark, texts):
+    import hashlib
+
+    from dask_datapipeline_spark.operators.classifier import hashed_linear_score
+
+    def w(tok: str) -> int:
+        h = int(hashlib.md5(f"qw:{tok}".encode()).hexdigest()[:15], 16)
+        return h % 2001 - 1000
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r for r in hashed_linear_score(df, "doc_id", "text").collect()}
+    for i, t in enumerate(texts):
+        toks = t.lower().split(" ")
+        raw = sum(w(tok) for tok in toks)
+        assert got[i].margin_raw == raw
+        assert got[i].n_tokens == len(toks)
+        assert got[i].margin == raw / (1000 * len(toks))
+
+
+# ---------------- token-balanced sharding (round 3) ------------------
+
+
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+    shard_tokens=st.integers(min_value=1, max_value=60),
+    bits=st.integers(min_value=1, max_value=12),
+)
+@settings(**_SETTINGS)
+def test_shard_by_tokens_matches_single_cumsum(spark, toks, shard_tokens, bits):
+    """The two-pass bucketed prefix sum must equal the plain global
+    cumsum for ANY bucket granularity — the bucket split is a pure
+    parallelization device, never visible in the result."""
+    import hashlib
+
+    from dask_datapipeline_spark.operators.packing import shard_by_tokens
+
+    rows = list(enumerate(toks))
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        r.doc_id: (r.stream_offset, r.shard_id)
+        for r in shard_by_tokens(
+            df, "doc_id", "n_tok", shard_tokens, n_buckets_bits=bits
+        ).collect()
+    }
+
+    def h(i: int) -> int:
+        return int(hashlib.md5(f"shard:{i}".encode()).hexdigest()[:15], 16)
+
+    cum = 0
+    want = {}
+    for doc_id, n in sorted(rows, key=lambda r: (h(r[0]), r[0])):
+        want[doc_id] = (cum, cum // shard_tokens)
+        cum += n
+    assert got == want
