@@ -134,3 +134,164 @@ SELECT {id_col}, CAST(n_tokens AS BIGINT) AS n_tokens, margin_raw,
        CAST(margin_raw AS DOUBLE) / (CAST({scale} AS DOUBLE) * CAST(n_tokens AS DOUBLE)) >= {float(threshold)} AS keep
 FROM sc
 """
+
+
+# ----- trained path ---------------------------------------------------
+
+#: Deterministic training-sample order seed (same device as the ANN
+#: codebooks' bounded TakeOrdered sample, operators/similarity.py).
+TRAIN_ORDER_SEED = "clstrain"
+
+
+def _hash_bucket(token: str, n_buckets: int, seed: str) -> int:
+    """Python twin of ``seeded_hash64(token, seed) % n_buckets`` —
+    the two paths (JVM hash-weight scoring, trained-dict scoring)
+    share one feature space."""
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}:{token}".encode()).hexdigest()[:15], 16) % n_buckets
+
+
+def train_hashed_linear(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 1 << 18,
+    epochs: int = 3,
+    max_sample: int = 4096,
+    scale: int = 1000,
+    seed: str = "qw",
+) -> dict[int, int]:
+    """Train integer weights for :func:`hashed_linear_score`'s
+    ``weights=`` path: an AVERAGED PERCEPTRON over mean-pooled hashed
+    bag-of-words features, quantized to ints in [-scale, scale].
+
+    Determinism contract (mirrors the ANN codebook trainer,
+    similarity.py::_kmeans_lloyd): the training sample is the
+    ``max_sample`` docs whose md5-of-id sorts lowest — a
+    TakeOrderedAndProject, identical on any cluster shape or
+    partitioning — walked in that fixed order with zero-initialized
+    weights and no RNG, so retraining always yields the same model.
+    Training arithmetic is plain floats (fine HERE: training only
+    produces the weight VALUES; scoring then uses them in exact
+    integer accumulation, so no oracle re-derives this arithmetic).
+
+    ``label_col`` is boolean (True = keep). The driver holds at most
+    ``max_sample`` documents — the same bounded-collect contract as
+    the codebook trainers; at 100 TB you train on a sample anyway.
+    """
+    require_columns(df, [id_col, text_col, label_col])
+    sample = (
+        df.where(F.col(text_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            seeded_hash64(F.col(id_col).cast("string"), TRAIN_ORDER_SEED).alias("__o"),
+            F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__t"),
+            F.col(label_col).cast("boolean").alias("__y"),
+        )
+        .orderBy("__o", "__id")
+        .limit(max_sample)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("train_hashed_linear: empty training sample")
+
+    docs = []
+    for r in sample:
+        toks = r["__t"].lower().split(" ")
+        counts: dict[int, int] = {}
+        for t in toks:
+            b = _hash_bucket(t, n_buckets, seed)
+            counts[b] = counts.get(b, 0) + 1
+        docs.append((counts, len(toks), 1.0 if r["__y"] else -1.0))
+
+    w: dict[int, float] = {}
+    acc: dict[int, float] = {}
+    bias = 0.0
+    bias_acc = 0.0
+    steps = 0
+    for _ in range(epochs):
+        for counts, n, y in docs:
+            steps += 1
+            margin = bias + sum(w.get(b, 0.0) * c for b, c in counts.items()) / n
+            if y * margin <= 0.0:
+                for b, c in counts.items():
+                    w[b] = w.get(b, 0.0) + y * c / n
+                bias += y
+            # averaged perceptron: accumulate the CURRENT weights
+            # every step (Freund & Schapire 1999)
+            for b, v in w.items():
+                acc[b] = acc.get(b, 0.0) + v
+            bias_acc += bias
+    avg = {b: v / steps for b, v in acc.items()}
+    peak = max((abs(v) for v in avg.values()), default=0.0)
+    if peak == 0.0:
+        return {-1: int(round(bias_acc / steps))}
+    q = {
+        b: int(round(v / peak * scale))
+        for b, v in avg.items()
+        if int(round(v / peak * scale)) != 0
+    }
+    # bias rides under the reserved key -1 (no md5 bucket is negative)
+    q[-1] = int(round(bias_acc / steps / peak * scale))
+    return q
+
+
+def hashed_linear_score_trained(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[int, int],
+    n_buckets: int = 1 << 18,
+    seed: str = "qw",
+    scale: int = 1000,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Score with TRAINED integer weights: same output contract as
+    :func:`hashed_linear_score` (n_tokens, margin_raw, margin, keep),
+    same exact-integer accumulation — the weight table lives in the
+    Arrow UDF closure (the codebook-in-closure pattern of
+    semantic_dedup), so scoring stays a map-side pass with zero
+    shuffles and nothing broadcast through a join.
+
+    ``margin = (bias*n_tokens + Σ w[bucket(t)]) / (scale*n_tokens)``
+    with the bias under reserved key -1 — all-integer numerator, one
+    final correctly-rounded division, bit-stable under any
+    partitioning.
+    """
+    require_columns(df, [id_col, text_col])
+    import pandas as pd
+
+    from dask_datapipeline_spark.parallel import fan_out
+
+    bias = int(weights.get(-1, 0))
+    wmap = {b: int(v) for b, v in weights.items() if b >= 0}
+    narrow = fan_out(df.where(F.col(text_col).isNotNull()).select(id_col, text_col))
+    id_dtype = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_dtype}, n_tokens long, margin_raw long"
+
+    def _score(batches):
+        for pdf in batches:
+            ids, ns, raws = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = t.lower().split(" ")
+                raw = bias * len(toks)
+                for tok in toks:
+                    raw += wmap.get(_hash_bucket(tok, n_buckets, seed), 0)
+                ids.append(i)
+                ns.append(len(toks))
+                raws.append(raw)
+            yield pd.DataFrame({id_col: ids, "n_tokens": ns, "margin_raw": raws})
+
+    scored = narrow.mapInPandas(_score, schema)
+    margin = F.col("margin_raw").cast("double") / (
+        F.lit(scale).cast("double") * F.col("n_tokens").cast("double")
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "margin_raw",
+        margin.alias("margin"),
+        (margin >= F.lit(float(threshold))).alias("keep"),
+    )

@@ -216,3 +216,89 @@ def test_locf_day_unit(spark, ts_events):
     ).collect()
     # each user's events fall within one day -> one row per user, no gaps
     assert len(out) == 2 and not any(r.is_gap for r in out)
+
+
+# ------------------- trained classifier path ------------------------
+
+
+@pytest.fixture(scope="module")
+def labeled_docs(spark):
+    # "spammy" docs repeat the token 'buy'; clean docs don't use it
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, f"buy now buy cheap buy offer{i % 5}", False))
+        else:
+            rows.append((i, f"a thoughtful essay about topic{i % 7} and ideas", True))
+    return spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+
+
+def test_trained_classifier_separates_labels(spark, labeled_docs):
+    from dask_datapipeline_spark.operators.classifier import (
+        hashed_linear_score_trained,
+        train_hashed_linear,
+    )
+
+    w = train_hashed_linear(labeled_docs, "doc_id", "text", "label")
+    scored = hashed_linear_score_trained(labeled_docs, "doc_id", "text", w)
+    got = {r.doc_id: r.keep for r in scored.collect()}
+    want = {i: i % 2 == 1 for i in range(40)}
+    # averaged perceptron on a linearly separable corpus: full recall
+    assert got == want
+
+
+def test_trained_beats_untrained_on_labels(spark, labeled_docs):
+    from dask_datapipeline_spark.operators.classifier import (
+        hashed_linear_score,
+        hashed_linear_score_trained,
+        train_hashed_linear,
+    )
+
+    labels = {i: i % 2 == 1 for i in range(40)}
+
+    def acc(rows):
+        return sum(1 for r in rows if r.keep == labels[r.doc_id]) / len(labels)
+
+    untrained = acc(hashed_linear_score(labeled_docs, "doc_id", "text").collect())
+    w = train_hashed_linear(labeled_docs, "doc_id", "text", "label")
+    trained = acc(
+        hashed_linear_score_trained(labeled_docs, "doc_id", "text", w).collect()
+    )
+    assert trained == 1.0 and trained > untrained
+
+
+def test_trained_weights_deterministic_and_partition_independent(spark, labeled_docs):
+    from dask_datapipeline_spark.operators.classifier import train_hashed_linear
+
+    w1 = train_hashed_linear(labeled_docs, "doc_id", "text", "label")
+    w2 = train_hashed_linear(labeled_docs.repartition(11), "doc_id", "text", "label")
+    assert w1 == w2 and any(v != 0 for v in w1.values())
+
+
+def test_trained_margin_matches_python_model(spark, labeled_docs):
+    from dask_datapipeline_spark.operators.classifier import (
+        _hash_bucket,
+        hashed_linear_score_trained,
+        train_hashed_linear,
+    )
+
+    w = train_hashed_linear(labeled_docs, "doc_id", "text", "label")
+    bias = w.get(-1, 0)
+    got = {
+        r.doc_id: r
+        for r in hashed_linear_score_trained(
+            labeled_docs, "doc_id", "text", w
+        ).collect()
+    }
+    for i in [0, 1, 2, 3]:
+        text = (
+            f"buy now buy cheap buy offer{i % 5}"
+            if i % 2 == 0
+            else f"a thoughtful essay about topic{i % 7} and ideas"
+        )
+        toks = text.lower().split(" ")
+        raw = bias * len(toks) + sum(
+            w.get(_hash_bucket(t, 1 << 18, "qw"), 0) for t in toks
+        )
+        assert got[i].margin_raw == raw
+        assert got[i].margin == raw / (1000 * len(toks))
