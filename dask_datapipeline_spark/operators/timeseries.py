@@ -134,3 +134,118 @@ SELECT s.{entity_col}, s.bkt AS bucket_ts,
 FROM spine s LEFT JOIN last_per l
   ON s.{entity_col} = l.{entity_col} AND s.bkt = l.bkt
 """
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    lookback: int = 24,
+    min_periods: int = 8,
+    z_threshold: int = 3,
+    scale: int = 100,
+) -> DataFrame:
+    """Rolling z-score anomaly detection: flag events whose value
+    deviates more than ``z_threshold`` sample standard deviations
+    from the trailing ``lookback`` observations of the SAME entity
+    (the current row excluded from its own baseline).
+
+    The anomaly test is ALL-INTEGER — no sqrt, no division, no
+    doubles anywhere in the decision:
+
+        |z| > T  ⇔  (n-1)·(n·c − s1)² > T²·n·(n·s2 − s1²)
+
+    with c the value scaled to exact integer cents (the
+    ``zscore_outliers`` device, aggregates.py) and s1/s2 the exact
+    rolling integer moments. Near-threshold rows therefore flag
+    identically on any engine, any partitioning — a naive rolling
+    ``stddev`` of doubles is order-dependent and drifts vs any
+    oracle. Zero-variance history falls out correctly: the RHS is 0,
+    so ANY deviation from a constant baseline flags (infinite z),
+    and equality never does.
+
+    Output (rows with >= ``min_periods`` history):
+      (entity, ts, id, value, n_hist, hist_mean, is_anomaly)
+
+    Plan shape / 100 TB design: ONE shuffle on the entity key; the
+    rolling frame is a per-partition sort + O(lookback) running
+    state. Ties in the event order break on ``id_col`` so the frame
+    is identical across engines. Integer range: cents² × lookback
+    must fit int64 — at |value| ≤ 1e6 and lookback ≤ 1e4 it does;
+    larger scales swap the moments to DECIMAL(38,0) (same plan).
+    """
+    require_columns(df, [entity_col, ts_col, value_col, id_col])
+    if lookback < 1 or min_periods < 2 or min_periods > lookback:
+        raise ValueError(
+            f"need 1 <= min_periods(>=2) <= lookback; got {min_periods}/{lookback}"
+        )
+    c = F.round(F.col(value_col) * scale, 0).cast("long")
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-lookback, -1)
+    )
+    base = df.select(
+        entity_col, ts_col, id_col, value_col, c.alias("__c")
+    ).select(
+        entity_col,
+        ts_col,
+        id_col,
+        value_col,
+        "__c",
+        F.count("__c").over(w).alias("__n"),
+        F.sum("__c").over(w).alias("__s1"),
+        F.sum(F.col("__c") * F.col("__c")).over(w).alias("__s2"),
+    )
+    n, s1, s2, cc = F.col("__n"), F.col("__s1"), F.col("__s2"), F.col("__c")
+    dev = n * cc - s1
+    lhs = (n - 1) * dev * dev
+    rhs = F.lit(int(z_threshold) ** 2) * n * (n * s2 - s1 * s1)
+    return base.filter(n >= min_periods).select(
+        entity_col,
+        ts_col,
+        id_col,
+        value_col,
+        n.alias("n_hist"),
+        (s1.cast("double") / n.cast("double")/ F.lit(float(scale))).alias("hist_mean"),
+        (lhs > rhs).alias("is_anomaly"),
+    )
+
+
+def rolling_anomaly_sql(
+    src: str = "events",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lookback: int = 24,
+    min_periods: int = 8,
+    z_threshold: int = 3,
+    scale: int = 100,
+) -> str:
+    """DuckDB oracle twin of :func:`rolling_anomaly` — same cents
+    cast, same frame, same integer inequality."""
+    frame = f"""PARTITION BY {entity_col} ORDER BY {ts_col}, {id_col}
+           ROWS BETWEEN {lookback} PRECEDING AND 1 PRECEDING"""
+    return f"""
+WITH c AS (
+  SELECT {entity_col}, {ts_col}, {id_col}, {value_col},
+         CAST(round({value_col} * {scale}) AS BIGINT) AS cc
+  FROM {src}
+),
+m AS (
+  SELECT {entity_col}, {ts_col}, {id_col}, {value_col}, cc,
+         COUNT(cc) OVER ({frame}) AS n,
+         SUM(cc)  OVER ({frame}) AS s1,
+         SUM(cc * cc) OVER ({frame}) AS s2
+  FROM c
+)
+SELECT {entity_col}, {ts_col}, {id_col}, {value_col},
+       n AS n_hist,
+       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / {float(scale)} AS hist_mean,
+       (n - 1) * (n * cc - s1) * (n * cc - s1)
+         > {int(z_threshold) ** 2} * n * (n * s2 - s1 * s1) AS is_anomaly
+FROM m WHERE n >= {min_periods}
+"""

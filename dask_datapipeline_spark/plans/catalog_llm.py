@@ -2893,3 +2893,30 @@ def q_retention_cohorts(spark, sf_dir):
             "retention_frac"
         ),
     )
+
+
+# ----- rolling anomaly detection -------------------------------------
+
+
+def _rolling_anomaly_sql() -> str:
+    from dask_datapipeline_spark.operators.timeseries import rolling_anomaly_sql
+
+    return rolling_anomaly_sql(lookback=24, min_periods=8, z_threshold=3)
+
+
+@register_extra(
+    "rolling_anomaly",
+    _rolling_anomaly_sql(),
+    "Rolling z-score anomaly flags (operators/timeseries.py::rolling_anomaly): "
+    "trailing-24-event baseline per user, current row excluded; the threshold "
+    "test is ALL-INTEGER ((n-1)(nc-s1)^2 > 9n(n*s2-s1^2)) over exact cents "
+    "moments — no sqrt/division in the decision, bit-identical flags near the "
+    "threshold on any engine; one entity-keyed shuffle",
+)
+def q_rolling_anomaly(spark, sf_dir):
+    from dask_datapipeline_spark.operators.timeseries import rolling_anomaly
+
+    ev = load_testdata(spark, sf_dir, "events")
+    return rolling_anomaly(
+        ev, "user_id", "ts", "value", "event_id", lookback=24, min_periods=8
+    )

@@ -302,3 +302,79 @@ def test_trained_margin_matches_python_model(spark, labeled_docs):
         )
         assert got[i].margin_raw == raw
         assert got[i].margin == raw / (1000 * len(toks))
+
+
+# ---------------------- rolling anomaly -----------------------------
+
+
+def test_rolling_anomaly_flags_spike_only(spark):
+    from dask_datapipeline_spark.operators.timeseries import rolling_anomaly
+
+    rows = []
+    # user 1: steady 10.0 with tiny wiggle, one huge spike at i=20
+    for i in range(30):
+        v = 10.0 + (0.01 if i % 2 else -0.01)
+        if i == 20:
+            v = 500.0
+        rows.append((1, datetime(2024, 1, 1, 0, i), i, v))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    out = {r.event_id: r for r in rolling_anomaly(
+        df, "user_id", "ts", "value", "event_id", lookback=10, min_periods=5
+    ).collect()}
+    # first 5 rows lack history -> absent
+    assert set(out) == set(range(5, 30))
+    assert out[20].is_anomaly
+    # the spike pollutes the baseline afterwards; steady rows BEFORE it are clean
+    assert not any(out[i].is_anomaly for i in range(5, 20))
+
+
+def test_rolling_anomaly_constant_history_flags_any_deviation(spark):
+    from dask_datapipeline_spark.operators.timeseries import rolling_anomaly
+
+    rows = [(1, datetime(2024, 1, 1, 0, i), i, 5.0) for i in range(10)]
+    rows.append((1, datetime(2024, 1, 1, 0, 10), 10, 5.01))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    out = {r.event_id: r for r in rolling_anomaly(
+        df, "user_id", "ts", "value", "event_id", lookback=10, min_periods=2
+    ).collect()}
+    # zero-variance baseline: equal value never flags, ANY deviation does
+    assert not any(out[i].is_anomaly for i in range(2, 10))
+    assert out[10].is_anomaly
+
+
+def test_rolling_anomaly_matches_python_model(spark):
+    import math
+
+    from dask_datapipeline_spark.operators.timeseries import rolling_anomaly
+
+    vals = [10.0, 12.0, 8.0, 11.0, 9.0, 10.5, 30.0, 10.0, 9.5, 11.5, 12.5, 7.5]
+    rows = [(1, datetime(2024, 1, 1, 0, i), i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    out = {r.event_id: r for r in rolling_anomaly(
+        df, "user_id", "ts", "value", "event_id", lookback=5, min_periods=3
+    ).collect()}
+    cents = [round(v * 100) for v in vals]
+    for i in range(len(vals)):
+        hist = cents[max(0, i - 5):i]
+        n = len(hist)
+        if n < 3:
+            assert i not in out
+            continue
+        s1, s2 = sum(hist), sum(h * h for h in hist)
+        want = (n - 1) * (n * cents[i] - s1) ** 2 > 9 * n * (n * s2 - s1 * s1)
+        assert out[i].is_anomaly == want
+        assert out[i].n_hist == n
+        assert out[i].hist_mean == s1 / n / 100.0
+
+
+def test_rolling_anomaly_rejects_bad_args(spark):
+    from dask_datapipeline_spark.operators.timeseries import rolling_anomaly
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, 1.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    with pytest.raises(ValueError):
+        rolling_anomaly(df, "user_id", "ts", "value", "event_id", lookback=5, min_periods=6)
+    with pytest.raises(ValueError):
+        rolling_anomaly(df, "user_id", "ts", "value", "event_id", min_periods=1)
