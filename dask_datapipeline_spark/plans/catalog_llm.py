@@ -2920,3 +2920,26 @@ def q_rolling_anomaly(spark, sf_dir):
     return rolling_anomaly(
         ev, "user_id", "ts", "value", "event_id", lookback=24, min_periods=8
     )
+
+
+# ----- BPE tokenizer train + encode ----------------------------------
+
+
+@register_extra(
+    "bpe_tokens",
+    None,  # iterative trainer (each merge depends on the last) — genuinely
+    # non-SQL-expressible; correctness is pinned against a pure-Python
+    # reference trainer in tests/test_bpe.py (fixed corpora, the real
+    # testdata corpus, and hypothesis), so the gate records rows-only
+    "Distributed BPE train (operators/bpe.py): Sennrich-style merges learned "
+    "on the DISTINCT-WORD count table (Zipf: ~1e8 words vs ~1e13 tokens at "
+    "100 TB) — per round one Arrow pass + one pair groupBy + a 1-row "
+    "TakeOrdered; then per-doc token counts under the learned vocab "
+    "(map-side, zero shuffles)",
+)
+def q_bpe_tokens(spark, sf_dir):
+    from dask_datapipeline_spark.operators.bpe import bpe_token_count, train_bpe
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", num_merges=16)
+    return bpe_token_count(docs, "doc_id", "text", merges)
