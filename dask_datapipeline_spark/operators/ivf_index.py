@@ -1,0 +1,170 @@
+"""Materialized IVF index: build once, probe with partition pruning.
+
+docs/SCALE.md §Similarity describes the 100 TB deployment of the IVF
+k-NN family: "the assigned corpus is written partitioned by cell (the
+'index build'); the probe join then prunes to the probed cells'
+partitions". This module implements that path (the ANN sibling of
+``operators/minhash_index.py``):
+
+- ``build_ivf_index`` assigns every corpus vector to its coarse cell
+  (one Arrow pass, codebook in the UDF closure) and writes the corpus
+  PARTITIONED BY cell, plus the codebook and a ``_META`` parameter
+  record.
+- ``ivf_topk_from_index`` serves k-NN queries against the index: the
+  probed cell set is at most ``n_cells`` values (collected — a
+  bounded driver list, same contract as the codebook itself), so the
+  corpus scan carries a static ``__cell IN (...)`` partition filter —
+  Spark's file index then PRUNES unprobed cell directories before any
+  I/O. At 100 TB with n_probe=4 of 100k cells, the scan reads
+  ~0.004% of the index files; that pruning, not the join, is the
+  scale win of building the index at all.
+
+Results are IDENTICAL to the in-memory ``similarity.ivf_topk`` with
+the same parameters (asserted in tests): the index is a physical
+re-layout, never a semantic change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dask_datapipeline_spark.errors import require_columns
+from dask_datapipeline_spark.operators.similarity import (
+    TRAIN_SEED,
+    _cell_of_udf,
+    _coarse_codebook,
+    _cosine_batch_seq,
+    _seq_dot,
+    _seq_sq_norm,
+    _stack,
+)
+from dask_datapipeline_spark.parallel import fan_out
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trained: bool = False,
+    train_sample: int = 4096,
+    train_iter: int = 10,
+    train_seed: int = TRAIN_SEED,
+) -> dict:
+    """Write the cell-partitioned corpus + codebook (see module
+    docstring). One Arrow assignment pass; the partitioned write is
+    the only exchange (hash on the partition column). Returns the
+    metadata dict, also persisted as ``<path>/_META``."""
+    require_columns(corpus, [id_col, vec_col])
+    c_ids, c_mat = _coarse_codebook(
+        corpus, id_col, vec_col, n_cells, trained, train_sample, train_iter, train_seed
+    )
+    cell_of = _cell_of_udf(c_ids, c_mat)
+    assigned = fan_out(corpus.select(id_col, vec_col)).select(
+        id_col, vec_col, cell_of(F.col(vec_col)).alias("__cell")
+    )
+    assigned.write.mode("overwrite").partitionBy("__cell").parquet(
+        os.path.join(path, "vectors")
+    )
+    spark = corpus.sparkSession
+    book = spark.createDataFrame(
+        [(int(cid), [float(x) for x in row]) for cid, row in zip(c_ids, c_mat)],
+        "cell_id long, centroid array<double>",
+    )
+    book.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    meta = {
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "n_cells": int(n_cells),
+        "trained": bool(trained),
+        "dim": int(c_mat.shape[1]),
+    }
+    with open(os.path.join(path, "_META"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_topk_from_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """k-NN join of ``queries`` against a built index. Same output
+    contract as ``similarity.ivf_topk``: (query_id, neighbor_id,
+    cosine_sim, rn), ties toward the lower neighbor id.
+
+    The probed cells are collected as a bounded list (≤ n_cells
+    longs) and pushed as a STATIC partition filter, so the vectors
+    scan prunes unprobed cell directories at the file-index level —
+    verify with ``.explain()``: the scan's PartitionFilters carries
+    the ``__cell IN (...)``."""
+    with open(os.path.join(path, "_META")) as f:
+        meta = json.load(f)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    require_columns(queries, [id_col, vec_col])
+    book = (
+        spark.read.parquet(os.path.join(path, "codebook"))
+        .orderBy("cell_id")
+        .collect()
+    )
+    c_ids = np.array([r.cell_id for r in book], dtype=np.int64)
+    c_mat = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in book])
+    c_norms = np.sqrt(_seq_sq_norm(c_mat))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def probes_of(vecs: pd.Series) -> pd.Series:
+        v = _stack(vecs)
+        sims = _seq_dot(v, c_mat) / (
+            np.sqrt(_seq_sq_norm(v))[:, None] * c_norms[None, :]
+        )
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(c_ids[idx]))
+
+    from pyspark.storagelevel import StorageLevel
+
+    probed = (
+        fan_out(queries.select(id_col, vec_col))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.explode(probes_of(F.col(vec_col))).alias("__cell"),
+        )
+        # read twice (cell-set collect + the join) — persist so the
+        # probes UDF runs over the queries once
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Bounded collect: the distinct probed-cell set is at most
+    # n_cells longs regardless of query count — the same driver
+    # contract as the codebook. The static IN filter is what turns
+    # the join into a partition-pruned scan.
+    cells = sorted(r["__cell"] for r in probed.select("__cell").distinct().collect())
+    vectors = (
+        spark.read.parquet(os.path.join(path, "vectors"))
+        .where(F.col("__cell").isin(cells))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            "__cell",
+        )
+    )
+    scored = probed.join(vectors.hint("shuffle_hash"), on="__cell").select(
+        "query_id",
+        "neighbor_id",
+        _cosine_batch_seq(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -1,0 +1,82 @@
+"""Materialized IVF index (operators/ivf_index.py): the index must be
+a pure physical re-layout — identical answers to the in-memory
+operator — and the probe scan must actually prune cell partitions."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_datapipeline_spark.operators.ivf_index import (
+    build_ivf_index,
+    ivf_topk_from_index,
+)
+from dask_datapipeline_spark.operators.similarity import ivf_topk
+from dask_datapipeline_spark.sources.readers import load_testdata
+
+N_CELLS, N_PROBE, K = 8, 3, 5
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_testdata(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf_index"))
+    meta = build_ivf_index(emb, path, n_cells=N_CELLS)
+    assert meta["n_cells"] == N_CELLS and not meta["trained"]
+    return path
+
+
+def test_index_layout(index_dir):
+    assert os.path.exists(os.path.join(index_dir, "_META"))
+    parts = [
+        d
+        for d in os.listdir(os.path.join(index_dir, "vectors"))
+        if d.startswith("__cell=")
+    ]
+    # default codebook = lowest-id vectors; every cell owns at least
+    # its own centroid vector
+    assert len(parts) == N_CELLS
+
+
+def test_index_results_equal_in_memory_operator(spark, emb, index_dir):
+    queries = emb.where(F.col("vec_id") % 7 == 0)
+    want = sorted(
+        map(
+            tuple,
+            ivf_topk(queries, emb, k=K, n_cells=N_CELLS, n_probe=N_PROBE).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            ivf_topk_from_index(spark, index_dir, queries, k=K, n_probe=N_PROBE).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_probe_scan_prunes_partitions(spark, emb, index_dir):
+    # a single query vector probes N_PROBE cells; the vectors scan
+    # must carry a static __cell partition filter (file-level pruning)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    df = ivf_topk_from_index(spark, index_dir, queries, k=K, n_probe=N_PROBE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__cell" in m.group(1) and "IN" in m.group(1).upper()
+
+
+def test_probed_cells_bound(spark, emb, index_dir):
+    # every query probing every cell still yields <= N_CELLS partitions
+    out = ivf_topk_from_index(spark, index_dir, emb, k=1, n_probe=N_CELLS)
+    assert out.select("query_id").distinct().count() == emb.count()
