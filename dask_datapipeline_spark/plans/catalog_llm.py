@@ -1135,6 +1135,14 @@ FROM (
     "replays the whole cascade in SQL, proving the stages compose exactly",
 )
 def q_corpus_clean(spark, sf_dir):
+    _kept, canon_split = _corpus_clean_split(spark, sf_dir)
+    return canon_split
+
+
+def _corpus_clean_split(spark, sf_dir):
+    """Shared body of the corpus_clean cascade: (kept docs with text,
+    canonical survivors tagged with their split). corpus_export
+    continues from both."""
     from pyspark.storagelevel import StorageLevel
 
     docs = load_testdata(spark, sf_dir, "documents")
@@ -1164,7 +1172,7 @@ def q_corpus_clean(spark, sf_dir):
         .filter(F.col("is_canonical"))
         .select("doc_id")
     )
-    return canon.select("doc_id", _split_column())
+    return kept, canon.select("doc_id", _split_column())
 
 
 # ----- benchmark decontamination + repetition quality ----------------
@@ -2943,3 +2951,84 @@ def q_bpe_tokens(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents")
     merges = train_bpe(docs, "text", num_merges=16)
     return bpe_token_count(docs, "doc_id", "text", merges)
+
+
+# ----- end-to-end training export ------------------------------------
+
+
+def _corpus_export_sql() -> str:
+    """corpus_clean's full cascade + classifier gate + token-balanced
+    sharding, one composed recursive-CTE oracle. The classifier gate
+    uses the INTEGER margin test (margin >= 0 ⇔ margin_raw >= 0 —
+    the denominator is positive), so no division enters the cascade."""
+    clean = _corpus_clean_sql()
+    # reuse the whole clean query as a CTE chain by cutting after the
+    # `canon` CTE (everything up to it is shared; the split SELECT is
+    # re-derived below restricted to the train bucket)
+    marker = "canon AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING MIN(label) = u)"
+    pre, mid, _tail = clean.partition(marker)
+    if not mid:
+        raise AssertionError("corpus_clean SQL changed: canon CTE marker not found")
+    head = pre + mid
+    w = (
+        "(CAST(CONCAT('0x', SUBSTRING(md5('qw:' || t), 1, 15)) AS BIGINT)"
+        " % 2001) - 1000"
+    )
+    return (
+        head
+        + f""",
+train_ids AS (
+  SELECT doc_id FROM (SELECT doc_id, {_SQL_SPLIT_BUCKET} AS bucket FROM canon)
+  WHERE bucket < 80
+),
+gated_src AS (
+  SELECT k.doc_id, k.text FROM kept k JOIN train_ids t ON t.doc_id = k.doc_id
+),
+exp_toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk
+  FROM gated_src WHERE text IS NOT NULL
+),
+exp_tw AS (SELECT doc_id, len(tk) AS n_tokens, unnest(tk) AS t FROM exp_toks),
+exp_sc AS (
+  SELECT doc_id, MAX(n_tokens) AS n_tokens,
+         CAST(SUM({w}) AS BIGINT) AS margin_raw
+  FROM exp_tw GROUP BY doc_id
+),
+exp_keep AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(CONCAT('0x', SUBSTRING(md5('shard:' || doc_id), 1, 15)) AS BIGINT) AS h
+  FROM exp_sc WHERE margin_raw >= 0
+),
+exp_cum AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS stream_offset
+  FROM exp_keep
+)
+SELECT doc_id, n_tokens, stream_offset,
+       stream_offset // {_SHARD_TOKENS} AS shard_id
+FROM exp_cum
+"""
+    )
+
+
+@register_extra(
+    "corpus_export",
+    _corpus_export_sql(),
+    "THE training-export pipeline end-to-end, one composed query: the full "
+    "corpus_clean cascade (quality gate → exact dedup → MinHash+LSH canonical "
+    "survivors → split) → train split → hashed-linear classifier gate "
+    "(integer margin test, no division) → token counts → token-balanced "
+    "global sharding (two-pass prefix sum). The oracle replays every stage "
+    "in SQL — proving the classifier and sharding operators compose exactly "
+    "with the dedup cascade",
+)
+def q_corpus_export(spark, sf_dir):
+    from dask_datapipeline_spark.operators.packing import shard_by_tokens
+
+    kept, canon_split = _corpus_clean_split(spark, sf_dir)
+    train_ids = canon_split.filter(F.col("split") == "train").select("doc_id")
+    gated_src = kept.join(train_ids, on="doc_id", how="left_semi")
+    scored = hashed_linear_score(gated_src, "doc_id", "text", seed="qw", scale=1000)
+    kept2 = scored.filter(F.col("margin_raw") >= 0).select("doc_id", "n_tokens")
+    return shard_by_tokens(kept2, "doc_id", "n_tokens", shard_tokens=_SHARD_TOKENS)
