@@ -19,9 +19,16 @@ partitions". This module implements that path (the ANN sibling of
   ~0.004% of the index files; that pruning, not the join, is the
   scale win of building the index at all.
 
-Results are IDENTICAL to the in-memory ``similarity.ivf_topk`` with
-the same parameters (asserted in tests): the index is a physical
-re-layout, never a semantic change.
+The same module hosts the PQ codes index (``build_pq_index`` /
+``pq_topk_from_index``): the corpus stored as ``n_subspaces`` small
+ints per vector (64 dims → 8 bytes — the 8-32× storage/IO reduction
+that IS the point of PQ), scanned forever after in place of the
+vectors; query-side ADC tables build executor-side from the stored
+sub-codebook exactly as in the in-memory operator.
+
+Results are IDENTICAL to the in-memory ``similarity.ivf_topk`` /
+``similarity.pq_topk`` with the same parameters (asserted in tests):
+an index is a physical re-layout, never a semantic change.
 """
 
 from __future__ import annotations
@@ -167,4 +174,111 @@ def ivf_topk_from_index(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+# ----- PQ codes index ------------------------------------------------
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    trained: bool = False,
+    train_sample: int = 4096,
+    train_iter: int = 10,
+    train_seed: int = TRAIN_SEED,
+) -> dict:
+    """Write the PQ codes index: ``(id, codes)`` — ``n_subspaces``
+    small ints per vector (64 dims → 8 bytes, the 8-32× storage/IO
+    reduction that IS the point of PQ) — plus the sub-codebook and
+    ``_META``. One Arrow encode pass over the corpus; forever after,
+    queries scan CODES, never vectors."""
+    from dask_datapipeline_spark.operators.similarity import (
+        _pq_codebook,
+        _pq_encode,
+        _train_pq_book,
+        _train_sample as _bounded_sample,
+    )
+
+    require_columns(corpus, [id_col, vec_col])
+    if dim % n_subspaces != 0:
+        raise ValueError(f"dim={dim} not divisible by n_subspaces={n_subspaces}")
+    sub_d = dim // n_subspaces
+    if trained:
+        book = _train_pq_book(
+            _bounded_sample(corpus, id_col, vec_col, train_sample, train_seed),
+            n_codes,
+            n_subspaces,
+            train_iter,
+            train_seed,
+        )
+    else:
+        book = _pq_codebook(corpus, id_col, vec_col, n_codes)
+    _pq_encode(corpus, book, id_col, vec_col, n_subspaces, sub_d).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codes"))
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(book)],
+        "code_id long, codeword array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    meta = {
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "n_subspaces": int(n_subspaces),
+        "n_codes": int(n_codes),
+        "dim": int(dim),
+        "trained": bool(trained),
+    }
+    with open(os.path.join(path, "_META"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def pq_topk_from_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """ADC k-NN against a built codes index — same output contract as
+    ``similarity.pq_topk``: (query_id, neighbor_id, adc_dist, rn).
+    The corpus side of the scan is the CODES parquet (8-ish bytes per
+    vector); per-query distance tables build executor-side from the
+    stored codebook and broadcast to the codes scan exactly as in the
+    in-memory operator."""
+    from dask_datapipeline_spark.operators.similarity import (
+        _adc_fold,
+        _pq_query_tables,
+    )
+
+    with open(os.path.join(path, "_META")) as f:
+        meta = json.load(f)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    n_subspaces, n_codes = meta["n_subspaces"], meta["n_codes"]
+    sub_d = meta["dim"] // n_subspaces
+    require_columns(queries, [id_col, vec_col])
+    book_rows = (
+        spark.read.parquet(os.path.join(path, "codebook")).orderBy("code_id").collect()
+    )
+    book = np.stack([np.asarray(r.codeword, dtype=np.float64) for r in book_rows])
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    qtab = _pq_query_tables(queries, book, id_col, vec_col, n_subspaces, sub_d)
+    joined = codes.withColumn("__one", F.col(id_col) * F.lit(0)).join(
+        F.broadcast(qtab.withColumn("__one", F.col("query_id") * F.lit(0))),
+        on="__one",
+    )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        _adc_fold(n_subspaces, n_codes).alias("adc_dist"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -3032,3 +3032,47 @@ def q_corpus_export(spark, sf_dir):
     scored = hashed_linear_score(gated_src, "doc_id", "text", seed="qw", scale=1000)
     kept2 = scored.filter(F.col("margin_raw") >= 0).select("doc_id", "n_tokens")
     return shard_by_tokens(kept2, "doc_id", "n_tokens", shard_tokens=_SHARD_TOKENS)
+
+
+# ----- lead/lag event deltas -----------------------------------------
+
+_SQL_LEAD_LAG = """
+SELECT user_id, event_id, ts, value,
+       value - lag(value)  OVER w AS delta_prev,
+       lead(value) OVER w - value AS delta_next,
+       CAST(date_diff('microsecond', lag(ts) OVER w, ts) AS BIGINT) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register_extra(
+    "lead_lag_deltas",
+    _SQL_LEAD_LAG,
+    "LEAD/LAG window surface: per-user previous/next value deltas and "
+    "inter-event gap (µs) under a (ts, event_id) total order — one "
+    "entity-keyed shuffle; double SUBTRACTION of carried values is a single "
+    "correctly-rounded IEEE op, so deltas are bit-exact cross-engine",
+)
+def q_lead_lag_deltas(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load_testdata(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.col("ts").cast("long") * 1_000_000
+        + F.date_format("ts", "SSSSSS").cast("long")
+        - (
+            F.lag("ts").over(w).cast("long") * 1_000_000
+            + F.date_format(F.lag("ts").over(w), "SSSSSS").cast("long")
+        )
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        (F.lead("value").over(w) - F.col("value")).alias("delta_next"),
+        gap.alias("gap_us"),
+    )

@@ -80,3 +80,49 @@ def test_probed_cells_bound(spark, emb, index_dir):
     # every query probing every cell still yields <= N_CELLS partitions
     out = ivf_topk_from_index(spark, index_dir, emb, k=1, n_probe=N_CELLS)
     assert out.select("query_id").distinct().count() == emb.count()
+
+
+# -------------------------- PQ codes index --------------------------
+
+
+from dask_datapipeline_spark.operators.ivf_index import (  # noqa: E402
+    build_pq_index,
+    pq_topk_from_index,
+)
+from dask_datapipeline_spark.operators.similarity import pq_topk  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def pq_index_dir(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pq_index"))
+    meta = build_pq_index(emb, path, n_subspaces=8, n_codes=16)
+    assert meta["n_subspaces"] == 8 and meta["n_codes"] == 16
+    return path
+
+
+def test_pq_index_results_equal_in_memory_operator(spark, emb, pq_index_dir):
+    queries = emb.where(F.col("vec_id") % 11 == 0)
+    want = sorted(
+        map(tuple, pq_topk(queries, emb, k=K, n_subspaces=8, n_codes=16).collect())
+    )
+    got = sorted(
+        map(tuple, pq_topk_from_index(spark, pq_index_dir, queries, k=K).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_pq_index_scan_reads_codes_not_vectors(spark, emb, pq_index_dir):
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    df = pq_topk_from_index(spark, pq_index_dir, queries, k=K)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the only parquet scan over the corpus side is the codes index
+    assert "codes" in plan and "embeddings.parquet" not in plan.split("Scan parquet")[1]
+
+
+def test_pq_index_rejects_bad_subspaces(spark, emb, tmp_path_factory):
+    with pytest.raises(ValueError):
+        build_pq_index(
+            emb, str(tmp_path_factory.mktemp("bad")), n_subspaces=7, dim=64
+        )
