@@ -3076,3 +3076,31 @@ def q_lead_lag_deltas(spark, sf_dir):
         (F.lead("value").over(w) - F.col("value")).alias("delta_next"),
         gap.alias("gap_us"),
     )
+
+
+@register_extra(
+    "streaming_rolling_anomaly",
+    _rolling_anomaly_sql(),
+    "Streaming twin of rolling_anomaly (applyInPandasWithState: state = last-24 "
+    "cents per user, positional frame with NULL slots; same ALL-INTEGER "
+    "threshold test and mean division tree as the batch window) — the one-file "
+    "replay is a single in-order microbatch, so it shares the batch oracle "
+    "bit-for-bit instead of a rows-only check; in-order contract documented",
+)
+def q_streaming_rolling_anomaly(spark, sf_dir):
+    from dask_datapipeline_spark.streaming.windows import (
+        run_to_memory,
+        stateful_rolling_anomaly,
+        stream_events,
+    )
+
+    name = f"stream_anom_{next(_STREAM_SEQ)}"
+    run_to_memory(
+        stateful_rolling_anomaly(
+            stream_events(spark, sf_dir), lookback=24, min_periods=8
+        ),
+        name,
+        "append",
+        state_partitions=8,
+    )
+    return spark.table(name)
