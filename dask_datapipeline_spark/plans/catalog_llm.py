@@ -3104,3 +3104,116 @@ def q_streaming_rolling_anomaly(spark, sf_dir):
         state_partitions=8,
     )
     return spark.table(name)
+
+
+# ----- full-outer join + char-entropy quality ------------------------
+
+
+@register_extra(
+    "join_full",
+    """
+SELECT c.c_custkey, c.c_name,
+       COALESCE(c.c_nationkey, n.n_nationkey) AS n_nationkey, n.n_name
+FROM (SELECT * FROM customer WHERE c_custkey % 3 = 0) c
+FULL OUTER JOIN (SELECT * FROM nation WHERE n_nationkey % 2 = 0) n
+  ON c.c_nationkey = n.n_nationkey
+""",
+    "O4 generalized: FULL OUTER join (both sides filtered so both null "
+    "fringes are non-empty) — completes the join-type surface. Spark's "
+    "on=<name> join COALESCES the key (USING semantics), replayed as an "
+    "explicit COALESCE in the oracle",
+)
+def q_join_full(spark, sf_dir):
+    from dask_datapipeline_spark.operators.joins import equi_join
+
+    c = (
+        load_testdata(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 3 == 0)
+        .withColumnRenamed("c_nationkey", "n_nationkey")
+    )
+    n = load_testdata(spark, sf_dir, "nation").where(F.col("n_nationkey") % 2 == 0)
+    j = equi_join(c, n, on="n_nationkey", how="full")
+    return j.select("c_custkey", "c_name", "n_nationkey", "n_name")
+
+
+@register_extra(
+    "char_entropy",
+    """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS c,
+         len(lower(text)) AS n
+  FROM documents WHERE text IS NOT NULL AND len(text) > 0
+),
+freq AS (
+  SELECT doc_id, MAX(n) AS n, c, COUNT(*) AS k FROM ch WHERE c <> '' GROUP BY doc_id, c
+),
+terms AS (
+  SELECT doc_id, n, CAST(round(
+           -(CAST(k AS DOUBLE) / n) * ln(CAST(k AS DOUBLE) / n) / ln(2.0), 9)
+         AS DECIMAL(19,9)) AS term
+  FROM freq
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       CAST(SUM(term) AS DOUBLE) AS entropy_bits
+FROM terms GROUP BY doc_id, n
+""",
+    "Per-document character entropy (bits/char distribution): the cheap "
+    "gibberish/compression-ratio quality signal. Each per-char term is "
+    "rounded to 9 dp and cast to DECIMAL(19,9) BEFORE summing (the "
+    "lm_perplexity pattern) — ln drift is absorbed by the round and the "
+    "accumulation is exact, so the sum is order-independent under any "
+    "partitioning, not just usually-equal",
+)
+def q_char_entropy(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    base = docs.where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "")).alias("c"),
+        F.length(F.lower(F.col("text"))).alias("n"),
+    )
+    freq = (
+        base.where(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.max("n").alias("n"), F.count(F.lit(1)).alias("k"))
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    term = F.round(-p * F.log(p) / F.log(F.lit(2.0)), 9).cast("decimal(19,9)")
+    return (
+        freq.groupBy("doc_id", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.sum(term).cast("double").alias("entropy_bits"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_chars"),
+            F.col("n_distinct_chars").cast("long").alias("n_distinct_chars"),
+            "entropy_bits",
+        )
+    )
+
+
+@register_extra(
+    "filter_like",
+    """
+SELECT doc_id, source, lang FROM documents
+WHERE text IS NOT NULL
+  AND lower(text) LIKE '%the %'
+  AND source NOT LIKE 'src1%'
+  AND regexp_matches(text, '(scan|merge) (slow|fast)')
+""",
+    "LIKE / NOT LIKE / regexp predicate surface (completing §2.1's predicate "
+    "checklist next to IN/BETWEEN/compound): Java-regex-and-RE2 common-subset "
+    "pattern, NULL text gated explicitly on both engines",
+)
+def q_filter_like(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.filter(
+        F.col("text").isNotNull()
+        & F.lower(F.col("text")).like("%the %")
+        & ~F.col("source").like("src1%")
+        & F.col("text").rlike("(scan|merge) (slow|fast)")
+    ).select("doc_id", "source", "lang")
