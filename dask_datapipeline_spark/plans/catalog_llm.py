@@ -3217,3 +3217,114 @@ def q_filter_like(spark, sf_dir):
         & ~F.col("source").like("src1%")
         & F.col("text").rlike("(scan|merge) (slow|fast)")
     ).select("doc_id", "source", "lang")
+
+
+# ----- asymmetric containment (excerpt detection) --------------------
+
+_SQL_CONTAINMENT = (
+    "WITH "
+    + _SQL_SHINGLES_HASHED
+    + """,
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.i AS n_shared,
+       CAST(i.i AS DOUBLE) / na.n AS containment_a_in_b,
+       CAST(i.i AS DOUBLE) / nb.n AS containment_b_in_a
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE CAST(i.i AS DOUBLE) / na.n >= 0.8 OR CAST(i.i AS DOUBLE) / nb.n >= 0.8
+"""
+)
+
+
+@register_extra(
+    "containment_pairs",
+    _SQL_CONTAINMENT,
+    "ASYMMETRIC shingle containment |A∩B|/|A| (both directions, keep pairs "
+    "where either >= 0.8): detects excerpts/quotes — a short doc contained in "
+    "a long one has high containment but LOW Jaccard, so symmetric near-dup "
+    "misses it. Same df-capped 8-byte-hash self-join universe as the Jaccard "
+    "family (per-key fan-out bounded at df²); exact integer counts, "
+    "correctly-rounded divisions",
+)
+def q_containment_pairs(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    sh = DD.cap_document_frequency(
+        DD.hashed_shingles(docs, "doc_id", "text", 3).distinct(), _MAX_DF
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "__h")
+    b = sh.select(F.col("doc_id").alias("id_b"), "__h")
+    inter = (
+        a.join(b, on="__h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("__na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("__nb"))
+    ca = F.col("n_shared").cast("double") / F.col("__na")
+    cb = F.col("n_shared").cast("double") / F.col("__nb")
+    return (
+        inter.join(na, on="id_a")
+        .join(nb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            ca.alias("containment_a_in_b"),
+            cb.alias("containment_b_in_a"),
+        )
+        .where(
+            (F.col("containment_a_in_b") >= 0.8)
+            | (F.col("containment_b_in_a") >= 0.8)
+        )
+    )
+
+
+# ----- per-label embedding centroids ---------------------------------
+
+_SQL_CENTROIDS = """
+WITH idx AS (
+  SELECT label, embedding AS e,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+v AS (
+  SELECT label, i - 1 AS dim,
+         CAST(round(CAST(e[i] AS DOUBLE), 9) AS DECIMAL(19,9)) AS val
+  FROM idx
+)
+SELECT label, CAST(dim AS INTEGER) AS dim, COUNT(*) AS n_vecs,
+       CAST(SUM(val) AS DOUBLE) / COUNT(*) AS centroid_val
+FROM v GROUP BY label, dim
+"""
+
+
+@register_extra(
+    "label_centroids",
+    _SQL_CENTROIDS,
+    "Per-label embedding centroids in LONG form (label, dim): each float is "
+    "exactly widened to double, rounded 9 dp, and summed as DECIMAL(19,9) — "
+    "the order-independent accumulation rule — so class centroids are "
+    "bit-stable under any partitioning (a naive per-dim double sum is not); "
+    "one (label, dim)-keyed shuffle, map-side partials",
+)
+def q_label_centroids(spark, sf_dir):
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "__val")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("__val").cast("double"), 9).cast("decimal(19,9)").alias("__d"),
+    )
+    return v.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (F.sum("__d").cast("double") / F.count(F.lit(1))).alias("centroid_val"),
+    )
