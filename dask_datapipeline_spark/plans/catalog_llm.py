@@ -3328,3 +3328,52 @@ def q_label_centroids(spark, sf_dir):
         F.count(F.lit(1)).alias("n_vecs"),
         (F.sum("__d").cast("double") / F.count(F.lit(1))).alias("centroid_val"),
     )
+
+
+# ----- RAG-style overlapping chunking --------------------------------
+
+_CHUNK_W, _CHUNK_STRIDE = 30, 20
+
+_SQL_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk), {_CHUNK_STRIDE})) AS st
+  FROM t
+)
+SELECT doc_id,
+       (st - 1) // {_CHUNK_STRIDE} AS chunk_id,
+       array_to_string(tk[st:st + {_CHUNK_W - 1}], ' ') AS chunk_text,
+       CAST(least({_CHUNK_W}, len(tk) - st + 1) AS BIGINT) AS n_tokens
+FROM s
+"""
+
+
+@register_extra(
+    "doc_chunks",
+    _SQL_CHUNKS,
+    f"RAG-style overlapping chunking: {_CHUNK_W}-token windows at stride "
+    f"{_CHUNK_STRIDE} (10-token overlap) as PURE array exprs — sequence + "
+    "slice + concat_ws per row, zero Python, zero shuffles before the "
+    "explode; the embed-and-index step downstream consumes (doc_id, "
+    "chunk_id) keyed rows",
+)
+def q_doc_chunks(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        toks.alias("__tk"),
+        F.explode(
+            F.sequence(F.lit(1), F.size(toks), F.lit(_CHUNK_STRIDE))
+        ).alias("__st"),
+    )
+    chunk = F.slice(F.col("__tk"), F.col("__st"), _CHUNK_W)
+    return base.select(
+        "doc_id",
+        F.expr(f"(__st - 1) DIV {_CHUNK_STRIDE}").alias("chunk_id"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
