@@ -3377,3 +3377,73 @@ def q_doc_chunks(spark, sf_dir):
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_tokens"),
     )
+
+
+# ----- rank-function family ------------------------------------------
+
+_SQL_RANKS = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist()    OVER w AS cdist,
+       ntile(4)       OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+@register_extra(
+    "rank_functions",
+    _SQL_RANKS,
+    "The remaining rank-function surface in one pass: rank, dense_rank, "
+    "percent_rank, cume_dist, ntile(4) per order-priority partition under a "
+    "unique-key total order (price desc, key asc — the tiebreak rule); "
+    "percent_rank/cume_dist are exact integer-ratio divisions, ntile is "
+    "deterministic given the total order; one keyed shuffle",
+)
+def q_rank_functions(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = load_testdata(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register_extra(
+    "ordered_collect",
+    """
+SELECT user_id,
+       CAST(len(list(event_type ORDER BY ts, event_id)) AS BIGINT) AS n_events,
+       array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
+FROM events WHERE user_id % 25 = 0
+GROUP BY user_id
+""",
+    "Ordered array aggregation (per-user event-type path in (ts, id) order): "
+    "Spark's collect_list is arrival-ordered, so the deterministic spelling "
+    "is array_sort over (ts, id, value) structs then transform-project — "
+    "replayed as DuckDB's list(... ORDER BY); the '>'-joined path string "
+    "makes ordering drift impossible to miss",
+)
+def q_ordered_collect(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events").where(F.col("user_id") % 25 == 0)
+    sorted_events = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    path_arr = F.transform(sorted_events, lambda s: s.getField("event_type"))
+    return ev.groupBy("user_id").agg(
+        F.size(path_arr).cast("long").alias("n_events"),
+        F.array_join(path_arr, ">").alias("path"),
+    )
