@@ -282,3 +282,228 @@ def pq_topk_from_index(
 
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+# ----- IVF-PQ index (cell-partitioned codes) -------------------------
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    residual: bool = True,
+    trained: bool = False,
+    train_sample: int = 4096,
+    train_iter: int = 10,
+    train_seed: int = TRAIN_SEED,
+) -> dict:
+    """The full FAISS-IVFPQ on-disk layout: ``(id, codes)`` rows
+    PARTITIONED BY coarse cell — a probe prunes to ``n_probe`` cell
+    directories of 8-byte codes, composing the IVF index's partition
+    pruning with the PQ index's storage shrink. Cell and PQ codebooks
+    are stored, so query time never re-derives training state.
+
+    Codebook derivation is copied from ``similarity.ivfpq_topk``
+    (lowest-id collect / seeded k-means; residual PQ book from the
+    next lowest-id vectors' residuals), so a query against the index
+    is bit-identical to the in-memory operator (asserted in tests)."""
+    from dask_datapipeline_spark.operators.similarity import (
+        _kmeans_lloyd,
+        _pq_codebook,
+        _seq_dot,
+        _seq_sq_norm,
+        _sub_sqdist,
+        _train_pq_book,
+        _train_sample as _bounded_sample,
+    )
+    from pyspark.sql import types as T
+    from typing import Iterator
+
+    require_columns(corpus, [id_col, vec_col])
+    if dim % n_subspaces != 0:
+        raise ValueError(f"dim={dim} not divisible by n_subspaces={n_subspaces}")
+    sub_d = dim // n_subspaces
+
+    if trained:
+        x = _bounded_sample(corpus, id_col, vec_col, train_sample, train_seed)
+        cells_mat = _kmeans_lloyd(x, n_cells, train_iter, train_seed, spherical=True)
+    else:
+        n_book = n_cells + n_codes if residual else max(n_cells, n_codes)
+        book = _pq_codebook(corpus, id_col, vec_col, n_book)
+        cells_mat = book[:n_cells]
+    cell_norms = np.sqrt(_seq_sq_norm(cells_mat))
+
+    def _cell_sims(mat: np.ndarray) -> np.ndarray:
+        return _seq_dot(mat, cells_mat) / (
+            np.sqrt(_seq_sq_norm(mat))[:, None] * cell_norms[None, :]
+        )
+
+    if trained:
+        enc_src = (
+            x - cells_mat[np.argmax(_cell_sims(x), axis=1)] if residual else x
+        )
+        pq_book = _train_pq_book(enc_src, n_codes, n_subspaces, train_iter, train_seed)
+    elif residual:
+        raw = book[n_cells:]
+        pq_book = raw - cells_mat[np.argmax(_cell_sims(raw), axis=1)]
+    else:
+        pq_book = book[:n_codes]
+
+    def _index_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            mat = _stack(pdf[vec_col])
+            cell = np.argmax(_cell_sims(mat), axis=1).astype(np.int64)
+            enc = mat - cells_mat[cell] if residual else mat
+            codes = np.empty((len(mat), n_subspaces), dtype=np.int32)
+            for j in range(n_subspaces):
+                d = _sub_sqdist(
+                    enc[:, j * sub_d : (j + 1) * sub_d],
+                    pq_book[:, j * sub_d : (j + 1) * sub_d],
+                )
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "__cell": cell, "codes": list(codes)}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("__cell", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    fan_out(corpus.select(id_col, vec_col)).mapInPandas(_index_batch, schema).write.mode(
+        "overwrite"
+    ).partitionBy("__cell").parquet(os.path.join(path, "codes"))
+
+    spark = corpus.sparkSession
+    rows = [("cell", i, [float(v) for v in r]) for i, r in enumerate(cells_mat)] + [
+        ("pq", i, [float(v) for v in r]) for i, r in enumerate(pq_book)
+    ]
+    spark.createDataFrame(
+        rows, "kind string, idx long, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+    meta = {
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "n_cells": int(n_cells),
+        "n_subspaces": int(n_subspaces),
+        "n_codes": int(n_codes),
+        "dim": int(dim),
+        "residual": bool(residual),
+        "trained": bool(trained),
+    }
+    with open(os.path.join(path, "_META"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivfpq_topk_from_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ADC k-NN against a built IVF-PQ index: probe routing and
+    per-(query, cell) distance tables build executor-side from the
+    stored codebooks; the probed cell set (bounded ≤ n_cells)
+    becomes a static partition filter on the codes scan — at scale a
+    query touches n_probe cell directories of 8-byte codes and
+    nothing else. Output contract matches ``similarity.ivfpq_topk``:
+    (query_id, neighbor_id, adc_dist, rn)."""
+    from dask_datapipeline_spark.operators.similarity import (
+        _adc_fold,
+        _seq_dot,
+        _seq_sq_norm,
+        _sub_sqdist,
+    )
+    from pyspark.sql import types as T
+    from typing import Iterator
+
+    with open(os.path.join(path, "_META")) as f:
+        meta = json.load(f)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    n_subspaces, n_codes = meta["n_subspaces"], meta["n_codes"]
+    residual = meta["residual"]
+    sub_d = meta["dim"] // n_subspaces
+    require_columns(queries, [id_col, vec_col])
+
+    books = spark.read.parquet(os.path.join(path, "codebooks")).orderBy("idx").collect()
+    cells_mat = np.stack(
+        [np.asarray(r.vec, dtype=np.float64) for r in books if r.kind == "cell"]
+    )
+    pq_book = np.stack(
+        [np.asarray(r.vec, dtype=np.float64) for r in books if r.kind == "pq"]
+    )
+    cell_norms = np.sqrt(_seq_sq_norm(cells_mat))
+
+    def _cell_sims(mat: np.ndarray) -> np.ndarray:
+        return _seq_dot(mat, cells_mat) / (
+            np.sqrt(_seq_sq_norm(mat))[:, None] * cell_norms[None, :]
+        )
+
+    def _table_of(vecs: np.ndarray) -> np.ndarray:
+        t = np.empty((len(vecs), n_subspaces, n_codes))
+        for j in range(n_subspaces):
+            t[:, j, :] = _sub_sqdist(
+                vecs[:, j * sub_d : (j + 1) * sub_d],
+                pq_book[:, j * sub_d : (j + 1) * sub_d],
+            )
+        return t
+
+    def _qtab_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            q_mat = _stack(pdf[vec_col])
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            probes = np.argsort(-_cell_sims(q_mat), axis=1, kind="stable")[:, :n_probe]
+            oq, oc, ot = [], [], []
+            for i in range(len(q_ids)):
+                if residual:
+                    res = q_mat[i : i + 1, :] - cells_mat[probes[i]]
+                    t = _table_of(res)
+                    for pi, c in enumerate(probes[i]):
+                        oq.append(q_ids[i]); oc.append(int(c)); ot.append(t[pi].reshape(-1))
+                else:
+                    t = _table_of(q_mat[i : i + 1])[0].reshape(-1)
+                    for c in probes[i]:
+                        oq.append(q_ids[i]); oc.append(int(c)); ot.append(t)
+            yield pd.DataFrame({"query_id": oq, "__cell": oc, "__tab": ot})
+
+    qtab_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("__cell", T.LongType()),
+            T.StructField("__tab", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    qtab = (
+        fan_out(queries.select(id_col, vec_col))
+        .mapInPandas(_qtab_batch, qtab_schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cells = sorted(r["__cell"] for r in qtab.select("__cell").distinct().collect())
+    codes = spark.read.parquet(os.path.join(path, "codes")).where(
+        F.col("__cell").isin(cells)
+    )
+    routed = codes.join(F.broadcast(qtab), on="__cell")
+    scored = routed.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        _adc_fold(n_subspaces, n_codes).alias("adc_dist"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -3447,3 +3447,49 @@ def q_ordered_collect(spark, sf_dir):
         F.size(path_arr).cast("long").alias("n_events"),
         F.array_join(path_arr, ">").alias("path"),
     )
+
+
+# ----- fixed-width value histogram -----------------------------------
+
+_HIST_LO, _HIST_W, _HIST_NB = 0, 500, 40  # cents: [0, 5.00) buckets
+
+_SQL_VALUE_HIST = f"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cc
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT event_type,
+         least(greatest((cc - {_HIST_LO}) // {_HIST_W}, 0), {_HIST_NB - 1}) AS bucket
+  FROM c
+)
+SELECT event_type, bucket, COUNT(*) AS n
+FROM b GROUP BY event_type, bucket
+"""
+
+
+@register_extra(
+    "value_histogram",
+    _SQL_VALUE_HIST,
+    "Fixed-width histogram of event values per type (40 × 5.00-wide buckets, "
+    "clamped tails): bucketing on exact integer cents with integer floor-div "
+    "— bucket boundaries cannot drift between engines the way a double "
+    "width_bucket can; one groupBy emitting at most types × 40 rows",
+)
+def q_value_histogram(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cc = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        ev.select("event_type", cc.alias("__cc"))
+        .select(
+            "event_type",
+            F.least(
+                F.greatest(
+                    F.expr(f"(__cc - {_HIST_LO}) DIV {_HIST_W}"), F.lit(0).cast("long")
+                ),
+                F.lit(_HIST_NB - 1).cast("long"),
+            ).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

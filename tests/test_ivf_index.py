@@ -126,3 +126,59 @@ def test_pq_index_rejects_bad_subspaces(spark, emb, tmp_path_factory):
         build_pq_index(
             emb, str(tmp_path_factory.mktemp("bad")), n_subspaces=7, dim=64
         )
+
+
+# ------------------------- IVF-PQ index -----------------------------
+
+
+from dask_datapipeline_spark.operators.ivf_index import (  # noqa: E402
+    build_ivfpq_index,
+    ivfpq_topk_from_index,
+)
+from dask_datapipeline_spark.operators.similarity import ivfpq_topk  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ivfpq_index_dir(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivfpq_index"))
+    meta = build_ivfpq_index(
+        emb, path, n_cells=N_CELLS, n_subspaces=8, n_codes=16, residual=True
+    )
+    assert meta["residual"] and meta["n_cells"] == N_CELLS
+    return path
+
+
+def test_ivfpq_index_results_equal_in_memory_operator(spark, emb, ivfpq_index_dir):
+    queries = emb.where(F.col("vec_id") % 13 == 0)
+    want = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                queries, emb, k=K, n_cells=N_CELLS, n_probe=N_PROBE,
+                n_subspaces=8, n_codes=16, residual=True,
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            ivfpq_topk_from_index(
+                spark, ivfpq_index_dir, queries, k=K, n_probe=N_PROBE
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_ivfpq_index_probe_prunes_partitions(spark, emb, ivfpq_index_dir):
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    df = ivfpq_topk_from_index(spark, ivfpq_index_dir, queries, k=K, n_probe=N_PROBE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__cell" in m.group(1) and "IN" in m.group(1).upper()
+    # the corpus side scans codes, never embeddings
+    assert "embeddings.parquet" not in plan.split("Scan parquet")[1]
