@@ -249,3 +249,98 @@ SELECT {entity_col}, {ts_col}, {id_col}, {value_col},
          > {int(z_threshold) ** 2} * n * (n * s2 - s1 * s1) AS is_anomaly
 FROM m WHERE n >= {min_periods}
 """
+
+
+def cusum_alarms(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    ref_cents: int = 300,
+    h_cents: int = 2000,
+    scale: int = 100,
+) -> DataFrame:
+    """One-sided CUSUM change-point detection per entity (Page 1954):
+
+        s_t = max(0, s_{t-1} + x_t − ref),   alarm when s_t > h
+
+    over exact integer cents — the classic drift detector for metric
+    streams. The recursion is inherently sequential per entity (like
+    ``packing.pack_greedy``), so it runs as an Arrow ``applyInPandas``
+    walk per entity — one shuffle on the entity key, entities in
+    parallel across executors; the per-entity walk is O(events).
+    All state is integer, so the statistic and the alarm are
+    bit-identical on any engine; the DuckDB oracle replays the
+    recursion with a recursive CTE whose depth is the longest
+    per-entity chain (the pack_greedy oracle pattern).
+
+    NULL values are excluded (they carry no evidence of drift);
+    output: (entity, ts, id, s_cusum, alarm).
+    """
+    require_columns(df, [entity_col, ts_col, value_col, id_col])
+    if h_cents < 1:
+        raise ValueError(f"h_cents={h_cents} must be >= 1")
+    import pandas as pd
+
+    cents = F.round(F.col(value_col) * scale, 0).cast("long")
+    narrow = df.where(F.col(value_col).isNotNull()).select(
+        entity_col, ts_col, id_col, cents.alias("__cc")
+    )
+    ent_t = dict(df.dtypes)[entity_col]
+    ts_t = dict(df.dtypes)[ts_col]
+    id_t = dict(df.dtypes)[id_col]
+    schema = (
+        f"{entity_col} {ent_t}, {ts_col} {ts_t}, {id_col} {id_t}, "
+        "s_cusum long, alarm boolean"
+    )
+
+    def _walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort").reset_index(drop=True)
+        s = 0
+        ss, al = [], []
+        for cc in pdf["__cc"]:
+            s = max(0, s + int(cc) - ref_cents)
+            ss.append(s)
+            al.append(s > h_cents)
+        pdf["s_cusum"] = pd.Series(ss, dtype="int64")
+        pdf["alarm"] = pd.Series(al, dtype="bool")
+        return pdf[[entity_col, ts_col, id_col, "s_cusum", "alarm"]]
+
+    return narrow.groupBy(entity_col).applyInPandas(_walk, schema)
+
+
+def cusum_alarms_sql(
+    src: str = "events",
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    ref_cents: int = 300,
+    h_cents: int = 2000,
+    scale: int = 100,
+) -> str:
+    """Recursive-CTE oracle twin of :func:`cusum_alarms` — replays
+    the per-entity sequential recursion; depth = longest entity
+    chain."""
+    return f"""
+WITH RECURSIVE c AS (
+  SELECT {entity_col}, {ts_col}, {id_col},
+         CAST(round({value_col} * {scale}) AS BIGINT) AS cc,
+         ROW_NUMBER() OVER (PARTITION BY {entity_col}
+                            ORDER BY {ts_col}, {id_col}) AS rn
+  FROM {src} WHERE {value_col} IS NOT NULL
+),
+r AS (
+  SELECT {entity_col}, {ts_col}, {id_col}, rn,
+         greatest(cc - {ref_cents}, 0) AS s
+  FROM c WHERE rn = 1
+  UNION ALL
+  SELECT c.{entity_col}, c.{ts_col}, c.{id_col}, c.rn,
+         greatest(r.s + c.cc - {ref_cents}, 0)
+  FROM c JOIN r ON c.{entity_col} = r.{entity_col} AND c.rn = r.rn + 1
+)
+SELECT {entity_col}, {ts_col}, {id_col}, s AS s_cusum,
+       s > {h_cents} AS alarm
+FROM r
+"""

@@ -3493,3 +3493,114 @@ def q_value_histogram(spark, sf_dir):
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ----- CUSUM change-point detection ----------------------------------
+
+
+def _cusum_sql() -> str:
+    from dask_datapipeline_spark.operators.timeseries import cusum_alarms_sql
+
+    return cusum_alarms_sql(ref_cents=300, h_cents=2000)
+
+
+@register_extra(
+    "cusum_alarms",
+    _cusum_sql(),
+    "One-sided CUSUM drift detection per user (Page 1954): s_t = max(0, "
+    "s_{t-1} + cents - ref), alarm at s > h — inherently sequential per "
+    "entity, so an Arrow applyInPandas walk per user (one entity shuffle, "
+    "pack_greedy's pattern) with a recursive-CTE oracle; all-integer state, "
+    "bit-identical alarms",
+)
+def q_cusum_alarms(spark, sf_dir):
+    from dask_datapipeline_spark.operators.timeseries import cusum_alarms
+
+    ev = load_testdata(spark, sf_dir, "events")
+    return cusum_alarms(
+        ev, "user_id", "ts", "value", "event_id", ref_cents=300, h_cents=2000
+    )
+
+
+# ----- A/B test statistics (Welch's t from integer moments) ----------
+
+_SQL_AB_TEST = """
+WITH c AS (
+  SELECT event_type, user_id % 2 = 0 AS grp_a,
+         CAST(round(value * 100) AS BIGINT) AS cc
+  FROM events WHERE value IS NOT NULL
+),
+m AS (
+  SELECT event_type,
+         COUNT(CASE WHEN grp_a THEN 1 END) AS na,
+         COALESCE(SUM(CASE WHEN grp_a THEN cc END), 0) AS s1a,
+         COALESCE(SUM(CASE WHEN grp_a THEN cc * cc END), 0) AS s2a,
+         COUNT(CASE WHEN NOT grp_a THEN 1 END) AS nb,
+         COALESCE(SUM(CASE WHEN NOT grp_a THEN cc END), 0) AS s1b,
+         COALESCE(SUM(CASE WHEN NOT grp_a THEN cc * cc END), 0) AS s2b
+  FROM c GROUP BY event_type
+  HAVING COUNT(CASE WHEN grp_a THEN 1 END) > 1
+     AND COUNT(CASE WHEN NOT grp_a THEN 1 END) > 1
+     AND NOT (COUNT(CASE WHEN grp_a THEN 1 END) * COALESCE(SUM(CASE WHEN grp_a THEN cc * cc END), 0)
+                = COALESCE(SUM(CASE WHEN grp_a THEN cc END), 0) * COALESCE(SUM(CASE WHEN grp_a THEN cc END), 0)
+              AND COUNT(CASE WHEN NOT grp_a THEN 1 END) * COALESCE(SUM(CASE WHEN NOT grp_a THEN cc * cc END), 0)
+                = COALESCE(SUM(CASE WHEN NOT grp_a THEN cc END), 0) * COALESCE(SUM(CASE WHEN NOT grp_a THEN cc END), 0))
+)
+SELECT event_type, na, nb,
+       CAST(s1a AS DOUBLE) / na / 100.0 AS mean_a,
+       CAST(s1b AS DOUBLE) / nb / 100.0 AS mean_b,
+       (CAST(s1a AS DOUBLE) / na - CAST(s1b AS DOUBLE) / nb) /
+         sqrt((CAST(s2a AS DOUBLE) / na - (CAST(s1a AS DOUBLE) / na) * (CAST(s1a AS DOUBLE) / na))
+                * na / (na - 1) / na
+              + (CAST(s2b AS DOUBLE) / nb - (CAST(s1b AS DOUBLE) / nb) * (CAST(s1b AS DOUBLE) / nb))
+                * nb / (nb - 1) / nb) AS welch_t
+FROM m
+"""
+
+
+@register_extra(
+    "ab_test_stats",
+    _SQL_AB_TEST,
+    "A/B experiment readout per event type (treatment = even user_id): "
+    "group sizes, means, and Welch's t — derived entirely from exact integer "
+    "cents moments with a FIXED double formula (IEEE ops + correctly-rounded "
+    "sqrt are bit-identical cross-engine, the zscore_outliers device), "
+    "zero-variance-both-arms guarded by an exact integer test; one groupBy",
+)
+def q_ab_test_stats(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cc = F.round(F.col("value") * 100, 0).cast("long")
+    grp_a = F.col("user_id") % 2 == 0
+    c = ev.select("event_type", grp_a.alias("__a"), cc.alias("__cc"))
+    m = c.groupBy("event_type").agg(
+        F.count(F.when(F.col("__a"), 1)).alias("na"),
+        F.coalesce(F.sum(F.when(F.col("__a"), F.col("__cc"))), F.lit(0)).alias("s1a"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a"), F.col("__cc") * F.col("__cc"))), F.lit(0)
+        ).alias("s2a"),
+        F.count(F.when(~F.col("__a"), 1)).alias("nb"),
+        F.coalesce(F.sum(F.when(~F.col("__a"), F.col("__cc"))), F.lit(0)).alias("s1b"),
+        F.coalesce(
+            F.sum(F.when(~F.col("__a"), F.col("__cc") * F.col("__cc"))), F.lit(0)
+        ).alias("s2b"),
+    ).filter(
+        (F.col("na") > 1)
+        & (F.col("nb") > 1)
+        & ~(
+            (F.col("na") * F.col("s2a") == F.col("s1a") * F.col("s1a"))
+            & (F.col("nb") * F.col("s2b") == F.col("s1b") * F.col("s1b"))
+        )
+    )
+    na, nb = F.col("na"), F.col("nb")
+    ma = F.col("s1a").cast("double") / na
+    mb = F.col("s1b").cast("double") / nb
+    va = (F.col("s2a").cast("double") / na - ma * ma) * na / (na - 1)
+    vb = (F.col("s2b").cast("double") / nb - mb * mb) * nb / (nb - 1)
+    return m.select(
+        "event_type",
+        "na",
+        "nb",
+        (ma / F.lit(100.0)).alias("mean_a"),
+        (mb / F.lit(100.0)).alias("mean_b"),
+        ((ma - mb) / F.sqrt(va / na + vb / nb)).alias("welch_t"),
+    )

@@ -378,3 +378,47 @@ def test_rolling_anomaly_rejects_bad_args(spark):
         rolling_anomaly(df, "user_id", "ts", "value", "event_id", lookback=5, min_periods=6)
     with pytest.raises(ValueError):
         rolling_anomaly(df, "user_id", "ts", "value", "event_id", min_periods=1)
+
+
+# ------------------------- CUSUM alarms -----------------------------
+
+
+def test_cusum_matches_python_model(spark):
+    from dask_datapipeline_spark.operators.timeseries import cusum_alarms
+
+    vals = [3.0, 3.5, 2.5, 9.0, 9.0, 9.0, 1.0, 3.0]
+    rows = [(1, datetime(2024, 1, 1, 0, i), i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    got = {r.event_id: (r.s_cusum, r.alarm) for r in cusum_alarms(
+        df, "user_id", "ts", "value", "event_id", ref_cents=300, h_cents=1000
+    ).collect()}
+    s = 0
+    for i, v in enumerate(vals):
+        s = max(0, s + round(v * 100) - 300)
+        assert got[i] == (s, s > 1000)
+
+
+def test_cusum_resets_after_drift_ends(spark):
+    from dask_datapipeline_spark.operators.timeseries import cusum_alarms
+
+    # drift 9.0 for 3 events then back to baseline 3.0: statistic
+    # decays by 0 (resets at max(0, ...)) once values return to ref
+    vals = [9.0] * 3 + [0.5] * 10
+    rows = [(1, datetime(2024, 1, 1, 0, i), i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    out = sorted(cusum_alarms(df, "user_id", "ts", "value", "event_id",
+                              ref_cents=300, h_cents=1000).collect(),
+                 key=lambda r: r.event_id)
+    assert out[2].alarm  # 3 x 600 over ref = 1800 > 1000
+    assert out[-1].s_cusum == 0 and not out[-1].alarm
+
+
+def test_cusum_partitioning_independent(spark):
+    from dask_datapipeline_spark.operators.timeseries import cusum_alarms
+
+    rows = [(u, datetime(2024, 1, 1, 0, i), u * 100 + i, float((u + i) % 7))
+            for u in range(5) for i in range(20)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    a = sorted(map(tuple, cusum_alarms(df, "user_id", "ts", "value", "event_id").collect()))
+    b = sorted(map(tuple, cusum_alarms(df.repartition(13), "user_id", "ts", "value", "event_id").collect()))
+    assert a == b
