@@ -3604,3 +3604,98 @@ def q_ab_test_stats(spark, sf_dir):
         (mb / F.lit(100.0)).alias("mean_b"),
         ((ma - mb) / F.sqrt(va / na + vb / nb)).alias("welch_t"),
     )
+
+
+# ----- per-event sessionization + transition matrix ------------------
+
+_SESS_GAP_MIN = 30
+
+_SQL_SESSIONIZE = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) > {_SESS_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, ts,
+       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+         AS session_id
+FROM g
+"""
+
+
+@register_extra(
+    "sessionize",
+    _SQL_SESSIONIZE,
+    "Per-EVENT session assignment (gap > 30 min starts a new session): "
+    "lag-gap flag + running sum over one (ts, id)-ordered entity window — "
+    "the per-row complement of the session_window AGGREGATE; gap compared in "
+    "exact integer microseconds, session ids 0-based per user",
+)
+def q_sessionize(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load_testdata(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.col("ts").cast("long") * 1_000_000 + F.date_format("ts", "SSSSSS").cast("long")
+    prev_us = F.lag(us).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | (us - prev_us > _SESS_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.sum(new_sess).over(wcum) - 1).alias("session_id"),
+    )
+
+
+_SQL_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, SUM(n) AS n_from FROM pairs GROUP BY from_type)
+SELECT p.from_type, p.to_type, p.n, t.n_from,
+       CAST(p.n AS DOUBLE) / t.n_from AS p_transition
+FROM pairs p JOIN tot t ON p.from_type = t.from_type
+"""
+
+
+@register_extra(
+    "event_transitions",
+    _SQL_TRANSITIONS,
+    "First-order Markov transition matrix of event types (per-user "
+    "(ts, id)-ordered lead pairs → (from, to) counts → row-conditional "
+    "probabilities): exact integer counts, one correctly-rounded division; "
+    "bounded output (types²) from one entity window + one groupBy",
+)
+def q_event_transitions(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load_testdata(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    pairs = s.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(tot, on="from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "n_from",
+        (F.col("n").cast("double") / F.col("n_from")).alias("p_transition"),
+    )
