@@ -3699,3 +3699,55 @@ def q_event_transitions(spark, sf_dir):
         "n_from",
         (F.col("n").cast("double") / F.col("n_from")).alias("p_transition"),
     )
+
+
+# ----- blocked edit-distance fuzzy matching --------------------------
+
+_SQL_FUZZY = """
+WITH n AS (
+  SELECT c_custkey, c_name,
+         substring(c_name, 1, length(c_name) - 2) AS blk
+  FROM customer WHERE c_custkey % 5 = 0
+)
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM n a JOIN n b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+@register_extra(
+    "fuzzy_name_pairs",
+    _SQL_FUZZY,
+    "Blocked edit-distance matching (entity-resolution shape): self-join "
+    "ONLY within a deterministic blocking key (name prefix), then exact "
+    "Levenshtein <= 2 verify — the block bounds the pair fan-out the way "
+    "df-caps bound the shingle joins; unit-cost Levenshtein is an integer, "
+    "identical on both engines",
+)
+def q_fuzzy_name_pairs(spark, sf_dir):
+    c = load_testdata(spark, sf_dir, "customer").where(F.col("c_custkey") % 5 == 0)
+    n = c.select(
+        "c_custkey",
+        "c_name",
+        F.expr("substring(c_name, 1, length(c_name) - 2)").alias("blk"),
+    )
+    a = n.select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"), "blk"
+    )
+    b = n.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"), "blk"
+    )
+    return (
+        a.join(b, on="blk")
+        .where(F.col("key_a") < F.col("key_b"))
+        .where(F.levenshtein("name_a", "name_b") <= 2)
+        .select(
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+    )
