@@ -3751,3 +3751,78 @@ def q_fuzzy_name_pairs(spark, sf_dir):
             F.levenshtein("name_a", "name_b").alias("dist"),
         )
     )
+
+
+# ----- TPC-H Q5-style six-table join ---------------------------------
+
+_SQL_Q5ISH = """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM customer c
+JOIN orders o    ON c.c_custkey = o.o_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+@register_extra(
+    "sql_q5ish",
+    _SQL_Q5ISH,
+    "TPC-H Q5 shape through the spark.sql entry point: six-table join "
+    "(customer⋈orders⋈lineitem⋈supplier⋈nation⋈region) with the local-"
+    "supplier nation condition and a region filter — Catalyst orders the "
+    "joins and broadcasts the dimensions; revenue accumulates as exact "
+    "DECIMAL and casts to double once",
+)
+def q_sql_q5ish(spark, sf_dir):
+    for t in ["customer", "orders", "lineitem", "supplier", "nation", "region"]:
+        load_testdata(spark, sf_dir, t).createOrReplaceTempView(f"__q5_{t}")
+    return spark.sql(
+        _SQL_Q5ISH.replace("FROM customer c", "FROM __q5_customer c")
+        .replace("JOIN orders o", "JOIN __q5_orders o")
+        .replace("JOIN lineitem l", "JOIN __q5_lineitem l")
+        .replace("JOIN supplier s", "JOIN __q5_supplier s")
+        .replace("JOIN nation n", "JOIN __q5_nation n")
+        .replace("JOIN region r", "JOIN __q5_region r")
+    )
+
+
+# ----- k-anonymity check ---------------------------------------------
+
+_SQL_K_ANON = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, c_mktsegment, group_size,
+       group_size < 5 AS below_k
+FROM g
+"""
+
+
+@register_extra(
+    "k_anonymity",
+    _SQL_K_ANON,
+    "k-anonymity audit over quasi-identifiers (nation × market segment): "
+    "equivalence-class sizes with a k=5 risk flag — the release-gate check "
+    "run before publishing any user-derived table; one groupBy, exact "
+    "integer counts",
+)
+def q_k_anonymity(spark, sf_dir):
+    c = load_testdata(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            (F.col("group_size") < 5).alias("below_k"),
+        )
+    )
