@@ -3826,3 +3826,129 @@ def q_k_anonymity(spark, sf_dir):
             (F.col("group_size") < 5).alias("below_k"),
         )
     )
+
+
+# ----- classifier margin deciles (calibration readout) ---------------
+
+_SQL_MARGIN_DECILES = (
+    """
+WITH d AS (
+  SELECT doc_id, n_tokens, margin_raw,
+         ntile(10) OVER (ORDER BY margin_raw, doc_id) AS decile
+  FROM ("""
+    + hashed_linear_score_sql(seed="qw", scale=1000)
+    + """) sc
+)
+SELECT decile, COUNT(*) AS n_docs,
+       CAST(SUM(margin_raw) AS BIGINT) AS sum_margin_raw,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       COUNT(CASE WHEN margin_raw >= 0 THEN 1 END) AS n_keep
+FROM d GROUP BY decile
+"""
+)
+
+
+@register_extra(
+    "margin_deciles",
+    _SQL_MARGIN_DECILES,
+    "Classifier calibration readout: documents ranked into margin deciles "
+    "(ntile over the (margin_raw, doc_id) total order — margin_raw orders "
+    "identically to margin and stays integer), per-decile doc/keep counts "
+    "and EXACT integer margin/token sums — no double aggregate anywhere",
+)
+def q_margin_deciles(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    sc = hashed_linear_score(docs, "doc_id", "text", seed="qw", scale=1000)
+    w = Window.orderBy("margin_raw", "doc_id")
+    d = sc.select(
+        "doc_id", "n_tokens", "margin_raw", F.ntile(10).over(w).alias("decile")
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("margin_raw").alias("sum_margin_raw"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.count(F.when(F.col("margin_raw") >= 0, 1)).alias("n_keep"),
+    )
+
+
+# ----- data-quality rule report --------------------------------------
+
+_SQL_DQ_REPORT = """
+WITH nulls AS (
+  SELECT 'documents.lang_null' AS rule, COUNT(*) AS n_checked,
+         COUNT(CASE WHEN lang IS NULL THEN 1 END) AS n_violations
+  FROM documents
+),
+ranges AS (
+  SELECT 'lineitem.l_discount_range' AS rule, COUNT(*) AS n_checked,
+         COUNT(CASE WHEN CAST(l_discount AS DOUBLE) < 0
+                      OR CAST(l_discount AS DOUBLE) > 0.5 THEN 1 END) AS n_violations
+  FROM lineitem
+),
+qty AS (
+  SELECT 'lineitem.l_quantity_positive' AS rule, COUNT(*) AS n_checked,
+         COUNT(CASE WHEN CAST(l_quantity AS DOUBLE) <= 0 THEN 1 END) AS n_violations
+  FROM lineitem
+),
+fk AS (
+  SELECT 'orders.o_custkey_fk' AS rule,
+         (SELECT COUNT(*) FROM orders) AS n_checked,
+         (SELECT COUNT(*) FROM orders o
+           WHERE NOT EXISTS (SELECT 1 FROM customer c
+                             WHERE c.c_custkey = o.o_custkey)) AS n_violations
+)
+SELECT rule, n_checked, CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM (SELECT * FROM nulls UNION ALL SELECT * FROM ranges
+      UNION ALL SELECT * FROM qty UNION ALL SELECT * FROM fk)
+"""
+
+
+@register_extra(
+    "dq_report",
+    _SQL_DQ_REPORT,
+    "Data-quality rule report in one pass per table: null-rate, value-range, "
+    "positivity, and referential-integrity (anti-join) rules with exact "
+    "violation counts and a pass flag — the expectation-suite shape "
+    "(Deequ/Great-Expectations) as plain aggregates; FK check is a "
+    "broadcast anti-join count, never a row-by-row lookup",
+)
+def q_dq_report(spark, sf_dir):
+    o = load_testdata(spark, sf_dir, "orders")
+    li = load_testdata(spark, sf_dir, "lineitem")
+    c = load_testdata(spark, sf_dir, "customer")
+    d = load_testdata(spark, sf_dir, "documents")
+    nulls = d.agg(
+        F.lit("documents.lang_null").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.count(F.when(F.col("lang").isNull(), 1)).alias("n_violations"),
+    )
+    disc = F.col("l_discount").cast("double")
+    ranges = li.agg(
+        F.lit("lineitem.l_discount_range").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.count(F.when((disc < 0) | (disc > 0.5), 1)).alias("n_violations"),
+    )
+    qty = li.agg(
+        F.lit("lineitem.l_quantity_positive").alias("rule"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.count(F.when(F.col("l_quantity").cast("double") <= 0, 1)).alias(
+            "n_violations"
+        ),
+    )
+    orphans = o.join(
+        F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+        on="o_custkey",
+        how="left_anti",
+    )
+    fk = o.agg(F.count(F.lit(1)).alias("n_checked")).crossJoin(
+        orphans.agg(F.count(F.lit(1)).alias("n_violations"))
+    ).select(
+        F.lit("orders.o_custkey_fk").alias("rule"), "n_checked", "n_violations"
+    )
+    rep = nulls.unionByName(ranges).unionByName(qty).unionByName(fk)
+    return rep.select(
+        "rule", "n_checked", "n_violations", (F.col("n_violations") == 0).alias("passed")
+    )
