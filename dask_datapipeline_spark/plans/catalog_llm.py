@@ -3938,17 +3938,53 @@ def q_dq_report(spark, sf_dir):
             "n_violations"
         ),
     )
-    orphans = o.join(
-        F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
-        on="o_custkey",
-        how="left_anti",
-    )
-    fk = o.agg(F.count(F.lit(1)).alias("n_checked")).crossJoin(
-        orphans.agg(F.count(F.lit(1)).alias("n_violations"))
-    ).select(
-        F.lit("orders.o_custkey_fk").alias("rule"), "n_checked", "n_violations"
+    # checked and orphan counts in ONE left-join aggregation (a
+    # crossJoin of two 1-row aggs would plan as a Cartesian shape and
+    # trip the plan guard, even at 1x1)
+    fk = (
+        o.select("o_custkey")
+        .join(
+            F.broadcast(
+                c.select(F.col("c_custkey").alias("o_custkey"))
+                .distinct()
+                .withColumn("__hit", F.lit(1))
+            ),
+            on="o_custkey",
+            how="left",
+        )
+        .agg(
+            F.lit("orders.o_custkey_fk").alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.count(F.when(F.col("__hit").isNull(), 1)).alias("n_violations"),
+        )
     )
     rep = nulls.unionByName(ranges).unionByName(qty).unionByName(fk)
     return rep.select(
         "rule", "n_checked", "n_violations", (F.col("n_violations") == 0).alias("passed")
     )
+
+
+@register_extra(
+    "streaming_cusum",
+    _cusum_sql(),
+    "Streaming twin of cusum_alarms (applyInPandasWithState: state = ONE "
+    "integer per user — the minimal drift-detector memory): same integer "
+    "recursion in (ts, id) order, so the one-file in-order replay shares the "
+    "batch recursive-CTE oracle bit-for-bit; in-order contract as "
+    "streaming_rolling_anomaly",
+)
+def q_streaming_cusum(spark, sf_dir):
+    from dask_datapipeline_spark.streaming.windows import (
+        run_to_memory,
+        stateful_cusum,
+        stream_events,
+    )
+
+    name = f"stream_cusum_{next(_STREAM_SEQ)}"
+    run_to_memory(
+        stateful_cusum(stream_events(spark, sf_dir), ref_cents=300, h_cents=2000),
+        name,
+        "append",
+        state_partitions=8,
+    )
+    return spark.table(name)

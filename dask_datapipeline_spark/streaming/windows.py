@@ -444,3 +444,63 @@ def stateful_rolling_anomaly(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CUSUM_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("s_cusum", T.LongType()),
+        T.StructField("alarm", T.BooleanType()),
+    ]
+)
+_CUSUM_STATE = T.StructType([T.StructField("s", T.LongType())])
+
+
+def stateful_cusum(
+    df: DataFrame,
+    ref_cents: int = 300,
+    h_cents: int = 2000,
+) -> DataFrame:
+    """Streaming twin of ``operators/timeseries.py::cusum_alarms``:
+    the one-sided CUSUM statistic carried in-stream — state is a
+    SINGLE integer per user (the minimal drift-detector memory), so
+    state size is O(keys) regardless of stream length.
+
+    Same in-order contract as ``stateful_rolling_anomaly``: rows are
+    walked in (ts, event_id) order within each microbatch and the
+    statistic carries across batches, so in-order replays converge to
+    the batch operator exactly (single-batch replays bit-identically —
+    the catalog row shares the batch recursive-CTE oracle). NULL
+    values are skipped, mirroring the batch operator's filter."""
+    if h_cents < 1:
+        raise ValueError(f"h_cents={h_cents} must be >= 1")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+
+    def update(key, pdfs, state: GroupState):
+        s = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        out = {k: [] for k in ("user_id", "ts", "event_id", "s_cusum", "alarm")}
+        for ts, eid, cc in zip(pdf["ts"], pdf["event_id"], pdf["cents"]):
+            if pd.isna(cc):
+                continue
+            s = max(0, s + int(cc) - ref_cents)
+            out["user_id"].append(key[0])
+            out["ts"].append(ts)
+            out["event_id"].append(int(eid))
+            out["s_cusum"].append(s)
+            out["alarm"].append(s > h_cents)
+        state.update((s,))
+        yield pd.DataFrame(out)
+
+    return df.where(F.col("value").isNotNull()).select(
+        "user_id", "ts", "event_id", cents.alias("cents")
+    ).groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_CUSUM_SCHEMA,
+        stateStructType=_CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
