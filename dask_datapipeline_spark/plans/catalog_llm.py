@@ -3988,3 +3988,125 @@ def q_streaming_cusum(spark, sf_dir):
         state_partitions=8,
     )
     return spark.table(name)
+
+
+# ----- daily percentile bands (order-statistic selection) ------------
+
+_SQL_DAILY_BANDS = """
+WITH c AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(round(value * 100) AS BIGINT) AS cc, event_id
+  FROM events WHERE value IS NOT NULL
+),
+rk AS (
+  SELECT event_type, day, cc,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY cc, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, day) AS n
+  FROM c
+)
+SELECT event_type, day, MAX(n) AS n_events,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cc END) AS DOUBLE) / 100.0 AS p50,
+       CAST(MAX(CASE WHEN rn = greatest((19 * n) // 20, 1) THEN cc END) AS DOUBLE) / 100.0 AS p95
+FROM rk GROUP BY event_type, day
+"""
+
+
+@register_extra(
+    "daily_percentile_bands",
+    _SQL_DAILY_BANDS,
+    "Per-(type, day) p50/p95 value bands as ORDER-STATISTIC selections "
+    "(row_number to the lower-middle / floor(0.95n) rank, unique-key "
+    "tiebreak) — the interpolation-free rule that keeps quantiles "
+    "bit-identical cross-engine; integer-cents ranks, one keyed window",
+)
+def q_daily_percentile_bands(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load_testdata(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cc = F.round(F.col("value") * 100, 0).cast("long")
+    c = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        cc.alias("__cc"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("__cc", "event_id")
+    wn = Window.partitionBy("event_type", "day")
+    rk = c.select(
+        "event_type",
+        "day",
+        "__cc",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    p50_rn = F.expr("(n + 1) DIV 2")
+    p95_rn = F.greatest(F.expr("(19 * n) DIV 20"), F.lit(1).cast("long"))
+    return rk.groupBy("event_type", "day").agg(
+        F.max("n").alias("n_events"),
+        (
+            F.max(F.when(F.col("rn") == p50_rn, F.col("__cc"))).cast("double")
+            / F.lit(100.0)
+        ).alias("p50"),
+        (
+            F.max(F.when(F.col("rn") == p95_rn, F.col("__cc"))).cast("double")
+            / F.lit(100.0)
+        ).alias("p95"),
+    )
+
+
+# ----- session stats (composes sessionize) ---------------------------
+
+_SQL_SESSION_STATS = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) > {_SESS_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+           AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       CAST(date_diff('microsecond', MIN(ts), MAX(ts)) AS BIGINT) AS duration_us
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+@register_extra(
+    "session_stats",
+    _SQL_SESSION_STATS,
+    "Per-session event counts and exact-µs durations, COMPOSED on the "
+    "sessionize assignment (same lag-gap + running-sum chain) — proves the "
+    "per-event session ids aggregate consistently; still one entity-keyed "
+    "shuffle end-to-end",
+)
+def q_session_stats(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load_testdata(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.col("ts").cast("long") * 1_000_000 + F.date_format("ts", "SSSSSS").cast("long")
+    prev_us = F.lag(us).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | (us - prev_us > _SESS_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        us.alias("__us"),
+        (F.sum(new_sess).over(wcum) - 1).alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("__us") - F.min("__us")).alias("duration_us"),
+    )
