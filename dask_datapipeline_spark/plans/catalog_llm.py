@@ -4110,3 +4110,55 @@ def q_session_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         (F.max("__us") - F.min("__us")).alias("duration_us"),
     )
+
+
+# ----- dup-cluster size distribution ---------------------------------
+
+_SQL_CLUSTER_SIZES = (
+    "WITH RECURSIVE "
+    + _SQL_SHINGLES_HASHED
+    + ","
+    + _SQL_SIG
+    + f""",
+cand AS (SELECT DISTINCT id_a, id_b FROM ({_SQL_BAND_JOINS}))
+,"""
+    + _sql_jaccard_verify(
+        extra_join="JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b",
+        as_pairs_cte=True,
+    )
+    + """,
+e AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(u, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, r.label FROM e JOIN reach r ON r.u = e.v
+),
+cl AS (SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u),
+csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl GROUP BY cluster_id)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM csizes GROUP BY cluster_size
+"""
+)
+
+
+@register_extra(
+    "dup_cluster_sizes",
+    _SQL_CLUSTER_SIZES,
+    "Duplication profile of the corpus: the dup_clusters cascade reduced to "
+    "its cluster-SIZE distribution (how many singletons / pairs / k-clusters, "
+    "and the doc mass in each) — the number a dedup report actually leads "
+    "with; composes the full clustering oracle, output bounded by distinct "
+    "sizes",
+)
+def q_dup_cluster_sizes(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    pairs = DD.near_dup_pairs_minhash(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5, max_df=_MAX_DF
+    )
+    clusters = DD.dup_clusters(pairs, docs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+    )
