@@ -4162,3 +4162,72 @@ def q_dup_cluster_sizes(spark, sf_dir):
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
     )
+
+
+# ----- cleaning-funnel attrition report ------------------------------
+
+
+def _clean_funnel_sql() -> str:
+    """Stage-by-stage doc/token attrition through the corpus_clean
+    cascade — reuses the clean oracle's CTE chain up to `canon`."""
+    clean = _corpus_clean_sql()
+    marker = "canon AS (SELECT u AS doc_id FROM reach GROUP BY u HAVING MIN(label) = u)"
+    pre, mid, _tail = clean.partition(marker)
+    if not mid:
+        raise AssertionError("corpus_clean SQL changed: canon CTE marker not found")
+    ntok = "CAST(len(string_split(lower(text), ' ')) AS BIGINT)"
+    return (
+        pre
+        + mid
+        + f""",
+s0 AS (SELECT 0 AS stage_no, 'raw' AS stage, COUNT(*) AS n_docs,
+              CAST(SUM({ntok}) AS BIGINT) AS n_tokens
+       FROM documents WHERE text IS NOT NULL),
+s1 AS (SELECT 1, 'quality_kept', COUNT(*), CAST(SUM({ntok}) AS BIGINT)
+       FROM kept1),
+s2 AS (SELECT 2, 'exact_deduped', COUNT(*), CAST(SUM({ntok}) AS BIGINT)
+       FROM kept),
+s3 AS (SELECT 3, 'canonical', COUNT(*), CAST(SUM({ntok}) AS BIGINT)
+       FROM kept k JOIN canon c ON c.doc_id = k.doc_id)
+SELECT * FROM s0 UNION ALL SELECT * FROM s1
+UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+"""
+    )
+
+
+@register_extra(
+    "clean_funnel",
+    _clean_funnel_sql(),
+    "Cleaning-funnel attrition report: doc and token counts at each stage of "
+    "the corpus_clean cascade (raw → quality gate → exact dedup → near-dup "
+    "canonical) — the before/after table every dedup writeup leads with; "
+    "token counts are exact integer sums, the oracle re-runs the whole "
+    "cascade",
+)
+def q_clean_funnel(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    kept, canon_split = _corpus_clean_split(spark, sf_dir)
+    ntok = TXT.whitespace_token_count("text").cast("long")
+
+    def stage(df, no, name):
+        return df.agg(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ntok).alias("n_tokens"),
+        )
+
+    s0 = stage(docs.where(F.col("text").isNotNull()), 0, "raw")
+    # kept1 (quality-gated) is internal to the helper; recompute its
+    # membership from the same predicate so the stages stay aligned
+    quality_kept = docs.where(
+        F.col("text").isNotNull() & (TXT.quality_score("text") >= 0.5)
+    )
+    s1 = stage(quality_kept, 1, "quality_kept")
+    s2 = stage(kept, 2, "exact_deduped")
+    s3 = stage(
+        kept.join(canon_split.select("doc_id"), on="doc_id", how="left_semi"),
+        3,
+        "canonical",
+    )
+    return s0.unionByName(s1).unionByName(s2).unionByName(s3)
