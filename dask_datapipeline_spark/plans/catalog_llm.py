@@ -4231,3 +4231,64 @@ def q_clean_funnel(spark, sf_dir):
         "canonical",
     )
     return s0.unionByName(s1).unionByName(s2).unionByName(s3)
+
+
+# ----- source-mix rebalance rates ------------------------------------
+
+#: target token share per source bucket (md5-free: source string) —
+#: uniform target across the 20 synthetic sources
+_MIX_TARGET_PCT = 5  # percent, exact integer
+
+_SQL_MIX_REBALANCE = f"""
+WITH t AS (
+  SELECT source, CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS toks
+  FROM documents WHERE text IS NOT NULL GROUP BY source
+),
+tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM t)
+SELECT t.source, t.toks AS n_tokens,
+       CAST(t.toks AS DOUBLE) / tot.total AS actual_share,
+       {_MIX_TARGET_PCT} / 100.0 AS target_share,
+       least(CAST({_MIX_TARGET_PCT} AS DOUBLE) * tot.total
+               / (100.0 * t.toks), 1.0) AS keep_rate,
+       100 * t.toks > {_MIX_TARGET_PCT} * tot.total AS downsample
+FROM t, tot
+"""
+
+
+@register_extra(
+    "mix_rebalance",
+    _SQL_MIX_REBALANCE,
+    "Source-mix rebalance plan: per-source token share vs a uniform target "
+    "and the keep-rate that hits it (capped at 1 — upsampling is epoch_mix's "
+    "job) — the planning step before deterministic sampling; shares and "
+    "rates derive from exact integer token sums, and the downsample flag is "
+    "an INTEGER cross-multiplication (100·toks > pct·total), no float at "
+    "the decision",
+)
+def q_mix_rebalance(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    t = (
+        docs.where(F.col("text").isNotNull())
+        .groupBy("source")
+        .agg(F.sum(TXT.whitespace_token_count("text").cast("long")).alias("n_tokens"))
+    )
+    tot = t.agg(F.sum("n_tokens").alias("__total"))
+    # data-derived constant equi-key: a bare cross/literal-key join
+    # degrades to BroadcastNestedLoopJoin (the plan guard forbids it);
+    # id*0 keeps a BroadcastHashJoin (the pq_topk device)
+    joined = t.withColumn("__one", F.col("n_tokens") * F.lit(0)).join(
+        F.broadcast(tot.withColumn("__one", F.col("__total") * F.lit(0))),
+        on="__one",
+    )
+    pct = _MIX_TARGET_PCT
+    return joined.select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("__total")).alias("actual_share"),
+        (F.lit(pct) / F.lit(100.0)).alias("target_share"),
+        F.least(
+            F.lit(float(pct)) * F.col("__total") / (F.lit(100.0) * F.col("n_tokens")),
+            F.lit(1.0),
+        ).alias("keep_rate"),
+        (100 * F.col("n_tokens") > pct * F.col("__total")).alias("downsample"),
+    )
