@@ -422,3 +422,43 @@ def test_cusum_partitioning_independent(spark):
     a = sorted(map(tuple, cusum_alarms(df, "user_id", "ts", "value", "event_id").collect()))
     b = sorted(map(tuple, cusum_alarms(df.repartition(13), "user_id", "ts", "value", "event_id").collect()))
     assert a == b
+
+
+# ----------------------- sessionize model test ----------------------
+
+
+def test_sessionize_matches_python_model(spark):
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_datapipeline_spark.plans.catalog_llm import q_sessionize
+
+    # gap structure vs the catalog query's 30-min threshold:
+    # gaps 10, 40(new), 5, 65(new) minutes
+    minutes = [0, 10, 50, 55, 120]
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for m in minutes:
+            rows.append((eid, datetime(2024, 1, 1, m // 60, m % 60), u, "e", 1.0, "{}"))
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        # single FILE named events.parquet (the testdata layout the
+        # reader's footer probe expects), timestamps in microseconds
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False).set_column(
+            1, "ts", pa.Array.from_pandas(pdf["ts"]).cast(pa.timestamp("us"))
+        )
+        pq.write_table(tbl, os.path.join(d, "events.parquet"))
+        out = {r.event_id: r.session_id for r in q_sessionize(spark, d).collect()}
+    # per user: sessions are [0,10], [50,55], [120] -> ids 0,0,1,1,2
+    want_per_user = [0, 0, 1, 1, 2]
+    for u in (0, 1):
+        for i, w in enumerate(want_per_user):
+            assert out[u * 5 + i] == w
