@@ -707,3 +707,56 @@ def test_shard_by_tokens_matches_single_cumsum(spark, toks, shard_tokens, bits):
         want[doc_id] = (cum, cum // shard_tokens)
         cum += n
     assert got == want
+
+
+# ---------------- resample + LOCF (round 3) --------------------------
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=72),     # hour offset
+            st.integers(min_value=0, max_value=59),     # minute
+            st.integers(min_value=-50, max_value=50),   # value (int-valued double)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_resample_locf_matches_python_model(spark, events):
+    from dask_datapipeline_spark.operators.timeseries import resample_locf
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(hours=h, minutes=m), float(v), i)
+        for i, (u, h, m, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double, seq long")
+    got = {
+        (r.user_id, r.bucket_ts): (r.value, r.is_gap)
+        for r in resample_locf(df, "user_id", "ts", "value").collect()
+    }
+
+    # python model: last event per (user, hour) by (ts, value) desc;
+    # hourly spine from first to last observed hour; carry forward
+    per_user: dict = defaultdict(dict)
+    for u, ts, v, _ in rows:
+        b = ts.replace(minute=0, second=0, microsecond=0)
+        cur = per_user[u].get(b)
+        if cur is None or (ts, v) > cur[0]:
+            per_user[u][b] = ((ts, v), v)
+    want = {}
+    for u, buckets in per_user.items():
+        b0, b1 = min(buckets), max(buckets)
+        carried = None
+        b = b0
+        while b <= b1:
+            if b in buckets:
+                carried = buckets[b][1]
+                want[(u, b)] = (carried, False)
+            else:
+                want[(u, b)] = (carried, True)
+            b += dt.timedelta(hours=1)
+    assert got == want
