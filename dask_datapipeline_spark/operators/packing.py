@@ -159,13 +159,28 @@ def shard_by_tokens(
     - All arithmetic is exact BIGINT (offsets, totals, the shard
       division uses integer ``div``) — bit-identical to the oracle's
       single-window replay under any partitioning.
-    - Ties: md5 collisions are broken by ``id_col`` on both engines,
-      keeping the stream order total.
+    - Ties: md5 collisions are broken by ``id_col``, and — because a
+      DUPLICATED id hashes to the SAME ``__h`` and therefore always
+      ties — by ``n_tokens`` as the final key, on both engines. With
+      that third key, any rows still tied are byte-identical in every
+      output column, so their relative order cannot change the result
+      multiset: the stream order is total up to interchangeability
+      even against a corpus with repeated ids. (Root-cause note: the
+      round-3 driver sweep flagged a hash-only mismatch here; a
+      duplicate id with differing texts in that testdata generation
+      is the one mechanism that produces exactly rows-match +
+      schema-match + hash-mismatch, since Spark and DuckDB may
+      legally order the tied rows differently.)
     """
     require_columns(df, [id_col, token_col])
     if shard_tokens < 1:
         raise ValueError(f"shard_tokens={shard_tokens} must be >= 1")
     h = seeded_hash64(F.col(id_col).cast("string"), seed)
+    # A NULL id cannot be hashed into the stream order; excluding it
+    # HERE makes that contract explicit (silently, the NULL-keyed row
+    # would otherwise vanish in the inner bucket-offset join while a
+    # SQL replay with a plain window would keep it — an engine split).
+    df = df.where(F.col(id_col).isNotNull())
     narrow = df.select(
         F.col(id_col),
         F.col(token_col).cast("long").alias("n_tokens"),
@@ -179,7 +194,7 @@ def shard_by_tokens(
         "__b", F.coalesce(F.sum("__t").over(w_bucket), F.lit(0)).alias("__off")
     )
 
-    w_local = Window.partitionBy("__b").orderBy("__h", id_col).rowsBetween(
+    w_local = Window.partitionBy("__b").orderBy("__h", id_col, "n_tokens").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     local_cum = F.sum("n_tokens").over(w_local)

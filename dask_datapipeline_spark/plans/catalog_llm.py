@@ -2770,11 +2770,16 @@ _SQL_TRAINING_SHARDS = f"""
 WITH t AS (
   SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
          CAST(CONCAT('0x', SUBSTRING(md5('shard:' || doc_id), 1, 15)) AS BIGINT) AS h
-  FROM documents WHERE text IS NOT NULL
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
 ),
 c AS (
+  -- n_tokens is the FINAL tie-break: a duplicated doc_id hashes to
+  -- the same h, so (h, doc_id) alone is not a total order and the
+  -- two engines may cumsum the tied rows in different orders. With
+  -- n_tokens added, any remaining ties are between byte-identical
+  -- rows, so the result multiset is engine-independent.
   SELECT doc_id, n_tokens,
-         SUM(n_tokens) OVER (ORDER BY h, doc_id
+         SUM(n_tokens) OVER (ORDER BY h, doc_id, n_tokens
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS stream_offset
   FROM t
 )

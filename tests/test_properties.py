@@ -709,6 +709,73 @@ def test_shard_by_tokens_matches_single_cumsum(spark, toks, shard_tokens, bits):
     assert got == want
 
 
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # doc_id — DUPLICATES likely
+            st.integers(min_value=0, max_value=30),  # n_tok — often differs per dup
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    shard_tokens=st.integers(min_value=1, max_value=40),
+)
+@settings(**_SETTINGS)
+def test_shard_by_tokens_duplicate_ids_engine_parity(spark, docs, shard_tokens):
+    """Round-3 driver red-row pin: a DUPLICATED doc_id hashes to the
+    same __h, so without the n_tokens tie-break the stream cumsum is
+    order-ambiguous and Spark/DuckDB may legally disagree (exactly the
+    observed rows-match + schema-match + hash-mismatch signature).
+    With the tie-break, the output multiset must be engine-identical
+    for ANY corpus, duplicates included — asserted here three ways:
+    Spark vs a Python model vs a live DuckDB replay of the oracle's
+    window shape."""
+    import hashlib
+
+    import duckdb
+
+    from dask_datapipeline_spark.operators.packing import shard_by_tokens
+
+    df = spark.createDataFrame(docs, "doc_id long, n_tok long")
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.stream_offset, r.shard_id)
+        for r in shard_by_tokens(
+            df, "doc_id", "n_tok", shard_tokens, n_buckets_bits=3
+        ).collect()
+    )
+
+    def h(i: int) -> int:
+        return int(hashlib.md5(f"shard:{i}".encode()).hexdigest()[:15], 16)
+
+    cum, want = 0, []
+    for doc_id, n in sorted(docs, key=lambda r: (h(r[0]), r[0], r[1])):
+        want.append((doc_id, n, cum, cum // shard_tokens))
+        cum += n
+    assert got == sorted(want)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t0 (doc_id BIGINT, n_tokens BIGINT)")
+    con.executemany("INSERT INTO t0 VALUES (?, ?)", docs)
+    duck = con.execute(
+        f"""
+        WITH t AS (
+          SELECT doc_id, n_tokens,
+                 CAST(CONCAT('0x', SUBSTRING(md5('shard:' || doc_id), 1, 15)) AS BIGINT) AS h
+          FROM t0
+        ),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY h, doc_id, n_tokens
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS so
+          FROM t
+        )
+        SELECT doc_id, n_tokens, so, so // {shard_tokens} FROM c
+        """
+    ).fetchall()
+    con.close()
+    assert sorted(tuple(int(x) for x in r) for r in duck) == got
+
+
 # ---------------- resample + LOCF (round 3) --------------------------
 
 

@@ -55,6 +55,27 @@ def _cells_close(a, b, rel=1e-9):
     return _cells_equal(a, b)
 
 
+def _multiset_diff(cols, sn, dn, limit=10):
+    """Anti-join the two sorted row lists as multisets and render the
+    first ``limit`` rows unique to each side — so a red row is
+    diagnosable from the log (the zip-compare above misaligns as soon
+    as one key differs, burying the actual divergence)."""
+    from collections import Counter
+
+    s_only = Counter(sn) - Counter(dn)
+    d_only = Counter(dn) - Counter(sn)
+    names = ",".join(sorted(cols))
+    lines = [f"  diff columns: ({names})"]
+    for label, side in (("spark-only", s_only), ("oracle-only", d_only)):
+        rows = sorted(side.elements(), key=lambda t: tuple((x is None, str(x)) for x in t))
+        lines.append(f"  {label}: {len(rows)} rows")
+        for r in rows[:limit]:
+            lines.append(f"    {r}")
+        if len(rows) > limit:
+            lines.append(f"    ... {len(rows) - limit} more")
+    return "\n".join(lines)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -131,9 +152,15 @@ def main():
                     if first_diff is None:
                         first_diff = (sr, dr)
             if n_diff:
-                problems.append(f"{n_diff} rows differ beyond tolerance; first: {first_diff}")
+                problems.append(
+                    f"{n_diff} rows differ beyond tolerance\n"
+                    + _multiset_diff(s_cols, sn, dn)
+                )
             elif n_close:
-                problems.append(f"HASH-RISK: {n_close} rows equal only within tolerance; first: {first_diff}")
+                problems.append(
+                    f"HASH-RISK: {n_close} rows equal only within tolerance; "
+                    f"first: {first_diff}\n" + _multiset_diff(s_cols, sn, dn)
+                )
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failures += 1
