@@ -72,9 +72,11 @@ def tokens(text_col: Column | str) -> Column:
     return F.split(F.lower(c), " ")
 
 
-def seeded_hash64(col: Column, seed: int) -> Column:
+def seeded_hash64(col: Column, seed: str | int) -> Column:
     """Deterministic 60-bit hash shared with the DuckDB oracle:
-    first 15 hex chars of md5('<seed>:' || value), parsed base-16."""
+    first 15 hex chars of md5('<seed>:' || value), parsed base-16.
+    ``seed`` is any f-string-renderable domain separator — integer
+    hash indexes and string namespaces ('shard', 'qw', ...) alike."""
     return F.conv(
         F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
     ).cast("long")

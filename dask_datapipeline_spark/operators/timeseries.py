@@ -172,9 +172,13 @@ def rolling_anomaly(
     Plan shape / 100 TB design: ONE shuffle on the entity key; the
     rolling frame is a per-partition sort + O(lookback) running
     state. Ties in the event order break on ``id_col`` so the frame
-    is identical across engines. Integer range: cents² × lookback
-    must fit int64 — at |value| ≤ 1e6 and lookback ≤ 1e4 it does;
-    larger scales swap the moments to DECIMAL(38,0) (same plan).
+    is identical across engines. Integer range: with C = |value|·scale
+    (cents) and n = lookback, the largest terms are
+    lhs ≤ 4·n³·C² and rhs ≤ z²·n³·C², so the inputs must satisfy
+    ``max(4, z²) · lookback³ · (|value|·scale)² ≤ 2^63`` — e.g. at
+    z=3, lookback=24, scale=100 that is |value| ≲ 8.6e4. Under ANSI
+    mode exceeding it THROWS (no silent wrap); beyond it, swap the
+    moment columns to DECIMAL(38,0) (same plan, ~2× agg cost).
     """
     require_columns(df, [entity_col, ts_col, value_col, id_col])
     if lookback < 1 or min_periods < 2 or min_periods > lookback:

@@ -3570,7 +3570,11 @@ FROM m
     "group sizes, means, and Welch's t — derived entirely from exact integer "
     "cents moments with a FIXED double formula (IEEE ops + correctly-rounded "
     "sqrt are bit-identical cross-engine, the zscore_outliers device), "
-    "zero-variance-both-arms guarded by an exact integer test; one groupBy",
+    "zero-variance-both-arms guarded by an exact integer test; one groupBy. "
+    "Integer envelope: the guard's s1*s1 term needs (n_group * max_cents)^2 "
+    "<= 2^63, i.e. n_group * max|value| * 100 <= 3.0e9 (throws under ANSI if "
+    "exceeded, never wraps); past that, swap the moment aggs to "
+    "DECIMAL(38,0) on both engines — same plan, exact to 1e38",
 )
 def q_ab_test_stats(spark, sf_dir):
     ev = load_testdata(spark, sf_dir, "events").where(F.col("value").isNotNull())
