@@ -1322,9 +1322,9 @@ c AS (SELECT lang, doc_id, n_tokens,
                                  ROWS UNBOUNDED PRECEDING) AS cum
       FROM t)
 SELECT lang, doc_id, n_tokens,
-       cum - n_tokens AS stream_offset,
-       (cum - n_tokens) // {_PACK_CAPACITY} AS chunk_first,
-       greatest(cum - 1, cum - n_tokens) // {_PACK_CAPACITY} AS chunk_last
+       CAST(cum - n_tokens AS BIGINT) AS stream_offset,
+       CAST((cum - n_tokens) // {_PACK_CAPACITY} AS BIGINT) AS chunk_first,
+       CAST(greatest(cum - 1, cum - n_tokens) // {_PACK_CAPACITY} AS BIGINT) AS chunk_last
 FROM c
 """,
     "GPT-style concat-then-chunk packing (operators/packing.py::chunk_token_stream): "
@@ -2778,13 +2778,17 @@ c AS (
   -- two engines may cumsum the tied rows in different orders. With
   -- n_tokens added, any remaining ties are between byte-identical
   -- rows, so the result multiset is engine-independent.
+  -- CAST both outputs: DuckDB's windowed SUM(BIGINT) is HUGEINT, and a
+  -- pandas fetch degrades HUGEINT to float64 (Spark emits int64), which
+  -- hash-mismatches every row under a dtype-sensitive compare.
   SELECT doc_id, n_tokens,
-         SUM(n_tokens) OVER (ORDER BY h, doc_id, n_tokens
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS stream_offset
+         CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id, n_tokens
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS BIGINT) AS stream_offset
   FROM t
 )
 SELECT doc_id, n_tokens, stream_offset,
-       stream_offset // {_SHARD_TOKENS} AS shard_id
+       CAST(stream_offset // {_SHARD_TOKENS} AS BIGINT) AS shard_id
 FROM c
 """
 
@@ -3006,12 +3010,13 @@ exp_keep AS (
 ),
 exp_cum AS (
   SELECT doc_id, n_tokens,
-         SUM(n_tokens) OVER (ORDER BY h, doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS stream_offset
+         CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS BIGINT) AS stream_offset
   FROM exp_keep
 )
 SELECT doc_id, n_tokens, stream_offset,
-       stream_offset // {_SHARD_TOKENS} AS shard_id
+       CAST(stream_offset // {_SHARD_TOKENS} AS BIGINT) AS shard_id
 FROM exp_cum
 """
     )
@@ -3629,9 +3634,9 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT user_id, event_id, ts,
-       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-         AS session_id
+         AS BIGINT) AS session_id
 FROM g
 """
 
@@ -3674,7 +3679,7 @@ pairs AS (
   SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
   FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
 ),
-tot AS (SELECT from_type, SUM(n) AS n_from FROM pairs GROUP BY from_type)
+tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM pairs GROUP BY from_type)
 SELECT p.from_type, p.to_type, p.n, t.n_from,
        CAST(p.n AS DOUBLE) / t.n_from AS p_transition
 FROM pairs p JOIN tot t ON p.from_type = t.from_type
@@ -4077,9 +4082,9 @@ WITH g AS (
 ),
 sess AS (
   SELECT user_id, event_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-           AS session_id
+           AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id,

@@ -55,17 +55,30 @@ def _cells_close(a, b, rel=1e-9):
     return _cells_equal(a, b)
 
 
+def _nan_canon(rows):
+    """Replace NaN cells with a sentinel so the Counter-based diff
+    treats NaN==NaN (the pass/fail compare above already does); rows
+    equal only within tolerance may still show on BOTH sides."""
+    return [
+        tuple("<NaN>" if isinstance(x, float) and math.isnan(x) else x for x in r)
+        for r in rows
+    ]
+
+
 def _multiset_diff(cols, sn, dn, limit=10):
     """Anti-join the two sorted row lists as multisets and render the
     first ``limit`` rows unique to each side — so a red row is
     diagnosable from the log (the zip-compare above misaligns as soon
-    as one key differs, burying the actual divergence)."""
+    as one key differs, burying the actual divergence). NOTE: this is
+    an EXACT multiset diff — rows the checker counted as tolerance-
+    close appear as spark-only AND oracle-only here."""
     from collections import Counter
 
+    sn, dn = _nan_canon(sn), _nan_canon(dn)
     s_only = Counter(sn) - Counter(dn)
     d_only = Counter(dn) - Counter(sn)
     names = ",".join(sorted(cols))
-    lines = [f"  diff columns: ({names})"]
+    lines = [f"  diff columns: ({names}) [exact diff: tolerance-close rows show on both sides]"]
     for label, side in (("spark-only", s_only), ("oracle-only", d_only)):
         rows = sorted(side.elements(), key=lambda t: tuple((x is None, str(x)) for x in t))
         lines.append(f"  {label}: {len(rows)} rows")
@@ -74,6 +87,53 @@ def _multiset_diff(cols, sn, dn, limit=10):
         if len(rows) > limit:
             lines.append(f"    ... {len(rows) - limit} more")
     return "\n".join(lines)
+
+
+def _dtype_parity(sdf_schema, con, sql):
+    """Driver-hash blind-spot guard: the driver fetches the oracle via
+    pandas, where DuckDB HUGEINT (windowed/plain SUM(BIGINT)) and
+    DECIMAL outputs degrade to float64 while Spark emits int64 — a
+    dtype-sensitive hash then fails even though values match
+    semantically (the training_shards r3/r4 red row). Fetch each
+    oracle once via fetchdf() and flag any NULL-free column that is
+    integral on the Spark side but floating/object in pandas.
+
+    Returns (fails, warns): fails are gate-red; warns are NULL-bearing
+    integral columns (both engines degrade those symmetrically under a
+    pandas fetch, so they hash-match, but they are worth eyeballing).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    fails, warns = [], []
+    try:
+        odf = con.execute(sql).fetchdf()
+    except Exception as e:  # noqa: BLE001
+        return [f"dtype-check fetchdf error: {e}"], []
+    spark_types = {f.name: f.dataType for f in sdf_schema.fields}
+    for col in odf.columns:
+        st = spark_types.get(col)
+        if st is None:
+            continue
+        if isinstance(st, T.DecimalType):
+            fails.append(
+                f"dtype {col}: Spark output is DECIMAL — cast to double/bigint "
+                f"at the end (driver pandas fetch degrades it)"
+            )
+            continue
+        if isinstance(st, integral):
+            dt = odf[col].dtype
+            if pd.api.types.is_float_dtype(dt) or dt == object:
+                if odf[col].isna().any():
+                    warns.append(f"{col}: spark integral, oracle pandas {dt} (NULL-bearing)")
+                else:
+                    fails.append(
+                        f"dtype {col}: spark integral but oracle pandas dtype is {dt} "
+                        f"on a NULL-free column — HUGEINT/DECIMAL leak, CAST the "
+                        f"oracle output to BIGINT"
+                    )
+    return fails, warns
 
 
 def main():
@@ -131,6 +191,10 @@ def main():
             continue
 
         problems = []
+        dt_fails, dt_warns = _dtype_parity(sdf.schema, con, sql)
+        problems.extend(dt_fails)
+        for w in dt_warns:
+            print(f"warn  {name}: {w}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
         if len(s_rows) != len(d_rows):
