@@ -154,9 +154,22 @@ def _lsh_candidate_pairs(
     seed: int,
     plane_kind: str = "gaussian",
     lt_only: bool = False,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Scored candidate pairs (query_id, neighbor_id, cosine_sim) from a
     bucket equi-join on (table, bucket).
+
+    ``bucket_cap``: skew guard — (table, bucket) cells holding more
+    than ``bucket_cap`` corpus rows are EXCLUDED from the join. A hot
+    bucket contributes O(n²) candidate pairs, so one degenerate cell
+    (all-zero vectors, a mis-tuned table) can make the self-join
+    quadratic at 100 TB regardless of how sparse every other bucket
+    is; the cap bounds per-cell work at cap² deterministically (the
+    count per cell is partitioning-independent), at the cost of
+    recall for anything hiding inside a dropped cell. The bucket-id
+    space is bounded (num_tables × 2^bits), so the count table is
+    bounded and the guard is a broadcast semi-join — the corpus-sized
+    side is never re-shuffled for it.
 
     ``lt_only`` (self-join near-dup path): push ``query_id <
     neighbor_id`` into the join output BEFORE scoring — self-pairs and
@@ -208,6 +221,19 @@ def _lsh_candidate_pairs(
             F.col(vec_col).alias("__cv"),
             F.posexplode(bud(F.col(vec_col))).alias("__t", "__bucket"),
         )
+    if bucket_cap is not None:
+        # allowed-buckets list is bounded by the bucket-id space
+        # (num_tables × 2^bits rows), so it broadcasts; the groupBy
+        # shuffles only (t, bucket, partial count) after map-side
+        # combine — the corpus rows themselves don't move for this.
+        allowed = (
+            c.groupBy("__t", "__bucket")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= bucket_cap)
+            .select("__t", "__bucket")
+        )
+        q = q.join(F.broadcast(allowed), on=["__t", "__bucket"], how="leftsemi")
+        c = c.join(F.broadcast(allowed), on=["__t", "__bucket"], how="leftsemi")
     # shuffle_hash, not broadcast: at scale the corpus never fits a
     # broadcast, and locally a BroadcastExchange built from an
     # ArrowEvalPython stage serializes the whole UDF stage into the
@@ -491,6 +517,54 @@ def ivf_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def lsh_bucket_occupancy(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits_per_table: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    plane_kind: str = "gaussian",
+) -> DataFrame:
+    """Per-(table, bucket) occupancy of the SRP-LSH hash tables —
+    the tuning metric behind ``embedding_near_dup_pairs``.
+
+    Output: (t, bucket, n_rows, n_pairs) where n_pairs = C(n_rows, 2)
+    is that cell's contribution to the self-join candidate volume;
+    SUM(n_pairs) is the exact number of (unordered) candidate pairs
+    the bucketed self-join will score BEFORE cross-table dedup. Run
+    this before committing to a (bits, tables, threshold) config: a
+    config whose Σ n² approaches C(N,2) is the dense quadratic regime
+    where LSH buys nothing (docs/SCALE.md has the measured curve).
+    Bounded output (≤ num_tables × 2^bits rows); one bounded-key
+    groupBy over the corpus."""
+    if plane_kind == "gaussian":
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((num_tables, bits_per_table, dim))
+    elif plane_kind == "rademacher":
+        planes = rademacher_planes(num_tables, bits_per_table, dim)
+    else:
+        raise ValueError(f"plane_kind={plane_kind!r} not in ('gaussian','rademacher')")
+    require_columns(df, [id_col, vec_col])
+    bud = _bucket_udf(planes)
+    cells = fan_out(df.select(id_col, vec_col)).select(
+        F.posexplode(bud(F.col(vec_col))).alias("t", "bucket")
+    )
+    return (
+        cells.groupBy("t", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.col("t").cast("long").alias("t"),
+            "bucket",
+            "n_rows",
+            (F.col("n_rows") * (F.col("n_rows") - F.lit(1)) / F.lit(2))
+            .cast("long")
+            .alias("n_pairs"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -501,6 +575,7 @@ def embedding_near_dup_pairs(
     num_tables: int = 4,
     seed: int = 42,
     plane_kind: str = "gaussian",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold (id_a < id_b).
 
@@ -512,7 +587,7 @@ def embedding_near_dup_pairs(
     an error."""
     cand = _lsh_candidate_pairs(
         df, df, id_col, vec_col, dim, bits_per_table, num_tables, seed,
-        plane_kind, lt_only=True,
+        plane_kind, lt_only=True, bucket_cap=bucket_cap,
     )
     return cand.filter(F.col("cosine_sim") >= threshold).select(
         F.col("query_id").alias("id_a"),

@@ -352,24 +352,56 @@ def _bucket_expr(planes, vec: str, t: int) -> str:
 _ND_TABLES, _ND_BITS, _ND_THRESHOLD = 8, 4, 0.4
 
 
-def _lsh_near_dup_oracle_sql(num_tables: int, bits: int, dim: int, threshold: float) -> str:
-    """Replay the Spark SRP-LSH self-join near-dup in SQL: md5-derived
-    ±1 planes as list literals → identical buckets, identical strict-
-    order cosine, so the candidate set and scores are bit-exact."""
+def _lsh_bucket_cte(num_tables: int, bits: int, dim: int) -> str:
+    """UNION-ALL CTE body bucketing ``embeddings`` with the SAME
+    md5-derived ±1 planes the Spark bucket UDF uses — shared by the
+    near-dup and occupancy oracles so the two cannot drift."""
     from dask_datapipeline_spark.operators.similarity import rademacher_planes
 
     planes = rademacher_planes(num_tables, bits, dim)
-    cb = "\nUNION ALL\n".join(
+    return "\nUNION ALL\n".join(
         f"SELECT vec_id, embedding AS v, {t} AS t,"
         f" {_bucket_expr(planes, 'embedding', t)} AS bucket FROM embeddings"
         for t in range(num_tables)
     )
-    cos = _COS_SQL.format(a="a.v", b="b.v")
+
+
+def _lsh_occupancy_oracle_sql(num_tables: int, bits: int, dim: int) -> str:
     return f"""
-WITH cb AS ({cb}),
+WITH cb AS ({_lsh_bucket_cte(num_tables, bits, dim)})
+SELECT CAST(t AS BIGINT) AS t, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n_pairs
+FROM cb GROUP BY t, bucket
+"""
+
+
+def _lsh_near_dup_oracle_sql(
+    num_tables: int, bits: int, dim: int, threshold: float, bucket_cap: int | None = None
+) -> str:
+    """Replay the Spark SRP-LSH self-join near-dup in SQL: md5-derived
+    ±1 planes as list literals → identical buckets, identical strict-
+    order cosine, so the candidate set and scores are bit-exact.
+    ``bucket_cap`` replays the skew guard: cells with more than cap
+    rows are excluded from the join (the per-cell count is exact and
+    partitioning-independent on both engines)."""
+    cb = _lsh_bucket_cte(num_tables, bits, dim)
+    cos = _COS_SQL.format(a="a.v", b="b.v")
+    src = "cb"
+    cap_cte = ""
+    if bucket_cap is not None:
+        cap_cte = f""",
+capped AS (
+  SELECT * FROM (
+    SELECT cb.*, COUNT(*) OVER (PARTITION BY t, bucket) AS __bn FROM cb
+  ) WHERE __bn <= {bucket_cap}
+)"""
+        src = "capped"
+    return f"""
+WITH cb AS ({cb}){cap_cte},
 pairs AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine_sim
-  FROM cb a JOIN cb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM {src} a JOIN {src} b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= {threshold!r}
 """
@@ -392,6 +424,61 @@ def q_embedding_near_dup(spark, sf_dir):
         threshold=_ND_THRESHOLD,
         bits_per_table=_ND_BITS,
         num_tables=_ND_TABLES,
+        plane_kind="rademacher",
+    )
+
+
+# Sparse-regime config: 8-bit tables (256 buckets each) collide random
+# 64-dim pairs with p ≈ 0.5^8 per table, so the candidate volume stays
+# ~N²/256·tables instead of the dense demo's ~40% of all pairs; 16
+# tables buy recall back. The production near-dup threshold is 0.9+ —
+# this synthetic corpus' max pairwise cosine is ≈0.51 at sf0.01, so the
+# row uses 0.45 (14 pairs at sf0.01) to stay non-vacuous while
+# exercising the exact geometry a 100 TB run would use. bucket_cap=64
+# arms the skew guard in both engines (no cell reaches it here — the
+# guard changes nothing on healthy data, which is the point).
+_ND_SPARSE_TABLES, _ND_SPARSE_BITS, _ND_SPARSE_T, _ND_SPARSE_CAP = 16, 8, 0.45, 64
+
+
+@register_extra(
+    "embedding_near_dup_sparse",
+    _lsh_near_dup_oracle_sql(
+        _ND_SPARSE_TABLES, _ND_SPARSE_BITS, 64, _ND_SPARSE_T, bucket_cap=_ND_SPARSE_CAP
+    ),
+    "Sparse-regime embedding near-dup: 16 tables x 8-bit SRP-LSH + bucket_cap skew "
+    "guard — the configuration a 100 TB corpus would run (the driver row's 0.4/4-bit "
+    "setting is the documented dense recall demo); candidate volume is bounded by "
+    "sum of per-cell C(n,2) with every cell capped at 64 rows",
+)
+def q_embedding_near_dup_sparse(spark, sf_dir):
+    from dask_datapipeline_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb,
+        threshold=_ND_SPARSE_T,
+        bits_per_table=_ND_SPARSE_BITS,
+        num_tables=_ND_SPARSE_TABLES,
+        plane_kind="rademacher",
+        bucket_cap=_ND_SPARSE_CAP,
+    )
+
+
+@register_extra(
+    "lsh_bucket_occupancy",
+    _lsh_occupancy_oracle_sql(_ND_SPARSE_TABLES, _ND_SPARSE_BITS, 64),
+    "LSH hash-table occupancy metric (operators/similarity.py::lsh_bucket_occupancy): "
+    "per-(table,bucket) row count and C(n,2) candidate-pair contribution for the "
+    "sparse-regime config — the tuning query run BEFORE committing to a geometry",
+)
+def q_lsh_bucket_occupancy(spark, sf_dir):
+    from dask_datapipeline_spark.operators.similarity import lsh_bucket_occupancy
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return lsh_bucket_occupancy(
+        emb,
+        bits_per_table=_ND_SPARSE_BITS,
+        num_tables=_ND_SPARSE_TABLES,
         plane_kind="rademacher",
     )
 

@@ -197,3 +197,127 @@ def test_trained_ivf_cells_are_balanced(corpus):
         return np.bincount(a, minlength=16)
 
     assert sizes(trained).max() <= sizes(lowest).max()
+
+
+def _exact_dup_truth(ids: np.ndarray, mat: np.ndarray, threshold: float) -> set:
+    """A vector is a semantic dup iff SOME lower-id vector (anywhere,
+    not just its cell) has cosine >= threshold with it — the all-pairs
+    definition SemDeDup approximates."""
+    n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = n @ n.T
+    out = set()
+    for a in range(len(ids)):
+        lower = sims[a, :a]
+        if lower.size and (lower >= threshold).any():
+            out.add(int(ids[a]))
+    return out
+
+
+def test_semantic_dedup_recall(corpus):
+    """SemDeDup recall vs the exact all-pairs dup definition at the
+    catalog threshold (0.4, 16 cells): the within-cell-only verify
+    trades recall for the Σ|cell|² bound, and the trained codebook
+    must claw a measurable part of that trade back (measured at
+    sf0.01: 0.208 lowest-id, 0.453 trained). Precision is structural:
+    every flagged vector was verified by EXACT cosine against a real
+    lower-id cell-mate, so a false positive is a bug, not noise."""
+    emb, ids, mat = corpus
+    exact = _exact_dup_truth(ids, mat, 0.4)
+    assert len(exact) > 10
+
+    def run(trained):
+        res = {
+            r[0]: r["is_dup"]
+            for r in S.semantic_dedup(
+                emb, threshold=0.4, n_cells=16, trained=trained
+            ).collect()
+        }
+        return {i for i, d in res.items() if d}
+
+    base, trained = run(False), run(True)
+    assert not base - exact  # structural precision = 1.0
+    assert not trained - exact
+    assert len(base & exact) / len(exact) >= 0.10  # measured 0.208
+    assert len(trained & exact) / len(exact) >= 0.30  # measured 0.453
+    # the trained codebook's balanced cells must not LOSE recall
+    assert len(trained & exact) >= len(base & exact)
+
+
+def test_sparse_near_dup_recall_and_candidate_volume(corpus):
+    """The sparse-regime catalog config (16 tables x 8 bits, threshold
+    0.45, bucket_cap) must (a) keep pair recall above a floor
+    (measured 0.571 at sf0.01) with structural precision 1.0, and
+    (b) actually BE sparse: the scored candidate volume — Σ per-cell
+    C(n,2) from the occupancy metric — stays under 12% of all pairs
+    (measured 7.3%), vs ~40% for the dense 8x4/0.4 demo config. (b)
+    is the 100 TB claim; a tuning change that silently re-densifies
+    the join fails here with a number."""
+    emb, ids, mat = corpus
+    n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = n @ n.T
+    exact = {
+        (int(ids[b]), int(ids[a]))
+        for a in range(len(ids))
+        for b in range(a)
+        if sims[a, b] >= 0.45
+    }
+    assert len(exact) >= 5
+    got = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_dup_pairs(
+            emb,
+            threshold=0.45,
+            bits_per_table=8,
+            num_tables=16,
+            plane_kind="rademacher",
+            bucket_cap=64,
+        ).collect()
+    }
+    assert not got - exact  # exact-cosine verify: no false positives
+    assert len(got & exact) / len(exact) >= 0.40  # measured 0.571
+
+    scored = (
+        S.lsh_bucket_occupancy(
+            emb, bits_per_table=8, num_tables=16, plane_kind="rademacher"
+        )
+        .agg(F.sum("n_pairs"))
+        .collect()[0][0]
+    )
+    total = len(ids) * (len(ids) - 1) / 2
+    assert scored / total <= 0.12  # measured 0.073
+
+
+def test_bucket_cap_drops_hot_buckets(spark):
+    """The skew guard: plant a degenerate corpus where 90% of vectors
+    share one direction (one hot bucket per table) and assert the cap
+    excludes those cells — the remaining candidate set loses the hot
+    pairs while distinct-direction pairs survive."""
+    import pandas as pd
+
+    n_hot, n_cold = 45, 5
+    rows = []
+    for i in range(n_hot):
+        v = [1.0] * 8 + [0.0] * 56
+        rows.append((i, v))
+    rng = np.random.default_rng(7)
+    for i in range(n_cold):
+        v = rng.standard_normal(64).tolist()
+        rows.append((n_hot + i, v))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]})
+    )
+    uncapped = S.embedding_near_dup_pairs(
+        df, threshold=0.99, bits_per_table=8, num_tables=4, plane_kind="rademacher"
+    )
+    capped = S.embedding_near_dup_pairs(
+        df,
+        threshold=0.99,
+        bits_per_table=8,
+        num_tables=4,
+        plane_kind="rademacher",
+        bucket_cap=16,
+    )
+    # identical hot vectors: C(45,2)=990 pairs at cosine 1.0 uncapped
+    assert uncapped.count() == n_hot * (n_hot - 1) // 2
+    # every hot cell holds 45 > 16 rows, so the guard removes them all
+    assert capped.count() == 0
