@@ -892,64 +892,134 @@ def q_json_props_agg(spark, sf_dir):
     )
 
 
-@register(
-    "multimodal_features",
-    """
+# The oracle recomputes what the REAL decoders must extract — pixel and
+# sample sums straight from the deterministic content functions
+# (multimodal/binary.py::pixel_rgb / audio_sample), and container byte
+# sizes from the BMP/WAV/AVI layout formulas (bmp_n_bytes etc., header
+# constants imported so SQL and codec cannot drift). The Spark side
+# only sees real encoded bytes, so agreement proves the decode.
+def _multimodal_oracle_sql(n_media: int) -> str:
+    from dask_datapipeline_spark.multimodal.binary import AVI_HEADER_BYTES
+
+    return f"""
 WITH m AS (
   SELECT g.range AS media_id,
-         'media-42-' || g.range AS payload_str,
-         (['image','audio','video'])[(g.range % 3)::INT + 1] AS kind,
-         (g.range * 33) % 10000 AS duration_ms
-  FROM generate_series(0, 255) g(range)
+         (['image','audio','video'])[(g.range % 3)::INT + 1] AS kind
+  FROM generate_series(0, {n_media - 1}) g(range)
+),
+dims AS (
+  SELECT media_id, kind,
+    CASE kind WHEN 'image' THEN 8 + media_id % 24
+              WHEN 'video' THEN 8 + media_id % 8 ELSE 0 END AS w,
+    CASE kind WHEN 'image' THEN 8 + media_id % 16
+              WHEN 'video' THEN 8 + media_id % 8 ELSE 0 END AS h,
+    CASE kind WHEN 'image' THEN 1
+              WHEN 'video' THEN 2 + media_id % 4 ELSE 0 END AS nf,
+    CASE kind WHEN 'audio' THEN 400 + (media_id % 5) * 100 ELSE 0 END AS ns
+  FROM m
+),
+pf AS (
+  SELECT media_id, w, h, unnest(range(0, nf)) AS f
+  FROM dims WHERE kind IN ('image', 'video')
+),
+pfx AS (SELECT media_id, h, f, unnest(range(0, w)) AS x FROM pf),
+pfxy AS (SELECT media_id, f, x, unnest(range(0, h)) AS y FROM pfx),
+pix AS (
+  SELECT media_id,
+    CAST(SUM((7*media_id + 3*x + 5*y + 11*f) % 256) AS BIGINT) AS sum_r,
+    CAST(SUM((11*media_id + 5*x + 7*y + 13*f) % 256) AS BIGINT) AS sum_g,
+    CAST(SUM((13*media_id + 7*x + 11*y + 17*f) % 256) AS BIGINT) AS sum_b
+  FROM pfxy GROUP BY media_id
+),
+at AS (
+  SELECT media_id, unnest(range(0, ns)) AS t FROM dims WHERE kind = 'audio'
+),
+aud AS (
+  SELECT media_id,
+    CAST(SUM(ABS((media_id*37 + t*73) % 4001 - 2000)) AS BIGINT) AS sum_abs_sample
+  FROM at GROUP BY media_id
 )
-SELECT media_id, kind,
-       sha256(payload_str) AS payload_sha,
-       CAST(length(payload_str) AS BIGINT) AS n_bytes,
-       array_to_string(list_transform(range(0, 16),
-         i -> printf('%.8f', CAST(CONCAT('0x', substring(sha256(payload_str), 2*i+1, 2)) AS INT) / 256.0)
-       ), ',') AS feature_csv,
-       CASE WHEN kind = 'video'
-            THEN CAST(floor(greatest(duration_ms - 1, 0) / 1000) AS BIGINT) + 1
-            ELSE CAST(1 AS BIGINT) END AS n_frames
-FROM m
-""",
-    "Multimodal binary pipeline: opaque payloads + typed metadata, Arrow-batched "
-    "decode/featurize stub (mapInPandas), JVM-side frame sampling; payloads are "
-    "deterministic so the oracle recomputes sha/features/frame counts in SQL. The "
-    "feature vector is emitted as a canonical fixed-format CSV string (values are "
-    "exact multiples of 1/256 → 8dp decimals are exact on both engines): the "
-    "driver's pandas canonicalization cannot sort raw array<double> columns",
+SELECT d.media_id, d.kind,
+       CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+       CAST(d.nf AS BIGINT) AS n_frames, CAST(d.ns AS BIGINT) AS n_samples,
+       CAST(CASE d.kind
+         WHEN 'image' THEN 54 + d.h * ((3*d.w + 3) // 4 * 4)
+         WHEN 'audio' THEN 44 + 2 * d.ns
+         ELSE {AVI_HEADER_BYTES} + d.nf * (8 + d.h * ((3*d.w + 3) // 4 * 4))
+       END AS BIGINT) AS n_bytes,
+       COALESCE(p.sum_r, 0) AS sum_r,
+       COALESCE(p.sum_g, 0) AS sum_g,
+       COALESCE(p.sum_b, 0) AS sum_b,
+       COALESCE(a.sum_abs_sample, 0) AS sum_abs_sample
+FROM dims d LEFT JOIN pix p USING (media_id) LEFT JOIN aud a USING (media_id)
+"""
+
+
+@register(
+    "multimodal_features",
+    _multimodal_oracle_sql(256),
+    "Multimodal binary pipeline with REAL stdlib codecs: BMP images, WAV audio, "
+    "uncompressed-DIB AVI video, generated distributed and decoded back "
+    "byte-for-byte in one Arrow mapInPandas pass (multimodal/binary.py). Content "
+    "is integer arithmetic in (media_id, frame, x, y), so the oracle recomputes "
+    "pixel/sample sums and exact container byte-sizes WITHOUT parsing — any "
+    "header/stride/bottom-up mistake in the codec changes the values and fails "
+    "the exact comparison",
 )
 def q_multimodal_features(spark, sf_dir):
+    from dask_datapipeline_spark.multimodal.binary import media_features, synthetic_media
+
+    return media_features(synthetic_media(spark, n=256))
+
+
+def _frame_sample_oracle_sql(n_media: int, every_ms: int) -> str:
+    # fps=4 → period_frames = every_ms*4//1000; offsets = idx*250 ms
+    from dask_datapipeline_spark.multimodal.binary import VIDEO_FPS
+
+    period = max(every_ms * VIDEO_FPS // 1000, 1)
+    return f"""
+WITH v AS (
+  SELECT g.range AS media_id,
+         8 + g.range % 8 AS w, 8 + g.range % 8 AS h, 2 + g.range % 4 AS nf
+  FROM generate_series(0, {n_media - 1}) g(range) WHERE g.range % 3 = 2
+),
+sampled AS (
+  SELECT media_id, w, h, unnest(range(0, nf, {period})) AS fi FROM v
+),
+sx AS (SELECT media_id, w, h, fi, unnest(range(0, w)) AS x FROM sampled),
+sxy AS (SELECT media_id, w, h, fi, x, unnest(range(0, h)) AS y FROM sx)
+SELECT media_id,
+       CAST(fi AS INTEGER) AS frame_index,
+       CAST(fi * (1000 // {VIDEO_FPS}) AS INTEGER) AS frame_offset_ms,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(54 + h * ((3*w + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+       CAST(SUM((7*media_id + 3*x + 5*y + 11*fi) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((11*media_id + 5*x + 7*y + 13*fi) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((13*media_id + 7*x + 11*y + 17*fi) % 256) AS BIGINT) AS sum_b
+FROM sxy
+GROUP BY media_id, fi, w, h
+"""
+
+
+@register_extra(
+    "video_frame_sample",
+    _frame_sample_oracle_sql(256, 500),
+    "Video frame sampling end-to-end with real codecs (multimodal/binary.py::"
+    "extract_frames + frame_features): AVI containers decoded, every-500ms frames "
+    "re-encoded as standalone BMPs, then decoded AGAIN by the image path for "
+    "per-frame pixel sums — the oracle recomputes sampled indices/offsets and "
+    "sums arithmetically; kind filter runs JVM-side on metadata so only video "
+    "bytes reach Python",
+)
+def q_video_frame_sample(spark, sf_dir):
     from dask_datapipeline_spark.multimodal.binary import (
-        decode_image_stub,
-        extract_frames_stub,
+        extract_frames,
+        frame_features,
         synthetic_media,
     )
 
     media = synthetic_media(spark, n=256)
-    feats = decode_image_stub(media, dim=16)
-    frames = extract_frames_stub(media).groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("n_frames")
-    )
-    return (
-        media.select("media_id", F.col("meta.kind").alias("kind"))
-        .join(feats, "media_id")
-        .join(frames, "media_id")
-        .select(
-            "media_id",
-            "kind",
-            "payload_sha",
-            F.col("n_bytes").cast("long").alias("n_bytes"),
-            F.array_join(
-                F.transform(
-                    "feature", lambda x: F.format_string("%.8f", x.cast("double"))
-                ),
-                ",",
-            ).alias("feature_csv"),
-            "n_frames",
-        )
-    )
+    return frame_features(extract_frames(media, every_ms=500))
 
 
 # ----- window analytics over the events stream (batch twins) ---------

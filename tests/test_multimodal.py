@@ -1,43 +1,122 @@
-"""Multimodal plumbing tests: schemas, Arrow batch shapes, frame
-explosion — with the codec layer stubbed (no media libs here)."""
+"""Multimodal tests: REAL stdlib codecs (BMP/WAV/DIB-AVI) round-trip
+byte-exactly, the Arrow decode pass reproduces content computed
+independently from the generators, and frame sampling re-encodes
+playable standalone images."""
 
 from __future__ import annotations
 
-from dask_datapipeline_spark.multimodal.binary import (
-    FEATURES_SCHEMA,
-    decode_image_stub,
-    extract_frames_stub,
-    synthetic_media,
-)
+import numpy as np
+import pytest
+
+from dask_datapipeline_spark.multimodal import binary as M
 
 
-def test_media_featurize_schema_and_determinism(spark):
-    media = synthetic_media(spark, n=32)
-    feats = decode_image_stub(media, dim=8)
-    assert feats.schema == FEATURES_SCHEMA
-    rows = {r.media_id: r for r in feats.collect()}
-    assert len(rows) == 32
-    assert all(len(r.feature) == 8 for r in rows.values())
-    assert all(0.0 <= x < 1.0 for r in rows.values() for x in r.feature)
-    # deterministic: re-running yields identical features
-    rows2 = {r.media_id: r for r in decode_image_stub(media, dim=8).collect()}
-    assert all(rows[m].payload_sha == rows2[m].payload_sha for m in rows)
-    assert all(rows[m].feature == rows2[m].feature for m in rows)
+def test_bmp_roundtrip_and_size():
+    for mid in (0, 3, 9, 251):
+        w, h = M.image_dims(mid)
+        px = M._frame_pixels(mid, 0, w, h)
+        bmp = M.encode_bmp(px)
+        assert len(bmp) == M.bmp_n_bytes(w, h)
+        assert bmp[:2] == b"BM"
+        assert np.array_equal(M.decode_bmp(bmp), px)
 
 
-def test_frame_sampling_explodes_video_only(spark):
-    media = synthetic_media(spark, n=30)
-    frames = extract_frames_stub(media, every_ms=1000)
-    per_kind = {
-        (r.media_id, r.meta.kind): r
-        for r in media.collect()
-    }
-    counts = {}
-    for r in frames.collect():
-        counts[r.media_id] = counts.get(r.media_id, 0) + 1
-    for (mid, kind), row in per_kind.items():
-        if kind == "video":
-            expect = max(row.meta.duration_ms - 1, 0) // 1000 + 1
-            assert counts[mid] == expect
+def test_wav_roundtrip_and_size():
+    for mid in (1, 4, 13):
+        ns = M.audio_n_samples(mid)
+        s = M.audio_sample(mid, np.arange(ns)).astype(np.int16)
+        wav = M.encode_wav(s)
+        assert len(wav) == M.wav_n_bytes(ns)
+        rate, back = M.decode_wav(wav)
+        assert rate == M.AUDIO_RATE
+        assert np.array_equal(back, s)
+
+
+def test_avi_roundtrip_and_size():
+    for mid in (2, 5, 254):
+        w, h, nf = M.video_dims(mid)
+        frames = [M._frame_pixels(mid, f, w, h) for f in range(nf)]
+        avi = M.encode_avi(frames)
+        assert len(avi) == M.avi_n_bytes(w, h, nf)
+        assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+        fps, back = M.decode_avi(avi)
+        assert fps == M.VIDEO_FPS and len(back) == nf
+        for a, b in zip(frames, back):
+            assert np.array_equal(a, b)
+
+
+def test_sniff_rejects_garbage():
+    with pytest.raises(ValueError, match="unknown payload magic"):
+        M.sniff_kind(b"\x00\x01\x02\x03garbage")
+    with pytest.raises(ValueError, match="not a BMP"):
+        M.decode_bmp(b"XXnot-a-bmp-at-all-padding-padding-padding")
+
+
+def test_decoder_rejects_unsupported_variants():
+    # 8-bit BMP (palette) must be refused, not mis-decoded
+    px = M._frame_pixels(1, 0, 8, 8)
+    bmp = bytearray(M.encode_bmp(px))
+    bmp[28] = 8  # biBitCount
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        M.decode_bmp(bytes(bmp))
+    # stereo WAV must be refused
+    wav = bytearray(M.encode_wav(np.zeros(10, dtype=np.int16)))
+    wav[22] = 2  # nChannels
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        M.decode_wav(bytes(wav))
+
+
+def test_media_features_match_content_functions(spark):
+    """The Spark decode pass must reproduce sums computed directly
+    from the generator functions — agreement proves the encoder and
+    decoder invert each other THROUGH the Arrow batch boundary."""
+    feats = {r.media_id: r for r in M.media_features(M.synthetic_media(spark, n=48)).collect()}
+    assert len(feats) == 48
+    for mid in range(48):
+        r = feats[mid]
+        kind = ["image", "audio", "video"][mid % 3]
+        assert r.kind == kind
+        if kind == "image":
+            w, h = M.image_dims(mid)
+            px = M._frame_pixels(mid, 0, w, h).astype(np.int64)
+            assert (r.width, r.height, r.n_frames, r.n_samples) == (w, h, 1, 0)
+            assert r.n_bytes == M.bmp_n_bytes(w, h)
+            assert (r.sum_r, r.sum_g, r.sum_b) == tuple(px.sum((0, 1)))
+            assert r.sum_abs_sample == 0
+        elif kind == "audio":
+            ns = M.audio_n_samples(mid)
+            s = M.audio_sample(mid, np.arange(ns))
+            assert (r.width, r.height, r.n_frames, r.n_samples) == (0, 0, 0, ns)
+            assert r.n_bytes == M.wav_n_bytes(ns)
+            assert r.sum_abs_sample == int(np.abs(s).sum())
         else:
-            assert counts[mid] == 1
+            w, h, nf = M.video_dims(mid)
+            tot = sum(
+                M._frame_pixels(mid, f, w, h).astype(np.int64).sum((0, 1))
+                for f in range(nf)
+            )
+            assert (r.width, r.height, r.n_frames) == (w, h, nf)
+            assert r.n_bytes == M.avi_n_bytes(w, h, nf)
+            assert (r.sum_r, r.sum_g, r.sum_b) == tuple(tot)
+
+
+def test_extract_frames_samples_and_reencodes(spark):
+    """every_ms=500 at 4 fps → every 2nd frame; each emitted BMP must
+    decode to exactly that frame's pixels. Non-video rows never reach
+    the decoder (filtered JVM-side)."""
+    media = M.synthetic_media(spark, n=30)
+    out = M.frame_features(M.extract_frames(media, every_ms=500)).collect()
+    got = {(r.media_id, r.frame_index): r for r in out}
+    expected = 0
+    for mid in range(30):
+        if mid % 3 != 2:
+            continue
+        w, h, nf = M.video_dims(mid)
+        for fi in range(0, nf, 2):
+            expected += 1
+            r = got[(mid, fi)]
+            assert r.frame_offset_ms == fi * 250
+            px = M._frame_pixels(mid, fi, w, h).astype(np.int64)
+            assert (r.sum_r, r.sum_g, r.sum_b) == tuple(px.sum((0, 1)))
+            assert r.n_bytes == M.bmp_n_bytes(w, h)
+    assert len(got) == expected
