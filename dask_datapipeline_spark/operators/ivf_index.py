@@ -55,6 +55,34 @@ from dask_datapipeline_spark.operators.similarity import (
 from dask_datapipeline_spark.parallel import fan_out
 
 
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    """Persist ``<path>/_META`` through the Hadoop FileSystem API, so
+    the index lives wherever the parquet does (file:, hdfs:, s3a:) —
+    a plain ``open()`` silently writes to the driver's LOCAL disk for
+    any non-local URI and the index becomes unreadable at scale."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_META"))
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_META"))
+    fs = p.getFileSystem(conf)
+    stream = fs.open(p)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    # copyBytes(close=True) closes both streams
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, conf, True)
+    return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -94,8 +122,7 @@ def build_ivf_index(
         "trained": bool(trained),
         "dim": int(c_mat.shape[1]),
     }
-    with open(os.path.join(path, "_META"), "w") as f:
-        json.dump(meta, f)
+    _write_meta(spark, path, meta)
     return meta
 
 
@@ -115,8 +142,7 @@ def ivf_topk_from_index(
     scan prunes unprobed cell directories at the file-index level —
     verify with ``.explain()``: the scan's PartitionFilters carries
     the ``__cell IN (...)``."""
-    with open(os.path.join(path, "_META")) as f:
-        meta = json.load(f)
+    meta = _read_meta(spark, path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     require_columns(queries, [id_col, vec_col])
     book = (
@@ -137,8 +163,6 @@ def ivf_topk_from_index(
         idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(c_ids[idx]))
 
-    from pyspark.storagelevel import StorageLevel
-
     probed = (
         fan_out(queries.select(id_col, vec_col))
         .select(
@@ -146,9 +170,13 @@ def ivf_topk_from_index(
             F.col(vec_col).alias("__qv"),
             F.explode(probes_of(F.col(vec_col))).alias("__cell"),
         )
-        # read twice (cell-set collect + the join) — persist so the
-        # probes UDF runs over the queries once
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # read twice (cell-set collect + the join) — localCheckpoint,
+        # not persist: the probes UDF runs once, and the materialized
+        # blocks are released by the ContextCleaner when the result
+        # frame is dropped; a persist here would pin a CacheManager
+        # entry per query until an unpersist nobody can call (the
+        # lazy result still references the cached plan).
+        .localCheckpoint(eager=True)
     )
     # Bounded collect: the distinct probed-cell set is at most
     # n_cells longs regardless of query count — the same driver
@@ -235,8 +263,7 @@ def build_pq_index(
         "dim": int(dim),
         "trained": bool(trained),
     }
-    with open(os.path.join(path, "_META"), "w") as f:
-        json.dump(meta, f)
+    _write_meta(spark, path, meta)
     return meta
 
 
@@ -257,8 +284,7 @@ def pq_topk_from_index(
         _pq_query_tables,
     )
 
-    with open(os.path.join(path, "_META")) as f:
-        meta = json.load(f)
+    meta = _read_meta(spark, path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     n_subspaces, n_codes = meta["n_subspaces"], meta["n_codes"]
     sub_d = meta["dim"] // n_subspaces
@@ -400,8 +426,7 @@ def build_ivfpq_index(
         "residual": bool(residual),
         "trained": bool(trained),
     }
-    with open(os.path.join(path, "_META"), "w") as f:
-        json.dump(meta, f)
+    _write_meta(spark, path, meta)
     return meta
 
 
@@ -428,8 +453,7 @@ def ivfpq_topk_from_index(
     from pyspark.sql import types as T
     from typing import Iterator
 
-    with open(os.path.join(path, "_META")) as f:
-        meta = json.load(f)
+    meta = _read_meta(spark, path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     n_subspaces, n_codes = meta["n_subspaces"], meta["n_codes"]
     residual = meta["residual"]
@@ -486,12 +510,13 @@ def ivfpq_topk_from_index(
             T.StructField("__tab", T.ArrayType(T.DoubleType())),
         ]
     )
-    from pyspark.storagelevel import StorageLevel
-
+    # localCheckpoint, not persist — same rationale as
+    # ivf_topk_from_index's probed frame: no CacheManager entry leaks
+    # across repeated queries; blocks free with the result frame.
     qtab = (
         fan_out(queries.select(id_col, vec_col))
         .mapInPandas(_qtab_batch, qtab_schema)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     cells = sorted(r["__cell"] for r in qtab.select("__cell").distinct().collect())
     codes = spark.read.parquet(os.path.join(path, "codes")).where(

@@ -182,3 +182,33 @@ def test_ivfpq_index_probe_prunes_partitions(spark, emb, ivfpq_index_dir):
     assert m and "__cell" in m.group(1) and "IN" in m.group(1).upper()
     # the corpus side scans codes, never embeddings
     assert "embeddings.parquet" not in plan.split("Scan parquet")[1]
+
+
+def test_index_roundtrip_via_file_uri(spark, emb, tmp_path):
+    """_META must live behind the Hadoop FileSystem API: build and
+    probe through an explicit file: URI (plain open() cannot read
+    one), asserting identical answers to the in-memory operator."""
+    uri = "file://" + str(tmp_path / "ivf_uri_index")
+    build_ivf_index(emb, uri, n_cells=N_CELLS)
+    queries = emb.where(F.col("vec_id") % 11 == 0)
+    want = sorted(
+        map(tuple, ivf_topk(queries, emb, k=K, n_cells=N_CELLS, n_probe=N_PROBE).collect())
+    )
+    got = sorted(
+        map(tuple, ivf_topk_from_index(spark, uri, queries, k=K, n_probe=N_PROBE).collect())
+    )
+    assert got == want
+
+
+def test_repeated_probes_leak_no_cache_entries(spark, emb, index_dir):
+    """The probe path must not pin CacheManager entries: three
+    repeated queries leave the session cache as empty as it started
+    (the old persist() leaked one entry per call, unbounded in a
+    serving loop)."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()  # other modules may leave entries; start clean
+    assert cm.isEmpty()
+    queries = emb.where(F.col("vec_id") % 13 == 0)
+    for _ in range(3):
+        ivf_topk_from_index(spark, index_dir, queries, k=K, n_probe=N_PROBE).count()
+    assert cm.isEmpty()
