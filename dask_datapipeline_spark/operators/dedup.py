@@ -346,6 +346,26 @@ def _exact_ceil_mul(n_col: Column, threshold: float) -> Column:
     )
 
 
+def _exact_jaccard_ge(inter_col: Column, na_col: Column, nb_col: Column, threshold: float) -> Column:
+    """Integer-exact ``J >= threshold`` with the threshold read as its
+    exact binary rational P/Q: ``Q·inter >= P·(na+nb-inter)``.
+
+    Why not ``(inter/union) >= threshold`` on doubles: the prefix and
+    positional filters prune with the EXACT rational (they must — see
+    ``_exact_ceil_mul``), so a double final compare creates boundary
+    pairs (exact J < P/Q but fl(J) rounds up to the threshold, e.g.
+    J = 1/10 at threshold 0.1) that are kept by the candidates path
+    but may be pruned by the prefix path — two verify paths, two
+    answers. Found by
+    tests/test_properties.py::test_prefix_filter_allpairs_matches_brute_force.
+    decimal(38,0) holds every product exactly (Q <= 2^53, sets < 2^31)."""
+    frac = Fraction(threshold)
+    dec = "decimal(38,0)"
+    q = F.lit(frac.denominator).cast(dec)
+    p = F.lit(frac.numerator).cast(dec)
+    return inter_col.cast(dec) * q >= p * (na_col + nb_col - inter_col).cast(dec)
+
+
 def _jaccard_allpairs_prefix(
     sh: DataFrame,
     id_col: str,
@@ -451,6 +471,7 @@ def _jaccard_allpairs_prefix(
         cand.join(na, "id_a")
         .join(nb, "id_b")
         .withColumn("__inter", F.size(F.array_intersect("__aa", "__ab")))
+        .filter(_exact_jaccard_ge(F.col("__inter"), F.col("__na"), F.col("__nb"), threshold))
         .select(
             "id_a",
             "id_b",
@@ -458,7 +479,6 @@ def _jaccard_allpairs_prefix(
                 "jaccard"
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -503,6 +523,7 @@ def _jaccard_from_distinct(
     return (
         inter.join(na, "id_a")
         .join(nb, "id_b")
+        .filter(_exact_jaccard_ge(F.col("__inter"), F.col("__na"), F.col("__nb"), threshold))
         .select(
             "id_a",
             "id_b",
@@ -510,7 +531,6 @@ def _jaccard_from_distinct(
                 "jaccard"
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -180,7 +180,12 @@ def shard_by_tokens(
     # HERE makes that contract explicit (silently, the NULL-keyed row
     # would otherwise vanish in the inner bucket-offset join while a
     # SQL replay with a plain window would keep it — an engine split).
-    df = df.where(F.col(id_col).isNotNull())
+    # A NULL token count is excluded for the same reason: it is the
+    # FINAL tie-break key, and Spark windows order NULLS FIRST where
+    # DuckDB orders NULLS LAST — a duplicate id with a NULL count
+    # would make the stream order engine-dependent (and its cumsum
+    # contribution is undefined anyway).
+    df = df.where(F.col(id_col).isNotNull() & F.col(token_col).isNotNull())
     narrow = df.select(
         F.col(id_col),
         F.col(token_col).cast("long").alias("n_tokens"),

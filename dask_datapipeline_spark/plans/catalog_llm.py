@@ -101,12 +101,19 @@ def _sql_jaccard_verify(extra_join: str = "", as_pairs_cte: bool = False) -> str
     oracles (dup_clusters, corpus_clean) instead of the final SELECT —
     every query in the shingle family composes this single source, so
     the verify semantics cannot drift between them."""
+    # threshold test is INTEGER-exact (2·inter >= union, i.e. J >= 1/2
+    # as the exact rational) — mirroring dedup.py::_exact_jaccard_ge,
+    # whose docstring explains why a double compare diverges from the
+    # prefix-filter prune at non-dyadic thresholds. At 0.5 the two are
+    # equivalent; the integer form keeps the oracle aligned with the
+    # Spark semantics BY CONSTRUCTION should the threshold change.
+    cond = "2 * j.i >= (j.na + j.nb - j.i)"
     if as_pairs_cte:
         head = ", pairs AS (SELECT j.id_a, j.id_b FROM ("
-        tail = ") j WHERE j.jaccard >= 0.5)"
+        tail = f") j WHERE {cond})"
     else:
         head = "SELECT j.id_a, j.id_b, j.jaccard FROM ("
-        tail = ") j WHERE j.jaccard >= 0.5"
+        tail = f") j WHERE {cond}"
     return f"""
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
 inter AS (
@@ -115,7 +122,7 @@ inter AS (
   GROUP BY 1, 2
 )
 {head}
-  SELECT i.id_a, i.id_b,
+  SELECT i.id_a, i.id_b, i.i, na.n AS na, nb.n AS nb,
          CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i) AS jaccard
   FROM inter i
   JOIN sizes na ON na.doc_id = i.id_a

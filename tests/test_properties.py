@@ -827,3 +827,70 @@ def test_resample_locf_matches_python_model(spark, events):
                 want[(u, b)] = (carried, True)
             b += dt.timedelta(hours=1)
     assert got == want
+
+
+# ----- PPJoin prefix-filter math (operators/dedup.py) ----------------
+
+_jt = st.sampled_from([0.1, 0.25, 1 / 3, 0.5, 0.55, 0.7, 0.8, 0.9])
+
+
+@given(
+    ns=st.lists(st.integers(min_value=0, max_value=2**31 - 1), min_size=1, max_size=64),
+    threshold=_jt,
+)
+@settings(**_SETTINGS)
+def test_exact_ceil_mul_matches_fraction_ceiling(spark, ns, threshold):
+    """_exact_ceil_mul must equal ceil(Fraction(t)·n) EXACTLY for any
+    integer n — the prefix length is only safe with the true ceiling
+    (float F.ceil can land one off where the product's rounding
+    crosses an integer, which would shorten the prefix and silently
+    drop qualifying pairs)."""
+    import math
+    from fractions import Fraction
+
+    from dask_datapipeline_spark.operators.dedup import _exact_ceil_mul
+
+    df = spark.createDataFrame([(n,) for n in ns], "n long")
+    got = {
+        r.n: r.c
+        for r in df.select("n", _exact_ceil_mul(F.col("n"), threshold).alias("c")).collect()
+    }
+    frac = Fraction(threshold)
+    for n in ns:
+        assert got[n] == math.ceil(frac * n), (n, threshold)
+
+
+@given(
+    docs=st.lists(
+        st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=10),
+        min_size=2,
+        max_size=7,
+    ),
+    threshold=_jt,
+)
+@settings(**_SETTINGS)
+def test_prefix_filter_allpairs_matches_brute_force(spark, docs, threshold):
+    """The full prefix + positional-filter pipeline
+    (_jaccard_allpairs_prefix) must emit EXACTLY the brute-force
+    qualifying pair set with exact scores — pruning may only remove
+    work, never results (and emitting sub-threshold pairs would be a
+    filter bug on the other side)."""
+    from fractions import Fraction
+
+    from dask_datapipeline_spark.operators.dedup import _jaccard_allpairs_prefix
+
+    rows = [(i, h) for i, d in enumerate(docs) for h in d]
+    sh = spark.createDataFrame(rows, "doc_id long, __h long")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in _jaccard_allpairs_prefix(sh, "doc_id", threshold).collect()
+    }
+    frac = Fraction(threshold)
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(docs[a] & docs[b])
+            union = len(docs[a] | docs[b])
+            if Fraction(inter, union) >= frac:
+                want[(a, b)] = inter / union
+    assert got == want

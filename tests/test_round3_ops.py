@@ -462,3 +462,18 @@ def test_sessionize_matches_python_model(spark):
     for u in (0, 1):
         for i, w in enumerate(want_per_user):
             assert out[u * 5 + i] == w
+
+
+def test_shards_exclude_null_ids_and_null_token_counts(spark):
+    """NULL id or NULL token count is out of contract (the id cannot
+    be hashed into the stream order; the count is the final tie-break
+    key and Spark/DuckDB default NULL ordering differs) — both are
+    excluded up front, and the surviving stream is identical to one
+    that never contained them."""
+    rows = [(0, 10), (None, 10), (1, None), (2, 20), (None, None), (3, 30)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    clean = spark.createDataFrame([(0, 10), (2, 20), (3, 30)], "doc_id long, n_tok long")
+    got = sorted(map(tuple, shard_by_tokens(df, "doc_id", "n_tok", 25).collect()))
+    want = sorted(map(tuple, shard_by_tokens(clean, "doc_id", "n_tok", 25).collect()))
+    assert got == want
+    assert {r[0] for r in got} == {0, 2, 3}
