@@ -714,13 +714,24 @@ def dup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # incident/labels derive LAZILY from the checkpointed edges — one
+    # incident derives LAZILY from the checkpointed edges — one
     # distinct over cached blocks; only the per-round label table needs
     # its own checkpoint (it is the loop-carried state). Fewer eager
     # actions per call: at sf0.1 the fixed per-action scheduling cost
     # dominates this operator, not the 2-round loop.
     incident = edges.select("u").distinct()
-    labels = incident.withColumn("label", F.col("u")).localCheckpoint(eager=True)
+    # FUSED first relaxation: propagating identity labels one step is
+    # exactly label(u) = min(u, min over neighbors v) — one groupBy
+    # over the checkpointed edges replaces the identity-label
+    # checkpoint, the first keyed join, and one convergence aggregate
+    # (for the common diameter-<=2 graph the loop then runs ONCE, as
+    # the stability proof).
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("__mv"))
+        .select("u", F.least("__mv", "u").alias("label"))
+        .localCheckpoint(eager=True)
+    )
     numeric_ids = dict(labels.dtypes)["label"] in {
         "tinyint", "smallint", "int", "bigint"
     }
