@@ -1176,3 +1176,81 @@ def ivfpq_topk(
 
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def embedding_moments(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**9,
+) -> DataFrame:
+    """Exact distributed first/second moments of an embedding column —
+    the accumulation pass behind covariance, PCA, and whitening
+    (covariance: (n·Σxy − Σx·Σy) / n², then eigendecompose the d×d
+    matrix driver-side — d² is bounded, the CORPUS pass is the scale
+    problem and it is this one).
+
+    Output: one row per dimension pair (i ≤ j):
+    ``(i, j, n_rows, sum_x_e9, sum_y_e9, sum_xy_e9)`` where each sum
+    accumulates ``floor(v·scale + 0.5)`` of the per-row value — a
+    quantization built ONLY from IEEE primitives every engine computes
+    identically (multiply, add, floor; unlike round(), whose
+    half-up/half-even mode differs between numpy, Spark and DuckDB).
+    Integer sums are exact and associative, so the result is
+    INDEPENDENT of partitioning and row order — a raw double
+    accumulation here would differ run-to-run under parallelism.
+
+    Physical shape: one Arrow pass computes per-BATCH combined
+    (i, j) partials (d(d+1)/2 rows per batch, numpy-vectorized outer
+    products), so the groupBy shuffles at most d²/2 rows per
+    partition after map-side combine — corpus size never appears in
+    the exchange. Sums ride as decimal(38,0) through the final agg
+    (int64 would overflow near 10^18 — reachable at 10^12 rows of
+    O(10) products in e9 units) and cast back to BIGINT outputs,
+    which ANSI mode verifies loudly rather than wrapping."""
+    require_columns(df, [id_col, vec_col])
+
+    def batches(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            v = _stack(pdf[vec_col])
+            d = v.shape[1]
+            q = np.floor(v * float(scale) + 0.5).astype(np.int64)
+            iu, ju = np.triu_indices(d)
+            # products quantized from the DOUBLE product, not from q:
+            # floor((x*y)*scale + 0.5) — matches the oracle expression
+            prod = np.einsum("ri,rj->rij", v, v)[:, iu, ju]
+            qp = np.floor(prod * float(scale) + 0.5).astype(np.int64).sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype(np.int32),
+                    "j": ju.astype(np.int32),
+                    "n_rows": np.full(len(iu), len(v), dtype=np.int64),
+                    "sum_x_e9": q.sum(axis=0)[iu],
+                    "sum_y_e9": q.sum(axis=0)[ju],
+                    "sum_xy_e9": qp,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("sum_x_e9", T.LongType()),
+            T.StructField("sum_y_e9", T.LongType()),
+            T.StructField("sum_xy_e9", T.LongType()),
+        ]
+    )
+    dec = "decimal(38,0)"
+    partials = fan_out(df.select(id_col, vec_col)).mapInPandas(batches, schema)
+    return (
+        partials.groupBy("i", "j")
+        .agg(
+            F.sum(F.col("n_rows").cast(dec)).cast("long").alias("n_rows"),
+            F.sum(F.col("sum_x_e9").cast(dec)).cast("long").alias("sum_x_e9"),
+            F.sum(F.col("sum_y_e9").cast(dec)).cast("long").alias("sum_y_e9"),
+            F.sum(F.col("sum_xy_e9").cast(dec)).cast("long").alias("sum_xy_e9"),
+        )
+    )

@@ -491,6 +491,37 @@ def q_lsh_bucket_occupancy(spark, sf_dir):
 
 
 @register_extra(
+    "embedding_moments",
+    """
+WITH e AS (
+  SELECT vec_id,
+         unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings
+)
+SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(a.x * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_x_e9,
+       CAST(SUM(CAST(floor(b.x * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_y_e9,
+       CAST(SUM(CAST(floor((a.x * b.x) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_xy_e9
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+""",
+    "Exact distributed embedding moments (operators/similarity.py::"
+    "embedding_moments) — the corpus pass behind covariance/PCA/whitening: "
+    "per-batch numpy outer-product partials combine map-side so the shuffle "
+    "carries at most d(d+1)/2 rows per partition; values quantized with "
+    "floor(v*1e9+0.5) (IEEE-primitive-only, engine-identical unlike round()) "
+    "and summed as exact integers — partitioning/order independent",
+)
+def q_embedding_moments(spark, sf_dir):
+    from dask_datapipeline_spark.operators.similarity import embedding_moments
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return embedding_moments(emb)
+
+
+@register_extra(
     "scan_json",
     """
 SELECT g.range AS rec_id,

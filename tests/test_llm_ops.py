@@ -618,3 +618,32 @@ def test_word_ngrams_short_and_empty(spark):
     assert rows[1] == ["a b", "b c"]
     assert rows[2] == []
     assert rows[3] == []
+
+
+def test_embedding_moments_reconstruct_covariance(spark):
+    """The integer moment sums must (a) be independent of
+    partitioning, and (b) reconstruct the numpy covariance matrix to
+    quantization precision (1e-9 per term)."""
+    import numpy as np
+
+    from dask_datapipeline_spark.operators.similarity import embedding_moments
+    from dask_datapipeline_spark.sources.readers import load_testdata
+
+    emb = load_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    n, d = mat.shape
+
+    a = sorted(map(tuple, embedding_moments(emb).collect()))
+    b = sorted(map(tuple, embedding_moments(emb.repartition(17)).collect()))
+    assert a == b  # exact integer sums: partitioning-invariant
+    assert len(a) == d * (d + 1) // 2
+
+    got = {(t[0], t[1]): t for t in a}
+    cov_np = np.cov(mat, rowvar=False, bias=True)
+    for (i, j), t in got.items():
+        _, _, n_rows, sx, sy, sxy = t
+        assert n_rows == n
+        cov = sxy / (n * 1e9) - (sx / (n * 1e9)) * (sy / (n * 1e9))
+        # per-term quantization error <= 0.5e-9; means amplify it ~2x
+        assert abs(cov - cov_np[i, j]) < 2e-9, (i, j)
