@@ -418,9 +418,12 @@ SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= {threshold!r}
     "embedding_near_dup",
     _lsh_near_dup_oracle_sql(_ND_TABLES, _ND_BITS, 64, _ND_THRESHOLD),
     "Embedding-cosine near-dup pairs via SRP-LSH bucketed self-join + exact cosine "
-    "verify of bucket cohabitants — the 100 TB path: shuffles key on (table, bucket), "
-    "nothing is collected or broadcast; the exact all-pairs baseline is the "
-    "embedding_near_dup_exact recall oracle in EXTRA_CATALOG",
+    "verify of bucket cohabitants — shuffles key on (table, bucket), nothing is "
+    "collected or broadcast. This 0.4/4-bit setting is the documented DENSE recall "
+    "demo (~40% of all pairs are candidates at this distant threshold); the "
+    "configuration a 100 TB corpus runs is extra:embedding_near_dup_sparse "
+    "(16x8-bit + bucket_cap, 7% candidate volume — docs/SCALE.md). Exact all-pairs "
+    "baseline: embedding_near_dup_exact recall oracle in EXTRA_CATALOG",
 )
 def q_embedding_near_dup(spark, sf_dir):
     from dask_datapipeline_spark.operators.similarity import embedding_near_dup_pairs
