@@ -1254,3 +1254,83 @@ def embedding_moments(
             F.sum(F.col("sum_xy_e9").cast(dec)).cast("long").alias("sum_xy_e9"),
         )
     )
+
+
+def pca_project(
+    df: DataFrame,
+    n_components: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**9,
+) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """PCA over the embedding column: one distributed
+    ``embedding_moments`` pass builds the exact d×d covariance, the
+    eigendecomposition runs driver-side (d² is bounded — 64-dim is a
+    32 KiB matrix at ANY corpus size), and the projection is one more
+    Arrow pass with the component matrix riding in the UDF closure.
+
+    Returns ``(projected, components, explained_variance)`` where
+    ``projected`` has (id_col, ``pca`` array<double> of length
+    ``n_components``), ``components`` is (n_components, d) and
+    ``explained_variance`` the matching eigenvalues (descending).
+
+    Determinism: the covariance is built from the integer moment sums
+    (partitioning-independent by construction); eigenvectors get a
+    canonical sign (largest-|component| entry made positive, ties to
+    the earlier index) so repeated runs emit identical projections.
+    numpy's symmetric eigensolver is deterministic for a fixed input
+    matrix. No SQL oracle — eigendecomposition is not expressible in
+    DuckDB; pinned against numpy PCA in tests instead.
+
+    The scale contract is the moments pass (see
+    ``embedding_moments``); the projection pass is embarrassingly
+    parallel."""
+    require_columns(df, [id_col, vec_col])
+    if n_components < 1:
+        raise ValueError(f"n_components={n_components} must be >= 1")
+    mom = embedding_moments(df, id_col, vec_col, scale).collect()
+    if not mom:
+        raise ValueError("pca_project: empty corpus")
+    d = max(r["j"] for r in mom) + 1
+    if n_components > d:
+        raise ValueError(f"n_components={n_components} > dim={d}")
+    n = mom[0]["n_rows"]
+    s = float(scale)
+    mean = np.zeros(d)
+    cov = np.zeros((d, d))
+    for r in mom:
+        i, j = r["i"], r["j"]
+        if i == j:
+            mean[i] = r["sum_x_e9"] / (n * s)
+        c = r["sum_xy_e9"] / (n * s) - (r["sum_x_e9"] / (n * s)) * (r["sum_y_e9"] / (n * s))
+        cov[i, j] = cov[j, i] = c
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T  # (k, d)
+    explained = evals[order]
+    # canonical sign: make the largest-magnitude entry positive
+    # (earliest index on exact ties), so the output does not flip
+    # between runs/platforms
+    for r_i in range(comps.shape[0]):
+        pivot = int(np.argmax(np.abs(comps[r_i])))
+        if comps[r_i, pivot] < 0:
+            comps[r_i] = -comps[r_i]
+
+    mean_c, comps_c = mean.copy(), comps.copy()
+
+    def project(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            v = _stack(pdf[vec_col]) - mean_c[None, :]
+            p = v @ comps_c.T
+            yield pd.DataFrame({id_col: pdf[id_col], "pca": list(p)})
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("pca", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    projected = fan_out(df.select(id_col, vec_col)).mapInPandas(project, schema)
+    return projected, comps, explained

@@ -525,6 +525,24 @@ def q_embedding_moments(spark, sf_dir):
 
 
 @register_extra(
+    "pca_embeddings",
+    None,  # eigendecomposition has no SQL replay — rows-only check;
+    # the covariance input IS oracle-exact (extra:embedding_moments)
+    # and the projection is pinned against numpy in tests/test_llm_ops.
+    "PCA projection of the embedding corpus (operators/similarity.py::pca_project): "
+    "distributed exact-integer moments -> driver-side d x d eigendecomposition "
+    "(bounded at any corpus size) -> one embarrassingly-parallel Arrow projection "
+    "pass; canonical eigenvector signs make repeated runs bit-identical",
+)
+def q_pca_embeddings(spark, sf_dir):
+    from dask_datapipeline_spark.operators.similarity import pca_project
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    projected, _comps, _ev = pca_project(emb, n_components=8)
+    return projected
+
+
+@register_extra(
     "scan_json",
     """
 SELECT g.range AS rec_id,

@@ -647,3 +647,46 @@ def test_embedding_moments_reconstruct_covariance(spark):
         cov = sxy / (n * 1e9) - (sx / (n * 1e9)) * (sy / (n * 1e9))
         # per-term quantization error <= 0.5e-9; means amplify it ~2x
         assert abs(cov - cov_np[i, j]) < 2e-9, (i, j)
+
+
+def test_pca_project_matches_numpy(spark):
+    """pca_project must reproduce numpy PCA on the exact covariance
+    (within moment-quantization perturbation) and be bit-identical
+    across repeated runs (canonical eigenvector signs)."""
+    import numpy as np
+
+    from dask_datapipeline_spark.operators.similarity import pca_project
+    from dask_datapipeline_spark.sources.readers import load_testdata
+
+    emb = load_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    o = np.argsort(ids)
+    ids, mat = ids[o], mat[o]
+
+    proj_df, comps, ev = pca_project(emb, n_components=4)
+    assert comps.shape == (4, mat.shape[1])
+    assert list(ev) == sorted(ev, reverse=True)
+
+    cov = np.cov(mat, rowvar=False, bias=True)
+    w = np.sort(np.linalg.eigvalsh(cov))[::-1][:4]
+    assert np.allclose(ev, w, atol=1e-6)
+
+    # projections: compare |dot| per row against numpy's own PCA
+    # (sign conventions differ; magnitudes must match)
+    evals, evecs = np.linalg.eigh(cov)
+    np_comps = evecs[:, np.argsort(evals)[::-1][:4]].T
+    want = (mat - mat.mean(axis=0)) @ np_comps.T
+    got = {r[0]: np.asarray(r[1]) for r in proj_df.collect()}
+    got_m = np.stack([got[i] for i in ids])
+    assert np.allclose(np.abs(got_m), np.abs(want), atol=1e-5)
+
+    # determinism across runs — exact, not approximate
+    proj2, comps2, ev2 = pca_project(emb, n_components=4)
+    assert np.array_equal(comps, comps2) and np.array_equal(ev, ev2)
+    got2 = {r[0]: np.asarray(r[1]) for r in proj2.collect()}
+    assert all(np.array_equal(got[i], got2[i]) for i in ids)
+
+    with pytest.raises(ValueError, match="n_components"):
+        pca_project(emb, n_components=1000)
