@@ -133,3 +133,26 @@ def test_funnel_plan_has_no_event_self_join(spark, sf_dir):
         .toString()
     )
     assert plan.count("Scan parquet") == 2, plan  # events once, dim once
+
+
+def test_embedding_moments_exchange_is_dimension_bounded(spark, sf_dir):
+    """The moments shuffle must sit ABOVE a partial HashAggregate on
+    (i, j): after map-side combine each partition contributes at most
+    d(d+1)/2 rows to the exchange, so the corpus size never appears
+    in shuffled bytes. A rewrite that exchanges the raw per-batch
+    partials (or worse, per-row terms) breaks the 100 TB contract
+    while staying value-correct."""
+    from dask_datapipeline_spark.operators.similarity import embedding_moments
+    from dask_datapipeline_spark.sources.readers import load_testdata
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    plan = (
+        embedding_moments(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly one KEYED exchange — the (i,j) agg — fed by a partial
+    # aggregate below it (fan_out's RoundRobinPartitioning over the
+    # single-file local scan is the documented no-op-at-scale shim
+    # and carries only the narrow (id, vec) projection)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    pre = plan.split("Exchange hashpartitioning", 1)[1]
+    assert "partial_sum" in pre, plan

@@ -894,3 +894,62 @@ def test_prefix_filter_allpairs_matches_brute_force(spark, docs, threshold):
             if Fraction(inter, union) >= frac:
                 want[(a, b)] = inter / union
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef ", min_size=8, max_size=40).filter(
+            lambda t: len([w for w in t.split(" ") if w]) >= 3
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    n_copies=st.integers(min_value=2, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_minhash_banding_never_misses_exact_duplicates(spark, texts, n_copies):
+    """Identical documents have identical signatures, so they collide
+    in EVERY band: the LSH candidate path must emit every exact-copy
+    pair at threshold 1.0 (J = 1), for any corpus contents around
+    them. A banding/signature bug that breaks this collides nothing
+    reliably."""
+    from dask_datapipeline_spark.operators.dedup import near_dup_pairs_minhash
+
+    rows, next_id = [], 0
+    copy_groups = []
+    for t in texts:
+        group = []
+        for _ in range(n_copies):
+            rows.append((next_id, t))
+            group.append(next_id)
+            next_id += 1
+        copy_groups.append(group)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs_minhash(df, threshold=1.0).collect()
+    }
+    # dedupe text collisions between generated groups: expected pairs
+    # derive from TEXT equality, not group membership
+    by_text = defaultdict(list)
+    for i, t in rows:
+        by_text[t].append(i)
+    want = {
+        (a, b)
+        for ids in by_text.values()
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    assert want <= got
+    # and nothing below threshold 1.0 sneaks in: every emitted pair
+    # must be an exact-same-shingle-set pair
+    sets = {
+        i: {
+            " ".join([w for w in t.lower().split(" ") if w][k : k + 3])
+            for k in range(max(len([w for w in t.lower().split(" ") if w]) - 2, 0))
+        }
+        for i, t in rows
+    }
+    for a, b in got:
+        assert sets[a] == sets[b]
