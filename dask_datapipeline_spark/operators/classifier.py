@@ -295,3 +295,71 @@ def hashed_linear_score_trained(
         margin.alias("margin"),
         (margin >= F.lit(float(threshold))).alias("keep"),
     )
+
+
+def compression_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Compression-ratio quality signal (zlib level ``level``): highly
+    repetitive / templated / boilerplate text compresses far below
+    natural prose, and near-random strings barely compress — the cheap
+    content-agnostic filter real corpus pipelines run alongside the
+    n-gram heuristics (low ratio → likely machine-generated
+    repetition; ratio ≈ 1 → likely binary junk or ciphertext).
+
+    Output: ``(id_col, raw_len, compressed_len, ratio)`` over UTF-8
+    byte lengths; NULL text rows are dropped (the contract everywhere
+    else in the text family — an explicit gate, not a silent 0).
+
+    Physical shape: one Arrow-batched ``mapInPandas`` pass, zero
+    shuffles — embarrassingly parallel over the corpus scan like the
+    hashed classifier above. zlib is bit-deterministic for a fixed
+    (level, library) pair, so results are stable across reruns and
+    partitionings; there is no SQL replay (DuckDB has no zlib), so
+    the pin is the in-process Python model in tests — the SAME
+    library, hence exact."""
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    require_columns(df, [id_col, text_col])
+    if not 0 <= level <= 9:
+        raise ValueError(f"zlib level {level} outside [0, 9]")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = t.encode("utf-8")
+                comp = len(zlib.compress(raw, level))
+                out.append(
+                    {
+                        id_col: i,
+                        "raw_len": len(raw),
+                        "compressed_len": comp,
+                        "ratio": comp / len(raw) if raw else 1.0,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[id_col, "raw_len", "compressed_len", "ratio"]
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("raw_len", T.LongType()),
+            T.StructField("compressed_len", T.LongType()),
+            T.StructField("ratio", T.DoubleType()),
+        ]
+    )
+    from dask_datapipeline_spark.parallel import fan_out
+
+    return fan_out(
+        df.where(F.col(text_col).isNotNull()).select(id_col, text_col)
+    ).mapInPandas(batches, schema)

@@ -525,6 +525,22 @@ def q_embedding_moments(spark, sf_dir):
 
 
 @register_extra(
+    "compression_quality",
+    None,  # no SQL replay (DuckDB has no zlib); pinned against the
+    # in-process Python zlib model in tests — same library, exact
+    "Compression-ratio quality signal (operators/classifier.py::"
+    "compression_quality): zlib ratio per document — repetitive/templated text "
+    "compresses far below natural prose, near-random strings barely compress; "
+    "one Arrow pass, zero shuffles, bit-deterministic for a fixed zlib",
+)
+def q_compression_quality(spark, sf_dir):
+    from dask_datapipeline_spark.operators.classifier import compression_quality
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return compression_quality(docs)
+
+
+@register_extra(
     "pca_embeddings",
     None,  # eigendecomposition has no SQL replay — rows-only check;
     # the covariance input IS oracle-exact (extra:embedding_moments)

@@ -690,3 +690,33 @@ def test_pca_project_matches_numpy(spark):
 
     with pytest.raises(ValueError, match="n_components"):
         pca_project(emb, n_components=1000)
+
+
+def test_compression_quality_matches_python_zlib(spark, docs):
+    """Exact pin against the in-process zlib (same library → same
+    bytes), plus the signal's separating property: repeated text
+    compresses below prose, random-ish hex barely compresses."""
+    import zlib
+
+    from dask_datapipeline_spark.operators.classifier import compression_quality
+
+    rows = {r[0]: r for r in compression_quality(docs).collect()}
+    src = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect() if r.text is not None}
+    assert set(rows) == set(src)
+    for i, t in list(src.items())[:50]:
+        raw = t.encode("utf-8")
+        r = rows[i]
+        assert r.raw_len == len(raw)
+        assert r.compressed_len == len(zlib.compress(raw, 6))
+        assert r.ratio == r.compressed_len / r.raw_len
+
+    import hashlib
+
+    rep = "the same sentence again and again. " * 40
+    rnd = "".join(hashlib.sha256(str(k).encode()).hexdigest() for k in range(30))
+    df = spark.createDataFrame([(1, rep), (2, rnd)], "doc_id long, text string")
+    out = {r.doc_id: r.ratio for r in compression_quality(df).collect()}
+    assert out[1] < 0.1 < out[2]
+
+    with pytest.raises(ValueError, match="zlib level"):
+        compression_quality(docs, level=17)
