@@ -524,6 +524,52 @@ def q_embedding_moments(spark, sf_dir):
     return embedding_moments(emb)
 
 
+def _embedding_cluster_oracle_sql() -> str:
+    """LSH near-dup pair replay (sparse config) + recursive-CTE
+    min-label reachability closure — the embedding twin of the
+    dup_clusters oracle, composed from the SAME bucket CTE builder."""
+    pairs_sql = _lsh_near_dup_oracle_sql(
+        _ND_SPARSE_TABLES, _ND_SPARSE_BITS, 64, _ND_SPARSE_T, bucket_cap=_ND_SPARSE_CAP
+    )
+    return f"""
+WITH RECURSIVE p AS ({pairs_sql}),
+e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+reach(u, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.u, r.label FROM e JOIN reach r ON r.u = e.v
+)
+SELECT u AS vec_id, MIN(label) AS cluster_id, (MIN(label) = u) AS is_canonical
+FROM reach GROUP BY u
+"""
+
+
+@register_extra(
+    "embedding_dup_clusters",
+    _embedding_cluster_oracle_sql(),
+    "Connected components over the SPARSE-regime embedding near-dup pairs "
+    "(operators composition: embedding_near_dup_pairs -> dedup.dup_clusters) — "
+    "the semantic-duplicate cluster map a corpus curation pass consumes; same "
+    "edge-set-only label propagation as dup_clusters, pair graph bounded by the "
+    "LSH bucket geometry + cap, oracle is the identical bucket replay + a "
+    "recursive-CTE reachability closure",
+)
+def q_embedding_dup_clusters(spark, sf_dir):
+    from dask_datapipeline_spark.operators.dedup import dup_clusters
+    from dask_datapipeline_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        emb,
+        threshold=_ND_SPARSE_T,
+        bits_per_table=_ND_SPARSE_BITS,
+        num_tables=_ND_SPARSE_TABLES,
+        plane_kind="rademacher",
+        bucket_cap=_ND_SPARSE_CAP,
+    )
+    return dup_clusters(pairs, emb, id_col="vec_id")
+
+
 @register_extra(
     "compression_quality",
     None,  # no SQL replay (DuckDB has no zlib); pinned against the
