@@ -953,3 +953,39 @@ def test_minhash_banding_never_misses_exact_duplicates(spark, texts, n_copies):
     }
     for a, b in got:
         assert sets[a] == sets[b]
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcde ", min_size=10, max_size=60).filter(
+            lambda t: len([w for w in t.split(" ") if w]) >= 4
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+)
+@settings(**_SETTINGS)
+def test_simhash_banding_pigeonhole_completeness(spark, texts):
+    """The 4×16-bit banding is DETERMINISTIC candidate generation: by
+    pigeonhole, ANY pair within Hamming distance 3 agrees on at least
+    one chunk, so simhash_near_dup_pairs must emit exactly the
+    brute-force ≤3-distance pair set computed from the signatures —
+    no probabilistic misses allowed, for any corpus."""
+    from dask_datapipeline_spark.operators.dedup import (
+        simhash,
+        simhash_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    sigs = {r.doc_id: (r.simhash_hi << 32) | r.simhash_lo for r in simhash(df).collect()}
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(df).collect()
+    }
+    assert got == want
