@@ -1262,6 +1262,8 @@ def pca_project(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 10**9,
+    whiten: bool = False,
+    eps: float = 1e-9,
 ) -> tuple[DataFrame, np.ndarray, np.ndarray]:
     """PCA over the embedding column: one distributed
     ``embedding_moments`` pass builds the exact d×d covariance, the
@@ -1281,6 +1283,13 @@ def pca_project(
     numpy's symmetric eigensolver is deterministic for a fixed input
     matrix. No SQL oracle — eigendecomposition is not expressible in
     DuckDB; pinned against numpy PCA in tests instead.
+
+    ``whiten=True`` rescales each output coordinate by
+    1/sqrt(eigenvalue + eps), giving the projection unit variance per
+    component — the preprocessing SemDeDup-style pipelines apply
+    before cosine clustering so high-variance directions don't
+    dominate the metric. ``explained_variance`` still reports the RAW
+    eigenvalues.
 
     The scale contract is the moments pass (see
     ``embedding_moments``); the projection pass is embarrassingly
@@ -1315,6 +1324,11 @@ def pca_project(
         pivot = int(np.argmax(np.abs(comps[r_i])))
         if comps[r_i, pivot] < 0:
             comps[r_i] = -comps[r_i]
+    if whiten:
+        # fold the 1/sqrt(λ+eps) rescale into the component matrix so
+        # the projection pass stays a single matmul; eps guards
+        # zero-variance directions (constant coordinates)
+        comps = comps / np.sqrt(np.maximum(explained, 0.0) + eps)[:, None]
 
     mean_c, comps_c = mean.copy(), comps.copy()
 

@@ -720,3 +720,20 @@ def test_compression_quality_matches_python_zlib(spark, docs):
 
     with pytest.raises(ValueError, match="zlib level"):
         compression_quality(docs, level=17)
+
+
+def test_pca_whitening_unit_variance(spark):
+    """Whitened projections must have (population) variance ~1 per
+    component; the returned explained_variance stays RAW."""
+    import numpy as np
+
+    from dask_datapipeline_spark.operators.similarity import pca_project
+    from dask_datapipeline_spark.sources.readers import load_testdata
+
+    emb = load_testdata(spark, "/root/testdata/sf0.001", "embeddings")
+    proj_df, comps, ev = pca_project(emb, n_components=4, whiten=True)
+    mat = np.stack([np.asarray(r[1]) for r in proj_df.collect()])
+    var = mat.var(axis=0)
+    assert np.allclose(var, 1.0, atol=1e-3)
+    # raw eigenvalues, not 1.0
+    assert (ev > 1e-3).all() and not np.allclose(ev, 1.0)
