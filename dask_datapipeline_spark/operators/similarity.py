@@ -1183,6 +1183,7 @@ def embedding_moments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 10**9,
+    fan: bool = True,
 ) -> DataFrame:
     """Exact distributed first/second moments of an embedding column —
     the accumulation pass behind covariance, PCA, and whitening
@@ -1244,7 +1245,14 @@ def embedding_moments(
         ]
     )
     dec = "decimal(38,0)"
-    partials = fan_out(df.select(id_col, vec_col)).mapInPandas(batches, schema)
+    # ``fan=False`` for streaming inputs: fan_out probes df.rdd (not
+    # defined on a streaming frame), and a micro-batch is already
+    # split by the source. Everything downstream is identical, which
+    # is what makes the streaming twin share this exact plan body.
+    narrowed = df.select(id_col, vec_col)
+    if fan:
+        narrowed = fan_out(narrowed)
+    partials = narrowed.mapInPandas(batches, schema)
     return (
         partials.groupBy("i", "j")
         .agg(

@@ -587,6 +587,49 @@ def q_compression_quality(spark, sf_dir):
 
 
 @register_extra(
+    "streaming_moments",
+    # identical oracle to extra:embedding_moments — complete mode over
+    # the bounded stream must equal the batch pass bit-for-bit
+    """
+WITH e AS (
+  SELECT vec_id,
+         unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings
+)
+SELECT CAST(a.i AS INTEGER) AS i, CAST(b.i AS INTEGER) AS j,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(a.x * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_x_e9,
+       CAST(SUM(CAST(floor(b.x * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_y_e9,
+       CAST(SUM(CAST(floor((a.x * b.x) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_xy_e9
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+""",
+    "Streaming twin of embedding_moments: readStream parquet -> SAME "
+    "mapInPandas-partials + (i,j) agg plan body (fan=False; a micro-batch is "
+    "already source-split) -> complete-mode memory sink. Integer moment sums are "
+    "associative, so incremental micro-batch accumulation equals the one-pass "
+    "batch result exactly — the property that makes moments maintainable "
+    "incrementally on a 100 TB landing stream",
+)
+def q_streaming_moments(spark, sf_dir):
+    from dask_datapipeline_spark.operators.similarity import embedding_moments
+    from dask_datapipeline_spark.streaming.windows import (
+        run_to_memory,
+        stream_embeddings,
+    )
+
+    name = f"stream_moments_{next(_STREAM_SEQ)}"
+    run_to_memory(
+        embedding_moments(stream_embeddings(spark, sf_dir), fan=False),
+        name,
+        "complete",
+        state_partitions=8,
+    )
+    return spark.table(name)
+
+
+@register_extra(
     "pca_embeddings",
     None,  # eigendecomposition has no SQL replay — rows-only check;
     # the covariance input IS oracle-exact (extra:embedding_moments)

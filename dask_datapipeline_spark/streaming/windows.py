@@ -103,6 +103,20 @@ def session_agg(df: DataFrame, ts_col: str = "ts", gap: str = "6 hours") -> Data
     )
 
 
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embeddings`` as a file stream (one-file 'directory'; the
+    production analogue is a landing prefix of embedding shards from
+    an encoder job). No timestamp column — the numeric-pipeline
+    streams (moments) are time-agnostic aggregations."""
+    from dask_datapipeline_spark.schemas import TESTDATA_SCHEMAS
+
+    return (
+        spark.readStream.schema(TESTDATA_SCHEMAS["embeddings"])
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def stream_static_enrich(
     stream: DataFrame,
     dim: DataFrame,
