@@ -587,6 +587,64 @@ def q_compression_quality(spark, sf_dir):
 
 
 @register_extra(
+    "scan_binary_media",
+    """
+WITH m AS (
+  SELECT g.range AS media_id,
+         8 + g.range % 24 AS w, 8 + g.range % 16 AS h
+  FROM generate_series(0, 39) g(range)
+),
+mx AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM m),
+mxy AS (SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM mx)
+SELECT media_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(54 + h * ((3*w + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+       CAST(SUM((7*media_id + 3*x + 5*y) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((11*media_id + 5*x + 7*y) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((13*media_id + 7*x + 11*y) % 256) AS BIGINT) AS sum_b
+FROM mxy GROUP BY media_id, w, h
+""",
+    "Multimodal FILE ingestion (sources/readers.py::scan_binary_files): 40 real "
+    ".bmp files written to disk, read back whole-file via Spark's binaryFile "
+    "source, ids parsed from file names, payloads decoded by the image codec — "
+    "the ingestion edge a media corpus actually arrives through; oracle "
+    "recomputes pixel sums and exact BMP byte sizes arithmetically",
+)
+def q_scan_binary_media(spark, sf_dir):
+    import os
+    import tempfile
+
+    from dask_datapipeline_spark.multimodal.binary import (
+        _frame_pixels,
+        encode_bmp,
+        image_dims,
+        media_features,
+    )
+    from dask_datapipeline_spark.sources.readers import scan_binary_files
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_media_files")
+    os.makedirs(d, exist_ok=True)
+    for mid in range(40):
+        w, h = image_dims(mid)
+        payload = encode_bmp(_frame_pixels(mid, 0, w, h))
+        p = os.path.join(d, f"img_{mid:04d}.bmp")
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        os.replace(tmp, p)
+    files = scan_binary_files(spark, d, glob="*.bmp")
+    media = files.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.bmp$", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+    return media_features(media).select(
+        "media_id", "width", "height", "n_bytes", "sum_r", "sum_g", "sum_b"
+    )
+
+
+@register_extra(
     "streaming_moments",
     # identical oracle to extra:embedding_moments — complete mode over
     # the bounded stream must equal the batch pass bit-for-bit

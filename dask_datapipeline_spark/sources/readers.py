@@ -97,6 +97,33 @@ def scan_json(
     return df.select(*columns) if columns else df
 
 
+def scan_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Directory of raw media files → (path, modificationTime, length,
+    content binary) via Spark's built-in ``binaryFile`` source — the
+    ingestion edge of the multimodal pipeline (a 100 TB media corpus
+    arrives as FILES on object storage, not as rows).
+
+    ``glob`` filters by file name (``*.bmp``); ``max_bytes`` guards
+    against a stray multi-GB object poisoning an executor (the source
+    reads each file WHOLE into one row — for larger-than-memory media,
+    carry (uri, byte_range) rows and fetch inside the decode UDF
+    instead). Listing is driver-side like any file source; partition
+    count follows ``spark.sql.files.maxPartitionBytes`` bin-packing of
+    whole files."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    return df
+
+
 def scan_jdbc(
     spark: SparkSession,
     url: str,
