@@ -491,3 +491,55 @@ def extract_frames(df: DataFrame, every_ms: int = 250) -> DataFrame:
         .select("media_id", "payload")
         .mapInPandas(batches, schema=FRAMES_SCHEMA)
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("peak_abs", T.IntegerType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """DSP-grade content features from decoded WAV samples: total
+    energy (Σ s², exact int64 — s16 squares cap at 2³⁰, so overflow
+    needs >2³³ samples per file, i.e. >2 h at 48 kHz; chunk longer
+    media upstream), zero-crossing rate numerator (count of sign
+    flips with the ``s >= 0`` convention, stated so the oracle can
+    replay it exactly), and peak amplitude. All integers — the oracle
+    comparison is exact, and the values are partitioning-independent.
+
+    Non-audio rows are filtered JVM-side on the metadata kind before
+    any payload reaches Python (same contract as ``extract_frames``)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, s = decode_wav(bytes(payload))
+                s64 = s.astype(np.int64)
+                nn = (s64 >= 0).astype(np.int8)
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "sample_rate": rate,
+                        "n_samples": len(s64),
+                        "energy": int((s64 * s64).sum()),
+                        "zero_crossings": int(np.count_nonzero(nn[1:] != nn[:-1])),
+                        "peak_abs": int(np.abs(s64).max()) if len(s64) else 0,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return (
+        df.filter(F.col("meta.kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+    )

@@ -645,6 +645,43 @@ def q_scan_binary_media(spark, sf_dir):
 
 
 @register_extra(
+    "audio_features",
+    """
+WITH a AS (
+  SELECT g.range AS media_id, 400 + (g.range % 5) * 100 AS ns
+  FROM generate_series(0, 255) g(range) WHERE g.range % 3 = 1
+),
+st AS (SELECT media_id, ns, unnest(range(0, ns)) AS t FROM a),
+v AS (SELECT media_id, t, (media_id*37 + t*73) % 4001 - 2000 AS s FROM st),
+lagged AS (
+  SELECT media_id, s, lag(s) OVER (PARTITION BY media_id ORDER BY t) AS prev FROM v
+),
+z AS (
+  SELECT media_id,
+         CAST(SUM(s * s) AS BIGINT) AS energy,
+         CAST(SUM(CASE WHEN prev IS NOT NULL AND ((s >= 0) != (prev >= 0))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+         CAST(MAX(ABS(s)) AS INTEGER) AS peak_abs
+  FROM lagged GROUP BY media_id
+)
+SELECT a.media_id, CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(a.ns AS BIGINT) AS n_samples,
+       z.energy, z.zero_crossings, z.peak_abs
+FROM a JOIN z USING (media_id)
+""",
+    "DSP content features from decoded WAV samples (multimodal/binary.py::"
+    "audio_features): total energy (exact int64 sum of squares), zero-crossing "
+    "count under the stated s>=0 sign convention, peak amplitude — all integers, "
+    "replayed arithmetically by the oracle; audio-kind filter runs JVM-side so "
+    "only WAV bytes reach Python",
+)
+def q_audio_features(spark, sf_dir):
+    from dask_datapipeline_spark.multimodal.binary import audio_features, synthetic_media
+
+    return audio_features(synthetic_media(spark, n=256))
+
+
+@register_extra(
     "streaming_moments",
     # identical oracle to extra:embedding_moments — complete mode over
     # the bounded stream must equal the batch pass bit-for-bit

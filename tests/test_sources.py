@@ -302,3 +302,17 @@ def test_scan_jdbc_roundtrip_partitioned(spark, tmp_path):
 
     with pytest.raises(ValueError, match="partition_column requires"):
         scan_jdbc(spark, url, "T", partition_column="id")
+
+
+def test_scan_binary_files_glob_and_size_guard(spark, tmp_path):
+    from dask_datapipeline_spark.sources.readers import scan_binary_files
+
+    (tmp_path / "a.bmp").write_bytes(b"x" * 10)
+    (tmp_path / "b.bmp").write_bytes(b"y" * 1000)
+    (tmp_path / "c.txt").write_bytes(b"z" * 10)
+    all_bmp = scan_binary_files(spark, str(tmp_path), glob="*.bmp")
+    assert all_bmp.count() == 2
+    small = scan_binary_files(spark, str(tmp_path), glob="*.bmp", max_bytes=100)
+    rows = small.collect()
+    assert len(rows) == 1 and rows[0].path.endswith("a.bmp")
+    assert bytes(rows[0].content) == b"x" * 10
