@@ -195,6 +195,10 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     while pos + 8 <= len(payload):
         cid, csize = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + csize]
+        if len(body) != csize:
+            # a truncated chunk must surface, not silently yield a
+            # shorter sample array (half-uploaded object in a corpus)
+            raise ValueError(f"truncated WAV chunk {cid!r}: {len(body)} < {csize}")
         if cid == b"fmt ":
             audio_fmt, channels, rate, _bps, _align, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
@@ -542,4 +546,54 @@ def audio_features(df: DataFrame) -> DataFrame:
         df.filter(F.col("meta.kind") == "audio")
         .select("media_id", "payload")
         .mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+    )
+
+
+HISTOGRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("channel", T.StringType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+    ]
+)
+
+
+def image_histograms(df: DataFrame, n_buckets: int = 16) -> DataFrame:
+    """Per-channel intensity histograms of decoded images, long form
+    (media_id, channel r|g|b, bucket = value*n_buckets/256, n_pixels) —
+    empty buckets omitted. Exact integer counts from real decoded
+    pixels; one Arrow pass, image-kind filtered JVM-side. The
+    aggregate a vision-data curation pass uses for exposure/clipping
+    screens (all-dark, all-white, low-dynamic-range detection)."""
+    if not 1 <= n_buckets <= 256 or 256 % n_buckets:
+        raise ValueError(f"n_buckets={n_buckets} must divide 256")
+    width = 256 // n_buckets
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_bmp(bytes(payload))
+                for ci, cname in enumerate("rgb"):
+                    counts = np.bincount(
+                        (px[:, :, ci].reshape(-1) // width), minlength=n_buckets
+                    )
+                    for b in np.nonzero(counts)[0]:
+                        out.append(
+                            {
+                                "media_id": int(mid),
+                                "channel": cname,
+                                "bucket": int(b),
+                                "n_pixels": int(counts[b]),
+                            }
+                        )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in HISTOGRAM_SCHEMA.fields]
+            )
+
+    return (
+        df.filter(F.col("meta.kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(batches, schema=HISTOGRAM_SCHEMA)
     )

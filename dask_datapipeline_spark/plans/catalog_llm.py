@@ -645,6 +645,37 @@ def q_scan_binary_media(spark, sf_dir):
 
 
 @register_extra(
+    "image_histograms",
+    """
+WITH m AS (
+  SELECT g.range AS media_id, 8 + g.range % 24 AS w, 8 + g.range % 16 AS h
+  FROM generate_series(0, 255) g(range) WHERE g.range % 3 = 0
+),
+mx AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM m),
+mxy AS (SELECT media_id, x, unnest(range(0, h)) AS y FROM mx),
+px AS (
+  SELECT media_id, 'r' AS channel, (7*media_id + 3*x + 5*y) % 256 AS v FROM mxy
+  UNION ALL
+  SELECT media_id, 'g', (11*media_id + 5*x + 7*y) % 256 FROM mxy
+  UNION ALL
+  SELECT media_id, 'b', (13*media_id + 7*x + 11*y) % 256 FROM mxy
+)
+SELECT media_id, channel, CAST(v // 16 AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels
+FROM px GROUP BY media_id, channel, v // 16
+""",
+    "Per-channel intensity histograms of decoded images, long form "
+    "(multimodal/binary.py::image_histograms) — the exposure/clipping screen a "
+    "vision curation pass runs; exact integer pixel counts from the real BMP "
+    "decode, replayed arithmetically",
+)
+def q_image_histograms(spark, sf_dir):
+    from dask_datapipeline_spark.multimodal.binary import image_histograms, synthetic_media
+
+    return image_histograms(synthetic_media(spark, n=256))
+
+
+@register_extra(
     "audio_features",
     """
 WITH a AS (

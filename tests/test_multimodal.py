@@ -120,3 +120,62 @@ def test_extract_frames_samples_and_reencodes(spark):
             assert (r.sum_r, r.sum_g, r.sum_b) == tuple(px.sum((0, 1)))
             assert r.n_bytes == M.bmp_n_bytes(w, h)
     assert len(got) == expected
+
+
+def test_decoders_fail_cleanly_on_truncation():
+    """Truncated containers must raise (ValueError/struct.error), not
+    return garbage pixels/samples — a 100 TB corpus WILL contain
+    half-uploaded objects and the decode pass must surface them."""
+    import struct as _struct
+
+    w, h = M.image_dims(5)
+    bmp = M.encode_bmp(M._frame_pixels(5, 0, w, h))
+    wav = M.encode_wav(M.audio_sample(7, np.arange(100)).astype(np.int16))
+    vw, vh, nf = M.video_dims(8)
+    avi = M.encode_avi([M._frame_pixels(8, f, vw, vh) for f in range(nf)])
+    for payload, dec in [
+        (bmp, M.decode_bmp),
+        (wav, M.decode_wav),
+        (avi, M.decode_avi),
+    ]:
+        for cut in (4, 13, len(payload) // 2, len(payload) - 3):
+            with pytest.raises((ValueError, _struct.error)):
+                dec(payload[:cut])
+
+
+def test_audio_features_match_content(spark):
+    """Energy / zero-crossings / peak from the REAL decode must equal
+    the values computed directly from the sample function."""
+    out = {r.media_id: r for r in M.audio_features(M.synthetic_media(spark, n=30)).collect()}
+    expected_ids = {m for m in range(30) if m % 3 == 1}
+    assert set(out) == expected_ids
+    for mid in expected_ids:
+        s = M.audio_sample(mid, np.arange(M.audio_n_samples(mid))).astype(np.int64)
+        r = out[mid]
+        assert r.sample_rate == M.AUDIO_RATE
+        assert r.energy == int((s * s).sum())
+        nn = s >= 0
+        assert r.zero_crossings == int(np.count_nonzero(nn[1:] != nn[:-1]))
+        assert r.peak_abs == int(np.abs(s).max())
+
+
+def test_image_histograms_counts(spark):
+    """Bucket counts must sum to w*h per channel and match a direct
+    numpy histogram of the generator pixels."""
+    out = M.image_histograms(M.synthetic_media(spark, n=12)).collect()
+    got = {}
+    for r in out:
+        got.setdefault((r.media_id, r.channel), {})[r.bucket] = r.n_pixels
+    for mid in range(12):
+        if mid % 3 != 0:
+            continue
+        w, h = M.image_dims(mid)
+        px = M._frame_pixels(mid, 0, w, h)
+        for ci, cname in enumerate("rgb"):
+            want = np.bincount(px[:, :, ci].reshape(-1) // 16, minlength=16)
+            buckets = got[(mid, cname)]
+            assert sum(buckets.values()) == w * h
+            for b, n in buckets.items():
+                assert n == want[b]
+    with pytest.raises(ValueError, match="n_buckets"):
+        M.image_histograms(M.synthetic_media(spark, n=3), n_buckets=7)
