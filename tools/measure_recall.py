@@ -105,6 +105,46 @@ def main() -> None:
                 )
             )
 
+    # pair-recall of the near-dup configs (dense demo vs sparse) and
+    # SemDeDup, against exact all-pairs / all-pairs dup truth
+    nrm = mat / norms[:, None]
+    sims = nrm @ nrm.T
+    iu = np.triu_indices(len(ids), 1)
+    for label, thr, kw in [
+        ("near-dup DENSE 8x4 thr=0.4", 0.4,
+         dict(bits_per_table=4, num_tables=8, plane_kind="rademacher")),
+        ("near-dup SPARSE 16x8 thr=0.45 cap=64", 0.45,
+         dict(bits_per_table=8, num_tables=16, plane_kind="rademacher", bucket_cap=64)),
+    ]:
+        exact_pairs = {
+            (int(ids[iu[0][p]]), int(ids[iu[1][p]]))
+            for p in range(len(iu[0]))
+            if sims[iu[0][p], iu[1][p]] >= thr
+        }
+        got = {
+            (r.id_a, r.id_b)
+            for r in S.embedding_near_dup_pairs(emb, threshold=thr, **kw).collect()
+        }
+        rec = len(got & exact_pairs) / max(len(exact_pairs), 1)
+        runs.append((f"{label} (pair recall, {len(exact_pairs)} true pairs)", rec))
+    exact_dup = set()
+    for a in range(len(ids)):
+        if a and (sims[a, :a] >= 0.4).any():
+            exact_dup.add(int(ids[a]))
+    for tr in (False, True):
+        res = {
+            r[0]: r["is_dup"]
+            for r in S.semantic_dedup(emb, threshold=0.4, n_cells=16, trained=tr).collect()
+        }
+        flagged = {i for i, dp in res.items() if dp}
+        runs.append(
+            (
+                f"SemDeDup 16 cells thr=0.4{' trained' if tr else ''} "
+                f"(dup recall, {len(exact_dup)} true dups)",
+                len(flagged & exact_dup) / max(len(exact_dup), 1),
+            )
+        )
+
     print(f"| method | recall@{k} ({len(ids)} vectors, {n_q} queries) |")
     print("|---|---|")
     for name, r in runs:
