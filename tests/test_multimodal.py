@@ -179,3 +179,27 @@ def test_image_histograms_counts(spark):
                 assert n == want[b]
     with pytest.raises(ValueError, match="n_buckets"):
         M.image_histograms(M.synthetic_media(spark, n=3), n_buckets=7)
+
+
+def test_new_operators_handle_empty_inputs(spark):
+    """Empty media/embedding frames must yield empty results with the
+    declared schemas — not crash in the pandas batch path (a filtered
+    partition at scale IS an empty Arrow batch)."""
+    import pandas as pd
+
+    from dask_datapipeline_spark.operators.classifier import compression_quality
+    from dask_datapipeline_spark.operators.similarity import embedding_moments
+
+    empty_media = M.synthetic_media(spark, n=3).filter("media_id > 100")
+    assert M.media_features(empty_media).count() == 0
+    assert M.audio_features(empty_media).count() == 0
+    assert M.image_histograms(empty_media).count() == 0
+    assert M.frame_features(M.extract_frames(empty_media)).count() == 0
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert compression_quality(docs).count() == 0
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    ).filter("vec_id > 5")
+    assert embedding_moments(emb).count() == 0
