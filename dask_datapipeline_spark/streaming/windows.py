@@ -304,6 +304,7 @@ def stream_merge_to_parquet(
     snapshot_dir: str,
     key_cols: list[str] | None = None,
     timeout_sec: int = 120,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Streaming CDC maintenance: drain the event stream through
     ``foreachBatch``, MERGE-upserting each microbatch into a parquet
@@ -357,7 +358,12 @@ def stream_merge_to_parquet(
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",
-            snapshot_dir.rstrip("/") + ".ckpt-" + uuid_hex(),
+            # a STABLE checkpoint dir is what makes restart exactly-once:
+            # source offsets live there, so a rerun resumes where the
+            # last run stopped instead of replaying the whole source
+            # (the default fresh dir re-reads everything and relies on
+            # the MERGE's idempotence — both modes are tested)
+            checkpoint_dir or snapshot_dir.rstrip("/") + ".ckpt-" + uuid_hex(),
         )
         .start()
     )

@@ -187,3 +187,39 @@ def test_cdc_snapshot_then_compaction(spark, sf_dir, batch_events, tmp_path):
         for r in spark.read.parquet(snap).select("user_id", "event_id").collect()
     )
     assert after == before and len(after) > 0
+
+
+def test_stream_merge_restart_from_checkpoint_is_exactly_once(
+    spark, sf_dir, batch_events, tmp_path
+):
+    """With a STABLE checkpoint dir, a restarted run resumes from the
+    stored source offsets: the bounded source is already exhausted, so
+    the rerun applies no batches and the snapshot is bit-identical —
+    exactly-once across restarts, not merely idempotent-on-replay."""
+    import os
+
+    snap = str(tmp_path / "snap_ckpt")
+    ckpt = str(tmp_path / "ckpt")
+    SW.stream_merge_to_parquet(
+        spark, sf_dir, snap, key_cols=["user_id"], checkpoint_dir=ckpt
+    )
+    first = sorted(
+        (r.user_id, r.event_id)
+        for r in spark.read.parquet(snap).select("user_id", "event_id").collect()
+    )
+    mtime = max(
+        os.path.getmtime(os.path.join(snap, f)) for f in os.listdir(snap)
+    )
+    SW.stream_merge_to_parquet(
+        spark, sf_dir, snap, key_cols=["user_id"], checkpoint_dir=ckpt
+    )
+    second = sorted(
+        (r.user_id, r.event_id)
+        for r in spark.read.parquet(snap).select("user_id", "event_id").collect()
+    )
+    assert first == second
+    # no batch ran: the snapshot directory was not rewritten
+    mtime2 = max(
+        os.path.getmtime(os.path.join(snap, f)) for f in os.listdir(snap)
+    )
+    assert mtime2 == mtime
