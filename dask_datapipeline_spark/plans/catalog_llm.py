@@ -644,6 +644,42 @@ def q_scan_binary_media(spark, sf_dir):
     )
 
 
+_RANGE_US = 24 * 3600 * 1000000  # trailing 24 h in microseconds
+
+
+@register_extra(
+    "trailing_range_window",
+    f"""
+SELECT user_id, event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_RANGE_US} PRECEDING AND CURRENT ROW)
+""",
+    "RANGE-frame window (the one frame kind the rest of the catalog lacks): "
+    "per-user trailing-24h event count and exact decimal-cents value sum, frame "
+    "keyed on epoch MICROSECONDS so both engines bound the window with integer "
+    "comparisons; equal-timestamp peers are all included by SQL RANGE semantics, "
+    "so ties are deterministic without a tiebreak column. One user-keyed shuffle",
+)
+def q_trailing_range_window(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load_testdata(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_RANGE_US, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_24h"),
+    )
+
+
 @register_extra(
     "image_histograms",
     """
