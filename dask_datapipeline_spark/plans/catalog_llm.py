@@ -644,6 +644,67 @@ def q_scan_binary_media(spark, sf_dir):
     )
 
 
+_SQL_EXISTS = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+"""
+
+
+@register_extra(
+    "sql_exists_decorrelated",
+    _SQL_EXISTS,
+    "Correlated EXISTS / NOT EXISTS through the SQL entry point: Catalyst "
+    "decorrelates both into semi/anti joins (no per-row subquery execution — "
+    "the plan shows SortMergeJoin/BroadcastHashJoin LeftSemi + LeftAnti), which "
+    "is what makes correlated predicates viable at 100 TB; identical SQL runs "
+    "on both engines",
+)
+def q_sql_exists_decorrelated(spark, sf_dir):
+    for t in ("customer", "orders"):
+        load_testdata(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_EXISTS)
+
+
+@register_extra(
+    "null_safe_join",
+    """
+WITH e AS (
+  SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+),
+d AS (
+  SELECT DISTINCT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+         COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), -1) * 10 AS payload
+  FROM events
+)
+SELECT e.event_id, e.k, d.payload
+FROM e JOIN d ON e.k IS NOT DISTINCT FROM d.k
+""",
+    "Null-safe equality join (Spark <=> / SQL IS NOT DISTINCT FROM): NULL keys "
+    "MATCH each other instead of silently dropping — the semantics a dimension "
+    "keyed on an optional attribute needs; planned as a regular hash join on the "
+    "null-safe key, not a nested loop",
+)
+def q_null_safe_join(spark, sf_dir):
+    from dask_datapipeline_spark.schemas import EVENT_PROPS_SCHEMA
+
+    ev = load_testdata(spark, sf_dir, "events")
+    k = F.from_json("props", EVENT_PROPS_SCHEMA)["k"]
+    e = ev.select("event_id", k.alias("k"))
+    d = (
+        ev.select(k.alias("k"))
+        .distinct()
+        .select("k", (F.coalesce(F.col("k"), F.lit(-1)) * 10).alias("payload"))
+    )
+    return e.join(d, e["k"].eqNullSafe(d["k"])).select(
+        "event_id", e["k"].alias("k"), "payload"
+    )
+
+
 _RANGE_US = 24 * 3600 * 1000000  # trailing 24 h in microseconds
 
 
