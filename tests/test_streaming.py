@@ -223,3 +223,58 @@ def test_stream_merge_restart_from_checkpoint_is_exactly_once(
         os.path.getmtime(os.path.join(snap, f)) for f in os.listdir(snap)
     )
     assert mtime2 == mtime
+
+
+def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path):
+    """Append mode must emit a window ONLY once the watermark passes
+    its end — and windows still open when the bounded stream stops are
+    withheld. Two files with controlled mtimes force two ordered
+    micro-batches: batch 2's events advance the watermark past
+    batch 1's windows, which then emit; batch 2's own windows never
+    close and must be absent."""
+    import os
+    import time
+
+    from pyspark.sql import Row
+
+    early = [Row(user_id=1, ts="2024-01-01 00:01:00", value=1.0),
+             Row(user_id=1, ts="2024-01-01 00:04:00", value=2.0)]
+    late = [Row(user_id=1, ts="2024-01-01 03:00:00", value=4.0)]
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    for i, rows in enumerate([early, late]):
+        df = spark.createDataFrame(rows).select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+        p = str(d / f"part{i}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(p)
+        # FileStreamSource orders by modification time: pin it
+        mt = time.time() - 1000 + i * 100
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mt, mt))
+
+    src = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*.parquet")
+    )
+    agg = (
+        src.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    name = "append_windows_test"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(str(r.ws), r.n) for r in spark.table(name).collect()}
+    # batch 2's 03:00 event moves the watermark to 02:30, closing the
+    # single early window (both events fall in 00:00-00:10); the 03:00
+    # window is still open when the bounded stream ends and must be
+    # withheld
+    assert got == {("2024-01-01 00:00:00", 2)}
