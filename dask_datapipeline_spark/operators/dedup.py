@@ -812,6 +812,58 @@ def dup_clusters(
     )
 
 
+def keep_best(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Quality-argmax survivor selection over near-dup clusters: per
+    cluster, KEEP the highest-scoring member (ties broken by smallest
+    id) and mark every other member for dropping.
+
+    ``dup_clusters`` (and the reference-style min-id policy its
+    ``is_canonical`` column encodes) keeps an *arbitrary* member; a
+    training-data pipeline instead keeps the best one — highest
+    quality score, longest, least boilerplate — so near-dup removal
+    does not systematically delete the good copy (the keep-best
+    policy of RefinedWeb/FineWeb-style dedup stages).
+
+    Inputs: ``clusters`` is (id, cluster) — e.g. ``dup_clusters``
+    output — and ``scores`` is (id, score); NULL scores sort LAST
+    (explicitly, on both engines: Spark's DESC default happens to be
+    NULLS LAST but DuckDB's is configurable, so the catalog oracle
+    spells it out too). Output: (id, cluster, score, keep) for every
+    clustered id, ``keep`` true on exactly one row per cluster.
+
+    Plan shape / 100 TB: one keyed equi-join on id (both sides
+    pre-shuffled on the same key; AQE picks broadcast when scores is
+    a small sketch) and one window partitioned by cluster — clusters
+    are near-dup components, bounded by the pair-generation caps, so
+    no window partition is ever corpus-sized. Determinism: the window
+    orders by (score DESC NULLS LAST, id ASC); id is unique, so the
+    survivor is a total-order argmax — engine- and
+    partitioning-independent.
+    """
+    from pyspark.sql.window import Window
+
+    require_columns(clusters, [id_col, cluster_col])
+    require_columns(scores, [id_col, score_col])
+    j = clusters.select(id_col, cluster_col).join(
+        scores.select(id_col, score_col), on=id_col
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
+    )
+    return j.select(
+        id_col,
+        cluster_col,
+        score_col,
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -4850,3 +4850,164 @@ def q_mix_rebalance(spark, sf_dir):
         ).alias("keep_rate"),
         (100 * F.col("n_tokens") > pct * F.col("__total")).alias("downsample"),
     )
+
+
+# ----- keep-best near-dup survivor policy ----------------------------
+
+
+def _keep_best_sql() -> str:
+    """Compose the full clustering oracle with the shared quality
+    mirror: argmax-by-(quality DESC NULLS LAST, doc_id) per cluster.
+    NULLS LAST is spelled explicitly — Spark's DESC default happens to
+    match, but DuckDB's default_null_order is configurable."""
+    from dask_datapipeline_spark.plans.catalog import CATALOG
+
+    ctes, _lang, quality = _lang_ctes_and_exprs()
+    return f"""
+SELECT c.doc_id, c.cluster_id, q.quality,
+       (row_number() OVER (PARTITION BY c.cluster_id
+          ORDER BY q.quality DESC NULLS LAST, c.doc_id) = 1) AS keep
+FROM ({CATALOG["dup_clusters"].oracle}) c
+JOIN (WITH {ctes} SELECT doc_id, {quality} AS quality FROM scored) q
+  ON q.doc_id = c.doc_id
+"""
+
+
+@register_extra(
+    "keep_best_dedup",
+    None,  # resolved below once dup_clusters' oracle exists
+    "Keep-best survivor policy over near-dup clusters: instead of the min-id "
+    "canonical, each cluster keeps its HIGHEST-quality member (ties to the "
+    "smallest id) — the RefinedWeb/FineWeb-style policy that stops near-dup "
+    "removal from systematically deleting the good copy. One id-keyed join "
+    "plus one window over bounded cluster partitions on top of the clustering "
+    "cascade; oracle composes the full recursive-CTE clustering replay with "
+    "the shared quality mirror",
+)
+def q_keep_best_dedup(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    pairs = DD.near_dup_pairs_minhash(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5, max_df=_MAX_DF
+    )
+    clusters = DD.dup_clusters(pairs, docs)
+    scores = docs.select("doc_id", TXT.quality_score("text").alias("quality"))
+    return DD.keep_best(clusters, scores)
+
+
+def _resolve_keep_best_oracle() -> None:
+    from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG, QueryDef
+
+    qd = EXTRA_CATALOG["keep_best_dedup"]
+    EXTRA_CATALOG["keep_best_dedup"] = QueryDef(
+        fn=qd.fn, oracle=_keep_best_sql(), description=qd.description
+    )
+
+
+_resolve_keep_best_oracle()
+
+
+# ----- inverted index (capped posting lists) -------------------------
+
+_IDX_MIN_DF = 4  # drop hapax-ish terms: bounded, report-sized output
+_IDX_POSTINGS_CAP = 16  # stored postings per term (df stays exact/full)
+
+_SQL_INVERTED_INDEX = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.token
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents WHERE text IS NOT NULL) t
+  WHERE token <> ''
+),
+r AS (
+  SELECT doc_id, token,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+  FROM toks
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+       array_to_string(list(doc_id ORDER BY doc_id)
+                         FILTER (WHERE rn <= {_IDX_POSTINGS_CAP}), ',') AS postings
+FROM r GROUP BY token HAVING COUNT(*) >= {_IDX_MIN_DF}
+"""
+
+
+@register_extra(
+    "inverted_index",
+    _SQL_INVERTED_INDEX,
+    "Inverted-index build: term -> exact document frequency + posting list "
+    "capped at the first 16 doc_ids. Per-doc dedup is array_distinct INSIDE "
+    "the row (no (doc,term) distinct shuffle); the only exchange is the "
+    "term-keyed window that caps postings, so a stopword's million-doc "
+    "posting list can never materialize — df stays exact via count over the "
+    "same partitioning. Postings render as a joined string so ordering "
+    "drift is impossible to miss",
+)
+def q_inverted_index(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    toks = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col("text")), " "))
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    r = toks.withColumn("__rn", F.row_number().over(w))
+    return (
+        r.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") <= _IDX_POSTINGS_CAP, F.col("doc_id")
+                            )
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("df") >= _IDX_MIN_DF)
+    )
+
+
+# ----- correlated scalar-aggregate subquery (TPC-H Q17 shape) --------
+
+_SQL_Q17ISH = """
+SELECT p.p_brand,
+       COUNT(*) AS n_small,
+       CAST(CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+            / 700.0 AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey)
+GROUP BY p.p_brand
+"""
+
+
+@register_extra(
+    "sql_q17ish",
+    _SQL_Q17ISH,
+    "Correlated SCALAR-AGGREGATE subquery (TPC-H Q17 shape) through the SQL "
+    "entry point: per lineitem, compare quantity against 0.2x the part's "
+    "average — Catalyst decorrelates the per-row subquery into one "
+    "aggregate-then-join (the plan shows a single Aggregate on l_partkey "
+    "feeding a join, not a subquery per row), which is what makes the shape "
+    "viable at 100 TB. Money sums via the exact-cents pattern; the avg "
+    "threshold is bit-identical across engines (integral quantities sum "
+    "exactly in double, then one IEEE divide and multiply)",
+)
+def q_sql_q17ish(spark, sf_dir):
+    for t in ("lineitem", "part"):
+        load_testdata(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_Q17ISH)

@@ -1,0 +1,127 @@
+"""Round-5 additions: keep-best survivor policy, inverted index,
+correlated scalar-aggregate SQL (Q17 shape)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dask_datapipeline_spark.operators import dedup as DD
+from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG
+from dask_datapipeline_spark.sources.readers import load_testdata
+
+
+# ----- keep_best -----------------------------------------------------
+
+
+def test_keep_best_picks_argmax_with_min_id_tiebreak(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        ["doc_id", "cluster_id"],
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.1), (5, None), (6, None)],
+        "doc_id long, quality double",
+    )
+    out = {r.doc_id: r.keep for r in DD.keep_best(clusters, scores).collect()}
+    # cluster 1: 2 and 3 tie at 0.9 -> min id 2 survives
+    # cluster 4: singleton survives; cluster 5: all-NULL -> min id 5
+    assert out == {1: False, 2: True, 3: False, 4: True, 5: True, 6: False}
+
+
+def test_keep_best_null_scores_sort_last(spark):
+    clusters = spark.createDataFrame([(1, 1), (2, 1)], ["doc_id", "cluster_id"])
+    scores = spark.createDataFrame(
+        [(1, None), (2, 0.01)], "doc_id long, quality double"
+    )
+    out = {r.doc_id: r.keep for r in DD.keep_best(clusters, scores).collect()}
+    assert out == {1: False, 2: True}  # any score beats NULL
+
+
+def test_keep_best_exactly_one_survivor_per_cluster(spark, sf_dir):
+    rows = EXTRA_CATALOG["keep_best_dedup"].fn(spark, sf_dir).collect()
+    per_cluster = defaultdict(int)
+    for r in rows:
+        per_cluster[r.cluster_id] += bool(r.keep)
+    assert per_cluster and all(v == 1 for v in per_cluster.values())
+    # keep-best never keeps a lower-quality doc when a higher one exists
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster_id].append(r)
+    for members in by_cluster.values():
+        kept = next(m for m in members if m.keep)
+        for m in members:
+            if m.quality is not None and kept.quality is not None:
+                assert m.quality <= kept.quality or (
+                    m.quality == kept.quality and kept.doc_id <= m.doc_id
+                )
+
+
+def test_keep_best_missing_columns_raise(spark):
+    clusters = spark.createDataFrame([(1, 1)], ["doc_id", "cluster_id"])
+    bad = spark.createDataFrame([(1,)], ["doc_id"])
+    with pytest.raises(KeyError):
+        DD.keep_best(clusters, bad)
+
+
+# ----- inverted index ------------------------------------------------
+
+
+def test_inverted_index_matches_python_model(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    postings = defaultdict(set)
+    for r in docs:
+        if r.text is None:
+            continue
+        for tok in set(r.text.lower().split(" ")):
+            if tok:
+                postings[tok].add(r.doc_id)
+    expect = {
+        t: (len(ids), ",".join(str(i) for i in sorted(ids)[:16]))
+        for t, ids in postings.items()
+        if len(ids) >= 4
+    }
+    got = {
+        r.token: (r.df, r.postings)
+        for r in EXTRA_CATALOG["inverted_index"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_inverted_index_caps_postings_not_df(spark, sf_dir):
+    out = EXTRA_CATALOG["inverted_index"].fn(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        n = len(r.postings.split(","))
+        assert n == min(r.df, 16)
+
+
+# ----- sql_q17ish ----------------------------------------------------
+
+
+def test_sql_q17ish_matches_duckdb(spark, sf_dir):
+    got = {
+        r.p_brand: (r.n_small, r.avg_yearly)
+        for r in EXTRA_CATALOG["sql_q17ish"].fn(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(EXTRA_CATALOG["sql_q17ish"].oracle).fetchall()
+    }
+    assert got == want  # exact — including the double avg_yearly
+
+
+def test_sql_q17ish_decorrelated_plan(spark, sf_dir):
+    df = EXTRA_CATALOG["sql_q17ish"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the correlated scalar subquery must be decorrelated into joins —
+    # no per-row subquery node survives in the physical plan
+    assert "Subquery" not in plan
