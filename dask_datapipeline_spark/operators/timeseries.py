@@ -348,3 +348,48 @@ SELECT {entity_col}, {ts_col}, {id_col}, s AS s_cusum,
        s > {h_cents} AS alarm
 FROM r
 """
+
+
+def scd2_intervals(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    attr_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from an event stream:
+    per entity, collapse consecutive rows with the same attribute
+    value into one validity interval ``[valid_from, valid_to)``, with
+    ``valid_to`` NULL (and ``is_current`` true) on the open interval.
+
+    The warehouse-maintenance twin of ``merge_upsert``: MERGE keeps
+    only the latest attribute value, SCD2 keeps the full change
+    history queryable by time — the dimension shape a training-data
+    pipeline needs to join "what was this user's segment AT event
+    time" without leaking future attribute values into past examples.
+
+    Two windows, both partitioned by the entity key (nothing global):
+    change-point detection via null-safe lag-compare under the total
+    order (ts, order_col) — order_col must be a unique tie-break or
+    same-timestamp rows make the collapse order engine-dependent —
+    then lead(valid_from) over the surviving change rows for the
+    interval end. Attribute NULLs are real values (null-safe compare):
+    a NULL-attribute run becomes its own interval rather than being
+    glued to its neighbors.
+    """
+    require_columns(df, [entity_col, ts_col, attr_col, order_col])
+    w = Window.partitionBy(entity_col).orderBy(ts_col, order_col)
+    chg = (
+        df.select(entity_col, ts_col, attr_col, order_col)
+        .withColumn("__prev", F.lag(attr_col).over(w))
+        .withColumn("__first", F.row_number().over(w) == 1)
+        .where(F.col("__first") | ~F.col("__prev").eqNullSafe(F.col(attr_col)))
+    )
+    w2 = Window.partitionBy(entity_col).orderBy(ts_col, order_col)
+    return chg.select(
+        entity_col,
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

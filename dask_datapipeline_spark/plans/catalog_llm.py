@@ -5011,3 +5011,126 @@ def q_sql_q17ish(spark, sf_dir):
     for t in ("lineitem", "part"):
         load_testdata(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_Q17ISH)
+
+
+# ----- SCD2 dimension build ------------------------------------------
+
+_SQL_SCD2 = """
+WITH m AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev, row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+chg AS (SELECT * FROM m WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM chg WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register_extra(
+    "scd2_dimension",
+    _SQL_SCD2,
+    "Type-2 slowly-changing dimension from the event stream: per user, "
+    "consecutive same-attribute rows collapse into [valid_from, valid_to) "
+    "validity intervals (open interval flagged is_current) — the change "
+    "HISTORY merge_upsert discards, queryable by as-of time so a feature "
+    "join can read the attribute AT example time without future leakage. "
+    "Two entity-keyed windows under the unique (ts, event_id) total order; "
+    "null-safe change compare keeps NULL-attribute runs as real intervals",
+)
+def q_scd2_dimension(spark, sf_dir):
+    from dask_datapipeline_spark.operators.timeseries import scd2_intervals
+
+    ev = load_testdata(spark, sf_dir, "events")
+    return scd2_intervals(
+        ev, entity_col="user_id", ts_col="ts", attr_col="event_type",
+        order_col="event_id",
+    )
+
+
+# ----- winsorized robust statistics ----------------------------------
+
+_SQL_WINSORIZE = """
+WITH c AS (
+  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS cc
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, event_id, cc,
+         row_number() OVER (PARTITION BY event_type ORDER BY cc, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+),
+b AS (
+  SELECT event_type,
+         CAST(MAX(n) AS BIGINT) AS n,
+         MAX(CASE WHEN rn = (5 * n + 99) // 100 THEN cc END) AS lo,
+         MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN cc END) AS hi
+  FROM r GROUP BY event_type
+)
+SELECT r.event_type, b.n,
+       b.lo / 100.0 AS p05, b.hi / 100.0 AS p95,
+       CAST(SUM(least(greatest(r.cc, b.lo), b.hi)) AS BIGINT) AS winsorized_cents,
+       CAST(CAST(SUM(least(greatest(r.cc, b.lo), b.hi)) AS BIGINT) AS DOUBLE)
+         / (100.0 * b.n) AS winsorized_mean
+FROM r JOIN b ON r.event_type = b.event_type
+GROUP BY r.event_type, b.n, b.lo, b.hi
+"""
+
+
+@register_extra(
+    "winsorized_stats",
+    _SQL_WINSORIZE,
+    "Winsorized robust statistics per event type: exact 5th/95th percentile "
+    "as ORDER-STATISTIC selections (row_number to ceil(q*n) under the unique "
+    "(cents, event_id) total order — no interpolation, so no engine ulp "
+    "drift), values clamped to [p05, p95] in integer cents, exact clamped "
+    "sum and a single-division mean. The outlier treatment a reward/metric "
+    "column gets before aggregation, where a raw mean would follow one fat "
+    "tail; two same-keyed windows plus one groupBy, nothing global",
+)
+def q_winsorized_stats(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load_testdata(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cc"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cc", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = c.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    b = r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(5 * n + 99) DIV 100"), F.col("cc"))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(95 * n + 99) DIV 100"), F.col("cc"))
+        ).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("cc"), F.col("lo")), F.col("hi"))
+    return (
+        r.drop("n", "rn").join(b, on="event_type")
+        .groupBy("event_type", "n", "lo", "hi")
+        .agg(
+            F.sum(clamped).alias("winsorized_cents"),
+            (
+                F.sum(clamped).cast("double") / (F.lit(100.0) * F.col("n"))
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("lo") / 100.0).alias("p05"),
+            (F.col("hi") / 100.0).alias("p95"),
+            "winsorized_cents",
+            "winsorized_mean",
+        )
+    )

@@ -125,3 +125,91 @@ def test_sql_q17ish_decorrelated_plan(spark, sf_dir):
     # the correlated scalar subquery must be decorrelated into joins —
     # no per-row subquery node survives in the physical plan
     assert "Subquery" not in plan
+
+
+# ----- scd2_intervals ------------------------------------------------
+
+
+def test_scd2_collapses_runs_and_flags_current(spark):
+    from datetime import datetime
+
+    from dask_datapipeline_spark.operators.timeseries import scd2_intervals
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, t(0), 1, "a"),
+        (1, t(1), 2, "a"),   # same run -> collapsed
+        (1, t(2), 3, "b"),   # change
+        (1, t(3), 4, "a"),   # change back -> NEW interval, not merged
+        (2, t(0), 5, None),  # NULL attribute run
+        (2, t(1), 6, None),
+        (2, t(2), 7, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = sorted(
+        scd2_intervals(df, "user_id", "ts", "event_type", "event_id").collect(),
+        key=lambda r: (r.user_id, r.valid_from),
+    )
+    got = [
+        (r.user_id, r.event_type, r.valid_from.second,
+         None if r.valid_to is None else r.valid_to.second, r.is_current)
+        for r in out
+    ]
+    assert got == [
+        (1, "a", 0, 2, False),
+        (1, "b", 2, 3, False),
+        (1, "a", 3, None, True),
+        (2, None, 0, 2, False),
+        (2, "x", 2, None, True),
+    ]
+
+
+def test_scd2_same_ts_ties_break_on_order_col(spark):
+    from datetime import datetime
+
+    from dask_datapipeline_spark.operators.timeseries import scd2_intervals
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, 2, "b"), (1, t0, 1, "a")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    out = sorted(
+        scd2_intervals(df, "user_id", "ts", "event_type", "event_id").collect(),
+        key=lambda r: r.event_type,
+    )
+    # event_id order decides: 'a' (id 1) comes first, 'b' is current
+    assert [(r.event_type, r.is_current) for r in out] == [("a", False), ("b", True)]
+
+
+# ----- winsorized_stats ----------------------------------------------
+
+
+def test_winsorized_stats_matches_python_model(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events").select("event_type", "event_id", "value").collect()
+    groups = defaultdict(list)
+    for r in ev:
+        if r.value is not None:
+            groups[r.event_type].append((round(r.value * 100), r.event_id))
+    expect = {}
+    for et, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        lo = vals[(5 * n + 99) // 100 - 1][0]
+        hi = vals[(95 * n + 99) // 100 - 1][0]
+        wsum = sum(min(max(cc, lo), hi) for cc, _ in vals)
+        expect[et] = (n, lo / 100.0, hi / 100.0, wsum, wsum / (100.0 * n))
+    got = {
+        r.event_type: (r.n, r.p05, r.p95, r.winsorized_cents, r.winsorized_mean)
+        for r in EXTRA_CATALOG["winsorized_stats"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_winsorized_bounds_clamp_tails(spark, sf_dir):
+    for r in EXTRA_CATALOG["winsorized_stats"].fn(spark, sf_dir).collect():
+        assert r.p05 <= r.p95
+        # clamped mean sits inside the clamp bounds
+        assert r.p05 <= r.winsorized_mean <= r.p95
