@@ -111,3 +111,63 @@ def apply_changes(
         key_cols,
         delete_col=delete_col,
     )
+
+
+def table_diff(
+    base: DataFrame,
+    revised: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Reconcile two snapshots of a table: per key, classify the row as
+    ``added`` (key only in ``revised``), ``removed`` (key only in
+    ``base``), ``changed`` (key in both, any compare column differs) or
+    ``unchanged`` — the audit that validates a MERGE/CDC replication
+    actually converged, and the first tool reached for when two copies
+    of a curated dataset disagree.
+
+    One full-outer shuffle join on the key — no row hashes are
+    materialized corpus-wide; the comparison is a null-safe equality
+    fold over ``compare_cols`` evaluated in codegen, so NULL values
+    compare as equal to NULL (a NULL→value transition is ``changed``,
+    not a false ``unchanged``). Both sides bucketed by the key makes
+    the join exchange-free. Output: key columns + ``diff_status``.
+    Keys must be unique per side (the usual snapshot contract); a
+    duplicated key produces the full-outer row multiplication the
+    inputs imply, surfacing the contract violation rather than hiding
+    it.
+    """
+    keys = list(key_cols)
+    require_columns(base, keys + list(compare_cols))
+    require_columns(revised, keys + list(compare_cols))
+    b = base.select(
+        *[F.col(k).alias(f"__bk_{k}") for k in keys],
+        *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+    )
+    r = revised.select(
+        *[F.col(k).alias(f"__rk_{k}") for k in keys],
+        *[F.col(c).alias(f"__r_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"__bk_{k}") == F.col(f"__rk_{k}")
+        cond = eq if cond is None else cond & eq
+    j = b.join(r, on=cond, how="full_outer")
+    in_base = F.col(f"__bk_{keys[0]}").isNotNull()
+    in_rev = F.col(f"__rk_{keys[0]}").isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__b_{c}").eqNullSafe(F.col(f"__r_{c}"))
+    status = (
+        F.when(~in_base, F.lit("added"))
+        .when(~in_rev, F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        *[
+            F.coalesce(F.col(f"__bk_{k}"), F.col(f"__rk_{k}")).alias(k)
+            for k in keys
+        ],
+        status.alias("diff_status"),
+    )

@@ -5134,3 +5134,122 @@ def q_winsorized_stats(spark, sf_dir):
             "winsorized_mean",
         )
     )
+
+
+# ----- snapshot reconciliation (table diff) --------------------------
+
+_SQL_TABLE_DIFF = """
+WITH base AS (SELECT doc_id, text FROM documents),
+rev0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN COALESCE(text, '') || ' [rev2]'
+              ELSE text END AS text
+  FROM base WHERE doc_id % 17 <> 3
+),
+adds AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         'added ' || CAST(doc_id AS VARCHAR) AS text
+  FROM base WHERE doc_id % 11 = 0
+),
+rev AS (SELECT * FROM rev0 UNION ALL SELECT * FROM adds)
+SELECT COALESCE(b.doc_id, r.doc_id) AS doc_id,
+       CASE WHEN b.doc_id IS NULL THEN 'added'
+            WHEN r.doc_id IS NULL THEN 'removed'
+            WHEN b.text IS NOT DISTINCT FROM r.text THEN 'unchanged'
+            ELSE 'changed' END AS diff_status
+FROM base b FULL OUTER JOIN rev r ON b.doc_id = r.doc_id
+"""
+
+
+@register_extra(
+    "table_diff",
+    _SQL_TABLE_DIFF,
+    "Snapshot reconciliation (operators/merge.py::table_diff): full-outer "
+    "key join of two corpus versions classifying every key added/removed/"
+    "changed/unchanged via a null-safe codegen compare — the audit that a "
+    "MERGE/CDC replication converged. The revised side is derived "
+    "deterministically in-query (every-5th doc edited, every-17th deleted, "
+    "every-11th re-added under a shifted key); one key-keyed shuffle, "
+    "exchange-free when both snapshots are bucketed",
+)
+def q_table_diff(spark, sf_dir):
+    from dask_datapipeline_spark.operators.merge import table_diff
+
+    base = load_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    rev0 = base.where(F.col("doc_id") % 17 != 3).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" [rev2]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    adds = base.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("added "), F.col("doc_id").cast("string")).alias("text"),
+    )
+    revised = rev0.unionByName(adds)
+    return table_diff(base, revised, ["doc_id"], ["text"])
+
+
+# ----- vocabulary growth (Heaps-law curve) ---------------------------
+
+_VOCAB_BUCKET = 50  # docs per curve point: bucket count stays bounded
+
+_SQL_VOCAB_GROWTH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+t2 AS (SELECT doc_id // {_VOCAB_BUCKET} AS b, token FROM tok WHERE token <> ''),
+per_b AS (SELECT b, COUNT(*) AS n_tokens FROM t2 GROUP BY b),
+firsts AS (SELECT token, MIN(b) AS fb FROM t2 GROUP BY token),
+nv AS (SELECT fb AS b, COUNT(*) AS n_new FROM firsts GROUP BY fb)
+SELECT CAST(p.b AS BIGINT) AS bucket,
+       CAST(SUM(p.n_tokens) OVER (ORDER BY p.b) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(nv.n_new, 0)) OVER (ORDER BY p.b) AS BIGINT) AS cum_vocab
+FROM per_b p LEFT JOIN nv ON nv.b = p.b
+"""
+
+
+@register_extra(
+    "vocab_growth",
+    _SQL_VOCAB_GROWTH,
+    "Vocabulary-growth (Heaps-law) curve: cumulative token count vs "
+    "cumulative DISTINCT-type count as the corpus grows in doc_id order, "
+    "at one point per 50-doc bucket. A type's first-appearance bucket is "
+    "min(bucket) per token — one token-keyed groupBy, never a global "
+    "distinct-so-far window; the only ordered window runs over the BUCKET "
+    "table (corpus/50 rows, the bounded-prefix-sum pattern shard_by_tokens "
+    "uses), so nothing corpus-sized ever concentrates. Both windowed sums "
+    "cast to BIGINT against the DuckDB HUGEINT/float64 fetch trap",
+)
+def q_vocab_growth(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    t2 = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            F.expr(f"doc_id DIV {_VOCAB_BUCKET}").alias("b"),
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    per_b = t2.groupBy("b").agg(F.count(F.lit(1)).alias("n_tokens"))
+    nv = (
+        t2.groupBy("token")
+        .agg(F.min("b").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_b.join(nv, on="b", how="left")
+        .select(
+            F.col("b").cast("long").alias("bucket"),
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias("cum_vocab"),
+        )
+    )

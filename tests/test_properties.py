@@ -989,3 +989,92 @@ def test_simhash_banding_pigeonhole_completeness(spark, texts):
         for r in simhash_near_dup_pairs(df).collect()
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),            # entity
+            st.integers(0, 10),           # seconds offset
+            st.sampled_from(["a", "b", None]),  # attribute incl NULL runs
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_scd2_intervals_match_python_model(spark, rows):
+    """scd2_intervals == sequential run-length collapse per entity
+    under the (ts, event_id) total order, NULL attributes as values."""
+    from dask_datapipeline_spark.operators.timeseries import scd2_intervals
+
+    data = [
+        (e, dt.datetime(2024, 1, 1, 0, 0, s), i, a)
+        for i, (e, s, a) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = sorted(
+        (
+            (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+            for r in scd2_intervals(
+                df, "user_id", "ts", "event_type", "event_id"
+            ).collect()
+        ),
+    key=lambda t: (t[0], t[2], -1 if t[3] is None else t[3].toordinal()),
+    )
+    per_entity = defaultdict(list)
+    for e, ts, i, a in sorted(data, key=lambda r: (r[0], r[1], r[2])):
+        per_entity[e].append((ts, a))
+    want = []
+    for e, seq in per_entity.items():
+        runs = []
+        for ts, a in seq:
+            if not runs or runs[-1][1] != a:
+                runs.append([ts, a])
+        for j, (ts, a) in enumerate(runs):
+            nxt = runs[j + 1][0] if j + 1 < len(runs) else None
+            want.append((e, a, ts, nxt, nxt is None))
+    want.sort(key=lambda t: (t[0], t[2], -1 if t[3] is None else t[3].toordinal()))
+    assert got == want
+
+
+@given(
+    cents=st.lists(st.integers(-500, 500), min_size=1, max_size=40),
+)
+@settings(**_SETTINGS)
+def test_winsorized_order_statistics_match_python(spark, cents):
+    """The catalog's winsorization arithmetic (ceil-index order
+    statistics + clamp + exact cents sum) against a sequential model,
+    including negative values and heavy ties."""
+    from pyspark.sql.window import Window
+
+    data = [("t", i, c) for i, c in enumerate(cents)]
+    df = spark.createDataFrame(data, "event_type string, event_id long, cc long")
+    w = Window.partitionBy("event_type").orderBy("cc", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    b = r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.when(F.col("rn") == F.expr("(5 * n + 99) DIV 100"), F.col("cc"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.expr("(95 * n + 99) DIV 100"), F.col("cc"))).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("cc"), F.col("lo")), F.col("hi"))
+    out = (
+        r.drop("n", "rn")
+        .join(b, on="event_type")
+        .groupBy("event_type", "n", "lo", "hi")
+        .agg(F.sum(clamped).alias("wsum"))
+        .collect()
+    )
+    assert len(out) == 1
+    row = out[0]
+    s = sorted(cents)
+    n = len(s)
+    lo = s[(5 * n + 99) // 100 - 1]
+    hi = s[(95 * n + 99) // 100 - 1]
+    assert (row.n, row.lo, row.hi) == (n, lo, hi)
+    assert row.wsum == sum(min(max(c, lo), hi) for c in s)

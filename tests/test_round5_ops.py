@@ -213,3 +213,67 @@ def test_winsorized_bounds_clamp_tails(spark, sf_dir):
         assert r.p05 <= r.p95
         # clamped mean sits inside the clamp bounds
         assert r.p05 <= r.winsorized_mean <= r.p95
+
+
+# ----- table_diff ----------------------------------------------------
+
+
+def test_table_diff_classifies_all_four_states(spark):
+    from dask_datapipeline_spark.operators.merge import table_diff
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k long, v string"
+    )
+    rev = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "now-set"), (5, "e")], "k long, v string"
+    )
+    got = {r.k: r.diff_status for r in table_diff(base, rev, ["k"], ["v"]).collect()}
+    # NULL -> value is a CHANGE (null-safe compare), not unchanged
+    assert got == {1: "unchanged", 2: "changed", 3: "changed",
+                   4: "removed", 5: "added"}
+
+
+def test_table_diff_composite_key_and_multi_compare(spark):
+    from dask_datapipeline_spark.operators.merge import table_diff
+
+    base = spark.createDataFrame(
+        [(1, "x", 10, "p"), (1, "y", 20, "q")], "k1 long, k2 string, a long, b string"
+    )
+    rev = spark.createDataFrame(
+        [(1, "x", 10, "p"), (1, "y", 20, "Q")], "k1 long, k2 string, a long, b string"
+    )
+    got = {
+        (r.k1, r.k2): r.diff_status
+        for r in table_diff(base, rev, ["k1", "k2"], ["a", "b"]).collect()
+    }
+    assert got == {(1, "x"): "unchanged", (1, "y"): "changed"}
+
+
+def test_table_diff_converged_merge_is_all_unchanged(spark, sf_dir):
+    # applying a change batch then diffing result-vs-result: no drift
+    from dask_datapipeline_spark.operators.merge import table_diff
+
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    out = table_diff(docs, docs, ["doc_id"], ["text"])
+    assert out.where(F.col("diff_status") != "unchanged").count() == 0
+
+
+# ----- vocab_growth --------------------------------------------------
+
+
+def test_vocab_growth_monotone_and_totals(spark, sf_dir):
+    rows = sorted(
+        EXTRA_CATALOG["vocab_growth"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert rows
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    toks = [t for r in docs if r.text is not None
+            for t in r.text.lower().split(" ") if t]
+    vocab = {t for r in docs if r.text is not None
+             for t in r.text.lower().split(" ") if t}
+    # curve is nondecreasing and ends at the corpus totals
+    for a, b in zip(rows, rows[1:]):
+        assert a.cum_tokens <= b.cum_tokens and a.cum_vocab <= b.cum_vocab
+    assert rows[-1].cum_tokens == len(toks)
+    assert rows[-1].cum_vocab == len(vocab)
