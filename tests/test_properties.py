@@ -1078,3 +1078,35 @@ def test_winsorized_order_statistics_match_python(spark, cents):
     hi = s[(95 * n + 99) // 100 - 1]
     assert (row.n, row.lo, row.hi) == (n, lo, hi)
     assert row.wsum == sum(min(max(c, lo), hi) for c in s)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_zorder_key_matches_python_interleave(spark, pairs):
+    """zorder_key == bitwise Morton interleave; invertible, so locality
+    is exactly the textbook z-curve's."""
+    from dask_datapipeline_spark.functions.numeric import zorder_key
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = [
+        r.z
+        for r in df.select(zorder_key(F.col("a"), F.col("b")).alias("z"))
+        .orderBy("a", "b")
+        .collect()
+    ]
+
+    def interleave(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    want = [interleave(a, b) for a, b in sorted(pairs)]
+    assert sorted(got) == sorted(want)

@@ -277,3 +277,27 @@ def test_vocab_growth_monotone_and_totals(spark, sf_dir):
         assert a.cum_tokens <= b.cum_tokens and a.cum_vocab <= b.cum_vocab
     assert rows[-1].cum_tokens == len(toks)
     assert rows[-1].cum_vocab == len(vocab)
+
+
+# ----- empty-input behavior ------------------------------------------
+
+
+def test_round5_ops_accept_empty_inputs(spark):
+    from dask_datapipeline_spark.operators.merge import table_diff
+    from dask_datapipeline_spark.operators.timeseries import scd2_intervals
+
+    empty_cl = spark.createDataFrame([], "doc_id long, cluster_id long")
+    empty_sc = spark.createDataFrame([], "doc_id long, quality double")
+    assert DD.keep_best(empty_cl, empty_sc).count() == 0
+
+    empty_ev = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    assert scd2_intervals(empty_ev, "user_id", "ts", "event_type", "event_id").count() == 0
+
+    empty_t = spark.createDataFrame([], "k long, v string")
+    assert table_diff(empty_t, empty_t, ["k"], ["v"]).count() == 0
+    # one-sided empty: everything classifies as added
+    rev = spark.createDataFrame([(1, "a")], "k long, v string")
+    out = table_diff(empty_t, rev, ["k"], ["v"]).collect()
+    assert [(r.k, r.diff_status) for r in out] == [(1, "added")]
