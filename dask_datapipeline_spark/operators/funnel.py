@@ -145,3 +145,59 @@ JOIN active a ON a.{user_col} = d.{dim_key}
 {joins}
 GROUP BY segment
 """
+
+
+def sequence_pattern_counts(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    order_col: str,
+    type_col: str,
+    alphabet: dict[str, str],
+    pattern: str,
+    default_char: str = "v",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching: per entity,
+    encode the (ts, order_col)-sorted event-type sequence as a string
+    over a single-character ``alphabet`` and run a regular expression
+    against it — "click, then any views/errors, then purchase" as
+    ``c[ve]*p``. Output: entity, sequence length, NON-OVERLAPPING
+    match count, and the first matched subsequence.
+
+    The complex-event-processing shape without a CEP engine: encoding
+    the sequence as a string delegates the automaton to the regex
+    engine inside whole-stage codegen. One entity-keyed shuffle builds
+    the per-entity string (bounded by per-entity activity, the same
+    contract as the funnel fold); matching is a pure map.
+
+    Cross-engine contract: patterns must stay inside the Java-regex /
+    RE2 common subset (literals, classes, ``* + ? |`` greedy
+    quantifiers — the ``functions/text.py`` PII discipline); both
+    engines then agree on greedy non-overlapping left-to-right
+    semantics. Types missing from ``alphabet`` (and NULLs) encode as
+    ``default_char`` on both engines.
+    """
+    require_columns(events, [entity_col, ts_col, order_col, type_col])
+    ch = None
+    for k, v in alphabet.items():
+        if len(v) != 1:
+            raise ValueError(f"alphabet values must be single chars, got {v!r}")
+        cond = F.col(type_col) == k
+        ch = F.when(cond, v) if ch is None else ch.when(cond, v)
+    ch = (ch.otherwise(default_char) if ch is not None else F.lit(default_char)).alias(
+        "__ch"
+    )
+    sorted_arr = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col), F.col(order_col), ch))
+    )
+    seq = F.array_join(F.transform(sorted_arr, lambda s: s.getField("__ch")), "")
+    return (
+        events.groupBy(entity_col)
+        .agg(seq.alias("__seq"))
+        .select(
+            entity_col,
+            F.length("__seq").cast("long").alias("seq_len"),
+            F.regexp_count("__seq", F.lit(pattern)).cast("long").alias("n_matches"),
+            F.regexp_extract("__seq", pattern, 0).alias("first_match"),
+        )
+    )

@@ -5305,3 +5305,52 @@ def q_zorder_layout(spark, sf_dir):
         z.alias("zkey"),
         F.shiftright(z, 26).cast("long").alias("file_bucket"),
     )
+
+
+# ----- sequence pattern matching (CEP-style) -------------------------
+
+_SEQ_PATTERN = "c[ve]*p"  # click, any views/errors, purchase
+
+_SQL_SEQ_PATTERN = f"""
+WITH s AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'click' THEN 'c'
+                                    WHEN 'error' THEN 'e'
+                                    WHEN 'purchase' THEN 'p'
+                                    WHEN 'signup' THEN 's'
+                                    ELSE 'v' END,
+                    '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+       CAST(len(regexp_extract_all(seq, '{_SEQ_PATTERN}')) AS BIGINT) AS n_matches,
+       COALESCE(regexp_extract(seq, '{_SEQ_PATTERN}'), '') AS first_match
+FROM s
+"""
+
+
+@register_extra(
+    "sequence_pattern",
+    _SQL_SEQ_PATTERN,
+    "MATCH_RECOGNIZE-style sequence pattern matching (operators/funnel.py::"
+    "sequence_pattern_counts): each user's (ts, id)-ordered event types "
+    "encode as a character string and 'click then views/errors then "
+    "purchase' runs as the regex c[ve]*p in whole-stage codegen — the "
+    "CEP automaton delegated to the regex engine; one user-keyed shuffle, "
+    "patterns restricted to the Java/RE2 common subset so both engines "
+    "agree on greedy non-overlapping semantics",
+)
+def q_sequence_pattern(spark, sf_dir):
+    from dask_datapipeline_spark.operators.funnel import sequence_pattern_counts
+
+    ev = load_testdata(spark, sf_dir, "events")
+    return sequence_pattern_counts(
+        ev,
+        entity_col="user_id",
+        ts_col="ts",
+        order_col="event_id",
+        type_col="event_type",
+        alphabet={"click": "c", "error": "e", "purchase": "p", "signup": "s"},
+        pattern=_SEQ_PATTERN,
+        default_char="v",
+    )

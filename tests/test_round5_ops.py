@@ -301,3 +301,60 @@ def test_round5_ops_accept_empty_inputs(spark):
     rev = spark.createDataFrame([(1, "a")], "k long, v string")
     out = table_diff(empty_t, rev, ["k"], ["v"]).collect()
     assert [(r.k, r.diff_status) for r in out] == [(1, "added")]
+
+
+# ----- sequence_pattern_counts ---------------------------------------
+
+
+def test_sequence_pattern_greedy_nonoverlapping(spark):
+    from datetime import datetime
+
+    from dask_datapipeline_spark.operators.funnel import sequence_pattern_counts
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    # user 1: c v v p c p  -> two matches, first is 'cvvp' (greedy)
+    # user 2: p c v       -> no complete match
+    rows = [
+        (1, t(0), 0, "click"), (1, t(1), 1, "view"), (1, t(2), 2, "view"),
+        (1, t(3), 3, "purchase"), (1, t(4), 4, "click"), (1, t(5), 5, "purchase"),
+        (2, t(0), 6, "purchase"), (2, t(1), 7, "click"), (2, t(2), 8, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {
+        r.user_id: (r.seq_len, r.n_matches, r.first_match)
+        for r in sequence_pattern_counts(
+            df, "user_id", "ts", "event_id", "event_type",
+            {"click": "c", "purchase": "p"}, "c[v]*p", default_char="v",
+        ).collect()
+    }
+    assert out == {1: (6, 2, "cvvp"), 2: (3, 0, "")}
+
+
+def test_sequence_pattern_unknown_types_use_default(spark):
+    from datetime import datetime
+
+    from dask_datapipeline_spark.operators.funnel import sequence_pattern_counts
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 0, "mystery"), (1, datetime(2024, 1, 2), 1, None)],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    out = sequence_pattern_counts(
+        df, "user_id", "ts", "event_id", "event_type", {"click": "c"}, "x+",
+        default_char="x",
+    ).collect()
+    assert [(r.seq_len, r.n_matches, r.first_match) for r in out] == [(2, 1, "xx")]
+
+
+def test_sequence_pattern_rejects_multichar_alphabet(spark):
+    from dask_datapipeline_spark.operators.funnel import sequence_pattern_counts
+
+    df = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    with pytest.raises(ValueError):
+        sequence_pattern_counts(
+            df, "user_id", "ts", "event_id", "event_type", {"click": "cc"}, "c"
+        )
