@@ -150,3 +150,64 @@ def compact_small_files(
         shutil.rmtree(old)
     written = staging if out_path else path
     return len([f for f in os.listdir(written) if f.endswith(".parquet")])
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    dim_a: str,
+    dim_b: str,
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet laid out along the Z-order curve of two
+    integer dimensions: rows are range-partitioned and sorted by the
+    Morton interleave of (``dim_a``, ``dim_b``), so each output file
+    covers a compact square-ish region of the 2-D key space and its
+    parquet footer min/max stats prune selective filters on EITHER
+    dimension — multi-dimensional file skipping where a linear sort
+    only serves its leading column.
+
+    Dimensions are min-max scaled to the full ``bits``-bit range
+    BEFORE interleaving: interleaving is only meaningful when both
+    dimensions occupy comparable bit widths — a 4-bit user id crossed
+    with a 16-bit timestamp would otherwise sort almost purely by
+    time and every file would span every user (measured exactly that
+    on the test corpus). The per-dimension (min, max) is one scalar
+    aggregate — bounded driver traffic at any corpus size, the same
+    contract as a codebook collect.
+
+    ``repartitionByRange`` samples the z-key to build balanced range
+    bounds (one extra pass over the key column, not the payload);
+    ``sortWithinPartitions`` keeps rows z-ordered INSIDE each file so
+    row-group-level stats prune too. The z-key is dropped before the
+    write — layout is an encoding of file boundaries, not a schema
+    change.
+    """
+    from pyspark.sql import functions as F
+
+    from dask_datapipeline_spark.functions.numeric import zorder_key
+
+    require_nonempty(df, "write_zordered input")
+    if n_files < 1:
+        raise ValueError(f"n_files={n_files} must be >= 1")
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(dim_a), F.max(dim_a), F.min(dim_b), F.max(dim_b)
+    ).collect()[0]
+    top = (1 << bits) - 1
+
+    def scaled(col, lo, hi):
+        span = max(int(hi) - int(lo), 1)
+        return ((F.col(col).cast("long") - F.lit(int(lo))) * top / span).cast("long")
+
+    keyed = df.withColumn(
+        "__zkey",
+        zorder_key(scaled(dim_a, lo_a, hi_a), scaled(dim_b, lo_b, hi_b), bits),
+    )
+    (
+        keyed.repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

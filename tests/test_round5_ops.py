@@ -358,3 +358,61 @@ def test_sequence_pattern_rejects_multichar_alphabet(spark):
         sequence_pattern_counts(
             df, "user_id", "ts", "event_id", "event_type", {"click": "cc"}, "c"
         )
+
+
+# ----- write_zordered ------------------------------------------------
+
+
+def test_write_zordered_files_prune_on_both_dimensions(spark, sf_dir, tmp_path):
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    from dask_datapipeline_spark.sources.writers import write_zordered
+
+    ev = load_testdata(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) DIV 60000000").alias("minute"),
+    )
+    n_rows = ev.count()
+    dest = str(tmp_path / "zorder")
+    write_zordered(ev, dest, "user_id", "minute", n_files=8)
+
+    files = sorted(g.glob(dest + "/part-*.parquet"))
+    assert len(files) > 1
+
+    def stats(col):
+        out = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            out.append((lo, hi))
+        return out
+
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert total == n_rows  # layout, not a filter
+
+    # a point predicate on EITHER dimension must skip at least one file
+    # via footer min/max — the property a linear single-column sort
+    # cannot give for both columns at once
+    for col in ("user_id", "minute"):
+        spans = stats(col)
+        glo, ghi = min(s[0] for s in spans), max(s[1] for s in spans)
+        probe = glo  # the smallest value: z-layout confines it to few files
+        hit = sum(1 for lo, hi in spans if lo <= probe <= hi)
+        assert hit < len(files), f"no pruning on {col}: {spans}"
+
+
+def test_write_zordered_rejects_empty_and_bad_args(spark, tmp_path):
+    from dask_datapipeline_spark.errors import EmptyInputError
+    from dask_datapipeline_spark.sources.writers import write_zordered
+
+    empty = spark.createDataFrame([], "a long, b long")
+    with pytest.raises(EmptyInputError):
+        write_zordered(empty, str(tmp_path / "z1"), "a", "b")
+    one = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError):
+        write_zordered(one, str(tmp_path / "z2"), "a", "b", n_files=0)
