@@ -5354,3 +5354,113 @@ def q_sequence_pattern(spark, sf_dir):
         pattern=_SEQ_PATTERN,
         default_char="v",
     )
+
+
+# ----- CUPED variance-reduced A/B readout ----------------------------
+
+_CUPED_CUT = "2024-01-16 00:00:00"
+
+_SQL_CUPED = f"""
+WITH pu AS (
+  SELECT event_type, user_id,
+         COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUT}'
+                           THEN CAST(round(value*100) AS BIGINT) END), 0) AS x,
+         COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUT}'
+                           THEN CAST(round(value*100) AS BIGINT) END), 0) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx,
+         CAST(SUM(y*y) AS BIGINT) AS syy,
+         CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS na,
+         CAST(COALESCE(SUM(CASE WHEN user_id % 2 = 0 THEN x END), 0) AS BIGINT) AS sxa,
+         CAST(COALESCE(SUM(CASE WHEN user_id % 2 = 0 THEN y END), 0) AS BIGINT) AS sya,
+         CAST(COUNT(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS BIGINT) AS nb,
+         CAST(COALESCE(SUM(CASE WHEN user_id % 2 <> 0 THEN x END), 0) AS BIGINT) AS sxb,
+         CAST(COALESCE(SUM(CASE WHEN user_id % 2 <> 0 THEN y END), 0) AS BIGINT) AS syb
+  FROM pu GROUP BY event_type
+),
+d AS (
+  SELECT *,
+         CAST(n*syy - sy*sy AS DOUBLE) AS ayy,
+         CAST(n*sxy - sx*sy AS DOUBLE) AS bxy,
+         CAST(n*sxx - sx*sx AS DOUBLE) AS cxx
+  FROM m
+  WHERE na > 0 AND nb > 0 AND n*sxx <> sx*sx AND n*syy <> sy*sy
+)
+SELECT event_type, n, na, nb,
+       bxy / cxx AS theta,
+       (bxy * bxy) / (ayy * cxx) AS var_reduction,
+       (sya / na - syb / nb) / 100.0 AS diff_raw,
+       ((sya / na - (bxy / cxx) * (sxa / na))
+        - (syb / nb - (bxy / cxx) * (sxb / nb))) / 100.0 AS diff_cuped
+FROM d
+"""
+
+
+@register_extra(
+    "cuped_ab",
+    _SQL_CUPED,
+    "CUPED variance-reduced A/B readout per event type: per-user pre-period "
+    "cents (covariate) and experiment-period cents, pooled theta = "
+    "cov(x,y)/var(x) from EXACT BIGINT moment identities (n*sxy - sx*sy "
+    "etc.), adjusted treatment-control difference and the achieved variance "
+    "reduction B^2/(A*C) — every double derives from exact integers through "
+    "one fixed IEEE expression tree, so both engines agree bit-for-bit; "
+    "degenerate zero-variance types excluded by exact integer tests. Two "
+    "groupBys (user-keyed then type-keyed), both map-side combined",
+)
+def q_cuped_ab(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cc = F.round(F.col("value") * 100, 0).cast("long")
+    pre = F.expr(f"ts < TIMESTAMP '{_CUPED_CUT}'")
+    pu = ev.groupBy("event_type", "user_id").agg(
+        F.coalesce(F.sum(F.when(pre, cc)), F.lit(0)).alias("x"),
+        F.coalesce(F.sum(F.when(~pre, cc)), F.lit(0)).alias("y"),
+    )
+    arm_a = F.col("user_id") % 2 == 0
+    x, y = F.col("x"), F.col("y")
+    m = pu.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.count(F.when(arm_a, 1)).alias("na"),
+        F.coalesce(F.sum(F.when(arm_a, x)), F.lit(0)).alias("sxa"),
+        F.coalesce(F.sum(F.when(arm_a, y)), F.lit(0)).alias("sya"),
+        F.count(F.when(~arm_a, 1)).alias("nb"),
+        F.coalesce(F.sum(F.when(~arm_a, x)), F.lit(0)).alias("sxb"),
+        F.coalesce(F.sum(F.when(~arm_a, y)), F.lit(0)).alias("syb"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    d = m.filter(
+        (F.col("na") > 0)
+        & (F.col("nb") > 0)
+        & (n * F.col("sxx") != sx * sx)
+        & (n * F.col("syy") != sy * sy)
+    )
+    ayy = (n * F.col("syy") - sy * sy).cast("double")
+    bxy = (n * F.col("sxy") - sx * sy).cast("double")
+    cxx = (n * F.col("sxx") - sx * sx).cast("double")
+    na, nb = F.col("na"), F.col("nb")
+    sxa, sya, sxb, syb = F.col("sxa"), F.col("sya"), F.col("sxb"), F.col("syb")
+    theta = bxy / cxx
+    return d.select(
+        "event_type",
+        "n",
+        "na",
+        "nb",
+        theta.alias("theta"),
+        ((bxy * bxy) / (ayy * cxx)).alias("var_reduction"),
+        ((sya / na - syb / nb) / 100.0).alias("diff_raw"),
+        (
+            ((sya / na - theta * (sxa / na)) - (syb / nb - theta * (sxb / nb)))
+            / 100.0
+        ).alias("diff_cuped"),
+    )

@@ -416,3 +416,34 @@ def test_write_zordered_rejects_empty_and_bad_args(spark, tmp_path):
     one = spark.createDataFrame([(1, 2)], "a long, b long")
     with pytest.raises(ValueError):
         write_zordered(one, str(tmp_path / "z2"), "a", "b", n_files=0)
+
+
+# ----- cuped_ab ------------------------------------------------------
+
+
+def test_cuped_matches_numpy_and_reduces_variance(spark, sf_dir):
+    import numpy as np
+
+    rows = EXTRA_CATALOG["cuped_ab"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = load_testdata(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    ).collect()
+    cut = __import__("datetime").datetime(2024, 1, 16)
+    per = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for r in ev:
+        xy = per[r.event_type][r.user_id]
+        ts = r.ts.replace(tzinfo=None)
+        xy[0 if ts < cut else 1] += round(r.value * 100)
+    for row in rows:
+        users = per[row.event_type]
+        x = np.array([v[0] for v in users.values()], dtype=float)
+        y = np.array([v[1] for v in users.values()], dtype=float)
+        theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+        assert row.theta == pytest.approx(theta, rel=1e-9)
+        # CUPED can only help: 0 <= achieved reduction <= 1 (it equals
+        # the squared correlation between covariate and metric)
+        assert 0.0 <= row.var_reduction <= 1.0
+        resid = y - theta * x
+        assert np.var(resid) <= np.var(y) + 1e-9
+        assert row.n == len(users)
