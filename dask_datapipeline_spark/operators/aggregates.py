@@ -189,3 +189,54 @@ def zscore_outliers(
         .filter(F.abs(F.col("zscore")) >= z_threshold)
         .drop("__c", "__n", "__s1", "__s2")
     )
+
+
+def key_skew_profile(df, key_col: str, label: str | None = None):
+    """Join-key skew diagnostic: one row summarizing the key's degree
+    distribution — row/key counts, the hottest key's multiplicity,
+    exact median multiplicity, and the max/median skew ratio that
+    decides between a plain hash join, AQE skew split, or salting
+    (``skew_join_salted``). The report you run BEFORE shuffling 100 TB
+    on a key you hope is uniform.
+
+    Scale shape: the per-key count table can hold billions of rows, so
+    the median multiplicity is NOT an order statistic over it — the
+    second groupBy collapses it to the COUNT-OF-COUNTS (degree
+    histogram: multiplicity → how many keys have it), whose size is
+    the number of DISTINCT multiplicities (hundreds, even at 100 TB).
+    Only that bounded table pays the ordered cumulative window; the
+    median is then the smallest multiplicity whose cumulative key
+    count reaches ceil(K/2) — an exact integer selection, no
+    interpolation. NULL keys count as a real key (a NULL-heavy join
+    column IS a skew hazard — it is often the hottest "key").
+    """
+    from pyspark.sql.window import Window
+
+    require_columns(df, [key_col])
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__c"))
+    coc = counts.groupBy("__c").agg(F.count(F.lit(1)).alias("__nk"))
+    w = Window.orderBy("__c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = coc.select(
+        "__c", "__nk", F.sum("__nk").over(w).alias("__cum")
+    )
+    tot = cum.agg(
+        F.sum(F.col("__c") * F.col("__nk")).alias("n_rows"),
+        F.sum("__nk").alias("n_keys"),
+        F.max("__c").alias("max_count"),
+    )
+    # lower median: smallest multiplicity with cum >= ceil(K/2); the
+    # cross join is a 1x1 broadcast (both sides single-row aggregates)
+    med = (
+        cum.join(F.broadcast(tot.select("n_keys")), how="cross")
+        .where(F.col("__cum") >= F.expr("(n_keys + 1) DIV 2"))
+        .agg(F.min("__c").alias("p50_count"))
+    )
+    out = tot.join(F.broadcast(med), how="cross")
+    return out.select(
+        F.lit(label if label is not None else key_col).alias("key"),
+        "n_rows",
+        "n_keys",
+        "max_count",
+        "p50_count",
+        (F.col("max_count").cast("double") / F.col("p50_count")).alias("skew_ratio"),
+    )

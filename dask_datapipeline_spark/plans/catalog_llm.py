@@ -5464,3 +5464,58 @@ def q_cuped_ab(spark, sf_dir):
             / 100.0
         ).alias("diff_cuped"),
     )
+
+
+# ----- join-key skew diagnostics -------------------------------------
+
+
+def _skew_sql_one(table: str, col: str, label: str) -> str:
+    return f"""
+SELECT '{label}' AS key, n_rows, n_keys, max_count, p50_count,
+       CAST(max_count AS DOUBLE) / p50_count AS skew_ratio
+FROM (
+  WITH c0 AS (SELECT {col} AS k, COUNT(*) AS c FROM {table} GROUP BY 1),
+  coc AS (SELECT c, COUNT(*) AS nk FROM c0 GROUP BY c),
+  cum AS (SELECT c, nk, SUM(nk) OVER (ORDER BY c
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm FROM coc),
+  t AS (SELECT CAST(SUM(c * nk) AS BIGINT) AS n_rows,
+               CAST(SUM(nk) AS BIGINT) AS n_keys,
+               CAST(MAX(c) AS BIGINT) AS max_count FROM cum),
+  m AS (SELECT CAST(MIN(c) AS BIGINT) AS p50_count
+        FROM cum, t WHERE cm >= (n_keys + 1) // 2)
+  SELECT * FROM t, m
+)
+"""
+
+
+_SKEW_KEYS = [
+    ("events", "user_id", "events.user_id"),
+    ("lineitem", "l_partkey", "lineitem.l_partkey"),
+    ("documents", "source", "documents.source"),
+]
+
+_SQL_SKEW_REPORT = " UNION ALL ".join(
+    _skew_sql_one(t, c, lbl) for t, c, lbl in _SKEW_KEYS
+)
+
+
+@register_extra(
+    "skew_report",
+    _SQL_SKEW_REPORT,
+    "Join-key skew diagnostics (operators/aggregates.py::key_skew_profile): "
+    "per candidate key, row/key counts, hottest-key multiplicity, EXACT "
+    "median multiplicity and the max/median ratio that picks plain hash "
+    "join vs AQE skew split vs salting. The median is selected from the "
+    "COUNT-OF-COUNTS degree histogram — bounded by distinct multiplicities, "
+    "hundreds of rows at any corpus size — never an order statistic over "
+    "the billion-row per-key count table; the report to run before "
+    "shuffling 100 TB on a hoped-uniform key",
+)
+def q_skew_report(spark, sf_dir):
+    from dask_datapipeline_spark.operators.aggregates import key_skew_profile
+
+    out = None
+    for table, col, label in _SKEW_KEYS:
+        p = key_skew_profile(load_testdata(spark, sf_dir, table), col, label)
+        out = p if out is None else out.unionByName(p)
+    return out

@@ -447,3 +447,32 @@ def test_cuped_matches_numpy_and_reduces_variance(spark, sf_dir):
         resid = y - theta * x
         assert np.var(resid) <= np.var(y) + 1e-9
         assert row.n == len(users)
+
+
+# ----- key_skew_profile ----------------------------------------------
+
+
+def test_key_skew_profile_exact_median_and_max(spark):
+    from dask_datapipeline_spark.operators.aggregates import key_skew_profile
+
+    # multiplicities: a->1, b->2, c->2, d->5  => K=4, median=2, max=5
+    rows = (
+        [("a",)] + [("b",)] * 2 + [("c",)] * 2 + [("d",)] * 5
+    )
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_profile(df, "k").collect()[0]
+    assert (r.n_rows, r.n_keys, r.max_count, r.p50_count) == (10, 4, 5, 2)
+    assert r.skew_ratio == 2.5
+    assert r.key == "k"
+
+
+def test_key_skew_profile_counts_null_keys(spark):
+    from dask_datapipeline_spark.operators.aggregates import key_skew_profile
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (None,), (1,)], "k int"
+    )
+    r = key_skew_profile(df, "k", label="nullable").collect()[0]
+    # NULL is the hottest "key" — it must be counted, not dropped
+    assert (r.n_rows, r.n_keys, r.max_count) == (4, 2, 3)
+    assert r.key == "nullable"
