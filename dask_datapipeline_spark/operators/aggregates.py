@@ -216,22 +216,28 @@ def key_skew_profile(df, key_col: str, label: str | None = None):
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__c"))
     coc = counts.groupBy("__c").agg(F.count(F.lit(1)).alias("__nk"))
     w = Window.orderBy("__c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # both windows run over the BOUNDED count-of-counts table only; the
+    # total key count rides along as a whole-table window so the median
+    # selection is a conditional MIN inside ONE aggregate — no joins at
+    # all (a single-row-side join here plans as the forbidden
+    # BroadcastNestedLoopJoin once constant folding eats an x*0 key)
     cum = coc.select(
-        "__c", "__nk", F.sum("__nk").over(w).alias("__cum")
+        "__c",
+        "__nk",
+        F.sum("__nk").over(w).alias("__cum"),
+        F.sum("__nk").over(w_all).alias("__k"),
     )
-    tot = cum.agg(
+    out = cum.agg(
         F.sum(F.col("__c") * F.col("__nk")).alias("n_rows"),
-        F.sum("__nk").alias("n_keys"),
+        F.max("__k").alias("n_keys"),
         F.max("__c").alias("max_count"),
+        F.min(
+            F.when(F.col("__cum") >= F.expr("(__k + 1) DIV 2"), F.col("__c"))
+        ).alias("p50_count"),
     )
-    # lower median: smallest multiplicity with cum >= ceil(K/2); the
-    # cross join is a 1x1 broadcast (both sides single-row aggregates)
-    med = (
-        cum.join(F.broadcast(tot.select("n_keys")), how="cross")
-        .where(F.col("__cum") >= F.expr("(n_keys + 1) DIV 2"))
-        .agg(F.min("__c").alias("p50_count"))
-    )
-    out = tot.join(F.broadcast(med), how="cross")
     return out.select(
         F.lit(label if label is not None else key_col).alias("key"),
         "n_rows",

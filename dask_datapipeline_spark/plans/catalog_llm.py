@@ -5519,3 +5519,136 @@ def q_skew_report(spark, sf_dir):
         p = key_skew_profile(load_testdata(spark, sf_dir, table), col, label)
         out = p if out is None else out.unionByName(p)
     return out
+
+
+# ----- VARIANT semi-structured path ----------------------------------
+
+
+@register_extra(
+    "variant_props_agg",
+    """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+""",
+    "Semi-structured props through Spark 4's VARIANT type: parse_json once "
+    "into the binary variant encoding, then variant_get path access — the "
+    "OPEN-schema twin of json_props_agg (from_json needs the schema pinned "
+    "up front; variant defers typing to the access site, the right trade "
+    "when a 100 TB event stream carries heterogeneous producer payloads). "
+    "Same exact aggregates, so the two rows cross-check each other",
+)
+def q_variant_props_agg(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(k).alias("n_with_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ----- referentially-consistent (linked) sampling --------------------
+
+_LINKED_PCT = 20  # keep 20% of USERS, then every event of a kept user
+
+
+@register_extra(
+    "linked_sample",
+    f"""
+WITH kept AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE CAST(CONCAT('0x', SUBSTRING(md5('usr:' || CAST(user_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % 100 < {_LINKED_PCT}
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events e JOIN kept k ON e.user_id = k.user_id
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type
+""",
+    "Referentially-consistent sampling: the sampling UNIT is the user, not "
+    "the row — an md5 keep-decision on user_id, then a semi-join keeps EVERY "
+    "event of a kept user, so per-user sequences (sessions, funnels, "
+    "attribution) stay intact in the sample where row-level sampling would "
+    "shred them. Deterministic across runs/engines/cluster shapes (same md5 "
+    "family as data_split); the keep-set never materializes driver-side — "
+    "the decision is a codegen predicate, the join a broadcast/AQE choice",
+)
+def q_linked_sample(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events")
+    bucket = DD.seeded_hash64(F.col("user_id").cast("string"), "usr") % 100
+    sampled = ev.where(bucket < _LINKED_PCT).where(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return sampled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(cents).alias("cents"),
+    )
+
+
+# ----- entity resolution (fuzzy pairs -> entity clusters) ------------
+
+_SQL_ENTITY_RESOLUTION = """
+WITH RECURSIVE n AS (
+  SELECT c_custkey, c_name,
+         substring(c_name, 1, length(c_name) - 2) AS blk
+  FROM customer WHERE c_custkey % 5 = 0
+),
+pairs AS (
+  SELECT a.c_custkey AS key_a, b.c_custkey AS key_b
+  FROM n a JOIN n b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 2
+),
+e AS (SELECT key_a AS u, key_b AS v FROM pairs
+      UNION SELECT key_b, key_a FROM pairs),
+reach(u, label) AS (
+  SELECT c_custkey, c_custkey FROM n
+  UNION
+  SELECT e.u, r.label FROM e JOIN reach r ON r.u = e.v
+)
+SELECT r.u AS c_custkey, n.c_name,
+       MIN(r.label) AS entity_id,
+       (MIN(r.label) = r.u) AS is_canonical
+FROM reach r JOIN n ON n.c_custkey = r.u
+GROUP BY r.u, n.c_name
+"""
+
+
+@register_extra(
+    "entity_resolution",
+    _SQL_ENTITY_RESOLUTION,
+    "End-to-end entity resolution: blocked Levenshtein match pairs "
+    "(fuzzy_name_pairs) closed into ENTITIES by the same min-label "
+    "connected-components loop as dup_clusters — transitive matches "
+    "(A~B~C with A never directly compared to C) land in one entity, "
+    "which pairwise output alone cannot express; min-key canonical "
+    "record per entity. One blocked self-join + edge-bounded label "
+    "rounds; oracle replays the match + a recursive-CTE closure",
+)
+def q_entity_resolution(spark, sf_dir):
+    c = load_testdata(spark, sf_dir, "customer").where(F.col("c_custkey") % 5 == 0)
+    n = c.select(
+        "c_custkey",
+        "c_name",
+        F.expr("substring(c_name, 1, length(c_name) - 2)").alias("blk"),
+    )
+    a = n.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("na"), "blk")
+    b = n.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("nb"), "blk")
+    pairs = (
+        a.join(b, on="blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.levenshtein("na", "nb") <= 2)
+        .select("id_a", "id_b")
+    )
+    clusters = DD.dup_clusters(pairs, n.select("c_custkey"), id_col="c_custkey")
+    return clusters.join(n.select("c_custkey", "c_name"), on="c_custkey").select(
+        "c_custkey",
+        "c_name",
+        F.col("cluster_id").alias("entity_id"),
+        F.col("is_canonical"),
+    )

@@ -37,6 +37,13 @@ SHOWCASE = [
     ("extra:embedding_near_dup_sparse", "sparse-regime SRP-LSH self-join: bucket_cap guard as a BROADCAST semi-join on the bounded (table,bucket) keyspace, then the shuffle_hash bucket join — corpus never re-shuffled for the guard"),
     ("extra:embedding_moments", "moments pass: ONE keyed exchange above a partial (i,j) HashAggregate — shuffled bytes bounded by d(d+1)/2 rows per partition, corpus size absent from the exchange"),
     ("multimodal_features", "real-codec decode: single mapInPandas over the generated media frame, no joins, no shuffle — featurization is embarrassingly parallel"),
+    ("extra:inverted_index", "capped posting lists: per-doc array_distinct dedup inside the row (no (doc,term) distinct exchange), then ONE term-keyed shuffle reused by both the rn-window and the df groupBy"),
+    ("extra:vocab_growth", "Heaps-law curve: token-keyed min-bucket groupBy + per-bucket counts; the only ordered window runs over the bounded bucket table (the WindowExec single-partition warning applies to corpus/50 rows, not the corpus)"),
+    ("extra:keep_best_dedup", "keep-best survivor: one id-keyed join attaching quality + one window partitioned by bounded near-dup clusters, stacked on the banded clustering cascade"),
+    ("extra:skew_report", "skew diagnostics: per-key groupBy collapses to the count-of-counts histogram before any ordered window — the window input is bounded by distinct multiplicities"),
+    ("extra:zorder_layout", "z-order keys: 32 masked shifts as a pure codegen projection over the scan — zero Exchange in the whole plan"),
+    ("extra:sequence_pattern", "CEP pattern match: one user-keyed shuffle builds the type string; regexp_count/extract run in the post-agg projection, no self-joins"),
+    ("extra:sql_q17ish", "correlated scalar-aggregate subquery DECORRELATED: one Aggregate over lineitem.l_partkey feeding a join — no per-row subquery node"),
 ]
 
 
