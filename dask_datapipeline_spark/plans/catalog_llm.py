@@ -5652,3 +5652,125 @@ def q_entity_resolution(spark, sf_dir):
         F.col("cluster_id").alias("entity_id"),
         F.col("is_canonical"),
     )
+
+
+# ----- triangle counting (degree-ordered orientation) ----------------
+
+_SQL_TRIANGLES = """
+WITH p AS (
+  SELECT a.c_custkey AS u, b.c_custkey AS v
+  FROM (SELECT c_custkey, c_name,
+               substring(c_name, 1, length(c_name) - 2) AS blk
+        FROM customer WHERE c_custkey % 5 = 0) a
+  JOIN (SELECT c_custkey, c_name,
+               substring(c_name, 1, length(c_name) - 2) AS blk
+        FROM customer WHERE c_custkey % 5 = 0) b
+    ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 2
+),
+deg AS (
+  SELECT x, COUNT(*) AS d
+  FROM (SELECT u AS x FROM p UNION ALL SELECT v FROM p)
+  GROUP BY x
+),
+o AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND p.u < p.v)
+              THEN p.u ELSE p.v END AS s,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND p.u < p.v)
+              THEN p.v ELSE p.u END AS t
+  FROM p JOIN deg da ON da.x = p.u JOIN deg db ON db.x = p.v
+),
+tri AS (
+  SELECT 't' AS tag, 1 AS val
+  FROM (SELECT o1.s AS a, o1.t AS b, o2.t AS c
+        FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t) w
+  JOIN p ON p.u = least(w.b, w.c) AND p.v = greatest(w.b, w.c)
+),
+tagged AS (
+  SELECT 'n' AS tag, 1 AS val FROM deg
+  UNION ALL SELECT 'e', 1 FROM p
+  UNION ALL SELECT 'w', CAST(d * (d - 1) // 2 AS INTEGER) FROM deg
+  UNION ALL SELECT * FROM tri
+)
+SELECT CAST(SUM(CASE WHEN tag = 'n' THEN val END) AS BIGINT) AS n_nodes,
+       CAST(SUM(CASE WHEN tag = 'e' THEN val END) AS BIGINT) AS n_edges,
+       CAST(SUM(CASE WHEN tag = 'w' THEN val END) AS BIGINT) AS n_wedges,
+       CAST(COALESCE(SUM(CASE WHEN tag = 't' THEN val END), 0) AS BIGINT)
+         AS n_triangles,
+       CAST(3 * COALESCE(SUM(CASE WHEN tag = 't' THEN val END), 0) AS DOUBLE)
+         / SUM(CASE WHEN tag = 'w' THEN val END) AS clustering
+FROM tagged
+"""
+
+
+@register_extra(
+    "triangle_count",
+    _SQL_TRIANGLES,
+    "Distributed triangle counting over the fuzzy-match graph with DEGREE-"
+    "ORDERED orientation: each edge points low-degree -> high-degree (ties "
+    "by id), so every triangle has exactly one wedge apex and the wedge "
+    "join's fan-out is bounded by the ORIENTED out-degree (O(sqrt(m)) on "
+    "any graph) — the standard fix for the hub-explosion a naive wedge "
+    "join hits on power-law graphs at scale. Global clustering coefficient "
+    "3T/W from exact integer counts; metrics union-tagged into ONE "
+    "aggregate, so no single-row joins anywhere",
+)
+def q_triangle_count(spark, sf_dir):
+    c = load_testdata(spark, sf_dir, "customer").where(F.col("c_custkey") % 5 == 0)
+    n = c.select(
+        "c_custkey",
+        "c_name",
+        F.expr("substring(c_name, 1, length(c_name) - 2)").alias("blk"),
+    )
+    a = n.select(F.col("c_custkey").alias("u"), F.col("c_name").alias("na"), "blk")
+    b = n.select(F.col("c_custkey").alias("v"), F.col("c_name").alias("nb"), "blk")
+    p = (
+        a.join(b, on="blk")
+        .where(F.col("u") < F.col("v"))
+        .where(F.levenshtein("na", "nb") <= 2)
+        .select("u", "v")
+    )
+    deg = (
+        p.select(F.col("u").alias("x"))
+        .unionByName(p.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    j = (
+        p.join(deg.select(F.col("x").alias("u"), F.col("d").alias("da")), on="u")
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("db")), on="v")
+    )
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("u") < F.col("v"))
+    )
+    o = j.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    o1 = o.select(F.col("s"), F.col("t").alias("b"))
+    o2 = o.select(F.col("s"), F.col("t").alias("c"))
+    wedges = o1.join(o2, on="s").where(F.col("b") < F.col("c"))
+    closed = wedges.join(
+        p,
+        (F.col("u") == F.least("b", "c")) & (F.col("v") == F.greatest("b", "c")),
+    )
+    tagged = (
+        deg.select(F.lit("n").alias("tag"), F.lit(1).alias("val"))
+        .unionByName(p.select(F.lit("e").alias("tag"), F.lit(1).alias("val")))
+        .unionByName(
+            deg.select(
+                F.lit("w").alias("tag"),
+                F.expr("CAST(d * (d - 1) DIV 2 AS INT)").alias("val"),
+            )
+        )
+        .unionByName(closed.select(F.lit("t").alias("tag"), F.lit(1).alias("val")))
+    )
+    t_sum = F.coalesce(F.sum(F.when(F.col("tag") == "t", F.col("val"))), F.lit(0))
+    w_sum = F.sum(F.when(F.col("tag") == "w", F.col("val")))
+    return tagged.agg(
+        F.sum(F.when(F.col("tag") == "n", F.col("val"))).cast("long").alias("n_nodes"),
+        F.sum(F.when(F.col("tag") == "e", F.col("val"))).cast("long").alias("n_edges"),
+        w_sum.cast("long").alias("n_wedges"),
+        t_sum.cast("long").alias("n_triangles"),
+        ((3 * t_sum).cast("double") / w_sum).alias("clustering"),
+    )

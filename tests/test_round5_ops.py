@@ -476,3 +476,50 @@ def test_key_skew_profile_counts_null_keys(spark):
     # NULL is the hottest "key" — it must be counted, not dropped
     assert (r.n_rows, r.n_keys, r.max_count) == (4, 2, 3)
     assert r.key == "nullable"
+
+
+# ----- triangle_count ------------------------------------------------
+
+
+def test_triangle_count_matches_python_model(spark, sf_dir):
+    from itertools import combinations
+
+    r = EXTRA_CATALOG["triangle_count"].fn(spark, sf_dir).collect()[0]
+    # rebuild the same fuzzy-match graph in python
+    cust = load_testdata(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 5 == 0
+    ).select("c_custkey", "c_name").collect()
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    from collections import defaultdict as dd
+    blocks = dd(list)
+    for row in cust:
+        blocks[row.c_name[:-2]].append((row.c_custkey, row.c_name))
+    edges = set()
+    for members in blocks.values():
+        for (ka, na), (kb, nb) in combinations(sorted(members), 2):
+            if lev(na, nb) <= 2:
+                edges.add((ka, kb))
+    adj = dd(set)
+    for u, v in edges:
+        adj[u].add(v); adj[v].add(u)
+    tris = sum(
+        1 for u, v in edges for w in (adj[u] & adj[v]) if v < w
+    )
+    wedges = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (
+        len(adj), len(edges), wedges, tris
+    )
+    if wedges:
+        assert r.clustering == pytest.approx(3 * tris / wedges)
