@@ -5774,3 +5774,71 @@ def q_triangle_count(spark, sf_dir):
         t_sum.cast("long").alias("n_triangles"),
         ((3 * t_sum).cast("double") / w_sum).alias("clustering"),
     )
+
+
+# ----- seasonal (hour-of-day) anomaly baseline -----------------------
+
+_SEASONAL_T = 3  # flag |value - mean_h| > 3 sigma_h
+
+_SQL_SEASONAL = f"""
+WITH c AS (
+  SELECT event_id, event_type, hour(ts) AS hr,
+         CAST(round(value * 100) AS BIGINT) AS cc
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cc) AS BIGINT) AS s1, CAST(SUM(cc * cc) AS BIGINT) AS s2
+  FROM c GROUP BY event_type, hr
+)
+SELECT c.event_id, c.event_type, CAST(c.hr AS BIGINT) AS hr,
+       c.cc / 100.0 AS value,
+       CAST(b.s1 AS DOUBLE) / (100.0 * b.n) AS baseline_mean
+FROM c JOIN b ON b.event_type = c.event_type AND b.hr = c.hr
+WHERE b.n > 1
+  AND (b.n - 1) * (c.cc * b.n - b.s1) * (c.cc * b.n - b.s1)
+      > {_SEASONAL_T * _SEASONAL_T} * b.n * (b.n * b.s2 - b.s1 * b.s1)
+"""
+
+
+@register_extra(
+    "seasonal_anomaly",
+    _SQL_SEASONAL,
+    "Seasonal anomaly detection: per (event_type, hour-of-day) baseline "
+    "moments in exact integer cents, then a flag for events more than 3 "
+    "sigma from THEIR HOUR's mean — the seasonality axis rolling_anomaly's "
+    "trailing window can't see (a 3am spike is anomalous at 3am, normal at "
+    "noon). The threshold decision is the all-integer cross-multiplied "
+    "inequality (n-1)(n*c - s1)^2 > T^2*n(n*s2 - s1^2) — no sqrt, no "
+    "division, bit-identical flags on any engine; the baseline table is "
+    "bounded at types x 24 rows, so the join back is a broadcast. Integer "
+    "envelope: needs (n*max_cents)^2*(n-1) < 2^63 (throws under ANSI, never "
+    "wraps); past that swap the moments to DECIMAL(38,0), same plan",
+)
+def q_seasonal_anomaly(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = ev.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cc"),
+    )
+    b = c.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cc").alias("s1"),
+        F.sum(F.col("cc") * F.col("cc")).alias("s2"),
+    )
+    n, s1, s2, cc = F.col("n"), F.col("s1"), F.col("s2"), F.col("cc")
+    dev = cc * n - s1
+    t2 = _SEASONAL_T * _SEASONAL_T
+    return (
+        c.join(F.broadcast(b), on=["event_type", "hr"])
+        .where((n > 1) & ((n - 1) * dev * dev > t2 * n * (n * s2 - s1 * s1)))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("hr").cast("long").alias("hr"),
+            (cc / 100.0).alias("value"),
+            (s1.cast("double") / (F.lit(100.0) * n)).alias("baseline_mean"),
+        )
+    )
