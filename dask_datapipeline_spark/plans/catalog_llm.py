@@ -5842,3 +5842,35 @@ def q_seasonal_anomaly(spark, sf_dir):
             (s1.cast("double") / (F.lit(100.0) * n)).alias("baseline_mean"),
         )
     )
+
+
+# ----- VARIANT inside Structured Streaming ---------------------------
+
+
+@register_extra(
+    "streaming_variant",
+    """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k
+FROM events GROUP BY event_type
+""",
+    "VARIANT parsing inside a REAL Structured Streaming pipeline: "
+    "readStream -> parse_json/variant_get -> grouped aggregation -> memory "
+    "sink (complete mode, availableNow) — the open-schema semi-structured "
+    "path works identically under the micro-batch engine, and over the "
+    "bounded input the final state must equal the batch variant_props_agg "
+    "aggregates exactly (integer sums are associative across micro-batches)",
+)
+def q_streaming_variant(spark, sf_dir):
+    from dask_datapipeline_spark.streaming.windows import run_to_memory, stream_events
+
+    name = f"stream_variant_{next(_STREAM_SEQ)}"
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k"))
+    )
+    run_to_memory(agg, name, "complete", state_partitions=8)
+    return spark.table(name)
