@@ -5874,3 +5874,26 @@ def q_streaming_variant(spark, sf_dir):
     )
     run_to_memory(agg, name, "complete", state_partitions=8)
     return spark.table(name)
+
+
+# ----- DSIR importance scoring ---------------------------------------
+
+from dask_datapipeline_spark.operators.dsir import (  # noqa: E402
+    dsir_oracle_sql,
+    dsir_scores,
+)
+
+
+@register_extra(
+    "dsir_selection",
+    dsir_oracle_sql("lang = 'en'"),
+    "DSIR importance scoring (operators/dsir.py): hashed bag-of-ngrams "
+    "log-likelihood ratio of a target sub-corpus (lang='en') vs the raw pool "
+    "(Xie et al. 2023). Both model tables are bounded at 1024 md5 buckets "
+    "regardless of corpus size (broadcast join); ln drift absorbed by the "
+    "round-9dp -> exact-decimal-sum recipe; selection is a threshold flag, "
+    "no global sort (true resampling composes with the priority sampler)",
+)
+def q_dsir_selection(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    return dsir_scores(docs, F.col("lang") == "en")

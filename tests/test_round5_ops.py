@@ -523,3 +523,84 @@ def test_triangle_count_matches_python_model(spark, sf_dir):
     )
     if wedges:
         assert r.clustering == pytest.approx(3 * tris / wedges)
+
+
+# ----- DSIR importance scoring ---------------------------------------
+
+
+def _dsir_corpus(spark):
+    # target (lang en) speaks "alpha beta", pool noise speaks "gamma delta"
+    rows = [
+        (1, "alpha beta alpha beta", "en"),
+        (2, "alpha beta beta alpha", "en"),
+        (3, "gamma delta gamma delta", "xx"),
+        (4, "gamma delta delta gamma", "xx"),
+        (5, "alpha beta alpha gamma", "xx"),  # target-like but out of target
+        (6, None, "en"),  # NULL text -> excluded
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_dsir_target_vocab_scores_above_pool_vocab(spark):
+    from dask_datapipeline_spark.operators.dsir import dsir_scores
+
+    out = {
+        r.doc_id: r
+        for r in dsir_scores(_dsir_corpus(spark), F.col("lang") == "en").collect()
+    }
+    assert 6 not in out  # NULL text carries no evidence
+    # pure-target-vocab docs outscore pure-pool-vocab docs, and the
+    # target-like outsider (5) lands in between its two poles
+    assert out[1].logw > out[5].logw > out[3].logw
+    assert out[1].keep and out[2].keep and not out[3].keep and not out[4].keep
+    # token counts are exact
+    assert all(out[i].n_tok == 4 for i in (1, 2, 3, 4, 5))
+
+
+def test_dsir_partitioning_invariant(spark, sf_dir):
+    from dask_datapipeline_spark.operators.dsir import dsir_scores
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    a = dsir_scores(docs, F.col("lang") == "en")
+    b = dsir_scores(docs.repartition(7, "doc_id"), F.col("lang") == "en")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_dsir_matches_python_model(spark):
+    import hashlib
+    import math
+
+    from dask_datapipeline_spark.operators.dsir import DSIR_BUCKETS, dsir_scores
+
+    docs = _dsir_corpus(spark)
+    out = {r.doc_id: r.logw for r in dsir_scores(docs, F.col("lang") == "en").collect()}
+
+    def bucket(tok):
+        return int(hashlib.md5(f"dsir:{tok}".encode()).hexdigest()[:15], 16) % DSIR_BUCKETS
+
+    data = [(d, t.split(" "), lang) for d, t, lang in [
+        (1, "alpha beta alpha beta", "en"),
+        (2, "alpha beta beta alpha", "en"),
+        (3, "gamma delta gamma delta", "xx"),
+        (4, "gamma delta delta gamma", "xx"),
+        (5, "alpha beta alpha gamma", "xx"),
+    ]]
+    cr, ct = defaultdict(int), defaultdict(int)
+    for _, toks, lang in data:
+        for t in toks:
+            cr[bucket(t)] += 1
+            if lang == "en":
+                ct[bucket(t)] += 1
+    tt = sum(ct.values())
+    tn = sum(cr.values()) - tt
+    a, b = float(tn + DSIR_BUCKETS), float(tt + DSIR_BUCKETS)
+    for d, toks, _ in data:
+        s = 0
+        per = defaultdict(int)
+        for t in toks:
+            per[bucket(t)] += 1
+        for bk, c in per.items():
+            cn = cr[bk] - ct[bk]
+            lam = round(math.log((ct[bk] + 1) * a / ((cn + 1) * b)), 9)
+            s += c * int(round(lam * 10**9))
+        assert abs(out[d] - s / 10**9) < 1e-12, d
