@@ -5897,3 +5897,23 @@ from dask_datapipeline_spark.operators.dsir import (  # noqa: E402
 def q_dsir_selection(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents")
     return dsir_scores(docs, F.col("lang") == "en")
+
+
+# ----- sliding-window chunking ---------------------------------------
+
+from dask_datapipeline_spark.operators.chunking import (  # noqa: E402
+    chunk_documents,
+    chunking_oracle_sql,
+)
+
+
+@register_extra(
+    "chunk_overlap",
+    chunking_oracle_sql(),
+    "RAG/long-context chunker (operators/chunking.py): 32-token windows, "
+    "stride 24 (8-token overlap) — pure row-local codegen array exprs over "
+    "the scan, ZERO shuffles and zero Python; all-integer index math; md5 "
+    "chunk fingerprints keep output rows narrow",
+)
+def q_chunk_overlap(spark, sf_dir):
+    return chunk_documents(load_testdata(spark, sf_dir, "documents"))

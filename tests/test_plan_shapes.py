@@ -156,3 +156,27 @@ def test_embedding_moments_exchange_is_dimension_bounded(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     pre = plan.split("Exchange hashpartitioning", 1)[1]
     assert "partial_sum" in pre, plan
+
+
+def test_chunking_and_dsir_plan_shapes(spark, sf_dir):
+    """chunk_overlap is pure row-local codegen (zero exchanges); the
+    DSIR weight join must broadcast the bounded bucket table, never
+    shuffle the per-(doc, bucket) counts against it."""
+    plan = (
+        EXTRA_CATALOG["chunk_overlap"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+    plan = (
+        EXTRA_CATALOG["dsir_selection"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

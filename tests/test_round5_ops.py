@@ -604,3 +604,51 @@ def test_dsir_matches_python_model(spark):
             lam = round(math.log((ct[bk] + 1) * a / ((cn + 1) * b)), 9)
             s += c * int(round(lam * 10**9))
         assert abs(out[d] - s / 10**9) < 1e-12, d
+
+
+# ----- sliding-window chunking ---------------------------------------
+
+
+def test_chunk_documents_geometry_and_coverage(spark):
+    from dask_datapipeline_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(80))),  # 80 toks -> 3 chunks
+            (2, " ".join(f"t{i}" for i in range(32))),  # exactly one window
+            (3, "a b"),                                  # shorter than window
+            (4, None),                                   # no rows
+            (5, " ".join(f"t{i}" for i in range(33))),  # one token over
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, window=32, stride=24).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r)
+    assert set(by_doc) == {1, 2, 3, 5}
+    # doc 1: ceil((80-32)/24)=2 extra chunks; starts 1, 25, 49
+    d1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [(r.start, r.chunk_len) for r in d1] == [(1, 32), (25, 32), (49, 32)]
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_len == 32
+    assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_len == 2
+    # doc 5: tail chunk starts at 25, len 33-24=9 (overlap-covered, not dropped)
+    d5 = sorted(by_doc[5], key=lambda r: r.chunk_id)
+    assert [(r.start, r.chunk_len) for r in d5] == [(1, 32), (25, 9)]
+    # every token position covered
+    for did, rs in by_doc.items():
+        n = max(r.start + r.chunk_len - 1 for r in rs)
+        covered = set()
+        for r in rs:
+            covered |= set(range(r.start, r.start + r.chunk_len))
+        assert covered == set(range(1, n + 1)), did
+
+
+def test_chunk_documents_rejects_bad_geometry(spark):
+    from dask_datapipeline_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=8, stride=9)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, window=8, stride=0)
