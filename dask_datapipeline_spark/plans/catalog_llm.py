@@ -5917,3 +5917,39 @@ from dask_datapipeline_spark.operators.chunking import (  # noqa: E402
 )
 def q_chunk_overlap(spark, sf_dir):
     return chunk_documents(load_testdata(spark, sf_dir, "documents"))
+
+
+# ----- PageRank over the near-dup graph ------------------------------
+
+from dask_datapipeline_spark.operators.pagerank import (  # noqa: E402
+    pagerank,
+    pagerank_oracle_tail_sql,
+)
+
+
+@register_extra(
+    "pagerank_dup_graph",
+    "WITH "
+    + _SQL_SHINGLES_HASHED
+    + ","
+    + _SQL_SIG
+    + f""",
+cand AS (SELECT DISTINCT id_a, id_b FROM ({_SQL_BAND_JOINS}))
+,"""
+    + _sql_jaccard_verify(
+        extra_join="JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b",
+        as_pairs_cte=True,
+    )
+    + pagerank_oracle_tail_sql(),
+    "PageRank power iteration (operators/pagerank.py) over the MinHash near-dup "
+    "pair graph: 5 rounds of one edge-keyed join + one dst-keyed exact-decimal "
+    "aggregation each, edge set built ONCE and localCheckpoint-ed; per-edge r/deg "
+    "is a single IEEE division, incoming mass summed via the round-9dp decimal "
+    "recipe so the result is bit-identical to the unrolled-CTE oracle",
+)
+def q_pagerank_dup_graph(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    prs = DD.near_dup_pairs_minhash(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5, max_df=_MAX_DF
+    )
+    return pagerank(docs, prs)

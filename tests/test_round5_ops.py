@@ -652,3 +652,54 @@ def test_chunk_documents_rejects_bad_geometry(spark):
         chunk_documents(docs, window=8, stride=9)
     with pytest.raises(ValueError):
         chunk_documents(docs, window=8, stride=0)
+
+
+# ----- PageRank ------------------------------------------------------
+
+
+def test_pagerank_matches_python_model(spark):
+    from dask_datapipeline_spark.operators.pagerank import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # triangle 1-2-3, pendant 4 off 3, pair 5-6, isolated 7
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r for r in pagerank(nodes, pairs).collect()}
+
+    adj = defaultdict(set)
+    for a, b in [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)]:
+        adj[a].add(b)
+        adj[b].add(a)
+    n, d = 7, 0.85
+    r = {i: 1.0 / n for i in range(1, 8)}
+    for _ in range(5):
+        s = defaultdict(int)
+        for u, nbrs in adj.items():
+            c = int(round(round(r[u] / len(nbrs), 9) * 10**9))
+            for v in nbrs:
+                s[v] += c
+        r = {i: (1.0 - d) / n + d * (s[i] / 10**9) for i in range(1, 8)}
+    for i in range(1, 8):
+        assert out[i].pagerank == pytest.approx(r[i], abs=1e-12), i
+    assert out[7].degree == 0 and out[7].pagerank == pytest.approx((1 - d) / n)
+    # hub 3 outranks everything else
+    assert max(range(1, 8), key=lambda i: out[i].pagerank) == 3
+
+
+def test_pagerank_partitioning_invariant(spark):
+    from dask_datapipeline_spark.operators.pagerank import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 40) for i in range(40) if i != (i * 7 + 3) % 40],
+        "id_a long, id_b long",
+    )
+    a = sorted(map(tuple, pagerank(nodes, pairs).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pagerank(nodes.repartition(7), pairs.repartition(5)).collect(),
+        )
+    )
+    assert a == b
