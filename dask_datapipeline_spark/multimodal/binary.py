@@ -597,3 +597,140 @@ def image_histograms(df: DataFrame, n_buckets: int = 16) -> DataFrame:
         .select("media_id", "payload")
         .mapInPandas(batches, schema=HISTOGRAM_SCHEMA)
     )
+
+
+# ----- perceptual image hashing / near-dup --------------------------
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash_hi", T.LongType()),
+        T.StructField("ahash_lo", T.LongType()),
+    ]
+)
+
+
+def synthetic_image_variants(spark, n_groups: int = 48, variants: int = 4) -> DataFrame:
+    """Deterministic image corpus WITH planted near-duplicates:
+    ``n_groups`` base images, each emitted ``variants`` times with the
+    red channel uniformly brightened by the variant index (mod 256).
+
+    ``media_id = group * variants + v``; pixels are
+    ``pixel_rgb(group, 0, x, y)`` with ``r -> (r + v) % 256``. A
+    uniform brightness shift barely moves 8x8 block means relative to
+    the global mean (only the few wrapped pixels change the
+    comparison), so same-group variants are perceptual near-dups —
+    exactly the re-encode/brightness-jitter duplicates a multimodal
+    corpus contains — while different groups stay far apart. Encoded
+    distributed as real BMP payloads (``mapInPandas``; the driver
+    never sees a payload), and the arithmetic pixel formula lets the
+    DuckDB oracle recompute every hash without parsing containers."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                grp, v = divmod(mid, variants)
+                w, h = image_dims(grp)
+                px = _frame_pixels(grp, 0, w, h).astype(np.int64)
+                px[:, :, 0] = (px[:, :, 0] + v) % 256
+                out.append(
+                    {
+                        "media_id": mid,
+                        "payload": encode_bmp(px.astype(np.uint8)),
+                        "meta": {
+                            "kind": "image",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": 0,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        spark.range(n_groups * variants)
+        .select(F.col("id").alias("media_id"))
+        .mapInPandas(gen, schema=MEDIA_SCHEMA)
+    )
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """64-bit average hash (aHash) per decoded image, as two uint32
+    halves — the standard perceptual fingerprint for image dedup
+    (cf. pHash family): downsample to an 8x8 grid, bit k = 1 iff the
+    mean of grid cell k exceeds the global mean.
+
+    Every comparison is EXACT integer arithmetic so the oracle can
+    replay it: gray = r+g+b (no luma weights/division), grid cell of
+    pixel (x, y) is (x*8//w, y*8//h) — cells are unequal when w,h
+    aren't multiples of 8, so the bit test cross-multiplies:
+    ``cell_sum * n_pixels > total_sum * cell_n``. Bounds: gray <= 765,
+    so for images up to ~50k x 50k the products stay far under 2^63.
+
+    One Arrow pass over (media_id, payload), image-kind filtered
+    JVM-side before any Python; no shuffle. Images smaller than 8x8
+    (a cell would be empty) are rejected — silently emitting 0-bits
+    would make all tiny images mutual near-dups."""
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_bmp(bytes(payload)).astype(np.int64)
+                h, w = px.shape[0], px.shape[1]
+                if w < 8 or h < 8:
+                    raise ValueError(
+                        f"image_ahash needs >=8x8 images, got {w}x{h} "
+                        f"(media_id={int(mid)})"
+                    )
+                gray = px.sum(axis=2)
+                cell = (
+                    (np.arange(h, dtype=np.int64) * 8 // h)[:, None] * 8
+                    + (np.arange(w, dtype=np.int64) * 8 // w)[None, :]
+                )
+                csum = np.zeros(64, dtype=np.int64)
+                np.add.at(csum, cell.reshape(-1), gray.reshape(-1))
+                cn = np.bincount(cell.reshape(-1), minlength=64).astype(np.int64)
+                bits = (csum * (w * h)) > (int(gray.sum()) * cn)
+                v = int((bits.astype(np.uint64) << shifts).sum())
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "ahash_hi": (v >> 32) & 0xFFFFFFFF,
+                        "ahash_lo": v & 0xFFFFFFFF,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AHASH_SCHEMA.fields]
+            )
+
+    from dask_datapipeline_spark.parallel import fan_out
+
+    return fan_out(
+        df.filter(F.col("meta.kind") == "image").select("media_id", "payload")
+    ).mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+def image_near_dup_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual image near-duplicate pairs: ``image_ahash`` feature
+    extraction composed with the SAME 4x16-bit pigeonhole Hamming
+    banding join SimHash text dedup uses
+    (``operators/dedup.py::hamming_band_pairs`` — perfect recall for
+    Hamming < 4, exact bit_count(xor) verify, one chunk-keyed
+    shuffle). Output: (id_a, id_b, hamming) with id_a < id_b.
+
+    100 TB shape: the corpus-sized decode stays in ONE Arrow pass with
+    no upstream shuffle; only 3-long hash rows (24 bytes/image) enter
+    the banding join, so the join input is ~5 orders of magnitude
+    smaller than the payload bytes."""
+    from pyspark.storagelevel import StorageLevel
+
+    from dask_datapipeline_spark.operators.dedup import hamming_band_pairs
+
+    sig = image_ahash(df).persist(StorageLevel.MEMORY_AND_DISK)
+    return hamming_band_pairs(
+        sig, "media_id", "ahash_hi", "ahash_lo", max_hamming=max_hamming
+    )

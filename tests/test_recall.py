@@ -321,3 +321,64 @@ def test_bucket_cap_drops_hot_buckets(spark):
     assert uncapped.count() == n_hot * (n_hot - 1) // 2
     # every hot cell holds 45 > 16 rows, so the guard removes them all
     assert capped.count() == 0
+
+
+def test_image_near_dup_banding_is_exact_and_finds_planted(spark):
+    """Perceptual image near-dup: the 4x16-bit pigeonhole banding join
+    must return EXACTLY the all-pairs Hamming<=3 set over the same
+    aHashes (recall 1.0 AND precision 1.0 — banding is deterministic,
+    not probabilistic LSH), and the planted brightness-variant groups
+    must actually be caught (the corpus-design guarantee the catalog
+    row relies on for non-vacuity)."""
+    from dask_datapipeline_spark.multimodal.binary import (
+        image_ahash,
+        image_near_dup_pairs,
+        synthetic_image_variants,
+    )
+
+    n_groups, variants, max_h = 48, 4, 3
+    media = synthetic_image_variants(spark, n_groups=n_groups, variants=variants)
+    hashes = {
+        r["media_id"]: (r["ahash_hi"] << 32) | r["ahash_lo"]
+        for r in image_ahash(media).collect()
+    }
+    assert len(hashes) == n_groups * variants
+
+    exact = set()
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(hashes[a] ^ hashes[b]).count("1") <= max_h:
+                exact.add((a, b))
+
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in image_near_dup_pairs(media, max_hamming=max_h).collect()
+    }
+    assert banded == exact  # perfect recall AND precision
+
+    same_group = {(a, b) for a, b in exact if a // variants == b // variants}
+    planted = n_groups * variants * (variants - 1) // 2
+    assert len(same_group) / planted >= 0.9  # brightness variants are near-dups
+    assert len(exact) > len(same_group)  # plus genuine cross-group collisions
+
+
+def test_image_ahash_rejects_tiny_images(spark):
+    """Sub-8x8 images would emit degenerate all-zero grids — the
+    operator must refuse, not silently cluster every thumbnail."""
+    import pandas as pd
+
+    from dask_datapipeline_spark.multimodal.binary import encode_bmp, image_ahash
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [0],
+                "payload": [encode_bmp(px)],
+                "meta": [{"kind": "image", "width": 4, "height": 4, "duration_ms": 0}],
+            }
+        )
+    )
+    with pytest.raises(Exception, match="8x8"):
+        image_ahash(df).collect()
