@@ -5394,6 +5394,72 @@ def q_zorder_layout(spark, sf_dir):
     )
 
 
+# ----- bucketed (storage-partitioned) join ---------------------------
+
+_BUCKETS = 16
+
+
+@register_extra(
+    "bucketed_join",
+    """
+SELECT c.c_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""",
+    "Shuffle-free storage-partitioned join: customer and orders written as "
+    "16-bucket tables on the customer key (sources/writers.py::write_parquet "
+    "bucket_by + saveAsTable), then join + per-key agg — the bucketed scans "
+    "report HashPartitioning(key, 16), so the planner inserts ZERO Exchange "
+    "operators for the join OR the groupBy (tests/test_plan_shapes.py asserts "
+    "an Exchange-free executed plan). At 100 TB pre-bucketed layout is the "
+    "single biggest shuffle lever: a fact table bucketed at write time joins "
+    "dimensions and re-aggregates on the bucket key for free, every run, "
+    "amortizing one write-time shuffle over every downstream query. The "
+    "merge hint pins sort-merge (a broadcast would hide the demonstration); "
+    "the oracle is the plain logical join on the raw tables — bucketing must "
+    "not change a single row",
+)
+def q_bucketed_join(spark, sf_dir):
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from dask_datapipeline_spark.sources.writers import write_parquet
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_{tag}")
+    cust = load_testdata(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_testdata(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    for tname, df, key in (
+        (f"bk_customer_{tag}", cust, "c_custkey"),
+        (f"bk_orders_{tag}", orders, "o_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        # repartition to one file per bucket: same murmur3 hash as the
+        # bucket assignment, so each output task holds exactly one
+        # bucket and the per-bucket sortBy metadata stays usable
+        write_parquet(
+            df.repartition(_BUCKETS, F.col(key)),
+            os.path.join(base, tname),
+            bucket_by=(_BUCKETS, [key]),
+            table_name=tname,
+        )
+    c = spark.table(f"bk_customer_{tag}")
+    o = spark.table(f"bk_orders_{tag}")
+    return (
+        o.hint("merge")
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
 # ----- sequence pattern matching (CEP-style) -------------------------
 
 _SEQ_PATTERN = "c[ve]*p"  # click, any views/errors, purchase

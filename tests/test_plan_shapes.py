@@ -180,3 +180,19 @@ def test_chunking_and_dsir_plan_shapes(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bucketed_join_elides_every_exchange(spark, sf_dir):
+    """The storage-partitioned-join evidence row: both scans are
+    bucketed on the join key at the SAME bucket count, so the
+    SortMergeJoin AND the downstream per-key aggregate must plan with
+    ZERO Exchange operators — the write-time shuffle is amortized over
+    every downstream query, the single biggest shuffle lever at
+    100 TB. A regression here (bucket-count drift, a lost bucketBy,
+    hint removal letting broadcast in) silently reintroduces a
+    corpus-sized shuffle per run."""
+    df = EXTRA_CATALOG["bucketed_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
