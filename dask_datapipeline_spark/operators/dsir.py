@@ -63,6 +63,7 @@ def dsir_scores(
     text_col: str = "text",
     n_buckets: int = DSIR_BUCKETS,
     threshold: float = DSIR_THRESHOLD,
+    totals: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance log-weights against ``target``.
 
@@ -71,6 +72,16 @@ def dsir_scores(
     complement (NULL target predicates count as complement). Returns ``(id_col, n_tok, logw, keep)``; documents with
     NULL or token-less text are excluded (no evidence; NULL text is
     the ``quality_score`` gate's job), which also keeps n_tok >= 1.
+
+    The corpus token totals (Tn, Tt) must be exact integers folded
+    into the lambda as literals, which forces one eager action before
+    the scoring job. Pass precomputed ``totals=(Tn, Tt)`` (complement
+    and target token counts — the same pair ``dsir_oracle_sql``
+    accepts) to keep the operator fully lazy; otherwise they are
+    computed here over an eager ``localCheckpoint`` of the exploded
+    token table, so the scoring job REUSES the checkpointed tokens
+    instead of re-running tokenize+explode over the corpus a second
+    time.
     """
     toks = (
         docs.where(F.col(text_col).isNotNull())
@@ -79,19 +90,24 @@ def dsir_scores(
         .select(id_col, "__is_tgt", _bucket(F.col("token"), n_buckets).alias("bucket"))
     )
 
+    if totals is None:
+        toks = toks.localCheckpoint(eager=True)
+        row = toks.agg(
+            F.count(F.lit(1)).alias("tr"),
+            F.count(F.when(F.col("__is_tgt"), F.lit(1))).alias("tt"),
+        ).collect()[0]
+        tt = int(row["tt"])
+        tn = int(row["tr"]) - tt  # complement token total
+    else:
+        tn, tt = int(totals[0]), int(totals[1])
+
     raw_counts = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
     tgt_counts = (
         toks.where(F.col("__is_tgt"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("ct"))
     )
-    totals = toks.agg(
-        F.count(F.lit(1)).alias("tr"),
-        F.count(F.when(F.col("__is_tgt"), F.lit(1))).alias("tt"),
-    ).collect()[0]
     # exact integers folded into double literals shared with the oracle
-    tt = int(totals["tt"])
-    tn = int(totals["tr"]) - tt  # complement token total
     a = float(tn + n_buckets)  # numerator scale (Tn + m)
     b = float(tt + n_buckets)  # denominator scale (Tt + m)
 

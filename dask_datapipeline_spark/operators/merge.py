@@ -130,12 +130,17 @@ def table_diff(
     materialized corpus-wide; the comparison is a null-safe equality
     fold over ``compare_cols`` evaluated in codegen, so NULL values
     compare as equal to NULL (a NULL→value transition is ``changed``,
-    not a false ``unchanged``). Both sides bucketed by the key makes
-    the join exchange-free. Output: key columns + ``diff_status``.
-    Keys must be unique per side (the usual snapshot contract); a
-    duplicated key produces the full-outer row multiplication the
-    inputs imply, surfacing the contract violation rather than hiding
-    it.
+    not a false ``unchanged``). The JOIN is null-safe too (``<=>``,
+    still a hash join, not a nested loop): a NULL key — valid under
+    the unique-per-side contract — matches its counterpart and
+    compares, instead of never joining and being misreported as one
+    'added' plus one 'removed'. Side presence is detected via per-side
+    marker columns, never key nullness. Both sides bucketed by the key
+    makes the join exchange-free. Output: key columns +
+    ``diff_status``. Keys must be unique per side (the usual snapshot
+    contract); a duplicated key produces the full-outer row
+    multiplication the inputs imply, surfacing the contract violation
+    rather than hiding it.
     """
     keys = list(key_cols)
     require_columns(base, keys + list(compare_cols))
@@ -143,18 +148,20 @@ def table_diff(
     b = base.select(
         *[F.col(k).alias(f"__bk_{k}") for k in keys],
         *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_base"),
     )
     r = revised.select(
         *[F.col(k).alias(f"__rk_{k}") for k in keys],
         *[F.col(c).alias(f"__r_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_rev"),
     )
     cond = None
     for k in keys:
-        eq = F.col(f"__bk_{k}") == F.col(f"__rk_{k}")
+        eq = F.col(f"__bk_{k}").eqNullSafe(F.col(f"__rk_{k}"))
         cond = eq if cond is None else cond & eq
     j = b.join(r, on=cond, how="full_outer")
-    in_base = F.col(f"__bk_{keys[0]}").isNotNull()
-    in_rev = F.col(f"__rk_{keys[0]}").isNotNull()
+    in_base = F.col("__in_base").isNotNull()
+    in_rev = F.col("__in_rev").isNotNull()
     same = F.lit(True)
     for c in compare_cols:
         same = same & F.col(f"__b_{c}").eqNullSafe(F.col(f"__r_{c}"))

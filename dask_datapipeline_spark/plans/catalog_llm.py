@@ -5941,7 +5941,8 @@ WITH c AS (
 ),
 b AS (
   SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(cc) AS BIGINT) AS s1, CAST(SUM(cc * cc) AS BIGINT) AS s2
+         SUM(CAST(cc AS HUGEINT)) AS s1,
+         SUM(CAST(cc AS HUGEINT) * cc) AS s2
   FROM c GROUP BY event_type, hr
 )
 SELECT c.event_id, c.event_type, CAST(c.hr AS BIGINT) AS hr,
@@ -5964,9 +5965,11 @@ WHERE b.n > 1
     "noon). The threshold decision is the all-integer cross-multiplied "
     "inequality (n-1)(n*c - s1)^2 > T^2*n(n*s2 - s1^2) — no sqrt, no "
     "division, bit-identical flags on any engine; the baseline table is "
-    "bounded at types x 24 rows, so the join back is a broadcast. Integer "
-    "envelope: needs (n*max_cents)^2*(n-1) < 2^63 (throws under ANSI, never "
-    "wraps); past that swap the moments to DECIMAL(38,0), same plan",
+    "bounded at types x 24 rows, so the join back is a broadcast. Moments "
+    "and the inequality accumulate in DECIMAL(38,0) (Spark) / HUGEINT "
+    "(DuckDB): exact to ~1e38, so the envelope is (n*max_cents)^3 < 1e38 "
+    "— n ~ 5e8 rows per (type,hour) group at $100-scale values — and past "
+    "it the query still THROWS under ANSI, never wraps",
 )
 def q_seasonal_anomaly(spark, sf_dir):
     ev = load_testdata(spark, sf_dir, "events").where(F.col("value").isNotNull())
@@ -5976,17 +5979,20 @@ def q_seasonal_anomaly(spark, sf_dir):
         F.hour("ts").alias("hr"),
         F.round(F.col("value") * 100, 0).cast("long").alias("cc"),
     )
+    ccd = F.col("cc").cast("decimal(18,0)")
     b = c.groupBy("event_type", "hr").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("cc").alias("s1"),
-        F.sum(F.col("cc") * F.col("cc")).alias("s2"),
+        F.sum(ccd).alias("s1"),
+        F.sum(ccd * ccd).alias("s2"),
     )
-    n, s1, s2, cc = F.col("n"), F.col("s1"), F.col("s2"), F.col("cc")
-    dev = cc * n - s1
+    s1, s2, cc = F.col("s1"), F.col("s2"), F.col("cc")
+    n = F.col("n")
+    nd = F.col("n").cast("decimal(20,0)")
+    dev = ccd * nd - s1
     t2 = _SEASONAL_T * _SEASONAL_T
     return (
         c.join(F.broadcast(b), on=["event_type", "hr"])
-        .where((n > 1) & ((n - 1) * dev * dev > t2 * n * (n * s2 - s1 * s1)))
+        .where((n > 1) & ((nd - 1) * dev * dev > t2 * nd * (nd * s2 - s1 * s1)))
         .select(
             "event_id",
             "event_type",

@@ -183,6 +183,13 @@ def write_zordered(
     row-group-level stats prune too. The z-key is dropped before the
     write — layout is an encoding of file boundaries, not a schema
     change.
+
+    NULL dimension values are placed at that dimension's LOW corner
+    (coalesced to the observed min before scaling): the rows stay in
+    the dataset and cluster together in the low-range files, and a
+    ``dim IS NULL`` scan prunes to those files via the same footer
+    stats. A dimension that is entirely NULL has no range to scale
+    and raises ValueError.
     """
     from pyspark.sql import functions as F
 
@@ -194,11 +201,18 @@ def write_zordered(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(dim_a), F.max(dim_a), F.min(dim_b), F.max(dim_b)
     ).collect()[0]
+    for name, lo in ((dim_a, lo_a), (dim_b, lo_b)):
+        if lo is None:
+            raise ValueError(
+                f"write_zordered: dimension {name!r} is entirely NULL — "
+                "no range to scale; drop or fill the column first"
+            )
     top = (1 << bits) - 1
 
     def scaled(col, lo, hi):
         span = max(int(hi) - int(lo), 1)
-        return ((F.col(col).cast("long") - F.lit(int(lo))) * top / span).cast("long")
+        filled = F.coalesce(F.col(col).cast("long"), F.lit(int(lo)))
+        return ((filled - F.lit(int(lo))) * top / span).cast("long")
 
     keyed = df.withColumn(
         "__zkey",

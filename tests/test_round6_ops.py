@@ -1,0 +1,125 @@
+"""Round-6 additions and advisor-fix pins: null-safe table_diff keys,
+lazy/pre-totaled DSIR, NULL-dim Z-order placement."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_datapipeline_spark.sources.readers import load_testdata
+
+
+# ----- table_diff: NULL keys join null-safely ------------------------
+
+
+def test_table_diff_null_keys_compare_instead_of_misclassifying(spark):
+    from dask_datapipeline_spark.operators.merge import table_diff
+
+    base = spark.createDataFrame(
+        [(None, "same"), (1, "a"), (2, "gone")], "k int, v string"
+    )
+    rev = spark.createDataFrame([(None, "same"), (1, "b")], "k int, v string")
+    got = {
+        r["k"]: r["diff_status"]
+        for r in table_diff(base, rev, ["k"], ["v"]).collect()
+    }
+    # the NULL key exists on both sides with equal values: it must
+    # report 'unchanged', not one 'added' + one 'removed'
+    assert got == {None: "unchanged", 1: "changed", 2: "removed"}
+
+
+def test_table_diff_base_only_null_key_is_removed(spark):
+    from dask_datapipeline_spark.operators.merge import table_diff
+
+    base = spark.createDataFrame([(None, "x"), (7, "y")], "k int, v string")
+    rev = spark.createDataFrame([(7, "y")], "k int, v string")
+    got = {
+        r["k"]: r["diff_status"]
+        for r in table_diff(base, rev, ["k"], ["v"]).collect()
+    }
+    assert got == {None: "removed", 7: "unchanged"}
+
+
+def test_table_diff_null_key_value_change_is_changed(spark):
+    from dask_datapipeline_spark.operators.merge import table_diff
+
+    base = spark.createDataFrame([(None, "old")], "k int, v string")
+    rev = spark.createDataFrame([(None, "new")], "k int, v string")
+    got = [r["diff_status"] for r in table_diff(base, rev, ["k"], ["v"]).collect()]
+    assert got == ["changed"]
+
+
+# ----- DSIR: precomputed totals keep the operator lazy ---------------
+
+
+def test_dsir_precomputed_totals_match_default_path(spark, sf_dir):
+    from dask_datapipeline_spark.operators.dsir import dsir_scores
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    target = F.col("doc_id") % 3 == 0
+    default = dsir_scores(docs, target)
+    rows = {r["doc_id"]: (r["n_tok"], r["logw"], r["keep"]) for r in default.collect()}
+
+    # recompute the exact totals the default path derived
+    from dask_datapipeline_spark.operators.dedup import tokens
+
+    toks = (
+        docs.where(F.col("text").isNotNull())
+        .select((F.col("doc_id") % 3 == 0).alias("t"), F.explode(tokens("text")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("tr"),
+        F.count(F.when(F.col("t"), F.lit(1))).alias("tt"),
+    ).collect()[0]
+    tn, tt = int(tot["tr"]) - int(tot["tt"]), int(tot["tt"])
+
+    pinned = dsir_scores(docs, target, totals=(tn, tt))
+    rows2 = {r["doc_id"]: (r["n_tok"], r["logw"], r["keep"]) for r in pinned.collect()}
+    assert rows == rows2
+
+
+def test_dsir_with_totals_plans_no_eager_action(spark, sf_dir):
+    """With totals pinned, building the scoring DataFrame must not run
+    any Spark job (the lazy/composable contract the advisor asked
+    for): no localCheckpoint, no collect at construction time."""
+    from dask_datapipeline_spark.operators.dsir import dsir_scores
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    sc = spark.sparkContext
+    sc.setJobGroup("dsir-lazy-probe", "probe")
+    try:
+        df = dsir_scores(docs, F.col("doc_id") % 2 == 0, totals=(1000, 500))
+        assert df.columns == ["doc_id", "n_tok", "logw", "keep"]
+        ran = tracker.getJobIdsForGroup("dsir-lazy-probe")
+        assert not ran, f"construction ran Spark jobs: {ran}"
+    finally:
+        sc.setJobGroup("", "")
+    del before
+
+
+# ----- write_zordered: NULL dimension handling -----------------------
+
+
+def test_write_zordered_nulls_go_to_low_corner(spark, tmp_path):
+    from dask_datapipeline_spark.sources.writers import write_zordered
+
+    df = spark.createDataFrame(
+        [(i, i % 10 if i % 7 else None, i * 3) for i in range(1, 200)],
+        "id long, a long, b long",
+    )
+    out = str(tmp_path / "znull")
+    write_zordered(df, out, "a", "b", n_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 199  # NULL-dim rows are kept, not dropped
+    assert back.where(F.col("a").isNull()).count() == df.where(F.col("a").isNull()).count()
+
+
+def test_write_zordered_all_null_dim_raises(spark, tmp_path):
+    from dask_datapipeline_spark.sources.writers import write_zordered
+
+    df = spark.createDataFrame([(1, None, 5), (2, None, 9)], "id long, a long, b long")
+    with pytest.raises(ValueError, match="entirely NULL"):
+        write_zordered(df, str(tmp_path / "zall"), "a", "b", n_files=2)
