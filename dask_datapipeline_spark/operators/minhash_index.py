@@ -101,15 +101,69 @@ def build_minhash_index(
 def read_minhash_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
-    """(shingles, signatures, hot_hashes, meta) from a built index."""
+    """(shingles, signatures, hot_hashes, meta) from a built index —
+    the base build UNIONed with every increment appended by
+    ``append_to_minhash_index`` (sorted tag order; each increment is
+    one parquet dir pair, so the union is scan-only). A long-running
+    ingest should periodically re-run ``build_minhash_index`` over the
+    full corpus to compact the increment list back to one table (the
+    standard base+delta compaction cycle)."""
     with open(os.path.join(path, "_META")) as f:
         meta = json.load(f)
+    sh = spark.read.parquet(os.path.join(path, "shingles"))
+    sig = spark.read.parquet(os.path.join(path, "signatures"))
+    inc_root = os.path.join(path, "inc")
+    if os.path.isdir(inc_root):
+        for tag in sorted(os.listdir(inc_root)):
+            sh = sh.unionByName(
+                spark.read.parquet(os.path.join(inc_root, tag, "shingles"))
+            )
+            sig = sig.unionByName(
+                spark.read.parquet(os.path.join(inc_root, tag, "signatures"))
+            )
     return (
-        spark.read.parquet(os.path.join(path, "shingles")),
-        spark.read.parquet(os.path.join(path, "signatures")),
+        sh,
+        sig,
         spark.read.parquet(os.path.join(path, "hot_hashes")),
         meta,
     )
+
+
+def append_to_minhash_index(
+    batch: DataFrame, index_path: str, batch_tag: str, text_col: str = "text"
+) -> None:
+    """Append one ingested batch's capped shingle hashes + MinHash
+    signatures to the index as increment ``inc/<batch_tag>/`` — the
+    growth step of the daily-ingest loop: after a batch is FLAGGED
+    against the current index, its own features join the index so
+    later batches dedup against it, with the corpus still never
+    re-shingled.
+
+    IDEMPOTENT per tag (mode=overwrite of the increment dirs), so an
+    at-least-once caller — a Structured Streaming ``foreachBatch``
+    keyed by batch_id — can replay a failed batch without duplicating
+    index rows. The document-frequency cap stays FROZEN: batch
+    shingles are capped against the build-time hot-hash set only
+    (module docstring semantics)."""
+    from pyspark.storagelevel import StorageLevel
+
+    spark = batch.sparkSession
+    with open(os.path.join(index_path, "_META")) as f:
+        meta = json.load(f)
+    hot = spark.read.parquet(os.path.join(index_path, "hot_hashes"))
+    b_sh = (
+        hashed_shingles(batch, meta["id_col"], text_col, meta["shingle_n"])
+        .distinct()
+        .join(hot, on="__h", how="left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    inc = os.path.join(index_path, "inc", batch_tag)
+    b_sh.write.mode("overwrite").parquet(os.path.join(inc, "shingles"))
+    sh_back = spark.read.parquet(os.path.join(inc, "shingles"))
+    _signatures_from_hashed(sh_back, meta["id_col"], meta["num_hashes"]).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(inc, "signatures"))
+    b_sh.unpersist()
 
 
 def incremental_near_dup_flags(
@@ -140,6 +194,19 @@ def incremental_near_dup_flags(
     idx_sh, idx_sig, hot, meta = read_minhash_index(spark, index_path)
     id_col = meta["id_col"]
     num_hashes, bands = meta["num_hashes"], meta["bands"]
+
+    # REPLAY SAFETY: drop the batch's own ids from the index side
+    # before unioning. If this exact batch was already (partially)
+    # appended to the index — an at-least-once foreachBatch replaying
+    # after a mid-append failure — the union would otherwise hold each
+    # (id, shingle) row twice and double every intersection count in
+    # the Jaccard verify. Side effect by design: a re-ingested id is
+    # treated as an UPDATE of that document, never as its own dup
+    # partner. One anti-join keyed on the bounded batch id set
+    # (broadcast at any corpus size).
+    b_ids_bc = batch.select(id_col).distinct()
+    idx_sh = idx_sh.join(F.broadcast(b_ids_bc), on=id_col, how="left_anti")
+    idx_sig = idx_sig.join(F.broadcast(b_ids_bc), on=id_col, how="left_anti")
 
     b_sh = (
         hashed_shingles(batch, id_col, text_col, meta["shingle_n"])

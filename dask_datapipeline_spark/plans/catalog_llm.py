@@ -2663,8 +2663,7 @@ _SQL_INC_BAND_JOINS = " UNION ALL ".join(
 )
 
 
-@register_extra(
-    "incremental_dedup",
+_SQL_INCREMENTAL_DEDUP = (
     "WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),\n"
     "batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),"
     + _sql_shingles_sfx("corpus", "C")
@@ -2704,7 +2703,13 @@ partners AS (
 SELECT d.doc_id, r.dup_of, r.dup_of IS NULL AS is_new
 FROM documents d LEFT JOIN resolved r ON d.doc_id = r.doc_id
 WHERE d.doc_id % 2 = 1
-""",
+"""
+)
+
+
+@register_extra(
+    "incremental_dedup",
+    _SQL_INCREMENTAL_DEDUP,
     "Incremental dedup — the production daily-ingest workflow: flag each doc of "
     "the incoming batch (odd ids) as new or a near-dup of the existing corpus "
     "(even ids) / an earlier incoming doc. The corpus side is a MATERIALIZED "
@@ -2745,6 +2750,89 @@ def q_incremental_dedup(spark, sf_dir):
             max_df=_MAX_DF,
         )
     return incremental_near_dup_flags(batch, index_path, threshold=0.5)
+
+
+@register_extra(
+    "streaming_incremental_dedup",
+    _SQL_INCREMENTAL_DEDUP,
+    "Streaming incremental near-dup (streaming/windows.py::"
+    "stream_incremental_dedup): the incoming corpus half arrives as THREE "
+    "id-range-ordered micro-batches through a real Structured Streaming "
+    "foreachBatch sink — each batch is flagged against the persisted MinHash "
+    "index, written idempotently, then APPENDED to the index so later batches "
+    "dedup against it. Because batches are id-ordered, the union of per-batch "
+    "flags equals the monolithic incremental run EXACTLY (a dup partner is a "
+    "corpus doc or a smaller-id ingested doc, reachable either via an index "
+    "increment or the in-batch union) — so this row shares incremental_dedup's "
+    "oracle verbatim, and the equality is the end-to-end proof the streaming "
+    "wiring (offsets, increments, replay idempotence) loses nothing",
+)
+def q_streaming_incremental_dedup(spark, sf_dir):
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import time as _time
+    import uuid as _uuid
+
+    from dask_datapipeline_spark.operators.minhash_index import build_minhash_index
+    from dask_datapipeline_spark.streaming.windows import stream_incremental_dedup
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+
+    # fresh working area per invocation: the stream APPENDS increments
+    # to the index, so reusing a cached one would contaminate reruns
+    work = _os.path.join(
+        _tf.gettempdir(), f"ddps_stream_inc_{_uuid.uuid4().hex[:8]}"
+    )
+    index_path = _os.path.join(work, "index")
+    build_minhash_index(
+        corpus,
+        index_path,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        shingle_n=3,
+        max_df=_MAX_DF,
+    )
+    # stage the incoming half as 3 id-range files, mtime-ordered so the
+    # file source drains them smallest-ids-first (see the operator
+    # docstring for why id order makes per-batch flags exactly the
+    # monolithic result)
+    ids = sorted(r[0] for r in batch.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]] if len(ids) >= 3 else [0, 0]
+    staged = _os.path.join(work, "staged")
+    _os.makedirs(staged, exist_ok=True)
+    parts = [
+        batch.where(F.col("doc_id") < cuts[0]),
+        batch.where((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
+        batch.where(F.col("doc_id") >= cuts[1]),
+    ]
+    now = _time.time()
+    for i, part in enumerate(parts):
+        tmp = _os.path.join(work, f"stage-tmp-{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            _os.path.join(tmp, f)
+            for f in _os.listdir(tmp)
+            if f.endswith(".parquet")
+        )
+        dst = _os.path.join(staged, f"chunk-{i}.parquet")
+        _sh.move(src, dst)
+        _os.utime(dst, (now + i, now + i))
+        _sh.rmtree(tmp)
+    out_dir = _os.path.join(work, "flags")
+    stream_incremental_dedup(
+        spark,
+        staged,
+        index_path,
+        out_dir,
+        checkpoint_dir=_os.path.join(work, "ckpt"),
+        threshold=0.5,
+    )
+    return spark.read.parquet(_os.path.join(out_dir, "batch-*")).select(
+        "doc_id", "dup_of", "is_new"
+    )
 
 
 # --------------------------------------------------------------------

@@ -376,6 +376,75 @@ def uuid_hex() -> str:
     return uuid.uuid4().hex[:8]
 
 
+def stream_incremental_dedup(
+    spark: SparkSession,
+    staged_docs_dir: str,
+    index_path: str,
+    out_dir: str,
+    schema: str = "doc_id long, text string",
+    checkpoint_dir: str | None = None,
+    threshold: float = 0.5,
+    timeout_sec: int = 240,
+) -> None:
+    """Streaming incremental near-dup: drain a document file stream
+    (one staged parquet file per micro-batch) through ``foreachBatch``,
+    flagging each micro-batch against the PERSISTED MinHash corpus
+    index (``operators/minhash_index.py``) and then appending the
+    batch's own signatures as an index increment — so later
+    micro-batches dedup against everything ingested before them, and
+    the corpus text is never re-shingled.
+
+    Per micro-batch: ``incremental_near_dup_flags`` (index scans +
+    batch-only feature extraction) → flags written to
+    ``out_dir/batch-<id>`` (mode=overwrite ⇒ idempotent under
+    at-least-once replay) → ``append_to_minhash_index`` tagged by
+    batch_id (also idempotent; flags are computed with the batch's own
+    ids anti-joined out of the index side, so a replay after a
+    mid-append failure scores identically). A STABLE
+    ``checkpoint_dir`` stores source offsets: a restarted run resumes
+    with already-processed files skipped — together with the
+    idempotent writes this gives an exactly-once end state, the same
+    contract as ``stream_merge_to_parquet``.
+
+    When staged files are id-range-ordered (file k holds smaller ids
+    than file k+1, oldest mtime first), the union of all per-batch
+    flags is EXACTLY the monolithic ``incremental_near_dup_flags``
+    over the whole batch: a doc's dup partner set — corpus docs plus
+    smaller-id ingested docs — is the same whether the smaller-id doc
+    arrived in an earlier micro-batch (via the index increment) or the
+    same one (via the in-batch union). The catalog row exploits this
+    to share the batch oracle."""
+    import os
+
+    from dask_datapipeline_spark.operators.minhash_index import (
+        append_to_minhash_index,
+        incremental_near_dup_flags,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        flags = incremental_near_dup_flags(
+            batch_df, index_path, threshold=threshold
+        )
+        flags.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch-{batch_id:05d}")
+        )
+        append_to_minhash_index(batch_df, index_path, f"b{batch_id:05d}")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_docs_dir)
+        .writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or out_dir.rstrip("/") + ".ckpt-" + uuid_hex(),
+        )
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
 _ANOM_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -1110,3 +1110,61 @@ def test_zorder_key_matches_python_interleave(spark, pairs):
 
     want = [interleave(a, b) for a, b in sorted(pairs)]
     assert sorted(got) == sorted(want)
+
+
+@given(
+    n_nodes=st.integers(min_value=1, max_value=9),
+    raw_edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        max_size=20,
+    ),
+)
+@settings(**_SETTINGS)
+def test_pagerank_matches_python_power_iteration(spark, n_nodes, raw_edges):
+    """Spark pagerank == pure-Python power iteration replaying the
+    IDENTICAL arithmetic (half-up 9-dp contribution rounding, exact
+    decimal sums, damped IEEE double update) on random graphs —
+    BIT-IDENTICAL floats, so a damping/iteration/rounding change can't
+    silently drift away from the unrolled-CTE oracle. Duplicate edges
+    and self-loops are kept (union, not distinct — each occurrence
+    contributes), matching the operator's documented semantics."""
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from dask_datapipeline_spark.operators.pagerank import pagerank
+
+    nodes = list(range(n_nodes))
+    edges = [(a, b) for a, b in raw_edges if a < n_nodes and b < n_nodes]
+
+    nodes_df = spark.createDataFrame([(u,) for u in nodes], "doc_id long")
+    if edges:
+        pairs_df = spark.createDataFrame(edges, "id_a long, id_b long")
+    else:
+        pairs_df = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: (r["degree"], r["pagerank"])
+        for r in pagerank(nodes_df, pairs_df).collect()
+    }
+
+    damping, iters = 0.85, 5
+    adj = defaultdict(list)
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    deg = Counter({u: len(vs) for u, vs in adj.items()})
+    r0 = 1.0 / n_nodes
+    base = (1.0 - damping) / n_nodes
+    q = Decimal("1e-9")
+    rank = {u: r0 for u in nodes}
+    for _ in range(iters):
+        sums: dict[int, Decimal] = defaultdict(lambda: Decimal(0))
+        for u, vs in adj.items():
+            c = Decimal(repr(rank[u] / deg[u])).quantize(q, ROUND_HALF_UP)
+            for v in vs:
+                sums[v] += c
+        rank = {u: base + damping * float(sums[u]) for u in nodes}
+    want = {u: (deg.get(u, 0), rank[u]) for u in nodes}
+    assert got == want

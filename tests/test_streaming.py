@@ -278,3 +278,81 @@ def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path):
     # window is still open when the bounded stream ends and must be
     # withheld
     assert got == {("2024-01-01 00:00:00", 2)}
+
+
+def test_stream_incremental_dedup_restart_resumes_and_uses_increments(
+    spark, tmp_path
+):
+    """Restart contract for the streaming dedup sink: with a STABLE
+    checkpoint dir a rerun processes nothing new (offsets persisted,
+    outputs untouched); after staging one MORE file the rerun
+    processes ONLY that file — and flags its near-dup against a doc
+    ingested in the FIRST run, proving the index increments persisted
+    across the restart."""
+    import os
+    import shutil
+    import time
+
+    from dask_datapipeline_spark.operators.minhash_index import build_minhash_index
+    from dask_datapipeline_spark.streaming.windows import stream_incremental_dedup
+
+    work = str(tmp_path)
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    index_path = os.path.join(work, "index")
+    build_minhash_index(corpus, index_path, num_hashes=16, bands=4, shingle_n=3)
+
+    def stage(i, rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        tmp = os.path.join(work, f"tmp-{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            os.path.join(tmp, f) for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        dst = os.path.join(work, "staged", f"chunk-{i}.parquet")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.move(src, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+        shutil.rmtree(tmp)
+
+    # batch 0: a corpus dup (doc 1 ~ doc 0) and a novel doc (doc 3)
+    stage(0, [(1, "alpha beta gamma delta epsilon zeta"),
+              (3, "red orange yellow green blue indigo")])
+    staged = os.path.join(work, "staged")
+    out = os.path.join(work, "flags")
+    ckpt = os.path.join(work, "ckpt")
+    stream_incremental_dedup(spark, staged, index_path, out, checkpoint_dir=ckpt)
+
+    first_dirs = sorted(d for d in os.listdir(out) if d.startswith("batch-"))
+    assert first_dirs == ["batch-00000"]
+    flags0 = {
+        r["doc_id"]: (r["dup_of"], r["is_new"])
+        for r in spark.read.parquet(os.path.join(out, "batch-00000")).collect()
+    }
+    assert flags0[1] == (0, False)  # corpus dup found
+    assert flags0[3] == (None, True)  # novel
+
+    # restart with the SAME checkpoint: bounded source exhausted, so
+    # no batch runs and no output dir is touched
+    mtimes = {
+        d: os.path.getmtime(os.path.join(out, d)) for d in first_dirs
+    }
+    stream_incremental_dedup(spark, staged, index_path, out, checkpoint_dir=ckpt)
+    assert sorted(d for d in os.listdir(out) if d.startswith("batch-")) == first_dirs
+    assert all(
+        os.path.getmtime(os.path.join(out, d)) == m for d, m in mtimes.items()
+    )
+
+    # stage one more file: doc 5 duplicates doc 3 — which is NOT in
+    # the base index, only in the first run's increment
+    stage(1, [(5, "red orange yellow green blue indigo")])
+    stream_incremental_dedup(spark, staged, index_path, out, checkpoint_dir=ckpt)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("batch-"))
+    assert dirs == ["batch-00000", "batch-00001"]  # only the new file ran
+    flags1 = {
+        r["doc_id"]: (r["dup_of"], r["is_new"])
+        for r in spark.read.parquet(os.path.join(out, "batch-00001")).collect()
+    }
+    assert flags1 == {5: (3, False)}  # matched via the persisted increment
