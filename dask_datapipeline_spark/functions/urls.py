@@ -1,0 +1,88 @@
+"""URL canonicalization + URL-level dedup (beyond-reference
+LLM-pipeline surface; SURVEY.md §2.2 text curation).
+
+The first dedup stage of a RefinedWeb/FineWeb-style web pipeline is
+URL-level: canonicalize every document's URL and keep one document
+per canonical URL — it removes the bulk of crawl duplicates (same
+page fetched through mirrors, tracking-tagged links, fragment
+anchors) at the cost of ONE key-groupBy, before any content hashing
+runs.
+
+Canonicalization steps (each a single regex/string expression that
+evaluates identically on Spark's Java regex and DuckDB's RE2 — the
+patterns avoid engine-divergent features; every step matches at most
+once, so first-match vs global replace semantics agree):
+
+1. trim surrounding whitespace
+2. strip the fragment (``#...`` — never reaches the server)
+3. strip a TRACKING-ONLY query string: a query composed entirely of
+   ``utm_*`` / ``ref`` / ``fbclid`` / ``gclid`` params is dropped;
+   a query with any other param is kept verbatim (conservative —
+   real param-level filtering needs a param allowlist, same shape)
+4. lowercase the scheme+host (DNS is case-insensitive; paths are not
+   and keep their case)
+5. strip one trailing slash
+
+Scale: pure codegen string expressions, zero shuffles; the dedup adds
+one groupBy-window shuffle keyed on the canonical URL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: params whose presence-only query strings are dropped (step 3)
+TRACKING_QUERY_RE = (
+    r"\?((utm_[a-zA-Z]+|ref|fbclid|gclid)=[^&#]*)"
+    r"(&(utm_[a-zA-Z]+|ref|fbclid|gclid)=[^&#]*)*$"
+)
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a URL column (module docstring steps)."""
+    x = F.trim(col)
+    x = F.regexp_replace(x, "#.*", "")
+    x = F.regexp_replace(x, TRACKING_QUERY_RE, "")
+    x = F.concat(
+        F.lower(F.regexp_extract(x, "^(https?://[^/]*)", 1)),
+        F.regexp_replace(x, "^https?://[^/]*", ""),
+    )
+    return F.regexp_replace(x, "/$", "")
+
+
+def url_dedup(
+    df: DataFrame, url_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """One survivor per canonical URL: returns
+    ``(id_col, canonical_url, keep)`` where ``keep`` is true for the
+    minimum-id document of each canonical-URL group (deterministic,
+    engine-independent — swap the min for a quality argmax via
+    ``dedup.keep_best`` when a score column exists). One shuffle."""
+    from pyspark.sql.window import Window
+
+    curl = canonical_url(F.col(url_col)).alias("canonical_url")
+    w = Window.partitionBy("canonical_url")
+    return (
+        df.select(F.col(id_col), curl)
+        .withColumn("keep", F.min(id_col).over(w) == F.col(id_col))
+    )
+
+
+def canonical_url_sql_steps(expr: str) -> str:
+    """DuckDB replay of ``canonical_url`` as a single nested SQL
+    expression over ``expr`` — shared by oracle builders so the two
+    pipelines cannot drift. RE2 evaluates the identical patterns;
+    DuckDB's first-match regexp_replace equals Spark's global replace
+    because every pattern is end-anchored or single-match."""
+    x = f"trim({expr})"
+    x = f"regexp_replace({x}, '#.*', '')"
+    # DuckDB standard strings don't process backslash escapes, so the
+    # Python pattern embeds VERBATIM (doubling would feed RE2 a
+    # literal backslash)
+    x = f"regexp_replace({x}, '{TRACKING_QUERY_RE}', '')"
+    x = (
+        f"(lower(regexp_extract({x}, '^(https?://[^/]*)', 1)) || "
+        f"regexp_replace({x}, '^https?://[^/]*', ''))"
+    )
+    return f"regexp_replace({x}, '/$', '')"

@@ -734,3 +734,123 @@ def image_near_dup_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
     return hamming_band_pairs(
         sig, "media_id", "ahash_hi", "ahash_lo", max_hamming=max_hamming
     )
+
+
+# ----- audio fingerprint / near-dup ---------------------------------
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("afp_hi", T.LongType()),
+        T.StructField("afp_lo", T.LongType()),
+    ]
+)
+
+
+def synthetic_audio_variants(spark, n_groups: int = 48, variants: int = 4) -> DataFrame:
+    """Deterministic audio corpus WITH planted near-duplicates:
+    ``n_groups`` base clips, each emitted ``variants`` times with a
+    constant DC offset of the variant index added to every sample —
+    the re-encode/level-shift duplicate class an audio corpus
+    contains. ``media_id = group * variants + v``; samples are
+    ``audio_sample(group, t) + v`` (|s| <= 2003, safely inside int16).
+    Real PCM WAV payloads encoded executor-side; the arithmetic sample
+    formula lets the oracle recompute every fingerprint without
+    parsing a container."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                grp, v = divmod(mid, variants)
+                t = np.arange(audio_n_samples(grp))
+                samples = (audio_sample(grp, t) + v).astype(np.int16)
+                out.append(
+                    {
+                        "media_id": mid,
+                        "payload": encode_wav(samples),
+                        "meta": {
+                            "kind": "audio",
+                            "width": 0,
+                            "height": 0,
+                            "duration_ms": len(t) * 1000 // AUDIO_RATE,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        spark.range(n_groups * variants)
+        .select(F.col("id").alias("media_id"))
+        .mapInPandas(gen, schema=MEDIA_SCHEMA)
+    )
+
+
+def audio_fingerprint(df: DataFrame) -> DataFrame:
+    """64-bit energy-profile fingerprint per decoded audio clip, as
+    two uint32 halves — the 1-D analogue of ``image_ahash`` (and the
+    spirit of Shazam-style spectral fingerprints, on the integer
+    feature this container's PCM makes exactly replayable): the clip
+    splits into 64 time frames, bit k = 1 iff frame k's mean |sample|
+    exceeds the clip's mean |sample|.
+
+    Exact integer arithmetic throughout: frame of sample t is
+    t*64//n, and the bit test cross-multiplies
+    ``frame_sum * n > total_sum * frame_n`` (|sample| <= 32768 keeps
+    the products far under 2^63 for clips up to ~10^7 samples). One
+    Arrow pass, audio-kind filtered JVM-side, no shuffle. Clips with
+    fewer than 64 samples (an empty frame) are rejected."""
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _rate, samples = decode_wav(bytes(payload))
+                n = len(samples)
+                if n < 64:
+                    raise ValueError(
+                        f"audio_fingerprint needs >=64 samples, got {n} "
+                        f"(media_id={int(mid)})"
+                    )
+                a = np.abs(samples.astype(np.int64))
+                frame = (np.arange(n, dtype=np.int64) * 64) // n
+                fs = np.zeros(64, dtype=np.int64)
+                np.add.at(fs, frame, a)
+                fn = np.bincount(frame, minlength=64).astype(np.int64)
+                bits = (fs * n) > (int(a.sum()) * fn)
+                v = int((bits.astype(np.uint64) << shifts).sum())
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "afp_hi": (v >> 32) & 0xFFFFFFFF,
+                        "afp_lo": v & 0xFFFFFFFF,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FP_SCHEMA.fields]
+            )
+
+    from dask_datapipeline_spark.parallel import fan_out
+
+    return fan_out(
+        df.filter(F.col("meta.kind") == "audio").select("media_id", "payload")
+    ).mapInPandas(batches, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_near_dup_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Audio near-duplicate pairs: ``audio_fingerprint`` composed with
+    the SAME 4x16-bit pigeonhole Hamming banding join as SimHash text
+    dedup and aHash image dedup (``dedup.hamming_band_pairs`` —
+    perfect recall for Hamming < 4). Output: (id_a, id_b, hamming)
+    with id_a < id_b. Decode stays in one shuffle-free Arrow pass;
+    only 24-byte fingerprint rows enter the join."""
+    from pyspark.storagelevel import StorageLevel
+
+    from dask_datapipeline_spark.operators.dedup import hamming_band_pairs
+
+    sig = audio_fingerprint(df).persist(StorageLevel.MEMORY_AND_DISK)
+    return hamming_band_pairs(
+        sig, "media_id", "afp_hi", "afp_lo", max_hamming=max_hamming
+    )

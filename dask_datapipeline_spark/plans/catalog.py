@@ -897,11 +897,14 @@ DRIVER_ORDER: list[str] = [
     "skew_join_salted",
     "pivot_event_values",
     "running_window",
-    # window analytics + streaming
+    # window analytics + streaming. Round-6 rotation (see README
+    # §Catalog rotation policy): sliding_window and rollup_hierarchy
+    # moved to EXTRA_CATALOG — grid windowing stays driver-checked via
+    # tumbling_window/streaming_tumbling and multi-level aggregation
+    # via rollup_cube_agg — freeing two slots for image_near_dup and
+    # bucketed_join below.
     "tumbling_window",
-    "sliding_window",
     "session_window",
-    "rollup_hierarchy",
     "streaming_tumbling",
     "streaming_dedup",
     "streaming_user_totals",
@@ -935,6 +938,13 @@ DRIVER_ORDER: list[str] = [
     # filter operators driver-checked; filter_compound is in
     # EXTRA_CATALOG)
     "training_shards",
+    # round-6 promotions (slots freed by sliding_window /
+    # rollup_hierarchy above): perceptual image dedup — the one
+    # first-class multimodal LLM-pipeline op the driver set lacked —
+    # and the storage-partitioned-join evidence row (Exchange-free
+    # join+agg over bucketed tables, plan-shape-guarded)
+    "image_near_dup",
+    "bucketed_join",
 ]
 
 

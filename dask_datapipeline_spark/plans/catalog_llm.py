@@ -833,7 +833,7 @@ FROM pairs WHERE hamming <= {max_hamming}
 """
 
 
-@register_extra(
+@register(
     "image_near_dup",
     _image_near_dup_oracle_sql(_IMG_ND_GROUPS, _IMG_ND_VARIANTS, _IMG_ND_MAXH),
     "Perceptual image near-duplicate pairs (multimodal/binary.py::"
@@ -857,6 +857,148 @@ def q_image_near_dup(spark, sf_dir):
         ),
         max_hamming=_IMG_ND_MAXH,
     )
+
+
+def _audio_near_dup_oracle_sql(n_groups: int, variants: int, max_hamming: int) -> str:
+    return f"""
+WITH m AS (
+  SELECT g.range * {variants} + v.range AS media_id, g.range AS grp, v.range AS v,
+         400 + (g.range % 5) * 100 AS ns
+  FROM generate_series(0, {n_groups - 1}) g(range),
+       generate_series(0, {variants - 1}) v(range)
+),
+mt AS (SELECT media_id, grp, v, ns, unnest(range(0, ns)) AS t FROM m),
+smp AS (
+  SELECT media_id, ns, (t*64)//ns AS frame,
+         abs((grp*37 + t*73) % 4001 - 2000 + v) AS a
+  FROM mt
+),
+frames AS (
+  SELECT media_id, ns, frame, SUM(a) AS fs, COUNT(*) AS fn
+  FROM smp GROUP BY media_id, ns, frame
+),
+tot AS (SELECT media_id, SUM(fs) AS ts FROM frames GROUP BY media_id),
+bits AS (
+  SELECT f.media_id, f.frame AS k,
+         CASE WHEN f.fs * f.ns > t.ts * f.fn THEN 1 ELSE 0 END AS bit
+  FROM frames f JOIN tot t USING (media_id)
+),
+hashes AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k-32)) ELSE 0 END) AS BIGINT) AS afp_hi,
+         CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS afp_lo
+  FROM bits GROUP BY media_id
+),
+sides AS (
+  SELECT media_id, afp_hi, afp_lo, i.range AS i,
+         CASE i.range WHEN 0 THEN afp_hi >> 16 WHEN 1 THEN afp_hi & 65535
+                      WHEN 2 THEN afp_lo >> 16 ELSE afp_lo & 65535 END AS chunk
+  FROM hashes, generate_series(0, 3) i(range)
+),
+pairs AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         bit_count(xor(a.afp_hi, b.afp_hi))
+       + bit_count(xor(a.afp_lo, b.afp_lo)) AS hamming
+  FROM sides a JOIN sides b
+    ON a.i = b.i AND a.chunk = b.chunk AND a.media_id < b.media_id
+)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+@register_extra(
+    "audio_near_dup",
+    _audio_near_dup_oracle_sql(_IMG_ND_GROUPS, _IMG_ND_VARIANTS, _IMG_ND_MAXH),
+    "Audio near-duplicate pairs (multimodal/binary.py::audio_near_dup_pairs): "
+    "64-bit energy-profile fingerprint over REAL decoded PCM-WAV samples (64 "
+    "time frames, cross-multiplied mean-|sample| bit test — exact integers) "
+    "composed with the SAME 4x16-bit pigeonhole Hamming banding join as SimHash "
+    "and image aHash. Corpus plants 4 DC-offset variants per base clip; the "
+    "oracle recomputes every fingerprint arithmetically from the sample "
+    "formula. Completes the text/image/audio near-dup triangle on one shared "
+    "banding operator",
+)
+def q_audio_near_dup(spark, sf_dir):
+    from dask_datapipeline_spark.multimodal.binary import (
+        audio_near_dup_pairs,
+        synthetic_audio_variants,
+    )
+
+    return audio_near_dup_pairs(
+        synthetic_audio_variants(
+            spark, n_groups=_IMG_ND_GROUPS, variants=_IMG_ND_VARIANTS
+        ),
+        max_hamming=_IMG_ND_MAXH,
+    )
+
+
+# ----- URL canonicalization + URL-level dedup ------------------------
+
+#: deterministic messy-URL construction shared by both engines: mixed
+#: host case, trailing slashes, tracking-only queries (dropped), a real
+#: query (kept), fragments — doc_id % 40 folds docs onto shared paths
+#: so canonical groups are non-trivial.
+_RAW_URL_SQL = """'https://' ||
+  CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END ||
+  source || '.Example.COM/articles/' || CAST(doc_id % 40 AS VARCHAR) ||
+  CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+  CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&utm_campaign=x'
+       WHEN doc_id % 7 = 0 THEN '?ref=home'
+       WHEN doc_id % 13 = 0 THEN '?page=2'
+       ELSE '' END ||
+  CASE WHEN doc_id % 11 = 0 THEN '#section-2' ELSE '' END"""
+
+
+def _url_dedup_oracle_sql() -> str:
+    from dask_datapipeline_spark.functions.urls import canonical_url_sql_steps
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {_RAW_URL_SQL} AS url FROM documents
+),
+canon AS (
+  SELECT doc_id, {canonical_url_sql_steps('url')} AS canonical_url FROM raw
+)
+SELECT doc_id, canonical_url,
+       MIN(doc_id) OVER (PARTITION BY canonical_url) = doc_id AS keep
+FROM canon
+"""
+
+
+@register_extra(
+    "url_dedup",
+    _url_dedup_oracle_sql(),
+    "URL-level dedup (functions/urls.py) — the FIRST dedup stage of a "
+    "RefinedWeb/FineWeb-style web pipeline, run before any content hashing: "
+    "canonicalize (strip fragment, drop tracking-only query, lowercase "
+    "scheme+host, strip trailing slash — pure codegen regex steps evaluated "
+    "identically by Java regex and RE2) and keep the min-id doc per canonical "
+    "URL. One groupBy-window shuffle; a ?page=2 query survives untouched, "
+    "proving the tracking strip is conservative",
+)
+def q_url_dedup(spark, sf_dir):
+    from dask_datapipeline_spark.functions.urls import url_dedup
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+            F.col("source"),
+            F.lit(".Example.COM/articles/"),
+            (d % 40).cast("string"),
+            F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit("?utm_source=feed&utm_campaign=x"))
+            .when(d % 7 == 0, F.lit("?ref=home"))
+            .when(d % 13 == 0, F.lit("?page=2"))
+            .otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return url_dedup(raw, "url")
 
 
 @register_extra(
@@ -1521,7 +1663,7 @@ def q_tumbling_window(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "rollup_hierarchy",
     """
 SELECT date_trunc('hour', ts) AS hour_start,
@@ -1556,7 +1698,7 @@ def q_rollup_hierarchy(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "sliding_window",
     """
 SELECT window_start, COUNT(*) AS n_events,
@@ -5487,7 +5629,7 @@ def q_zorder_layout(spark, sf_dir):
 _BUCKETS = 16
 
 
-@register_extra(
+@register(
     "bucketed_join",
     """
 SELECT c.c_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,

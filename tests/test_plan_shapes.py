@@ -191,7 +191,7 @@ def test_bucketed_join_elides_every_exchange(spark, sf_dir):
     100 TB. A regression here (bucket-count drift, a lost bucketBy,
     hint removal letting broadcast in) silently reintroduces a
     corpus-sized shuffle per run."""
-    df = EXTRA_CATALOG["bucketed_join"].fn(spark, sf_dir)
+    df = CATALOG["bucketed_join"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "SortMergeJoin" in plan, plan

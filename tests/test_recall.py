@@ -382,3 +382,38 @@ def test_image_ahash_rejects_tiny_images(spark):
     )
     with pytest.raises(Exception, match="8x8"):
         image_ahash(df).collect()
+
+
+def test_audio_near_dup_banding_is_exact_and_finds_planted(spark):
+    """Audio twin of the image pin: banded pairs == exact all-pairs
+    Hamming<=3 over the same fingerprints (recall AND precision 1.0),
+    and every planted DC-offset variant pair is caught."""
+    from dask_datapipeline_spark.multimodal.binary import (
+        audio_fingerprint,
+        audio_near_dup_pairs,
+        synthetic_audio_variants,
+    )
+
+    n_groups, variants, max_h = 48, 4, 3
+    media = synthetic_audio_variants(spark, n_groups=n_groups, variants=variants)
+    hashes = {
+        r["media_id"]: (r["afp_hi"] << 32) | r["afp_lo"]
+        for r in audio_fingerprint(media).collect()
+    }
+    assert len(hashes) == n_groups * variants
+
+    ids = sorted(hashes)
+    exact = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= max_h
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in audio_near_dup_pairs(media, max_hamming=max_h).collect()
+    }
+    assert banded == exact
+
+    same_group = {(a, b) for a, b in exact if a // variants == b // variants}
+    assert len(same_group) == n_groups * variants * (variants - 1) // 2  # all planted

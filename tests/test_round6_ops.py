@@ -123,3 +123,48 @@ def test_write_zordered_all_null_dim_raises(spark, tmp_path):
     df = spark.createDataFrame([(1, None, 5), (2, None, 9)], "id long, a long, b long")
     with pytest.raises(ValueError, match="entirely NULL"):
         write_zordered(df, str(tmp_path / "zall"), "a", "b", n_files=2)
+
+
+# ----- URL canonicalization ------------------------------------------
+
+
+def test_canonical_url_steps(spark):
+    from dask_datapipeline_spark.functions.urls import canonical_url
+
+    cases = [
+        ("  https://WWW.Site.COM/a/b/ ", "https://www.site.com/a/b"),
+        ("https://site.com/x#frag", "https://site.com/x"),
+        ("https://site.com/x?utm_source=a&utm_medium=b", "https://site.com/x"),
+        ("https://site.com/x?ref=home", "https://site.com/x"),
+        # non-tracking query SURVIVES verbatim
+        ("https://site.com/x?page=2", "https://site.com/x?page=2"),
+        # mixed query is conservative: kept (not tracking-ONLY)
+        ("https://site.com/x?page=2&utm_source=a", "https://site.com/x?page=2&utm_source=a"),
+        ("http://A.B/", "http://a.b"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, u string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("u")).alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_url_dedup_min_id_survivor(spark):
+    from dask_datapipeline_spark.functions.urls import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://a.com/x?utm_source=f"),
+            (2, "https://A.COM/x"),
+            (3, "https://a.com/x#top"),
+            (4, "https://a.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: (r["canonical_url"], r["keep"]) for r in url_dedup(df, "url").collect()}
+    assert got[1] == ("https://a.com/x", True)
+    assert got[2] == ("https://a.com/x", False)
+    assert got[3] == ("https://a.com/x", False)
+    assert got[4] == ("https://a.com/y", True)
