@@ -1356,3 +1356,62 @@ def pca_project(
     )
     projected = fan_out(df.select(id_col, vec_col)).mapInPandas(project, schema)
     return projected, comps, explained
+
+
+def hard_negative_mining(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+    bits_per_table: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    plane_kind: str = "gaussian",
+) -> DataFrame:
+    """Top-k most-cosine-similar corpus rows with a DIFFERENT label
+    per query — the hard-negative mining pass of contrastive / metric
+    / retrieval training-data prep: semantically close but wrong-label
+    examples are the negatives that carry gradient signal (random
+    negatives are trivially separable).
+
+    Output: (query_id, neighbor_id, neighbor_label, cosine_sim, rn).
+
+    Plan shape: the SAME SRP-LSH candidate generation as
+    ``knn_join_lsh`` (bucket equi-joins keyed on (table, bucket) —
+    bounded fan-out, no cross join), then labels attach by id: the
+    query-side label table is bounded by the query batch (broadcast),
+    the corpus-side attach is one id-keyed join of narrow candidate
+    rows against (id, label) — 12-byte rows, never vectors. The
+    label-inequality filter runs BEFORE the top-k window, so
+    same-label rows never occupy negative slots. Recall tuned by
+    ``num_tables`` exactly as for ``knn_join_lsh``."""
+    from pyspark.sql.window import Window
+
+    require_columns(queries, [id_col, vec_col, label_col])
+    require_columns(corpus, [id_col, vec_col, label_col])
+    cand = _lsh_candidate_pairs(
+        queries, corpus, id_col, vec_col, dim, bits_per_table, num_tables, seed,
+        plane_kind,
+    )
+    ql = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("__ql")
+    )
+    cl = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("neighbor_label")
+    )
+    scored = (
+        cand.join(F.broadcast(ql), on="query_id")
+        .join(cl, on="neighbor_id")
+        .filter(F.col("__ql") != F.col("neighbor_label"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine_sim", "rn")
+    )

@@ -1002,6 +1002,36 @@ def q_url_dedup(spark, sf_dir):
 
 
 @register_extra(
+    "media_quarantine",
+    """
+SELECT g.range AS media_id,
+       CASE WHEN g.range % 11 = 0 THEN NULL
+            WHEN g.range % 3 = 0 THEN 'image'
+            WHEN g.range % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS sniffed_kind,
+       (g.range % 11 <> 0 AND g.range % 7 <> 0) AS ok
+FROM generate_series(0, 255) g(range)
+""",
+    "Corrupted-media quarantine (multimodal/binary.py::media_quarantine): sniff "
+    "+ FULL real decode per payload inside a per-row try/except — a decode "
+    "failure costs one quarantine row, never an executor retry storm (the "
+    "production posture for crawled media; one garbage byte range must not "
+    "kill a 40-wide stage). Planted corruption: every 7th payload truncated "
+    "to half (magic intact, decode fails mid-parse — all three codecs are "
+    "truncation-hardened and raise), every 11th with zeroed magic (sniff "
+    "itself fails, kind NULL). The oracle is the planted-corruption "
+    "arithmetic; matching it proves detection is exact in both directions",
+)
+def q_media_quarantine(spark, sf_dir):
+    from dask_datapipeline_spark.multimodal.binary import (
+        media_quarantine,
+        synthetic_corrupt_media,
+    )
+
+    return media_quarantine(synthetic_corrupt_media(spark, n=256))
+
+
+@register_extra(
     "audio_features",
     """
 WITH a AS (
@@ -1243,6 +1273,66 @@ def q_knn_join_lsh(spark, sf_dir):
     emb = load_testdata(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return knn_join_lsh(
+        queries, emb, k=5, bits_per_table=6, num_tables=6, plane_kind="rademacher"
+    )
+
+
+def _hard_negative_oracle_sql(
+    num_tables: int, bits: int, dim: int, k: int, n_queries: int
+) -> str:
+    """Replay hard_negative_mining: the knn_join_lsh bucket replay plus
+    per-side labels and the label-inequality filter before the top-k
+    window."""
+    from dask_datapipeline_spark.operators.similarity import rademacher_planes
+
+    planes = rademacher_planes(num_tables, bits, dim)
+    qb = "\nUNION ALL\n".join(
+        f"SELECT vec_id AS query_id, embedding AS qv, label AS ql, {t} AS t,"
+        f" {_bucket_expr(planes, 'embedding', t)} AS bucket FROM q0"
+        for t in range(num_tables)
+    )
+    cb = "\nUNION ALL\n".join(
+        f"SELECT vec_id AS neighbor_id, embedding AS cv, label AS cl, {t} AS t,"
+        f" {_bucket_expr(planes, 'embedding', t)} AS bucket FROM embeddings"
+        for t in range(num_tables)
+    )
+    cos = _COS_SQL.format(a="qb.qv", b="cb.cv")
+    return f"""
+WITH q0 AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < {n_queries}),
+qb AS ({qb}),
+cb AS ({cb}),
+scored AS (
+  SELECT DISTINCT qb.query_id, cb.neighbor_id,
+         CAST(cb.cl AS INTEGER) AS neighbor_label, {cos} AS cosine_sim
+  FROM qb JOIN cb ON qb.t = cb.t AND qb.bucket = cb.bucket AND qb.ql <> cb.cl
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine_sim, rn FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= {k}
+"""
+
+
+_HNM_QUERIES = 16
+
+
+@register_extra(
+    "hard_negative_mining",
+    _hard_negative_oracle_sql(num_tables=6, bits=6, dim=64, k=5, n_queries=_HNM_QUERIES),
+    "Hard-negative mining for contrastive/retrieval training data "
+    "(operators/similarity.py::hard_negative_mining): per query, the top-5 "
+    "most-cosine-similar corpus vectors with a DIFFERENT label — semantically "
+    "close wrong-label rows are the negatives that carry gradient signal. Same "
+    "SRP-LSH bucket joins as knn_join_lsh; labels attach as narrow id-keyed "
+    "rows and the inequality filter runs before the top-k window, so "
+    "same-label rows never occupy negative slots",
+)
+def q_hard_negative_mining(spark, sf_dir):
+    from dask_datapipeline_spark.operators.similarity import hard_negative_mining
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _HNM_QUERIES)
+    return hard_negative_mining(
         queries, emb, k=5, bits_per_table=6, num_tables=6, plane_kind="rademacher"
     )
 

@@ -168,3 +168,92 @@ def test_url_dedup_min_id_survivor(spark):
     assert got[2] == ("https://a.com/x", False)
     assert got[3] == ("https://a.com/x", False)
     assert got[4] == ("https://a.com/y", True)
+
+
+# ----- hard negative mining ------------------------------------------
+
+
+def test_hard_negatives_exclude_same_label_and_rank_correctly(spark, sf_dir):
+    from dask_datapipeline_spark.operators.similarity import hard_negative_mining
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    queries = emb.where(F.col("vec_id") < 8)
+    out = hard_negative_mining(
+        queries, emb, k=5, bits_per_table=6, num_tables=8, plane_kind="rademacher"
+    ).collect()
+    assert out
+    by_q = {}
+    for r in out:
+        assert labels[r["query_id"]] != r["neighbor_label"]  # never same label
+        assert labels[r["neighbor_id"]] == r["neighbor_label"]
+        by_q.setdefault(r["query_id"], []).append((r["rn"], r["cosine_sim"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        sims = [s for _, s in rows]
+        assert sims == sorted(sims, reverse=True)  # rn follows similarity
+        assert len(rows) <= 5
+
+
+def test_hard_negatives_recall_vs_exact(spark, sf_dir):
+    """With enough tables the LSH negatives must recover most of the
+    exact different-label top-5 (floor well under measured, same
+    policy as the knn recall gates)."""
+    import numpy as np
+
+    from dask_datapipeline_spark.operators.similarity import hard_negative_mining
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    lab = np.array([r[2] for r in rows])
+    o = np.argsort(ids)
+    ids, mat, lab = ids[o], mat[o], lab[o]
+    norms = np.linalg.norm(mat, axis=1)
+
+    n_q, k = 8, 5
+    truth = {}
+    for qi in range(n_q):
+        sims = (mat[qi] @ mat.T) / (norms[qi] * norms)
+        mask = lab != lab[qi]
+        order = np.lexsort((ids, -sims))
+        truth[int(ids[qi])] = set(
+            int(i) for i in ids[order][mask[order]][:k]
+        )
+    got = {}
+    out = hard_negative_mining(
+        emb.where(F.col("vec_id") < n_q), emb, k=k,
+        bits_per_table=6, num_tables=16, plane_kind="rademacher",
+    ).collect()
+    for r in out:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(
+        len(got.get(q, set()) & t) / k for q, t in truth.items()
+    ) / len(truth)
+    assert recall >= 0.5, recall
+
+
+# ----- media quarantine ----------------------------------------------
+
+
+def test_media_quarantine_flags_planted_corruption_exactly(spark):
+    from dask_datapipeline_spark.multimodal.binary import (
+        media_quarantine,
+        synthetic_corrupt_media,
+    )
+
+    out = {
+        r["media_id"]: (r["sniffed_kind"], r["ok"])
+        for r in media_quarantine(synthetic_corrupt_media(spark, n=77)).collect()
+    }
+    assert len(out) == 77
+    kinds = ["image", "audio", "video"]
+    for mid in range(77):
+        kind, ok = out[mid]
+        if mid % 11 == 0:
+            assert kind is None and not ok  # magic gone: sniff fails
+        elif mid % 7 == 0:
+            assert kind == kinds[mid % 3] and not ok  # truncated: decode fails
+        else:
+            assert kind == kinds[mid % 3] and ok

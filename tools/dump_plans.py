@@ -35,8 +35,8 @@ SHOWCASE = [
     ("extra:resample_locf", "per-entity spine explode + left join + last(ignorenulls) fill window — every window/join keyed on the entity, no global window"),
     ("extra:rolling_anomaly", "trailing ROWS frame per entity with exact integer moments; the threshold DECISION is an all-integer inequality inside codegen (no sqrt; the only division in the plan is the emitted hist_mean)"),
     ("embedding_near_dup", "sparse-regime SRP-LSH self-join (driver row since round 6): bucket_cap guard as a BROADCAST semi-join on the bounded (table,bucket) keyspace, then the shuffle_hash bucket join — corpus never re-shuffled for the guard"),
-    ("extra:bucketed_join", "storage-partitioned join: both scans Bucketed: true, SortMergeJoin AND the downstream per-key HashAggregate with ZERO Exchange operators — the write-time shuffle amortized over every later query"),
-    ("extra:image_near_dup", "perceptual image dedup: one shuffle-free Arrow decode+aHash pass; only 24-byte hash rows enter the 4x16-bit pigeonhole banding join"),
+    ("bucketed_join", "storage-partitioned join: both scans Bucketed: true, SortMergeJoin AND the downstream per-key HashAggregate with ZERO Exchange operators — the write-time shuffle amortized over every later query"),
+    ("image_near_dup", "perceptual image dedup: one shuffle-free Arrow decode+aHash pass; only 24-byte hash rows enter the 4x16-bit pigeonhole banding join"),
     ("extra:embedding_moments", "moments pass: ONE keyed exchange above a partial (i,j) HashAggregate — shuffled bytes bounded by d(d+1)/2 rows per partition, corpus size absent from the exchange"),
     ("multimodal_features", "real-codec decode: single mapInPandas over the generated media frame, no joins, no shuffle — featurization is embarrassingly parallel"),
     ("extra:inverted_index", "capped posting lists: per-doc array_distinct dedup inside the row (no (doc,term) distinct exchange), then ONE term-keyed shuffle reused by both the rn-window and the df groupBy"),
