@@ -935,3 +935,131 @@ def media_quarantine(df: DataFrame) -> DataFrame:
     return fan_out(df.select("media_id", "payload")).mapInPandas(
         batches, schema=QUARANTINE_SCHEMA
     )
+
+
+# ----- video fingerprint / near-dup ---------------------------------
+
+VIDEO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("vfp_hi", T.LongType()),
+        T.StructField("vfp_lo", T.LongType()),
+    ]
+)
+
+
+def synthetic_video_variants(spark, n_groups: int = 48, variants: int = 4) -> DataFrame:
+    """Deterministic video corpus WITH planted near-duplicates:
+    ``n_groups`` base clips, each emitted ``variants`` times with the
+    red channel of EVERY frame brightened by the variant index (mod
+    256) — the re-encode/color-shift duplicate class.
+    ``media_id = group * variants + v``; frames are
+    ``_frame_pixels(group, f)`` with ``r -> (r + v) % 256``, encoded
+    as real uncompressed-DIB AVI payloads executor-side."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                grp, v = divmod(mid, variants)
+                w, h, nf = video_dims(grp)
+                frames = []
+                for f in range(nf):
+                    px = _frame_pixels(grp, f, w, h).astype(np.int64)
+                    px[:, :, 0] = (px[:, :, 0] + v) % 256
+                    frames.append(px.astype(np.uint8))
+                out.append(
+                    {
+                        "media_id": mid,
+                        "payload": encode_avi(frames),
+                        "meta": {
+                            "kind": "video",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": nf * 1000 // VIDEO_FPS,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        spark.range(n_groups * variants)
+        .select(F.col("id").alias("media_id"))
+        .mapInPandas(gen, schema=MEDIA_SCHEMA)
+    )
+
+
+def video_fingerprint(df: DataFrame) -> DataFrame:
+    """64-bit spatio-temporal hash per decoded video clip, as two
+    uint32 halves: the ``image_ahash`` 8x8 grid test applied to the
+    PER-POSITION gray totals summed over ALL frames — a clip-level
+    average-frame aHash (frame count cancels out of the mean
+    comparison, so clips of different lengths hash comparably).
+
+    Exact integers throughout: cell of sample (x, y, f) depends only
+    on (x*8//w, y*8//h); bit k tests
+    ``cell_sum * (w*h*nf) > total_sum * cell_n`` with
+    ``cell_n = positions_in_cell * nf``. One Arrow pass over
+    video-kind rows, full real AVI decode, no shuffle. Clips smaller
+    than 8x8 are rejected (degenerate grid)."""
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _fps, frames = decode_avi(bytes(payload))
+                if not frames:
+                    raise ValueError(f"empty video (media_id={int(mid)})")
+                h, w = frames[0].shape[0], frames[0].shape[1]
+                if w < 8 or h < 8:
+                    raise ValueError(
+                        f"video_fingerprint needs >=8x8 frames, got {w}x{h} "
+                        f"(media_id={int(mid)})"
+                    )
+                nf = len(frames)
+                gray = np.zeros((h, w), dtype=np.int64)
+                for fr in frames:
+                    gray += fr.astype(np.int64).sum(axis=2)
+                cell = (
+                    (np.arange(h, dtype=np.int64) * 8 // h)[:, None] * 8
+                    + (np.arange(w, dtype=np.int64) * 8 // w)[None, :]
+                )
+                csum = np.zeros(64, dtype=np.int64)
+                np.add.at(csum, cell.reshape(-1), gray.reshape(-1))
+                cn = np.bincount(cell.reshape(-1), minlength=64).astype(np.int64) * nf
+                bits = (csum * (w * h * nf)) > (int(gray.sum()) * cn)
+                v = int((bits.astype(np.uint64) << shifts).sum())
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "vfp_hi": (v >> 32) & 0xFFFFFFFF,
+                        "vfp_lo": v & 0xFFFFFFFF,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in VIDEO_FP_SCHEMA.fields]
+            )
+
+    from dask_datapipeline_spark.parallel import fan_out
+
+    return fan_out(
+        df.filter(F.col("meta.kind") == "video").select("media_id", "payload")
+    ).mapInPandas(batches, schema=VIDEO_FP_SCHEMA)
+
+
+def video_near_dup_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Video near-duplicate pairs: ``video_fingerprint`` composed with
+    the shared 4x16-bit pigeonhole Hamming banding join — the fourth
+    modality (text SimHash, image aHash, audio energy profile, video
+    average-frame hash) on ONE banding operator. Output:
+    (id_a, id_b, hamming) with id_a < id_b."""
+    from pyspark.storagelevel import StorageLevel
+
+    from dask_datapipeline_spark.operators.dedup import hamming_band_pairs
+
+    sig = video_fingerprint(df).persist(StorageLevel.MEMORY_AND_DISK)
+    return hamming_band_pairs(
+        sig, "media_id", "vfp_hi", "vfp_lo", max_hamming=max_hamming
+    )

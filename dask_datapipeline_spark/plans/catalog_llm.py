@@ -933,6 +933,83 @@ def q_audio_near_dup(spark, sf_dir):
     )
 
 
+def _video_near_dup_oracle_sql(n_groups: int, variants: int, max_hamming: int) -> str:
+    return f"""
+WITH m AS (
+  SELECT g.range * {variants} + v.range AS media_id, g.range AS grp, v.range AS v,
+         8 + g.range % 8 AS w, 8 + g.range % 8 AS h, 2 + g.range % 4 AS nf
+  FROM generate_series(0, {n_groups - 1}) g(range),
+       generate_series(0, {variants - 1}) v(range)
+),
+mf AS (SELECT media_id, grp, v, w, h, nf, unnest(range(0, nf)) AS f FROM m),
+mx AS (SELECT media_id, grp, v, w, h, nf, f, unnest(range(0, w)) AS x FROM mf),
+mxy AS (SELECT media_id, grp, v, w, h, nf, f, x, unnest(range(0, h)) AS y FROM mx),
+px AS (
+  SELECT media_id, w, h, nf, (x*8)//w AS cx, (y*8)//h AS cy,
+         (7*grp + 3*x + 5*y + 11*f + v) % 256
+       + (11*grp + 5*x + 7*y + 13*f) % 256
+       + (13*grp + 7*x + 11*y + 17*f) % 256 AS gray
+  FROM mxy
+),
+cells AS (
+  SELECT media_id, w, h, nf, cy*8+cx AS k, SUM(gray) AS csum, COUNT(*) AS cn
+  FROM px GROUP BY media_id, w, h, nf, cy*8+cx
+),
+tot AS (SELECT media_id, SUM(csum) AS ts FROM cells GROUP BY media_id),
+bits AS (
+  SELECT c.media_id, c.k,
+         CASE WHEN c.csum * (c.w*c.h*c.nf) > t.ts * c.cn THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tot t USING (media_id)
+),
+hashes AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k-32)) ELSE 0 END) AS BIGINT) AS vfp_hi,
+         CAST(SUM(CASE WHEN k < 32 THEN bit * (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS vfp_lo
+  FROM bits GROUP BY media_id
+),
+sides AS (
+  SELECT media_id, vfp_hi, vfp_lo, i.range AS i,
+         CASE i.range WHEN 0 THEN vfp_hi >> 16 WHEN 1 THEN vfp_hi & 65535
+                      WHEN 2 THEN vfp_lo >> 16 ELSE vfp_lo & 65535 END AS chunk
+  FROM hashes, generate_series(0, 3) i(range)
+),
+pairs AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         bit_count(xor(a.vfp_hi, b.vfp_hi))
+       + bit_count(xor(a.vfp_lo, b.vfp_lo)) AS hamming
+  FROM sides a JOIN sides b
+    ON a.i = b.i AND a.chunk = b.chunk AND a.media_id < b.media_id
+)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+@register_extra(
+    "video_near_dup",
+    _video_near_dup_oracle_sql(_IMG_ND_GROUPS, _IMG_ND_VARIANTS, _IMG_ND_MAXH),
+    "Video near-duplicate pairs (multimodal/binary.py::video_near_dup_pairs): "
+    "clip-level average-frame aHash over REAL decoded AVI frames (per-position "
+    "gray totals summed across frames — frame count cancels from the mean "
+    "test, so different-length clips hash comparably) + the shared 4x16-bit "
+    "pigeonhole Hamming banding join. Planted color-shift variants; the oracle "
+    "recomputes every hash from the pixel formula. Fourth modality (text/"
+    "image/audio/video) on ONE banding operator",
+)
+def q_video_near_dup(spark, sf_dir):
+    from dask_datapipeline_spark.multimodal.binary import (
+        synthetic_video_variants,
+        video_near_dup_pairs,
+    )
+
+    return video_near_dup_pairs(
+        synthetic_video_variants(
+            spark, n_groups=_IMG_ND_GROUPS, variants=_IMG_ND_VARIANTS
+        ),
+        max_hamming=_IMG_ND_MAXH,
+    )
+
+
 # ----- URL canonicalization + URL-level dedup ------------------------
 
 #: deterministic messy-URL construction shared by both engines: mixed

@@ -417,3 +417,40 @@ def test_audio_near_dup_banding_is_exact_and_finds_planted(spark):
 
     same_group = {(a, b) for a, b in exact if a // variants == b // variants}
     assert len(same_group) == n_groups * variants * (variants - 1) // 2  # all planted
+
+
+def test_video_near_dup_banding_is_exact_and_finds_planted(spark):
+    """Video twin of the image/audio pins: banded pairs == exact
+    all-pairs Hamming<=3 over the same clip fingerprints, planted
+    color-shift variants mostly caught (tiny 8-15px frames collide
+    more than images, so the floor is 0.9, not 1.0)."""
+    from dask_datapipeline_spark.multimodal.binary import (
+        synthetic_video_variants,
+        video_fingerprint,
+        video_near_dup_pairs,
+    )
+
+    n_groups, variants, max_h = 48, 4, 3
+    media = synthetic_video_variants(spark, n_groups=n_groups, variants=variants)
+    hashes = {
+        r["media_id"]: (r["vfp_hi"] << 32) | r["vfp_lo"]
+        for r in video_fingerprint(media).collect()
+    }
+    assert len(hashes) == n_groups * variants
+
+    ids = sorted(hashes)
+    exact = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= max_h
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in video_near_dup_pairs(media, max_hamming=max_h).collect()
+    }
+    assert banded == exact
+
+    same_group = {(a, b) for a, b in exact if a // variants == b // variants}
+    planted = n_groups * variants * (variants - 1) // 2
+    assert len(same_group) / planted >= 0.9
