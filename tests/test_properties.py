@@ -1168,3 +1168,89 @@ def test_pagerank_matches_python_power_iteration(spark, n_nodes, raw_edges):
         rank = {u: base + damping * float(sums[u]) for u in nodes}
     want = {u: (deg.get(u, 0), rank[u]) for u in nodes}
     assert got == want
+
+
+@given(
+    w=st.integers(min_value=8, max_value=24),
+    h=st.integers(min_value=8, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_image_ahash_matches_python_model_through_codec(spark, w, h, seed):
+    """encode_bmp → Spark image_ahash == an independent pure-Python
+    aHash over the SAME pixels, for random images — pins the codec
+    round-trip AND the integer cell-mean arithmetic together (a
+    one-byte layout bug or a float sneaking into the mean test breaks
+    this)."""
+    import numpy as np
+    import pandas as pd
+
+    from dask_datapipeline_spark.multimodal.binary import encode_bmp, image_ahash
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [0],
+                "payload": [encode_bmp(px)],
+                "meta": [{"kind": "image", "width": w, "height": h, "duration_ms": 0}],
+            }
+        )
+    )
+    row = image_ahash(df).collect()[0]
+    got = (row["ahash_hi"] << 32) | row["ahash_lo"]
+
+    # independent model: per-cell integer sums, exact cross-multiply
+    want = 0
+    gray = px.astype(int).sum(axis=2)
+    total = int(gray.sum())
+    for k in range(64):
+        cy, cx = divmod(k, 8)
+        ys = [y for y in range(h) if y * 8 // h == cy]
+        xs = [x for x in range(w) if x * 8 // w == cx]
+        csum = sum(int(gray[y][x]) for y in ys for x in xs)
+        if csum * (w * h) > total * (len(ys) * len(xs)):
+            want |= 1 << k
+    assert got == want
+
+
+@given(
+    n=st.integers(min_value=64, max_value=400),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_audio_fingerprint_matches_python_model_through_codec(spark, n, seed):
+    """encode_wav → Spark audio_fingerprint == independent pure-Python
+    frame-energy hash over the same random samples."""
+    import numpy as np
+    import pandas as pd
+
+    from dask_datapipeline_spark.multimodal.binary import (
+        audio_fingerprint,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=n, dtype=np.int64).astype(np.int16)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [0],
+                "payload": [encode_wav(samples)],
+                "meta": [{"kind": "audio", "width": 0, "height": 0, "duration_ms": 0}],
+            }
+        )
+    )
+    row = audio_fingerprint(df).collect()[0]
+    got = (row["afp_hi"] << 32) | row["afp_lo"]
+
+    a = [abs(int(s)) for s in samples]
+    total = sum(a)
+    want = 0
+    for k in range(64):
+        ts = [t for t in range(n) if t * 64 // n == k]
+        fs = sum(a[t] for t in ts)
+        if fs * n > total * len(ts):
+            want |= 1 << k
+    assert got == want
