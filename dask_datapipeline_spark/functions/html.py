@@ -1,0 +1,89 @@
+"""HTML → text extraction (beyond-reference LLM-pipeline surface;
+SURVEY.md §2.2 text curation).
+
+The step every RefinedWeb/FineWeb-style web corpus runs before ANY
+text operator: strip markup from crawled pages so language-ID,
+quality scoring, fingerprinting and shingling see prose, not tags.
+This is the regex-tier extractor (script/style drop, comment drop,
+tag strip, entity decode, whitespace collapse) — the same tier
+trafilatura/justext callers fall back to at scale when a DOM parse
+per document is too expensive; readability-grade main-content
+extraction is a Pandas-UDF concern, deliberately out of scope here.
+
+Same engine-portability discipline as ``functions/urls.py``: every
+pattern is shared as ONE Python constant between the Spark Column
+builder and the DuckDB SQL builder, avoids engine-divergent regex
+features (no backreferences — RE2 has none, which is why script and
+style blocks get separate patterns instead of ``</\\1>``), and entity
+decoding uses LITERAL replace in both engines. DuckDB's
+``regexp_replace`` is first-match-only by default, so the SQL builder
+passes the ``'g'`` flag everywhere (Spark's is always global).
+
+Decode order matters: ``&amp;`` is decoded LAST so ``&amp;lt;``
+yields the literal text ``&lt;`` (single decode), never ``<``.
+Entities are decoded AFTER tag stripping, so a decoded ``&lt;div&gt;``
+remains visible text — the standard order.
+
+Scale: pure codegen string expressions, zero shuffles, zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: dropped WITH their content ((?is): tags are case-insensitive, blocks
+#: span lines; non-greedy so adjacent blocks don't merge). An unclosed
+#: block keeps its content (tags still stripped below) — deterministic
+#: in both engines.
+SCRIPT_BLOCK_RE = r"(?is)<script[^>]*>.*?</script\s*>"
+STYLE_BLOCK_RE = r"(?is)<style[^>]*>.*?</style\s*>"
+COMMENT_RE = r"(?s)<!--.*?-->"
+#: any remaining tag, replaced by a SPACE so '</td><td>' never glues
+#: two words together
+TAG_RE = r"(?s)</?[a-zA-Z!][^>]*>"
+WHITESPACE_RE = r"\s+"
+
+#: literal entity decodes, applied in ORDER (``&amp;`` last — module
+#: docstring); the long tail of named entities stays verbatim, which
+#: is deterministic and honest about what a regex tier can do
+ENTITY_DECODES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(col: Column) -> Column:
+    """Extracted plain text of an HTML column (module docstring
+    steps); NULL in → NULL out."""
+    x = F.regexp_replace(col, SCRIPT_BLOCK_RE, " ")
+    x = F.regexp_replace(x, STYLE_BLOCK_RE, " ")
+    x = F.regexp_replace(x, COMMENT_RE, " ")
+    x = F.regexp_replace(x, TAG_RE, " ")
+    for src, dst in ENTITY_DECODES:
+        x = F.replace(x, F.lit(src), F.lit(dst))
+    return F.trim(F.regexp_replace(x, WHITESPACE_RE, " "))
+
+
+def html_to_text_sql_steps(expr: str) -> str:
+    """DuckDB replay of ``html_to_text`` over ``expr`` — shared by
+    oracle builders so the two pipelines cannot drift. Patterns embed
+    VERBATIM (DuckDB standard strings don't process backslashes; RE2
+    gets the same bytes Java does); ``'g'`` makes RE2's replace global
+    like Spark's."""
+
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
+    x = f"regexp_replace({expr}, '{_q(SCRIPT_BLOCK_RE)}', ' ', 'g')"
+    x = f"regexp_replace({x}, '{_q(STYLE_BLOCK_RE)}', ' ', 'g')"
+    x = f"regexp_replace({x}, '{_q(COMMENT_RE)}', ' ', 'g')"
+    x = f"regexp_replace({x}, '{_q(TAG_RE)}', ' ', 'g')"
+    for src, dst in ENTITY_DECODES:
+        x = f"replace({x}, '{_q(src)}', '{_q(dst)}')"
+    return f"trim(regexp_replace({x}, '{_q(WHITESPACE_RE)}', ' ', 'g'))"

@@ -19,8 +19,10 @@ once, so first-match vs global replace semantics agree):
    ``utm_*`` / ``ref`` / ``fbclid`` / ``gclid`` params is dropped;
    a query with any other param is kept verbatim (conservative —
    real param-level filtering needs a param allowlist, same shape)
-4. lowercase the scheme+host (DNS is case-insensitive; paths are not
-   and keep their case)
+4. lowercase the scheme+host (scheme and DNS host are both
+   case-insensitive — the match itself is ``(?i)`` so ``HTTPS://Host``
+   canonicalizes like ``https://host``; paths are not and keep their
+   case)
 5. strip one trailing slash
 
 Scale: pure codegen string expressions, zero shuffles; the dedup adds
@@ -38,6 +40,14 @@ TRACKING_QUERY_RE = (
     r"(&(utm_[a-zA-Z]+|ref|fbclid|gclid)=[^&#]*)*$"
 )
 
+#: scheme+host extract / strip for step 4 — (?i) because the SCHEME is
+#: case-insensitive too ('HTTPS://Host/x' must canonicalize like
+#: 'https://host/x'); both Java regex and RE2 accept the inline flag.
+#: ONE constant pair shared with the SQL builder so the engines cannot
+#: drift.
+SCHEME_HOST_EXTRACT_RE = r"^((?i)https?://[^/]*)"
+SCHEME_HOST_STRIP_RE = r"^(?i)https?://[^/]*"
+
 
 def canonical_url(col: Column) -> Column:
     """Canonical form of a URL column (module docstring steps)."""
@@ -45,8 +55,8 @@ def canonical_url(col: Column) -> Column:
     x = F.regexp_replace(x, "#.*", "")
     x = F.regexp_replace(x, TRACKING_QUERY_RE, "")
     x = F.concat(
-        F.lower(F.regexp_extract(x, "^(https?://[^/]*)", 1)),
-        F.regexp_replace(x, "^https?://[^/]*", ""),
+        F.lower(F.regexp_extract(x, SCHEME_HOST_EXTRACT_RE, 1)),
+        F.regexp_replace(x, SCHEME_HOST_STRIP_RE, ""),
     )
     return F.regexp_replace(x, "/$", "")
 
@@ -82,7 +92,7 @@ def canonical_url_sql_steps(expr: str) -> str:
     # literal backslash)
     x = f"regexp_replace({x}, '{TRACKING_QUERY_RE}', '')"
     x = (
-        f"(lower(regexp_extract({x}, '^(https?://[^/]*)', 1)) || "
-        f"regexp_replace({x}, '^https?://[^/]*', ''))"
+        f"(lower(regexp_extract({x}, '{SCHEME_HOST_EXTRACT_RE}', 1)) || "
+        f"regexp_replace({x}, '{SCHEME_HOST_STRIP_RE}', ''))"
     )
     return f"regexp_replace({x}, '/$', '')"

@@ -135,8 +135,14 @@ def table_diff(
     the unique-per-side contract — matches its counterpart and
     compares, instead of never joining and being misreported as one
     'added' plus one 'removed'. Side presence is detected via per-side
-    marker columns, never key nullness. Both sides bucketed by the key
-    makes the join exchange-free. Output: key columns +
+    marker columns, never key nullness. NOTE the null-safe keys COST
+    the bucketed-table exchange elision: ``<=>`` compiles to
+    ``coalesce(k, 0)/isnull(k)`` expressions (verified in the executed
+    plan), which do not match a bucketed HashPartitioning on the raw
+    column, so both Exchanges are reinserted even over bucketed
+    snapshots — when both snapshots are bucketed AND the key is proven
+    non-null, diff with plain equality keys (exchange-free) and union
+    the NULL-key slice separately. Output: key columns +
     ``diff_status``. Keys must be unique per side (the usual snapshot
     contract); a duplicated key produces the full-outer row
     multiplication the inputs imply, surfacing the contract violation

@@ -18,6 +18,14 @@ Index layout under ``<path>/``:
 - ``_META``        — json of the build parameters; read back at query
   time so a batch can never be scored against an index built with
   different hashing parameters
+- ``_CURRENT``     — json MANIFEST of the live state: the active base
+  dir pair and the committed increment tags. Every mutation commits by
+  atomically rewriting this one file (temp + rename), so readers see
+  either the whole old state or the whole new state — an increment or
+  compacted base whose dirs exist but which the manifest does not
+  reference is invisible garbage, which is what makes append replay
+  and mid-compaction crashes safe (see ``append_to_minhash_index`` /
+  ``compact_minhash_index``).
 
 The document-frequency cap is FROZEN at build time: a batch's
 shingles are capped against the corpus's hot-hash set, not against a
@@ -32,6 +40,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -95,32 +105,73 @@ def build_minhash_index(
     }
     with open(os.path.join(path, "_META"), "w") as f:
         json.dump(meta, f)
+    _write_manifest(
+        path, {"shingles": "shingles", "signatures": "signatures", "inc": []}
+    )
     return meta
+
+
+def _manifest_path(index_path: str) -> str:
+    return os.path.join(index_path, "_CURRENT")
+
+
+def _write_manifest(index_path: str, manifest: dict) -> None:
+    """Atomically commit the live-state manifest: write a temp file in
+    the same directory, then rename over ``_CURRENT`` (rename within a
+    directory is atomic on POSIX; on an object store the equivalent is
+    a conditional PUT of the manifest key)."""
+    tmp = _manifest_path(index_path) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, _manifest_path(index_path))
+
+
+def _read_manifest(index_path: str) -> dict:
+    """Live-state manifest; falls back to directory listing for an
+    index written before ``_CURRENT`` existed — skipping dot-prefixed
+    temp dirs and any increment missing either parquet dir (a partial
+    left by a pre-manifest crash; its replay overwrites it whole)."""
+    mp = _manifest_path(index_path)
+    if os.path.isfile(mp):
+        with open(mp) as f:
+            return json.load(f)
+    inc_root = os.path.join(index_path, "inc")
+    tags = []
+    if os.path.isdir(inc_root):
+        for tag in sorted(os.listdir(inc_root)):
+            if tag.startswith("."):
+                continue
+            if os.path.isdir(os.path.join(inc_root, tag, "shingles")) and os.path.isdir(
+                os.path.join(inc_root, tag, "signatures")
+            ):
+                tags.append(tag)
+    return {"shingles": "shingles", "signatures": "signatures", "inc": tags}
 
 
 def read_minhash_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
     """(shingles, signatures, hot_hashes, meta) from a built index —
-    the base build UNIONed with every increment appended by
-    ``append_to_minhash_index`` (sorted tag order; each increment is
-    one parquet dir pair, so the union is scan-only). A long-running
-    ingest should periodically re-run ``build_minhash_index`` over the
-    full corpus to compact the increment list back to one table (the
-    standard base+delta compaction cycle)."""
+    the live base UNIONed with every COMMITTED increment (manifest
+    order; each increment is one parquet dir pair, so the union is
+    scan-only). Only dirs the ``_CURRENT`` manifest references are
+    read: a half-written increment or an in-progress compaction stage
+    is invisible. ``compact_minhash_index`` folds the increment list
+    back into one base pair when it grows long (the standard
+    base+delta compaction cycle)."""
     with open(os.path.join(path, "_META")) as f:
         meta = json.load(f)
-    sh = spark.read.parquet(os.path.join(path, "shingles"))
-    sig = spark.read.parquet(os.path.join(path, "signatures"))
+    cur = _read_manifest(path)
+    sh = spark.read.parquet(os.path.join(path, cur["shingles"]))
+    sig = spark.read.parquet(os.path.join(path, cur["signatures"]))
     inc_root = os.path.join(path, "inc")
-    if os.path.isdir(inc_root):
-        for tag in sorted(os.listdir(inc_root)):
-            sh = sh.unionByName(
-                spark.read.parquet(os.path.join(inc_root, tag, "shingles"))
-            )
-            sig = sig.unionByName(
-                spark.read.parquet(os.path.join(inc_root, tag, "signatures"))
-            )
+    for tag in cur["inc"]:
+        sh = sh.unionByName(
+            spark.read.parquet(os.path.join(inc_root, tag, "shingles"))
+        )
+        sig = sig.unionByName(
+            spark.read.parquet(os.path.join(inc_root, tag, "signatures"))
+        )
     return (
         sh,
         sig,
@@ -139,17 +190,32 @@ def append_to_minhash_index(
     later batches dedup against it, with the corpus still never
     re-shingled.
 
-    IDEMPOTENT per tag (mode=overwrite of the increment dirs), so an
-    at-least-once caller — a Structured Streaming ``foreachBatch``
-    keyed by batch_id — can replay a failed batch without duplicating
-    index rows. The document-frequency cap stays FROZEN: batch
-    shingles are capped against the build-time hot-hash set only
+    ATOMIC and IDEMPOTENT per tag: both parquet dirs are written into
+    a dot-prefixed temp dir, renamed whole onto ``inc/<tag>``, and
+    only then committed by adding the tag to the ``_CURRENT``
+    manifest (one atomic rename) — so an at-least-once caller — a
+    Structured Streaming ``foreachBatch`` keyed by batch_id — can
+    replay a failed batch without duplicating index rows, and a crash
+    at ANY point (between the two parquet writes, before the dir
+    rename, before the manifest commit) leaves only unreferenced
+    garbage that the replay overwrites; readers never see a partial
+    increment (ADVICE r6). The document-frequency cap stays FROZEN:
+    batch shingles are capped against the build-time hot-hash set only
     (module docstring semantics)."""
     from pyspark.storagelevel import StorageLevel
 
     spark = batch.sparkSession
     with open(os.path.join(index_path, "_META")) as f:
         meta = json.load(f)
+    inc_root = os.path.join(index_path, "inc")
+    final = os.path.join(inc_root, batch_tag)
+    cur = _read_manifest(index_path)
+    if batch_tag in cur["inc"] and os.path.isdir(final):
+        # already committed: a foreachBatch replay carries the SAME
+        # rows for the same batch_id, and the frozen hot-hash cap makes
+        # the staged content deterministic — pure no-op, so a
+        # manifest-referenced dir is never touched
+        return
     hot = spark.read.parquet(os.path.join(index_path, "hot_hashes"))
     b_sh = (
         hashed_shingles(batch, meta["id_col"], text_col, meta["shingle_n"])
@@ -157,13 +223,86 @@ def append_to_minhash_index(
         .join(hot, on="__h", how="left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    inc = os.path.join(index_path, "inc", batch_tag)
-    b_sh.write.mode("overwrite").parquet(os.path.join(inc, "shingles"))
-    sh_back = spark.read.parquet(os.path.join(inc, "shingles"))
+    os.makedirs(inc_root, exist_ok=True)
+    tmp = os.path.join(inc_root, f".tmp-{batch_tag}-{uuid.uuid4().hex[:8]}")
+    b_sh.write.mode("overwrite").parquet(os.path.join(tmp, "shingles"))
+    sh_back = spark.read.parquet(os.path.join(tmp, "shingles"))
     _signatures_from_hashed(sh_back, meta["id_col"], meta["num_hashes"]).write.mode(
         "overwrite"
-    ).parquet(os.path.join(inc, "signatures"))
+    ).parquet(os.path.join(tmp, "signatures"))
     b_sh.unpersist()
+    if os.path.isdir(final):  # staged by a crashed run but never committed
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+    if batch_tag not in cur["inc"]:
+        cur["inc"] = sorted(cur["inc"] + [batch_tag])
+        _write_manifest(index_path, cur)
+
+
+def compact_minhash_index(spark: SparkSession, index_path: str) -> dict:
+    """Fold the committed increment list back into ONE base dir pair —
+    the compaction step of the base+delta cycle docs/SCALE.md promises
+    for a long-running incremental ingest, whose increment list
+    otherwise grows without bound (one dir pair per micro-batch;
+    thousands of tiny files = per-scan open/footer cost and driver
+    listing memory).
+
+    The merged tables are the VERBATIM union of base + increments —
+    the exact frames ``read_minhash_index`` was already returning — so
+    ``incremental_near_dup_flags`` output is identical before and
+    after (pinned by ``tests/test_streaming.py``); no dedup, no
+    re-signing, no cap recompute (the df cap stays frozen until a full
+    ``build_minhash_index`` reindex).
+
+    Crash safety (same manifest-flip discipline as append): the union
+    is written to NEW versioned dirs ``shingles-v<k>``/
+    ``signatures-v<k>``, then ONE atomic ``_CURRENT`` rewrite makes
+    them live with an empty increment list; only then are the old base
+    and consumed increment dirs deleted. A crash before the flip
+    leaves the old state fully live (stage dirs are unreferenced
+    garbage, removed by the next compaction); a crash after the flip
+    leaves the new state fully live (old dirs are garbage likewise).
+    At no point can a reader see increment rows twice or not at all.
+    SINGLE-WRITER contract (same as append): compaction runs between
+    micro-batches, never concurrently with an append — a tag committed
+    after the manifest snapshot here would be erased by the flip.
+    Returns the new manifest."""
+    cur = _read_manifest(index_path)
+    base_sh = cur["shingles"]
+    ver = int(base_sh.rsplit("-v", 1)[1]) if "-v" in base_sh else 0
+    new_sh, new_sig = f"shingles-v{ver + 1}", f"signatures-v{ver + 1}"
+
+    # clear stage dirs a crashed previous compaction may have left
+    for d in os.listdir(index_path):
+        if (
+            (d.startswith("shingles-v") or d.startswith("signatures-v"))
+            and d not in (cur["shingles"], cur["signatures"])
+        ):
+            shutil.rmtree(os.path.join(index_path, d))
+
+    sh = spark.read.parquet(os.path.join(index_path, cur["shingles"]))
+    sig = spark.read.parquet(os.path.join(index_path, cur["signatures"]))
+    inc_root = os.path.join(index_path, "inc")
+    for tag in cur["inc"]:
+        sh = sh.unionByName(
+            spark.read.parquet(os.path.join(inc_root, tag, "shingles"))
+        )
+        sig = sig.unionByName(
+            spark.read.parquet(os.path.join(inc_root, tag, "signatures"))
+        )
+    sh.write.parquet(os.path.join(index_path, new_sh))
+    sig.write.parquet(os.path.join(index_path, new_sig))
+
+    new_cur = {"shingles": new_sh, "signatures": new_sig, "inc": []}
+    _write_manifest(index_path, new_cur)  # the atomic commit point
+
+    # post-flip garbage collection (best-effort; next compaction sweeps
+    # anything a crash strands here)
+    shutil.rmtree(os.path.join(index_path, cur["shingles"]))
+    shutil.rmtree(os.path.join(index_path, cur["signatures"]))
+    for tag in cur["inc"]:
+        shutil.rmtree(os.path.join(inc_root, tag), ignore_errors=True)
+    return new_cur
 
 
 def incremental_near_dup_flags(

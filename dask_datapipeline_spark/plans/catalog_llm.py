@@ -1016,7 +1016,7 @@ def q_video_near_dup(spark, sf_dir):
 #: host case, trailing slashes, tracking-only queries (dropped), a real
 #: query (kept), fragments — doc_id % 40 folds docs onto shared paths
 #: so canonical groups are non-trivial.
-_RAW_URL_SQL = """'https://' ||
+_RAW_URL_SQL = """CASE WHEN doc_id % 17 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
   CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END ||
   source || '.Example.COM/articles/' || CAST(doc_id % 40 AS VARCHAR) ||
   CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
@@ -1058,24 +1058,101 @@ def q_url_dedup(spark, sf_dir):
     from dask_datapipeline_spark.functions.urls import url_dedup
 
     docs = load_testdata(spark, sf_dir, "documents")
-    d = F.col("doc_id")
-    raw = docs.select(
-        "doc_id",
-        F.concat(
-            F.lit("https://"),
-            F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
-            F.col("source"),
-            F.lit(".Example.COM/articles/"),
-            (d % 40).cast("string"),
-            F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
-            F.when(d % 5 == 0, F.lit("?utm_source=feed&utm_campaign=x"))
-            .when(d % 7 == 0, F.lit("?ref=home"))
-            .when(d % 13 == 0, F.lit("?page=2"))
-            .otherwise(F.lit("")),
-            F.when(d % 11 == 0, F.lit("#section-2")).otherwise(F.lit("")),
-        ).alias("url"),
-    )
+    raw = docs.select("doc_id", _raw_url_col())
     return url_dedup(raw, "url")
+
+
+def _raw_url_col():
+    """Spark twin of ``_RAW_URL_SQL`` (shared by url_dedup and
+    web_corpus_clean)."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.when(d % 17 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+        F.col("source"),
+        F.lit(".Example.COM/articles/"),
+        (d % 40).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("?utm_source=feed&utm_campaign=x"))
+        .when(d % 7 == 0, F.lit("?ref=home"))
+        .when(d % 13 == 0, F.lit("?page=2"))
+        .otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    ).alias("url")
+
+
+# ----- HTML -> text extraction ----------------------------------------
+
+#: deterministic HTML-ification of documents.text shared by both
+#: engines: title text kept, style + comment + (mod-4) script blocks
+#: dropped WITH content, entities (&amp; &lt; &gt; &nbsp;) decoded,
+#: unknown entity (&copy;) kept verbatim, tag boundaries become spaces
+_RAW_HTML_SQL = """'<html><head><title>Doc ' || doc_id || '</title>' ||
+  '<style type="text/css">p { color: #333; }</style></head><body>' ||
+  '<!-- crawl-id=' || doc_id || ' -->' ||
+  CASE WHEN doc_id % 4 = 0
+       THEN '<script>if (a &lt; b) { track("x"); }</script>' ELSE '' END ||
+  '<h1>Terms &amp; Conditions</h1><P class="lead">' || text || '</P>' ||
+  CASE WHEN doc_id % 3 = 0
+       THEN '<br><div>&copy; 2024 A&amp;B &lt;contact&gt;&nbsp;ok</div>'
+       ELSE '' END ||
+  '</body></html>'"""
+
+
+def _raw_html_col():
+    """Spark twin of ``_RAW_HTML_SQL``."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        d.cast("string"),
+        F.lit('</title><style type="text/css">p { color: #333; }</style>'
+              "</head><body><!-- crawl-id="),
+        d.cast("string"),
+        F.lit(" -->"),
+        F.when(
+            d % 4 == 0,
+            F.lit('<script>if (a &lt; b) { track("x"); }</script>'),
+        ).otherwise(F.lit("")),
+        F.lit('<h1>Terms &amp; Conditions</h1><P class="lead">'),
+        F.col("text"),
+        F.lit("</P>"),
+        F.when(
+            d % 3 == 0,
+            F.lit("<br><div>&copy; 2024 A&amp;B &lt;contact&gt;&nbsp;ok</div>"),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    ).alias("html")
+
+
+def _html_extract_oracle_sql() -> str:
+    from dask_datapipeline_spark.functions.html import html_to_text_sql_steps
+
+    return f"""
+WITH rawdocs AS (
+  SELECT doc_id, {_RAW_HTML_SQL} AS html FROM documents
+)
+SELECT doc_id, {html_to_text_sql_steps('html')} AS text
+FROM rawdocs
+"""
+
+
+@register_extra(
+    "html_extract",
+    _html_extract_oracle_sql(),
+    "HTML -> text extraction (functions/html.py) — the stage every RefinedWeb/"
+    "FineWeb-style corpus runs before any text operator: drop script/style blocks "
+    "with their content, drop comments, strip tags to spaces, decode the core "
+    "entities (&amp; last, so &amp;lt; single-decodes), collapse whitespace. Pure "
+    "codegen regex + literal replace, zero shuffles; patterns shared as Python "
+    "constants with the RE2 oracle so the engines cannot drift",
+)
+def q_html_extract(spark, sf_dir):
+    from dask_datapipeline_spark.functions.html import html_to_text
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", html_to_text(_raw_html_col()).alias("text")
+    )
 
 
 @register_extra(
@@ -1482,17 +1559,19 @@ def _lang_case_and_scores() -> tuple[str, list[str], str]:
     return case, score_cols, hit.format(markers=en_markers)
 
 
-def _lang_ctes_and_exprs() -> tuple[str, str, str]:
+def _lang_ctes_and_exprs(src: str = "documents") -> tuple[str, str, str]:
     """Single source for the lang/quality SQL mirror: (base+scored CTE
-    body over ``documents``, lang_pred expression, quality expression)
-    — composed by BOTH the driver-facing text_stats oracle and the
-    extra lang_quality oracle, so the two can never drift apart."""
+    body over ``src`` — ``documents`` or an upstream CTE exposing
+    (doc_id, text, lang), e.g. web_corpus_clean's extracted pages —
+    lang_pred expression, quality expression) — composed by BOTH the
+    driver-facing text_stats oracle and the extra lang_quality oracle,
+    so the two can never drift apart."""
     case, score_cols, en_hits = _lang_case_and_scores()
     ctes = f"""base AS (
   SELECT doc_id, text, lang,
          CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS n_tok,
          CAST({en_hits} AS DOUBLE) AS n_stop
-  FROM documents
+  FROM {src}
 ),
 scored AS (
   SELECT doc_id, text, lang, n_tok, n_stop, {', '.join(score_cols)},
@@ -2024,13 +2103,19 @@ def q_session_window(spark, sf_dir):
 # ----- composed end-to-end pipeline ----------------------------------
 
 
-def _corpus_clean_sql() -> str:
+def _corpus_clean_sql(front_ctes: str = "", src: str = "documents") -> str:
     """End-to-end pipeline oracle, composed from the proven fragments:
     quality gate → exact-dedup survivors → capped-shingle MinHash+LSH
-    near-dup clustering (keep canonical) → deterministic split."""
-    ctes, _lang_pred, quality = _lang_ctes_and_exprs()
+    near-dup clustering (keep canonical) → deterministic split.
+
+    ``front_ctes``/``src`` prepend an upstream stage (web_corpus_clean's
+    HTML-extract + URL-dedup front end) ahead of the same cascade —
+    ``front_ctes`` must end with a comma and ``src`` must expose
+    (doc_id, text, lang)."""
+    ctes, _lang_pred, quality = _lang_ctes_and_exprs(src)
     return (
         "WITH RECURSIVE "
+        + front_ctes
         + ctes
         + f""",
 kept1 AS (SELECT doc_id, text FROM scored WHERE {quality} >= 0.5),
@@ -2079,13 +2164,15 @@ def q_corpus_clean(spark, sf_dir):
     return canon_split
 
 
-def _corpus_clean_split(spark, sf_dir):
+def _corpus_clean_split(spark, sf_dir, docs=None):
     """Shared body of the corpus_clean cascade: (kept docs with text,
     canonical survivors tagged with their split). corpus_export
-    continues from both."""
+    continues from both; web_corpus_clean passes its extracted +
+    URL-deduped pages as ``docs``."""
     from pyspark.storagelevel import StorageLevel
 
-    docs = load_testdata(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load_testdata(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
         "text",
@@ -2113,6 +2200,72 @@ def _corpus_clean_split(spark, sf_dir):
         .select("doc_id")
     )
     return kept, canon.select("doc_id", _split_column())
+
+
+def _web_corpus_clean_sql() -> str:
+    """corpus_clean with the WEB FRONT END prepended: raw crawled pages
+    (synthetic url + HTML-wrapped text) → HTML extract → URL dedup →
+    then the IDENTICAL quality/exact-dedup/MinHash/split cascade —
+    built by the same ``_corpus_clean_sql`` body over ``urlkept``."""
+    from dask_datapipeline_spark.functions.html import html_to_text_sql_steps
+    from dask_datapipeline_spark.functions.urls import canonical_url_sql_steps
+
+    front = f"""rawdocs AS (
+  SELECT doc_id, lang, {_RAW_URL_SQL} AS url, {_RAW_HTML_SQL} AS html
+  FROM documents
+),
+extracted AS (
+  SELECT doc_id, lang, url, {html_to_text_sql_steps('html')} AS text
+  FROM rawdocs
+),
+urlcanon AS (
+  SELECT doc_id, lang, text, {canonical_url_sql_steps('url')} AS curl
+  FROM extracted
+),
+urlkept AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           MIN(doc_id) OVER (PARTITION BY curl) AS survivor
+    FROM urlcanon
+  ) WHERE survivor = doc_id
+),
+"""
+    return _corpus_clean_sql(front_ctes=front, src="urlkept")
+
+
+@register_extra(
+    "web_corpus_clean",
+    _web_corpus_clean_sql(),
+    "THE web-pipeline variant of corpus_clean: crawled pages (synthetic URL + "
+    "HTML-wrapped text) -> HTML->text extraction (functions/html.py) -> URL-level "
+    "dedup (functions/urls.py, min-id survivor per canonical URL) -> then the "
+    "IDENTICAL quality gate / exact dedup / MinHash+LSH clustering / split "
+    "cascade, composed from the same SQL body as corpus_clean so the stages "
+    "provably chain. The RefinedWeb/FineWeb front-end order: URL dedup removes "
+    "crawl duplicates for one window shuffle BEFORE any content hashing runs",
+)
+def q_web_corpus_clean(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from dask_datapipeline_spark.functions.html import html_to_text
+    from dask_datapipeline_spark.functions.urls import canonical_url
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", "lang", _raw_url_col(), _raw_html_col())
+    extracted = raw.select(
+        "doc_id",
+        "lang",
+        html_to_text(F.col("html")).alias("text"),
+        canonical_url(F.col("url")).alias("__curl"),
+    )
+    w = Window.partitionBy("__curl")
+    urlkept = (
+        extracted.withColumn("__surv", F.min("doc_id").over(w))
+        .filter(F.col("__surv") == F.col("doc_id"))
+        .select("doc_id", "lang", "text")
+    )
+    _kept, canon_split = _corpus_clean_split(spark, sf_dir, docs=urlkept)
+    return canon_split
 
 
 # ----- benchmark decontamination + repetition quality ----------------

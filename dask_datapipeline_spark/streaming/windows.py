@@ -360,20 +360,16 @@ def stream_merge_to_parquet(
             "checkpointLocation",
             # a STABLE checkpoint dir is what makes restart exactly-once:
             # source offsets live there, so a rerun resumes where the
-            # last run stopped instead of replaying the whole source
-            # (the default fresh dir re-reads everything and relies on
-            # the MERGE's idempotence — both modes are tested)
-            checkpoint_dir or snapshot_dir.rstrip("/") + ".ckpt-" + uuid_hex(),
+            # last run stopped instead of replaying the whole source.
+            # The DEFAULT is therefore stable (derived from the snapshot
+            # path) — a fresh-per-run dir would silently demote the
+            # documented restart contract to replay-idempotence only
+            # (ADVICE r6); pass an explicit throwaway dir to opt out.
+            checkpoint_dir or snapshot_dir.rstrip("/") + ".ckpt",
         )
         .start()
     )
     q.awaitTermination(timeout_sec)
-
-
-def uuid_hex() -> str:
-    import uuid
-
-    return uuid.uuid4().hex[:8]
 
 
 def stream_incremental_dedup(
@@ -438,7 +434,11 @@ def stream_incremental_dedup(
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",
-            checkpoint_dir or out_dir.rstrip("/") + ".ckpt-" + uuid_hex(),
+            # stable by default for the same reason as
+            # stream_merge_to_parquet: the restart/resume contract the
+            # docstring promises only holds when a rerun finds the
+            # offsets of the previous one (ADVICE r6)
+            checkpoint_dir or out_dir.rstrip("/") + ".ckpt",
         )
         .start()
     )

@@ -119,3 +119,132 @@ def test_frozen_cap_drops_hot_hashes_for_batch_too(spark, tmp_path):
     rows = incremental_near_dup_flags(batch, path).collect()
     # shares ONLY capped-away hot shingles -> novel
     assert rows[0].is_new is True
+
+
+# ----- atomic append + base+delta compaction --------------------------
+
+
+def _flags_rows(spark, path, batch_rows):
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    return sorted(
+        (r.doc_id, r.dup_of, r.is_new)
+        for r in incremental_near_dup_flags(batch, path).collect()
+    )
+
+
+def _manifest(path):
+    import json
+
+    with open(os.path.join(path, "_CURRENT")) as f:
+        return json.load(f)
+
+
+@pytest.fixture()
+def grown_index(spark, tmp_path):
+    """Index built from CORPUS with the first two BATCH docs appended
+    as two committed increments."""
+    from dask_datapipeline_spark.operators.minhash_index import (
+        append_to_minhash_index,
+    )
+
+    path = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    build_minhash_index(corpus, path, max_df=256)
+    for tag, row in (("b00000", BATCH[0]), ("b00001", BATCH[1])):
+        append_to_minhash_index(
+            spark.createDataFrame([row], "doc_id long, text string"), path, tag
+        )
+    return path
+
+
+def test_compaction_flags_byte_identical(spark, grown_index):
+    """compact_minhash_index must not change a single flag row: the
+    merged base is the verbatim union the reader was already seeing."""
+    from dask_datapipeline_spark.operators.minhash_index import (
+        compact_minhash_index,
+    )
+
+    probe = [BATCH[2], (9, "entirely new content that matches nothing else at all")]
+    before = _flags_rows(spark, grown_index, probe)
+    assert _manifest(grown_index)["inc"] == ["b00000", "b00001"]
+    new_cur = compact_minhash_index(spark, grown_index)
+    assert new_cur["inc"] == [] and new_cur["shingles"] == "shingles-v1"
+    assert _flags_rows(spark, grown_index, probe) == before
+    # consumed dirs are gone; the new base pair is live
+    assert not os.path.isdir(os.path.join(grown_index, "shingles"))
+    assert not os.path.isdir(os.path.join(grown_index, "inc", "b00000"))
+    sh, sig, _, _ = read_minhash_index(spark, grown_index)
+    assert sig.count() == len(CORPUS) + 2
+    # a second compaction of an increment-free index is fine too
+    assert compact_minhash_index(spark, grown_index)["shingles"] == "shingles-v2"
+
+
+def test_compaction_restart_sweeps_crashed_stage(spark, grown_index):
+    """A crash BEFORE the manifest flip leaves unreferenced stage dirs:
+    reads ignore them (manifest-only), the retry sweeps and completes."""
+    from dask_datapipeline_spark.operators.minhash_index import (
+        compact_minhash_index,
+    )
+
+    probe = [BATCH[2]]
+    before = _flags_rows(spark, grown_index, probe)
+    # fake the stranded stage of a compaction that died pre-flip
+    os.makedirs(os.path.join(grown_index, "shingles-v1"))
+    with open(os.path.join(grown_index, "shingles-v1", "junk"), "w") as f:
+        f.write("not parquet")
+    assert _flags_rows(spark, grown_index, probe) == before  # invisible
+    new_cur = compact_minhash_index(spark, grown_index)
+    assert new_cur["shingles"] == "shingles-v1"
+    assert _flags_rows(spark, grown_index, probe) == before
+    assert not os.path.exists(os.path.join(grown_index, "shingles-v1", "junk"))
+
+
+def test_uncommitted_increment_invisible_and_replay_heals(spark, grown_index):
+    """Crash between the increment dir rename and the manifest commit
+    (ADVICE r6): the dir exists but is unreferenced — reads skip it,
+    and replaying the append commits it with identical content."""
+    import json
+
+    from dask_datapipeline_spark.operators.minhash_index import (
+        append_to_minhash_index,
+    )
+
+    batch = spark.createDataFrame([BATCH[2]], "doc_id long, text string")
+    append_to_minhash_index(batch, grown_index, "b00002")
+    # simulate the crash: roll the manifest back to before the commit
+    cur = _manifest(grown_index)
+    cur["inc"].remove("b00002")
+    with open(os.path.join(grown_index, "_CURRENT"), "w") as f:
+        json.dump(cur, f)
+    sh, sig, _, _ = read_minhash_index(spark, grown_index)
+    assert sig.count() == len(CORPUS) + 2  # b00002 invisible
+    append_to_minhash_index(batch, grown_index, "b00002")  # the replay
+    assert "b00002" in _manifest(grown_index)["inc"]
+    _, sig2, _, _ = read_minhash_index(spark, grown_index)
+    assert sig2.count() == len(CORPUS) + 3
+
+
+def test_committed_replay_is_noop(spark, grown_index):
+    """Replaying an already-committed tag must not touch the dir (the
+    no-op branch keeps manifest-referenced dirs immune to the
+    rmtree/rename gap)."""
+    from dask_datapipeline_spark.operators.minhash_index import (
+        append_to_minhash_index,
+    )
+
+    inc = os.path.join(grown_index, "inc", "b00000")
+    files_before = sorted(os.listdir(os.path.join(inc, "shingles")))
+    mtime = os.path.getmtime(inc)
+    append_to_minhash_index(
+        spark.createDataFrame([BATCH[0]], "doc_id long, text string"),
+        grown_index,
+        "b00000",
+    )
+    assert sorted(os.listdir(os.path.join(inc, "shingles"))) == files_before
+    assert os.path.getmtime(inc) == mtime
+    # a partial temp dir (crash between the two parquet writes) is
+    # likewise invisible to the reader
+    tmp = os.path.join(grown_index, "inc", ".tmp-bXXXXX-dead")
+    os.makedirs(os.path.join(tmp, "shingles"))
+    _, sig, _, _ = read_minhash_index(spark, grown_index)
+    assert sig.count() == len(CORPUS) + 2

@@ -141,6 +141,10 @@ def test_canonical_url_steps(spark):
         # mixed query is conservative: kept (not tracking-ONLY)
         ("https://site.com/x?page=2&utm_source=a", "https://site.com/x?page=2&utm_source=a"),
         ("http://A.B/", "http://a.b"),
+        # UPPERCASE scheme must canonicalize too (ADVICE r6: the match
+        # is (?i), not just the host lowercase)
+        ("HTTPS://Site.COM/Path/x", "https://site.com/Path/x"),
+        ("HtTp://A.B/q?ref=x", "http://a.b/q"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, u string")
     got = {
