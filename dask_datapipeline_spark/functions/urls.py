@@ -15,10 +15,14 @@ once, so first-match vs global replace semantics agree):
 
 1. trim surrounding whitespace
 2. strip the fragment (``#...`` — never reaches the server)
-3. strip a TRACKING-ONLY query string: a query composed entirely of
-   ``utm_*`` / ``ref`` / ``fbclid`` / ``gclid`` params is dropped;
-   a query with any other param is kept verbatim (conservative —
-   real param-level filtering needs a param allowlist, same shape)
+3. PARAM-LEVEL tracking strip: every ``utm_*`` / ``ref`` / ``fbclid``
+   / ``gclid`` param is removed INDIVIDUALLY, wherever it sits in the
+   query; non-tracking params survive in their original order and a
+   query left empty loses its ``?``. Three ordered regex steps:
+   (a) drop ``&param=v`` occurrences (every tracking param that is
+   not first — global), (b) a leading tracking param followed by
+   more params collapses ``?param=v&`` → ``?``, (c) a now-sole
+   leading tracking param drops with its ``?`` (end-anchored)
 4. lowercase the scheme+host (scheme and DNS host are both
    case-insensitive — the match itself is ``(?i)`` so ``HTTPS://Host``
    canonicalizes like ``https://host``; paths are not and keep their
@@ -34,11 +38,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: params whose presence-only query strings are dropped (step 3)
-TRACKING_QUERY_RE = (
-    r"\?((utm_[a-zA-Z]+|ref|fbclid|gclid)=[^&#]*)"
-    r"(&(utm_[a-zA-Z]+|ref|fbclid|gclid)=[^&#]*)*$"
-)
+#: the tracking param-name alternation (step 3); a '&'/'?' must
+#: immediately precede, so 'xref=' / 'preference=' never match
+TRACKING_PARAM = r"(utm_[a-zA-Z]+|ref|fbclid|gclid)"
+#: step 3a — tracking param in any non-first position, dropped with
+#: its '&' (the one step that needs GLOBAL replace: DuckDB takes 'g',
+#: Spark is always global)
+TRACKING_MID_RE = rf"&{TRACKING_PARAM}=[^&#]*"
+#: step 3b — tracking param first with more params following: the
+#: replacement re-emits '?' so the survivor keeps query syntax
+TRACKING_FIRST_RE = rf"\?{TRACKING_PARAM}=[^&#]*&"
+#: step 3c — tracking param is the whole remaining query
+TRACKING_ONLY_RE = rf"\?{TRACKING_PARAM}=[^&#]*$"
 
 #: scheme+host extract / strip for step 4 — (?i) because the SCHEME is
 #: case-insensitive too ('HTTPS://Host/x' must canonicalize like
@@ -53,7 +64,9 @@ def canonical_url(col: Column) -> Column:
     """Canonical form of a URL column (module docstring steps)."""
     x = F.trim(col)
     x = F.regexp_replace(x, "#.*", "")
-    x = F.regexp_replace(x, TRACKING_QUERY_RE, "")
+    x = F.regexp_replace(x, TRACKING_MID_RE, "")
+    x = F.regexp_replace(x, TRACKING_FIRST_RE, "?")
+    x = F.regexp_replace(x, TRACKING_ONLY_RE, "")
     x = F.concat(
         F.lower(F.regexp_extract(x, SCHEME_HOST_EXTRACT_RE, 1)),
         F.regexp_replace(x, SCHEME_HOST_STRIP_RE, ""),
@@ -88,9 +101,13 @@ def canonical_url_sql_steps(expr: str) -> str:
     x = f"trim({expr})"
     x = f"regexp_replace({x}, '#.*', '')"
     # DuckDB standard strings don't process backslash escapes, so the
-    # Python pattern embeds VERBATIM (doubling would feed RE2 a
-    # literal backslash)
-    x = f"regexp_replace({x}, '{TRACKING_QUERY_RE}', '')"
+    # Python patterns embed VERBATIM (doubling would feed RE2 a
+    # literal backslash). Step 3a is the one that can match multiple
+    # times — DuckDB needs the explicit 'g'; 3b/3c match at most once
+    # after 3a, so first-match and global semantics agree.
+    x = f"regexp_replace({x}, '{TRACKING_MID_RE}', '', 'g')"
+    x = f"regexp_replace({x}, '{TRACKING_FIRST_RE}', '?')"
+    x = f"regexp_replace({x}, '{TRACKING_ONLY_RE}', '')"
     x = (
         f"(lower(regexp_extract({x}, '{SCHEME_HOST_EXTRACT_RE}', 1)) || "
         f"regexp_replace({x}, '{SCHEME_HOST_STRIP_RE}', ''))"

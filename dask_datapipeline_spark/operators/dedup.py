@@ -671,8 +671,13 @@ def dup_clusters(
     and keeps the per-node min, converging in O(component diameter)
     rounds — near-dup components are shallow, so a handful. Each round
     is one keyed join + one groupBy shuffle over the EDGE set only.
-    Driver coordinates the loop and the convergence check (one scalar
-    aggregate per round).
+    Driver coordinates the loop; for numeric ids the convergence
+    metric (exact label sum) rides INSIDE the relaxation job via
+    ``df.observe`` — ``CollectMetrics`` accumulates during the eager
+    checkpoint — so each round is ONE Spark action, halving the
+    per-round driver-scheduling latency that dominates this operator
+    at small scale (the join-based fallback for non-numeric ids and
+    the shortcut path still pay a second action).
 
     Edges and per-round labels are materialized with an EAGER
     ``localCheckpoint`` — not ``persist``: in an iterative loop each
@@ -726,15 +731,34 @@ def dup_clusters(
     # checkpoint, the first keyed join, and one convergence aggregate
     # (for the common diameter-<=2 graph the loop then runs ONCE, as
     # the stability proof).
-    labels = (
+    labels_plan = (
         edges.groupBy("u")
         .agg(F.min("v").alias("__mv"))
         .select("u", F.least("__mv", "u").alias("label"))
-        .localCheckpoint(eager=True)
     )
-    numeric_ids = dict(labels.dtypes)["label"] in {
+    numeric_ids = dict(labels_plan.dtypes)["label"] in {
         "tinyint", "smallint", "int", "bigint"
     }
+    observable = numeric_ids and not shortcut
+
+    def observed_checkpoint(plan: DataFrame) -> tuple[DataFrame, int]:
+        # ONE action: the eager localCheckpoint executes the plan with
+        # a CollectMetrics node riding on it; Observation.get is then
+        # already resolved (no second job). Observations are
+        # single-use, so each round builds a fresh one.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        ckpt = plan.observe(
+            obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("__s")
+        ).localCheckpoint(eager=True)
+        s = obs.get["__s"]
+        return ckpt, int(s if s is not None else 0)
+
+    if observable:
+        labels, prev_sum = observed_checkpoint(labels_plan)
+    else:
+        labels = labels_plan.localCheckpoint(eager=True)
 
     def label_sum(lbl: DataFrame) -> int:
         # Labels only ever decrease, so the exact-decimal sum strictly
@@ -755,17 +779,26 @@ def dup_clusters(
             .count()
         )
 
-    prev_sum = label_sum(labels) if numeric_ids else None
+    if numeric_ids and not observable:
+        prev_sum = label_sum(labels)
     for _ in range(max_iter):
         nbr = edges.join(
             labels.select(F.col("u").alias("v"), "label"), on="v"
         ).select("u", "label")
-        new_labels = (
+        relax_plan = (
             nbr.unionByName(labels.select("u", "label"))
             .groupBy("u")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        if observable:
+            new_labels, new_sum = observed_checkpoint(relax_plan)
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+            labels = new_labels
+            if converged:
+                break
+            continue
+        new_labels = relax_plan.localCheckpoint(eager=True)
         if shortcut:
             # pointer doubling: follow one hop of the label graph —
             # label[label] is defined for every label (labels point at

@@ -268,6 +268,155 @@ LIMIT {top}
 """
 
 
+# ----- mergeable quantile sketch --------------------------------------
+
+QSK_SEED = 1553
+
+
+def quantile_sample(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 1024,
+    group_cols: list[str] | None = None,
+    seed: int = QSK_SEED,
+) -> DataFrame:
+    """The sketch itself: per group, the ``k`` rows whose md5-derived
+    hash of the UNIQUE ``id_col`` is smallest — a deterministic
+    uniform row sample (bottom-k by hash), the mergeable-quantile
+    counterpart of the KMV distinct sketch above.
+
+    Hashing the id (not the value) keeps the inclusion decision
+    engine-portable — integer→string casts are identical in Spark and
+    DuckDB, decimal→string is not — and makes duplicate values sample
+    independently, as row-sampling requires.
+
+    MERGE IS EXACT, same argument as KMV min-merge: the global k
+    smallest (hash, id) rows of a union are among the k smallest of
+    each part, so ``sample(A ∪ B) = bottom_k(sample(A) ∪ sample(B))``
+    bit-identically regardless of partitioning (property-pinned in
+    tests). That exactness is also why the DuckDB oracle needs no
+    sketch code — a plain ranked-window ``rn <= k`` over the full
+    table IS the merged sketch.
+
+    Scale shape: ``partial_topk`` prunes map-side, so at most
+    ``n_partitions × k`` rows per group reach the one global ranking
+    window — the window input is sketch-sized by construction, never
+    corpus-sized, even for the ungrouped (single-partition-window)
+    case."""
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    gcols = list(group_cols or [])
+    hashed = df.where(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        *gcols,
+        F.col(id_col),
+        F.col(value_col),
+        seeded_hash64(F.col(id_col).cast("string"), seed).alias("__h"),
+    )
+    pruned = partial_topk(
+        hashed, gcols, "__h", k, descending=False, tiebreak_cols=[id_col]
+    )
+    w = Window.partitionBy(*gcols).orderBy("__h", id_col)
+    return (
+        pruned.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn", "__h")
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    k: int = 1024,
+    group_cols: list[str] | None = None,
+    seed: int = QSK_SEED,
+) -> DataFrame:
+    """Approximate quantiles per group from the bottom-k-hash sample:
+    for each requested ``q``, the estimate is the sample's EXACT lower
+    order statistic at rank ``1 + floor(q·(n_sample−1))`` — a
+    selection, never an interpolation (CLAUDE.md: interpolation
+    differs in the final ulp between engines; selection of a
+    (value, id)-ordered row with a unique tiebreak is bit-exact).
+
+    Returns ``group_cols + (q, est, n_sample)``; ``est`` keeps the
+    value column's type untouched. A group with fewer than k rows
+    holds ALL its rows in the sample, so its estimates are the exact
+    corpus quantiles. Sample-quantile rank error is the standard
+    binomial bound ~sqrt(q(1−q)/k) (k=1024 → ~1.6% at the median;
+    rank-error pinned against the exact order statistic in tests).
+
+    The quantile list rides as an exploded literal array (bounded ×|q|
+    row growth on sketch-sized data) rather than a joined frame — a
+    literal cross join would plan as BroadcastNestedLoopJoin, which
+    the catalog-wide plan guard forbids."""
+    gcols = list(group_cols or [])
+    sample = quantile_sample(df, value_col, id_col, k, gcols, seed)
+    w_rank = Window.partitionBy(*gcols).orderBy(value_col, id_col)
+    w_all = Window.partitionBy(*gcols)
+    ranked = sample.withColumn("__vr", F.row_number().over(w_rank)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_all)
+    )
+    return (
+        ranked.withColumn(
+            "q", F.explode(F.array(*[F.lit(float(q)) for q in quantiles]))
+        )
+        .where(
+            F.col("__vr")
+            == 1 + F.floor(F.col("q") * (F.col("__n") - 1)).cast("long")
+        )
+        .select(
+            *gcols,
+            "q",
+            F.col(value_col).alias("est"),
+            F.col("__n").alias("n_sample"),
+        )
+    )
+
+
+def quantile_sketch_oracle_sql(
+    table: str,
+    value_col: str,
+    id_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    k: int = 1024,
+    group_col: str | None = None,
+    seed: int = QSK_SEED,
+) -> str:
+    """DuckDB replay: rank the full table by (hash, id), keep rn<=k
+    (exactly the merged sketch — min-merge is exact), then select the
+    same order statistic. The quantile list is a genuine cross join
+    here; the BNLJ concern is Spark-side only."""
+    part = f"PARTITION BY {group_col} " if group_col else ""
+    gsel = f"{group_col}, " if group_col else ""
+    qlist = ", ".join(repr(float(q)) for q in quantiles)
+    return f"""
+WITH h AS (
+  SELECT {gsel}{id_col} AS id, {value_col} AS v,
+         CAST(CONCAT('0x', SUBSTRING(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+  FROM {table} WHERE {value_col} IS NOT NULL AND {id_col} IS NOT NULL
+), ranked AS (
+  SELECT *, row_number() OVER ({part}ORDER BY hh, id) AS rn FROM h
+), sample AS (
+  SELECT {gsel}id, v FROM ranked WHERE rn <= {k}
+), ordered AS (
+  SELECT {gsel}id, v,
+         row_number() OVER ({part}ORDER BY v, id) AS vr,
+         COUNT(*) OVER ({part.rstrip() or ''}) AS n
+  FROM sample
+)
+SELECT {gsel}q, v AS est, n AS n_sample
+FROM ordered,
+     -- CAST: a bare 0.5 literal is DECIMAL(3,2) in DuckDB but the
+     -- Spark column is DOUBLE; the driver hash-compares types too
+     (SELECT CAST(unnest([{qlist}]) AS DOUBLE) AS q) qs
+WHERE vr = 1 + CAST(floor(q * (n - 1)) AS BIGINT)
+"""
+
+
 def partial_topk(
     df: DataFrame,
     group_cols: list[str],

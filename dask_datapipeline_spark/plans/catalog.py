@@ -919,7 +919,13 @@ DRIVER_ORDER: list[str] = [
     "data_split",
     "json_props_agg",
     "multimodal_features",
-    "knn_brute_topk",
+    # round-7 rotation (README policy rules 2+3): url_dedup in — the
+    # first dedup stage of every RefinedWeb/FineWeb-style web pipeline,
+    # production config, exact-match green — knn_brute_topk out to
+    # EXTRA_CATALOG (the similarity family keeps its three production
+    # driver rows below; brute force is the exact baseline, not the
+    # 100 TB path)
+    "url_dedup",
     "embedding_near_dup",
     "knn_join_lsh",
     "knn_join_ivf",

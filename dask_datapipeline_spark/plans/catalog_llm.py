@@ -327,7 +327,7 @@ _COS_SQL = (
 )
 
 
-@register(
+@register_extra(
     "knn_brute_topk",
     f"""
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
@@ -335,7 +335,12 @@ SELECT e.vec_id, {_COS_SQL.format(a='e.embedding', b='q.embedding')} AS cosine_s
 FROM embeddings e, q
 ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
 """,
-    "Exact cosine top-10 for one query vector: broadcast literal + TakeOrderedAndProject, zero shuffle",
+    "Exact cosine top-10 for one query vector: broadcast literal + "
+    "TakeOrderedAndProject, zero shuffle. Rotated to EXTRA_CATALOG round 7 "
+    "(README policy rule 3): the similarity family keeps three driver rows in "
+    "its production configurations (knn_join_lsh, knn_join_ivf, "
+    "embedding_near_dup); the brute-force scan is the exact baseline/recall "
+    "oracle, not the 100 TB path",
 )
 def q_knn_brute_topk(spark, sf_dir):
     emb = load_testdata(spark, sf_dir, "embeddings")
@@ -1013,8 +1018,9 @@ def q_video_near_dup(spark, sf_dir):
 # ----- URL canonicalization + URL-level dedup ------------------------
 
 #: deterministic messy-URL construction shared by both engines: mixed
-#: host case, trailing slashes, tracking-only queries (dropped), a real
-#: query (kept), fragments — doc_id % 40 folds docs onto shared paths
+#: scheme+host case, trailing slashes, tracking-only queries (dropped),
+#: a real query (kept), a MIXED query (tracking param stripped, real
+#: param kept), fragments — doc_id % 40 folds docs onto shared paths
 #: so canonical groups are non-trivial.
 _RAW_URL_SQL = """CASE WHEN doc_id % 17 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
   CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'www.' END ||
@@ -1023,6 +1029,7 @@ _RAW_URL_SQL = """CASE WHEN doc_id % 17 = 0 THEN 'HTTPS://' ELSE 'https://' END 
   CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&utm_campaign=x'
        WHEN doc_id % 7 = 0 THEN '?ref=home'
        WHEN doc_id % 13 = 0 THEN '?page=2'
+       WHEN doc_id % 19 = 0 THEN '?utm_medium=m&page=3'
        ELSE '' END ||
   CASE WHEN doc_id % 11 = 0 THEN '#section-2' ELSE '' END"""
 
@@ -1043,16 +1050,17 @@ FROM canon
 """
 
 
-@register_extra(
+@register(
     "url_dedup",
     _url_dedup_oracle_sql(),
     "URL-level dedup (functions/urls.py) — the FIRST dedup stage of a "
     "RefinedWeb/FineWeb-style web pipeline, run before any content hashing: "
-    "canonicalize (strip fragment, drop tracking-only query, lowercase "
-    "scheme+host, strip trailing slash — pure codegen regex steps evaluated "
-    "identically by Java regex and RE2) and keep the min-id doc per canonical "
-    "URL. One groupBy-window shuffle; a ?page=2 query survives untouched, "
-    "proving the tracking strip is conservative",
+    "canonicalize (strip fragment, PARAM-LEVEL tracking strip — each utm_*/ref/"
+    "fbclid/gclid param drops individually wherever it sits, real params keep "
+    "their order — (?i) scheme+host lowercase, trailing slash — pure codegen "
+    "regex steps evaluated identically by Java regex and RE2) and keep the "
+    "min-id doc per canonical URL. One groupBy-window shuffle; a ?page=2 query "
+    "survives while its utm_ siblings drop",
 )
 def q_url_dedup(spark, sf_dir):
     from dask_datapipeline_spark.functions.urls import url_dedup
@@ -1076,6 +1084,7 @@ def _raw_url_col():
         F.when(d % 5 == 0, F.lit("?utm_source=feed&utm_campaign=x"))
         .when(d % 7 == 0, F.lit("?ref=home"))
         .when(d % 13 == 0, F.lit("?page=2"))
+        .when(d % 19 == 0, F.lit("?utm_medium=m&page=3"))
         .otherwise(F.lit("")),
         F.when(d % 11 == 0, F.lit("#section-2")).otherwise(F.lit("")),
     ).alias("url")
@@ -2565,6 +2574,7 @@ from dask_datapipeline_spark.operators.lm import (  # noqa: E402
 from dask_datapipeline_spark.operators.sketches import (  # noqa: E402
     kmv_distinct,
     kmv_oracle_sql,
+    quantile_sketch_oracle_sql,
 )
 
 _KMV_K = 64  # below the 150 distinct users/type at sf0.01 so the
@@ -2583,6 +2593,45 @@ _KMV_K = 64  # below the 150 distinct users/type at sf0.01 so the
 def q_kmv_distinct(spark, sf_dir):
     ev = load_testdata(spark, sf_dir, "events").select("event_type", "user_id")
     return kmv_distinct(ev, ["event_type"], "user_id", k=_KMV_K)
+
+
+_QSK_K = 256  # well below the ~3000 orders/priority at sf0.01 so the
+#               driver gate exercises the SAMPLING path, not the
+#               exact small-group fallback
+
+
+@register_extra(
+    "quantile_sketch",
+    quantile_sketch_oracle_sql(
+        "orders",
+        "o_totalprice",
+        "o_orderkey",
+        quantiles=(0.5, 0.9, 0.99),
+        k=256,
+        group_col="o_orderpriority",
+    ),
+    "Mergeable quantile sketch (operators/sketches.py): deterministic bottom-k-"
+    "by-md5(id) row sample pruned map-side (partial_topk), estimates = exact "
+    "order-statistic SELECTIONS from the sample (rank 1+floor(q*(n-1)), unique-id "
+    "tiebreak — never interpolation, which drifts a ulp between engines). "
+    "Min-merge is exact, so the oracle is a plain ranked window over the full "
+    "table; the corpus-wide p50/p90/p99 a 100 TB profile wants without the "
+    "single-reducer exact sort",
+)
+def q_quantile_sketch(spark, sf_dir):
+    from dask_datapipeline_spark.operators.sketches import quantile_sketch
+
+    orders = load_testdata(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return quantile_sketch(
+        orders,
+        "o_totalprice",
+        "o_orderkey",
+        quantiles=(0.5, 0.9, 0.99),
+        k=_QSK_K,
+        group_cols=["o_orderpriority"],
+    )
 
 
 @register_extra(
@@ -3260,7 +3309,12 @@ def q_streaming_incremental_dedup(spark, sf_dir):
     # stage the incoming half as 3 id-range files, mtime-ordered so the
     # file source drains them smallest-ids-first (see the operator
     # docstring for why id order makes per-batch flags exactly the
-    # monolithic result)
+    # monolithic result).
+    # FIXTURE-ONLY collect(): this harness stages a bounded TEST batch
+    # into files and needs its id cut points; the operator under test
+    # (stream_incremental_dedup / incremental_near_dup_flags) never
+    # collects corpus-sized data — do not imitate this in a production
+    # path (a real ingest's files arrive already staged).
     ids = sorted(r[0] for r in batch.select("doc_id").collect())
     cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]] if len(ids) >= 3 else [0, 0]
     staged = _os.path.join(work, "staged")

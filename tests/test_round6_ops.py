@@ -138,8 +138,14 @@ def test_canonical_url_steps(spark):
         ("https://site.com/x?ref=home", "https://site.com/x"),
         # non-tracking query SURVIVES verbatim
         ("https://site.com/x?page=2", "https://site.com/x?page=2"),
-        # mixed query is conservative: kept (not tracking-ONLY)
-        ("https://site.com/x?page=2&utm_source=a", "https://site.com/x?page=2&utm_source=a"),
+        # PARAM-LEVEL strip (round 7): tracking params drop wherever
+        # they sit; the real params keep their order and their '?'
+        ("https://site.com/x?page=2&utm_source=a", "https://site.com/x?page=2"),
+        ("https://site.com/x?utm_source=a&page=2", "https://site.com/x?page=2"),
+        ("https://site.com/x?a=1&fbclid=z&b=2", "https://site.com/x?a=1&b=2"),
+        ("https://site.com/x?utm_a=1&utm_b=2", "https://site.com/x"),
+        # '&xref=' is NOT the tracking param 'ref'
+        ("https://site.com/x?a=1&xref=2", "https://site.com/x?a=1&xref=2"),
         ("http://A.B/", "http://a.b"),
         # UPPERCASE scheme must canonicalize too (ADVICE r6: the match
         # is (?i), not just the host lowercase)

@@ -1,5 +1,7 @@
 """Round-7 operators: HTML -> text extraction edge cases (the oracle
-row extra:html_extract pins engine parity; these pin the semantics)."""
+row extra:html_extract pins engine parity; these pin the semantics)
+and the mergeable quantile sketch (merge exactness + rank-error
+bound vs the exact order statistic)."""
 
 from __future__ import annotations
 
@@ -81,3 +83,178 @@ def test_html_sql_steps_match_spark(spark):
         lit = "'" + s.replace("'", "''") + "'"
         duck = con.sql(f"SELECT {html_to_text_sql_steps(lit)} AS t").fetchone()[0]
         assert duck == spark_out[i], (s, duck, spark_out[i])
+
+
+# ----- golden-header parity pin ---------------------------------------
+
+#: header line 1 of the reference's committed golden output
+#: (household_features.csv:1) — the one artifact of the reference's
+#: three missing input CSVs that IS observable, pinned here verbatim
+GOLDEN_HEADER = (
+    "hhid,num_inds,children_ind,hh_income_ind,age_ind,home_value_ind,"
+    "state,total_amount_before_campaign,total_amount_during_campaign,"
+    "total_transactions"
+)
+_GOLDEN_PATH = "/root/reference/Python Solution Application/household_features.csv"
+
+
+def test_golden_header_matches_reference_file():
+    """The pinned constant equals the reference's actual golden header
+    (skipped when the reference checkout is absent — the constant then
+    still pins the contract)."""
+    import os
+
+    import pytest
+
+    if not os.path.isfile(_GOLDEN_PATH):
+        pytest.skip("reference golden file not present")
+    with open(_GOLDEN_PATH) as f:
+        assert f.readline().rstrip("\n") == GOLDEN_HEADER
+
+
+def test_run_pipeline_schema_matches_golden_header(spark, tmp_path):
+    """End-to-end through the real CSV scan path: run_pipeline's output
+    columns (names AND order) are exactly the golden header, with the
+    golden dtypes (doubles for the two campaign sums, bigint count)."""
+    from dask_datapipeline_spark.plans.reference_main import (
+        OUTPUT_COLS,
+        run_pipeline,
+    )
+
+    assert OUTPUT_COLS == GOLDEN_HEADER.split(",")
+
+    tx = tmp_path / "tx.csv"
+    tx.write_text(
+        "individual_id,date,transaction_amount\n"
+        "i1,2021-09-01 00:00:00,5.0\n"
+        "i1,2021-09-07 00:00:00,7.0\n"
+    )
+    hh = tmp_path / "hh.csv"
+    hh.write_text("hhid,individual_id\n1,i1\n")
+    dem = tmp_path / "dem.csv"
+    dem.write_text(
+        "hhid,num_inds,children_ind,hh_income_ind,age_ind,home_value_ind,state\n"
+        "1,2,Y,5,4,6,CO\n"
+    )
+    out = run_pipeline(spark, str(tx), str(hh), str(dem))
+    assert out.columns == GOLDEN_HEADER.split(",")
+    dt = dict(out.dtypes)
+    assert dt["total_amount_before_campaign"] == "double"
+    assert dt["total_amount_during_campaign"] == "double"
+    assert dt["total_transactions"] == "bigint"
+    assert dt["hhid"] == "bigint" and dt["state"] == "string"
+
+
+# ----- ANSI overflow envelope (docs/SCALE.md round-7 audit table) -----
+
+
+def test_zscore_envelope_throws_not_wraps(spark):
+    """Past the documented n·C ≤ 3.0e9 envelope the s1² term exceeds
+    int64: under ANSI (Spark 4 default) the query THROWS — it can
+    never silently wrap into a wrong flag. Inside the envelope the
+    same plan runs."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from dask_datapipeline_spark.operators.aggregates import zscore_outliers
+
+    # n=2, values ±$4e9 → C = 4e11 cents, s1² ≈ 6.4e23 >> 2^63
+    bad = spark.createDataFrame(
+        [(1, 4.0e9), (1, 3.9e9)], "g int, v double"
+    )
+    with pytest.raises((Py4JJavaError, Exception)) as ei:
+        zscore_outliers(bad, ["g"], "v").collect()
+    assert "overflow" in str(ei.value).lower() or "ARITHMETIC" in str(ei.value)
+
+    # comfortably inside the envelope: runs and flags nothing odd
+    ok = spark.createDataFrame(
+        [(1, float(x)) for x in (10, 11, 9, 10, 200)], "g int, v double"
+    )
+    rows = zscore_outliers(ok, ["g"], "v", z_threshold=1.5).collect()
+    assert [r.v for r in rows] == [200.0]
+
+
+# ----- mergeable quantile sketch --------------------------------------
+
+
+def _vals_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v double")
+
+
+def test_quantile_sample_merge_is_exact(spark):
+    """sample(A ∪ B) == bottom_k(sample(A) ∪ sample(B)) — the KMV-style
+    min-merge argument, row-for-row."""
+    from dask_datapipeline_spark.operators.sketches import quantile_sample
+
+    rows = [(i, float((i * 37) % 101)) for i in range(500)]
+    a, b = _vals_df(spark, rows[:200]), _vals_df(spark, rows[200:])
+    whole = _vals_df(spark, rows)
+    k = 32
+    direct = {(r.id, r.v) for r in quantile_sample(whole, "v", "id", k=k).collect()}
+    merged = {
+        (r.id, r.v)
+        for r in quantile_sample(
+            quantile_sample(a, "v", "id", k=k).unionByName(
+                quantile_sample(b, "v", "id", k=k)
+            ),
+            "v",
+            "id",
+            k=k,
+        ).collect()
+    }
+    assert direct == merged and len(direct) == k
+
+
+def test_quantile_sample_partitioning_invariant(spark):
+    from dask_datapipeline_spark.operators.sketches import quantile_sample
+
+    rows = [(i, float(i)) for i in range(300)]
+    one = _vals_df(spark, rows).coalesce(1)
+    many = _vals_df(spark, rows).repartition(16)
+    got1 = {(r.id, r.v) for r in quantile_sample(one, "v", "id", k=20).collect()}
+    gotn = {(r.id, r.v) for r in quantile_sample(many, "v", "id", k=20).collect()}
+    assert got1 == gotn
+
+
+def test_quantile_sketch_small_group_is_exact(spark):
+    """n < k ⇒ the sample IS the data, so the estimate is the exact
+    lower order statistic."""
+    from dask_datapipeline_spark.operators.sketches import quantile_sketch
+
+    vals = sorted(float((i * 17) % 97) for i in range(50))
+    df = _vals_df(spark, [(i, float((i * 17) % 97)) for i in range(50)])
+    got = {
+        r.q: (r.est, r.n_sample)
+        for r in quantile_sketch(
+            df, "v", "id", quantiles=(0.5, 0.9), k=1024
+        ).collect()
+    }
+    assert got[0.5] == (vals[int(0.5 * 49)], 50)
+    assert got[0.9] == (vals[int(0.9 * 49)], 50)
+
+
+def test_quantile_sketch_rank_error_bound(spark):
+    """Realized rank error of the k=256 sketch vs the exact order
+    statistic on 20k skewed rows: within 4·sqrt(q(1-q)/k) at every q —
+    deterministic given the md5 hash family, so this is a pin, not a
+    flake."""
+    import math
+
+    from dask_datapipeline_spark.operators.sketches import quantile_sketch
+
+    n, k = 20_000, 256
+    vals = [float((i * i) % 65_537) for i in range(n)]  # skewed, many ties
+    df = _vals_df(spark, list(enumerate(vals)))
+    svals = sorted(vals)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = {
+            r.q: r.est
+            for r in quantile_sketch(df, "v", "id", quantiles=(q,), k=k).collect()
+        }[q]
+        # realized rank of the estimate (upper edge of its tie run)
+        import bisect
+
+        rank = bisect.bisect_right(svals, est)
+        err = abs(rank / n - q)
+        bound = 4 * math.sqrt(q * (1 - q) / k)
+        assert err <= bound, (q, est, rank / n, err, bound)

@@ -1,17 +1,44 @@
 """Measure wall-time-vs-input-rows scaling for the shuffliest catalog
-queries across the three driver-generated scale factors.
+queries across the driver-generated scale factors PLUS any extra
+corpus dirs (see tools/gen_scale_corpus.py, which tiles sf0.1 into a
+content-disjoint 10× corpus — 50k docs / 20k vectors — so the top pair
+measures a genuine 10× row ratio above the overhead floor).
 
-Usage: python3 tools/measure_scaling.py
-Prints a markdown table (cold + warm secs per sf, warm growth exponent
-between sf0.01 and sf0.1) for pasting into docs/SCALE.md.
+Usage:
+    python3 tools/gen_scale_corpus.py 10        # once
+    python3 tools/measure_scaling.py [extra_dir...]
+        (default extra dir: /root/repo/.scale_corpus/x10 if it exists)
 
-Exponent = log(t_01 / t_001?) — no: fixed Spark overhead dominates
-sf0.001, so the exponent uses the sf0.01 → sf0.1 warm pair:
-    alpha = log(t(0.1)/t(0.01)) / log(rows(0.1)/rows(0.01))
+Prints a markdown table (warm secs per corpus, growth exponents) for
+pasting into docs/SCALE.md.
+
+Fixed Spark overhead dominates the small sfs, so two exponents are
+reported, both from warm runs:
+    alpha_top  = log(t_top/t_prev) / log(rows_top/rows_prev)
+                 (the two largest corpora — 10× rows with the default
+                 generated corpus)
+    alpha_full = same formula between sf0.01 and the largest corpus
+                 (100× rows; still floor-contaminated at the low end,
+                 so it UNDERSTATES growth — a cross-check, not the
+                 headline)
 alpha ≈ 1 is linear-in-input; the wall-clock noise band is ±50%
-(CLAUDE.md), i.e. ±0.18 on alpha at a 10x rows ratio — only
+(CLAUDE.md), i.e. ±0.18 on alpha at a 10× rows ratio — only
 alpha > ~1.3 is evidence of super-linear growth. Do NOT run while
 pytest or another Spark session is live.
+
+Env knobs:
+    SPARK_GRAFT_DRIVER_MEM=48g   recommended for the x30/x100 tiers —
+        the 8g default heap thrashes the shingle cache at 500k docs
+        and the measurement becomes GC, not the operator.
+    SPARK_GRAFT_PIN_PLAN=1       disable broadcast joins (static + AQE
+        thresholds -1) so EVERY tier runs the SortMergeJoin plan a
+        100 TB input would. Without it, AQE legitimately broadcasts
+        the small tiers and the top pair's alpha conflates the
+        broadcast→SMJ strategy transition with data growth (measured:
+        jaccard x10 plans 3×BHJ, x100 plans 3×SMJ — the apparent
+        alpha 1.4+ drops to ~1.1 once the plan is pinned). Use the
+        pinned run for the asymptotic exponent, the default run for
+        the wall times a user actually sees.
 """
 
 from __future__ import annotations
@@ -35,53 +62,124 @@ QUERIES = [
     ("simhash_near_dup", "documents"),
     ("dup_clusters", "documents"),
     ("embedding_near_dup", "embeddings"),
+    ("embedding_near_dup_scaled", "embeddings"),
     ("knn_join_lsh", "embeddings"),
     ("knn_join_ivf", "embeddings"),
     ("training_shards", "documents"),
 ]
 
+
+def _embedding_near_dup_scaled(spark, sf_dir, n_rows):
+    """The catalog row runs the FIXED 16×8-bit geometry its oracle
+    replays — correct, but 256 buckets/table saturate ≈ 20k+ vectors
+    and the bucket_cap guard then (correctly) prunes everything, so
+    its wall time SHRINKS with corpus size. Deployment discipline is
+    to size bits to the corpus (constant expected occupancy); this
+    variant measures exactly that: bits = ceil(log2(n/8)) keeps ~8
+    rows/bucket at every tier, cap stays 8× the expected occupancy —
+    so candidate volume Σ C(occ,2) grows linearly in n and the
+    exponent measures the operator, not a saturated geometry."""
+    import math
+
+    from dask_datapipeline_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    bits = max(8, math.ceil(math.log2(max(n_rows, 2048) / 8)))
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    # threshold 0.9 = the real near-dup setting (the catalog row's
+    # 0.45 is a small-corpus artifact to stay non-vacuous; on a tiled
+    # corpus it sits inside the cross-tile cosine tail and the OUTPUT
+    # grows super-linearly, polluting the exponent). The wall-time
+    # cost is candidate generation + exact verify of bucket
+    # cohabitants, which the threshold does not change.
+    return embedding_near_dup_pairs(
+        emb,
+        threshold=0.9,
+        bits_per_table=bits,
+        num_tables=16,
+        plane_kind="rademacher",
+        bucket_cap=64,
+    )
+
+
+#: rows measured through a scale-parameterized builder instead of the
+#: fixed-config catalog row; fn(spark, sf_dir, n_input_rows) → DataFrame
+CUSTOM = {"embedding_near_dup_scaled": _embedding_near_dup_scaled}
+
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+DEFAULT_SCALE_DIR = "/root/repo/.scale_corpus/x10"
 
 
 def main() -> None:
-    spark = get_spark("scaling")
+    # SPARK_GRAFT_ONLY_ARGS=1: measure ONLY the dirs given on argv
+    # (skip the sf floor tiers — used by the pinned asymptotic run,
+    # where the small tiers carry no exponent information)
+    dirs = [] if os.environ.get("SPARK_GRAFT_ONLY_ARGS") == "1" else list(SF_DIRS)
+    extra = sys.argv[1:] or (
+        [DEFAULT_SCALE_DIR] if os.path.isdir(DEFAULT_SCALE_DIR) else []
+    )
+    dirs += extra
+
+    pin = os.environ.get("SPARK_GRAFT_PIN_PLAN") == "1"
+    spark = get_spark(
+        "scaling",
+        extra_conf=(
+            {
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            }
+            if pin
+            else None
+        ),
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    if pin:
+        print("# PIN_PLAN: broadcast joins disabled (asymptotic-plan run)",
+              file=sys.stderr)
     # Python-worker pool warmup (same rationale as bench.py)
     n = spark.sparkContext.defaultParallelism
     spark.range(n, numPartitions=n).mapInPandas(lambda it: it, "id long").count()
 
+    labels = [d.rstrip("/").split("/")[-1] for d in dirs]
     rows: dict[str, dict[str, int]] = {}
-    cold: dict[str, dict[str, float]] = {}
     warm: dict[str, dict[str, float]] = {}
-    for sf_dir in SF_DIRS:
-        sf = sf_dir.rstrip("/").split("sf")[-1]
-        rows[sf] = {
-            t: load_testdata(spark, sf_dir, t).count()
+    for d, lab in zip(dirs, labels):
+        rows[lab] = {
+            t: load_testdata(spark, d, t).count()
             for t in ("documents", "embeddings")
         }
-        for name, _tbl in QUERIES:
+        for name, tbl in QUERIES:
+            if name in CUSTOM:
+                fn = lambda: CUSTOM[name](spark, d, rows[lab][tbl])  # noqa: B023
+            else:
+                fn = lambda: CATALOG[name].fn(spark, d)  # noqa: B023
             t0 = time.perf_counter()
-            CATALOG[name].fn(spark, sf_dir).count()
-            cold.setdefault(name, {})[sf] = round(time.perf_counter() - t0, 3)
+            fn().count()
+            cold = time.perf_counter() - t0
             t0 = time.perf_counter()
-            CATALOG[name].fn(spark, sf_dir).count()
-            warm.setdefault(name, {})[sf] = round(time.perf_counter() - t0, 3)
+            fn().count()
+            warm.setdefault(name, {})[lab] = round(time.perf_counter() - t0, 3)
             print(
-                f"# sf{sf} {name}: cold {cold[name][sf]:.2f}s "
-                f"warm {warm[name][sf]:.2f}s",
+                f"# {lab} {name}: cold {cold:.2f}s warm {warm[name][lab]:.2f}s",
                 file=sys.stderr,
             )
-        spark.catalog.clearCache()  # don't let one sf's caches serve the next
+        spark.catalog.clearCache()  # don't let one corpus's caches serve the next
 
-    print("| query | input | rows sf0.001/0.01/0.1 | warm s sf0.001 | sf0.01 | sf0.1 | alpha (0.01->0.1) |")
-    print("|---|---|---|---|---|---|---|")
+    hdr_times = " | ".join(f"warm s {lab}" for lab in labels)
+    print(f"| query | input | rows {'/'.join(labels)} | {hdr_times} "
+          "| alpha_top | alpha_full |")
+    print("|---|---|" + "---|" * (len(labels) + 3))
     for name, tbl in QUERIES:
-        r = [rows[sf][tbl] for sf in ("0.001", "0.01", "0.1")]
-        w = [warm[name][sf] for sf in ("0.001", "0.01", "0.1")]
-        alpha = math.log(w[2] / w[1]) / math.log(r[2] / r[1])
+        r = [rows[lab][tbl] for lab in labels]
+        w = [warm[name][lab] for lab in labels]
+        a_top = math.log(w[-1] / w[-2]) / math.log(r[-1] / r[-2])
+        i_001 = labels.index("sf0.01") if "sf0.01" in labels else 0
+        a_full = math.log(w[-1] / w[i_001]) / math.log(r[-1] / r[i_001])
         print(
-            f"| {name} | {tbl} | {r[0]}/{r[1]}/{r[2]} | {w[0]:.2f} | {w[1]:.2f} "
-            f"| {w[2]:.2f} | {alpha:.2f} |"
+            f"| {name} | {tbl} | {'/'.join(str(x) for x in r)} | "
+            + " | ".join(f"{x:.2f}" for x in w)
+            + f" | {a_top:.2f} | {a_full:.2f} |"
         )
 
 
