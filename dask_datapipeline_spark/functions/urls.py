@@ -27,7 +27,10 @@ once, so first-match vs global replace semantics agree):
    case-insensitive — the match itself is ``(?i)`` so ``HTTPS://Host``
    canonicalizes like ``https://host``; paths are not and keep their
    case)
-5. strip one trailing slash
+5. strip trailing slashes (ALL of them — ``/+$`` — so the canonical
+   form is a fixed point: ``canonical(canonical(u)) == canonical(u)``,
+   property-pinned; a single-slash strip would leave ``/a//`` one
+   application away from ``/a``)
 
 Scale: pure codegen string expressions, zero shuffles; the dedup adds
 one groupBy-window shuffle keyed on the canonical URL.
@@ -71,7 +74,7 @@ def canonical_url(col: Column) -> Column:
         F.lower(F.regexp_extract(x, SCHEME_HOST_EXTRACT_RE, 1)),
         F.regexp_replace(x, SCHEME_HOST_STRIP_RE, ""),
     )
-    return F.regexp_replace(x, "/$", "")
+    return F.regexp_replace(x, "/+$", "")
 
 
 def url_dedup(
@@ -112,4 +115,4 @@ def canonical_url_sql_steps(expr: str) -> str:
         f"(lower(regexp_extract({x}, '{SCHEME_HOST_EXTRACT_RE}', 1)) || "
         f"regexp_replace({x}, '{SCHEME_HOST_STRIP_RE}', ''))"
     )
-    return f"regexp_replace({x}, '/$', '')"
+    return f"regexp_replace({x}, '/+$', '')"

@@ -355,6 +355,23 @@ def quantile_sketch(
     the catalog-wide plan guard forbids."""
     gcols = list(group_cols or [])
     sample = quantile_sample(df, value_col, id_col, k, gcols, seed)
+    return quantiles_from_sample(sample, value_col, id_col, quantiles, gcols)
+
+
+def quantiles_from_sample(
+    sample: DataFrame,
+    value_col: str,
+    id_col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The estimate step of ``quantile_sketch``, separated so an
+    INCREMENTALLY maintained sample (``streaming/windows.py::
+    stream_incremental_quantile_sample``) can be queried with the
+    identical selection semantics. Input is sketch-sized by contract,
+    so the per-group (or single-partition, ungrouped) windows are
+    bounded regardless of corpus size."""
+    gcols = list(group_cols or [])
     w_rank = Window.partitionBy(*gcols).orderBy(value_col, id_col)
     w_all = Window.partitionBy(*gcols)
     ranked = sample.withColumn("__vr", F.row_number().over(w_rank)).withColumn(

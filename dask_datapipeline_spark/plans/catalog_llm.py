@@ -1090,6 +1090,67 @@ def _raw_url_col():
     ).alias("url")
 
 
+def _domain_stats_oracle_sql() -> str:
+    from dask_datapipeline_spark.functions.urls import canonical_url_sql_steps
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {_RAW_URL_SQL} AS url FROM documents
+),
+canon AS (
+  SELECT doc_id, {canonical_url_sql_steps('url')} AS curl FROM raw
+),
+hosted AS (
+  SELECT doc_id, curl,
+         regexp_extract(curl, '^https?://([^/]*)', 1) AS host
+  FROM canon
+)
+SELECT host,
+       regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT curl) AS n_urls,
+       CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT curl) AS dup_rate
+FROM hosted
+GROUP BY host
+"""
+
+
+@register_extra(
+    "domain_stats",
+    _domain_stats_oracle_sql(),
+    "Domain-level crawl profile (web-pipeline stage after URL canonicalization): "
+    "per host — docs, distinct canonical URLs, and the docs-per-URL dup rate "
+    "that drives domain blocklists and recrawl budgets at web scale. Host and "
+    "registrable-domain extraction are the same engine-portable regex tier as "
+    "functions/urls.py; ONE groupBy keyed on the host (partial count + distinct "
+    "map-side), no corpus re-scan — composes on the url_dedup projection",
+)
+def q_domain_stats(spark, sf_dir):
+    from dask_datapipeline_spark.functions.urls import canonical_url
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    hosted = docs.select(
+        "doc_id", canonical_url(_raw_url_col()).alias("curl")
+    ).withColumn("host", F.regexp_extract("curl", "^https?://([^/]*)", 1))
+    return (
+        hosted.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("curl").alias("n_urls"),
+            (
+                F.count(F.lit(1)).cast("double") / F.countDistinct("curl")
+            ).alias("dup_rate"),
+        )
+        .select(
+            "host",
+            F.regexp_extract("host", r"([^.]+\.[^.]+)$", 1).alias("domain"),
+            "n_docs",
+            "n_urls",
+            "dup_rate",
+        )
+    )
+
+
 # ----- HTML -> text extraction ----------------------------------------
 
 #: deterministic HTML-ification of documents.text shared by both
@@ -2631,6 +2692,73 @@ def q_quantile_sketch(spark, sf_dir):
         quantiles=(0.5, 0.9, 0.99),
         k=_QSK_K,
         group_cols=["o_orderpriority"],
+    )
+
+
+@register_extra(
+    "streaming_quantile",
+    quantile_sketch_oracle_sql("events", "value", "event_id", k=_QSK_K),
+    "Streaming twin of quantile_sketch (streaming/windows.py::"
+    "stream_incremental_quantile_sample): the events table arrives as THREE "
+    "micro-batch files through a real foreachBatch sink that maintains the "
+    "bottom-k-by-hash sample incrementally (union + re-take + atomic snapshot "
+    "swap; O(batch + k) per micro-batch, corpus never rescanned). Min-merge "
+    "exactness makes the maintained sample BIT-IDENTICAL to the batch sketch "
+    "over the full stream, so this row shares the batch oracle verbatim — the "
+    "end-to-end proof the incremental wiring (offsets, replay-idempotent "
+    "dedup-on-id, snapshot swap) loses nothing",
+)
+def q_streaming_quantile(spark, sf_dir):
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import time as _time
+
+    from dask_datapipeline_spark.operators.sketches import quantiles_from_sample
+    from dask_datapipeline_spark.streaming.windows import (
+        stream_incremental_quantile_sample,
+    )
+
+    ev = load_testdata(spark, sf_dir, "events").select("event_id", "value")
+    work = _tf.mkdtemp(prefix="ddps_stream_qsk_")
+    staged = _os.path.join(work, "staged")
+    _os.makedirs(staged, exist_ok=True)
+    # three id-range micro-batch files, mtime-ordered (any batching
+    # yields the same sample — min-merge exactness; ranges just make
+    # the fixture deterministic)
+    hi = ev.agg(F.max("event_id")).collect()[0][0] or 0
+    cuts = [hi // 3, 2 * hi // 3]
+    parts = [
+        ev.where(F.col("event_id") <= cuts[0]),
+        ev.where((F.col("event_id") > cuts[0]) & (F.col("event_id") <= cuts[1])),
+        ev.where(F.col("event_id") > cuts[1]),
+    ]
+    now = _time.time()
+    for i, part in enumerate(parts):
+        tmp = _os.path.join(work, f"stage-tmp-{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            _os.path.join(tmp, f)
+            for f in _os.listdir(tmp)
+            if f.endswith(".parquet")
+        )
+        dst = _os.path.join(staged, f"chunk-{i}.parquet")
+        _sh.move(src, dst)
+        _os.utime(dst, (now + i, now + i))
+        _sh.rmtree(tmp)
+    sample_dir = _os.path.join(work, "sample")
+    stream_incremental_quantile_sample(
+        spark,
+        staged,
+        sample_dir,
+        schema="event_id long, value double",
+        value_col="value",
+        id_col="event_id",
+        k=_QSK_K,
+        checkpoint_dir=_os.path.join(work, "ckpt"),
+    )
+    return quantiles_from_sample(
+        spark.read.parquet(sample_dir), "value", "event_id"
     )
 
 

@@ -372,6 +372,75 @@ def stream_merge_to_parquet(
     q.awaitTermination(timeout_sec)
 
 
+def stream_incremental_quantile_sample(
+    spark: SparkSession,
+    staged_dir: str,
+    sample_dir: str,
+    schema: str,
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 240,
+) -> None:
+    """Maintain the mergeable quantile sketch (``operators/sketches.py
+    ::quantile_sample`` — the bottom-k-by-md5(id) row sample)
+    INCREMENTALLY over a document/event file stream: per micro-batch,
+    union the persisted sample with the batch, re-take the bottom-k,
+    atomically swap the sample snapshot.
+
+    Min-merge EXACTNESS is what makes this correct: the bottom-k of a
+    union is the bottom-k of the parts' bottom-k's, so after draining
+    any batching of the input the maintained sample is BIT-IDENTICAL
+    to the batch sketch over the full data — the catalog row proves it
+    by sharing the batch oracle verbatim. Replay (at-least-once
+    foreachBatch) is idempotent: rows are deduped on the unique
+    ``id_col`` before the re-take, so a replayed batch's rows merge
+    into themselves. Per micro-batch cost is O(batch + k); the corpus
+    is never rescanned. Same stable-checkpoint + staged-rename-swap
+    discipline as ``stream_merge_to_parquet``."""
+    import os
+    import shutil
+    import uuid
+
+    from dask_datapipeline_spark.operators.sketches import quantile_sample
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        cur = (
+            batch_df.select(id_col, value_col)
+            if not os.path.isdir(sample_dir)
+            else spark.read.parquet(sample_dir)
+            .select(id_col, value_col)
+            .unionByName(batch_df.select(id_col, value_col))
+        )
+        new_sample = quantile_sample(
+            cur.dropDuplicates([id_col]), value_col, id_col, k=k
+        )
+        staging = sample_dir.rstrip("/") + f".stage-{uuid.uuid4().hex[:8]}"
+        new_sample.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(sample_dir):
+            old = sample_dir.rstrip("/") + f".old-{uuid.uuid4().hex[:8]}"
+            os.rename(sample_dir, old)
+            os.rename(staging, sample_dir)
+            shutil.rmtree(old)
+        else:
+            os.rename(staging, sample_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_dir)
+        .writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or sample_dir.rstrip("/") + ".ckpt",
+        )
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
 def stream_incremental_dedup(
     spark: SparkSession,
     staged_docs_dir: str,

@@ -151,6 +151,10 @@ def test_canonical_url_steps(spark):
         # is (?i), not just the host lowercase)
         ("HTTPS://Site.COM/Path/x", "https://site.com/Path/x"),
         ("HtTp://A.B/q?ref=x", "http://a.b/q"),
+        # ALL trailing slashes collapse (round 7: the canonical form is
+        # a fixed point — property-pinned in test_round7_ops)
+        ("https://site.com/a//", "https://site.com/a"),
+        ("https://site.com///", "https://site.com"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, u string")
     got = {

@@ -85,6 +85,60 @@ def test_html_sql_steps_match_spark(spark):
         assert duck == spark_out[i], (s, duck, spark_out[i])
 
 
+# ----- URL canonicalization properties ---------------------------------
+
+
+def test_canonical_url_is_idempotent_property():
+    """canonical(canonical(u)) == canonical(u) for generated URL-ish
+    strings — the fixed-point property that makes the canonical form a
+    true key (runs on DuckDB via the shared SQL builder; engine parity
+    Spark↔DuckDB is pinned separately by extra:url_dedup and the
+    round-6 unit cases)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dask_datapipeline_spark.functions.urls import canonical_url_sql_steps
+
+    con = duckdb.connect()
+
+    def canon(u: str) -> str:
+        lit = "'" + u.replace("'", "''") + "'"
+        return con.sql("SELECT " + canonical_url_sql_steps(lit)).fetchone()[0]
+
+    label = st.text(alphabet="abXY09-", min_size=1, max_size=5)
+    seg = st.text(alphabet="abXY09._~-", min_size=0, max_size=6)
+    param = st.sampled_from(
+        [
+            "utm_source=1", "utm_X=", "ref=h", "fbclid=99", "gclid=",
+            "page=2", "a=b", "q=x%20y", "xref=2", "utm_a=p&q",
+        ]
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        scheme=st.sampled_from(["http", "https", "HTTP", "HttpS"]),
+        host=st.lists(label, min_size=1, max_size=3),
+        path=st.lists(seg, min_size=0, max_size=3),
+        params=st.lists(param, min_size=0, max_size=4),
+        slashes=st.integers(min_value=0, max_value=3),
+        frag=st.sampled_from(["", "#x", "#a/b?c"]),
+        pad=st.sampled_from(["", " ", "  "]),
+    )
+    def check(scheme, host, path, params, slashes, frag, pad):
+        u = (
+            pad + scheme + "://" + ".".join(host)
+            + ("/" + "/".join(path) if path else "")
+            + "/" * slashes
+            + ("?" + "&".join(params) if params else "")
+            + frag + pad
+        )
+        once = canon(u)
+        assert canon(once) == once, (u, once, canon(once))
+
+    check()
+
+
 # ----- golden-header parity pin ---------------------------------------
 
 #: header line 1 of the reference's committed golden output

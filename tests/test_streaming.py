@@ -356,3 +356,74 @@ def test_stream_incremental_dedup_restart_resumes_and_uses_increments(
         for r in spark.read.parquet(os.path.join(out, "batch-00001")).collect()
     }
     assert flags1 == {5: (3, False)}  # matched via the persisted increment
+
+
+def test_stream_incremental_quantile_restart_resumes_and_merges_exactly(
+    spark, tmp_path
+):
+    """The maintained bottom-k sample equals the BATCH sample over all
+    arrived rows after any sequence of runs: two files drained, a
+    restart with the same checkpoint processes nothing, a third file
+    staged later merges in exactly (min-merge exactness end-to-end)."""
+    import os
+    import time
+
+    from dask_datapipeline_spark.operators.sketches import quantile_sample
+    from dask_datapipeline_spark.streaming.windows import (
+        stream_incremental_quantile_sample,
+    )
+
+    work = str(tmp_path)
+    staged = os.path.join(work, "staged")
+    os.makedirs(staged)
+    rows = [(i, float((i * 37) % 101)) for i in range(300)]
+
+    def stage(name, part, mt):
+        df = spark.createDataFrame(part, "id long, v double")
+        tmp = os.path.join(work, "tmp-" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            os.path.join(tmp, f) for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        dst = os.path.join(staged, name + ".parquet")
+        os.rename(src, dst)
+        os.utime(dst, (mt, mt))
+
+    now = time.time()
+    stage("a", rows[:100], now)
+    stage("b", rows[100:200], now + 1)
+    sample_dir = os.path.join(work, "sample")
+    ckpt = os.path.join(work, "ckpt")
+    kw = dict(
+        schema="id long, v double", value_col="v", id_col="id", k=32,
+        checkpoint_dir=ckpt,
+    )
+    stream_incremental_quantile_sample(spark, staged, sample_dir, **kw)
+
+    def sample_set():
+        return {
+            (r.id, r.v) for r in spark.read.parquet(sample_dir).collect()
+        }
+
+    def batch_set(n):
+        df = spark.createDataFrame(rows[:n], "id long, v double")
+        return {(r.id, r.v) for r in quantile_sample(df, "v", "id", k=32).collect()}
+
+    assert sample_set() == batch_set(200)
+
+    # restart, nothing new: snapshot untouched
+    mtime = max(
+        os.path.getmtime(os.path.join(sample_dir, f))
+        for f in os.listdir(sample_dir)
+    )
+    stream_incremental_quantile_sample(spark, staged, sample_dir, **kw)
+    assert max(
+        os.path.getmtime(os.path.join(sample_dir, f))
+        for f in os.listdir(sample_dir)
+    ) == mtime
+
+    # a third file arrives: resume processes ONLY it; result is still
+    # exactly the batch sample over everything
+    stage("c", rows[200:], now + 2)
+    stream_incremental_quantile_sample(spark, staged, sample_dir, **kw)
+    assert sample_set() == batch_set(300)
