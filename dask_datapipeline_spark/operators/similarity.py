@@ -155,9 +155,22 @@ def _lsh_candidate_pairs(
     plane_kind: str = "gaussian",
     lt_only: bool = False,
     bucket_cap: int | None = None,
+    multiprobe_bits: int = 0,
 ) -> DataFrame:
     """Scored candidate pairs (query_id, neighbor_id, cosine_sim) from a
     bucket equi-join on (table, bucket).
+
+    ``multiprobe_bits``: 1-bit multi-probe LSH (Lv et al. 2007's core
+    idea in its simplest exact-replayable form) — the QUERY side also
+    probes, per table, each bucket reachable by flipping one of the
+    first ``multiprobe_bits`` hyperplane bits (``bucket XOR (1<<b)``).
+    A near neighbor separated from the query by exactly one hyperplane
+    lands in precisely such an adjacent bucket, so probing buys back
+    the recall that would otherwise need more tables: probes cost
+    query-side rows (tiny — queries ≪ corpus), extra tables cost a
+    whole corpus-side index replica. The corpus side is NEVER
+    expanded, and the probe set is a deterministic function of the
+    bucket id, so the SQL oracle replays it with ``xor()``.
 
     ``bucket_cap``: skew guard — (table, bucket) cells holding more
     than ``bucket_cap`` corpus rows are EXCLUDED from the join. A hot
@@ -194,6 +207,10 @@ def _lsh_candidate_pairs(
         raise ValueError(f"plane_kind={plane_kind!r} not in ('gaussian','rademacher')")
     bud = _bucket_udf(planes)
 
+    if multiprobe_bits < 0 or multiprobe_bits > bits_per_table:
+        raise ValueError(
+            f"multiprobe_bits={multiprobe_bits} must be in [0, {bits_per_table}]"
+        )
     q = fan_out(queries.select(id_col, vec_col)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -220,6 +237,20 @@ def _lsh_candidate_pairs(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("__cv"),
             F.posexplode(bud(F.col(vec_col))).alias("__t", "__bucket"),
+        )
+    if multiprobe_bits:
+        # expand AFTER the corpus side is derived (self-join path
+        # shares q's projection) and BEFORE the cap semi-join, so a
+        # probe aimed at a capped-out cell is trimmed like any other
+        probes = F.array(
+            F.col("__bucket"),
+            *[
+                F.col("__bucket").bitwiseXOR(F.lit(1 << b))
+                for b in range(multiprobe_bits)
+            ],
+        )
+        q = q.select(
+            "query_id", "__qv", "__t", F.explode(probes).alias("__bucket")
         )
     if bucket_cap is not None:
         # allowed-buckets list is bounded by the bucket-id space
@@ -262,6 +293,7 @@ def knn_join_lsh(
     num_tables: int = 4,
     seed: int = 42,
     plane_kind: str = "gaussian",
+    multiprobe_bits: int = 0,
 ) -> DataFrame:
     """Approximate k-NN join: for each query row, top-k corpus rows.
 
@@ -269,10 +301,13 @@ def knn_join_lsh(
     union over ``num_tables`` hash tables of same-bucket pairs; exact
     cosine ranks them. Bucket equi-joins shuffle on (table, bucket) —
     bounded fan-out, no cross join — which is how this survives a
-    1000-executor scale-up. Recall tuned by ``num_tables``."""
+    1000-executor scale-up. Recall tuned by ``num_tables`` and, much
+    more cheaply, by ``multiprobe_bits`` (1-bit multi-probe: extra
+    QUERY-side probes of adjacent buckets instead of extra corpus-side
+    index replicas — see ``_lsh_candidate_pairs``)."""
     cand = _lsh_candidate_pairs(
         queries, corpus, id_col, vec_col, dim, bits_per_table, num_tables, seed,
-        plane_kind,
+        plane_kind, multiprobe_bits=multiprobe_bits,
     )
     from pyspark.sql.window import Window
 

@@ -1501,6 +1501,72 @@ def q_knn_join_lsh(spark, sf_dir):
     )
 
 
+def _lsh_multiprobe_oracle_sql(
+    num_tables: int, bits: int, dim: int, k: int, probe_bits: int
+) -> str:
+    """knn_join_lsh oracle with 1-bit multi-probe on the query side:
+    qb0 is the plain per-table bucketing; qb unions it with one
+    ``xor(bucket, 1<<b)`` probe per flipped bit. The corpus side is
+    untouched — the probe set is query-side only, exactly as in
+    ``similarity._lsh_candidate_pairs``."""
+    from dask_datapipeline_spark.operators.similarity import rademacher_planes
+
+    planes = rademacher_planes(num_tables, bits, dim)
+    qb0 = "\nUNION ALL\n".join(
+        f"SELECT vec_id AS query_id, embedding AS qv, {t} AS t,"
+        f" {_bucket_expr(planes, 'embedding', t)} AS bucket FROM q0"
+        for t in range(num_tables)
+    )
+    probes = "\nUNION ALL\n".join(
+        ["SELECT query_id, qv, t, bucket FROM qb0"]
+        + [
+            f"SELECT query_id, qv, t, xor(bucket, {1 << b}) AS bucket FROM qb0"
+            for b in range(probe_bits)
+        ]
+    )
+    cb = "\nUNION ALL\n".join(
+        f"SELECT vec_id AS neighbor_id, embedding AS cv, {t} AS t,"
+        f" {_bucket_expr(planes, 'embedding', t)} AS bucket FROM embeddings"
+        for t in range(num_tables)
+    )
+    cos = _COS_SQL.format(a="qb.qv", b="cb.cv")
+    return f"""
+WITH q0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+qb0 AS ({qb0}),
+qb AS ({probes}),
+cb AS ({cb}),
+scored AS (
+  SELECT DISTINCT qb.query_id, cb.neighbor_id, {cos} AS cosine_sim
+  FROM qb JOIN cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+)
+SELECT query_id, neighbor_id, cosine_sim, rn FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rn
+  FROM scored) WHERE rn <= {k}
+"""
+
+
+@register_extra(
+    "knn_join_lsh_multiprobe",
+    _lsh_multiprobe_oracle_sql(num_tables=3, bits=6, dim=64, k=5, probe_bits=6),
+    "1-bit multi-probe LSH k-NN join (similarity.py::knn_join_lsh with "
+    "multiprobe_bits): each query additionally probes, per table, every bucket "
+    "one hyperplane-flip away (bucket XOR 1<<b) — recall bought with QUERY-side "
+    "rows instead of corpus-side index replicas (here HALF the driver row's "
+    "tables: 3x6-bit + 6 probes vs 6x6-bit plain; recall-at-5 >= the plain "
+    "3-table run is pytest-asserted against the exact brute-force baseline). "
+    "The probe set is a deterministic xor of the bucket id, so the oracle "
+    "replays it exactly; the corpus side never expands",
+)
+def q_knn_join_lsh_multiprobe(spark, sf_dir):
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_join_lsh(
+        queries, emb, k=5, bits_per_table=6, num_tables=3,
+        plane_kind="rademacher", multiprobe_bits=6,
+    )
+
+
 def _hard_negative_oracle_sql(
     num_tables: int, bits: int, dim: int, k: int, n_queries: int
 ) -> str:
