@@ -450,6 +450,7 @@ def stream_incremental_dedup(
     checkpoint_dir: str | None = None,
     threshold: float = 0.5,
     timeout_sec: int = 240,
+    compact_every: int | None = None,
 ) -> None:
     """Streaming incremental near-dup: drain a document file stream
     (one staged parquet file per micro-batch) through ``foreachBatch``,
@@ -478,11 +479,17 @@ def stream_incremental_dedup(
     smaller-id ingested docs — is the same whether the smaller-id doc
     arrived in an earlier micro-batch (via the index increment) or the
     same one (via the in-batch union). The catalog row exploits this
-    to share the batch oracle."""
+    to share the batch oracle.
+
+    ``compact_every=N`` folds the increment list into one versioned
+    base pair (``compact_minhash_index``) after every Nth batch —
+    bounding the index's file count for a long-running ingest; flags
+    are unchanged by compaction, so N is an operational knob only."""
     import os
 
     from dask_datapipeline_spark.operators.minhash_index import (
         append_to_minhash_index,
+        compact_minhash_index,
         incremental_near_dup_flags,
     )
 
@@ -494,6 +501,15 @@ def stream_incremental_dedup(
             os.path.join(out_dir, f"batch-{batch_id:05d}")
         )
         append_to_minhash_index(batch_df, index_path, f"b{batch_id:05d}")
+        # compaction runs INSIDE foreachBatch, i.e. under the same
+        # single-writer serialization as the appends (the contract
+        # compact_minhash_index requires); flags are byte-identical
+        # before and after (pytest-pinned), so the cadence is purely
+        # an operational file-count knob. A crash mid-compaction is
+        # safe (manifest flip) — the replayed batch re-runs the
+        # (idempotent, now no-op) append and retries the compaction.
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_minhash_index(spark, index_path)
 
     q = (
         spark.readStream.schema(schema)

@@ -339,6 +339,29 @@ def test_quantile_sketch_small_group_is_exact(spark):
     assert got[0.9] == (vals[int(0.9 * 49)], 50)
 
 
+def test_quantile_sample_matches_python_twin(spark):
+    """The operator's sample is EXACTLY the pure-Python bottom-k by
+    md5-derived hash — pins the hash family end-to-end so the DuckDB
+    oracle and any future engine can be derived from the model."""
+    import hashlib
+
+    from dask_datapipeline_spark.operators.sketches import (
+        QSK_SEED,
+        quantile_sample,
+    )
+
+    rows = [(i, float((i * 37) % 101)) for i in range(400)]
+
+    def h(i):
+        return int(hashlib.md5(f"{QSK_SEED}:{i}".encode()).hexdigest()[:15], 16)
+
+    expect = {i for i, _ in sorted(rows, key=lambda r: (h(r[0]), r[0]))[:32]}
+    got = {
+        r.id for r in quantile_sample(_vals_df(spark, rows), "v", "id", k=32).collect()
+    }
+    assert got == expect
+
+
 def test_quantile_sketch_rank_error_bound(spark):
     """Realized rank error of the k=256 sketch vs the exact order
     statistic on 20k skewed rows: within 4·sqrt(q(1-q)/k) at every q —

@@ -427,3 +427,73 @@ def test_stream_incremental_quantile_restart_resumes_and_merges_exactly(
     stage("c", rows[200:], now + 2)
     stream_incremental_quantile_sample(spark, staged, sample_dir, **kw)
     assert sample_set() == batch_set(300)
+
+
+def test_stream_incremental_dedup_with_compaction_is_flag_identical(
+    spark, tmp_path
+):
+    """compact_every folds increments mid-stream: flags are identical
+    to an uncompacted run, later batches still dedup against
+    earlier-ingested docs THROUGH the compacted base, and the manifest
+    increment list stays bounded."""
+    import json
+    import os
+    import shutil
+    import time
+
+    from dask_datapipeline_spark.operators.minhash_index import build_minhash_index
+    from dask_datapipeline_spark.streaming.windows import stream_incremental_dedup
+
+    corpus_rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two three four five six"),
+    ]
+    batches = [
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (3, "red orange yellow green blue indigo")],
+        # doc 5 duplicates doc 3 — only reachable via the (compacted)
+        # increment from batch 0
+        [(5, "red orange yellow green blue indigo")],
+        [(7, "completely novel text nothing shared here at all")],
+    ]
+
+    def run(root, compact_every):
+        work = str(tmp_path / root)
+        os.makedirs(work)
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        index_path = os.path.join(work, "index")
+        build_minhash_index(corpus, index_path, num_hashes=16, bands=4, shingle_n=3)
+        staged = os.path.join(work, "staged")
+        os.makedirs(staged)
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            tmp = os.path.join(work, f"tmp-{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(
+                os.path.join(tmp, f)
+                for f in os.listdir(tmp)
+                if f.endswith(".parquet")
+            )
+            dst = os.path.join(staged, f"chunk-{i}.parquet")
+            shutil.move(src, dst)
+            os.utime(dst, (time.time() + i, time.time() + i))
+            shutil.rmtree(tmp)
+        out = os.path.join(work, "flags")
+        stream_incremental_dedup(
+            spark, staged, index_path, out,
+            checkpoint_dir=os.path.join(work, "ckpt"),
+            compact_every=compact_every,
+        )
+        flags = {
+            r.doc_id: (r.dup_of, r.is_new)
+            for r in spark.read.parquet(os.path.join(out, "batch-*")).collect()
+        }
+        with open(os.path.join(index_path, "_CURRENT")) as f:
+            return flags, json.load(f)
+
+    plain_flags, plain_cur = run("plain", None)
+    comp_flags, comp_cur = run("compacted", 1)
+    assert comp_flags == plain_flags
+    assert comp_flags[5] == (3, False)  # found via the compacted base
+    assert comp_cur["inc"] == []  # every batch folded
+    assert len(plain_cur["inc"]) == len(batches)
