@@ -86,9 +86,32 @@ def kmv_distinct(
         seeded_hash64(F.col(value_col).cast("string"), seed).alias("__h"),
     )
     partial = kmv_partial_mins(hashed, group_cols, k).distinct()
+    return kmv_estimate_from_sketch(partial, group_cols, k)
+
+
+def kmv_sketch_rows(sketch: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Per group, the k smallest distinct hashes of ``sketch`` (a
+    frame of ``group_cols + __h`` rows) — the sketch NORMAL FORM.
+    Min-merge exactness: applying this to the union of two sketches
+    yields exactly the sketch of the unioned inputs, which is what the
+    streaming twin relies on per micro-batch."""
     w = Window.partitionBy(*group_cols).orderBy("__h")
-    ranked = partial.withColumn("__rn", F.row_number().over(w)).where(
-        F.col("__rn") <= k
+    return (
+        sketch.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate_from_sketch(
+    sketch: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """(group_cols, n_sketch, est_distinct) from sketch rows — shared
+    by the batch ``kmv_distinct`` and the incrementally maintained
+    streaming sketch so the two read out identically."""
+    ranked = kmv_sketch_rows(sketch, group_cols, k).withColumn(
+        "__rn", F.row_number().over(Window.partitionBy(*group_cols).orderBy("__h"))
     )
     # (k-1) * 2^60 is exactly representable (8-bit mantissa); the
     # long->double cast of h_k and the division are single IEEE ops,

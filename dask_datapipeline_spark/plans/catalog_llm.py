@@ -2762,6 +2762,72 @@ def q_quantile_sketch(spark, sf_dir):
 
 
 @register_extra(
+    "streaming_kmv",
+    kmv_oracle_sql("events", "event_type", "user_id", k=_KMV_K),
+    "Streaming twin of kmv_distinct (streaming/windows.py::"
+    "stream_incremental_kmv): the events table arrives as THREE micro-batch "
+    "files through a foreachBatch sink maintaining the per-group k-minimum "
+    "DISTINCT hash set incrementally (union + re-take + atomic snapshot swap; "
+    "replay idempotent for free — duplicates vanish in the distinct). KMV "
+    "min-merge exactness makes the maintained sketch bit-identical to the "
+    "batch sketch, so this row shares kmv_distinct's oracle verbatim",
+)
+def q_streaming_kmv(spark, sf_dir):
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import time as _time
+
+    from dask_datapipeline_spark.operators.sketches import (
+        kmv_estimate_from_sketch,
+    )
+    from dask_datapipeline_spark.streaming.windows import stream_incremental_kmv
+
+    ev = load_testdata(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    work = _tf.mkdtemp(prefix="ddps_stream_kmv_")
+    staged = _os.path.join(work, "staged")
+    _os.makedirs(staged, exist_ok=True)
+    hi = ev.agg(F.max("event_id")).collect()[0][0] or 0
+    cuts = [hi // 3, 2 * hi // 3]
+    parts = [
+        ev.where(F.col("event_id") <= cuts[0]),
+        ev.where((F.col("event_id") > cuts[0]) & (F.col("event_id") <= cuts[1])),
+        ev.where(F.col("event_id") > cuts[1]),
+    ]
+    now = _time.time()
+    for i, part in enumerate(parts):
+        tmp = _os.path.join(work, f"stage-tmp-{i}")
+        part.select("event_type", "user_id").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        src = next(
+            _os.path.join(tmp, f)
+            for f in _os.listdir(tmp)
+            if f.endswith(".parquet")
+        )
+        dst = _os.path.join(staged, f"chunk-{i}.parquet")
+        _sh.move(src, dst)
+        _os.utime(dst, (now + i, now + i))
+        _sh.rmtree(tmp)
+    sketch_dir = _os.path.join(work, "sketch")
+    stream_incremental_kmv(
+        spark,
+        staged,
+        sketch_dir,
+        schema="event_type string, user_id long",
+        group_cols=["event_type"],
+        value_col="user_id",
+        k=_KMV_K,
+        checkpoint_dir=_os.path.join(work, "ckpt"),
+    )
+    return kmv_estimate_from_sketch(
+        spark.read.parquet(sketch_dir), ["event_type"], _KMV_K
+    )
+
+
+@register_extra(
     "streaming_quantile",
     quantile_sketch_oracle_sql("events", "value", "event_id", k=_QSK_K),
     "Streaming twin of quantile_sketch (streaming/windows.py::"

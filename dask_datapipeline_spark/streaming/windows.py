@@ -441,6 +441,75 @@ def stream_incremental_quantile_sample(
     q.awaitTermination(timeout_sec)
 
 
+def stream_incremental_kmv(
+    spark: SparkSession,
+    staged_dir: str,
+    sketch_dir: str,
+    schema: str,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 240,
+) -> None:
+    """Maintain the KMV distinct-count sketch (``operators/sketches.py``)
+    incrementally over a file stream: per micro-batch, hash the batch's
+    values, union with the persisted per-group k-minima, re-take the
+    k smallest DISTINCT hashes, atomically swap the snapshot.
+
+    Same correctness argument as ``stream_incremental_quantile_sample``
+    — KMV min-merge is exact, so after draining any batching the
+    maintained sketch is BIT-IDENTICAL to the batch sketch over the
+    full stream (the catalog row shares the batch oracle verbatim).
+    Replay is idempotent for free here: the sketch is a DISTINCT hash
+    set, so re-merged rows vanish in the distinct. Per micro-batch
+    cost is O(batch + groups·k)."""
+    import os
+    import shutil
+    import uuid
+
+    from dask_datapipeline_spark.operators.dedup import seeded_hash64
+    from dask_datapipeline_spark.operators.sketches import (
+        KMV_SEED,
+        kmv_sketch_rows,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        hashed = batch_df.where(F.col(value_col).isNotNull()).select(
+            *group_cols,
+            seeded_hash64(F.col(value_col).cast("string"), KMV_SEED).alias("__h"),
+        )
+        cur = (
+            hashed
+            if not os.path.isdir(sketch_dir)
+            else spark.read.parquet(sketch_dir).unionByName(hashed)
+        )
+        new_sketch = kmv_sketch_rows(cur, group_cols, k)
+        staging = sketch_dir.rstrip("/") + f".stage-{uuid.uuid4().hex[:8]}"
+        new_sketch.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(sketch_dir):
+            old = sketch_dir.rstrip("/") + f".old-{uuid.uuid4().hex[:8]}"
+            os.rename(sketch_dir, old)
+            os.rename(staging, sketch_dir)
+            shutil.rmtree(old)
+        else:
+            os.rename(staging, sketch_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_dir)
+        .writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or sketch_dir.rstrip("/") + ".ckpt",
+        )
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
 def stream_incremental_dedup(
     spark: SparkSession,
     staged_docs_dir: str,
