@@ -53,7 +53,14 @@ class DataExtractor:
 
     def csv_reader(self, spark: SparkSession | None = None) -> DataFrame:
         """Lazy CSV scan; ``FileNotFoundError`` on a non-``.csv`` path
-        (reference main.py:74-77 raised before reading)."""
+        (reference main.py:74-77 raised before reading).
+
+        Without ``schema``, falls back to ``inferSchema=True`` — the
+        reference's pandas-style dtype-inference contract, which costs
+        an EXTRA FULL SCAN of the file before the real read. Fine for
+        the compat layer's MB-scale inputs; at scale pass a pinned
+        schema (see ``dask_datapipeline_spark.schemas``) — a
+        ``UserWarning`` flags the inferring path."""
         if not str(self.file_path).endswith(".csv"):
             raise FileNotFoundError(
                 f"{self.file_path!r}: only .csv input is supported"
@@ -63,6 +70,15 @@ class DataExtractor:
         if self.schema is not None:
             reader = reader.schema(self.schema)
         else:
+            import warnings
+
+            warnings.warn(
+                "csv_reader without an explicit schema runs inferSchema=True "
+                "— an extra full scan of the input; pass schema= (pinned "
+                "types live in dask_datapipeline_spark.schemas) for scale",
+                UserWarning,
+                stacklevel=2,
+            )
             reader = reader.option("inferSchema", True)
         return reader.csv(self.file_path).select(*self.cols)
 

@@ -1277,6 +1277,126 @@ def boilerplate_strip(
     return _reassemble(base, kept, id_col, "text_clean")
 
 
+# ----- exact-substring dedup (Lee et al. 2022) ------------------------
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 50,
+    seed: int = 0,
+) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022's ExactSubstr, the
+    operator their trained-model experiments showed matters most for
+    memorization): cut every token that lies inside a duplicated span
+    of at least ``window_tokens`` tokens, where "duplicated" means the
+    span's text occurs MORE THAN ONCE anywhere in the corpus
+    (cross-document or within-document), then reassemble each document
+    from its surviving token runs.
+
+    Spark-native reformulation of their suffix-array scan: hash every
+    ``window_tokens``-wide ROLLING window (stride 1 — contrast
+    ``segment_dedup``'s disjoint segments); a token is inside a
+    duplicated ≥W-token span IFF at least one window covering it has
+    corpus frequency ≥ 2. Both directions are exact: a duplicated
+    window IS a duplicated W-span containing all its tokens, and a
+    duplicated span of length L ≥ W contains a duplicated window
+    through every one of its tokens. So token-level output equals the
+    suffix-array formulation's for spans ≥ W; spans duplicated only at
+    lengths in (0, W) are below the dedup threshold by definition.
+
+    Like the reference tool (google-research/deduplicate-text-datasets),
+    ALL occurrences are removed — keep-first is ill-defined when
+    duplicated spans partially overlap, and Lee et al. cut every copy.
+
+    Output: ``(id, text_dedup, n_tokens, n_cut)`` — every non-null-text
+    document survives as a row (possibly with empty ``text_dedup``);
+    the empties-drop is corpus policy, not dedup semantics.
+
+    Physical shape, and why it scales:
+
+    - windows hash to 8-byte md5-derived longs scan-side; the ONLY
+      corpus-sized shuffles move ``(id, pos, hash)`` fixed-width rows
+      (frequency groupBy with map-side combine, then the join back) —
+      window TEXT never moves;
+    - the duplicated-window set joins back on the hash, then collapses
+      to ONE sorted positions-array per document (groupBy id); token
+      filtering and reassembly are per-row array expressions —
+      coverage testing is O(n_tokens × dup_windows_in_doc) inside the
+      doc, never a corpus-level range join;
+    - hashing cost is O(n_tokens × W) characters of md5 per doc (each
+      token enters W window strings). A Karp-Rabin rolling hash would
+      make it O(n_tokens), at the price of an oracle that can no
+      longer replay the hash as one md5 call — at 100 TB, swap
+      ``seeded_hash64`` for a rolling hash here and keep everything
+      downstream unchanged (the dataflow only sees 8-byte longs).
+    """
+    require_columns(df, [id_col, text_col])
+    w = window_tokens
+    if w < 2:
+        raise ValueError(f"window_tokens={w} must be >= 2")
+    toks = tokens(text_col)
+    base = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("__tk"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    stop = F.col("n_tokens") - w + 1
+    # branch-free short-doc guard (see ``shingles``): sequence(1, m)
+    # counts DOWNWARD for m < 1, so clamp then filter
+    idx = F.filter(
+        F.sequence(F.lit(1), F.greatest(stop, F.lit(1)).cast("int")),
+        lambda i: i <= stop,
+    )
+    wins = fan_out(base).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("__i"),
+                    seeded_hash64(F.concat_ws(" ", F.slice(F.col("__tk"), i, w)), seed).alias(
+                        "__h"
+                    ),
+                ),
+            )
+        ).alias("__w"),
+    ).select(id_col, F.col("__w.__i").alias("__i"), F.col("__w.__h").alias("__h"))
+    dup = (
+        wins.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= 2)
+        .select("__h")
+    )
+    # one sorted duplicated-window-starts array per document; docs with
+    # no duplicated window fall out and rejoin as an empty array
+    dup_starts = (
+        wins.join(dup, on="__h")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("__i")).alias("__dups"))
+    )
+    joined = base.join(dup_starts, on=id_col, how="left").select(
+        id_col,
+        "__tk",
+        "n_tokens",
+        F.coalesce(F.col("__dups"), F.array().cast("array<int>")).alias("__dups"),
+    )
+    covered = lambda t: F.exists(  # noqa: E731 — bound per-row, twice below
+        F.col("__dups"), lambda s: (s <= t) & (t < s + w)
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.col("n_tokens"), F.lit(1)).cast("int")),
+        lambda t: (t <= F.col("n_tokens")) & ~covered(t),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(
+            F.transform(kept, lambda t: F.element_at(F.col("__tk"), t)), " "
+        ).alias("text_dedup"),
+        "n_tokens",
+        (F.col("n_tokens") - F.size(kept).cast("long")).alias("n_cut"),
+    )
+
+
 # ----- winnowing fingerprints (MOSS-style) ---------------------------
 
 

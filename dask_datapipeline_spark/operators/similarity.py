@@ -117,6 +117,47 @@ def rademacher_planes(num_tables: int, bits: int, dim: int) -> np.ndarray:
     return out
 
 
+#: rows per (table, bucket) cell the auto-sized SRP geometry targets;
+#: the default ``bucket_cap`` is 8× this (same headroom the measured
+#: scaling runs used — tools/measure_scaling.py, docs/SCALE.md).
+SRP_TARGET_OCCUPANCY = 8
+SRP_MIN_BITS = 8
+#: the SQL oracle replays plane literals up to this many bits per
+#: table (covers corpora to target_occupancy × 2^20 ≈ 8M rows at the
+#: default occupancy — far beyond any gate corpus; the OPERATOR has
+#: no such bound).
+SRP_ORACLE_MAX_BITS = 20
+
+
+def sized_srp_bits(
+    n_rows: int,
+    target_occupancy: int = SRP_TARGET_OCCUPANCY,
+    min_bits: int = SRP_MIN_BITS,
+) -> int:
+    """Corpus-sized SRP hash width: the smallest ``bits`` such that
+    ``2^bits`` buckets hold ``n_rows`` at ≤ ``target_occupancy`` rows
+    per bucket (i.e. ``ceil(log2(n / occupancy))``), floored at
+    ``min_bits``.
+
+    A FIXED geometry saturates: at 200k vectors the 8-bit tables hold
+    ~780 rows/bucket, every cell trips the skew cap, and recall
+    measured ZERO pairs (docs/SCALE.md) — the guard correctly pruning
+    a mis-sized geometry. Sizing bits to the corpus keeps expected
+    occupancy constant, so the candidate volume Σ C(occ, 2) grows
+    linearly in n (measured α=1.03 through 500k vectors).
+
+    Integer-exact on purpose: ``ceil(log2(ceil(n/occ)))`` computed via
+    ``int.bit_length`` — no libm ``log2`` whose final ulp could differ
+    between Python and the SQL oracle's replay of the same formula
+    (``GREATEST(min_bits, length(bin(target_cells - 1)))``)."""
+    if n_rows < 0:
+        raise ValueError(f"n_rows={n_rows} must be >= 0")
+    if target_occupancy < 1:
+        raise ValueError(f"target_occupancy={target_occupancy} must be >= 1")
+    target_cells = (max(n_rows, 1) + target_occupancy - 1) // target_occupancy
+    return max(min_bits, (target_cells - 1).bit_length())
+
+
 def _bucket_udf(planes: np.ndarray):
     """Vectorized pandas UDF: embedding → array of ``num_tables``
     bucket ids, ONE vectorized pass per Arrow batch instead of
@@ -606,7 +647,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bits_per_table: int = 8,
+    bits_per_table: int | None = None,
     num_tables: int = 4,
     seed: int = 42,
     plane_kind: str = "gaussian",
@@ -619,7 +660,26 @@ def embedding_near_dup_pairs(
     window/rank pass — the threshold filter alone bounds the output.
     Explicit keyword parameters (no **kwargs): a silently-dropped
     ``plane_kind`` or misspelled option would change results without
-    an error."""
+    an error.
+
+    ``bits_per_table=None`` (the default) SIZES THE GEOMETRY TO THE
+    CORPUS: one ``df.count()`` sizing pass, then
+    ``sized_srp_bits(n)`` keeps expected bucket occupancy constant at
+    ``SRP_TARGET_OCCUPANCY``, and ``bucket_cap`` (when also None)
+    defaults to 8× that occupancy — the skew guard armed with real
+    headroom instead of tripping on every healthy cell. A fixed
+    ``bits_per_table`` stays available for literal-replayable configs
+    (the driver catalog row) but is a TUNING override: the 16×8-bit
+    fixed geometry measured ZERO recall at 200k vectors because all
+    256 buckets/table exceeded the cap (docs/SCALE.md). The sizing
+    count is one columnar scan of the id column — O(n) metadata-cheap
+    next to the hashing pass that follows, and the price of never
+    shipping a saturated index."""
+    if bits_per_table is None:
+        n = df.count()
+        bits_per_table = sized_srp_bits(n)
+        if bucket_cap is None:
+            bucket_cap = 8 * SRP_TARGET_OCCUPANCY
     cand = _lsh_candidate_pairs(
         df, df, id_col, vec_col, dim, bits_per_table, num_tables, seed,
         plane_kind, lt_only=True, bucket_cap=bucket_cap,

@@ -419,6 +419,65 @@ SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= {threshold!r}
 """
 
 
+def _lsh_auto_near_dup_oracle_sql(
+    num_tables: int, dim: int, threshold: float
+) -> str:
+    """Replay the AUTO-SIZED SRP geometry in SQL. ``bits`` is computed
+    from the corpus itself with the same integer-exact formula as
+    ``similarity.sized_srp_bits`` (ceil-log2 via ``length(bin(x))`` —
+    no libm log2 whose last ulp could differ between engines), so the
+    oracle tracks whatever corpus the gate points at. Plane literals
+    are emitted up to ``SRP_ORACLE_MAX_BITS`` and gated per-term on
+    ``b < bits`` — md5-derived planes depend only on (t, b), never on
+    the total bit count, so the prefix the Spark UDF uses is exactly
+    the prefix the guard keeps live. ``bucket_cap`` replays the auto
+    default (8× target occupancy)."""
+    from dask_datapipeline_spark.operators.similarity import (
+        SRP_MIN_BITS,
+        SRP_ORACLE_MAX_BITS,
+        SRP_TARGET_OCCUPANCY,
+        rademacher_planes,
+    )
+
+    occ = SRP_TARGET_OCCUPANCY
+    cap = 8 * occ
+    planes = rademacher_planes(num_tables, SRP_ORACLE_MAX_BITS, dim)
+
+    def branch(t: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN {b} < geo.bits AND list_dot_product("
+            f"CAST(embedding AS DOUBLE[]), {_plane_lit(planes, t, b)}) >= 0"
+            f" THEN {1 << b} ELSE 0 END)"
+            for b in range(SRP_ORACLE_MAX_BITS)
+        )
+        return (
+            f"SELECT vec_id, embedding AS v, {t} AS t, {terms} AS bucket"
+            " FROM embeddings, geo"
+        )
+
+    cb = "\nUNION ALL\n".join(branch(t) for t in range(num_tables))
+    cos = _COS_SQL.format(a="a.v", b="b.v")
+    return f"""
+WITH geo AS (
+  SELECT GREATEST({SRP_MIN_BITS},
+                  length(bin((GREATEST(COUNT(*), 1) + {occ - 1}) // {occ} - 1))) AS bits
+  FROM embeddings
+),
+cb AS ({cb}),
+capped AS (
+  SELECT * FROM (
+    SELECT cb.*, COUNT(*) OVER (PARTITION BY t, bucket) AS __bn FROM cb
+  ) WHERE __bn <= {cap}
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine_sim
+  FROM capped a JOIN capped b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= {threshold!r}
+"""
+
+
 # Sparse-regime config: 8-bit tables (256 buckets each) collide random
 # 64-dim pairs with p ≈ 0.5^8 per table, so the candidate volume stays
 # ~N²/256·tables instead of the dense demo's ~40% of all pairs; 16
@@ -456,6 +515,31 @@ def q_embedding_near_dup(spark, sf_dir):
         num_tables=_ND_SPARSE_TABLES,
         plane_kind="rademacher",
         bucket_cap=_ND_SPARSE_CAP,
+    )
+
+
+@register_extra(
+    "embedding_near_dup_auto",
+    _lsh_auto_near_dup_oracle_sql(_ND_SPARSE_TABLES, 64, _ND_SPARSE_T),
+    "AUTO-SIZED production default of embedding_near_dup_pairs "
+    "(bits_per_table=None): one count() sizing pass, "
+    "bits = ceil(log2(n/occupancy)) integer-exact, bucket_cap = 8x occupancy. "
+    "The oracle computes the SAME bits from COUNT(*) via length(bin(...)) and "
+    "gates plane-literal terms on b < bits, so it tracks any corpus the gate "
+    "points at (to 2^20 bits/table). Fixes the measured fixed-geometry "
+    "saturation: 16x8-bit reached 0 pairs at 200k vectors (docs/SCALE.md); "
+    "the sized geometry is measured linear (alpha=1.03)",
+)
+def q_embedding_near_dup_auto(spark, sf_dir):
+    from dask_datapipeline_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb,
+        threshold=_ND_SPARSE_T,
+        bits_per_table=None,  # the auto-sized default under test
+        num_tables=_ND_SPARSE_TABLES,
+        plane_kind="rademacher",
     )
 
 
@@ -3082,6 +3166,60 @@ def q_segment_dedup(spark, sf_dir):
 
     docs = load_testdata(spark, sf_dir, "documents")
     return segment_dedup(docs, seg_tokens=_SEG_K)
+
+
+_SUBSTR_W = 50  # Lee et al. 2022's span threshold, in tokens
+
+
+@register_extra(
+    "substring_dedup",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk
+  FROM documents WHERE text IS NOT NULL
+), n AS (
+  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM t
+), win AS (
+  SELECT doc_id, i,
+         CAST(CONCAT('0x', SUBSTRING(md5(
+           '0:' || array_to_string(tk[i : i+{_SUBSTR_W - 1}], ' ')), 1, 15)) AS BIGINT) AS hh
+  FROM n, unnest(generate_series(1, CAST(n_tokens - {_SUBSTR_W} + 1 AS INT))) g(i)
+), dup AS (
+  SELECT hh FROM (SELECT hh, COUNT(*) AS c FROM win GROUP BY hh) WHERE c >= 2
+), dw AS (
+  SELECT w.doc_id, w.i FROM win w JOIN dup d ON w.hh = d.hh
+), tok AS (
+  SELECT doc_id, t, tk[t] AS tok
+  FROM n, unnest(generate_series(1, CAST(n_tokens AS INT))) g(t)
+), kept AS (
+  SELECT tok.doc_id, tok.t, tok.tok FROM tok
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dw
+    WHERE dw.doc_id = tok.doc_id AND dw.i <= tok.t AND tok.t < dw.i + {_SUBSTR_W}
+  )
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY t) AS text_dedup
+  FROM kept GROUP BY doc_id
+)
+SELECT n.doc_id,
+       COALESCE(agg.text_dedup, '') AS text_dedup,
+       n.n_tokens,
+       n.n_tokens - COALESCE(agg.n_kept, 0) AS n_cut
+FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
+""",
+    "Exact-substring dedup (operators/dedup.py::substring_dedup — Lee et al. "
+    "2022 ExactSubstr): every token inside a >=50-token span that occurs more "
+    "than once in the corpus is cut from ALL occurrences; rolling window hashes "
+    "shuffle as (id, pos, 8-byte md5 long) fixed-width rows, coverage + "
+    "reassembly are per-document array expressions (non-vacuous here: 280 "
+    "duplicated 50-token window hashes at sf0.01)",
+)
+def q_substring_dedup(spark, sf_dir):
+    from dask_datapipeline_spark.operators.dedup import substring_dedup
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return substring_dedup(docs, window_tokens=_SUBSTR_W)
 
 
 _BOILER_K, _BOILER_MAX_DF = 5, 1

@@ -74,6 +74,28 @@ def test_csv_reader_rejects_non_csv():
         DataExtractor("data.parquet", ["a"]).csv_reader()
 
 
+def test_csv_reader_warns_on_schema_inference(spark, tmp_path):
+    """No explicit schema → inferSchema=True costs an extra full scan;
+    the reader must say so. A pinned schema must stay silent."""
+    import warnings
+
+    import pyspark.sql.types as T
+
+    p = tmp_path / "warn.csv"
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["Name", "City"])
+        w.writerow(["Jack", "CO"])
+    with pytest.warns(UserWarning, match="inferSchema"):
+        DataExtractor(str(p), ["Name"]).csv_reader(spark)
+    pinned = T.StructType(
+        [T.StructField("Name", T.StringType()), T.StructField("City", T.StringType())]
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        DataExtractor(str(p), ["Name"], schema=pinned).csv_reader(spark)
+
+
 def test_converter_contract(spark, df1):
     assert DataExtractor("x.csv", []).dataframe_converter(df1) is df1
     with pytest.raises(TypeError):

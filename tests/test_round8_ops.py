@@ -1,0 +1,298 @@
+"""Round-8 operators: auto-sized SRP geometry (VERDICT r7 #1).
+
+The round-7 scaling run measured the FIXED 16x8-bit
+``embedding_near_dup`` geometry reaching 0 pairs at 200k vectors —
+every 256-bucket table saturated past the bucket_cap=64 skew guard
+(docs/SCALE.md). These tests pin the production fix: bits sized to
+the corpus by default, integer-exactly, with the SQL oracle replaying
+the same formula.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import pytest
+
+from dask_datapipeline_spark.operators import similarity as S
+
+
+# ----- sized_srp_bits: the integer-exact ceil-log2 ---------------------
+
+
+def test_sized_srp_bits_matches_float_formula():
+    """bit_length formula == ceil(log2(n/occ)) for every n that
+    matters (and the float formula's own edge cases at powers of 2)."""
+    for n in list(range(1, 5000)) + [2**k for k in range(8, 31)] + [
+        2**k + d for k in range(8, 31) for d in (-1, 1)
+    ]:
+        got = S.sized_srp_bits(n)
+        want = max(8, math.ceil(math.log2(max(n, 2048) / 8)))
+        assert got == want, f"n={n}: {got} != {want}"
+
+
+def test_sized_srp_bits_occupancy_invariant():
+    """Defining property: 2^bits buckets hold n rows at <= occupancy
+    (above the min-bits floor), and bits-1 would not."""
+    for n in [2049, 5000, 20_000, 200_000, 10**7]:
+        for occ in [1, 4, 8, 64]:
+            bits = S.sized_srp_bits(n, target_occupancy=occ)
+            assert n <= occ * (1 << bits)
+            if bits > S.SRP_MIN_BITS:
+                assert n > occ * (1 << (bits - 1))
+
+
+def test_sized_srp_bits_validates():
+    with pytest.raises(ValueError):
+        S.sized_srp_bits(-1)
+    with pytest.raises(ValueError):
+        S.sized_srp_bits(100, target_occupancy=0)
+    assert S.sized_srp_bits(0) == S.SRP_MIN_BITS
+
+
+def test_sized_srp_bits_matches_duckdb_bin_formula():
+    """The oracle computes bits as GREATEST(min, length(bin(cells-1)))
+    — pin the two engines' formulas against each other so the auto
+    oracle can never drift from sized_srp_bits."""
+    import duckdb
+
+    ns = list(range(0, 3000, 7)) + [2**k + d for k in range(8, 24) for d in (-1, 0, 1)]
+    occ = S.SRP_TARGET_OCCUPANCY
+    rel = duckdb.sql(
+        "SELECT n, GREATEST(%d, length(bin((GREATEST(n, 1) + %d) // %d - 1))) AS bits "
+        "FROM (SELECT UNNEST(%s::BIGINT[]) AS n)" % (S.SRP_MIN_BITS, occ - 1, occ, ns)
+    ).fetchall()
+    for n, sql_bits in rel:
+        assert sql_bits == S.sized_srp_bits(n), f"n={n}"
+
+
+# ----- the 200k-vector saturation tier ----------------------------------
+
+
+N_TIER = 200_000
+PLANT_STRIDE = 100  # ids 100m/100m+1 are planted near-dup pairs
+
+
+def _tier_corpus(spark):
+    """200k deterministic 64-dim vectors, generated executor-side
+    (never collected/parallelized through the driver); every id
+    congruent 1 mod PLANT_STRIDE is its predecessor plus 5% noise
+    (cosine ~0.9988, comfortably over the 0.9 threshold)."""
+    stride = PLANT_STRIDE
+
+    def gen(batches):
+        # splitmix64 of (id, d, salt), vectorized: per-ID reproducible
+        # regardless of Arrow batch boundaries. Defined INSIDE the
+        # closure so cloudpickle ships it by value — executors cannot
+        # import the test module.
+        def unit(ids, salt, dim=64):
+            x = (
+                ids.astype(np.uint64)[:, None] * np.uint64(0x9E3779B97F4A7C15)
+                + np.arange(dim, dtype=np.uint64)[None, :] * np.uint64(0xBF58476D1CE4E5B9)
+                + np.uint64(salt) * np.uint64(0x94D049BB133111EB)
+            )
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+            return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53) * 2.0 - 1.0
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            base = unit(ids, salt=1)
+            planted = ids % stride == 1
+            if planted.any():
+                src = unit(ids[planted] - 1, salt=1)
+                noise = unit(ids[planted], salt=2)
+                base[planted] = src + 0.05 * noise
+            yield pd.DataFrame({"vec_id": ids, "embedding": list(base)})
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return spark.range(N_TIER, numPartitions=8).mapInPandas(gen, schema)
+
+
+def test_auto_geometry_rescues_the_saturated_tier(spark):
+    """THE round-8 headline pin, on the exact tier where docs/SCALE.md
+    measured the failure: at 200k vectors the fixed 16x8-bit driver-row
+    geometry returns ZERO pairs (all 256 buckets/table exceed the
+    cap-64 guard), while the auto-sized default (bits=15 here, cap=64)
+    recovers the planted near-dups."""
+    emb = _tier_corpus(spark)
+
+    fixed = S.embedding_near_dup_pairs(
+        emb,
+        threshold=0.9,
+        bits_per_table=8,
+        num_tables=16,
+        plane_kind="rademacher",
+        bucket_cap=64,
+    )
+    assert fixed.count() == 0  # the measured saturation, reproduced
+
+    assert S.sized_srp_bits(N_TIER) == 15
+    got = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_dup_pairs(
+            emb, threshold=0.9, plane_kind="rademacher"
+        ).collect()
+    }
+    planted = {
+        (i, i + 1) for i in range(0, N_TIER - 1, PLANT_STRIDE)
+    }
+    # exact-cosine verify: anything returned really is >= 0.9, and a
+    # random 64-dim pair at 0.9 is a ~7-sigma event — so no strays
+    assert got <= planted
+    # 4 tables x 15 bits: per-table collision ~(1-0.045)^15 ~ 0.5,
+    # expected recall ~0.94; assert with wide margin
+    assert len(got) / len(planted) >= 0.5
+
+
+def test_auto_default_matches_explicit_equivalent(spark):
+    """bits_per_table=None must produce exactly the rows of the
+    explicit (sized bits, 8x-occupancy cap) call — the auto path adds
+    sizing, never different semantics."""
+    rng = np.random.default_rng(11)
+    n = 300
+    mat = rng.standard_normal((n, 64))
+    mat[1] = mat[0] + 0.03 * rng.standard_normal(64)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "embedding": list(mat)})
+    )
+    auto = {
+        tuple(r)
+        for r in S.embedding_near_dup_pairs(
+            emb, threshold=0.9, plane_kind="rademacher"
+        ).collect()
+    }
+    explicit = {
+        tuple(r)
+        for r in S.embedding_near_dup_pairs(
+            emb,
+            threshold=0.9,
+            bits_per_table=S.sized_srp_bits(n),
+            num_tables=4,
+            plane_kind="rademacher",
+            bucket_cap=8 * S.SRP_TARGET_OCCUPANCY,
+        ).collect()
+    }
+    assert auto == explicit
+    assert (0, 1) in {(a, b) for a, b, _ in auto}
+
+
+# ----- exact-substring dedup (Lee et al. 2022) --------------------------
+
+
+def _words(prefix: str, n: int) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_substring_dedup_cuts_planted_cross_doc_span(spark):
+    """A 12-token span planted verbatim in two documents must vanish
+    from BOTH (all occurrences cut), while each document's unique
+    prefix/suffix tokens survive in original order."""
+    from dask_datapipeline_spark.operators.dedup import substring_dedup
+
+    span = _words("dup", 12)
+    rows = [
+        (0, f"{_words('a', 5)} {span} {_words('b', 4)}"),
+        (1, f"{_words('c', 7)} {span}"),
+        (2, _words("solo", 20)),  # no duplicated span anywhere
+        (3, None),  # null text must not reach the tokenizer
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in substring_dedup(df, window_tokens=10).collect()}
+    assert set(out) == {0, 1, 2}  # null-text doc dropped, empties kept
+    assert out[0]["text_dedup"] == f"{_words('a', 5)} {_words('b', 4)}"
+    assert out[0]["n_cut"] == 12 and out[0]["n_tokens"] == 21
+    assert out[1]["text_dedup"] == _words("c", 7)
+    assert out[1]["n_cut"] == 12
+    assert out[2]["text_dedup"] == _words("solo", 20) and out[2]["n_cut"] == 0
+
+
+def test_substring_dedup_within_doc_repeat_counts(spark):
+    """The corpus frequency is over ALL occurrences: a span repeated
+    twice INSIDE one document is duplicated and both copies are cut."""
+    from dask_datapipeline_spark.operators.dedup import substring_dedup
+
+    span = _words("x", 10)
+    df = spark.createDataFrame(
+        [(0, f"{span} {_words('mid', 3)} {span}")], ["doc_id", "text"]
+    )
+    (row,) = substring_dedup(df, window_tokens=10).collect()
+    assert row["text_dedup"] == _words("mid", 3)
+    assert row["n_cut"] == 20
+
+
+def test_substring_dedup_below_threshold_spans_survive(spark):
+    """A duplicated span SHORTER than the window is below the dedup
+    threshold by definition — nothing is cut, and documents shorter
+    than the window emit no windows at all (the sequence guard)."""
+    from dask_datapipeline_spark.operators.dedup import substring_dedup
+
+    short_dup = _words("d", 6)  # duplicated, but only 6 < 10 tokens
+    df = spark.createDataFrame(
+        [
+            (0, f"{short_dup} {_words('u', 8)}"),
+            (1, f"{_words('v', 8)} {short_dup}"),
+            (2, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(df, window_tokens=10).collect()}
+    assert all(out[i]["n_cut"] == 0 for i in out)
+    assert out[2]["text_dedup"] == "tiny doc"
+
+
+def test_substring_dedup_overlapping_spans_merge(spark):
+    """Two duplicated windows overlapping in one doc cut the UNION of
+    their coverage — the maximal duplicated region, not disjoint
+    chunks (the property the interval-coverage formulation buys)."""
+    from dask_datapipeline_spark.operators.dedup import substring_dedup
+
+    # doc 0 carries a 15-token region; docs 1 and 2 each duplicate a
+    # different 10-token half, so windows 1..1 and 6..6 are duplicated
+    # in doc 0 and their union covers all 15 tokens
+    region = _words("r", 15)
+    toks = region.split()
+    df = spark.createDataFrame(
+        [
+            (0, region),
+            (1, " ".join(toks[:10])),
+            (2, " ".join(toks[5:])),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(df, window_tokens=10).collect()}
+    assert out[0]["text_dedup"] == "" and out[0]["n_cut"] == 15
+    assert out[1]["n_cut"] == 10 and out[2]["n_cut"] == 10
+
+
+def test_substring_dedup_validates_window(spark):
+    from dask_datapipeline_spark.operators.dedup import substring_dedup
+
+    df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        substring_dedup(df, window_tokens=1)
+
+
+def test_explicit_bits_still_uncapped_by_default(spark):
+    """Passing bits explicitly must NOT silently arm the auto cap —
+    the fixed-config contract (driver row, recall tests) is unchanged."""
+    vecs = [[1.0] * 8 + [0.0] * 56] * 70  # one hot bucket of 70 > 64
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(70), "embedding": vecs})
+    )
+    pairs = S.embedding_near_dup_pairs(
+        emb, threshold=0.99, bits_per_table=8, num_tables=4, plane_kind="rademacher"
+    )
+    assert pairs.count() == 70 * 69 // 2  # no cap: all identical pairs kept
