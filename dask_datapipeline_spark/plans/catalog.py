@@ -899,11 +899,12 @@ DRIVER_ORDER: list[str] = [
     "running_window",
     # window analytics + streaming. Round-6 rotation (see README
     # §Catalog rotation policy): sliding_window and rollup_hierarchy
-    # moved to EXTRA_CATALOG — grid windowing stays driver-checked via
-    # tumbling_window/streaming_tumbling and multi-level aggregation
-    # via rollup_cube_agg — freeing two slots for image_near_dup and
-    # bucketed_join below.
-    "tumbling_window",
+    # moved to EXTRA_CATALOG. Round-8 rotation (policy rules 2+3):
+    # tumbling_window out — its aggregation body is LITERALLY
+    # streaming_tumbling's (the batch twin the streaming row is pinned
+    # bit-identical to), so the pair held two driver slots for one
+    # semantics; the batch twin stays oracle-checked in EXTRA_CATALOG.
+    # Slot freed for html_extract below.
     "session_window",
     "streaming_tumbling",
     "streaming_dedup",
@@ -926,6 +927,12 @@ DRIVER_ORDER: list[str] = [
     # driver rows below; brute force is the exact baseline, not the
     # 100 TB path)
     "url_dedup",
+    # round-8 promotion (slot freed by tumbling_window above):
+    # HTML->text extraction — with url_dedup this puts BOTH stages of
+    # the web front door (every RefinedWeb/FineWeb-style pipeline's
+    # first two operators) in the driver window, production config,
+    # exact-match green since round 7
+    "html_extract",
     "embedding_near_dup",
     "knn_join_lsh",
     "knn_join_ivf",

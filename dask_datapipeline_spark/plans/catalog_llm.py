@@ -1290,7 +1290,7 @@ FROM rawdocs
 """
 
 
-@register_extra(
+@register(
     "html_extract",
     _html_extract_oracle_sql(),
     "HTML -> text extraction (functions/html.py) — the stage every RefinedWeb/"
@@ -1298,7 +1298,9 @@ FROM rawdocs
     "with their content, drop comments, strip tags to spaces, decode the core "
     "entities (&amp; last, so &amp;lt; single-decodes), collapse whitespace. Pure "
     "codegen regex + literal replace, zero shuffles; patterns shared as Python "
-    "constants with the RE2 oracle so the engines cannot drift",
+    "constants with the RE2 oracle so the engines cannot drift. DRIVER row since "
+    "round 8 (rotation: tumbling_window out — its aggregation stays driver-"
+    "checked via streaming_tumbling, the bit-identical streaming twin)",
 )
 def q_html_extract(spark, sf_dir):
     from dask_datapipeline_spark.functions.html import html_to_text
@@ -1306,6 +1308,53 @@ def q_html_extract(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", html_to_text(_raw_html_col()).alias("text")
+    )
+
+
+# Decoration for the normalization gate row: the synthetic corpus is
+# pure ASCII (normalize would be the identity — a vacuous exact-match),
+# so the query wraps every document in a fixture exercising the FULL
+# map cross-engine: an NFD pair ("e"+U+0301 — NFC composition must
+# agree between Python unicodedata and DuckDB's utf8proc), curly
+# quotes, an em dash, a C0 control, NBSP, zero-width space, soft
+# hyphen, BOM, and an ellipsis. Shared constants — both engines get
+# the same UTF-8 bytes.
+_NORM_PREFIX = "e\u0301tude \u201Cwrapped\u201D \u2014 \x01 "
+_NORM_SUFFIX = " \u00A0tail\u200Bzero\u00ADsoft \uFEFF\u2026"
+
+
+def _text_normalize_oracle_sql() -> str:
+    from dask_datapipeline_spark.functions.normalize import normalize_text_sql_steps
+
+    pfx = _NORM_PREFIX.replace("'", "''")
+    sfx = _NORM_SUFFIX.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       {normalize_text_sql_steps(f"('{pfx}' || text || '{sfx}')")} AS text_norm
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+@register_extra(
+    "text_normalize",
+    _text_normalize_oracle_sql(),
+    "Unicode/text normalization (functions/normalize.py) — the stage run before "
+    "any shingling so NFC/NFD pairs, curly quotes, unicode dashes and zero-width-"
+    "salted text collide in hash-based dedup: NFC fold (Arrow unicodedata pass; "
+    "oracle replays with DuckDB nfc_normalize), control strip, one translate() "
+    "codepoint map (quotes/dashes/spaces canonicalized, zero-width/BOM/soft-"
+    "hyphen deleted), ellipsis expansion, whitespace collapse. Corpus is ASCII, "
+    "so the query decorates each doc with a shared unicode fixture to make the "
+    "exact-match non-vacuous; constants shared with the SQL builder and the "
+    "pure-Python twin so the three cannot drift",
+)
+def q_text_normalize(spark, sf_dir):
+    from dask_datapipeline_spark.functions.normalize import normalize_text
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    decorated = F.concat(F.lit(_NORM_PREFIX), F.col("text"), F.lit(_NORM_SUFFIX))
+    return docs.where(F.col("text").isNotNull()).select(
+        "doc_id", normalize_text(decorated).alias("text_norm")
     )
 
 
@@ -2107,7 +2156,7 @@ def q_video_frame_sample(spark, sf_dir):
 # ----- window analytics over the events stream (batch twins) ---------
 
 
-@register(
+@register_extra(
     "tumbling_window",
     """
 SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
@@ -2115,7 +2164,10 @@ SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY window_start
 """,
-    "10-min tumbling window agg — batch twin of the Structured Streaming pipeline (streaming/windows.py)",
+    "10-min tumbling window agg — batch twin of the Structured Streaming "
+    "pipeline (streaming/windows.py). Rotated to EXTRA_CATALOG round 8: "
+    "streaming_tumbling is pinned bit-identical to this exact body, so the "
+    "pair held two driver slots for one semantics; slot freed for html_extract",
 )
 def q_tumbling_window(spark, sf_dir):
     ev = load_testdata(spark, sf_dir, "events")
@@ -2424,10 +2476,14 @@ def _corpus_clean_split(spark, sf_dir, docs=None):
 
 def _web_corpus_clean_sql() -> str:
     """corpus_clean with the WEB FRONT END prepended: raw crawled pages
-    (synthetic url + HTML-wrapped text) → HTML extract → URL dedup →
-    then the IDENTICAL quality/exact-dedup/MinHash/split cascade —
-    built by the same ``_corpus_clean_sql`` body over ``urlkept``."""
+    (synthetic url + HTML-wrapped text) → HTML extract → unicode
+    normalization → URL dedup → then the IDENTICAL quality/exact-dedup/
+    MinHash/split cascade — built by the same ``_corpus_clean_sql``
+    body over ``urlkept``. Normalization sits BEFORE any shingling so
+    NFC/NFD or quote-variant near-dups collide downstream (identity on
+    this ASCII corpus; exercised non-vacuously by extra:text_normalize)."""
     from dask_datapipeline_spark.functions.html import html_to_text_sql_steps
+    from dask_datapipeline_spark.functions.normalize import normalize_text_sql_steps
     from dask_datapipeline_spark.functions.urls import canonical_url_sql_steps
 
     front = f"""rawdocs AS (
@@ -2435,7 +2491,8 @@ def _web_corpus_clean_sql() -> str:
   FROM documents
 ),
 extracted AS (
-  SELECT doc_id, lang, url, {html_to_text_sql_steps('html')} AS text
+  SELECT doc_id, lang, url,
+         {normalize_text_sql_steps(html_to_text_sql_steps('html'))} AS text
   FROM rawdocs
 ),
 urlcanon AS (
@@ -2457,7 +2514,8 @@ urlkept AS (
     "web_corpus_clean",
     _web_corpus_clean_sql(),
     "THE web-pipeline variant of corpus_clean: crawled pages (synthetic URL + "
-    "HTML-wrapped text) -> HTML->text extraction (functions/html.py) -> URL-level "
+    "HTML-wrapped text) -> HTML->text extraction (functions/html.py) -> unicode "
+    "normalization (functions/normalize.py, ahead of all shingling) -> URL-level "
     "dedup (functions/urls.py, min-id survivor per canonical URL) -> then the "
     "IDENTICAL quality gate / exact dedup / MinHash+LSH clustering / split "
     "cascade, composed from the same SQL body as corpus_clean so the stages "
@@ -2468,6 +2526,7 @@ def q_web_corpus_clean(spark, sf_dir):
     from pyspark.sql.window import Window
 
     from dask_datapipeline_spark.functions.html import html_to_text
+    from dask_datapipeline_spark.functions.normalize import normalize_text
     from dask_datapipeline_spark.functions.urls import canonical_url
 
     docs = load_testdata(spark, sf_dir, "documents")
@@ -2475,7 +2534,7 @@ def q_web_corpus_clean(spark, sf_dir):
     extracted = raw.select(
         "doc_id",
         "lang",
-        html_to_text(F.col("html")).alias("text"),
+        normalize_text(html_to_text(F.col("html"))).alias("text"),
         canonical_url(F.col("url")).alias("__curl"),
     )
     w = Window.partitionBy("__curl")
@@ -3113,6 +3172,55 @@ def q_scan_orc(spark, sf_dir):
     return back.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("acctbal_sum"),
+    )
+
+
+@register_extra(
+    "snapshot_diff",
+    """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'added'
+            WHEN o_orderkey % 7 = 0 THEN 'removed'
+            WHEN o_orderkey % 5 = 0 THEN 'changed'
+            ELSE 'unchanged' END AS diff_status
+FROM orders
+WHERE NOT (o_orderkey % 3 = 0 AND o_orderkey % 7 = 0)
+""",
+    "Versioned-table time travel (sources/writers.py::write_versioned / "
+    "read_snapshot / snapshot_diff — the MinHash index's atomic staged-dir + "
+    "_CURRENT manifest pattern generalized to any materialized artifact): two "
+    "orders snapshots committed as v1/v2 of ONE table, then table_diff between "
+    "the time-travel reads classifies every key added/removed/changed/unchanged. "
+    "The oracle replays the snapshot construction rules directly (v1 = keys "
+    "%3!=0, v2 = keys %7!=0 with %5==0 prices bumped)",
+)
+def q_snapshot_diff(spark, sf_dir):
+    import os as _os
+    import shutil as _shutil
+
+    from dask_datapipeline_spark.sources.writers import (
+        snapshot_diff,
+        write_versioned,
+    )
+
+    orders = load_testdata(spark, sf_dir, "orders")
+    v1 = orders.where(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    path = _os.path.join(
+        "/tmp/spark_graft_versioned", _os.path.basename(sf_dir.rstrip("/")), "orders"
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    va = write_versioned(v1, path)
+    vb = write_versioned(v2, path)
+    return snapshot_diff(
+        spark, path, va, vb, ["o_orderkey"], ["o_totalprice"]
     )
 
 

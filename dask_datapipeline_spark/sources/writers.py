@@ -225,3 +225,148 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ----- versioned tables (snapshot / time travel) ----------------------
+#
+# The atomic staged-dir + `_CURRENT` manifest pattern proven on the
+# MinHash index (operators/minhash_index.py:114-148 — effectively a
+# one-table Iceberg) generalized to ANY materialized artifact: every
+# write lands a NEW immutable version directory, one atomic manifest
+# rename publishes it, and readers resolve through the manifest only —
+# so a crash at ANY point strands unreferenced garbage, never a
+# partial table, and every prior version stays readable (time travel)
+# until explicitly expired. On an object store the rename becomes a
+# conditional PUT of the manifest key — the layout is unchanged.
+
+
+def _vt_manifest_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_CURRENT")
+
+
+def _vt_read_manifest(path: str) -> dict:
+    import json
+    import os
+
+    mp = _vt_manifest_path(path)
+    if not os.path.isfile(mp):
+        return {"current": None, "versions": []}
+    with open(mp) as f:
+        return json.load(f)
+
+
+def _vt_write_manifest(path: str, manifest: dict) -> None:
+    import json
+    import os
+    import uuid
+
+    tmp = _vt_manifest_path(path) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, _vt_manifest_path(path))
+
+
+def write_versioned(df: DataFrame, path: str) -> int:
+    """Commit ``df`` as the NEXT version of the table at ``path`` and
+    return its version number (1-based, monotonically increasing —
+    version numbers are never reused, even after ``expire_versions``).
+
+    Commit protocol (each step leaves the table consistent):
+    1. parquet lands in a dot-prefixed staging dir (invisible —
+       readers only follow the manifest);
+    2. one atomic rename publishes the bytes at ``v<k>/``;
+    3. one atomic manifest rename makes ``v<k>`` the current version.
+    A crash before step 3 leaves the previous version current and only
+    unreferenced garbage on disk; re-running the write simply takes
+    the next version number.
+    """
+    import os
+    import shutil
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    cur = _vt_read_manifest(path)
+    version = (max(cur["versions"]) if cur["versions"] else 0) + 1
+    final = os.path.join(path, f"v{version:05d}")
+    tmp = os.path.join(path, f".tmp-v{version:05d}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(final):  # staged by a crashed run, never committed
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+    cur["versions"] = sorted(cur["versions"] + [version])
+    cur["current"] = version
+    _vt_write_manifest(path, cur)
+    return version
+
+
+def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:
+    """Read one committed version of a versioned table (default: the
+    current one). Only manifest-referenced versions resolve — a staged
+    or crashed write is invisible; an expired or never-written version
+    raises ``ValueError`` (listing the live ones) instead of scanning
+    whatever happens to be on disk."""
+    import os
+
+    cur = _vt_read_manifest(path)
+    if version is None:
+        version = cur["current"]
+    if version is None or version not in cur["versions"]:
+        raise ValueError(
+            f"version {version!r} not in table {path!r} "
+            f"(live versions: {cur['versions']})"
+        )
+    return spark.read.parquet(os.path.join(path, f"v{version:05d}"))
+
+
+def list_versions(path: str) -> list[int]:
+    """Committed (readable) versions, ascending."""
+    return list(_vt_read_manifest(path)["versions"])
+
+
+def expire_versions(path: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the last ``keep_last`` versions; returns the
+    expired version numbers. Manifest flips FIRST (readers immediately
+    stop resolving expired versions), directory removal follows — so a
+    crash mid-expire strands unreferenced garbage, never a
+    manifest-referenced hole."""
+    import os
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last={keep_last} must be >= 1")
+    cur = _vt_read_manifest(path)
+    keep = cur["versions"][-keep_last:]
+    expired = [v for v in cur["versions"] if v not in keep]
+    if not expired:
+        return []
+    cur["versions"] = keep
+    if cur["current"] not in keep:
+        cur["current"] = keep[-1]
+    _vt_write_manifest(path, cur)
+    for v in expired:
+        shutil.rmtree(os.path.join(path, f"v{v:05d}"), ignore_errors=True)
+    return expired
+
+
+def snapshot_diff(
+    spark,
+    path: str,
+    version_a: int,
+    version_b: int,
+    key_cols,
+    compare_cols,
+) -> DataFrame:
+    """``table_diff`` between two committed versions of one versioned
+    table — per key: added / removed / changed / unchanged. The
+    time-travel payoff: auditing exactly what a pipeline run changed
+    without having kept a manual copy of the previous output."""
+    from dask_datapipeline_spark.operators.merge import table_diff
+
+    return table_diff(
+        read_snapshot(spark, path, version_a),
+        read_snapshot(spark, path, version_b),
+        key_cols,
+        compare_cols,
+    )

@@ -189,6 +189,106 @@ def test_auto_default_matches_explicit_equivalent(spark):
     assert (0, 1) in {(a, b) for a, b, _ in auto}
 
 
+# ----- unicode/text normalization ----------------------------------------
+
+_NORM_SAMPLES = [
+    "éclair “quoted” — dash… end",  # NFD pair + quotes
+    "zero​width­soft  nbsp　wide",
+    "ctrl\x01here\x7Fdel \x0Bvt \x0Cff",
+    "already plain ascii text",
+    "﻿bom lead «guillemets» ‹single›",
+    "‐‑‒–—―− all dashes",
+    "", "   ", "​‌‍",  # empty-ish edge cases
+]
+
+
+def test_normalize_spark_matches_python_twin(spark):
+    """Spark Column pipeline == pure-Python twin on every sample —
+    including the NFD pair, where Spark's Arrow unicodedata pass must
+    compose identically to the twin's."""
+    from dask_datapipeline_spark.functions.normalize import (
+        normalize_text,
+        normalize_text_py,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(_NORM_SAMPLES)] + [(99, None)],
+        "i int, s string",
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", normalize_text(F.col("s")).alias("t")).collect()
+    }
+    for i, s in enumerate(_NORM_SAMPLES):
+        assert got[i] == normalize_text_py(s), repr(s)
+    assert got[99] is None  # NULL in -> NULL out
+
+
+def test_normalize_duckdb_matches_python_twin():
+    """DuckDB SQL steps == pure-Python twin (nfc_normalize vs
+    unicodedata composition, RE2 vs re, translate vs str.translate)."""
+    import duckdb
+
+    from dask_datapipeline_spark.functions.normalize import (
+        normalize_text_py,
+        normalize_text_sql_steps,
+    )
+
+    con = duckdb.connect()
+    sql = normalize_text_sql_steps("s")
+    for s in _NORM_SAMPLES:
+        got = con.sql(
+            f"SELECT {sql} FROM (SELECT ?::VARCHAR AS s)", params=[s]
+        ).fetchone()[0]
+        assert got == normalize_text_py(s), repr(s)
+
+
+def test_normalize_is_idempotent_property():
+    """normalize(normalize(x)) == normalize(x) for adversarial unicode
+    soup — the fixed-point property that makes normalized text a
+    stable shingling input (same discipline as canonical_url's)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dask_datapipeline_spark.functions.normalize import normalize_text_py
+
+    specials = st.sampled_from(
+        list("‘’“”«–—−…")
+        + list("​‌⁠﻿­ 　\x01\x0B\x7F")
+        + ["e\u0301", "o\u0308", "a"]  # NFD pairs + plain
+    )
+    chunks = st.lists(
+        st.one_of(specials, st.text(alphabet="abc XY-'\"", max_size=4)),
+        max_size=12,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(chunks=chunks)
+    def check(chunks):
+        s = "".join(chunks)
+        once = normalize_text_py(s)
+        assert normalize_text_py(once) == once, (s, once)
+
+    check()
+
+
+def test_normalize_makes_nfd_variants_collide(spark):
+    """The motivating property: two visually-identical documents (one
+    NFC, one NFD + zero-width salt + curly quotes) hash apart raw but
+    identical after normalization — so every hash-based dedup upstream
+    of which it runs now sees them as exact duplicates."""
+    from dask_datapipeline_spark.functions.normalize import normalize_text
+
+    a = "caf\u00e9 \u201Cbar\u201D baz"  # NFC e-acute, curly quotes
+    b = "cafe\u0301 \u200B\"bar\" baz"  # NFD pair, zero-width salt
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id int, text string")
+    raw = df.select(F.countDistinct("text")).first()[0]
+    norm = df.select(
+        F.countDistinct(normalize_text(F.col("text")))
+    ).first()[0]
+    assert raw == 2 and norm == 1
+
+
 # ----- exact-substring dedup (Lee et al. 2022) --------------------------
 
 
@@ -283,6 +383,67 @@ def test_substring_dedup_validates_window(spark):
     df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         substring_dedup(df, window_tokens=1)
+
+
+# ----- versioned tables (snapshot / time travel) -------------------------
+
+
+def test_versioned_table_time_travel_and_crash_safety(spark, tmp_path):
+    """The manifest contract end-to-end: every committed version stays
+    readable (time travel); staged garbage from a crashed write is
+    invisible and does not block the next commit; expire flips the
+    manifest before deleting bytes."""
+    import os
+
+    from dask_datapipeline_spark.sources.writers import (
+        expire_versions,
+        list_versions,
+        read_snapshot,
+        snapshot_diff,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    v1 = write_versioned(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), path
+    )
+    v2 = write_versioned(
+        spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"), path
+    )
+    assert (v1, v2) == (1, 2) and list_versions(path) == [1, 2]
+
+    # time travel: both versions readable, current = latest
+    assert {r.k for r in read_snapshot(spark, path, 1).collect()} == {1, 2}
+    assert {r.v for r in read_snapshot(spark, path).collect()} == {"B", "c"}
+
+    # crash mid-write: a staged dir + an orphaned v-dir that never made
+    # the manifest — both invisible, old versions intact, next commit
+    # takes the next number and succeeds
+    os.makedirs(os.path.join(path, ".tmp-v00003-deadbeef"))
+    os.makedirs(os.path.join(path, "v00003"))  # renamed but uncommitted
+    assert list_versions(path) == [1, 2]
+    with pytest.raises(ValueError, match="live versions"):
+        read_snapshot(spark, path, 3)
+    v3 = write_versioned(
+        spark.createDataFrame([(9, "z")], "k int, v string"), path
+    )
+    assert v3 == 3 and list_versions(path) == [1, 2, 3]
+    assert [r.k for r in read_snapshot(spark, path, 3).collect()] == [9]
+
+    # diff between committed versions
+    got = {
+        r.k: r.diff_status
+        for r in snapshot_diff(spark, path, 1, 2, ["k"], ["v"]).collect()
+    }
+    assert got == {1: "removed", 2: "changed", 3: "added"}
+
+    # expire: manifest no longer resolves v1/v2, bytes gone, current ok
+    assert expire_versions(path, keep_last=1) == [1, 2]
+    assert list_versions(path) == [3]
+    with pytest.raises(ValueError):
+        read_snapshot(spark, path, 1)
+    assert not os.path.isdir(os.path.join(path, "v00001"))
+    assert [r.v for r in read_snapshot(spark, path).collect()] == ["z"]
 
 
 def test_explicit_bits_still_uncapped_by_default(spark):

@@ -46,8 +46,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 SRC = "/root/testdata/sf0.1"
 STRIDE = 10_000_000
+MEDIA_BASE_N = 256  # rows of the catalog-row media fixture (tile 0)
 
 
 def gen_documents(out_dir: str, tiles: int) -> int:
@@ -115,6 +118,65 @@ def gen_embeddings(out_dir: str, tiles: int) -> int:
     return table.num_rows
 
 
+def gen_media(out_dir: str, tiles: int) -> int:
+    """Tile the binary media fixture: ``MEDIA_BASE_N × tiles`` rows of
+    REAL container payloads (BMP/WAV/AVI), same schema as
+    ``multimodal.binary.synthetic_media``. Content derives from
+    ``media_id`` alone, so tile k's ids (k·BASE_N..) are automatically
+    content-distinct from every other tile while the per-tile
+    kind/size mix is identical — the same workload-shape-preserving
+    contract as the documents/embeddings tiling. Pure-Python encode +
+    one pyarrow write; the SCALING run then measures parquet scan →
+    Arrow decode, the path a production binary column takes."""
+    from dask_datapipeline_spark.multimodal.binary import (
+        AUDIO_RATE,
+        VIDEO_FPS,
+        _build_payload,
+        audio_n_samples,
+        image_dims,
+        video_dims,
+    )
+
+    kinds = ["image", "audio", "video"]
+    n = MEDIA_BASE_N * tiles
+    ids, payloads, metas = [], [], []
+    for mid in range(n):
+        kind = kinds[mid % 3]
+        if kind == "image":
+            w, h = image_dims(mid)
+            dur = 0
+        elif kind == "audio":
+            w = h = 0
+            dur = audio_n_samples(mid) * 1000 // AUDIO_RATE
+        else:
+            w, h, nf = video_dims(mid)
+            dur = nf * 1000 // VIDEO_FPS
+        ids.append(mid)
+        payloads.append(_build_payload(mid, kind))
+        metas.append(
+            {"kind": kind, "width": w, "height": h, "duration_ms": dur}
+        )
+    table = pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "meta": pa.array(
+                metas,
+                type=pa.struct(
+                    [
+                        ("kind", pa.string()),
+                        ("width", pa.int32()),
+                        ("height", pa.int32()),
+                        ("duration_ms", pa.int32()),
+                    ]
+                ),
+            ),
+        }
+    )
+    pq.write_table(table, f"{out_dir}/media.parquet")
+    return n
+
+
 def main() -> None:
     tiles = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = (
@@ -125,7 +187,11 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     nd = gen_documents(out_dir, tiles)
     ne = gen_embeddings(out_dir, tiles)
-    print(f"{out_dir}: {nd} documents, {ne} embeddings ({tiles} tiles)")
+    nm = gen_media(out_dir, tiles)
+    print(
+        f"{out_dir}: {nd} documents, {ne} embeddings, {nm} media "
+        f"({tiles} tiles)"
+    )
 
 
 if __name__ == "__main__":

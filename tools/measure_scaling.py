@@ -66,6 +66,8 @@ QUERIES = [
     ("knn_join_lsh", "embeddings"),
     ("knn_join_ivf", "embeddings"),
     ("training_shards", "documents"),
+    ("multimodal_features_scaled", "media"),
+    ("image_near_dup_scaled", "media"),
 ]
 
 
@@ -103,9 +105,62 @@ def _embedding_near_dup_scaled(spark, sf_dir, n_rows):
     )
 
 
+def _load_media(spark, sf_dir):
+    """media.parquet when the corpus dir has one (scale tiers —
+    tools/gen_scale_corpus.py tiles the fixture), else the catalog
+    row's 256-row in-Spark fixture (the driver sf dirs)."""
+    import os as _os
+
+    p = _os.path.join(sf_dir, "media.parquet")
+    if _os.path.exists(p):
+        return spark.read.parquet(p)
+    from dask_datapipeline_spark.multimodal.binary import synthetic_media
+
+    return synthetic_media(spark, n=256)
+
+
+def _media_rows(spark, sf_dir) -> int:
+    return _load_media(spark, sf_dir).count()
+
+
+def _multimodal_features_scaled(spark, sf_dir, n_rows):
+    """The catalog row regenerates its 256-row fixture at every tier —
+    constant work, no exponent. This variant decodes the TILED media
+    parquet (real binary column scan → one Arrow mapInPandas pass),
+    which is the claimed-linear path (docs/SCALE.md): zero shuffles,
+    per-row work bounded by payload size."""
+    from dask_datapipeline_spark.multimodal.binary import media_features
+
+    return media_features(_load_media(spark, sf_dir))
+
+
+def _image_near_dup_scaled(spark, sf_dir, n_rows):
+    """image_near_dup with the planted-variant corpus sized to the
+    tier: n_groups scales with the media tier factor (content is a
+    function of the group id, so extra groups are automatically
+    content-distinct — same tiling contract as the other tables);
+    variants-per-group stays 4, so the dup structure per 'tile' is the
+    catalog row's. Measures decode+hash (Arrow pass, linear) plus the
+    4x16-bit pigeonhole banding join over 24-byte hash rows."""
+    from dask_datapipeline_spark.multimodal.binary import (
+        image_near_dup_pairs,
+        synthetic_image_variants,
+    )
+
+    factor = max(1, n_rows // 256)  # media tier factor (256 = base fixture)
+    return image_near_dup_pairs(
+        synthetic_image_variants(spark, n_groups=48 * factor, variants=4),
+        max_hamming=3,
+    )
+
+
 #: rows measured through a scale-parameterized builder instead of the
 #: fixed-config catalog row; fn(spark, sf_dir, n_input_rows) → DataFrame
-CUSTOM = {"embedding_near_dup_scaled": _embedding_near_dup_scaled}
+CUSTOM = {
+    "embedding_near_dup_scaled": _embedding_near_dup_scaled,
+    "multimodal_features_scaled": _multimodal_features_scaled,
+    "image_near_dup_scaled": _image_near_dup_scaled,
+}
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 DEFAULT_SCALE_DIR = "/root/repo/.scale_corpus/x10"
@@ -149,6 +204,7 @@ def main() -> None:
             t: load_testdata(spark, d, t).count()
             for t in ("documents", "embeddings")
         }
+        rows[lab]["media"] = _media_rows(spark, d)
         for name, tbl in QUERIES:
             if name in CUSTOM:
                 fn = lambda: CUSTOM[name](spark, d, rows[lab][tbl])  # noqa: B023
