@@ -43,6 +43,8 @@ SHOWCASE = [
     ("extra:vocab_growth", "Heaps-law curve: token-keyed min-bucket groupBy + per-bucket counts; the only ordered window runs over the bounded bucket table (the WindowExec single-partition warning applies to corpus/50 rows, not the corpus)"),
     ("extra:keep_best_dedup", "keep-best survivor: one id-keyed join attaching quality + one window partitioned by bounded near-dup clusters, stacked on the banded clustering cascade"),
     ("extra:skew_report", "skew diagnostics: per-key groupBy collapses to the count-of-counts histogram before any ordered window — the window input is bounded by distinct multiplicities"),
+    ("html_extract", "HTML->text (driver row since round 8): the whole extraction is regexp_replace/replace expressions fused into the scan projection — zero Exchange, zero Python in the plan"),
+    ("extra:substring_dedup", "exact-substring dedup: rolling window hashes explode scan-side; the only corpus-sized exchanges carry (id, pos, 8-byte hash) — frequency groupBy with partial aggregation + hash-keyed join back; coverage/reassembly are array exprs in the final projection"),
     ("extra:zorder_layout", "z-order keys: 32 masked shifts as a pure codegen projection over the scan — zero Exchange in the whole plan"),
     ("extra:sequence_pattern", "CEP pattern match: one user-keyed shuffle builds the type string; regexp_count/extract run in the post-agg projection, no self-joins"),
     ("extra:sql_q17ish", "correlated scalar-aggregate subquery DECORRELATED: one Aggregate over lineitem.l_partkey feeding a join — no per-row subquery node"),

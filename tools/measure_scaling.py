@@ -50,6 +50,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
+
 from dask_datapipeline_spark.plans.catalog import CATALOG
 from dask_datapipeline_spark.session import get_spark
 from dask_datapipeline_spark.sources.readers import load_testdata
@@ -135,23 +137,85 @@ def _multimodal_features_scaled(spark, sf_dir, n_rows):
 
 
 def _image_near_dup_scaled(spark, sf_dir, n_rows):
-    """image_near_dup with the planted-variant corpus sized to the
-    tier: n_groups scales with the media tier factor (content is a
-    function of the group id, so extra groups are automatically
-    content-distinct — same tiling contract as the other tables);
-    variants-per-group stays 4, so the dup structure per 'tile' is the
-    catalog row's. Measures decode+hash (Arrow pass, linear) plus the
-    4x16-bit pigeonhole banding join over 24-byte hash rows."""
+    """image_near_dup sized to the tier — with content that CANNOT
+    alias. The catalog fixture's gradient formula is mod-256 in the
+    group id with dims cycling mod 48, so image content repeats
+    IDENTICALLY every lcm(256,48)=768 groups: scaling it up grows
+    identical-image classes linearly and the TRUE near-dup pair count
+    quadratically — measuring the generator, not the operator
+    (measured: apparent alpha 2.2 before this was fixed; the same
+    tile-identical trap gen_scale_corpus.py's docstring warns about).
+
+    Here each group's image is per-8x8-cell random gray from a
+    splitmix64 of (group, cell) — aHash bits are i.i.d. coin flips in
+    a 2^64 hash space, cross-group collisions are negligible, and the
+    only near-dups are the 4 planted brightness variants per group.
+    Measures the real pipeline: Arrow decode+hash pass (linear) + the
+    4x16-bit pigeonhole banding join, whose candidate volume carries
+    the structural ~4·C(n/2^16, 2)·2^16 ≈ n²/2^15 term of 16-bit
+    banding (docs/SCALE.md) — at these tiers that term is comparable
+    to n, so expect alpha slightly above 1, not 1.0."""
+    import numpy as np
+    import pandas as pd
+
     from dask_datapipeline_spark.multimodal.binary import (
+        MEDIA_SCHEMA,
+        encode_bmp,
         image_near_dup_pairs,
-        synthetic_image_variants,
     )
 
     factor = max(1, n_rows // 256)  # media tier factor (256 = base fixture)
-    return image_near_dup_pairs(
-        synthetic_image_variants(spark, n_groups=48 * factor, variants=4),
-        max_hamming=3,
+    n_groups, variants = 48 * factor, 4
+
+    def gen(it):
+        def mix(x):  # splitmix64, vectorized
+            x = (x + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(27)
+            return x ^ (x >> np.uint64(31))
+
+        for pdf in it:
+            out = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                grp, v = divmod(mid, variants)
+                w, h = 8 + grp % 24, 8 + grp % 16
+                cy, cx = np.mgrid[0:h, 0:w]
+                cell = (cy * 8 // h) * 8 + (cx * 8 // w)
+                key = mix(
+                    np.uint64(grp) * np.uint64(0x2545F4914F6CDD1D)
+                    + cell.astype(np.uint64)
+                )
+                px = np.stack(
+                    [
+                        (key & np.uint64(0xFF)).astype(np.int64),
+                        ((key >> np.uint64(8)) & np.uint64(0xFF)).astype(np.int64),
+                        ((key >> np.uint64(16)) & np.uint64(0xFF)).astype(np.int64),
+                    ],
+                    axis=-1,
+                )
+                px[:, :, 0] = (px[:, :, 0] + v) % 256
+                out.append(
+                    {
+                        "media_id": mid,
+                        "payload": encode_bmp(px.astype(np.uint8)),
+                        "meta": {
+                            "kind": "image",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": 0,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    media = (
+        spark.range(n_groups * variants)
+        .select(F.col("id").alias("media_id"))
+        .mapInPandas(gen, MEDIA_SCHEMA)
     )
+    return image_near_dup_pairs(media, max_hamming=3)
 
 
 #: rows measured through a scale-parameterized builder instead of the
@@ -170,6 +234,16 @@ def main() -> None:
     # SPARK_GRAFT_ONLY_ARGS=1: measure ONLY the dirs given on argv
     # (skip the sf floor tiers — used by the pinned asymptotic run,
     # where the small tiers carry no exponent information)
+    # SPARK_GRAFT_ONLY_QUERIES=a,b: restrict to a query subset (family
+    # re-measurement without paying for the whole battery)
+    global QUERIES
+    only = os.environ.get("SPARK_GRAFT_ONLY_QUERIES")
+    if only:
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = names - {q for q, _ in QUERIES}
+        if unknown:
+            raise SystemExit(f"unknown SPARK_GRAFT_ONLY_QUERIES: {sorted(unknown)}")
+        QUERIES = [(q, t) for q, t in QUERIES if q in names]
     dirs = [] if os.environ.get("SPARK_GRAFT_ONLY_ARGS") == "1" else list(SF_DIRS)
     extra = sys.argv[1:] or (
         [DEFAULT_SCALE_DIR] if os.path.isdir(DEFAULT_SCALE_DIR) else []
@@ -200,11 +274,17 @@ def main() -> None:
     rows: dict[str, dict[str, int]] = {}
     warm: dict[str, dict[str, float]] = {}
     for d, lab in zip(dirs, labels):
+        # only count the tables the (possibly filtered) query set keys
+        # its exponents on — lets a media-only corpus dir (no
+        # documents/embeddings parquet) host the big multimodal tiers
+        needed = {t for _, t in QUERIES}
         rows[lab] = {
             t: load_testdata(spark, d, t).count()
             for t in ("documents", "embeddings")
+            if t in needed
         }
-        rows[lab]["media"] = _media_rows(spark, d)
+        if "media" in needed:
+            rows[lab]["media"] = _media_rows(spark, d)
         for name, tbl in QUERIES:
             if name in CUSTOM:
                 fn = lambda: CUSTOM[name](spark, d, rows[lab][tbl])  # noqa: B023
