@@ -736,6 +736,99 @@ def image_near_dup_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+AHASH128_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("w0", T.LongType()),  # aHash bits 32..63
+        T.StructField("w1", T.LongType()),  # aHash bits 0..31
+        T.StructField("w2", T.LongType()),  # dHash bits 32..63
+        T.StructField("w3", T.LongType()),  # dHash bits 0..31
+    ]
+)
+
+
+def image_ahash128(df: DataFrame) -> DataFrame:
+    """128-bit perceptual hash per decoded image, as four 32-bit words
+    — the WIDE variant docs/SCALE.md prescribes once a corpus passes
+    ~10^7 images: 16-bit banding chunks of a 64-bit hash carry a
+    structural n²/2^15 candidate term; four 32-bit chunks push it to
+    n²/2^31 for the same Hamming ≤ 3 recall guarantee.
+
+    Composition (same 8x8 cell sums the 64-bit ``image_ahash``
+    computes — ONE decode, two complementary views):
+    - bits 64..127 (w0,w1): the aHash — cell mean vs GLOBAL mean;
+    - bits 0..63 (w2,w3): a dHash-style gradient — cell k mean vs its
+      ring successor (k+1) mod 64. Gradients are invariant to uniform
+      brightness shifts (both sides move together), catching the
+      re-encode/levels duplicate class, and are near-independent of
+      the aHash bits, which is what makes the extra 64 bits real
+      entropy instead of redundancy.
+
+    All comparisons cross-multiply exact integers
+    (``csum_k · cn_j > csum_j · cn_k``) — no division, no floats — so
+    the DuckDB oracle replays every bit from the pixel formula."""
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_bmp(bytes(payload)).astype(np.int64)
+                h, w = px.shape[0], px.shape[1]
+                if w < 8 or h < 8:
+                    raise ValueError(
+                        f"image_ahash128 needs >=8x8 images, got {w}x{h} "
+                        f"(media_id={int(mid)})"
+                    )
+                gray = px.sum(axis=2)
+                cell = (
+                    (np.arange(h, dtype=np.int64) * 8 // h)[:, None] * 8
+                    + (np.arange(w, dtype=np.int64) * 8 // w)[None, :]
+                )
+                csum = np.zeros(64, dtype=np.int64)
+                np.add.at(csum, cell.reshape(-1), gray.reshape(-1))
+                cn = np.bincount(cell.reshape(-1), minlength=64).astype(np.int64)
+                abits = (csum * (w * h)) > (int(gray.sum()) * cn)
+                nxt = np.roll(np.arange(64), -1)  # ring successor
+                dbits = (csum * cn[nxt]) > (csum[nxt] * cn)
+                a = int((abits.astype(np.uint64) << shifts).sum())
+                d = int((dbits.astype(np.uint64) << shifts).sum())
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "w0": (a >> 32) & 0xFFFFFFFF,
+                        "w1": a & 0xFFFFFFFF,
+                        "w2": (d >> 32) & 0xFFFFFFFF,
+                        "w3": d & 0xFFFFFFFF,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AHASH128_SCHEMA.fields]
+            )
+
+    from dask_datapipeline_spark.parallel import fan_out
+
+    return fan_out(
+        df.filter(F.col("meta.kind") == "image").select("media_id", "payload")
+    ).mapInPandas(batches, schema=AHASH128_SCHEMA)
+
+
+def image_near_dup_pairs_128(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """``image_near_dup_pairs`` on the 128-bit hash: one Arrow
+    decode+hash pass, then the generalized 4x32-bit pigeonhole banding
+    (``dedup.hamming_band_pairs_wide``) — identical recall guarantee
+    (Hamming < 4), ~2^16x smaller structural candidate term, same
+    single chunk-keyed shuffle of fixed-width (id, 4 words) rows."""
+    from pyspark.storagelevel import StorageLevel
+
+    from dask_datapipeline_spark.operators.dedup import hamming_band_pairs_wide
+
+    sig = image_ahash128(df).persist(StorageLevel.MEMORY_AND_DISK)
+    return hamming_band_pairs_wide(
+        sig, "media_id", ["w0", "w1", "w2", "w3"], max_hamming=max_hamming
+    )
+
+
 # ----- audio fingerprint / near-dup ---------------------------------
 
 AUDIO_FP_SCHEMA = T.StructType(

@@ -949,6 +949,57 @@ def hamming_band_pairs(
     )
 
 
+def hamming_band_pairs_wide(
+    sig: DataFrame,
+    id_col: str,
+    word_cols: list[str] | tuple[str, ...],
+    max_hamming: int = 3,
+) -> DataFrame:
+    """``hamming_band_pairs`` generalized to WIDE signatures: the hash
+    is given as N 32-bit words (long columns in [0, 2^32)), each word
+    is one banding chunk, and by pigeonhole any pair within Hamming
+    distance N-1 agrees on at least one word — perfect recall for
+    ``max_hamming < N``, exact bit_count(xor) verify.
+
+    Why width matters at scale: chunk-value collisions cost
+    ~N·C(n/2^bits_per_chunk, 2)·2^bits_per_chunk candidates on diverse
+    hashes. The 64-bit/16-bit-chunk classic carries a structural
+    n²/2^15 term that dominates around 10^7 items; four 32-BIT chunks
+    (a 128-bit hash) push that to n²/2^31 — negligible to ~10^9 items
+    for the same recall guarantee and the same single chunk-keyed
+    shuffle of fixed-width rows (docs/SCALE.md, round-8 addendum).
+    Output: (id_a, id_b, hamming) with id_a < id_b."""
+    words = list(word_cols)
+    if len(words) < 2:
+        raise ValueError("need at least 2 word columns to band")
+    if not 0 <= max_hamming < len(words):
+        raise ValueError(
+            f"{len(words)}-chunk banding guarantees recall only for "
+            f"max_hamming < {len(words)}"
+        )
+    side = sig.select(
+        F.col(id_col),
+        *[F.col(c) for c in words],
+        F.posexplode(F.array(*[F.col(c) for c in words])).alias("__i", "__chunk"),
+    )
+    ham = None
+    for c in words:
+        term = F.bit_count(F.col(f"a.{c}").bitwiseXOR(F.col(f"b.{c}")))
+        ham = term if ham is None else ham + term
+    return (
+        side.alias("a")
+        .join(side.alias("b"), on=["__i", "__chunk"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

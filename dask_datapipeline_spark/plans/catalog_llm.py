@@ -948,6 +948,101 @@ def q_image_near_dup(spark, sf_dir):
     )
 
 
+def _image_near_dup_128_oracle_sql(
+    n_groups: int, variants: int, max_hamming: int
+) -> str:
+    """Replay the 128-bit hash (aHash ‖ ring-gradient dHash, both from
+    the same 8x8 cell sums) and the 4x32-bit banding join — every bit
+    a cross-multiplied exact-integer comparison recomputed from the
+    pixel formula."""
+    return f"""
+WITH m AS (
+  SELECT g.range * {variants} + v.range AS media_id, g.range AS grp, v.range AS v,
+         8 + g.range % 24 AS w, 8 + g.range % 16 AS h
+  FROM generate_series(0, {n_groups - 1}) g(range),
+       generate_series(0, {variants - 1}) v(range)
+),
+mx AS (SELECT media_id, grp, v, w, h, unnest(range(0, w)) AS x FROM m),
+mxy AS (SELECT media_id, grp, v, w, h, x, unnest(range(0, h)) AS y FROM mx),
+px AS (
+  SELECT media_id, w, h, (x*8)//w AS cx, (y*8)//h AS cy,
+         (7*grp + 3*x + 5*y + v) % 256
+       + (11*grp + 5*x + 7*y) % 256
+       + (13*grp + 7*x + 11*y) % 256 AS gray
+  FROM mxy
+),
+cells AS (
+  SELECT media_id, w, h, cy*8+cx AS k, SUM(gray) AS csum, COUNT(*) AS cn
+  FROM px GROUP BY media_id, w, h, cy*8+cx
+),
+tot AS (SELECT media_id, SUM(csum) AS tsum FROM cells GROUP BY media_id),
+abits AS (
+  SELECT c.media_id, c.k,
+         CASE WHEN c.csum * (c.w*c.h) > t.tsum * c.cn THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tot t USING (media_id)
+),
+dbits AS (
+  SELECT c.media_id, c.k,
+         CASE WHEN c.csum * n.cn > n.csum * c.cn THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN cells n
+    ON n.media_id = c.media_id AND n.k = (c.k + 1) % 64
+),
+words AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN src=0 AND k >= 32 THEN bit * (1::BIGINT << (k-32)) ELSE 0 END) AS BIGINT) AS w0,
+         CAST(SUM(CASE WHEN src=0 AND k <  32 THEN bit * (1::BIGINT << k)      ELSE 0 END) AS BIGINT) AS w1,
+         CAST(SUM(CASE WHEN src=1 AND k >= 32 THEN bit * (1::BIGINT << (k-32)) ELSE 0 END) AS BIGINT) AS w2,
+         CAST(SUM(CASE WHEN src=1 AND k <  32 THEN bit * (1::BIGINT << k)      ELSE 0 END) AS BIGINT) AS w3
+  FROM (
+    SELECT media_id, k, bit, 0 AS src FROM abits
+    UNION ALL
+    SELECT media_id, k, bit, 1 AS src FROM dbits
+  ) GROUP BY media_id
+),
+sides AS (
+  SELECT media_id, w0, w1, w2, w3, i.range AS i,
+         CASE i.range WHEN 0 THEN w0 WHEN 1 THEN w1
+                      WHEN 2 THEN w2 ELSE w3 END AS chunk
+  FROM words, generate_series(0, 3) i(range)
+),
+pairs AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+       + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) AS hamming
+  FROM sides a JOIN sides b
+    ON a.i = b.i AND a.chunk = b.chunk AND a.media_id < b.media_id
+)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+@register_extra(
+    "image_near_dup_128",
+    _image_near_dup_128_oracle_sql(_IMG_ND_GROUPS, _IMG_ND_VARIANTS, _IMG_ND_MAXH),
+    "128-bit perceptual image near-dup (multimodal/binary.py::"
+    "image_near_dup_pairs_128): aHash + ring-gradient dHash from ONE decode's "
+    "8x8 cell sums, banded as 4x32-bit chunks via the generalized "
+    "dedup.hamming_band_pairs_wide — the same Hamming<=3 pigeonhole recall as "
+    "the 64-bit driver row with the structural banding-collision term cut from "
+    "n^2/2^15 to n^2/2^31 (the docs/SCALE.md prescription for 10^7+ images). "
+    "Every bit cross-multiplied exact integers, recomputed by the oracle from "
+    "the pixel formula",
+)
+def q_image_near_dup_128(spark, sf_dir):
+    from dask_datapipeline_spark.multimodal.binary import (
+        image_near_dup_pairs_128,
+        synthetic_image_variants,
+    )
+
+    return image_near_dup_pairs_128(
+        synthetic_image_variants(
+            spark, n_groups=_IMG_ND_GROUPS, variants=_IMG_ND_VARIANTS
+        ),
+        max_hamming=_IMG_ND_MAXH,
+    )
+
+
 def _audio_near_dup_oracle_sql(n_groups: int, variants: int, max_hamming: int) -> str:
     return f"""
 WITH m AS (
@@ -3221,6 +3316,62 @@ def q_snapshot_diff(spark, sf_dir):
     vb = write_versioned(v2, path)
     return snapshot_diff(
         spark, path, va, vb, ["o_orderkey"], ["o_totalprice"]
+    )
+
+
+@register_extra(
+    "versioned_merge",
+    """
+WITH final AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN CAST(o_totalprice AS DECIMAL(18,2)) + 1
+              ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+  FROM orders
+  WHERE (o_orderkey % 3 <> 0 OR o_orderkey % 5 = 0)
+    AND o_orderkey % 7 <> 0
+)
+SELECT o_orderkey, CAST(price AS DOUBLE) AS o_totalprice FROM final
+""",
+    "Copy-on-write MERGE INTO a versioned table (sources/writers.py::"
+    "merge_versioned): base snapshot (keys %3<>0) -> change batch 1 upserts "
+    "(%5==0 prices +1, inserting the %3==0 ones) -> change batch 2 deletes "
+    "(%7==0) — each round commits a NEW manifest version, so every "
+    "intermediate state stays time-travel readable while the oracle replays "
+    "the FINAL state's per-key rules directly. Exact decimal arithmetic; one "
+    "broadcast anti-join per merge round",
+)
+def q_versioned_merge(spark, sf_dir):
+    import os as _os
+    import shutil as _shutil
+
+    from dask_datapipeline_spark.sources.writers import (
+        merge_versioned,
+        read_snapshot,
+        write_versioned,
+    )
+
+    orders = load_testdata(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    base = orders.where(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", dec.alias("o_totalprice")
+    )
+    upserts = orders.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", (dec + 1).cast("decimal(18,2)").alias("o_totalprice")
+    )
+    deletes = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", dec.alias("o_totalprice"), F.lit(True).alias("__del")
+    )
+    path = _os.path.join(
+        "/tmp/spark_graft_versioned", _os.path.basename(sf_dir.rstrip("/")), "merge"
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    write_versioned(base, path)
+    merge_versioned(spark, path, upserts, ["o_orderkey"])
+    final = merge_versioned(spark, path, deletes, ["o_orderkey"], delete_col="__del")
+    snap = read_snapshot(spark, path, final)
+    return snap.select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
     )
 
 

@@ -268,19 +268,26 @@ def _vt_write_manifest(path: str, manifest: dict) -> None:
     os.rename(tmp, _vt_manifest_path(path))
 
 
-def write_versioned(df: DataFrame, path: str) -> int:
+def write_versioned(df: DataFrame, path: str, tag: str | None = None) -> int:
     """Commit ``df`` as the NEXT version of the table at ``path`` and
     return its version number (1-based, monotonically increasing —
     version numbers are never reused, even after ``expire_versions``).
+
+    ``tag`` makes the commit IDEMPOTENT for at-least-once callers
+    (a Structured Streaming ``foreachBatch`` keyed by batch_id): a tag
+    already in the manifest returns its existing version without
+    writing anything — the same replay discipline as
+    ``append_to_minhash_index``.
 
     Commit protocol (each step leaves the table consistent):
     1. parquet lands in a dot-prefixed staging dir (invisible —
        readers only follow the manifest);
     2. one atomic rename publishes the bytes at ``v<k>/``;
-    3. one atomic manifest rename makes ``v<k>`` the current version.
+    3. one atomic manifest rename makes ``v<k>`` the current version
+       (and records the tag).
     A crash before step 3 leaves the previous version current and only
     unreferenced garbage on disk; re-running the write simply takes
-    the next version number.
+    the next version number (or, tagged, re-lands the same tag).
     """
     import os
     import shutil
@@ -288,6 +295,8 @@ def write_versioned(df: DataFrame, path: str) -> int:
 
     os.makedirs(path, exist_ok=True)
     cur = _vt_read_manifest(path)
+    if tag is not None and tag in cur.get("tags", {}):
+        return cur["tags"][tag]
     version = (max(cur["versions"]) if cur["versions"] else 0) + 1
     final = os.path.join(path, f"v{version:05d}")
     tmp = os.path.join(path, f".tmp-v{version:05d}-{uuid.uuid4().hex[:8]}")
@@ -297,8 +306,49 @@ def write_versioned(df: DataFrame, path: str) -> int:
     os.rename(tmp, final)
     cur["versions"] = sorted(cur["versions"] + [version])
     cur["current"] = version
+    if tag is not None:
+        cur.setdefault("tags", {})[tag] = version
     _vt_write_manifest(path, cur)
     return version
+
+
+def merge_versioned(
+    spark,
+    path: str,
+    changes: DataFrame,
+    key_cols,
+    delete_col: str | None = None,
+    tag: str | None = None,
+) -> int:
+    """MERGE a change batch into a versioned table and commit the
+    result as a NEW version (copy-on-write MERGE INTO — the versioned
+    twin of ``operators/merge.py::merge_upsert``): updates replace
+    their key, inserts append, ``delete_col`` rows remove the key,
+    untouched rows carry over. The first merge into an empty table
+    seeds version 1 from the surviving change rows.
+
+    Every historical state stays readable (``read_snapshot``) and
+    auditable (``snapshot_diff``); concurrent readers keep resolving
+    the previous version until the one atomic manifest flip — no
+    rename-swap window where the table transiently does not exist
+    (the upgrade over ``compact_small_files``-style dir swapping).
+    ``tag`` passes through to ``write_versioned`` for idempotent
+    at-least-once replay."""
+    from pyspark.sql import functions as F
+
+    from dask_datapipeline_spark.operators.merge import merge_upsert
+
+    cur = _vt_read_manifest(path)
+    if cur["current"] is None:
+        merged = changes
+        if delete_col is not None:
+            merged = merged.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
+    else:
+        base = read_snapshot(spark, path)
+        merged = merge_upsert(base, changes, list(key_cols), delete_col=delete_col)
+    return write_versioned(merged, path, tag=tag)
 
 
 def read_snapshot(spark, path: str, version: int | None = None) -> DataFrame:

@@ -372,6 +372,59 @@ def stream_merge_to_parquet(
     q.awaitTermination(timeout_sec)
 
 
+def stream_merge_to_versioned(
+    spark: SparkSession,
+    sf_dir: str,
+    table_dir: str,
+    key_cols: list[str] | None = None,
+    timeout_sec: int = 120,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """``stream_merge_to_parquet`` upgraded to a VERSIONED sink: each
+    micro-batch MERGEs into the current snapshot and commits the
+    result as a NEW version of one versioned table
+    (``sources/writers.py::merge_versioned``), tagged by batch_id.
+
+    Three upgrades over the rename-swap parquet sink, all inherited
+    from the manifest protocol:
+    - readers keep resolving the previous version until ONE atomic
+      manifest flip — no transient missing-directory window;
+    - at-least-once replay is idempotent BY TAG: a replayed batch_id
+      returns its existing version without writing (the parquet sink
+      relies on the MERGE being semantically idempotent; this one
+      doesn't even re-run the write);
+    - the version history IS the CDC audit trail — ``snapshot_diff``
+      between consecutive versions shows exactly what each batch
+      changed, and ``expire_versions`` bounds retention.
+    """
+    from dask_datapipeline_spark.operators.merge import latest_per_key
+    from dask_datapipeline_spark.sources.writers import merge_versioned
+
+    keys = key_cols or ["user_id"]
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        changes = latest_per_key(batch_df, keys, "event_id")
+        merge_versioned(
+            spark, table_dir, changes, keys, tag=f"batch-{batch_id}"
+        )
+
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            # stable default for restart exactly-once (see
+            # stream_merge_to_parquet); the batch-id TAG additionally
+            # covers the crash-after-commit-before-checkpoint window,
+            # where the restarted run replays the last batch
+            checkpoint_dir or table_dir.rstrip("/") + ".ckpt",
+        )
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
 def stream_incremental_quantile_sample(
     spark: SparkSession,
     staged_dir: str,

@@ -289,6 +289,102 @@ def test_normalize_makes_nfd_variants_collide(spark):
     assert raw == 2 and norm == 1
 
 
+# ----- versioned MERGE (copy-on-write MERGE INTO) -------------------------
+
+
+def test_merge_versioned_rounds_and_time_travel(spark, tmp_path):
+    """Each merge round commits a new version; every intermediate
+    state stays readable; deletes remove keys; the first merge into an
+    empty table seeds version 1 from surviving change rows."""
+    from dask_datapipeline_spark.sources.writers import (
+        list_versions,
+        merge_versioned,
+        read_snapshot,
+    )
+
+    path = str(tmp_path / "mt")
+    # seed via merge into EMPTY table, with one pre-deleted row
+    seed = spark.createDataFrame(
+        [(1, "a", False), (2, "b", False), (3, "x", True)],
+        "k int, v string, del boolean",
+    )
+    v1 = merge_versioned(spark, path, seed, ["k"], delete_col="del")
+    assert v1 == 1
+    assert {(r.k, r.v) for r in read_snapshot(spark, path).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+    # round 2: update 2, insert 4, delete 1
+    ch = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (1, "a", True)],
+        "k int, v string, del boolean",
+    )
+    v2 = merge_versioned(spark, path, ch, ["k"], delete_col="del")
+    assert v2 == 2 and list_versions(path) == [1, 2]
+    assert {(r.k, r.v) for r in read_snapshot(spark, path).collect()} == {
+        (2, "B"),
+        (4, "d"),
+    }
+    # v1 still time-travel readable, untouched
+    assert {(r.k, r.v) for r in read_snapshot(spark, path, 1).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+
+
+def test_write_versioned_tag_is_idempotent(spark, tmp_path):
+    """A replayed tag returns its existing version WITHOUT writing a
+    new one — the at-least-once foreachBatch contract."""
+    from dask_datapipeline_spark.sources.writers import (
+        list_versions,
+        read_snapshot,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "tags")
+    df1 = spark.createDataFrame([(1,)], "k int")
+    df2 = spark.createDataFrame([(2,)], "k int")
+    assert write_versioned(df1, path, tag="batch-0") == 1
+    # replay of batch-0 — even with different data — is a no-op
+    assert write_versioned(df2, path, tag="batch-0") == 1
+    assert list_versions(path) == [1]
+    assert [r.k for r in read_snapshot(spark, path).collect()] == [1]
+    assert write_versioned(df2, path, tag="batch-1") == 2
+    assert list_versions(path) == [1, 2]
+
+
+def test_stream_merge_to_versioned_matches_batch(spark, sf_dir, tmp_path):
+    """The versioned CDC sink end-to-end: after draining the event
+    stream, the CURRENT version holds exactly the latest event per
+    user (same end state the rename-swap sink produces), one committed
+    version per micro-batch, each tagged by batch_id."""
+    from dask_datapipeline_spark.sources.readers import load_testdata
+    from dask_datapipeline_spark.sources.writers import (
+        list_versions,
+        read_snapshot,
+    )
+    from dask_datapipeline_spark.streaming import windows as SW
+
+    table = str(tmp_path / "vt_users")
+    SW.stream_merge_to_versioned(spark, sf_dir, table, key_cols=["user_id"])
+    versions = list_versions(table)
+    assert versions, "no version committed"
+    got = {
+        (r.user_id, r.event_id)
+        for r in read_snapshot(spark, table)
+        .select("user_id", "event_id")
+        .collect()
+    }
+    ev = load_testdata(spark, sf_dir, "events")
+    want = {
+        (r.user_id, r.event_id)
+        for r in ev.groupBy("user_id")
+        .agg(F.max_by("event_id", "event_id").alias("event_id"))
+        .collect()
+    }
+    assert got == want
+
+
 # ----- exact-substring dedup (Lee et al. 2022) --------------------------
 
 
@@ -383,6 +479,79 @@ def test_substring_dedup_validates_window(spark):
     df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         substring_dedup(df, window_tokens=1)
+
+
+# ----- 128-bit perceptual hash + wide banding ----------------------------
+
+
+def test_hamming_band_pairs_wide_equals_brute_force(spark):
+    """4x32-bit banding must return EXACTLY the all-pairs Hamming<=3
+    set (pigeonhole: <=3 flips leave >=1 of 4 words untouched), on
+    signatures engineered to exercise word boundaries."""
+    from dask_datapipeline_spark.operators.dedup import hamming_band_pairs_wide
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 1 << 32, size=(30, 4), dtype=np.uint64)
+    rows = [(i, *map(int, base[i])) for i in range(30)]
+    # plant: 30 == 0 with 1 flipped bit in w3; 31 == 1 with 3 flips
+    # spread across three words; 32 == 2 with 4 flips (must NOT pair)
+    rows.append((30, int(base[0][0]), int(base[0][1]), int(base[0][2]), int(base[0][3]) ^ 1))
+    rows.append((31, int(base[1][0]) ^ 4, int(base[1][1]) ^ 2, int(base[1][2]), int(base[1][3]) ^ 8))
+    rows.append((32, int(base[2][0]) ^ 3, int(base[2][1]) ^ 1, int(base[2][2]) ^ 8, int(base[2][3])))
+    sig = spark.createDataFrame(rows, "id long, w0 long, w1 long, w2 long, w3 long")
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_band_pairs_wide(sig, "id", ["w0", "w1", "w2", "w3"]).collect()
+    }
+    # brute force over the same rows
+    want = {}
+    allrows = {r[0]: r[1:] for r in rows}
+    ids = sorted(allrows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = sum(bin(x ^ y).count("1") for x, y in zip(allrows[a], allrows[b]))
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
+    assert (0, 30) in got and (1, 31) in got and (2, 32) not in got
+
+    with pytest.raises(ValueError):
+        hamming_band_pairs_wide(sig, "id", ["w0", "w1", "w2", "w3"], max_hamming=4)
+    with pytest.raises(ValueError):
+        hamming_band_pairs_wide(sig, "id", ["w0"], max_hamming=0)
+
+
+def test_image_near_dup_128_finds_planted_variants(spark):
+    """The 128-bit pipeline end-to-end on the planted-variant fixture:
+    banded output == all-pairs Hamming<=3 over the same 128-bit hashes
+    (recall 1.0 and precision 1.0), and same-group brightness variants
+    are found — the dHash half is shift-invariant by construction."""
+    from dask_datapipeline_spark.multimodal.binary import (
+        image_ahash128,
+        image_near_dup_pairs_128,
+        synthetic_image_variants,
+    )
+
+    media = synthetic_image_variants(spark, n_groups=12, variants=3)
+    sigs = {r.media_id: (r.w0, r.w1, r.w2, r.w3) for r in image_ahash128(media).collect()}
+    assert len(sigs) == 36
+    for ws in sigs.values():  # words really are 32-bit
+        assert all(0 <= w < (1 << 32) for w in ws)
+    want = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = sum(bin(x ^ y).count("1") for x, y in zip(sigs[a], sigs[b]))
+            if h <= 3:
+                want.add((a, b))
+    got = {
+        (r.id_a, r.id_b)
+        for r in image_near_dup_pairs_128(media, max_hamming=3).collect()
+    }
+    assert got == want
+    same_group = {p for p in got if p[0] // 3 == p[1] // 3}
+    assert len(same_group) >= 12  # every group contributes pairs
 
 
 # ----- versioned tables (snapshot / time travel) -------------------------
