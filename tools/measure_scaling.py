@@ -70,6 +70,7 @@ QUERIES = [
     ("training_shards", "documents"),
     ("multimodal_features_scaled", "media"),
     ("image_near_dup_scaled", "media"),
+    ("image_near_dup_128_scaled", "media"),
 ]
 
 
@@ -136,8 +137,8 @@ def _multimodal_features_scaled(spark, sf_dir, n_rows):
     return media_features(_load_media(spark, sf_dir))
 
 
-def _image_near_dup_scaled(spark, sf_dir, n_rows):
-    """image_near_dup sized to the tier — with content that CANNOT
+def _scaled_image_corpus(spark, n_rows):
+    """Planted-variant image corpus sized to the tier — with content that CANNOT
     alias. The catalog fixture's gradient formula is mod-256 in the
     group id with dims cycling mod 48, so image content repeats
     IDENTICALLY every lcm(256,48)=768 groups: scaling it up grows
@@ -161,7 +162,6 @@ def _image_near_dup_scaled(spark, sf_dir, n_rows):
     from dask_datapipeline_spark.multimodal.binary import (
         MEDIA_SCHEMA,
         encode_bmp,
-        image_near_dup_pairs,
     )
 
     factor = max(1, n_rows // 256)  # media tier factor (256 = base fixture)
@@ -210,12 +210,31 @@ def _image_near_dup_scaled(spark, sf_dir, n_rows):
                 )
             yield pd.DataFrame(out)
 
-    media = (
+    return (
         spark.range(n_groups * variants)
         .select(F.col("id").alias("media_id"))
         .mapInPandas(gen, MEDIA_SCHEMA)
     )
-    return image_near_dup_pairs(media, max_hamming=3)
+
+
+def _image_near_dup_scaled(spark, sf_dir, n_rows):
+    from dask_datapipeline_spark.multimodal.binary import image_near_dup_pairs
+
+    return image_near_dup_pairs(
+        _scaled_image_corpus(spark, n_rows), max_hamming=3
+    )
+
+
+def _image_near_dup_128_scaled(spark, sf_dir, n_rows):
+    """The 4x32-bit-banded 128-bit hash over the SAME corpus — the
+    head-to-head that shows the banding-width candidate term: 16-bit
+    chunks cost ~4*C(n/2^16,2)*2^16 = n^2/2^15 candidate pairs on
+    i.i.d. hashes, 32-bit chunks ~n^2/2^31 (docs/SCALE.md)."""
+    from dask_datapipeline_spark.multimodal.binary import image_near_dup_pairs_128
+
+    return image_near_dup_pairs_128(
+        _scaled_image_corpus(spark, n_rows), max_hamming=3
+    )
 
 
 #: rows measured through a scale-parameterized builder instead of the
@@ -224,6 +243,7 @@ CUSTOM = {
     "embedding_near_dup_scaled": _embedding_near_dup_scaled,
     "multimodal_features_scaled": _multimodal_features_scaled,
     "image_near_dup_scaled": _image_near_dup_scaled,
+    "image_near_dup_128_scaled": _image_near_dup_128_scaled,
 }
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
