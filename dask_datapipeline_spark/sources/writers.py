@@ -420,3 +420,35 @@ def snapshot_diff(
         key_cols,
         compare_cols,
     )
+
+
+def compact_versioned(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    tag: str | None = None,
+) -> int:
+    """Rewrite the CURRENT version's rows into ~target-size files and
+    commit the result as a NEW version — ``compact_small_files`` with
+    the rename-swap window replaced by the manifest protocol: readers
+    keep resolving the old version until the one atomic flip (never a
+    transient missing directory), the pre-compaction version stays
+    time-travel readable until expired, and a crash mid-compaction
+    strands only an unreferenced staging dir. The maintenance step the
+    per-micro-batch ``stream_merge_to_versioned`` sink needs once its
+    version count (one small-file set per batch) grows long — run
+    ``expire_versions`` afterwards to reclaim the history."""
+    import math
+    import os
+
+    cur = _vt_read_manifest(path)
+    if cur["current"] is None:
+        raise ValueError(f"no committed version to compact at {path!r}")
+    vdir = os.path.join(path, f"v{cur['current']:05d}")
+    files = [
+        os.path.join(vdir, f) for f in os.listdir(vdir) if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = read_snapshot(spark, path).repartition(n_out)
+    return write_versioned(df, path, tag=tag)

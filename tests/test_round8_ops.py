@@ -353,6 +353,42 @@ def test_write_versioned_tag_is_idempotent(spark, tmp_path):
     assert list_versions(path) == [1, 2]
 
 
+def test_compact_versioned_preserves_rows_and_history(spark, tmp_path):
+    """Compaction commits a NEW version with identical rows in fewer
+    files; the fragmented pre-compaction version stays time-travel
+    readable until expired."""
+    import os
+
+    from dask_datapipeline_spark.sources.writers import (
+        compact_versioned,
+        list_versions,
+        read_snapshot,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "frag")
+    frag = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(64)], "k int, v string"
+    ).repartition(16)
+    assert write_versioned(frag, path) == 1
+    n_files_v1 = len(
+        [f for f in os.listdir(os.path.join(path, "v00001")) if f.endswith(".parquet")]
+    )
+    assert n_files_v1 > 1
+    v2 = compact_versioned(spark, path)
+    assert v2 == 2 and list_versions(path) == [1, 2]
+    n_files_v2 = len(
+        [f for f in os.listdir(os.path.join(path, "v00002")) if f.endswith(".parquet")]
+    )
+    assert n_files_v2 < n_files_v1
+    rows = lambda v: sorted(  # noqa: E731
+        (r.k, r.v) for r in read_snapshot(spark, path, v).collect()
+    )
+    assert rows(1) == rows(2) and len(rows(2)) == 64
+    with pytest.raises(ValueError):
+        compact_versioned(spark, str(tmp_path / "empty"))
+
+
 def test_stream_merge_to_versioned_matches_batch(spark, sf_dir, tmp_path):
     """The versioned CDC sink end-to-end: after draining the event
     stream, the CURRENT version holds exactly the latest event per
