@@ -1331,12 +1331,121 @@ def boilerplate_strip(
 # ----- exact-substring dedup (Lee et al. 2022) ------------------------
 
 
+#: Karp-Rabin parameters: two independent Mersenne-31 polynomial
+#: hashes combined into one 62-bit key. All modular products stay
+#: under 2^62 (operands < 2^31), so the whole pipeline is exact
+#: uint64 numpy — no Python bigints in the hot path.
+_KR_P = (1 << 31) - 1
+_KR_BASES = (1_000_003, 1_000_033)
+
+
+def _rolling_window_hashes(base: DataFrame, id_col: str, w: int, seed: int) -> DataFrame:
+    """(id, __i, __h) rows — one combined Karp-Rabin hash per rolling
+    ``w``-token window, O(n_tokens) per document (the 100 TB hashing
+    path; contrast the md5 variant's O(n_tokens × w) characters).
+
+    Vectorized per Arrow batch: per-token base hashes (md5-derived,
+    cached per distinct token), then for each of two Mersenne-31
+    polynomial hashes the standard prefix trick —
+    ``g[i] = h[i]·B^(-i) mod p`` cumulative-summed EXACTLY in uint64
+    (terms < 2^31, docs < 2^33 tokens ⇒ no overflow), window sum
+    re-based by ``B^(start+w-1) mod p``. Two independent 31-bit hashes
+    combine to a 62-bit key: cross-window collision odds ~2^-62 per
+    pair, and a collision can only CUT an extra span, never resurrect
+    one — and the semantics oracle would flag it."""
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("__i", T.IntegerType()),
+            T.StructField("__h", T.LongType()),
+        ]
+    )
+    p = _KR_P
+    bases = _KR_BASES
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        tok_cache: dict[str, tuple[int, int]] = {}
+
+        def tok_hashes(t: str) -> tuple[int, int]:
+            got = tok_cache.get(t)
+            if got is None:
+                d = hashlib.md5(f"kr{seed}:{t}".encode()).digest()
+                got = (
+                    int.from_bytes(d[:8], "big") % p,
+                    int.from_bytes(d[8:], "big") % p,
+                )
+                tok_cache[t] = got
+            return got
+
+        inv = [pow(b, p - 2, p) for b in bases]
+        # modular power tables, grown on demand and shared across docs
+        pow_tabs: dict[int, np.ndarray] = {}
+
+        def pow_tab(b: int, upto: int) -> np.ndarray:
+            tab = pow_tabs.get(b)
+            if tab is None or len(tab) <= upto:
+                size = max(upto + 1, 2 * len(tab) if tab is not None else 256)
+                new = np.ones(size, dtype=np.uint64)
+                if tab is not None:
+                    new[: len(tab)] = tab
+                    start = len(tab)
+                else:
+                    start = 1
+                for k in range(start, size):
+                    new[k] = (new[k - 1] * np.uint64(b)) % np.uint64(p)
+                pow_tabs[b] = new
+                tab = new
+            return tab
+
+        for pdf in batches:
+            ids_out, pos_out, h_out = [], [], []
+            for rid, toks_arr in zip(pdf[id_col], pdf["__tk"]):
+                toks_list = list(toks_arr)
+                n = len(toks_list)
+                if n < w:
+                    continue
+                hs = np.array(
+                    [tok_hashes(t) for t in toks_list], dtype=np.uint64
+                )  # (n, 2)
+                starts = np.arange(n - w + 1, dtype=np.int64)
+                combined = np.zeros(n - w + 1, dtype=np.uint64)
+                for j, (b, binv) in enumerate(zip(bases, inv)):
+                    pw = pow_tab(b, n)
+                    ipw = pow_tab(binv, n - 1)
+                    g = (hs[:, j] * ipw[:n]) % np.uint64(p)
+                    gsum = np.concatenate(
+                        [np.zeros(1, dtype=np.uint64), np.cumsum(g)]
+                    )  # exact: n·p < 2^64 for n < 2^33
+                    wsum = (gsum[starts + w] - gsum[starts]) % np.uint64(p)
+                    hj = (wsum * pw[starts + w - 1]) % np.uint64(p)
+                    combined = combined * np.uint64(p) + hj
+                ids_out.append(np.full(n - w + 1, int(rid), dtype=np.int64))
+                pos_out.append((starts + 1).astype(np.int32))  # 1-based
+                h_out.append(combined.astype(np.int64))
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids_out),
+                        "__i": np.concatenate(pos_out),
+                        "__h": np.concatenate(h_out),
+                    }
+                )
+
+    return fan_out(base.select(id_col, "__tk")).mapInPandas(gen, out_schema)
+
+
 def substring_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     window_tokens: int = 50,
     seed: int = 0,
+    hashing: str = "md5",
 ) -> DataFrame:
     """Exact-substring dedup (Lee et al. 2022's ExactSubstr, the
     operator their trained-model experiments showed matters most for
@@ -1376,12 +1485,17 @@ def substring_dedup(
       filtering and reassembly are per-row array expressions —
       coverage testing is O(n_tokens × dup_windows_in_doc) inside the
       doc, never a corpus-level range join;
-    - hashing cost is O(n_tokens × W) characters of md5 per doc (each
-      token enters W window strings). A Karp-Rabin rolling hash would
-      make it O(n_tokens), at the price of an oracle that can no
-      longer replay the hash as one md5 call — at 100 TB, swap
-      ``seeded_hash64`` for a rolling hash here and keep everything
-      downstream unchanged (the dataflow only sees 8-byte longs).
+    - hashing: ``hashing="md5"`` (default) hashes each window string
+      with one md5 — O(n_tokens × W) characters per doc, exactly
+      replayable by the SQL oracle as one md5 call per window.
+      ``hashing="rolling"`` is the 100 TB path: a vectorized
+      Karp-Rabin double-Mersenne-31 polynomial hash, O(n_tokens) per
+      doc with one md5 per DISTINCT token (``_rolling_window_hashes``).
+      Everything downstream is SHARED — the dataflow only ever sees
+      (id, pos, 8-byte hash) rows — and the two variants produce
+      IDENTICAL output absent a ~2^-62 hash collision (pinned by
+      tests; the semantics oracle would flag a collision as a
+      mismatch).
     """
     require_columns(df, [id_col, text_col])
     w = window_tokens
@@ -1391,27 +1505,32 @@ def substring_dedup(
     base = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), toks.alias("__tk"), F.size(toks).cast("long").alias("n_tokens")
     )
-    stop = F.col("n_tokens") - w + 1
-    # branch-free short-doc guard (see ``shingles``): sequence(1, m)
-    # counts DOWNWARD for m < 1, so clamp then filter
-    idx = F.filter(
-        F.sequence(F.lit(1), F.greatest(stop, F.lit(1)).cast("int")),
-        lambda i: i <= stop,
-    )
-    wins = fan_out(base).select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.struct(
-                    i.alias("__i"),
-                    seeded_hash64(F.concat_ws(" ", F.slice(F.col("__tk"), i, w)), seed).alias(
-                        "__h"
+    if hashing == "md5":
+        stop = F.col("n_tokens") - w + 1
+        # branch-free short-doc guard (see ``shingles``): sequence(1, m)
+        # counts DOWNWARD for m < 1, so clamp then filter
+        idx = F.filter(
+            F.sequence(F.lit(1), F.greatest(stop, F.lit(1)).cast("int")),
+            lambda i: i <= stop,
+        )
+        wins = fan_out(base).select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        i.alias("__i"),
+                        seeded_hash64(
+                            F.concat_ws(" ", F.slice(F.col("__tk"), i, w)), seed
+                        ).alias("__h"),
                     ),
-                ),
-            )
-        ).alias("__w"),
-    ).select(id_col, F.col("__w.__i").alias("__i"), F.col("__w.__h").alias("__h"))
+                )
+            ).alias("__w"),
+        ).select(id_col, F.col("__w.__i").alias("__i"), F.col("__w.__h").alias("__h"))
+    elif hashing == "rolling":
+        wins = _rolling_window_hashes(base, id_col, w, seed)
+    else:
+        raise ValueError(f"hashing={hashing!r} not in ('md5', 'rolling')")
     dup = (
         wins.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__c"))

@@ -1406,6 +1406,70 @@ def q_html_extract(spark, sf_dir):
     )
 
 
+_RAW_MD_SQL = """'# Doc ' || doc_id || chr(10) ||
+  CASE WHEN doc_id % 4 = 0
+       THEN '```' || chr(10) || 'code(' || doc_id || ');' || chr(10) || '```' || chr(10)
+       ELSE '' END ||
+  '> intro **quote**' || chr(10) ||
+  '[link ' || doc_id || '](http://ex.com/d/' || doc_id || '?a=1) ' || text ||
+  CASE WHEN doc_id % 3 = 0
+       THEN chr(10) || '- item `a`' || chr(10) || '12. item b'
+       ELSE '' END ||
+  chr(10) || '---'"""
+
+
+def _raw_md_col():
+    """Spark twin of ``_RAW_MD_SQL``."""
+    d = F.col("doc_id").cast("string")
+    nl = F.lit("\n")
+    return F.concat(
+        F.lit("# Doc "), d, nl,
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("```"), nl, F.lit("code("), d, F.lit(");"), nl, F.lit("```"), nl),
+        ).otherwise(F.lit("")),
+        F.lit("> intro **quote**"), nl,
+        F.lit("[link "), d, F.lit("](http://ex.com/d/"), d, F.lit("?a=1) "),
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(nl, F.lit("- item `a`"), nl, F.lit("12. item b")),
+        ).otherwise(F.lit("")),
+        nl, F.lit("---"),
+    )
+
+
+def _markdown_extract_oracle_sql() -> str:
+    from dask_datapipeline_spark.functions.markdown import markdown_to_text_sql_steps
+
+    return f"""
+WITH rawdocs AS (
+  SELECT doc_id, {_RAW_MD_SQL} AS md FROM documents
+)
+SELECT doc_id, {markdown_to_text_sql_steps('md')} AS text
+FROM rawdocs
+"""
+
+
+@register_extra(
+    "markdown_extract",
+    _markdown_extract_oracle_sql(),
+    "Markdown -> text extraction (functions/markdown.py) — the html_extract "
+    "sibling for the other dominant crawled format: fenced code blocks dropped "
+    "with content, link/image TARGETS dropped while link text and alt text "
+    "survive (suffix-drop regex + literal bracket strips — no capture-group "
+    "replacements, whose syntax diverges between Java ($1) and RE2 (\\\\1)), "
+    "header/blockquote/list/rule chrome stripped, emphasis marks deleted, "
+    "whitespace collapsed. Pure codegen, zero shuffles; patterns shared as "
+    "Python constants with the RE2 oracle",
+)
+def q_markdown_extract(spark, sf_dir):
+    from dask_datapipeline_spark.functions.markdown import markdown_to_text
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.select("doc_id", markdown_to_text(_raw_md_col()).alias("text"))
+
+
 # Decoration for the normalization gate row: the synthetic corpus is
 # pure ASCII (normalize would be the identity — a vacuous exact-match),
 # so the query wraps every document in a fixture exercising the FULL
@@ -3430,9 +3494,7 @@ def q_segment_dedup(spark, sf_dir):
 _SUBSTR_W = 50  # Lee et al. 2022's span threshold, in tokens
 
 
-@register_extra(
-    "substring_dedup",
-    f"""
+_SUBSTR_ORACLE_SQL = f"""
 WITH t AS (
   SELECT doc_id, string_split(lower(text), ' ') AS tk
   FROM documents WHERE text IS NOT NULL
@@ -3466,7 +3528,12 @@ SELECT n.doc_id,
        n.n_tokens,
        n.n_tokens - COALESCE(agg.n_kept, 0) AS n_cut
 FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
-""",
+"""
+
+
+@register_extra(
+    "substring_dedup",
+    _SUBSTR_ORACLE_SQL,
     "Exact-substring dedup (operators/dedup.py::substring_dedup — Lee et al. "
     "2022 ExactSubstr): every token inside a >=50-token span that occurs more "
     "than once in the corpus is cut from ALL occurrences; rolling window hashes "
@@ -3479,6 +3546,23 @@ def q_substring_dedup(spark, sf_dir):
 
     docs = load_testdata(spark, sf_dir, "documents")
     return substring_dedup(docs, window_tokens=_SUBSTR_W)
+
+
+@register_extra(
+    "substring_dedup_rolling",
+    _SUBSTR_ORACLE_SQL,
+    "substring_dedup with hashing='rolling' — the O(n_tokens) Karp-Rabin "
+    "double-Mersenne-31 path (one md5 per DISTINCT token, vectorized prefix "
+    "arithmetic per Arrow batch) feeding the SAME downstream dataflow. The "
+    "oracle is the md5 variant's SEMANTICS replay, which is the stronger "
+    "check here: any rolling-hash arithmetic bug OR 2^-62 collision changes "
+    "the duplicated-window set and fails the exact match",
+)
+def q_substring_dedup_rolling(spark, sf_dir):
+    from dask_datapipeline_spark.operators.dedup import substring_dedup
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return substring_dedup(docs, window_tokens=_SUBSTR_W, hashing="rolling")
 
 
 _BOILER_K, _BOILER_MAX_DF = 5, 1

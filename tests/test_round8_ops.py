@@ -515,6 +515,118 @@ def test_substring_dedup_validates_window(spark):
     df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         substring_dedup(df, window_tokens=1)
+    with pytest.raises(ValueError):
+        substring_dedup(df, hashing="sha")
+
+
+def test_substring_dedup_rolling_equals_md5(spark, sf_dir):
+    """The Karp-Rabin path must produce BIT-IDENTICAL output to the
+    md5 path on the real corpus — the two hash families only matter
+    through the duplicated-window SET they induce, and absent a
+    ~2^-62 collision that set is the same."""
+    from dask_datapipeline_spark.operators.dedup import substring_dedup
+    from dask_datapipeline_spark.sources.readers import load_testdata
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    md5_out = {
+        r["doc_id"]: (r["text_dedup"], r["n_tokens"], r["n_cut"])
+        for r in substring_dedup(docs, window_tokens=10).collect()
+    }
+    roll_out = {
+        r["doc_id"]: (r["text_dedup"], r["n_tokens"], r["n_cut"])
+        for r in substring_dedup(docs, window_tokens=10, hashing="rolling").collect()
+    }
+    assert md5_out == roll_out
+    assert sum(1 for v in md5_out.values() if v[2] > 0) > 0  # non-vacuous
+
+
+def test_rolling_window_hashes_match_direct_polynomial(spark):
+    """Pin the vectorized prefix-trick arithmetic against a direct
+    O(n·W) per-window evaluation of the same polynomial — any error in
+    the inverse-power/cumsum/re-base algebra shows up immediately."""
+    import hashlib
+
+    from dask_datapipeline_spark.operators.dedup import (
+        _KR_BASES,
+        _KR_P,
+        _rolling_window_hashes,
+        tokens,
+    )
+
+    text = " ".join(f"tok{i % 7}x{i % 11}" for i in range(40))
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    base = df.select(
+        F.col("doc_id"),
+        tokens("text").alias("__tk"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    w = 10
+    got = {
+        r["__i"]: r["__h"]
+        for r in _rolling_window_hashes(base, "doc_id", w, seed=0).collect()
+    }
+
+    toks = text.lower().split(" ")
+    p = _KR_P
+
+    def th(t):
+        d = hashlib.md5(f"kr0:{t}".encode()).digest()
+        return int.from_bytes(d[:8], "big") % p, int.from_bytes(d[8:], "big") % p
+
+    want = {}
+    for s in range(len(toks) - w + 1):
+        combined = 0
+        for j, b in enumerate(_KR_BASES):
+            hj = 0
+            for k in range(w):
+                hj = (hj * b + th(toks[s + k])[j]) % p
+            combined = combined * p + hj
+        want[s + 1] = combined
+    assert got == want
+
+
+# ----- markdown -> text ----------------------------------------------------
+
+
+def test_markdown_to_text_spark_matches_duckdb(spark):
+    """Spark Column pipeline == DuckDB SQL steps on adversarial
+    markdown (same engine-parity pin html_to_text carries)."""
+    import duckdb
+
+    from dask_datapipeline_spark.functions.markdown import (
+        markdown_to_text,
+        markdown_to_text_sql_steps,
+    )
+
+    strs = [
+        "# Title\n\nSome **bold** and `code` with [a link](http://x/y?a=1).",
+        "```python\nprint('hi')\n```\nAfter\n- one\n- two\n12. twelfth",
+        "> quoted\n>> nested\n\n---\n\n| a | b |\n| 1 | 2 |",
+        "plain, no markdown",
+        "![alt text](img.png) *emph* _snake_case_ stays",
+        "~~~\ntilde fence\n~~~\ntail ```unclosed fence",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "i int, m string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", markdown_to_text(F.col("m")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    sql = markdown_to_text_sql_steps("m")
+    for i, s in enumerate(strs):
+        duck = con.sql(
+            f"SELECT {sql} FROM (SELECT ?::VARCHAR AS m)", params=[s]
+        ).fetchone()[0]
+        assert duck == got[i], (s, duck, got[i])
+    # semantic spot checks: prose survives, chrome doesn't (the space
+    # before '.' is the deliberate anti-gluing trade — targets drop to
+    # a space, same policy as html's tag strip)
+    assert got[0] == "Title Some bold and code with a link ."
+    assert got[4] == "alt text emph _snake_case_ stays"
+    assert "print" not in got[1] and got[1].startswith("After")
 
 
 # ----- 128-bit perceptual hash + wide banding ----------------------------
