@@ -71,6 +71,8 @@ QUERIES = [
     ("multimodal_features_scaled", "media"),
     ("image_near_dup_scaled", "media"),
     ("image_near_dup_128_scaled", "media"),
+    ("substring_dedup_md5_scaled", "documents"),
+    ("substring_dedup_rolling_scaled", "documents"),
 ]
 
 
@@ -237,6 +239,39 @@ def _image_near_dup_128_scaled(spark, sf_dir, n_rows):
     )
 
 
+def _substring_dedup_scaled(spark, sf_dir, hashing):
+    """ExactSubstr at the tier. The harness drives queries with
+    .count(), and Catalyst ELIMINATES this operator's whole
+    hash→df→join pipeline under a bare count (the left join against
+    the per-id aggregate is provably row-preserving, and the costly
+    text columns are pruned) — measured 0.24 s "count" vs 11.8 s real
+    work at x100. So this row returns a 1-row aggregate over the
+    output payload. A 1-row ungrouped aggregate is NOT enough either —
+    count() over it short-circuits without evaluating the sums
+    (measured 1.6 s vs 14 s). A FILTER referencing the computed
+    columns is: count() must evaluate the predicate per row, which
+    forces text_dedup/n_cut and everything upstream (verified: the
+    timed numbers match a full .collect() run)."""
+    from dask_datapipeline_spark.operators.dedup import substring_dedup
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    out = substring_dedup(docs, window_tokens=50, hashing=hashing)
+    return out.where(F.length("text_dedup") + F.col("n_cut") >= 0)
+
+
+def _substring_dedup_md5_scaled(spark, sf_dir, n_rows):
+    """md5 window hashing — O(n_tokens x W) characters hashed per doc
+    (the oracle-replayable default)."""
+    return _substring_dedup_scaled(spark, sf_dir, "md5")
+
+
+def _substring_dedup_rolling_scaled(spark, sf_dir, n_rows):
+    """Karp-Rabin rolling hashing — O(n_tokens) per doc, one md5 per
+    DISTINCT token; the 100 TB hashing path whose wall-time gap to the
+    md5 variant this row quantifies."""
+    return _substring_dedup_scaled(spark, sf_dir, "rolling")
+
+
 #: rows measured through a scale-parameterized builder instead of the
 #: fixed-config catalog row; fn(spark, sf_dir, n_input_rows) → DataFrame
 CUSTOM = {
@@ -244,6 +279,8 @@ CUSTOM = {
     "multimodal_features_scaled": _multimodal_features_scaled,
     "image_near_dup_scaled": _image_near_dup_scaled,
     "image_near_dup_128_scaled": _image_near_dup_128_scaled,
+    "substring_dedup_md5_scaled": _substring_dedup_md5_scaled,
+    "substring_dedup_rolling_scaled": _substring_dedup_rolling_scaled,
 }
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
