@@ -44,16 +44,49 @@ COMMENT_RE = r"(?s)<!--.*?-->"
 TAG_RE = r"(?s)</?[a-zA-Z!][^>]*>"
 WHITESPACE_RE = r"\s+"
 
-#: literal entity decodes, applied in ORDER (``&amp;`` last — module
-#: docstring); the long tail of named entities stays verbatim, which
-#: is deterministic and honest about what a regex tier can do
+#: literal entity decodes, applied in ORDER (the ampersand forms
+#: ``&#38;``/``&amp;`` LAST — module docstring: ``&amp;lt;`` must
+#: yield the literal text ``&lt;``, never ``<``). Covers the named
+#: and numeric entities that actually occur in web prose; anything
+#: rarer passes through verbatim — deterministic and honest about
+#: what a regex tier can do. Typographic decodes (dashes, curly
+#: quotes, ellipsis) emit the UNICODE char; ``functions/normalize``
+#: canonicalizes them to ASCII when it runs next in the cascade.
 ENTITY_DECODES: tuple[tuple[str, str], ...] = (
     ("&lt;", "<"),
     ("&gt;", ">"),
+    ("&#60;", "<"),
+    ("&#62;", ">"),
     ("&quot;", '"'),
+    ("&#34;", '"'),
     ("&#39;", "'"),
     ("&apos;", "'"),
     ("&nbsp;", " "),
+    ("&#160;", " "),
+    ("&ndash;", "–"),
+    ("&mdash;", "—"),
+    ("&lsquo;", "‘"),
+    ("&rsquo;", "’"),
+    ("&ldquo;", "“"),
+    ("&rdquo;", "”"),
+    ("&laquo;", "«"),
+    ("&raquo;", "»"),
+    ("&hellip;", "…"),
+    ("&middot;", "·"),
+    ("&bull;", "•"),
+    ("&copy;", "©"),
+    ("&reg;", "®"),
+    ("&trade;", "™"),
+    ("&deg;", "°"),
+    ("&plusmn;", "±"),
+    ("&times;", "×"),
+    ("&eacute;", "é"),
+    ("&egrave;", "è"),
+    ("&uuml;", "ü"),
+    ("&ouml;", "ö"),
+    ("&auml;", "ä"),
+    ("&szlig;", "ß"),
+    ("&#38;", "&"),
     ("&amp;", "&"),
 )
 

@@ -34,8 +34,11 @@ def test_html_to_text_semantics(spark):
         # &amp;lt; single-decodes to the literal text &lt;
         ("a &amp;lt; b", "a &lt; b"),
         ("T&amp;C &lt;x&gt; &quot;q&quot; &#39;s&#39;&nbsp;end", 'T&C <x> "q" \'s\' end'),
-        # unknown entities stay verbatim (regex tier is honest)
-        ("&copy; 2024", "&copy; 2024"),
+        # common named entities decode (table extended round 8)...
+        ("&copy; 2024 &mdash; caf&eacute;", "© 2024 — café"),
+        # ...while genuinely unknown ones stay verbatim (regex tier is
+        # honest), and numeric-amp double-decode is guarded like &amp;
+        ("&zeta; stays &#38;lt; too", "&zeta; stays &lt; too"),
         # unclosed script keeps content but still strips the tag
         ("<script>leaks()", "leaks()"),
         # bare '<' in prose is NOT a tag (tag must start with a letter)
