@@ -629,6 +629,46 @@ def test_markdown_to_text_spark_matches_duckdb(spark):
     assert "print" not in got[1] and got[1].startswith("After")
 
 
+def test_markdown_to_text_random_soup_parity(spark):
+    """Engine parity on 60 random markdown-ish soups (one Spark batch,
+    one DuckDB loop) — fuzz coverage for pattern-interaction corners
+    the curated cases miss; also proves no input crashes either
+    engine."""
+    import random
+
+    import duckdb
+
+    from dask_datapipeline_spark.functions.markdown import (
+        markdown_to_text,
+        markdown_to_text_sql_steps,
+    )
+
+    rng = random.Random(8)
+    pieces = [
+        "# ", "## ", "> ", "- ", "* ", "1. ", "12. ", "```", "~~~", "`",
+        "**", "*", "[", "]", "](", ")", "|", "---", "===", "\n", " ",
+        "word", "x_y", "a'b", "(", "!", "![", "http://e/x",
+    ]
+    strs = [
+        "".join(rng.choice(pieces) for _ in range(rng.randint(0, 30)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "i int, m string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", markdown_to_text(F.col("m")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    sql = markdown_to_text_sql_steps("m")
+    for i, s in enumerate(strs):
+        duck = con.sql(
+            f"SELECT {sql} FROM (SELECT ?::VARCHAR AS m)", params=[s]
+        ).fetchone()[0]
+        assert duck == got[i], (i, s, duck, got[i])
+
+
 # ----- 128-bit perceptual hash + wide banding ----------------------------
 
 
