@@ -42,7 +42,11 @@ COMMENT_RE = r"(?s)<!--.*?-->"
 #: any remaining tag, replaced by a SPACE so '</td><td>' never glues
 #: two words together
 TAG_RE = r"(?s)</?[a-zA-Z!][^>]*>"
-WHITESPACE_RE = r"\s+"
+#: explicit class, NOT ``\s``: Java's ASCII ``\s`` matches vertical
+#: tab (U+000B) and RE2's does not — the one ``\s`` divergence between
+#: the engines (functions/normalize.py neutralizes it with a control
+#: strip; extractors collapse it explicitly instead)
+WHITESPACE_RE = r"[ \t\n\r\f\x{0B}]+"
 
 #: literal entity decodes, applied in ORDER (the ampersand forms
 #: ``&#38;``/``&amp;`` LAST — module docstring: ``&amp;lt;`` must
@@ -86,7 +90,14 @@ ENTITY_DECODES: tuple[tuple[str, str], ...] = (
     ("&ouml;", "ö"),
     ("&auml;", "ä"),
     ("&szlig;", "ß"),
-    ("&#38;", "&"),
+    # the ampersand pair is the single-decode linchpin: the NUMERIC
+    # form first folds into the NAMED form, then ONE final replace
+    # decodes it — so '&#38;amp;' yields the literal text '&amp;'
+    # (fold -> '&amp;amp;', final pass consumes the FIRST '&amp;' and
+    # never rescans its output), exactly one decode. Mapping '&#38;'
+    # straight to '&' instead would re-expose an '&amp;' suffix to the
+    # later replace and double-decode (round-8 advice).
+    ("&#38;", "&amp;"),
     ("&amp;", "&"),
 )
 

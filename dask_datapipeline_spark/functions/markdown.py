@@ -52,7 +52,10 @@ BLOCKQUOTE_RE = r"(?m)^[ \t]{0,3}(>[ \t]?)+"
 BULLET_RE = r"(?m)^[ \t]*[-*+][ \t]+"
 ORDERED_RE = r"(?m)^[ \t]*\d{1,9}\.[ \t]+"
 RULE_RE = r"(?m)^[ \t]{0,3}(-[ \t]*){3,}$|(?m)^[ \t]{0,3}(=[ \t]*){3,}$|(?m)^[ \t]{0,3}(\*[ \t]*){3,}$"
-WHITESPACE_RE = r"\s+"
+#: explicit class, NOT ``\s``: Java's ASCII ``\s`` matches vertical
+#: tab (U+000B) and RE2's does not — the one ``\s`` divergence between
+#: the engines (round-8 advice; same class as ``html.py``)
+WHITESPACE_RE = r"[ \t\n\r\f\x{0B}]+"
 
 #: literal strips/replaces applied after the regex steps, in order
 LITERAL_REPLACES: tuple[tuple[str, str], ...] = (

@@ -177,4 +177,10 @@ def normalize_text_py(s: str | None, nfc: bool = True) -> str | None:
     s = s.translate(table)
     for src, dst in MULTI_REPLACES:
         s = s.replace(src, dst)
-    return re.sub(r"\s+", " ", s).strip()
+    # re.ASCII pins Python's \s to [ \t\n\r\f\v] — Unicode \s would
+    # also match U+0085/U+2028/U+2029, which NEITHER Java's ASCII \s
+    # nor RE2's \s matches (C1 controls and unicode line separators
+    # are out of scope for this stage; the translate pass owns the
+    # unicode SPACE family). strip(" ") likewise mirrors the engines'
+    # trim (space-only), not Python's unicode-whitespace strip.
+    return re.sub(r"\s+", " ", s, flags=re.ASCII).strip(" ")

@@ -133,23 +133,76 @@ def compact_small_files(
     import shutil
     import uuid
 
-    files = [
-        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
-    ]
+    files = _list_parquet_recursive(path)
     if not files:
         raise FileNotFoundError(f"no parquet files to compact under {path!r}")
+    # a partitionBy-written table nests its files under key=value
+    # subdirectories; sizing from the top level alone would raise (or
+    # undersize n_out) even though spark.read.parquet(path) reads it
+    # fine (round-8 advice). The rewrite preserves the partition
+    # layout: hash-cluster by the partition keys so each task writes
+    # only its own key directories (an unkeyed round-robin would land
+    # up to n_out files in EVERY key directory).
+    part_keys = _partition_keys(path, files)
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     staging = out_path or (path.rstrip("/") + f".compact-{uuid.uuid4().hex[:8]}")
-    df.repartition(n_out).write.mode("overwrite").parquet(staging)
+    if part_keys:
+        writer = df.repartition(n_out, *part_keys).write.mode("overwrite")
+        writer.partitionBy(*part_keys).parquet(staging)
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(staging)
     if out_path is None:
         old = path.rstrip("/") + f".old-{uuid.uuid4().hex[:8]}"
         os.rename(path, old)
         os.rename(staging, path)
         shutil.rmtree(old)
     written = staging if out_path else path
-    return len([f for f in os.listdir(written) if f.endswith(".parquet")])
+    return len(_list_parquet_recursive(written))
+
+
+def _list_parquet_recursive(path: str) -> list[str]:
+    """All data parquet files under ``path``, any nesting depth —
+    ``os.walk``, not top-level ``listdir``: partitionBy layouts nest
+    files under ``key=value`` subdirectories. Dot/underscore-prefixed
+    entries (Spark markers, staged writes, ``_CURRENT`` manifests) are
+    skipped at every level, matching Spark's own reader."""
+    import os
+
+    out: list[str] = []
+    for root, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        out.extend(
+            os.path.join(root, n)
+            for n in names
+            if n.endswith(".parquet") and not n.startswith((".", "_"))
+        )
+    return sorted(out)
+
+
+def _partition_keys(path: str, files: list[str]) -> list[str]:
+    """Ordered partition column names of a ``partitionBy`` directory
+    layout (from the ``key=value`` path segments of the first file),
+    validated consistent across all files — mixed layouts raise rather
+    than silently flattening someone's table."""
+    import os
+
+    def keys_of(f: str) -> list[str]:
+        rel = os.path.relpath(os.path.dirname(f), path)
+        if rel == ".":
+            return []
+        return [seg.split("=", 1)[0] for seg in rel.split(os.sep) if "=" in seg]
+
+    first = keys_of(files[0])
+    for f in files[1:]:
+        if keys_of(f) != first:
+            raise ValueError(
+                f"inconsistent partition layout under {path!r}: "
+                f"{keys_of(f)} vs {first} — compact each consistent "
+                "subtree separately"
+            )
+    return first
 
 
 def write_zordered(
@@ -295,7 +348,15 @@ def write_versioned(df: DataFrame, path: str, tag: str | None = None) -> int:
 
     os.makedirs(path, exist_ok=True)
     cur = _vt_read_manifest(path)
-    if tag is not None and tag in cur.get("tags", {}):
+    # the short-circuit only honors tags whose version is still LIVE —
+    # a tag left behind by an older manifest (or hand-edited) must not
+    # return a version whose data directory was expired (round-8
+    # advice; expire_versions also drops such tags)
+    if (
+        tag is not None
+        and tag in cur.get("tags", {})
+        and cur["tags"][tag] in cur["versions"]
+    ):
         return cur["tags"][tag]
     version = (max(cur["versions"]) if cur["versions"] else 0) + 1
     final = os.path.join(path, f"v{version:05d}")
@@ -394,6 +455,11 @@ def expire_versions(path: str, keep_last: int = 1) -> list[int]:
     cur["versions"] = keep
     if cur["current"] not in keep:
         cur["current"] = keep[-1]
+    # tags referencing expired versions go WITH them — a surviving tag
+    # would make a later tagged write_versioned short-circuit to a
+    # version whose data directory no longer exists (round-8 advice)
+    if cur.get("tags"):
+        cur["tags"] = {t: v for t, v in cur["tags"].items() if v in keep}
     _vt_write_manifest(path, cur)
     for v in expired:
         shutil.rmtree(os.path.join(path, f"v{v:05d}"), ignore_errors=True)
@@ -445,9 +511,7 @@ def compact_versioned(
     if cur["current"] is None:
         raise ValueError(f"no committed version to compact at {path!r}")
     vdir = os.path.join(path, f"v{cur['current']:05d}")
-    files = [
-        os.path.join(vdir, f) for f in os.listdir(vdir) if f.endswith(".parquet")
-    ]
+    files = _list_parquet_recursive(vdir)
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = read_snapshot(spark, path).repartition(n_out)

@@ -648,6 +648,8 @@ def test_markdown_to_text_random_soup_parity(spark):
         "# ", "## ", "> ", "- ", "* ", "1. ", "12. ", "```", "~~~", "`",
         "**", "*", "[", "]", "](", ")", "|", "---", "===", "\n", " ",
         "word", "x_y", "a'b", "(", "!", "![", "http://e/x",
+        "\x0b", "\x0c",  # the Java-\s vs RE2-\s divergence pair —
+        # collapsible only because WHITESPACE_RE is an explicit class
     ]
     strs = [
         "".join(rng.choice(pieces) for _ in range(rng.randint(0, 30)))

@@ -1,0 +1,462 @@
+"""Round-9 pins: the five round-8 ADVICE fixes.
+
+1. html entity decode — double-encoded ampersand forms single-decode
+   (``&#38;amp;`` yields the literal text ``&amp;``, never ``&``);
+2. extractor whitespace collapse — explicit class closes the Java-\\s
+   vs RE2-\\s vertical-tab divergence (markdown AND html);
+3. ``normalize_text_py`` — ASCII \\s + space-only strip so the
+   pure-Python property oracle matches BOTH engines on U+0085/U+2028/
+   U+2029;
+4. ``compact_small_files`` — partitionBy layouts compact (recursive
+   listing, layout preserved), mixed layouts raise;
+5. versioned tables — ``expire_versions`` drops tags referencing
+   expired versions; a tagged write after expiry re-lands live data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+# ----- 1. double-encoded ampersand single-decode ---------------------------
+
+
+def test_double_encoded_ampersand_single_decodes(spark):
+    import duckdb
+
+    from dask_datapipeline_spark.functions.html import (
+        html_to_text,
+        html_to_text_sql_steps,
+    )
+
+    cases = {
+        "&#38;amp;": "&amp;",  # the round-8 advice input class
+        "&#38;lt;": "&lt;",
+        "&amp;lt;": "&lt;",
+        "&#38;": "&",
+        "&amp;": "&",
+        "&amp;amp;": "&amp;",
+        # only the LEADING '&#38;' is a well-formed entity (the second
+        # '#38;' has no ampersand of its own) — single-pass decode
+        # yields '&' + '#38;amp;' verbatim; that the output happens to
+        # look like an entity is exactly what no-rescan means
+        "&#38;#38;amp;": "&#38;amp;",
+        "a &amp; b &#38; c": "a & b & c",
+    }
+    strs = list(cases)
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "i int, h string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_to_text(F.col("h")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    sql = html_to_text_sql_steps("h")
+    for i, s in enumerate(strs):
+        duck = con.sql(
+            f"SELECT {sql} FROM (SELECT ?::VARCHAR AS h)", params=[s]
+        ).fetchone()[0]
+        assert got[i] == cases[s], (s, got[i])
+        assert duck == got[i], (s, duck, got[i])
+
+
+# ----- 2. vertical-tab parity in the extractors ----------------------------
+
+
+def test_extractor_vertical_tab_parity(spark):
+    """U+000B (and U+000C) inputs collapse identically in Spark and
+    DuckDB — the explicit whitespace class, not engine-divergent \\s."""
+    import duckdb
+
+    from dask_datapipeline_spark.functions.html import (
+        html_to_text,
+        html_to_text_sql_steps,
+    )
+    from dask_datapipeline_spark.functions.markdown import (
+        markdown_to_text,
+        markdown_to_text_sql_steps,
+    )
+
+    strs = [
+        "a\x0bb",  # VT mid-string \u2014 the divergent codepoint itself
+        "x\x0c  \x0cy",  # FF + space runs collapse to ONE space
+        " \x0b ",  # only-whitespace -> collapses, trims to empty
+        "a\u0085b",  # C1 NEL is whitespace to NEITHER engine \u2014 kept
+        "word \x0b\t\x0c word",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "i int, s string"
+    )
+    got_md = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", markdown_to_text(F.col("s")).alias("t")
+        ).collect()
+    }
+    got_html = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_to_text(F.col("s")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    md_sql = markdown_to_text_sql_steps("s")
+    html_sql = html_to_text_sql_steps("s")
+    for i, s in enumerate(strs):
+        md_duck, html_duck = con.sql(
+            f"SELECT {md_sql}, {html_sql} FROM (SELECT ?::VARCHAR AS s)",
+            params=[s],
+        ).fetchone()
+        assert md_duck == got_md[i], (i, s, md_duck, got_md[i])
+        assert html_duck == got_html[i], (i, s, html_duck, got_html[i])
+    # VT/FF are whitespace to the collapse: words separated, not glued
+    assert got_md[0] == "a b" and got_html[0] == "a b"
+    assert got_md[1] == "x y" and got_html[1] == "x y"
+    assert got_md[2] == "" and got_html[2] == ""
+    # NEL passes through untouched in both extractors
+    assert got_md[3] == "a\u0085b" and got_html[3] == "a\u0085b"
+    assert got_md[4] == "word word" and got_html[4] == "word word"
+
+
+# ----- 3. python twin matches the engines' ASCII \s ------------------------
+
+
+def test_normalize_py_twin_ascii_whitespace_semantics(spark):
+    """U+0085/U+2028/U+2029 (C1 + unicode line separators) match
+    NEITHER engine's \\s — the Python twin must keep them too, mid-
+    string AND at the edges (where unicode-aware strip() used to eat
+    them)."""
+    import duckdb
+
+    from dask_datapipeline_spark.functions.normalize import (
+        normalize_text,
+        normalize_text_py,
+        normalize_text_sql_steps,
+    )
+
+    strs = [
+        "a\u0085b",  # C1 NEL mid-string
+        "\u2028a  b\u2029",  # line/paragraph separators at the edges
+        "x\u0085 \t \u0085y",  # ASCII runs collapse AROUND the keepers
+        " \u2028 ",  # only a keeper once spaces trim
+        "edge\u0085",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "i int, s string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", normalize_text(F.col("s")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    sql = normalize_text_sql_steps("s")
+    for i, s in enumerate(strs):
+        duck = con.sql(
+            f"SELECT {sql} FROM (SELECT ?::VARCHAR AS s)", params=[s]
+        ).fetchone()[0]
+        py = normalize_text_py(s)
+        assert got[i] == py, (i, repr(s), got[i], py)
+        assert duck == py, (i, repr(s), duck, py)
+    # the separators survive normalization in all three
+    assert got[0] == "a\u0085b"
+    assert got[1] == "\u2028a b\u2029"
+    assert got[3] == "\u2028"
+
+
+# ----- 4. compacting a partitionBy layout ----------------------------------
+
+
+def test_compact_small_files_partitioned_layout(spark, tmp_path):
+    from dask_datapipeline_spark.sources.writers import compact_small_files
+
+    path = str(tmp_path / "ptab")
+    df = spark.range(0, 400).withColumn("k", (F.col("id") % 4).cast("int"))
+    # many small files per partition directory
+    df.repartition(8).write.partitionBy("k").parquet(path)
+    n_before = sum(
+        1
+        for root, _, names in os.walk(path)
+        for n in names
+        if n.endswith(".parquet")
+    )
+    assert n_before > 4
+    n_out = compact_small_files(spark, path, target_file_bytes=1 << 30)
+    # layout preserved: key=value directories still present, rows intact
+    kdirs = sorted(d for d in os.listdir(path) if d.startswith("k="))
+    assert kdirs == ["k=0", "k=1", "k=2", "k=3"]
+    back = spark.read.parquet(path)
+    assert back.count() == 400
+    assert back.groupBy("k").count().count() == 4
+    assert sorted(back.columns) == ["id", "k"]
+    # compacted: one file per partition directory (n_out counts files
+    # recursively)
+    assert n_out == 4
+    assert back.agg(F.sum("id")).collect()[0][0] == 399 * 400 // 2
+
+
+def test_compact_small_files_flat_layout_still_works(spark, tmp_path):
+    from dask_datapipeline_spark.sources.writers import compact_small_files
+
+    path = str(tmp_path / "flat")
+    spark.range(0, 100).repartition(6).write.parquet(path)
+    n_out = compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert n_out == 1
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_compact_small_files_mixed_layout_raises(spark, tmp_path):
+    import shutil
+
+    import pytest
+
+    from dask_datapipeline_spark.sources.writers import compact_small_files
+
+    path = str(tmp_path / "mixed")
+    spark.range(0, 50).withColumn("k", F.lit(0)).write.partitionBy(
+        "k"
+    ).parquet(path)
+    flat = str(tmp_path / "flatsrc")
+    spark.range(0, 10).coalesce(1).write.parquet(flat)
+    part = next(f for f in os.listdir(flat) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(flat, part), os.path.join(path, part))
+    with pytest.raises(ValueError, match="inconsistent partition layout"):
+        compact_small_files(spark, path, target_file_bytes=1 << 30)
+
+
+# ----- 5. expired tags don't resurrect dead versions -----------------------
+
+
+def test_expire_versions_drops_stale_tags(spark, tmp_path):
+    from dask_datapipeline_spark.sources.writers import (
+        _vt_read_manifest,
+        expire_versions,
+        list_versions,
+        read_snapshot,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "vt")
+    v1 = write_versioned(spark.range(0, 10), path, tag="batch-1")
+    v2 = write_versioned(spark.range(0, 20), path, tag="batch-2")
+    v3 = write_versioned(spark.range(0, 30), path)
+    assert (v1, v2, v3) == (1, 2, 3)
+    expired = expire_versions(path, keep_last=1)
+    assert expired == [1, 2]
+    # stale tags went with their versions
+    assert _vt_read_manifest(path).get("tags", {}) == {}
+    # a tagged replay after retention cleanup lands a NEW live version
+    # (the old short-circuit returned v1, whose directory is gone)
+    v4 = write_versioned(spark.range(0, 10), path, tag="batch-1")
+    assert v4 == 4
+    assert read_snapshot(spark, path, v4).count() == 10
+    assert list_versions(path) == [3, 4]
+    # and the fresh tag IS idempotent again
+    assert write_versioned(spark.range(0, 10), path, tag="batch-1") == 4
+
+
+# ----- Gopher quality rules (functions/quality.py) -------------------------
+
+
+def _gopher_duck(strs):
+    """DuckDB replay of the per-doc signals+keep over synthetic texts."""
+    import duckdb
+    import pandas as pd
+
+    from dask_datapipeline_spark.plans.catalog_llm import _gopher_quality_sql
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": range(len(strs)), "text": strs})
+    )
+    rows = con.sql(_gopher_quality_sql()).fetchall()
+    cols = [d[0] for d in con.sql(_gopher_quality_sql()).description]
+    return {r[0]: dict(zip(cols, r)) for r in rows}
+
+
+def _gopher_spark(spark, strs):
+    from dask_datapipeline_spark.functions.quality import (
+        SIGNAL_NAMES,
+        gopher_keep,
+        gopher_signal_cols,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "doc_id long, text string"
+    )
+    sig = gopher_signal_cols(F.col("text"))
+    out = df.select(
+        "doc_id",
+        *[sig[n].alias(n) for n in SIGNAL_NAMES],
+        gopher_keep(sig).alias("keep"),
+    )
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_gopher_signals_hand_computed(spark):
+    strs = [
+        "the " * 49 + "the",  # exactly 50 stopwords, one line -> KEEP
+        "the " * 48 + "the",  # 49 words -> fail_words only
+        "\n".join(["- item one"] * 10),  # all-bullet lines
+        "line with dots...\nmore dots...\nclean line\nclean two",  # 50% ellipsis
+        "dup line\ndup line\ndup line\nother",  # 3 dup of 4 lines
+        "a\r\nb\r\na",  # CRLF: CRs deleted before the split
+        "",  # empty text: 1 empty token, mean len 0
+    ]
+    got = _gopher_spark(spark, strs)
+    assert got[0]["keep"] is True
+    assert got[0]["n_words"] == 50
+    assert got[0]["mean_word_len"] == 3.0  # >= 3.0 boundary PASSES
+    assert got[0]["stop_hits"] == 50
+    assert got[1]["keep"] is False and got[1]["n_words"] == 49
+    assert got[2]["bullet_line_frac"] == 1.0 and got[2]["keep"] is False
+    assert got[3]["ellipsis_line_frac"] == 0.5
+    assert got[4]["dup_line_frac"] == 1.0 - 2 / 4
+    # dup chars: total 8+8+8+5=29, distinct 8+5=13
+    assert got[4]["dup_line_char_frac"] == (29 - 13) / 29
+    assert got[5]["dup_line_frac"] == 1.0 - 2 / 3
+    assert got[6]["mean_word_len"] == 0.0 and got[6]["keep"] is False
+    duck = _gopher_duck(strs)
+    assert duck == got
+
+
+def test_gopher_report_matches_per_doc_flags(spark):
+    from dask_datapipeline_spark.functions.quality import (
+        FAIL_NAMES,
+        gopher_fail_flags,
+        gopher_signal_cols,
+    )
+
+    strs = [
+        "the " * 60,
+        "#### # ## ###",
+        "\n".join(["- b"] * 5),
+        "zz " * 55 + "the a",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "doc_id long, text string"
+    )
+    sig = gopher_signal_cols(F.col("text"))
+    flags = gopher_fail_flags(sig)
+    per_doc = df.select(
+        *[flags[n].alias(n) for n in FAIL_NAMES]
+    ).collect()
+    agg = {
+        n: sum(1 for r in per_doc if r[n]) for n in FAIL_NAMES
+    }
+    # the trailing-space doc: 60 'the' + 1 '' token = 61 words, stop 60
+    assert agg["fail_stopwords"] >= 1  # the symbol doc has 0 stopwords
+    assert agg["fail_symbols"] >= 1
+    assert agg["fail_bullets"] >= 1
+    # report row aggregates the same flags
+    from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG
+
+    import duckdb
+    import pandas as pd
+
+    from dask_datapipeline_spark.plans.catalog_llm import _gopher_report_sql
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": range(len(strs)), "text": strs})
+    )
+    row = con.sql(_gopher_report_sql()).fetchdf().iloc[0]
+    for n in FAIL_NAMES:
+        assert int(row[n]) == agg[n], n
+    assert int(row["n_docs"]) == len(strs)
+
+
+def test_gopher_random_soup_parity(spark):
+    """Cross-engine fuzz: newline/bullet/ellipsis/symbol soup must
+    produce bit-identical signals and keep flags in Spark and DuckDB."""
+    import random
+
+    rng = random.Random(99)
+    pieces = [
+        "word", "the", "a", "zz", "123", "x_y", "#", "...", "…",
+        "•", "- ", "* ", "\n", "\r\n", " ", "  ", "\t", "longwordhere",
+    ]
+    strs = [
+        "".join(rng.choice(pieces) for _ in range(rng.randint(0, 40)))
+        for _ in range(120)
+    ]
+    got = _gopher_spark(spark, strs)
+    duck = _gopher_duck(strs)
+    assert duck == got
+
+
+# ----- HyperLogLog sketch (operators/sketches.py) ---------------------------
+
+
+def test_hll_registers_pinned_against_python_twin(spark):
+    """The register table is replayed from the md5 hash family in pure
+    Python (bit_length = first-1-bit rank) — pins hash, bucketing and
+    rho so the Spark side and the SQL oracle cannot drift."""
+    import hashlib
+
+    from dask_datapipeline_spark.operators.sketches import (
+        HLL_SEED,
+        hll_registers,
+    )
+
+    vals = [f"user-{i}" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {
+        (r["bucket"], r["m_reg"])
+        for r in hll_registers(df, [], "v", p=10, seed=HLL_SEED).collect()
+    }
+    w = 50
+    regs: dict[int, int] = {}
+    for v in vals:
+        h = int(hashlib.md5(f"{HLL_SEED}:{v}".encode()).hexdigest()[:15], 16)
+        bucket, rem = h >> w, h & ((1 << w) - 1)
+        rho = (w + 1) - rem.bit_length() if rem > 0 else w + 1
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    assert got == set(regs.items())
+
+
+def test_hll_estimate_accuracy_and_merge_exactness(spark):
+    from dask_datapipeline_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate_from_registers,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 4).alias("g"), F.concat(F.lit("u"), F.col("id")).alias("v")
+    )
+    est = {
+        r["g"]: r["est_distinct"]
+        for r in hll_distinct(df, ["g"], "v", p=10).collect()
+    }
+    for g in range(4):
+        exact = n // 4
+        # ~3.2% stddev at p=10; 5 sigma keeps this test deterministic-ish
+        assert abs(est[g] - exact) / exact < 0.16, (g, est[g])
+    # merge exactness: registers of two halves max-merge to the whole
+    a = hll_registers(df.where(F.col("g") < 2), ["g"], "v", p=10)
+    b = hll_registers(df.where(F.col("g") >= 2), ["g"], "v", p=10)
+    merged = hll_merge_registers(a.unionByName(b), ["g"])
+    whole = hll_registers(df, ["g"], "v", p=10)
+    assert (
+        merged.exceptAll(whole).count() == 0
+        and whole.exceptAll(merged).count() == 0
+    )
+    # readouts identical too
+    r1 = {tuple(r) for r in hll_estimate_from_registers(merged, ["g"]).collect()}
+    r2 = {tuple(r) for r in hll_estimate_from_registers(whole, ["g"]).collect()}
+    assert r1 == r2
+
+
+def test_hll_linear_counting_small_range(spark):
+    """Tiny distinct counts take the linear-counting branch and come
+    out near-exact (it IS the occupancy estimator)."""
+    from dask_datapipeline_spark.operators.sketches import hll_distinct
+
+    df = spark.createDataFrame([(f"v{i % 7}",) for i in range(1000)], "v string")
+    row = hll_distinct(df, [], "v", p=10).collect()[0]
+    assert row["n_buckets_used"] == 7
+    # m*ln(m/(m-7)) ~= 7.02 at m=1024
+    assert abs(row["est_distinct"] - 7.0) < 0.1
