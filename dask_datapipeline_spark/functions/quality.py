@@ -1,0 +1,271 @@
+"""Gopher-style document-shape and repetition quality rules
+(beyond-reference LLM-pipeline surface; SURVEY.md §2.2 text curation).
+
+The rule suite of Rae et al. 2021 (Gopher, Appendix A.1.1) as applied
+by every C4/RefinedWeb/FineWeb-descended curation pipeline — the
+quality-filter stage that runs right after HTML extraction and URL
+dedup: word-count bounds, mean word length, symbol-to-word ratio,
+bullet/ellipsis line fractions, alphabetic-word fraction, stopword
+floor, and the line-level repetition signals (duplicate-line fraction
+and duplicate-line CHARACTER fraction). The word-n-gram repetition
+signals of the same appendix live in
+``functions/text.py::dup_ngram_fraction`` and the
+``repetition_quality`` catalog row; this module completes the suite.
+
+Scale: every signal is a per-row array/string expression inside
+whole-stage codegen — NO explode, NO shuffle, NO Python. At 100 TB
+this is a single map stage fused into the scan, column-pruned to the
+text column; the filter feeds the usual predicate pushdown.
+
+Engine parity (same shared-constant discipline as ``functions/html.py``
+/ ``normalize.py``): every regex and threshold is ONE Python constant
+consumed by both the Spark Column builder and the DuckDB oracle
+builder. Ratios are single divisions of exact integer counts — pure
+IEEE double ops, bit-identical across engines when the expression
+tree matches (CLAUDE.md invariant), so no rounding is needed anywhere.
+
+Conventions, stated once:
+
+- Lines are ``split(text, '\\n')`` AFTER deleting every CR — CRLF
+  corpora get identical stats, and no pattern ever needs a ``$``
+  anchor near ``\\r`` (where Java's before-final-terminator ``$`` and
+  RE2's end-of-text ``$`` disagree).
+- "Duplicate" counts EXCLUDE the first occurrence (the
+  ``1 - distinct/total`` convention shared with
+  ``dup_ngram_fraction``): duplicate-line char fraction is
+  ``(Σ len(line) - Σ len(distinct lines)) / Σ len(line)``.
+- Word tokens are the corpus' single-space split, lowercased
+  (``functions/text.py::_toks``); empty text yields one empty token /
+  one empty line, so no denominator is ever 0 under ANSI mode. NULL
+  text must be gated by the caller (same ``isNotNull`` contract as
+  the rest of the text family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from dask_datapipeline_spark.functions.text import LANG_MARKERS, stopword_hits
+
+#: a line whose first non-blank char is a bullet marker
+BULLET_LINE_RE = r"^[ \t]*[-*•]"
+#: a line ending in an ASCII or unicode ellipsis (CRs already deleted,
+#: so no ``\r``-vs-``$`` engine divergence is reachable)
+ELLIPSIS_LINE_RE = r"(\.\.\.|…)$"
+#: "symbols" for the symbol-to-word ratio: hash marks and ellipses
+#: (the Gopher pair)
+SYMBOL_RE = r"#|\.\.\.|…"
+#: a word counts as alphabetic if it contains at least one a-z
+#: (tokens are lowercased first)
+ALPHA_WORD_RE = r"[a-z]"
+
+#: Gopher A.1.1 thresholds — shared with the SQL builder so the keep
+#: flag can never drift between engines. A document is KEPT when every
+#: comparison holds.
+THRESHOLDS: dict[str, float] = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "min_stopword_hits": 2,
+    "max_dup_line_frac": 0.3,
+    "max_dup_line_char_frac": 0.2,
+}
+
+#: signal column order (the contract both builders emit)
+SIGNAL_NAMES: tuple[str, ...] = (
+    "n_words",
+    "mean_word_len",
+    "symbol_word_ratio",
+    "bullet_line_frac",
+    "ellipsis_line_frac",
+    "alpha_word_frac",
+    "stop_hits",
+    "dup_line_frac",
+    "dup_line_char_frac",
+)
+
+
+def _lines(col: Column) -> Column:
+    return F.split(F.regexp_replace(col, r"\r", ""), r"\n")
+
+
+def gopher_signal_cols(text: Column | str) -> dict[str, Column]:
+    """All Gopher shape/repetition signals of a non-NULL text column,
+    as a name → Column dict in ``SIGNAL_NAMES`` order. Pure per-row
+    expressions (module docstring)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(c), " ")
+    n_words = F.size(toks)
+    lines = _lines(c)
+    n_lines = F.size(lines)
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+    )
+    distinct_line_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+    )
+    dup_chars = line_chars - distinct_line_chars
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": (F.length(c) - n_words + 1) / n_words,
+        "symbol_word_ratio": F.regexp_count(c, F.lit(SYMBOL_RE)) / n_words,
+        "bullet_line_frac": F.size(
+            F.filter(lines, lambda l: l.rlike(BULLET_LINE_RE))
+        )
+        / n_lines,
+        "ellipsis_line_frac": F.size(
+            F.filter(lines, lambda l: l.rlike(ELLIPSIS_LINE_RE))
+        )
+        / n_lines,
+        "alpha_word_frac": F.size(
+            F.filter(toks, lambda t: t.rlike(ALPHA_WORD_RE))
+        )
+        / n_words,
+        "stop_hits": stopword_hits(c).cast("long"),
+        "dup_line_frac": F.lit(1.0)
+        - F.size(F.array_distinct(lines)) / n_lines,
+        # guard: a doc whose every line is empty has 0 total line
+        # chars; call the char fraction 0.0, not a division by zero
+        "dup_line_char_frac": F.when(
+            line_chars > 0, dup_chars / line_chars
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+#: per-rule failure flag order (the report row's column contract);
+#: ``keep`` is definitionally NOT-any-fail in BOTH engines — one source
+#: of truth, so the filter and the drop-count report can never drift
+FAIL_NAMES: tuple[str, ...] = (
+    "fail_words",
+    "fail_word_len",
+    "fail_symbols",
+    "fail_bullets",
+    "fail_ellipsis",
+    "fail_alpha",
+    "fail_stopwords",
+    "fail_repetition",
+)
+
+
+def gopher_fail_flags(sig: dict[str, Column]) -> dict[str, Column]:
+    """Per-rule violation flags over ``gopher_signal_cols`` output, in
+    ``FAIL_NAMES`` order. No signal here is ever NULL/NaN (split always
+    yields >=1 token/line, so every denominator is >=1), so strict-
+    comparison negation is exact."""
+    t = THRESHOLDS
+    return {
+        "fail_words": (sig["n_words"] < F.lit(int(t["min_words"])))
+        | (sig["n_words"] > F.lit(int(t["max_words"]))),
+        "fail_word_len": (sig["mean_word_len"] < F.lit(t["min_mean_word_len"]))
+        | (sig["mean_word_len"] > F.lit(t["max_mean_word_len"])),
+        "fail_symbols": sig["symbol_word_ratio"] > F.lit(t["max_symbol_word_ratio"]),
+        "fail_bullets": sig["bullet_line_frac"] > F.lit(t["max_bullet_line_frac"]),
+        "fail_ellipsis": sig["ellipsis_line_frac"]
+        > F.lit(t["max_ellipsis_line_frac"]),
+        "fail_alpha": sig["alpha_word_frac"] < F.lit(t["min_alpha_word_frac"]),
+        "fail_stopwords": sig["stop_hits"] < F.lit(int(t["min_stopword_hits"])),
+        "fail_repetition": (sig["dup_line_frac"] > F.lit(t["max_dup_line_frac"]))
+        | (sig["dup_line_char_frac"] > F.lit(t["max_dup_line_char_frac"])),
+    }
+
+
+def gopher_keep(sig: dict[str, Column]) -> Column:
+    """Boolean keep flag over ``gopher_signal_cols`` output — a
+    document is kept iff NO ``gopher_fail_flags`` rule fires."""
+    out = F.lit(True)
+    for flag in gopher_fail_flags(sig).values():
+        out = out & ~flag
+    return out
+
+
+def _q(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def gopher_sql_projections(expr: str) -> dict[str, str]:
+    """DuckDB replay of ``gopher_signal_cols`` over ``expr`` (a
+    non-NULL text expression) — per-row list functions mirroring the
+    Spark array expressions, same constants, same division trees.
+    ``\\u2022``/``\\u2026`` embed as UTF-8 bytes (RE2 reads the same
+    bytes Java does); regexes embed verbatim."""
+    toks = f"string_split(lower({expr}), ' ')"
+    lines = f"string_split(replace({expr}, chr(13), ''), chr(10))"
+    n_words = f"len({toks})"
+    n_lines = f"len({lines})"
+    line_chars = f"list_sum(list_transform({lines}, l -> length(l)))"
+    distinct_line_chars = (
+        f"list_sum(list_transform(list_distinct({lines}), l -> length(l)))"
+    )
+    markers = ", ".join(f"'{_q(m)}'" for m in LANG_MARKERS["en"])
+    return {
+        "n_words": f"CAST({n_words} AS BIGINT)",
+        "mean_word_len": f"(length({expr}) - {n_words} + 1) / {n_words}",
+        "symbol_word_ratio": (
+            f"len(regexp_extract_all({expr}, '{_q(SYMBOL_RE)}')) / {n_words}"
+        ),
+        "bullet_line_frac": (
+            f"len(list_filter({lines}, l -> "
+            f"regexp_matches(l, '{_q(BULLET_LINE_RE)}'))) / {n_lines}"
+        ),
+        "ellipsis_line_frac": (
+            f"len(list_filter({lines}, l -> "
+            f"regexp_matches(l, '{_q(ELLIPSIS_LINE_RE)}'))) / {n_lines}"
+        ),
+        "alpha_word_frac": (
+            f"len(list_filter({toks}, t -> "
+            f"regexp_matches(t, '{_q(ALPHA_WORD_RE)}'))) / {n_words}"
+        ),
+        "stop_hits": (
+            f"CAST(len(list_filter({toks}, t -> t IN ({markers}))) AS BIGINT)"
+        ),
+        "dup_line_frac": f"1.0 - len(list_distinct({lines})) / {n_lines}",
+        "dup_line_char_frac": (
+            f"CASE WHEN {line_chars} > 0 THEN "
+            f"({line_chars} - {distinct_line_chars}) / {line_chars} "
+            f"ELSE 0.0 END"
+        ),
+    }
+
+
+def gopher_fail_flags_sql(sig: dict[str, str]) -> dict[str, str]:
+    """DuckDB replay of ``gopher_fail_flags`` — same THRESHOLDS
+    constants, same strict comparisons, ``FAIL_NAMES`` order."""
+    t = THRESHOLDS
+    return {
+        "fail_words": (
+            f"({sig['n_words']} < {int(t['min_words'])}"
+            f" OR {sig['n_words']} > {int(t['max_words'])})"
+        ),
+        "fail_word_len": (
+            f"({sig['mean_word_len']} < {t['min_mean_word_len']}"
+            f" OR {sig['mean_word_len']} > {t['max_mean_word_len']})"
+        ),
+        "fail_symbols": (
+            f"({sig['symbol_word_ratio']} > {t['max_symbol_word_ratio']})"
+        ),
+        "fail_bullets": (
+            f"({sig['bullet_line_frac']} > {t['max_bullet_line_frac']})"
+        ),
+        "fail_ellipsis": (
+            f"({sig['ellipsis_line_frac']} > {t['max_ellipsis_line_frac']})"
+        ),
+        "fail_alpha": f"({sig['alpha_word_frac']} < {t['min_alpha_word_frac']})",
+        "fail_stopwords": f"({sig['stop_hits']} < {int(t['min_stopword_hits'])})",
+        "fail_repetition": (
+            f"({sig['dup_line_frac']} > {t['max_dup_line_frac']}"
+            f" OR {sig['dup_line_char_frac']} > {t['max_dup_line_char_frac']})"
+        ),
+    }
+
+
+def gopher_keep_sql(sig: dict[str, str]) -> str:
+    """SQL keep flag — NOT-any-fail over ``gopher_fail_flags_sql``,
+    definitionally consistent with the Spark side."""
+    flags = gopher_fail_flags_sql(sig)
+    return "(" + " AND ".join(f"NOT {flags[n]}" for n in FAIL_NAMES) + ")"

@@ -502,3 +502,187 @@ def partial_topk(
             yield state
 
     return df.mapInPandas(_prune, schema)
+
+
+# ----- HyperLogLog distinct-count registers --------------------------
+
+#: DuckDB twin of ``seeded_hash64`` (same template as the dedup/KMV
+#: oracles): 60-bit positive bigint from the first 15 hex chars of md5
+_SQL_HASH60 = "CAST(CONCAT('0x', SUBSTRING(md5('{seed}:' || {col}), 1, 15)) AS BIGINT)"
+
+HLL_SEED = 1801
+#: precision bits: m = 2^p registers, relative error ~= 1.04/sqrt(m)
+#: (p=10 -> 1024 registers, ~3.2%). 2^p * 8 bytes of reducer state per
+#: group regardless of corpus size.
+HLL_P = 10
+#: width of the md5-derived hash (operators/dedup.py::seeded_hash64)
+_HLL_HASH_BITS = 60
+
+
+def hll_alpha_m2_scaled(p: int = HLL_P) -> float:
+    """The estimate numerator ``alpha_m * m^2 * 2^(w+1)`` as ONE float
+    literal shared by the Spark column and the SQL oracle (w = hash
+    bits remaining after the bucket index). alpha_m is the standard
+    Flajolet et al. 2007 bias constant for m >= 128."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(1 << (_HLL_HASH_BITS - p + 1))
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = HLL_P,
+    seed: int = HLL_SEED,
+) -> DataFrame:
+    """Per-group HLL register table: ``group_cols + (bucket, m_reg)``
+    where bucket is the hash's top p bits and m_reg the max over the
+    group of rho(remaining w bits) — rho = rank of the first 1-bit
+    (w+1 for an all-zero remainder).
+
+    Why this beats exact count-distinct at 100 TB: MAX is algebraic,
+    so Catalyst's partial aggregation reduces every input partition to
+    at most ``groups × 2^p`` register rows map-side — only sketches
+    cross the shuffle, never values. Register max-merge is EXACT
+    (max of a union = max of the parts' maxes), which is also what
+    makes the streaming twin bit-identical to the batch sketch and
+    lets the oracle replay the whole thing over the full distinct set.
+
+    rho is computed WITHOUT transcendentals: the first-1-bit rank is
+    ``w + 1 - length(bin(remainder))`` — ``bin`` (minimal-length
+    base-2 string) has identical semantics in Spark and DuckDB, so
+    the register table is bit-identical across engines by
+    construction. NULL values are excluded (count-distinct
+    semantics).
+    """
+    w = _HLL_HASH_BITS - p
+    h = seeded_hash64(F.col(value_col).cast("string"), seed)
+    rem = h.bitwiseAND(F.lit((1 << w) - 1))
+    rho = F.when(
+        rem > 0, F.lit(w + 1) - F.length(F.bin(rem))
+    ).otherwise(F.lit(w + 1))
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            F.shiftrightunsigned(h, w).alias("bucket"),
+            rho.cast("int").alias("m_reg"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+
+
+def hll_merge_registers(reg: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Sketch NORMAL FORM: max-merge a union of register tables back
+    to one row per (group, bucket). Applying this to the union of two
+    sketches yields exactly the sketch of the unioned inputs — the
+    streaming twin's per-micro-batch merge."""
+    return reg.groupBy(*group_cols, "bucket").agg(F.max("m_reg").alias("m_reg"))
+
+
+def hll_estimate_from_registers(
+    reg: DataFrame, group_cols: list[str], p: int = HLL_P
+) -> DataFrame:
+    """(group_cols, n_buckets_used, est_distinct) from a register
+    table — shared by batch and streaming readouts.
+
+    Determinism discipline (CLAUDE.md): the harmonic-mean denominator
+    ``sum(2^-m_reg)`` is summed as EXACT integers — each term scaled
+    by 2^(w+1) is ``1 << (w+1-m_reg)``, a bigint; empty buckets
+    contribute ``2^(w+1)`` each — so the sum is order-independent
+    under any partitioning and bit-identical in DuckDB. The only
+    doubles are one cast + one division (IEEE-exact both engines) and
+    the small-range linear-counting branch's ``ln``, which is rounded
+    to 6dp at emission (libm-vs-JVM ulp drift, same discipline as
+    tfidf_top_terms)."""
+    m = 1 << p
+    w1 = _HLL_HASH_BITS - p + 1
+    # 2^(w+1-m_reg) as a bigint — shiftleft with a COLUMN shift amount
+    # (the PySpark wrapper only takes literal numBits; the SQL function
+    # takes any expression). m_reg <= w+1 so the shift is >= 0, and the
+    # per-group sum is <= m * 2^(w+1) + (m-V) terms < 2^63 for p>=2.
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {w1} - m_reg)")
+    agg = reg.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.sum(term).alias("__s_occ"),
+    )
+    v = F.lit(m).cast("long") - F.col("n_buckets_used")
+    s = F.col("__s_occ") + v * F.lit(1 << w1).cast("long")
+    raw = F.lit(hll_alpha_m2_scaled(p)) / s.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        "n_buckets_used",
+        F.round(est, 6).alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = HLL_P,
+    seed: int = HLL_SEED,
+) -> DataFrame:
+    """Approximate distinct ``value_col`` per group via HyperLogLog —
+    ``hll_registers`` then ``hll_estimate_from_registers``. Completes
+    the mergeable-sketch family (CMS frequency / KMV + HLL distinct /
+    bottom-k quantile): HLL's state is 2^p registers per group vs
+    KMV's k hashes, with the classic ~1.04/sqrt(m) error bound and a
+    pure map-side-combine build (no mapInPandas needed — MAX is
+    algebraic, Catalyst partial-aggregates it for free)."""
+    return hll_estimate_from_registers(
+        hll_registers(df, group_cols, value_col, p, seed), group_cols, p
+    )
+
+
+def hll_oracle_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    p: int = HLL_P,
+    seed: int = HLL_SEED,
+) -> str:
+    """DuckDB replay: build the register table over the full distinct
+    hash set (register max-merge is exact, so this IS the merged
+    sketch) and read it out with the same exact-integer denominator
+    and the same 6dp-rounded estimate."""
+    m = 1 << p
+    w = _HLL_HASH_BITS - p
+    w1 = w + 1
+    mask = (1 << w) - 1
+    alpha = repr(hll_alpha_m2_scaled(p))
+    hash_expr = _SQL_HASH60.format(seed=seed, col=f"CAST({value_col} AS VARCHAR)")
+    raw = (
+        f"{alpha} / CAST(s_occ + ({m} - n_buckets_used) * "
+        f"(CAST(1 AS BIGINT) << {w1}) AS DOUBLE)"
+    )
+    return f"""
+WITH h AS (
+  SELECT DISTINCT {group_col}, {hash_expr} AS hh
+  FROM {table} WHERE {value_col} IS NOT NULL
+), reg AS (
+  SELECT {group_col}, hh >> {w} AS bucket,
+         MAX(CASE WHEN (hh & {mask}) > 0
+                  THEN {w1} - length(bin(hh & {mask}))
+                  ELSE {w1} END) AS m_reg
+  FROM h GROUP BY 1, 2
+), agg AS (
+  SELECT {group_col}, COUNT(*) AS n_buckets_used,
+         SUM(CAST(1 AS BIGINT) << ({w1} - m_reg)) AS s_occ
+  FROM reg GROUP BY 1
+)
+SELECT {group_col},
+       n_buckets_used,
+       round(CASE WHEN {raw} <= {repr(2.5 * m)}
+                   AND ({m} - n_buckets_used) > 0
+             THEN {repr(float(m))} * ln({repr(float(m))} /
+                  CAST({m} - n_buckets_used AS DOUBLE))
+             ELSE {raw} END, 6) AS est_distinct
+FROM agg
+"""

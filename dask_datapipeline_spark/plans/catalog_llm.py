@@ -7457,3 +7457,189 @@ def q_pagerank_dup_graph(spark, sf_dir):
         docs, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.5, max_df=_MAX_DF
     )
     return pagerank(docs, prs)
+
+
+# ----- Gopher-style document-quality rules ---------------------------
+
+from dask_datapipeline_spark.functions.quality import (  # noqa: E402
+    FAIL_NAMES,
+    SIGNAL_NAMES,
+    gopher_fail_flags,
+    gopher_fail_flags_sql,
+    gopher_keep,
+    gopher_keep_sql,
+    gopher_signal_cols,
+    gopher_sql_projections,
+)
+
+
+def _gopher_quality_sql() -> str:
+    sig = gopher_sql_projections("text")
+    cols = ",\n       ".join(f"{sig[n]} AS {n}" for n in SIGNAL_NAMES)
+    return f"""
+SELECT doc_id,
+       {cols},
+       {gopher_keep_sql(sig)} AS keep
+FROM documents
+WHERE text IS NOT NULL
+"""
+
+
+@register_extra(
+    "gopher_quality",
+    _gopher_quality_sql(),
+    "Gopher document-shape + repetition quality rules (functions/quality.py; "
+    "Rae et al. 2021 A.1.1): word-count bounds, mean word length, symbol "
+    "ratio, bullet/ellipsis line fractions, alphabetic-word fraction, "
+    "stopword floor, duplicate-line and duplicate-line-char fractions, and "
+    "the keep flag — ALL per-row codegen array/string exprs fused into the "
+    "scan: zero shuffles, zero Python; ratios are single IEEE divisions of "
+    "exact integer counts so no rounding is needed anywhere",
+)
+def q_gopher_quality(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sig = gopher_signal_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[sig[n].alias(n) for n in SIGNAL_NAMES],
+        gopher_keep(sig).alias("keep"),
+    )
+
+
+def _gopher_report_sql() -> str:
+    sig = gopher_sql_projections("text")
+    flags = gopher_fail_flags_sql(sig)
+    inner = ",\n         ".join(f"{flags[n]} AS {n}" for n in FAIL_NAMES)
+    outer = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN {n} THEN 1 ELSE 0 END) AS BIGINT) AS {n}"
+        for n in FAIL_NAMES
+    )
+    return f"""
+WITH flagged AS (
+  SELECT {gopher_keep_sql(sig)} AS keep,
+         {inner}
+  FROM documents
+  WHERE text IS NOT NULL
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       {outer}
+FROM flagged
+"""
+
+
+@register_extra(
+    "gopher_report",
+    _gopher_report_sql(),
+    "Per-rule drop-count funnel over the Gopher quality rules — the "
+    "curation-report stage every production pipeline runs next to the "
+    "filter (which rule is deleting my corpus?). One scan, one ungrouped "
+    "aggregate of 0/1 longs; the fail flags and the keep flag come from the "
+    "SAME gopher_fail_flags source in both engines, so filter and report "
+    "cannot disagree",
+)
+def q_gopher_report(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sig = gopher_signal_cols(F.col("text"))
+    flags = gopher_fail_flags(sig)
+    flagged = docs.select(
+        gopher_keep(sig).alias("keep"),
+        *[flags[n].alias(n) for n in FAIL_NAMES],
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        *[F.sum(F.col(n).cast("long")).alias(n) for n in FAIL_NAMES],
+    )
+
+
+# ----- HyperLogLog distinct sketch -----------------------------------
+
+from dask_datapipeline_spark.operators.sketches import (  # noqa: E402
+    HLL_P,
+    HLL_SEED,
+    hll_distinct,
+    hll_oracle_sql,
+)
+
+
+@register_extra(
+    "hll_distinct",
+    hll_oracle_sql("events", "event_type", "user_id", p=HLL_P, seed=HLL_SEED),
+    "HyperLogLog distinct-count sketch (operators/sketches.py): 2^p register "
+    "maxes per group built entirely by Catalyst's map-side partial MAX — only "
+    "groups*2^p register rows ever cross the shuffle vs every distinct value "
+    "for exact count-distinct; completes the mergeable-sketch family next to "
+    "CMS/KMV/quantile. rho via length(bin(x)) — no transcendentals — and an "
+    "exact-integer harmonic-mean denominator, so the oracle is bit-exact; the "
+    "linear-counting branch's ln is rounded 6dp (tfidf discipline)",
+)
+def q_hll_distinct(spark, sf_dir):
+    ev = load_testdata(spark, sf_dir, "events").select("event_type", "user_id")
+    return hll_distinct(ev, ["event_type"], "user_id", p=HLL_P, seed=HLL_SEED)
+
+
+@register_extra(
+    "streaming_hll",
+    hll_oracle_sql("events", "event_type", "user_id", p=HLL_P, seed=HLL_SEED),
+    "Streaming twin of hll_distinct (streaming/windows.py::"
+    "stream_incremental_hll): the events table arrives as THREE micro-batch "
+    "files through a foreachBatch sink maintaining the per-(group,bucket) "
+    "register MAX incrementally (union + max-merge + atomic snapshot swap; "
+    "replay idempotent for free — re-merged registers max into themselves). "
+    "Register max-merge exactness makes the maintained sketch bit-identical "
+    "to the batch sketch, so this row shares hll_distinct's oracle verbatim",
+)
+def q_streaming_hll(spark, sf_dir):
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import time as _time
+
+    from dask_datapipeline_spark.operators.sketches import (
+        hll_estimate_from_registers,
+    )
+    from dask_datapipeline_spark.streaming.windows import stream_incremental_hll
+
+    ev = load_testdata(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    work = _tf.mkdtemp(prefix="ddps_stream_hll_")
+    staged = _os.path.join(work, "staged")
+    _os.makedirs(staged, exist_ok=True)
+    hi = ev.agg(F.max("event_id")).collect()[0][0] or 0
+    cuts = [hi // 3, 2 * hi // 3]
+    parts = [
+        ev.where(F.col("event_id") <= cuts[0]),
+        ev.where((F.col("event_id") > cuts[0]) & (F.col("event_id") <= cuts[1])),
+        ev.where(F.col("event_id") > cuts[1]),
+    ]
+    now = _time.time()
+    for i, part in enumerate(parts):
+        tmp = _os.path.join(work, f"stage-tmp-{i}")
+        part.select("event_type", "user_id").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        src = next(
+            _os.path.join(tmp, f)
+            for f in _os.listdir(tmp)
+            if f.endswith(".parquet")
+        )
+        dst = _os.path.join(staged, f"chunk-{i}.parquet")
+        _sh.move(src, dst)
+        _os.utime(dst, (now + i, now + i))
+        _sh.rmtree(tmp)
+    sketch_dir = _os.path.join(work, "sketch")
+    stream_incremental_hll(
+        spark,
+        staged,
+        sketch_dir,
+        schema="event_type string, user_id long",
+        group_cols=["event_type"],
+        value_col="user_id",
+        p=HLL_P,
+        checkpoint_dir=_os.path.join(work, "ckpt"),
+    )
+    return hll_estimate_from_registers(
+        spark.read.parquet(sketch_dir), ["event_type"], p=HLL_P
+    )
