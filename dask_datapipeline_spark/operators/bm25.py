@@ -1,0 +1,155 @@
+"""Okapi BM25 scored retrieval over a document corpus
+(beyond-reference LLM-pipeline surface; SURVEY.md §2.2 text family).
+
+The standard ranked-retrieval scorer (Robertson et al., TREC-3) —
+what an LLM-data pipeline runs for decontamination probes ("which
+training docs score highest against this benchmark question?"),
+hard-negative mining seeds, and corpus QA. Complements the
+``inverted_index`` row (index BUILD) with the query-time half.
+
+    score(D, Q) = Σ_{t in Q} idf(t) · tf(t,D)·(k1+1)
+                               / (tf(t,D) + k1·(1 - b + b·|D|/avgdl))
+    idf(t) = ln((N - df(t) + 0.5) / (df(t) + 0.5))
+
+Scale shape (the point, at 100 TB):
+
+- The query-term filter is a literal ``IN`` over a handful of terms —
+  pure codegen, applied BEFORE any shuffle, so only postings of query
+  terms ever leave the scan (a fraction of the corpus, exactly like
+  probing an inverted index).
+- One (doc_id, token)-keyed groupBy over those candidates for tf; the
+  per-term df table is ≤ |Q| rows and joins back via BROADCAST.
+- Top-k is ``orderBy(...).limit(k)`` → TakeOrderedAndProject: each
+  partition keeps its local k, the driver merges — no global sort,
+  no single-reducer window over the candidate set.
+- Doc length and corpus stats: |D| is a row-local expression carried
+  through the scan; N and Σ|D| are ONE bounded driver scalar
+  (single-row aggregate, the ``tfidf_top_terms`` precedent).
+
+Determinism (CLAUDE.md disciplines, all gate-proven elsewhere):
+
+- ln drifts a ulp between JVM and libm → each per-term score is
+  rounded to 9dp, cast DECIMAL(19,9), summed EXACTLY, cast back to
+  double (the ``lm_perplexity`` recipe) — so the per-doc sum is
+  order-independent under any partitioning and bit-identical in the
+  DuckDB oracle.
+- avgdl = Σ|D| / N is one IEEE division of exact integers — identical
+  in Python (driver literal), Spark, and DuckDB.
+- The top-k total order is (score DESC, doc_id ASC) — unique-key
+  tiebreak on BOTH engines.
+
+Constants are shared by import: the SQL builder lives in this module
+and embeds the SAME ``BM25_K1``/``BM25_B`` Python floats the Column
+builder uses, so the two engines cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents of ``docs`` (doc_id, text) by BM25 score
+    against ``query_terms`` (lowercase literals).
+
+    Returns (doc_id, score, rank) — rank 1-based, (score DESC,
+    doc_id ASC) total order. Tokenization is the corpus convention:
+    lowercased single-space split; |D| counts every split segment.
+    NULL-text rows are excluded (module contract shared with the rest
+    of the text family)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    base = docs.where(F.col("text").isNotNull())
+    stats = base.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("sdl"),
+    ).collect()[0]
+    n_docs, sum_dl = int(stats["n"]), int(stats["sdl"] or 0)
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = sum_dl / n_docs  # one IEEE division of exact integers
+
+    toks = base.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("dl"),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    ).where(F.col("token").isin(*query_terms))
+    tf = toks.groupBy("doc_id", "dl", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    joined = tf.join(F.broadcast(dfreq), "token")
+
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    sat = (F.col("tf") * (F.lit(k1) + F.lit(1.0))) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
+    )
+    term = F.round(idf * sat, 9).cast("decimal(19,9)")
+    scored = joined.groupBy("doc_id").agg(
+        F.sum(term).cast("double").alias("score")
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def bm25_topk_oracle_sql(
+    table: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB replay of ``bm25_topk`` — same constants (imported, not
+    retyped), same expression trees, same round-9dp → exact-decimal
+    sum → double, same (score DESC, doc_id) top-k order."""
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    k1p1 = repr(k1 + 1.0)
+    k1r, br = repr(k1), repr(b)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS dl
+  FROM {table} WHERE text IS NOT NULL
+),
+stats AS (
+  SELECT COUNT(*) AS n, SUM(dl) / COUNT(*) AS avgdl FROM base
+),
+toks AS (
+  SELECT doc_id, dl, unnest(string_split(lower(text), ' ')) AS token
+  FROM base
+),
+cand AS (SELECT * FROM toks WHERE token IN ({terms})),
+tf AS (
+  SELECT doc_id, dl, token, COUNT(*) AS tf FROM cand GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(round(
+           ln(((SELECT n FROM stats) - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * ((tf.tf * {k1p1}) /
+              (tf.tf + {k1r} * (1.0 - {br} + {br} *
+                                (tf.dl / (SELECT avgdl FROM stats)))))
+         , 9) AS DECIMAL(19,9))) AS DOUBLE) AS score
+  FROM tf JOIN dfreq ON tf.token = dfreq.token
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score, rank FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -7643,3 +7643,32 @@ def q_streaming_hll(spark, sf_dir):
     return hll_estimate_from_registers(
         spark.read.parquet(sketch_dir), ["event_type"], p=HLL_P
     )
+
+
+# ----- BM25 scored retrieval -----------------------------------------
+
+from dask_datapipeline_spark.operators.bm25 import (  # noqa: E402
+    bm25_topk,
+    bm25_topk_oracle_sql,
+)
+
+#: mixed-selectivity probe: 'dup' is rare (positive idf), the others
+#: near-ubiquitous (negative idf at df > N/2 — the classic Robertson
+#: idf behavior, kept as-is since both engines share the formula)
+_BM25_QUERY = ["dup", "vector", "spark"]
+_BM25_K = 15
+
+
+@register_extra(
+    "bm25_topk",
+    bm25_topk_oracle_sql("documents", _BM25_QUERY, k=_BM25_K),
+    "Okapi BM25 top-k retrieval (operators/bm25.py): the query-time half of "
+    "the inverted_index row — literal IN filter prunes to query-term postings "
+    "BEFORE any shuffle, one (doc,term) groupBy for tf, <=|Q|-row broadcast df "
+    "join, TakeOrderedAndProject top-k (no global sort). ln-idf rounded 9dp "
+    "-> exact DECIMAL sum -> double (lm_perplexity recipe); (score DESC, "
+    "doc_id) unique-key order",
+)
+def q_bm25_topk(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERY, k=_BM25_K)

@@ -460,3 +460,68 @@ def test_hll_linear_counting_small_range(spark):
     assert row["n_buckets_used"] == 7
     # m*ln(m/(m-7)) ~= 7.02 at m=1024
     assert abs(row["est_distinct"] - 7.0) < 0.1
+
+
+# ----- BM25 retrieval (operators/bm25.py) -----------------------------------
+
+
+def test_bm25_pinned_against_python_twin(spark):
+    """Tiny corpus scored by a pure-Python BM25 mirroring the module's
+    exact discipline (round-9dp terms, exact decimal sum) — pins the
+    formula independently of the DuckDB oracle."""
+    import math
+    from decimal import Decimal
+
+    from dask_datapipeline_spark.operators.bm25 import BM25_B, BM25_K1, bm25_topk
+
+    corpus = {
+        1: "dup spark data data data",
+        2: "spark data",
+        3: "dup dup dup other words here",
+        4: "nothing relevant at all",
+        5: "data data data data data data data data",
+    }
+    q = ["dup", "data"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["score"], r["rank"]) for r in bm25_topk(df, q, k=5).collect()}
+
+    dls = {i: len(t.split(" ")) for i, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(dls.values()) / n
+    dfreq = {t: sum(1 for txt in corpus.values() if t in txt.split(" ")) for t in q}
+    exp = {}
+    for i, txt in corpus.items():
+        total = Decimal(0)
+        hit = False
+        for t in q:
+            tf = txt.split(" ").count(t)
+            if tf == 0:
+                continue
+            hit = True
+            idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            sat = (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (dls[i] / avgdl))
+            )
+            total += Decimal(f"{round(idf * sat, 9):.9f}")
+        if hit:
+            exp[i] = float(total)
+    ranked = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == {
+        i: (s, r + 1) for r, (i, s) in enumerate(ranked)
+    }
+    # the rare-term doc with low dl outranks the tf-heavy common-term doc
+    assert got[3][1] == 1
+
+
+def test_bm25_topk_cut_and_tiebreak(spark):
+    from dask_datapipeline_spark.operators.bm25 import bm25_topk
+
+    # identical docs -> identical scores; doc_id breaks the tie at the
+    # k boundary deterministically
+    df = spark.createDataFrame(
+        [(i, "dup common") for i in range(10)], "doc_id long, text string"
+    )
+    got = [r["doc_id"] for r in bm25_topk(df, ["dup"], k=4).collect()]
+    assert got == [0, 1, 2, 3]
