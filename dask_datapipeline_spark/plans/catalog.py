@@ -914,7 +914,10 @@ DRIVER_ORDER: list[str] = [
     "jaccard_near_dup",
     "minhash_near_dup",
     "dup_clusters",
-    "simhash_near_dup",
+    # round-9 rotation (README policy rule 2): simhash_near_dup out to
+    # EXTRA_CATALOG — the near-dup family held FIVE driver slots
+    # (exact/jaccard/minhash/clusters/simhash); four representatives
+    # stay. Slot freed for gopher_quality below.
     "text_stats",
     "tfidf_top_terms",
     "data_split",
@@ -927,6 +930,12 @@ DRIVER_ORDER: list[str] = [
     # driver rows below; brute force is the exact baseline, not the
     # 100 TB path)
     "url_dedup",
+    # round-9 promotion (slot freed by simhash_near_dup above): the
+    # Gopher document-quality rules — with html_extract + url_dedup
+    # this puts ALL THREE stages of the web-curation front door
+    # (extract -> canonicalize/dedup -> quality-filter) in the driver
+    # window; exact-match green at sf0.01 on arrival
+    "gopher_quality",
     # round-8 promotion (slot freed by tumbling_window above):
     # HTML->text extraction — with url_dedup this puts BOTH stages of
     # the web front door (every RefinedWeb/FineWeb-style pipeline's

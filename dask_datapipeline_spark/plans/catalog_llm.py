@@ -299,7 +299,7 @@ def q_simhash(spark, sf_dir):
     return DD.simhash(docs)
 
 
-@register(
+@register_extra(
     "simhash_near_dup",
     _SQL_SIMHASH_CTES
     + """
@@ -311,7 +311,10 @@ SELECT id_a, id_b, hamming FROM (
 ) WHERE hamming <= 3
 """,
     "SimHash near-dup pairs (Hamming <= 3): 4x16-bit chunk banding has perfect recall "
-    "by pigeonhole, so the O(N^2) SQL oracle matches the banded join exactly",
+    "by pigeonhole, so the O(N^2) SQL oracle matches the banded join exactly. "
+    "Rotated to extras round 9 (README policy rule 2): the near-dup family "
+    "keeps four driver rows (exact/minhash/jaccard/clusters); the slot freed "
+    "went to gopher_quality",
 )
 def q_simhash_near_dup(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents")
@@ -7485,7 +7488,7 @@ WHERE text IS NOT NULL
 """
 
 
-@register_extra(
+@register(
     "gopher_quality",
     _gopher_quality_sql(),
     "Gopher document-shape + repetition quality rules (functions/quality.py; "
