@@ -196,3 +196,43 @@ def test_bucketed_join_elides_every_exchange(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "SortMergeJoin" in plan, plan
     assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_gopher_quality_is_one_codegen_scan(spark, sf_dir):
+    """The quality filter's 100 TB claim IS its plan shape: every
+    signal fused into one JVM Project over the file scan — no
+    Exchange, no Python eval anywhere. (The higher-order array
+    lambdas are interpreted JVM expressions, not codegen'd, so the
+    shape check is no-shuffle/no-Python rather than a
+    WholeStageCodegen span.)"""
+    df = CATALOG["gopher_quality"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Project" in plan, plan
+
+
+def test_hll_plan_is_pythonless_partial_max(spark, sf_dir):
+    """HLL's scale story: the sketch builds on Catalyst's partial MAX
+    alone — the plan must show map-side partial aggregation and no
+    Python workers anywhere (unlike KMV's mapInPandas prune)."""
+    from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG
+
+    df = EXTRA_CATALOG["hll_distinct"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_bm25_plan_prunes_broadcasts_and_takeordered(spark, sf_dir):
+    """BM25's plan contract: the query-term IN filter reaches the
+    pre-explode side (only query-term postings shuffle), the df table
+    joins back via BROADCAST (never SMJ — it is <= |Q| rows), and the
+    top-k is TakeOrderedAndProject, not a global sort."""
+    from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG
+
+    df = EXTRA_CATALOG["bm25_topk"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
