@@ -269,3 +269,85 @@ def gopher_keep_sql(sig: dict[str, str]) -> str:
     definitionally consistent with the Spark side."""
     flags = gopher_fail_flags_sql(sig)
     return "(" + " AND ".join(f"NOT {flags[n]}" for n in FAIL_NAMES) + ")"
+
+
+# ----- C4 line-level filters (Raffel et al. 2020 §2.2) ---------------
+
+#: a line is kept only if it ends in a terminal punctuation mark —
+#: checked VERBATIM (C4 does not trim before testing)
+C4_TERMINAL_RE = r'[.!?"]$'
+#: ... and carries at least this many non-empty space-split words
+C4_MIN_WORDS_PER_LINE = 5
+#: ... and does not mention javascript (case-insensitive)
+C4_LINE_BLOCKER = "javascript"
+#: the whole page is dropped when fewer than this many lines survive
+#: (C4's three-sentence floor) or when a page blocker appears anywhere
+C4_MIN_KEPT_LINES = 3
+#: page-level kill phrases: the lorem-ipsum placeholder (checked on
+#: the lowercased page) and any curly brace (checked verbatim — code)
+C4_PAGE_BLOCK_PHRASE = "lorem ipsum"
+C4_PAGE_BLOCK_CHAR = "{"
+
+#: output column order shared by both builders
+C4_COLS: tuple[str, ...] = ("n_lines", "n_lines_kept", "keep_doc", "clean_text")
+
+
+def c4_line_keep(line: Column) -> Column:
+    """The C4 per-line predicate (kept = True)."""
+    words = F.size(F.filter(F.split(line, " "), lambda t: t != F.lit("")))
+    return (
+        line.rlike(C4_TERMINAL_RE)
+        & (words >= F.lit(C4_MIN_WORDS_PER_LINE))
+        & ~F.contains(F.lower(line), F.lit(C4_LINE_BLOCKER))
+    )
+
+
+def c4_clean_cols(text: Column | str) -> dict[str, Column]:
+    """C4 line filter over a non-NULL text column: per-line keeps,
+    order-preserving reassembly of survivors, page-level keep flag.
+    Same zero-shuffle/zero-Python shape as the Gopher signals — the
+    LINE-granularity complement to those document-shape rules (C4
+    cleans within the page; Gopher judges the cleaned page)."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = _lines(c)
+    kept = F.filter(lines, c4_line_keep)
+    n_kept = F.size(kept)
+    keep_doc = (
+        (n_kept >= F.lit(C4_MIN_KEPT_LINES))
+        & ~F.contains(F.lower(c), F.lit(C4_PAGE_BLOCK_PHRASE))
+        & ~F.contains(c, F.lit(C4_PAGE_BLOCK_CHAR))
+    )
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_lines_kept": n_kept.cast("long"),
+        "keep_doc": keep_doc,
+        "clean_text": F.array_join(kept, "\n"),
+    }
+
+
+def c4_sql_projections(expr: str) -> dict[str, str]:
+    """DuckDB replay of ``c4_clean_cols`` — same constants, same
+    per-line predicate, same reassembly."""
+    lines = f"string_split(replace({expr}, chr(13), ''), chr(10))"
+    line_keep = (
+        f"regexp_matches(l, '{_q(C4_TERMINAL_RE)}') AND "
+        f"len(list_filter(string_split(l, ' '), t -> t <> '')) >= "
+        f"{C4_MIN_WORDS_PER_LINE} AND "
+        f"NOT contains(lower(l), '{_q(C4_LINE_BLOCKER)}')"
+    )
+    kept = f"list_filter({lines}, l -> {line_keep})"
+    return {
+        "n_lines": f"CAST(len({lines}) AS BIGINT)",
+        "n_lines_kept": f"CAST(len({kept}) AS BIGINT)",
+        "keep_doc": (
+            f"(len({kept}) >= {C4_MIN_KEPT_LINES}"
+            f" AND NOT contains(lower({expr}), '{_q(C4_PAGE_BLOCK_PHRASE)}')"
+            f" AND NOT contains({expr}, '{_q(C4_PAGE_BLOCK_CHAR)}'))"
+        ),
+        # COALESCE: DuckDB's array_to_string returns NULL for an
+        # EMPTY list where Spark's array_join returns '' — a page with
+        # zero surviving lines must read as empty text in both engines
+        # (caught by the round-9 random-soup fuzz; the catalog fixture
+        # alone never exercises a zero-survivor page)
+        "clean_text": f"COALESCE(array_to_string({kept}, chr(10)), '')",
+    }

@@ -7675,3 +7675,83 @@ _BM25_K = 15
 def q_bm25_topk(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents")
     return bm25_topk(docs, _BM25_QUERY, k=_BM25_K)
+
+
+# ----- C4 line-level page cleaning -----------------------------------
+
+from dask_datapipeline_spark.functions.quality import (  # noqa: E402
+    C4_COLS,
+    c4_clean_cols,
+    c4_sql_projections,
+)
+
+# Deterministic multi-line "web page" synthesized from each document
+# (the html_extract fixture precedent): a mix of keepable sentences,
+# a short line, a javascript notice, a punctuation-less nav line
+# (doc_id%3), a lorem-ipsum page killer (doc_id%4) and a curly-brace
+# code line (doc_id%5) — so per-line keeps AND page-level kills both
+# vary across the corpus. Twin builders, shared shape.
+_RAW_PAGE_SQL = """'This is the lead paragraph of document ' || doc_id || '.' || chr(10) ||
+  'Too short here' || chr(10) ||
+  'Please enable JavaScript to view document ' || doc_id || '.' || chr(10) ||
+  'The corpus text reads ' || substring(text, 1, 40) || ' and then it ends.' || chr(10) ||
+  CASE WHEN doc_id % 3 = 0 THEN 'Menu Home About Contact Sitemap' || chr(10) ELSE '' END ||
+  CASE WHEN doc_id % 4 = 0 THEN 'Filler follows: lorem ipsum dolor sit amet.' || chr(10) ELSE '' END ||
+  CASE WHEN doc_id % 5 = 0 THEN 'var config = years[0];' || chr(10) ELSE '' END ||
+  'A closing sentence that easily clears the word floor.'"""
+
+
+def _raw_page_col():
+    """Spark twin of ``_RAW_PAGE_SQL``."""
+    d = F.col("doc_id").cast("string")
+    nl = F.lit("\n")
+    return F.concat(
+        F.lit("This is the lead paragraph of document "), d, F.lit("."), nl,
+        F.lit("Too short here"), nl,
+        F.lit("Please enable JavaScript to view document "), d, F.lit("."), nl,
+        F.lit("The corpus text reads "), F.substring(F.col("text"), 1, 40),
+        F.lit(" and then it ends."), nl,
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("Menu Home About Contact Sitemap"), nl),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("Filler follows: lorem ipsum dolor sit amet."), nl),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("var config = years[0];"), nl),
+        ).otherwise(F.lit("")),
+        F.lit("A closing sentence that easily clears the word floor."),
+    )
+
+
+def _c4_line_filter_sql() -> str:
+    sig = c4_sql_projections("page")
+    cols = ",\n       ".join(f"{sig[n]} AS {n}" for n in C4_COLS)
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {_RAW_PAGE_SQL} AS page
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       {cols}
+FROM raw
+"""
+
+
+@register_extra(
+    "c4_line_filter",
+    _c4_line_filter_sql(),
+    "C4 line-level page cleaning (functions/quality.py; Raffel et al. 2020 "
+    "§2.2): keep lines ending in terminal punctuation with >=5 words and "
+    "no 'javascript'; drop pages with <3 surviving lines, 'lorem ipsum', or "
+    "a curly brace; survivors reassembled order-preserving. The LINE-"
+    "granularity complement to the gopher_quality document rules — same "
+    "zero-shuffle zero-Python per-row array plan, fused into the scan",
+)
+def q_c4_line_filter(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sig = c4_clean_cols(_raw_page_col())
+    return docs.select("doc_id", *[sig[n].alias(n) for n in C4_COLS])

@@ -525,3 +525,79 @@ def test_bm25_topk_cut_and_tiebreak(spark):
     )
     got = [r["doc_id"] for r in bm25_topk(df, ["dup"], k=4).collect()]
     assert got == [0, 1, 2, 3]
+
+
+# ----- C4 line filters (functions/quality.py) -------------------------------
+
+
+def _c4_spark(spark, strs):
+    from dask_datapipeline_spark.functions.quality import C4_COLS, c4_clean_cols
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "doc_id long, text string"
+    )
+    sig = c4_clean_cols(F.col("text"))
+    out = df.select("doc_id", *[sig[n].alias(n) for n in C4_COLS])
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def _c4_duck(strs):
+    import duckdb
+    import pandas as pd
+
+    from dask_datapipeline_spark.functions.quality import (
+        C4_COLS,
+        c4_sql_projections,
+    )
+
+    sig = c4_sql_projections("text")
+    cols = ", ".join(f"{sig[n]} AS {n}" for n in C4_COLS)
+    con = duckdb.connect()
+    con.register(
+        "docs", pd.DataFrame({"doc_id": range(len(strs)), "text": strs})
+    )
+    rows = con.sql(f"SELECT doc_id, {cols} FROM docs").fetchall()
+    return {r[0]: dict(zip(["doc_id"] + list(C4_COLS), r)) for r in rows}
+
+
+def test_c4_line_filter_hand_computed(spark):
+    good = "Here is a sentence with plenty of words."
+    strs = [
+        # three good lines -> page kept, short/unpunctuated/js dropped
+        f"{good}\nshort one.\nNo terminal punctuation here at all\n"
+        f"Please enable JavaScript to continue reading.\n{good}\n{good}",
+        # only two survivors -> page dropped by the 3-line floor
+        f"{good}\n{good}",
+        # lorem ipsum kills the page even with enough good lines
+        f"{good}\n{good}\n{good}\nlorem ipsum dolor sit amet.",
+        # a curly brace anywhere kills the page
+        f"{good}\n{good}\n{good}\nif (x) {{ run(); }}",
+        # quote-terminal line with five words IS kept
+        'He said "this line ends with a quote."\n' + f"{good}\n{good}",
+    ]
+    got = _c4_spark(spark, strs)
+    assert got[0]["n_lines"] == 6 and got[0]["n_lines_kept"] == 3
+    assert got[0]["keep_doc"] is True
+    assert got[0]["clean_text"] == f"{good}\n{good}\n{good}"
+    assert got[1]["n_lines_kept"] == 2 and got[1]["keep_doc"] is False
+    assert got[2]["n_lines_kept"] == 4  # the lorem line itself passes
+    assert got[2]["keep_doc"] is False  # ...but kills the page
+    assert got[3]["keep_doc"] is False
+    assert got[4]["n_lines_kept"] == 3 and got[4]["keep_doc"] is True
+    assert _c4_duck(strs) == got
+
+
+def test_c4_random_soup_parity(spark):
+    import random
+
+    rng = random.Random(47)
+    pieces = [
+        "A full sentence with enough words.", "short.", "no punct line",
+        "JavaScript required.", "lorem ipsum", "{", "}", "word", ".",
+        "\n", " ", '"', "!", "?", "Menu Home About",
+    ]
+    strs = [
+        " ".join(rng.choice(pieces) for _ in range(rng.randint(0, 25)))
+        for _ in range(120)
+    ]
+    assert _c4_duck(strs) == _c4_spark(spark, strs)
