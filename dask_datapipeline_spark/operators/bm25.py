@@ -17,8 +17,10 @@ Scale shape (the point, at 100 TB):
   pure codegen, applied BEFORE any shuffle, so only postings of query
   terms ever leave the scan (a fraction of the corpus, exactly like
   probing an inverted index).
-- One (doc_id, token)-keyed groupBy over those candidates for tf; the
-  per-term df table is ≤ |Q| rows and joins back via BROADCAST.
+- One (doc_id, token)-keyed groupBy over those candidates for tf;
+  df rides along as a token-keyed count window over the SAME small
+  candidate frame — one scan total (a groupBy-and-join-back df would
+  plan a second corpus scan; measured in docs/PLANS.md round 9).
 - Top-k is ``orderBy(...).limit(k)`` → TakeOrderedAndProject: each
   partition keeps its local k, the driver merges — no global sort,
   no single-reducer window over the candidate set.
@@ -86,8 +88,15 @@ def bm25_topk(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
     ).where(F.col("token").isin(*query_terms))
     tf = toks.groupBy("doc_id", "dl", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    joined = tf.join(F.broadcast(dfreq), "token")
+    # df as a token-keyed window over tf (one row per (doc, token), so
+    # count(*) per token IS the document frequency) — NOT a groupBy +
+    # join back: that plans a SECOND corpus scan for the df side
+    # (measured in docs/PLANS.md round 9), and at 100 TB an extra
+    # token-keyed shuffle of the small candidate set is far cheaper
+    # than re-reading the corpus
+    joined = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
 
     idf = F.log(
         (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))

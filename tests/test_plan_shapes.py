@@ -224,15 +224,16 @@ def test_hll_plan_is_pythonless_partial_max(spark, sf_dir):
     assert "EvalPython" not in plan, plan
 
 
-def test_bm25_plan_prunes_broadcasts_and_takeordered(spark, sf_dir):
-    """BM25's plan contract: the query-term IN filter reaches the
-    pre-explode side (only query-term postings shuffle), the df table
-    joins back via BROADCAST (never SMJ — it is <= |Q| rows), and the
-    top-k is TakeOrderedAndProject, not a global sort."""
+def test_bm25_plan_single_scan_and_takeordered(spark, sf_dir):
+    """BM25's plan contract: ONE corpus scan (df rides along as a
+    token window over the candidate frame — a join-back df planned a
+    second full scan, measured round 9), the query-term IN filter
+    prunes postings at the generator, and the top-k is
+    TakeOrderedAndProject, not a global sort."""
     from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG
 
     df = EXTRA_CATALOG["bm25_topk"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
     assert "SortMergeJoin" not in plan, plan

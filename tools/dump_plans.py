@@ -48,6 +48,9 @@ SHOWCASE = [
     ("extra:zorder_layout", "z-order keys: 32 masked shifts as a pure codegen projection over the scan — zero Exchange in the whole plan"),
     ("extra:sequence_pattern", "CEP pattern match: one user-keyed shuffle builds the type string; regexp_count/extract run in the post-agg projection, no self-joins"),
     ("extra:sql_q17ish", "correlated scalar-aggregate subquery DECORRELATED: one Aggregate over lineitem.l_partkey feeding a join — no per-row subquery node"),
+    ("gopher_quality", "Gopher quality rules (driver row since round 9): every signal + the keep flag in ONE Project over the scan — zero Exchange, zero Python; the whole curation filter is scan-bound"),
+    ("extra:hll_distinct", "HyperLogLog: register build is Catalyst partial_max alone (no Python), shuffle carries <= groups*2^p fixed-width register rows; estimate is a second bounded groupBy"),
+    ("extra:bm25_topk", "BM25 retrieval: ONE corpus scan — query-term IN filter prunes postings at the generator, df rides along as a token window over the small candidate frame, TakeOrderedAndProject top-k (no global sort, no second scan)"),
 ]
 
 
