@@ -524,9 +524,20 @@ def hll_alpha_m2_scaled(p: int = HLL_P) -> float:
     literal shared by the Spark column and the SQL oracle (w = hash
     bits remaining after the bucket index). alpha_m is the standard
     Flajolet et al. 2007 bias constant for m >= 128."""
+    _check_hll_p(p)
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
     return alpha * m * m * float(1 << (_HLL_HASH_BITS - p + 1))
+
+
+def _check_hll_p(p: int) -> None:
+    """7 <= p <= 16: below 128 registers the alpha_m bias constant
+    above is wrong (Flajolet et al. tabulate separate constants);
+    above 2^16 registers the exact-integer denominator bound
+    (m * 2^(w+1) < 2^63) starts to matter and the state stops being
+    'small' — neither end is a sketch anyone should run."""
+    if not 7 <= p <= 16:
+        raise ValueError(f"p={p} out of the supported range [7, 16]")
 
 
 def hll_registers(
@@ -556,6 +567,7 @@ def hll_registers(
     construction. NULL values are excluded (count-distinct
     semantics).
     """
+    _check_hll_p(p)
     w = _HLL_HASH_BITS - p
     h = seeded_hash64(F.col(value_col).cast("string"), seed)
     rem = h.bitwiseAND(F.lit((1 << w) - 1))
@@ -597,6 +609,7 @@ def hll_estimate_from_registers(
     the small-range linear-counting branch's ``ln``, which is rounded
     to 6dp at emission (libm-vs-JVM ulp drift, same discipline as
     tfidf_top_terms)."""
+    _check_hll_p(p)
     m = 1 << p
     w1 = _HLL_HASH_BITS - p + 1
     # 2^(w+1-m_reg) as a bigint — shiftleft with a COLUMN shift amount

@@ -601,3 +601,52 @@ def test_c4_random_soup_parity(spark):
         for _ in range(120)
     ]
     assert _c4_duck(strs) == _c4_spark(spark, strs)
+
+
+def test_hll_p_bounds_rejected(spark):
+    import pytest
+
+    from dask_datapipeline_spark.operators.sketches import hll_distinct
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="out of the supported range"):
+        hll_distinct(df, [], "v", p=6)
+    with pytest.raises(ValueError, match="out of the supported range"):
+        hll_distinct(df, [], "v", p=17)
+
+
+def test_stream_incremental_hll_restart_and_replay(spark, tmp_path):
+    """Three staged files drained in two separate stream runs (restart
+    between them, same checkpoint) must land the EXACT batch register
+    table; a full re-run over the drained checkpoint is a no-op."""
+    import os
+
+    from dask_datapipeline_spark.operators.sketches import (
+        hll_merge_registers,
+        hll_registers,
+    )
+    from dask_datapipeline_spark.streaming.windows import stream_incremental_hll
+
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    full = spark.range(3000).select(
+        (F.col("id") % 3).alias("g"), F.concat(F.lit("u"), F.col("id")).alias("v")
+    )
+    for i in range(3):
+        part = full.where(F.col("id") % 3 == i)
+        tmp = str(tmp_path / f"tmp-{i}")
+        part.coalesce(1).write.parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(os.path.join(tmp, src), os.path.join(staged, f"c{i}.parquet"))
+    sketch = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(
+        schema="g bigint, v string", group_cols=["g"], value_col="v", p=8,
+        checkpoint_dir=ckpt,
+    )
+    # run 1 drains everything; run 2 (restart) must be a no-op replay
+    stream_incremental_hll(spark, staged, sketch, **kw)
+    stream_incremental_hll(spark, staged, sketch, **kw)
+    got = spark.read.parquet(sketch)
+    want = hll_merge_registers(hll_registers(full, ["g"], "v", p=8), ["g"])
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
