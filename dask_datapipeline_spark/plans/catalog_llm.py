@@ -7755,3 +7755,102 @@ def q_c4_line_filter(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     sig = c4_clean_cols(_raw_page_col())
     return docs.select("doc_id", *[sig[n].alias(n) for n in C4_COLS])
+
+
+# ----- C4 -> Gopher curation funnel ----------------------------------
+
+# The funnel's own page fixture carries the FULL document text in its
+# corpus line (the c4_line_filter fixture truncates to 40 chars, which
+# would leave every cleaned page under Gopher's 50-word floor and make
+# the final stage degenerate-zero).
+_RAW_FUNNEL_PAGE_SQL = """'This is the lead paragraph of document ' || doc_id || '.' || chr(10) ||
+  'Too short here' || chr(10) ||
+  'The corpus text reads ' || text || ' and then it properly ends.' || chr(10) ||
+  CASE WHEN doc_id % 4 = 0 THEN 'Filler follows: lorem ipsum dolor sit amet.' || chr(10) ELSE '' END ||
+  'A closing sentence that easily clears the word floor.'"""
+
+
+def _raw_funnel_page_col():
+    """Spark twin of ``_RAW_FUNNEL_PAGE_SQL``."""
+    d = F.col("doc_id").cast("string")
+    nl = F.lit("\n")
+    return F.concat(
+        F.lit("This is the lead paragraph of document "), d, F.lit("."), nl,
+        F.lit("Too short here"), nl,
+        F.lit("The corpus text reads "), F.col("text"),
+        F.lit(" and then it properly ends."), nl,
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("Filler follows: lorem ipsum dolor sit amet."), nl),
+        ).otherwise(F.lit("")),
+        F.lit("A closing sentence that easily clears the word floor."),
+    )
+
+
+def _quality_funnel_sql() -> str:
+    c4 = c4_sql_projections("page")
+    g = gopher_sql_projections("clean_text")
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {_RAW_FUNNEL_PAGE_SQL} AS page
+  FROM documents WHERE text IS NOT NULL
+),
+c4 AS (
+  SELECT doc_id,
+         {c4["keep_doc"]} AS c4_keep,
+         {c4["clean_text"]} AS clean_text,
+         {c4["n_lines"]} AS n_lines,
+         {c4["n_lines_kept"]} AS n_lines_kept
+  FROM raw
+),
+staged AS (
+  SELECT c4_keep, n_lines, n_lines_kept,
+         length(clean_text) AS clean_chars,
+         (c4_keep AND {gopher_keep_sql(g)}) AS final_keep
+  FROM c4
+)
+SELECT COUNT(*) AS n_pages,
+       CAST(SUM(CASE WHEN c4_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_c4_kept,
+       CAST(SUM(CASE WHEN final_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_final_kept,
+       CAST(SUM(n_lines) AS BIGINT) AS lines_in,
+       CAST(SUM(n_lines_kept) AS BIGINT) AS lines_kept,
+       CAST(SUM(clean_chars) AS BIGINT) AS clean_chars
+FROM staged
+"""
+
+
+@register_extra(
+    "quality_funnel",
+    _quality_funnel_sql(),
+    "The curation funnel, composed cross-module: synthetic page -> C4 line "
+    "cleaning (functions/quality.py::c4_clean_cols) -> Gopher document rules "
+    "over the CLEANED text (gopher_signal_cols) -> per-stage survivor counts. "
+    "Proves the two quality stages chain (C4 cleans within the page, Gopher "
+    "judges what survives) — still ONE scan, one ungrouped aggregate: the "
+    "whole two-stage filter remains per-row expressions fused onto the scan",
+)
+def q_quality_funnel(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    c4 = c4_clean_cols(_raw_funnel_page_col())
+    staged = docs.select(
+        c4["keep_doc"].alias("c4_keep"),
+        c4["clean_text"].alias("clean_text"),
+        c4["n_lines"].alias("n_lines"),
+        c4["n_lines_kept"].alias("n_lines_kept"),
+    )
+    gsig = gopher_signal_cols(F.col("clean_text"))
+    staged = staged.select(
+        "c4_keep",
+        "n_lines",
+        "n_lines_kept",
+        F.length("clean_text").alias("clean_chars"),
+        (F.col("c4_keep") & gopher_keep(gsig)).alias("final_keep"),
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.col("c4_keep").cast("long")).alias("n_c4_kept"),
+        F.sum(F.col("final_keep").cast("long")).alias("n_final_kept"),
+        F.sum("n_lines").alias("lines_in"),
+        F.sum("n_lines_kept").alias("lines_kept"),
+        F.sum("clean_chars").alias("clean_chars"),
+    )

@@ -650,3 +650,21 @@ def test_stream_incremental_hll_restart_and_replay(spark, tmp_path):
     got = spark.read.parquet(sketch)
     want = hll_merge_registers(hll_registers(full, ["g"], "v", p=8), ["g"])
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_quality_funnel_is_monotonic_and_consistent(spark):
+    """Funnel stages can only shrink; at sf0.001 the page-killer
+    arithmetic is hand-checkable (lorem-ipsum on doc_id%4)."""
+    from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG
+
+    row = (
+        EXTRA_CATALOG["quality_funnel"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()[0]
+    )
+    assert row["n_pages"] >= row["n_c4_kept"] >= row["n_final_kept"] >= 0
+    # every 4th page carries the lorem-ipsum killer; everything else
+    # has 3 keepable lines -> C4 keeps exactly the non-%4 pages
+    assert row["n_c4_kept"] == row["n_pages"] - (row["n_pages"] + 3) // 4
+    assert row["lines_kept"] <= row["lines_in"]
+    assert row["n_final_kept"] > 0  # gopher floor non-degenerate
