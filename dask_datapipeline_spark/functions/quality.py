@@ -39,6 +39,14 @@ Conventions, stated once:
   one empty line, so no denominator is ever 0 under ANSI mode. NULL
   text must be gated by the caller (same ``isNotNull`` contract as
   the rest of the text family).
+- The stopword floor uses the ENGLISH marker set deliberately: the
+  Gopher rule suite is an English-corpus instrument, and the
+  pipelines that adopted it (MassiveText, RefinedWeb, FineWeb) run it
+  on the English shard AFTER language-ID splitting — compose with
+  ``functions/text.py::lang_id`` (the ``lang_quality`` row) upstream,
+  exactly as ``web_corpus_clean`` stages its filters. Scoring a
+  non-English shard against English stopwords would mass-fail
+  ``fail_stopwords`` by construction, not by quality.
 """
 
 from __future__ import annotations

@@ -56,3 +56,89 @@ def cosine(a: Column | str, b: Column | str) -> Column:
 def l2_distance(a: Column | str, b: Column | str) -> Column:
     diffs = F.zip_with(as_double_array(a), as_double_array(b), lambda x, y: (x - y) * (x - y))
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
+
+
+# ----- int8 scalar quantization --------------------------------------
+
+#: symmetric int8 range: codes in [-127, 127] (−128 unused so the
+#: range is symmetric and |code| <= 127 always reconstructs in-range)
+INT8_LEVELS = 127
+
+
+def int8_quantize_cols(vec: Column | str) -> dict[str, Column]:
+    """Symmetric per-vector int8 scalar quantization of an
+    ``array<float>`` embedding — the 4×-storage-reduction layout every
+    large vector store runs before ANN indexing (codes ride in 1 byte/
+    dim; the float column is dropped or cold-tiered).
+
+        scale = max|x| / 127,  code_i = round(x_i / scale)
+
+    Returns ``scale`` (double), ``codes`` (array<tinyint>),
+    ``n_saturated`` (dims at |code| = 127 — the clip-risk signal) and
+    ``err_max`` (max |x_i − code_i·scale|, the reconstruction bound —
+    ≤ scale/2 by construction, emitted unrounded: pure IEEE arithmetic
+    from identical inputs is bit-identical cross-engine).
+
+    ALL-ZERO vectors quantize to scale=0 with all-zero codes via an
+    explicit guard: unguarded, 0/0 is NaN and an ANSI tinyint cast of
+    NaN throws at runtime (the same NaN-guard discipline as
+    ``cosine``). Determinism: float→double promotion is exact, the
+    per-element divide/round/multiply trees match the SQL builder
+    exactly, and round-half-to-away on an already-integral double is
+    engine-identical; the only array reductions are MIN/MAX-free
+    folds... none — ``array_max`` over doubles, order-independent.
+
+    Scale shape: pure per-row array expressions — zero shuffle, zero
+    Python, fused into the scan like the rest of this module.
+    """
+    x = as_double_array(vec)
+    amax = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    scale = amax / F.lit(float(INT8_LEVELS))
+    codes = F.when(
+        amax > 0,
+        F.transform(x, lambda v: F.round(v / scale).cast("tinyint")),
+    ).otherwise(F.transform(x, lambda v: F.lit(0).cast("tinyint")))
+    recon_err = F.when(
+        amax > 0,
+        F.array_max(
+            F.zip_with(
+                x,
+                codes,
+                lambda v, c: F.abs(v - c.cast("double") * scale),
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    n_sat = F.size(
+        F.filter(codes, lambda c: F.abs(c.cast("int")) == F.lit(INT8_LEVELS))
+    )
+    return {
+        "scale": scale,
+        "codes": codes,
+        "n_saturated": n_sat.cast("long"),
+        "err_max": recon_err,
+    }
+
+
+def int8_sql_projections(expr: str) -> dict[str, str]:
+    """DuckDB replay of ``int8_quantize_cols`` over ``expr`` (a
+    ``DOUBLE[]`` expression — cast float embeddings first, mirroring
+    ``as_double_array``). Same trees, same guards; ``codes`` renders
+    via the same CASE."""
+    amax = f"list_max(list_transform({expr}, v -> abs(v)))"
+    scale = f"({amax} / {float(INT8_LEVELS)!r})"
+    codes = (
+        f"CASE WHEN {amax} > 0 THEN "
+        f"list_transform({expr}, v -> CAST(round(v / {scale}) AS TINYINT)) "
+        f"ELSE list_transform({expr}, v -> CAST(0 AS TINYINT)) END"
+    )
+    err = (
+        f"CASE WHEN {amax} > 0 THEN "
+        f"list_max(list_transform(list_zip({expr}, {codes}), "
+        f"p -> abs(p[1] - CAST(p[2] AS DOUBLE) * {scale}))) "
+        f"ELSE 0.0 END"
+    )
+    n_sat = (
+        f"CAST(len(list_filter({codes}, c -> abs(CAST(c AS INTEGER)) = "
+        f"{INT8_LEVELS})) AS BIGINT)"
+    )
+    return {"scale": scale, "codes": codes, "n_saturated": n_sat, "err_max": err}

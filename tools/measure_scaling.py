@@ -73,6 +73,10 @@ QUERIES = [
     ("image_near_dup_128_scaled", "media"),
     ("substring_dedup_md5_scaled", "documents"),
     ("substring_dedup_rolling_scaled", "documents"),
+    ("gopher_quality_scaled", "documents"),
+    ("c4_line_filter_scaled", "documents"),
+    ("bm25_topk_scaled", "documents"),
+    ("hll_distinct_scaled", "documents"),
 ]
 
 
@@ -272,6 +276,86 @@ def _substring_dedup_rolling_scaled(spark, sf_dir, n_rows):
     return _substring_dedup_scaled(spark, sf_dir, "rolling")
 
 
+def _gopher_quality_scaled(spark, sf_dir, n_rows):
+    """The catalog row is a row-preserving Project — a bare count()
+    prunes every signal column and times the SCAN alone (the
+    substring_dedup lesson). The filter references every signal, so
+    count() must evaluate them all per row."""
+    from dask_datapipeline_spark.functions.quality import (
+        SIGNAL_NAMES,
+        gopher_keep,
+        gopher_signal_cols,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    sig = gopher_signal_cols(F.col("text"))
+    out = docs.select(
+        "doc_id",
+        *[sig[n].alias(n) for n in SIGNAL_NAMES],
+        gopher_keep(sig).alias("keep"),
+    )
+    force = (
+        F.col("n_words")
+        + F.col("stop_hits")
+        + (
+            F.col("mean_word_len")
+            + F.col("symbol_word_ratio")
+            + F.col("bullet_line_frac")
+            + F.col("ellipsis_line_frac")
+            + F.col("alpha_word_frac")
+            + F.col("dup_line_frac")
+            + F.col("dup_line_char_frac")
+        ).cast("long")
+    )
+    return out.where((force >= 0) & F.col("keep").isNotNull())
+
+
+def _c4_line_filter_scaled(spark, sf_dir, n_rows):
+    """Same forcing discipline over the C4 cleaner (built directly on
+    the real text as the page, no synthetic wrapper — the wrapper adds
+    constant work per row and is irrelevant to the exponent)."""
+    from dask_datapipeline_spark.functions.quality import C4_COLS, c4_clean_cols
+
+    docs = load_testdata(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    sig = c4_clean_cols(F.col("text"))
+    out = docs.select("doc_id", *[sig[n].alias(n) for n in C4_COLS])
+    return out.where(
+        (F.col("n_lines") + F.col("n_lines_kept") + F.length("clean_text") >= 0)
+        & F.col("keep_doc").isNotNull()
+    )
+
+
+def _bm25_topk_scaled(spark, sf_dir, n_rows):
+    """BM25 at the tier. Tiled tokens are t<k>-prefixed, so the fixed
+    query terms only match tile 0 — the CANDIDATE set stays constant
+    while the scan+explode grows with the corpus, which is exactly the
+    claimed scan-bound shape (alpha ~= 1 measures the scan, the right
+    asymptote for a one-shot probe). Top-k aggregation is not
+    row-preserving, so no forcing filter is needed."""
+    from dask_datapipeline_spark.operators.bm25 import bm25_topk
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["dup", "vector", "spark"], k=15)
+
+
+def _hll_distinct_scaled(spark, sf_dir, n_rows):
+    """HLL over a corpus-sized distinct domain (full document texts):
+    register state stays 2^12 rows at every tier while the hashed scan
+    grows linearly. count() over the 1-row estimate short-circuits
+    (CLAUDE.md), so the filter references the computed columns."""
+    from dask_datapipeline_spark.operators.sketches import hll_distinct
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    out = hll_distinct(docs, [], "text", p=12)
+    return out.where(
+        F.col("est_distinct") + F.col("n_buckets_used") >= 0
+    )
+
+
 #: rows measured through a scale-parameterized builder instead of the
 #: fixed-config catalog row; fn(spark, sf_dir, n_input_rows) → DataFrame
 CUSTOM = {
@@ -281,6 +365,10 @@ CUSTOM = {
     "image_near_dup_128_scaled": _image_near_dup_128_scaled,
     "substring_dedup_md5_scaled": _substring_dedup_md5_scaled,
     "substring_dedup_rolling_scaled": _substring_dedup_rolling_scaled,
+    "gopher_quality_scaled": _gopher_quality_scaled,
+    "c4_line_filter_scaled": _c4_line_filter_scaled,
+    "bm25_topk_scaled": _bm25_topk_scaled,
+    "hll_distinct_scaled": _hll_distinct_scaled,
 }
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
