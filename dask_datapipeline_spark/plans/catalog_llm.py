@@ -7854,3 +7854,55 @@ def q_quality_funnel(spark, sf_dir):
         F.sum("n_lines_kept").alias("lines_kept"),
         F.sum("clean_chars").alias("clean_chars"),
     )
+
+
+# ----- int8 embedding quantization -----------------------------------
+
+from dask_datapipeline_spark.functions.vectors import (  # noqa: E402
+    int8_quantize_cols,
+    int8_sql_projections,
+)
+
+
+def _embedding_int8_sql() -> str:
+    sig = int8_sql_projections("CAST(embedding AS DOUBLE[])")
+    codes_str = (
+        f"array_to_string(list_transform({sig['codes']}, "
+        f"c -> CAST(c AS VARCHAR)), ',')"
+    )
+    return f"""
+SELECT vec_id,
+       {sig["scale"]} AS scale,
+       {sig["n_saturated"]} AS n_saturated,
+       {sig["err_max"]} AS err_max,
+       {codes_str} AS codes_str
+FROM embeddings
+WHERE embedding IS NOT NULL
+"""
+
+
+@register_extra(
+    "embedding_int8",
+    _embedding_int8_sql(),
+    "Symmetric per-vector int8 scalar quantization (functions/vectors.py): "
+    "scale = max|x|/127, 1-byte codes, saturation count and max "
+    "reconstruction error (<= scale/2) — the 4x storage layout vector stores "
+    "run before ANN indexing; pure per-row array exprs, zero shuffle, zero "
+    "Python; all-zero vectors guarded (NaN would throw under ANSI tinyint "
+    "cast). Codes rendered as a joined string so ordering drift is "
+    "impossible to miss",
+)
+def q_embedding_int8(spark, sf_dir):
+    emb = load_testdata(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    sig = int8_quantize_cols(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        sig["scale"].alias("scale"),
+        sig["n_saturated"].alias("n_saturated"),
+        sig["err_max"].alias("err_max"),
+        F.array_join(
+            F.transform(sig["codes"], lambda c: c.cast("string")), ","
+        ).alias("codes_str"),
+    )

@@ -668,3 +668,93 @@ def test_quality_funnel_is_monotonic_and_consistent(spark):
     assert row["n_c4_kept"] == row["n_pages"] - (row["n_pages"] + 3) // 4
     assert row["lines_kept"] <= row["lines_in"]
     assert row["n_final_kept"] > 0  # gopher floor non-degenerate
+
+
+# ----- int8 embedding quantization (functions/vectors.py) -------------------
+
+
+def test_int8_quantize_pinned_against_python_twin(spark):
+    from dask_datapipeline_spark.functions.vectors import (
+        INT8_LEVELS,
+        int8_quantize_cols,
+    )
+
+    vecs = {
+        1: [0.5, -1.0, 0.25, 0.0],
+        2: [0.0, 0.0, 0.0],  # all-zero: guard path
+        3: [127.0, -127.0, 1.0],
+        4: [1e-9, -1e-9],
+    }
+    df = spark.createDataFrame(
+        list(vecs.items()), "vec_id long, embedding array<double>"
+    )
+    sig = int8_quantize_cols(F.col("embedding"))
+    got = {
+        r["vec_id"]: r.asDict()
+        for r in df.select(
+            "vec_id",
+            sig["scale"].alias("scale"),
+            sig["codes"].alias("codes"),
+            sig["n_saturated"].alias("n_saturated"),
+            sig["err_max"].alias("err_max"),
+        ).collect()
+    }
+    for vid, v in vecs.items():
+        amax = max(abs(x) for x in v)
+        if amax == 0:
+            assert got[vid]["scale"] == 0.0
+            assert got[vid]["codes"] == [0] * len(v)
+            assert got[vid]["err_max"] == 0.0
+            continue
+        scale = amax / INT8_LEVELS
+        # python round is half-to-EVEN; Spark/DuckDB round is half-
+        # away — replicate half-away explicitly
+        import math
+
+        def away(x):
+            return int(math.floor(x + 0.5)) if x >= 0 else -int(
+                math.floor(-x + 0.5)
+            )
+
+        codes = [away(x / scale) for x in v]
+        assert got[vid]["scale"] == scale
+        assert got[vid]["codes"] == codes, (vid, got[vid]["codes"], codes)
+        assert got[vid]["n_saturated"] == sum(
+            1 for c in codes if abs(c) == INT8_LEVELS
+        )
+        # reconstruction bound: max error <= scale/2 (+1ulp headroom)
+        assert got[vid]["err_max"] <= scale / 2 * (1 + 1e-12)
+        assert got[vid]["err_max"] == max(
+            abs(x - c * scale) for x, c in zip(v, codes)
+        )
+    # extremes map to the full symmetric range, never -128
+    assert got[3]["codes"][:2] == [127, -127] and got[3]["n_saturated"] == 2
+
+
+def test_int8_quantize_preserves_neighborhoods(spark):
+    """Quantize-reconstruct must keep cosine similarity within the
+    scalar-quantization error envelope on the real embedding table."""
+    from dask_datapipeline_spark.functions.vectors import (
+        cosine,
+        int8_quantize_cols,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where(F.col("embedding").isNotNull())
+        .limit(50)
+    )
+    sig = int8_quantize_cols(F.col("embedding"))
+    recon = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("orig"),
+        F.transform(
+            sig["codes"], lambda c: c.cast("double") * sig["scale"]
+        ).alias("recon"),
+    )
+    rows = recon.select(
+        "vec_id", cosine("orig", "recon").alias("cos")
+    ).collect()
+    assert rows and all(r["cos"] > 0.999 for r in rows), [
+        (r["vec_id"], r["cos"]) for r in rows if not (r["cos"] or 0) > 0.999
+    ]
