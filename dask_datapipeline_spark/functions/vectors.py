@@ -142,3 +142,72 @@ def int8_sql_projections(expr: str) -> dict[str, str]:
         f"{INT8_LEVELS})) AS BIGINT)"
     )
     return {"scale": scale, "codes": codes, "n_saturated": n_sat, "err_max": err}
+
+
+def int8_code_norm_sq(codes: Column) -> Column:
+    """Σ code² as an exact BIGINT (≤ dims·127² — 64-dim worst case
+    ~1.03M, nowhere near overflow)."""
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + c.cast("long") * c.cast("long"),
+    )
+
+
+def int8_cosine_topk(
+    df, vec_col: str, id_col: str, query_codes: list[int], k: int = 10
+):
+    """Exact top-k by COSINE OVER THE INT8 CODES: quantize each row
+    (``int8_quantize_cols``), score against pre-quantized query codes.
+
+    The per-vector scales CANCEL in cosine, so the score is built from
+    integers alone — ``dot_int / sqrt(na·nq)`` with exact BIGINT dot
+    and norms — and the only floating ops are one exact int→double
+    conversion pair, one multiply, one correctly-rounded sqrt and one
+    division: bit-identical cross-engine with NO rounding discipline
+    needed (the transcendental-free analog of the float cosine path).
+
+    This is the quantized-SCAN baseline: the codes column is 1 byte/
+    dim (4× less I/O than float32), scoring is pure codegen, and the
+    plan is scan → TakeOrderedAndProject — compose with the LSH/IVF
+    candidate generators exactly like the float scorer for the
+    sub-linear path. Zero-norm rows score NULL (sorts last DESC, the
+    ``cosine`` guard discipline)."""
+    sig = int8_quantize_cols(F.col(vec_col))
+    nq = sum(c * c for c in query_codes)
+    qlit = F.array(*[F.lit(int(c)) for c in query_codes])
+    codes = sig["codes"]
+    dot = F.aggregate(
+        F.zip_with(codes, qlit, lambda a, b: a.cast("long") * b.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    na = int8_code_norm_sq(codes)
+    den_sq = na * F.lit(int(nq)).cast("long")
+    cos_q = F.when(
+        den_sq > 0, dot.cast("double") / F.sqrt(den_sq.cast("double"))
+    )
+    return (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), cos_q.alias("cos_q"))
+        .orderBy(F.desc_nulls_last("cos_q"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def int8_quantize_py(vec: list[float]) -> list[int]:
+    """Driver-side twin of the engines' quantization (used to prepare
+    a query literal): same max|x|/127 double scale, same round-half-
+    AWAY (Python's round() is half-to-even and would disagree on exact
+    halves)."""
+    import math
+
+    amax = max((abs(float(v)) for v in vec), default=0.0)
+    if amax == 0:
+        return [0] * len(vec)
+    scale = amax / float(INT8_LEVELS)
+
+    def away(x: float) -> int:
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+    return [away(float(v) / scale) for v in vec]

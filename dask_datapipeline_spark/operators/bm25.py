@@ -80,7 +80,11 @@ def bm25_topk(
     n_docs, sum_dl = int(stats["n"]), int(stats["sdl"] or 0)
     if n_docs == 0:
         raise ValueError("empty corpus")
-    avgdl = sum_dl / n_docs  # one IEEE division of exact integers
+    # float() each operand BEFORE dividing: the engines convert the
+    # aggregate to double and then divide, and past 2^53 total tokens
+    # Python's exact big-int true division would round differently
+    # than convert-then-divide. Identical below 2^53 either way.
+    avgdl = float(sum_dl) / float(n_docs)
 
     toks = base.select(
         "doc_id",

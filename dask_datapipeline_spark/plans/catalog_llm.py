@@ -7906,3 +7906,53 @@ def q_embedding_int8(spark, sf_dir):
             F.transform(sig["codes"], lambda c: c.cast("string")), ","
         ).alias("codes_str"),
     )
+
+
+from dask_datapipeline_spark.functions.vectors import (  # noqa: E402
+    int8_cosine_topk,
+    int8_quantize_py,
+)
+
+
+def _knn_int8_sql() -> str:
+    sig = int8_sql_projections("CAST(embedding AS DOUBLE[])")
+    codes = sig["codes"]
+    dot = (
+        "list_sum(list_transform(list_zip(c.cc, q.qc), "
+        "p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)))"
+    )
+    norm_sq = "list_sum(list_transform({c}, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT)))"
+    return f"""
+WITH q AS (
+  SELECT {codes} AS qc, {norm_sq.format(c=codes)} AS nq
+  FROM embeddings WHERE vec_id = 0
+),
+c AS (
+  SELECT vec_id, {codes} AS cc, {norm_sq.format(c=codes)} AS na
+  FROM embeddings WHERE embedding IS NOT NULL
+)
+SELECT vec_id,
+       CASE WHEN c.na * q.nq > 0
+            THEN CAST({dot} AS DOUBLE) / sqrt(CAST(c.na * q.nq AS DOUBLE))
+       END AS cos_q
+FROM c, q
+ORDER BY cos_q DESC NULLS LAST, vec_id LIMIT 10
+"""
+
+
+@register_extra(
+    "knn_int8_topk",
+    _knn_int8_sql(),
+    "Exact cosine top-10 over the INT8 CODES (functions/vectors.py::"
+    "int8_cosine_topk): per-vector scales cancel in cosine, so the score is "
+    "exact-BIGINT dot/norms + one correctly-rounded sqrt + one division — "
+    "transcendental-free, bit-identical cross-engine with NO rounding "
+    "discipline. The quantized-scan ANN baseline (1 byte/dim I/O); composes "
+    "with the LSH/IVF candidate generators like the float scorer. Query = "
+    "vec_id 0 quantized driver-side by the pinned python twin",
+)
+def q_knn_int8_topk(spark, sf_dir):
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qc = int8_quantize_py([float(v) for v in qvec])
+    return int8_cosine_topk(emb, "embedding", "vec_id", qc, k=10)

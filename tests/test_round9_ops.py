@@ -758,3 +758,35 @@ def test_int8_quantize_preserves_neighborhoods(spark):
     assert rows and all(r["cos"] > 0.999 for r in rows), [
         (r["vec_id"], r["cos"]) for r in rows if not (r["cos"] or 0) > 0.999
     ]
+
+
+def test_int8_topk_recall_vs_float_exact(spark):
+    """int8 scoring must agree with the float exact top-k almost
+    everywhere — scalar quantization perturbs cosines by ~err/|x|,
+    far below the corpus' neighbor gaps for most of the top-10."""
+    from dask_datapipeline_spark.functions.vectors import (
+        cosine,
+        int8_cosine_topk,
+        int8_quantize_py,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qc = int8_quantize_py([float(v) for v in qvec])
+    got = [
+        r["vec_id"]
+        for r in int8_cosine_topk(emb, "embedding", "vec_id", qc, k=10).collect()
+    ]
+    qlit = F.array(*[F.lit(float(v)) for v in qvec]).cast("array<double>")
+    exact = [
+        r["vec_id"]
+        for r in emb.select(
+            "vec_id", cosine(F.col("embedding").cast("array<double>"), qlit).alias("c")
+        )
+        .orderBy(F.desc_nulls_last("c"), F.asc("vec_id"))
+        .limit(10)
+        .collect()
+    ]
+    assert len(set(got) & set(exact)) >= 8, (got, exact)
+    # the query itself is always rank 1 in both
+    assert got[0] == 0 and exact[0] == 0
