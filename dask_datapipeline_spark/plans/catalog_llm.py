@@ -7956,3 +7956,93 @@ def q_knn_int8_topk(spark, sf_dir):
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     qc = int8_quantize_py([float(v) for v in qvec])
     return int8_cosine_topk(emb, "embedding", "vec_id", qc, k=10)
+
+
+def _hll_rollup_sql() -> str:
+    """Per-type register tables + the GLOBAL estimate, sharing one
+    hashed CTE — the global side builds registers over the full
+    distinct hash set, which register max-merge exactness guarantees
+    equals merging the per-type registers (what the Spark side
+    actually does)."""
+    from dask_datapipeline_spark.operators.sketches import (
+        _HLL_HASH_BITS,
+        _SQL_HASH60,
+        hll_alpha_m2_scaled,
+    )
+
+    p = HLL_P
+    m, w = 1 << p, _HLL_HASH_BITS - p
+    w1, mask = w + 1, (1 << w) - 1
+    alpha = repr(hll_alpha_m2_scaled(p))
+    hash_expr = _SQL_HASH60.format(seed=HLL_SEED, col="CAST(user_id AS VARCHAR)")
+    rho = (
+        f"MAX(CASE WHEN (hh & {mask}) > 0 "
+        f"THEN {w1} - length(bin(hh & {mask})) ELSE {w1} END)"
+    )
+    raw = (
+        f"{alpha} / CAST(s_occ + ({m} - n_buckets_used) * "
+        f"(CAST(1 AS BIGINT) << {w1}) AS DOUBLE)"
+    )
+    est = (
+        f"round(CASE WHEN {raw} <= {repr(2.5 * m)} "
+        f"AND ({m} - n_buckets_used) > 0 "
+        f"THEN {repr(float(m))} * ln({repr(float(m))} / "
+        f"CAST({m} - n_buckets_used AS DOUBLE)) "
+        f"ELSE {raw} END, 6)"
+    )
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {hash_expr} AS hh
+  FROM events WHERE user_id IS NOT NULL
+),
+reg_t AS (
+  SELECT event_type, hh >> {w} AS bucket, {rho} AS m_reg
+  FROM h GROUP BY 1, 2
+),
+agg_t AS (
+  SELECT event_type AS scope, COUNT(*) AS n_buckets_used,
+         SUM(CAST(1 AS BIGINT) << ({w1} - m_reg)) AS s_occ
+  FROM reg_t GROUP BY 1
+),
+reg_g AS (
+  SELECT bucket, MAX(m_reg) AS m_reg FROM reg_t GROUP BY 1
+),
+agg_g AS (
+  SELECT 'ALL' AS scope, COUNT(*) AS n_buckets_used,
+         SUM(CAST(1 AS BIGINT) << ({w1} - m_reg)) AS s_occ
+  FROM reg_g
+)
+SELECT scope, n_buckets_used, {est} AS est_distinct FROM agg_t
+UNION ALL
+SELECT scope, n_buckets_used, {est} AS est_distinct FROM agg_g
+"""
+
+
+@register_extra(
+    "hll_rollup",
+    _hll_rollup_sql(),
+    "The mergeability payoff of HLL: per-event-type registers built ONCE, "
+    "then the GLOBAL distinct-user estimate comes from max-merging those "
+    "registers — no second scan of the corpus (at 100 TB: daily registers "
+    "roll up to weekly/monthly/all-time estimates from kilobytes of state). "
+    "Register max-merge exactness makes the merged table literally equal "
+    "the global-build table, which is what the oracle's shared-CTE replay "
+    "checks bit-for-bit",
+)
+def q_hll_rollup(spark, sf_dir):
+    from dask_datapipeline_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    ev = load_testdata(spark, sf_dir, "events").select("event_type", "user_id")
+    reg = hll_registers(ev, ["event_type"], "user_id", p=HLL_P, seed=HLL_SEED)
+    reg = reg.localCheckpoint(eager=True)  # built once, read twice
+    per_type = hll_estimate_from_registers(reg, ["event_type"], p=HLL_P).select(
+        F.col("event_type").alias("scope"), "n_buckets_used", "est_distinct"
+    )
+    global_est = hll_estimate_from_registers(
+        hll_merge_registers(reg.drop("event_type"), []), [], p=HLL_P
+    ).select(F.lit("ALL").alias("scope"), "n_buckets_used", "est_distinct")
+    return per_type.unionByName(global_est)
