@@ -790,3 +790,77 @@ def test_int8_topk_recall_vs_float_exact(spark):
     assert len(set(got) & set(exact)) >= 8, (got, exact)
     # the query itself is always rank 1 in both
     assert got[0] == 0 and exact[0] == 0
+
+
+def test_c4_clean_text_is_line_stable(spark):
+    """Re-cleaning the cleaned text is a no-op on the LINES: every
+    surviving line already ends in terminal punctuation with >=5 words
+    and no 'javascript', so the second pass keeps them all. (The PAGE
+    flag may legitimately differ — page blockers like 'lorem ipsum'
+    can live inside a keepable line.)"""
+    import random
+
+    from dask_datapipeline_spark.functions.quality import c4_clean_cols
+
+    rng = random.Random(31)
+    pieces = [
+        "A full sentence with enough words.", "short.", "no punct line",
+        "JavaScript required here today, sadly.", "lorem ipsum dolor sit amet.",
+        "{", "word", ".", "\n", "\r\n", " ", '"', "é è ü ö ß and friends too.",
+    ]
+    strs = [
+        " ".join(rng.choice(pieces) for _ in range(rng.randint(0, 20)))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame([(s,) for s in strs], "text string")
+    once = c4_clean_cols(F.col("text"))["clean_text"]
+    df2 = df.select(once.alias("clean1"))
+    twice = c4_clean_cols(F.col("clean1"))["clean_text"]
+    bad = df2.select("clean1", twice.alias("clean2")).where(
+        F.col("clean1") != F.col("clean2")
+    )
+    assert bad.count() == 0, bad.collect()[:3]
+
+
+def test_gopher_signals_bounded_on_arbitrary_unicode(spark):
+    """Arbitrary unicode (high planes, controls, separators, RTL,
+    combining marks) must never throw under ANSI mode and every
+    fraction must stay in [0, 1] — the no-divide-by-zero claim is a
+    real invariant, not a fixture accident."""
+    import random
+
+    from dask_datapipeline_spark.functions.quality import (
+        SIGNAL_NAMES,
+        gopher_keep,
+        gopher_signal_cols,
+    )
+
+    rng = random.Random(77)
+    pools = [
+        (0x20, 0x7E), (0x0, 0x1F), (0xA0, 0x2FF), (0x2000, 0x206F),
+        (0x0590, 0x05FF), (0x4E00, 0x4E80), (0x1F300, 0x1F320),
+        (0x0300, 0x036F),
+    ]
+    def rnd_str():
+        return "".join(
+            chr(rng.randint(*rng.choice(pools))) for _ in range(rng.randint(0, 60))
+        )
+    strs = [rnd_str() for _ in range(200)]
+    df = spark.createDataFrame([(s,) for s in strs], "text string")
+    sig = gopher_signal_cols(F.col("text"))
+    rows = df.select(
+        *[sig[n].alias(n) for n in SIGNAL_NAMES], gopher_keep(sig).alias("keep")
+    ).collect()
+    assert len(rows) == len(strs)
+    fracs = [
+        "symbol_word_ratio", "bullet_line_frac", "ellipsis_line_frac",
+        "alpha_word_frac", "dup_line_frac", "dup_line_char_frac",
+    ]
+    for r in rows:
+        assert r["n_words"] >= 1 and r["stop_hits"] >= 0
+        for n in fracs:
+            if n == "symbol_word_ratio":
+                assert r[n] >= 0.0  # not capped at 1 by definition
+            else:
+                assert 0.0 <= r[n] <= 1.0, (n, r[n])
+        assert r["keep"] in (True, False)
