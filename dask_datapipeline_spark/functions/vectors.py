@@ -174,9 +174,24 @@ def int8_cosine_topk(
     sub-linear path. Zero-norm rows score NULL (sorts last DESC, the
     ``cosine`` guard discipline)."""
     sig = int8_quantize_cols(F.col(vec_col))
+    staged = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), sig["codes"].alias("__codes")
+    )
+    return int8_cosine_topk_from_codes(staged, "__codes", id_col, query_codes, k)
+
+
+def int8_cosine_topk_from_codes(
+    codes_df, codes_col: str, id_col: str, query_codes: list[int], k: int = 10
+):
+    """The same int8-cosine top-k over a MATERIALIZED codes table
+    (id + array<tinyint>) — the production read path: quantize once
+    with ``int8_quantize_cols``, persist only the 1-byte/dim codes
+    (scales are not needed for cosine — they cancel), and every query
+    scans a table 4× narrower than the float32 column. Identical
+    scores to the on-the-fly variant by construction (pytest-pinned)."""
+    codes = F.col(codes_col)
     nq = sum(c * c for c in query_codes)
     qlit = F.array(*[F.lit(int(c)) for c in query_codes])
-    codes = sig["codes"]
     dot = F.aggregate(
         F.zip_with(codes, qlit, lambda a, b: a.cast("long") * b.cast("long")),
         F.lit(0).cast("long"),
@@ -188,8 +203,7 @@ def int8_cosine_topk(
         den_sq > 0, dot.cast("double") / F.sqrt(den_sq.cast("double"))
     )
     return (
-        df.where(F.col(vec_col).isNotNull())
-        .select(F.col(id_col), cos_q.alias("cos_q"))
+        codes_df.select(F.col(id_col), cos_q.alias("cos_q"))
         .orderBy(F.desc_nulls_last("cos_q"), F.asc(id_col))
         .limit(k)
     )

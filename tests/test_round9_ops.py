@@ -864,3 +864,31 @@ def test_gopher_signals_bounded_on_arbitrary_unicode(spark):
             else:
                 assert 0.0 <= r[n] <= 1.0, (n, r[n])
         assert r["keep"] in (True, False)
+
+
+def test_int8_topk_from_materialized_codes_matches(spark, tmp_path):
+    """Persist only the codes (the 1-byte/dim storage tier), reload,
+    score — must equal the on-the-fly quantize-and-score exactly."""
+    from dask_datapipeline_spark.functions.vectors import (
+        int8_cosine_topk,
+        int8_cosine_topk_from_codes,
+        int8_quantize_cols,
+        int8_quantize_py,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qc = int8_quantize_py([float(v) for v in qvec])
+    sig = int8_quantize_cols(F.col("embedding"))
+    path = str(tmp_path / "codes")
+    emb.where(F.col("embedding").isNotNull()).select(
+        "vec_id", sig["codes"].alias("codes")
+    ).write.parquet(path)
+    a = [tuple(r) for r in int8_cosine_topk(emb, "embedding", "vec_id", qc).collect()]
+    b = [
+        tuple(r)
+        for r in int8_cosine_topk_from_codes(
+            spark.read.parquet(path), "codes", "vec_id", qc
+        ).collect()
+    ]
+    assert a == b
