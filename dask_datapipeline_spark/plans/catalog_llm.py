@@ -8046,3 +8046,48 @@ def q_hll_rollup(spark, sf_dir):
         hll_merge_registers(reg.drop("event_type"), []), [], p=HLL_P
     ).select(F.lit("ALL").alias("scope"), "n_buckets_used", "est_distinct")
     return per_type.unionByName(global_est)
+
+
+# ----- WARC round trip (Common Crawl front door) ---------------------
+
+from dask_datapipeline_spark.sources.warc import (  # noqa: E402
+    parse_warc,
+    write_warc_batches,
+)
+
+
+@register_extra(
+    "warc_roundtrip",
+    """
+SELECT doc_id,
+       'https://crawl.example.com/doc/' || doc_id AS url,
+       200 AS http_status,
+       text
+FROM documents WHERE text IS NOT NULL
+""",
+    "WARC record codec (sources/warc.py, stdlib-only like the BMP/WAV/AVI "
+    "codecs): documents packed into multi-record RECORD-WISE-gzip WARC blobs "
+    "(the Common Crawl layout, mtime=0 reproducible) then stream-parsed back "
+    "— the oracle states the expected OUTPUT directly, so an exact match "
+    "proves the synthesize->gzip->parse round trip byte-perfect. Parsing is "
+    "one flatMap-style Arrow pass (no shuffle, state = one record) and runs "
+    "unchanged on binaryFile ingest of real *.warc.gz",
+)
+def q_warc_roundtrip(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    staged = docs.select(
+        (F.col("doc_id") % 16).alias("batch_id"),
+        F.concat(
+            F.lit("https://crawl.example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    warc = write_warc_batches(staged, gzip_records=True)
+    parsed = parse_warc(warc)
+    return parsed.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "url",
+        "http_status",
+        "text",
+    )

@@ -1,0 +1,187 @@
+"""Minimal WARC (ISO 28500) record codec — the Common Crawl front
+door (beyond-reference LLM-pipeline surface; SURVEY.md §2.2 web
+family).
+
+Every web-scale corpus pipeline starts from WARC: gzip'd files of
+length-delimited records (WARC headers + an HTTP message). This
+module implements the record layer with the stdlib only, in the same
+spirit as ``multimodal/binary.py``'s real BMP/WAV/AVI codecs:
+
+- ``write_warc_batches``: pack documents into multi-record WARC
+  payloads (one binary blob per batch; optionally RECORD-WISE gzip —
+  the actual Common Crawl layout, where each record is an independent
+  gzip member so readers can split files without decompressing them
+  end-to-end).
+- ``parse_warc``: stream-parse payload bytes back into
+  (url, http_status, text) rows. Works identically on payloads from
+  ``spark.read.format("binaryFile")`` (the real-ingest path: the
+  ``content`` column of ``*.warc.gz`` files) — record splitting is
+  Content-Length arithmetic, never delimiter scanning inside bodies,
+  so arbitrary byte content round-trips exactly.
+
+Scale shape: synthesis is one ``applyInPandas`` per batch key (the
+only shuffle — and only the SYNTHETIC fixture needs it; real ingest
+has no write side); parsing is a flatMap-style ``mapInPandas`` —
+embarrassingly parallel, one pass, no shuffle, state bounded by one
+record. gzip members decompress incrementally (``zlib`` wbits=47), so
+peak memory is one record, not one file.
+
+Determinism: record bytes are fully determined by (url, body) — the
+WARC-Record-ID is an md5 of the URI, not a random UUID, and no
+timestamps are embedded (``WARC-Date`` is omitted; the driver
+environment forbids wall-clock in fixtures). The catalog row proves
+the full synthesize→gzip→parse round trip lands byte-exactly on the
+source table (the oracle states the expected OUTPUT directly — it
+never needs to parse WARC itself).
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CRLF = b"\r\n"
+
+#: schema of the synthesized batch table
+WARC_BATCH_SCHEMA = "batch_id long, payload binary, n_records int"
+#: schema of parsed records
+WARC_RECORD_SCHEMA = "url string, http_status int, text string"
+
+
+def _record_bytes(url: str, body: bytes) -> bytes:
+    """One WARC response record (uncompressed)."""
+    http = (
+        b"HTTP/1.1 200 OK" + _CRLF
+        + b"Content-Type: text/plain; charset=utf-8" + _CRLF
+        + b"Content-Length: " + str(len(body)).encode() + _CRLF
+        + _CRLF
+        + body
+    )
+    rid = hashlib.md5(url.encode()).hexdigest()
+    head = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: response" + _CRLF
+        + b"WARC-Target-URI: " + url.encode() + _CRLF
+        + b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">" + _CRLF
+        + b"Content-Type: application/http; msgtype=response" + _CRLF
+        + b"Content-Length: " + str(len(http)).encode() + _CRLF
+        + _CRLF
+    )
+    # two CRLFs terminate a record (WARC/1.0 §4)
+    return head + http + _CRLF + _CRLF
+
+
+def write_warc_batches(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    batch_col: str = "batch_id",
+    gzip_records: bool = True,
+) -> DataFrame:
+    """Pack (url, text) rows into one WARC payload per ``batch_col``
+    value, records in URL order (deterministic). ``gzip_records=True``
+    compresses each record as an independent gzip member
+    (``mtime=0`` so the bytes are reproducible), concatenated — the
+    Common Crawl file layout."""
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(url_col, kind="mergesort")
+        out = bytearray()
+        n = 0
+        for url, text in zip(pdf[url_col], pdf[text_col]):
+            rec = _record_bytes(str(url), str(text).encode("utf-8"))
+            if gzip_records:
+                rec = gzip.compress(rec, mtime=0)
+            out += rec
+            n += 1
+        return pd.DataFrame(
+            {
+                "batch_id": [int(pdf[batch_col].iloc[0])],
+                "payload": [bytes(out)],
+                "n_records": [n],
+            }
+        )
+
+    return (
+        docs.select(batch_col, url_col, text_col)
+        .groupBy(batch_col)
+        .applyInPandas(_pack, WARC_BATCH_SCHEMA)
+    )
+
+
+def _gzip_members(payload: bytes):
+    """Yield decompressed gzip members of a concatenated-member blob
+    (incremental — one member in memory at a time)."""
+    pos = 0
+    while pos < len(payload):
+        d = zlib.decompressobj(wbits=47)  # gzip header autodetect
+        chunk = d.decompress(payload[pos:])
+        yield chunk + d.flush()
+        consumed = len(payload) - pos - len(d.unused_data)
+        if consumed <= 0:  # corrupt trailing bytes: stop, don't spin
+            return
+        pos += consumed
+
+
+def _parse_stream(raw: bytes):
+    """Yield (url, status, text) from an uncompressed WARC stream."""
+    pos = 0
+    while True:
+        start = raw.find(b"WARC/1.0", pos)
+        if start < 0:
+            return
+        hdr_end = raw.find(_CRLF + _CRLF, start)
+        if hdr_end < 0:
+            return
+        headers = {}
+        for line in raw[start:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        clen = int(headers.get(b"content-length", b"0"))
+        block = raw[hdr_end + 4 : hdr_end + 4 + clen]
+        pos = hdr_end + 4 + clen
+        if headers.get(b"warc-type") != b"response":
+            continue
+        url = headers.get(b"warc-target-uri", b"").decode()
+        http_end = block.find(_CRLF + _CRLF)
+        if http_end < 0:
+            continue
+        status_line = block[:http_end].split(_CRLF)[0]
+        parts = status_line.split(b" ")
+        status = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else 0
+        http_headers = {}
+        for line in block[:http_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            http_headers[k.strip().lower()] = v.strip()
+        blen = int(http_headers.get(b"content-length", b"0"))
+        body = block[http_end + 4 : http_end + 4 + blen]
+        yield url, status, body.decode("utf-8", errors="replace")
+
+
+def parse_warc(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Parse WARC payload blobs (gzipped-members or plain — sniffed by
+    magic bytes per blob) into (url, http_status, text) rows. Use on
+    the synthesized batch table or directly on
+    ``spark.read.format("binaryFile").load("*.warc.gz")``'s
+    ``content`` column."""
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload)
+                streams = (
+                    _gzip_members(raw)
+                    if raw[:2] == b"\x1f\x8b"
+                    else iter((raw,))
+                )
+                for member in streams:
+                    rows.extend(_parse_stream(member))
+            yield pd.DataFrame(rows, columns=["url", "http_status", "text"])
+
+    return df.select(payload_col).mapInPandas(_parse, WARC_RECORD_SCHEMA)

@@ -892,3 +892,71 @@ def test_int8_topk_from_materialized_codes_matches(spark, tmp_path):
         ).collect()
     ]
     assert a == b
+
+
+# ----- WARC codec (sources/warc.py) -----------------------------------------
+
+
+def test_warc_roundtrip_binary_safe_bodies(spark):
+    """Bodies containing CRLFs, a fake 'WARC/1.0' marker and fake
+    headers must round-trip exactly — Content-Length arithmetic, not
+    delimiter scanning, owns the record boundaries."""
+    from dask_datapipeline_spark.sources.warc import parse_warc, write_warc_batches
+
+    bodies = {
+        "https://x/1": "plain",
+        "https://x/2": "evil\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n",
+        "https://x/3": "Content-Length: 99999\r\n\r\ntrailing",
+        "https://x/4": "",
+        "https://x/5": "unicode é ß 中 🎉 end",
+    }
+    df = spark.createDataFrame(
+        [(0, u, t) for u, t in bodies.items()], "batch_id long, url string, text string"
+    )
+    for gz in (True, False):
+        parsed = parse_warc(write_warc_batches(df, gzip_records=gz))
+        got = {r["url"]: r["text"] for r in parsed.collect()}
+        assert got == bodies, (gz, got)
+
+
+def test_warc_parse_skips_non_response_records(spark):
+    from dask_datapipeline_spark.sources.warc import (
+        _record_bytes,
+        parse_warc,
+    )
+
+    rec = _record_bytes("https://x/keep", b"kept body")
+    warcinfo = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\n"
+        b"software\n\r\n\r\n"
+    )
+    blob = warcinfo + rec
+    df = spark.createDataFrame([(bytearray(blob),)], "payload binary")
+    got = parse_warc(df).collect()
+    assert [(r["url"], r["text"]) for r in got] == [("https://x/keep", "kept body")]
+
+
+def test_warc_real_binaryfile_ingest(spark, tmp_path):
+    """The real-ingest path: a .warc.gz FILE on disk read through
+    spark.read.format('binaryFile'), parsed by the same pass."""
+    import gzip as _gzip
+    import os
+
+    from dask_datapipeline_spark.sources.warc import _record_bytes, parse_warc
+
+    path = str(tmp_path / "crawl")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.warc.gz"), "wb") as f:
+        for i in range(5):
+            f.write(
+                _gzip.compress(
+                    _record_bytes(f"https://site/{i}", f"body {i}".encode()),
+                    mtime=0,
+                )
+            )
+    raw = spark.read.format("binaryFile").load(path)
+    got = sorted(
+        (r["url"], r["http_status"], r["text"])
+        for r in parse_warc(raw, "content").collect()
+    )
+    assert got == [(f"https://site/{i}", 200, f"body {i}") for i in range(5)]
