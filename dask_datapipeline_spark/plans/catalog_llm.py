@@ -8091,3 +8091,50 @@ def q_warc_roundtrip(spark, sf_dir):
         "http_status",
         "text",
     )
+
+
+def _warc_web_pipeline_sql() -> str:
+    from dask_datapipeline_spark.functions.html import html_to_text_sql_steps
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {_RAW_HTML_SQL} AS page
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       'https://crawl.example.com/doc/' || doc_id AS url,
+       {html_to_text_sql_steps("page")} AS text
+FROM raw
+"""
+
+
+@register_extra(
+    "warc_web_pipeline",
+    _warc_web_pipeline_sql(),
+    "The crawl front door END-TO-END: HTML pages packed into record-wise-"
+    "gzip WARC blobs (sources/warc.py) -> stream-parsed back -> html_to_text "
+    "extraction (functions/html.py) — the oracle builds the same pages and "
+    "applies the extraction SQL directly, so an exact match proves the WARC "
+    "leg is transparent to the downstream cascade. This is stages 0-1 of the "
+    "RefinedWeb/FineWeb order whose later stages (url_dedup, normalize, "
+    "gopher/c4 quality, dedup, split) are the web_corpus_clean + "
+    "quality_funnel rows",
+)
+def q_warc_web_pipeline(spark, sf_dir):
+    from dask_datapipeline_spark.functions.html import html_to_text
+
+    docs = load_testdata(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    staged = docs.select(
+        (F.col("doc_id") % 16).alias("batch_id"),
+        F.concat(
+            F.lit("https://crawl.example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        _raw_html_col().alias("text"),
+    )
+    parsed = parse_warc(write_warc_batches(staged, gzip_records=True))
+    return parsed.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "url",
+        html_to_text(F.col("text")).alias("text"),
+    )

@@ -1,4 +1,6 @@
-"""Round-9 pins: the five round-8 ADVICE fixes.
+"""Round-9 pins.
+
+The five round-8 ADVICE fixes:
 
 1. html entity decode — double-encoded ampersand forms single-decode
    (``&#38;amp;`` yields the literal text ``&amp;``, never ``&``);
@@ -11,6 +13,25 @@
    listing, layout preserved), mixed layouts raise;
 5. versioned tables — ``expire_versions`` drops tags referencing
    expired versions; a tagged write after expiry re-lands live data.
+
+And the round-9 operator families:
+
+- Gopher quality rules: hand-computed signals, report-vs-flags
+  consistency, cross-engine random-soup parity, arbitrary-unicode
+  bounds/no-throw;
+- C4 line filters: hand-computed keeps/kills, random-soup parity
+  (which caught DuckDB's NULL-on-empty array_to_string), re-clean
+  line stability, the C4→Gopher funnel's stage arithmetic;
+- HyperLogLog: registers pinned against a pure-Python md5 twin,
+  merge exactness, estimate accuracy, linear-counting branch,
+  precision bounds, streaming restart/replay;
+- BM25: python-twin scoring (round-9dp decimal sums), k-cut
+  tiebreaks;
+- int8 quantization/k-NN: python-twin codes (half-AWAY rounding),
+  reconstruction bound, neighborhood preservation, materialized-codes
+  parity, recall vs the float exact top-k;
+- WARC codec: binary-safe bodies, non-response skipping, real
+  binaryFile ``*.warc.gz`` ingest.
 """
 
 from __future__ import annotations
