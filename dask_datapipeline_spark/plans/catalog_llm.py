@@ -8138,3 +8138,26 @@ def q_warc_web_pipeline(spark, sf_dir):
         "url",
         html_to_text(F.col("text")).alias("text"),
     )
+
+
+# ----- corpus distribution drift -------------------------------------
+
+from dask_datapipeline_spark.operators.drift import (  # noqa: E402
+    source_drift,
+    source_drift_oracle_sql,
+)
+
+
+@register_extra(
+    "source_drift",
+    source_drift_oracle_sql("documents", "source", "text", vocab_k=256),
+    "Per-source Jensen-Shannon divergence vs the rest of the corpus over a "
+    "top-256 capped vocab + <other> bucket (operators/drift.py) — the "
+    "is-this-source-drifting monitoring stage. ONE corpus-sized counting "
+    "groupBy; every later table bounded at groups*(k+1) rows (dense grid "
+    "via a driver-collected symbol literal, never a cross join); ln terms "
+    "via the round-9dp exact-decimal recipe",
+)
+def q_source_drift(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents")
+    return source_drift(docs, "source", "text", vocab_k=256)

@@ -981,3 +981,62 @@ def test_warc_real_binaryfile_ingest(spark, tmp_path):
         for r in parse_warc(raw, "content").collect()
     )
     assert got == [(f"https://site/{i}", 200, f"body {i}") for i in range(5)]
+
+
+# ----- source drift (operators/drift.py) ------------------------------------
+
+
+def test_source_drift_pinned_against_python_twin(spark):
+    """Tiny corpus JSD computed by a pure-Python twin with the same
+    capped vocab, guards and round-9dp decimal summation — including
+    the <other> bucket (vocab_k below the vocab size)."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from dask_datapipeline_spark.operators.drift import source_drift
+
+    corpus = {
+        ("a", 1): "x x x y common common",
+        ("a", 2): "x z common",
+        ("b", 3): "y y y w common common rareword",
+        ("b", 4): "w w common",
+        ("c", 5): "x y w common unique1 unique2",
+    }
+    df = spark.createDataFrame(
+        [(g, t) for (g, _), t in corpus.items()], "source string, text string"
+    )
+    k = 4
+    got = {
+        r["source"]: (r["n_tokens"], r["jsd"])
+        for r in source_drift(df, "source", "text", vocab_k=k).collect()
+    }
+
+    toks = [(g, w) for (g, _), t in corpus.items() for w in t.split(" ") if w]
+    gc = Counter(w for _, w in toks)
+    vocab = [w for w, _ in sorted(gc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]]
+    n_total = sum(gc.values())
+    sym = lambda w: w if w in vocab else "<other>"
+    counts = Counter((g, sym(w)) for g, w in toks)
+    n_g = Counter(g for g, _ in toks)
+    n_s = Counter(s for _, s in [(g, sym(w)) for g, w in toks])
+    exp = {}
+    for g in n_g:
+        total = Decimal(0)
+        for s in vocab + ["<other>"]:
+            ngs, ns = counts.get((g, s), 0), n_s.get(s, 0)
+            rest = n_total - n_g[g]
+            p = ngs / n_g[g]
+            q = (ns - ngs) / rest if rest > 0 else 0.0
+            tp = p * math.log(2.0 * p / (p + q)) if ngs > 0 else 0.0
+            tq = (
+                q * math.log(2.0 * q / (p + q))
+                if (ns - ngs) > 0 and rest > 0
+                else 0.0
+            )
+            total += Decimal(f"{round(0.5 * (tp + tq), 9):.9f}")
+        exp[g] = (n_g[g], float(total))
+    assert got == exp
+    # sanity: all in [0, ln 2], and the divergent source 'b' exceeds 'c'
+    for n, j in got.values():
+        assert -1e-9 <= j <= math.log(2.0) + 1e-9
