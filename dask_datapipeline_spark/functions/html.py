@@ -131,3 +131,53 @@ def html_to_text_sql_steps(expr: str) -> str:
     for src, dst in ENTITY_DECODES:
         x = f"replace({x}, '{_q(src)}', '{_q(dst)}')"
     return f"trim(regexp_replace({x}, '{_q(WHITESPACE_RE)}', ' ', 'g'))"
+
+
+# ----- page metadata extraction --------------------------------------
+
+#: first <title> body, lazy, dot-matches-newline, case-insensitive —
+#: (?is) inline flags and lazy .*? parse identically in Java and RE2
+TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+#: a robots meta tag carrying noindex (attribute ORDER-insensitive:
+#: both attributes just have to appear inside the same tag)
+NOINDEX_RE = r'(?is)<meta[^>]*name="robots"[^>]*content="[^"]*noindex[^"]*"'
+#: rel=canonical link href (fixture/common order: rel before href)
+CANONICAL_RE = r'(?is)<link[^>]*rel="canonical"[^>]*href="([^"]*)"'
+
+
+def html_meta_cols(col: Column) -> dict[str, Column]:
+    """Page-metadata signals of an HTML column: ``title`` (first
+    <title> body, whitespace-collapsed+trimmed, '' when absent — both
+    engines' regexp_extract no-match convention), ``noindex`` (robots
+    meta opt-out — the flag crawl pipelines must honor before any
+    content reaches the corpus) and ``canonical`` (rel=canonical href,
+    '' when absent — feeds ``functions/urls.py::canonical_url`` ahead
+    of URL dedup). Pure codegen regex over the scan, zero shuffles —
+    the metadata sibling of ``html_to_text``."""
+    title = F.trim(
+        F.regexp_replace(F.regexp_extract(col, TITLE_RE, 1), WHITESPACE_RE, " ")
+    )
+    return {
+        "title": title,
+        "noindex": col.rlike(NOINDEX_RE),
+        "canonical": F.regexp_extract(col, CANONICAL_RE, 1),
+    }
+
+
+def html_meta_sql_projections(expr: str) -> dict[str, str]:
+    """DuckDB replay of ``html_meta_cols`` — same shared patterns.
+    DuckDB's ``regexp_extract`` also returns '' on no match, so the
+    absent-title/canonical convention needs no COALESCE."""
+
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
+    title = (
+        f"trim(regexp_replace(regexp_extract({expr}, '{_q(TITLE_RE)}', 1), "
+        f"'{_q(WHITESPACE_RE)}', ' ', 'g'))"
+    )
+    return {
+        "title": title,
+        "noindex": f"regexp_matches({expr}, '{_q(NOINDEX_RE)}')",
+        "canonical": f"regexp_extract({expr}, '{_q(CANONICAL_RE)}', 1)",
+    }

@@ -8161,3 +8161,82 @@ from dask_datapipeline_spark.operators.drift import (  # noqa: E402
 def q_source_drift(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents")
     return source_drift(docs, "source", "text", vocab_k=256)
+
+
+# ----- HTML page metadata --------------------------------------------
+
+from dask_datapipeline_spark.functions.html import (  # noqa: E402
+    html_meta_cols,
+    html_meta_sql_projections,
+)
+
+# metadata-bearing page fixture: title always present (multi-line,
+# entity-bearing), robots-noindex on doc_id%6, canonical link on
+# doc_id%4 — twin builders, shared shape
+_RAW_META_HTML_SQL = """'<html><head><title>' || chr(10) || '  Doc ' || doc_id ||
+  ' — ' || source || chr(10) || '</title>' ||
+  CASE WHEN doc_id % 6 = 0
+       THEN '<meta name="robots" content="nofollow, noindex">' ELSE '' END ||
+  CASE WHEN doc_id % 4 = 0
+       THEN '<link rel="canonical" href="https://Example.com/c/' || doc_id || '?utm_source=x">'
+       ELSE '' END ||
+  '</head><body><p>' || text || '</p></body></html>'"""
+
+
+def _raw_meta_html_col():
+    """Spark twin of ``_RAW_META_HTML_SQL``."""
+    d = F.col("doc_id").cast("string")
+    nl = F.lit("\n")
+    return F.concat(
+        F.lit("<html><head><title>"), nl, F.lit("  Doc "), d,
+        F.lit(" — "), F.col("source"), nl, F.lit("</title>"),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.lit('<meta name="robots" content="nofollow, noindex">'),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://Example.com/c/'),
+                d,
+                F.lit('?utm_source=x">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+
+
+def _html_meta_sql() -> str:
+    sig = html_meta_sql_projections("page")
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {_RAW_META_HTML_SQL} AS page
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       {sig["title"]} AS title,
+       {sig["noindex"]} AS noindex,
+       {sig["canonical"]} AS canonical
+FROM raw
+"""
+
+
+@register_extra(
+    "html_meta",
+    _html_meta_sql(),
+    "HTML page-metadata extraction (functions/html.py::html_meta_cols): "
+    "first <title> body (collapsed+trimmed), robots-noindex flag (the "
+    "opt-out crawl pipelines must honor BEFORE content enters the corpus) "
+    "and rel=canonical href (feeds canonical_url ahead of URL dedup). Pure "
+    "codegen regex fused into the scan — the metadata sibling of "
+    "html_extract, same shared-pattern discipline",
+)
+def q_html_meta(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sig = html_meta_cols(_raw_meta_html_col())
+    return docs.select(
+        "doc_id",
+        sig["title"].alias("title"),
+        sig["noindex"].alias("noindex"),
+        sig["canonical"].alias("canonical"),
+    )

@@ -1040,3 +1040,47 @@ def test_source_drift_pinned_against_python_twin(spark):
     # sanity: all in [0, ln 2], and the divergent source 'b' exceeds 'c'
     for n, j in got.values():
         assert -1e-9 <= j <= math.log(2.0) + 1e-9
+
+
+# ----- HTML metadata (functions/html.py) ------------------------------------
+
+
+def test_html_meta_extraction_cases(spark):
+    import duckdb
+
+    from dask_datapipeline_spark.functions.html import (
+        html_meta_cols,
+        html_meta_sql_projections,
+    )
+
+    cases = [
+        # (html, title, noindex, canonical)
+        ('<title>Hello  World</title>', "Hello World", False, ""),
+        ('<TITLE class="x">\n spread\ntitle </TITLE>', "spread title", False, ""),
+        ('<meta name="robots" content="NOINDEX,follow"><title>t</title>', "t", True, ""),
+        ('<meta name="robots" content="nofollow">', "", False, ""),
+        ('<link rel="canonical" href="https://e/x?a=1">', "", False, "https://e/x?a=1"),
+        ("no metadata at all", "", False, ""),
+        ("<title>first</title><title>second</title>", "first", False, ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, *_) in enumerate(cases)], "i long, h string"
+    )
+    sig = html_meta_cols(F.col("h"))
+    got = {
+        r["i"]: (r["title"], r["noindex"], r["canonical"])
+        for r in df.select(
+            "i", sig["title"].alias("title"), sig["noindex"].alias("noindex"),
+            sig["canonical"].alias("canonical"),
+        ).collect()
+    }
+    ssql = html_meta_sql_projections("h")
+    con = duckdb.connect()
+    for i, (h, title, noindex, canonical) in enumerate(cases):
+        assert got[i] == (title, noindex, canonical), (i, got[i])
+        duck = con.sql(
+            f"SELECT {ssql['title']}, {ssql['noindex']}, {ssql['canonical']} "
+            "FROM (SELECT ?::VARCHAR AS h)",
+            params=[h],
+        ).fetchone()
+        assert tuple(duck) == got[i], (i, duck, got[i])
