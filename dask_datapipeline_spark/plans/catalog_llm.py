@@ -8240,3 +8240,65 @@ def q_html_meta(spark, sf_dir):
         sig["noindex"].alias("noindex"),
         sig["canonical"].alias("canonical"),
     )
+
+
+# ----- robots.txt compliance -----------------------------------------
+
+from dask_datapipeline_spark.functions.robots import (  # noqa: E402
+    parse_robots,
+    robots_allowed,
+)
+
+
+@register_extra(
+    "robots_allow",
+    """
+SELECT doc_id,
+       source AS host,
+       CASE WHEN doc_id % 5 = 0 THEN '/private/' || doc_id
+            WHEN doc_id % 5 = 1 THEN '/private/ok/' || doc_id
+            WHEN doc_id % 5 = 2 THEN '/articles/' || doc_id
+            WHEN doc_id % 5 = 3 THEN '/'
+            ELSE '/public/' || doc_id END AS path,
+       CASE WHEN doc_id % 5 = 0 THEN FALSE
+            WHEN doc_id % 5 = 2
+            THEN (CAST(regexp_extract(source, '(\\d+)$', 1) AS INTEGER) % 3 <> 0)
+            ELSE TRUE END AS allowed
+FROM documents WHERE text IS NOT NULL
+""",
+    "robots.txt compliance (functions/robots.py): per-host policies "
+    "synthesized as TEXT, parsed by the Arrow rule-table pass (UA groups, "
+    "comments, CRLF), URLs decided by RFC 9309 longest-prefix-match with "
+    "allow-wins ties via ONE broadcast equi-join + max_by — the oracle "
+    "states the ground-truth policy directly, so an exact match proves the "
+    "parse+match round trip. Rules: * group disallows /private, allows "
+    "/private/ok, hosts %3==0 also disallow /articles; an evilbot group "
+    "must NOT leak into the * decision",
+)
+def q_robots_allow(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    num = F.regexp_extract("source", r"(\d+)$", 1).cast("int")
+    txt = F.concat(
+        F.lit(
+            "# crawl policy\r\nUser-agent: *\nDisallow: /private\n"
+            "Allow: /private/ok\n"
+        ),
+        F.when(num % 3 == 0, F.lit("Disallow: /articles\n")).otherwise(F.lit("")),
+        F.lit("\nUser-agent: evilbot\nDisallow: /\n"),
+    )
+    hosts = docs.select("source").distinct().select(
+        F.col("source").alias("host"), txt.alias("robots_txt")
+    )
+    rules = parse_robots(hosts)
+    d = F.col("doc_id").cast("string")
+    urls = docs.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/private/"), d))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/private/ok/"), d))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/articles/"), d))
+        .when(F.col("doc_id") % 5 == 3, F.lit("/"))
+        .otherwise(F.concat(F.lit("/public/"), d))
+        .alias("path"),
+    )
+    return robots_allowed(urls, rules, "host", "path", agent="*")

@@ -1084,3 +1084,76 @@ def test_html_meta_extraction_cases(spark):
             params=[h],
         ).fetchone()
         assert tuple(duck) == got[i], (i, duck, got[i])
+
+
+# ----- robots.txt (functions/robots.py) -------------------------------------
+
+
+def test_parse_robots_groups_comments_and_subset(spark):
+    from dask_datapipeline_spark.functions.robots import parse_robots
+
+    txt = (
+        "# top comment\r\n"
+        "User-agent: googlebot\n"
+        "User-agent: bingbot\n"       # consecutive UA lines: one group
+        "Disallow: /both\n"
+        "\n"
+        "User-agent: *\n"
+        "Allow: /a # trailing comment\n"
+        "Disallow:\n"                  # empty == allow everything: no rule
+        "Disallow: /w*ld\n"            # wildcard: dropped (subset)
+        "Disallow: /end$\n"            # anchor: dropped (subset)
+        "Crawl-delay: 10\n"            # unknown field: ignored
+        "Disallow: /b\n"
+    )
+    rules = parse_robots(
+        spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+    ).collect()
+    got = sorted((r["agent"], r["is_allow"], r["prefix"]) for r in rules)
+    assert got == [
+        ("*", False, "/b"),
+        ("*", True, "/a"),
+        ("bingbot", False, "/both"),
+        ("googlebot", False, "/both"),
+    ]
+
+
+def test_robots_allowed_longest_prefix_and_defaults(spark):
+    from dask_datapipeline_spark.functions.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /p\n"
+        "Allow: /p/ok\n"
+        "Allow: /q\n"
+        "Disallow: /q\n"      # equal length: allow wins
+        "User-agent: strictbot\n"
+        "Disallow: /\n"
+    )
+    rules = parse_robots(
+        spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "h", "/p/x"),      # disallowed by /p
+            (2, "h", "/p/ok/x"),   # longest match /p/ok -> allowed
+            (3, "h", "/q/x"),      # tie /q vs /q -> allow wins
+            (4, "h", "/other"),    # host has rules, none match -> allow
+            (5, "nohost", "/p/x"), # no rules for host -> allow
+        ],
+        "id long, host string, path string",
+    )
+    got = {
+        r["id"]: r["allowed"]
+        for r in robots_allowed(urls, rules, agent="*").collect()
+    }
+    assert got == {1: False, 2: True, 3: True, 4: True, 5: True}
+    # strictbot gets BOTH the * group and its own catch-all disallow
+    got_strict = {
+        r["id"]: r["allowed"]
+        for r in robots_allowed(urls, rules, agent="strictbot").collect()
+    }
+    assert got_strict == {1: False, 2: True, 3: True, 4: False, 5: True}
