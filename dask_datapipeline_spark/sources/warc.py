@@ -160,7 +160,36 @@ def _parse_stream(raw: bytes):
             http_headers[k.strip().lower()] = v.strip()
         blen = int(http_headers.get(b"content-length", b"0"))
         body = block[http_end + 4 : http_end + 4 + blen]
-        yield url, status, body.decode("utf-8", errors="replace")
+        yield url, status, _decode_body(
+            body, http_headers.get(b"content-type", b"")
+        )
+
+
+#: charset= labels this parser honors (stdlib codecs); anything else
+#: falls back to utf-8-with-replacement — never a throw mid-corpus
+_CHARSETS = {
+    b"utf-8": "utf-8",
+    b"utf8": "utf-8",
+    b"iso-8859-1": "latin-1",
+    b"latin-1": "latin-1",
+    b"windows-1252": "cp1252",
+    b"ascii": "ascii",
+    b"us-ascii": "ascii",
+}
+
+
+def _decode_body(body: bytes, content_type: bytes) -> str:
+    """Decode per the HTTP Content-Type charset parameter (real crawls
+    are not all UTF-8; latin-1/cp1252 long tails are routine).
+    Unknown or absent charset → utf-8; decoding NEVER throws
+    (errors='replace') — a mojibake row beats a task-retry storm, the
+    media-quarantine discipline."""
+    charset = b"utf-8"
+    for part in content_type.lower().split(b";"):
+        part = part.strip()
+        if part.startswith(b"charset="):
+            charset = part[8:].strip(b'" ')
+    return body.decode(_CHARSETS.get(charset, "utf-8"), errors="replace")
 
 
 def parse_warc(df: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -1157,3 +1157,37 @@ def test_robots_allowed_longest_prefix_and_defaults(spark):
         for r in robots_allowed(urls, rules, agent="strictbot").collect()
     }
     assert got_strict == {1: False, 2: True, 3: True, 4: False, 5: True}
+
+
+def test_warc_decodes_declared_charsets(spark):
+    """Bodies decode per the HTTP Content-Type charset parameter —
+    latin-1/cp1252 long tails are routine in real crawls; unknown
+    charsets fall back to utf-8 with replacement, never a throw."""
+    from dask_datapipeline_spark.sources.warc import parse_warc
+
+    def rec(url, body, ctype):
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype
+            + b"\r\nContent-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body
+        )
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+            + url.encode() + b"\r\nContent-Length: "
+            + str(len(http)).encode() + b"\r\n\r\n" + http + b"\r\n\r\n"
+        )
+
+    blob = (
+        rec("u/1", "café".encode("latin-1"), b'text/html; charset="ISO-8859-1"')
+        + rec("u/2", b"smart \x93quote\x94", b"text/html; charset=windows-1252")
+        + rec("u/3", "caf\xe9 as utf8 \xff".encode("latin-1"), b"text/plain")  # mislabeled: utf-8 replace
+        + rec("u/4", "plain utf-8 é".encode(), b"text/plain; charset=utf-8")
+        + rec("u/5", b"weird", b"text/plain; charset=klingon")  # unknown -> utf-8
+    )
+    df = spark.createDataFrame([(bytearray(blob),)], "payload binary")
+    got = {r["url"]: r["text"] for r in parse_warc(df).collect()}
+    assert got["u/1"] == "café"
+    assert got["u/2"] == "smart “quote”"
+    assert "�" in got["u/3"]  # replacement chars, no throw
+    assert got["u/4"] == "plain utf-8 é"
+    assert got["u/5"] == "weird"
