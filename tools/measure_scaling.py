@@ -77,6 +77,7 @@ QUERIES = [
     ("c4_line_filter_scaled", "documents"),
     ("bm25_topk_scaled", "documents"),
     ("hll_distinct_scaled", "documents"),
+    ("warc_roundtrip_scaled", "documents"),
 ]
 
 
@@ -342,6 +343,29 @@ def _bm25_topk_scaled(spark, sf_dir, n_rows):
     return bm25_topk(docs, ["dup", "vector", "spark"], k=15)
 
 
+def _warc_roundtrip_scaled(spark, sf_dir, n_rows):
+    """Pack the tier's documents into record-wise-gzip WARC blobs and
+    stream-parse them back — both legs of the codec, ~1000 records
+    per blob. The parse is a mapInPandas barrier, so count() cannot
+    prune through it; the filter keeps the forcing discipline uniform
+    anyway."""
+    from dask_datapipeline_spark.sources.warc import parse_warc, write_warc_batches
+
+    docs = load_testdata(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    staged = docs.select(
+        (F.col("doc_id") % 512).alias("batch_id"),
+        F.concat(
+            F.lit("https://crawl.example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    parsed = parse_warc(write_warc_batches(staged, gzip_records=True))
+    return parsed.where(F.length("text") + F.length("url") >= 0)
+
+
 def _hll_distinct_scaled(spark, sf_dir, n_rows):
     """HLL over a corpus-sized distinct domain (full document texts):
     register state stays 2^12 rows at every tier while the hashed scan
@@ -369,6 +393,7 @@ CUSTOM = {
     "c4_line_filter_scaled": _c4_line_filter_scaled,
     "bm25_topk_scaled": _bm25_topk_scaled,
     "hll_distinct_scaled": _hll_distinct_scaled,
+    "warc_roundtrip_scaled": _warc_roundtrip_scaled,
 }
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
