@@ -138,9 +138,14 @@ def html_to_text_sql_steps(expr: str) -> str:
 #: first <title> body, lazy, dot-matches-newline, case-insensitive —
 #: (?is) inline flags and lazy .*? parse identically in Java and RE2
 TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
-#: a robots meta tag carrying noindex (attribute ORDER-insensitive:
-#: both attributes just have to appear inside the same tag)
-NOINDEX_RE = r'(?is)<meta[^>]*name="robots"[^>]*content="[^"]*noindex[^"]*"'
+#: a robots meta tag carrying noindex — attribute-order-insensitive
+#: via ALTERNATION (name-then-content | content-then-name): RE2 has no
+#: lookahead, so the usual (?=...) trick is off the table for the
+#: shared-pattern discipline
+NOINDEX_RE = (
+    r'(?is)<meta[^>]*name="robots"[^>]*content="[^"]*noindex[^"]*"'
+    r'|<meta[^>]*content="[^"]*noindex[^"]*"[^>]*name="robots"'
+)
 #: rel=canonical link href (fixture/common order: rel before href)
 CANONICAL_RE = r'(?is)<link[^>]*rel="canonical"[^>]*href="([^"]*)"'
 

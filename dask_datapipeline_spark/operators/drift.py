@@ -59,6 +59,8 @@ def source_drift(
         global_counts.orderBy(F.desc("n"), F.asc("token")).limit(vocab_k).collect()
     )
     vocab = [r["token"] for r in vocab_rows]
+    if not vocab:
+        raise ValueError("empty corpus: no tokens to build a vocabulary from")
     # two bounded driver scalars (vocab list + corpus token total) —
     # the tfidf/codebook precedent, never corpus-sized
     n_total = int(

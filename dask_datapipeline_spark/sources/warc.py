@@ -128,6 +128,14 @@ def _gzip_members(payload: bytes):
         pos += consumed
 
 
+def _int_header(headers: dict, key: bytes) -> int:
+    """Integer header value; malformed digits → -1 (record skipped by
+    the caller — a corrupt record becomes a data decision, never a
+    task-retry storm; the media-quarantine discipline)."""
+    v = headers.get(key, b"0").strip()
+    return int(v) if v.isdigit() else -1
+
+
 def _parse_stream(raw: bytes):
     """Yield (url, status, text) from an uncompressed WARC stream."""
     pos = 0
@@ -142,7 +150,10 @@ def _parse_stream(raw: bytes):
         for line in raw[start:hdr_end].split(_CRLF)[1:]:
             k, _, v = line.partition(b":")
             headers[k.strip().lower()] = v.strip()
-        clen = int(headers.get(b"content-length", b"0"))
+        clen = _int_header(headers, b"content-length")
+        if clen < 0:  # malformed length: resync at the next record
+            pos = hdr_end + 4
+            continue
         block = raw[hdr_end + 4 : hdr_end + 4 + clen]
         pos = hdr_end + 4 + clen
         if headers.get(b"warc-type") != b"response":
@@ -158,7 +169,9 @@ def _parse_stream(raw: bytes):
         for line in block[:http_end].split(_CRLF)[1:]:
             k, _, v = line.partition(b":")
             http_headers[k.strip().lower()] = v.strip()
-        blen = int(http_headers.get(b"content-length", b"0"))
+        blen = _int_header(http_headers, b"content-length")
+        if blen < 0:
+            continue
         body = block[http_end + 4 : http_end + 4 + blen]
         yield url, status, _decode_body(
             body, http_headers.get(b"content-type", b"")

@@ -1191,3 +1191,50 @@ def test_warc_decodes_declared_charsets(spark):
     assert "�" in got["u/3"]  # replacement chars, no throw
     assert got["u/4"] == "plain utf-8 é"
     assert got["u/5"] == "weird"
+
+
+def test_html_noindex_attribute_order_insensitive(spark):
+    import duckdb
+
+    from dask_datapipeline_spark.functions.html import (
+        html_meta_cols,
+        html_meta_sql_projections,
+    )
+
+    cases = [
+        ('<meta name="robots" content="noindex">', True),
+        ('<meta content="noindex, nofollow" name="robots">', True),  # reversed
+        ('<meta content="noindex" name="viewport">', False),  # wrong name
+        ('<meta name="robots" content="all">', False),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, h string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", html_meta_cols(F.col("h"))["noindex"].alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    nsql = html_meta_sql_projections("h")["noindex"]
+    for i, (h, want) in enumerate(cases):
+        assert got[i] is want, (i, h)
+        duck = con.sql(
+            f"SELECT {nsql} FROM (SELECT ?::VARCHAR AS h)", params=[h]
+        ).fetchone()[0]
+        assert duck is want, (i, h, duck)
+
+
+def test_warc_malformed_content_length_resyncs(spark):
+    from dask_datapipeline_spark.sources.warc import _record_bytes, parse_warc
+
+    good = _record_bytes("https://x/good", b"ok body")
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x/bad"
+        b"\r\nContent-Length: 12x34\r\n\r\ngarbage"
+    )
+    blob = bad + good
+    df = spark.createDataFrame([(bytearray(blob),)], "payload binary")
+    got = [(r["url"], r["text"]) for r in parse_warc(df).collect()]
+    assert got == [("https://x/good", "ok body")]
