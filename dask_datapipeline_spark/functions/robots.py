@@ -12,7 +12,11 @@ by the RFC 9309 / Google semantics —
   this implements the common ``*``-plus-exact case);
 - among matching ``Allow:``/``Disallow:`` rules, the LONGEST matched
   prefix wins; at equal length ``Allow`` wins;
-- no matching rule (or an empty ``Disallow:``) → allowed.
+- no matching rule (or an empty ``Disallow:``) → allowed;
+- full RFC 9309 pattern syntax: ``*`` matches any byte run, a
+  TRAILING ``$`` anchors at the path end; specificity (the
+  longest-match tiebreak) is the raw rule text's length, per the
+  spec's "most specific based on the length of the path entry".
 
 Scale shape: parsing is one Arrow ``mapInPandas`` pass over the
 (host, robots_txt) table — a table with one row per HOST, millions of
@@ -26,9 +30,11 @@ ONCE on (url) only if the caller didn't already carry a unique key
 Determinism: the winner is ``max_by`` over the total order
 (prefix_length, is_allow, rule_order) — integer triple, unique per
 (url, rule) by construction; decisions are booleans — trivially
-hash-exact. Wildcard ``*``/``$`` rule patterns are NOT implemented
-(documented subset; rows with them are dropped at parse time so they
-can never silently half-match).
+hash-exact. Wildcard rules match through ``regexp_like`` with a
+pattern COMPILED AT PARSE TIME in the Java-regex/RE2 common subset
+(escaped literals + ``.*`` + an optional end anchor — no lookaround,
+no backrefs), so replaying the rule table in another engine decides
+identically; plain prefix rules keep the codegen ``startswith`` path.
 """
 
 from __future__ import annotations
@@ -38,15 +44,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 ROBOTS_RULE_SCHEMA = (
-    "host string, agent string, is_allow boolean, prefix string, rule_order int"
+    "host string, agent string, is_allow boolean, prefix string, "
+    "pattern string, rule_order int"
 )
+
+#: regex metachars to escape when compiling a robots path rule —
+#: the Java-regex/RE2 COMMON-subset escaping (no lookaround, no
+#: backrefs are ever emitted)
+_REGEX_SPECIALS = set(".^$+?()[]{}|\\")
+
+
+def _robots_pattern(value: str) -> str | None:
+    """Anchored regex for a wildcard robots rule, or None for a plain
+    prefix rule (the startswith fast path)."""
+    if "*" not in value and not value.endswith("$"):
+        return None
+    body, anchored = value, False
+    if body.endswith("$"):
+        body, anchored = body[:-1], True
+    out = ["^"]
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif ch in _REGEX_SPECIALS:
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    if anchored:
+        out.append("$")
+    return "".join(out)
 
 
 def parse_robots(df: DataFrame, host_col: str = "host", txt_col: str = "robots_txt") -> DataFrame:
     """Parse robots.txt bodies into (host, agent, is_allow, prefix,
     rule_order) rows. Comments (#) stripped, field names
-    case-insensitive, CRLF-safe. Rules containing ``*`` or ``$``
-    (wildcard syntax) are dropped — the documented subset."""
+    case-insensitive, CRLF-safe. Wildcard rules carry a compiled
+    ``pattern`` column (``*`` → ``.*``, trailing ``$`` anchors;
+    everything else regex-escaped — the escaping is the common
+    Java-regex/RE2 subset, so the pattern means the same thing in any
+    engine that replays it); plain rules keep ``pattern`` NULL and
+    match by ``startswith``, which stays the cheap codegen path."""
 
     def _parse(batches):
         for pdf in batches:
@@ -72,14 +109,18 @@ def parse_robots(df: DataFrame, host_col: str = "host", txt_col: str = "robots_t
                         continue
                     if not value:  # empty Disallow: == allow everything
                         continue
-                    if "*" in value or "$" in value:
-                        continue  # wildcard subset not implemented
+                    pattern = _robots_pattern(value)
                     for agent in agents or ["*"]:
-                        rows.append((host, agent, field == "allow", value, order))
+                        rows.append(
+                            (host, agent, field == "allow", value, pattern, order)
+                        )
                         order += 1
             yield pd.DataFrame(
                 rows,
-                columns=["host", "agent", "is_allow", "prefix", "rule_order"],
+                columns=[
+                    "host", "agent", "is_allow", "prefix", "pattern",
+                    "rule_order",
+                ],
             )
 
     return df.select(host_col, txt_col).mapInPandas(_parse, ROBOTS_RULE_SCHEMA)
@@ -104,6 +145,7 @@ def robots_allowed(
         F.col("host").alias("__rhost"),
         "is_allow",
         "prefix",
+        "pattern",
         F.length("prefix").alias("__plen"),
         "rule_order",
     )
@@ -115,7 +157,10 @@ def robots_allowed(
         urls.join(
             F.broadcast(r),
             (urls[host_col] == F.col("__rhost"))
-            & F.col(path_col).startswith(F.col("prefix")),
+            & F.when(
+                F.col("pattern").isNull(),
+                F.col(path_col).startswith(F.col("prefix")),
+            ).otherwise(F.regexp_like(F.col(path_col), F.col("pattern"))),
             "left",
         )
         .groupBy(*[F.col(c) for c in urls.columns])

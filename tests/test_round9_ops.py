@@ -1089,7 +1089,7 @@ def test_html_meta_extraction_cases(spark):
 # ----- robots.txt (functions/robots.py) -------------------------------------
 
 
-def test_parse_robots_groups_comments_and_subset(spark):
+def test_parse_robots_groups_comments_and_patterns(spark):
     from dask_datapipeline_spark.functions.robots import parse_robots
 
     txt = (
@@ -1101,20 +1101,24 @@ def test_parse_robots_groups_comments_and_subset(spark):
         "User-agent: *\n"
         "Allow: /a # trailing comment\n"
         "Disallow:\n"                  # empty == allow everything: no rule
-        "Disallow: /w*ld\n"            # wildcard: dropped (subset)
-        "Disallow: /end$\n"            # anchor: dropped (subset)
+        "Disallow: /w*ld\n"            # wildcard: compiled pattern
+        "Disallow: /end$\n"            # anchored: compiled pattern
         "Crawl-delay: 10\n"            # unknown field: ignored
         "Disallow: /b\n"
     )
     rules = parse_robots(
         spark.createDataFrame([("h", txt)], "host string, robots_txt string")
     ).collect()
-    got = sorted((r["agent"], r["is_allow"], r["prefix"]) for r in rules)
+    got = sorted(
+        (r["agent"], r["is_allow"], r["prefix"], r["pattern"]) for r in rules
+    )
     assert got == [
-        ("*", False, "/b"),
-        ("*", True, "/a"),
-        ("bingbot", False, "/both"),
-        ("googlebot", False, "/both"),
+        ("*", False, "/b", None),
+        ("*", False, "/end$", "^/end$"),
+        ("*", False, "/w*ld", "^/w.*ld"),
+        ("*", True, "/a", None),
+        ("bingbot", False, "/both", None),
+        ("googlebot", False, "/both", None),
     ]
 
 
@@ -1238,3 +1242,38 @@ def test_warc_malformed_content_length_resyncs(spark):
     df = spark.createDataFrame([(bytearray(blob),)], "payload binary")
     got = [(r["url"], r["text"]) for r in parse_warc(df).collect()]
     assert got == [("https://x/good", "ok body")]
+
+
+def test_robots_wildcard_and_anchor_matching(spark):
+    from dask_datapipeline_spark.functions.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /*.php$\n"      # any path ending .php
+        "Disallow: /dl/*/raw\n"    # wildcard mid-path
+        "Allow: /dl/ok/raw\n"      # longer RAW RULE TEXT than the wildcard? no:
+        # '/dl/ok/raw' (10) > '/dl/*/raw' (9) -> allow wins by length
+        "Disallow: /d.ta\n"        # regex special in a PLAIN rule: literal prefix
+    )
+    rules = parse_robots(
+        spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "h", "/page.php"),       # anchored wildcard -> disallow
+            (2, "h", "/page.php3"),      # $ anchor: NOT matched -> allow
+            (3, "h", "/dl/x/raw"),       # mid wildcard -> disallow
+            (4, "h", "/dl/ok/raw"),      # longer allow rule wins
+            (5, "h", "/d.ta/file"),      # plain rule is a literal prefix
+            (6, "h", "/dxta/file"),      # '.' NOT a regex dot -> allow
+        ],
+        "id long, host string, path string",
+    )
+    got = {
+        r["id"]: r["allowed"]
+        for r in robots_allowed(urls, rules, agent="*").collect()
+    }
+    assert got == {1: False, 2: True, 3: False, 4: True, 5: False, 6: True}
