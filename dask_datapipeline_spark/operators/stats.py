@@ -1,0 +1,133 @@
+"""ANALYZE-style table statistics (beyond-reference engine surface;
+SURVEY.md §2.1 relational family).
+
+The catalog-statistics pass every cost-based optimizer feeds on:
+per-column row count, null count, min/max, and approximate distinct
+count — in long form, one row per column. The ndv estimate reuses the
+HyperLogLog register machinery (``operators/sketches.py``), so this
+is also the composition proof that the sketch plugs into engine
+infrastructure, not just analytics rows.
+
+Scale shape — the standard ANALYZE cost, two passes:
+
+1. ONE wide aggregate over the scan for count/nulls/min/max (a single
+   reduced row regardless of table size; map-side partials do all the
+   work).
+2. ONE unpivoted pass for ndv: ``stack`` the audited columns into
+   (col_name, value) pairs — k× the rows but still one scan — then HLL
+   registers per (column, bucket): the shuffle carries at most
+   ``k × 2^p`` fixed-width rows. No per-column scan loop, no exact
+   count-distinct shuffle of values.
+
+Determinism: min/max emit as strings via each engine's CAST — safe
+for the integer/decimal/string types accepted here (bigint/int and
+decimal render identically; doubles/timestamps are rejected, their
+string forms diverge between engines). ndv is the HLL estimate —
+deterministic given the shared md5 hash family (6dp-rounded in the
+linear-counting branch, see sketches.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_datapipeline_spark.operators.sketches import (
+    HLL_P,
+    HLL_SEED,
+    hll_estimate_from_registers,
+    hll_registers,
+)
+
+#: type prefixes whose CAST-to-string is engine-identical
+_SAFE_TYPES = ("bigint", "int", "smallint", "tinyint", "string", "decimal")
+
+
+def table_stats(df: DataFrame, cols: list[str], p: int = HLL_P) -> DataFrame:
+    """Long-form statistics for ``cols`` of ``df``: one row per column
+    with (column, n_rows, n_null, min_val, max_val, ndv_est)."""
+    for c in cols:
+        t = dict(df.dtypes)[c]
+        if not t.startswith(_SAFE_TYPES):
+            raise ValueError(
+                f"column {c!r} has type {t!r} — min/max string forms are "
+                "not engine-portable for this type (module docstring)"
+            )
+    wide = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}")
+            for c in cols
+        ],
+        *[F.min(F.col(c).cast("string")).alias(f"__min_{c}") for c in cols],
+        *[F.max(F.col(c).cast("string")).alias(f"__max_{c}") for c in cols],
+    )
+    # NOTE: min/max are taken on the STRING form so ordering is the
+    # lexicographic one in BOTH engines — numeric min/max as numbers
+    # then cast would differ from this for negative/mixed-width values
+    # in neither engine (each casts its own min) but lexicographic is
+    # what the shared contract pins; callers wanting numeric extremes
+    # cast the emitted strings back.
+    stacked = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
+    long_vals = df.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS (col_name, value)"
+    )
+    ndv = hll_estimate_from_registers(
+        hll_registers(long_vals, ["col_name"], "value", p=p, seed=HLL_SEED),
+        ["col_name"],
+        p=p,
+    ).select("col_name", F.col("est_distinct").alias("ndv_est"))
+
+    rows = None
+    for c in cols:
+        piece = wide.select(
+            F.lit(c).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__null_{c}").alias("n_null"),
+            F.col(f"__min_{c}").alias("min_val"),
+            F.col(f"__max_{c}").alias("max_val"),
+        )
+        rows = piece if rows is None else rows.unionByName(piece)
+    return rows.join(ndv, "col_name", "left").select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        "min_val",
+        "max_val",
+        F.coalesce(F.col("ndv_est"), F.lit(0.0)).alias("ndv_est"),
+    )
+
+
+def table_stats_oracle_sql(
+    table: str, cols: list[str], p: int = HLL_P
+) -> str:
+    """DuckDB replay: per-column UNION ALL of the wide aggregates plus
+    the same HLL ndv over the unpivoted values."""
+    from dask_datapipeline_spark.operators.sketches import hll_oracle_sql
+
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       MIN(CAST({c} AS VARCHAR)) AS min_val,
+       MAX(CAST({c} AS VARCHAR)) AS max_val
+FROM {table}"""
+        for c in cols
+    )
+    stacked = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS value FROM {table}"
+        for c in cols
+    )
+    ndv = hll_oracle_sql("long_vals", "col_name", "value", p=p, seed=HLL_SEED)
+    return f"""
+WITH long_vals AS (
+{stacked}
+), ndv AS (
+{ndv}
+), wide AS (
+{unions}
+)
+SELECT w.col_name, w.n_rows, w.n_null, w.min_val, w.max_val,
+       COALESCE(n.est_distinct, 0.0) AS ndv_est
+FROM wide w LEFT JOIN ndv n ON n.col_name = w.col_name
+"""

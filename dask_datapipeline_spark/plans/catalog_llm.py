@@ -8302,3 +8302,28 @@ def q_robots_allow(spark, sf_dir):
         .alias("path"),
     )
     return robots_allowed(urls, rules, "host", "path", agent="*")
+
+
+# ----- ANALYZE-style table statistics --------------------------------
+
+from dask_datapipeline_spark.operators.stats import (  # noqa: E402
+    table_stats,
+    table_stats_oracle_sql,
+)
+
+_STATS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+@register_extra(
+    "table_stats",
+    table_stats_oracle_sql("orders", _STATS_COLS),
+    "ANALYZE-style catalog statistics (operators/stats.py): per-column row/"
+    "null counts, lexicographic min/max (string-cast contract — portable for "
+    "int/decimal/string; doubles rejected) and HLL ndv — ONE wide reduced "
+    "aggregate + ONE unpivoted stack pass feeding k*2^p register rows; the "
+    "composition proof that the HLL sketch plugs into engine infrastructure "
+    "(CBO stats), not just analytics rows",
+)
+def q_table_stats(spark, sf_dir):
+    orders = load_testdata(spark, sf_dir, "orders")
+    return table_stats(orders, _STATS_COLS)

@@ -1277,3 +1277,30 @@ def test_robots_wildcard_and_anchor_matching(spark):
         for r in robots_allowed(urls, rules, agent="*").collect()
     }
     assert got == {1: False, 2: True, 3: False, 4: True, 5: False, 6: True}
+
+
+# ----- table statistics (operators/stats.py) ---------------------------------
+
+
+def test_table_stats_values_and_type_guard(spark):
+    import pytest
+
+    from dask_datapipeline_spark.operators.stats import table_stats
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.0), (2, None, 2.0), (5, "a", None)],
+        "k long, s string, d double",
+    )
+    got = {
+        r["col_name"]: r.asDict()
+        for r in table_stats(df, ["k", "s"], p=10).collect()
+    }
+    assert got["k"]["n_rows"] == 4 and got["k"]["n_null"] == 0
+    assert (got["k"]["min_val"], got["k"]["max_val"]) == ("1", "5")
+    assert got["s"]["n_null"] == 1
+    assert (got["s"]["min_val"], got["s"]["max_val"]) == ("a", "b")
+    # tiny cardinalities take the linear-counting branch: near-exact
+    assert abs(got["k"]["ndv_est"] - 3) < 0.1
+    assert abs(got["s"]["ndv_est"] - 2) < 0.1
+    with pytest.raises(ValueError, match="not engine-portable"):
+        table_stats(df, ["d"])
