@@ -131,3 +131,22 @@ SELECT w.col_name, w.n_rows, w.n_null, w.min_val, w.max_val,
        COALESCE(n.est_distinct, 0.0) AS ndv_est
 FROM wide w LEFT JOIN ndv n ON n.col_name = w.col_name
 """
+
+
+def estimate_equi_join_rows(
+    stats_a: dict, stats_b: dict
+) -> float:
+    """Textbook CBO equi-join cardinality from two ``table_stats``
+    rows for the join keys: ``n_a · n_b / max(ndv_a, ndv_b)`` —
+    System-R's containment-of-value-sets assumption. Inputs are the
+    dict form of one stats row each (``n_rows``, ``n_null``,
+    ``ndv_est``); NULL keys never join, so the null counts come off
+    the row counts first. Returns 0.0 when either side has no
+    distinct values. Driver-side arithmetic over two bounded rows —
+    this is the consumer the stats pass exists for."""
+    n_a = stats_a["n_rows"] - stats_a["n_null"]
+    n_b = stats_b["n_rows"] - stats_b["n_null"]
+    ndv = max(float(stats_a["ndv_est"]), float(stats_b["ndv_est"]))
+    if ndv <= 0 or n_a <= 0 or n_b <= 0:
+        return 0.0
+    return n_a * n_b / ndv

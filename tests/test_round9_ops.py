@@ -1304,3 +1304,33 @@ def test_table_stats_values_and_type_guard(spark):
     assert abs(got["s"]["ndv_est"] - 2) < 0.1
     with pytest.raises(ValueError, match="not engine-portable"):
         table_stats(df, ["d"])
+
+
+def test_join_cardinality_estimate_tracks_actual(spark):
+    """The System-R estimate from table_stats rows must land within
+    HLL error of the ACTUAL equi-join output on the real tables —
+    the stats pass demonstrably feeds a planner decision."""
+    from dask_datapipeline_spark.operators.stats import (
+        estimate_equi_join_rows,
+        table_stats,
+    )
+    from dask_datapipeline_spark.sources.readers import load_testdata
+
+    sf = "/root/testdata/sf0.01"
+    orders = load_testdata(spark, sf, "orders")
+    customer = load_testdata(spark, sf, "customer")
+    so = {
+        r["col_name"]: r.asDict()
+        for r in table_stats(orders, ["o_custkey"]).collect()
+    }
+    sc = {
+        r["col_name"]: r.asDict()
+        for r in table_stats(customer, ["c_custkey"]).collect()
+    }
+    est = estimate_equi_join_rows(so["o_custkey"], sc["c_custkey"])
+    actual = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).count()
+    # PK-FK join: estimate = n_orders * n_cust / ndv(custkey) — exact
+    # up to the HLL ndv error (~3.2% at p=10; allow 4 sigma)
+    assert abs(est - actual) / actual < 0.15, (est, actual)
