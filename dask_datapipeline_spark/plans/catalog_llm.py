@@ -8327,3 +8327,37 @@ _STATS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
 def q_table_stats(spark, sf_dir):
     orders = load_testdata(spark, sf_dir, "orders")
     return table_stats(orders, _STATS_COLS)
+
+
+@register_extra(
+    "streaming_gopher_report",
+    _gopher_report_sql(),
+    "Streaming twin of gopher_report: the documents table arrives through "
+    "readStream and the per-rule drop-count funnel aggregates under the "
+    "micro-batch engine (complete mode, availableNow) — 0/1 long sums are "
+    "associative across micro-batches, so the final state equals the batch "
+    "report exactly and this row shares its oracle verbatim. The web front "
+    "door's quality gate demonstrably runs as a LIVE pipeline stage, not "
+    "just a batch pass",
+)
+def q_streaming_gopher_report(spark, sf_dir):
+    from dask_datapipeline_spark.streaming.windows import (
+        run_to_memory,
+        stream_documents,
+    )
+
+    name = f"stream_gopher_{next(_STREAM_SEQ)}"
+    docs = stream_documents(spark, sf_dir).where(F.col("text").isNotNull())
+    sig = gopher_signal_cols(F.col("text"))
+    flags = gopher_fail_flags(sig)
+    flagged = docs.select(
+        gopher_keep(sig).alias("keep"),
+        *[flags[n].alias(n) for n in FAIL_NAMES],
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        *[F.sum(F.col(n).cast("long")).alias(n) for n in FAIL_NAMES],
+    )
+    run_to_memory(agg, name, "complete", state_partitions=8)
+    return spark.table(name)

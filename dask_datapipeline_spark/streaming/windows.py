@@ -103,6 +103,19 @@ def session_agg(df: DataFrame, ts_col: str = "ts", gap: str = "6 hours") -> Data
     )
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` as a file stream (one-file 'directory'; the
+    production analogue is a crawl landing prefix). No timestamp
+    column — the text-curation streams are time-agnostic."""
+    from dask_datapipeline_spark.schemas import TESTDATA_SCHEMAS
+
+    return (
+        spark.readStream.schema(TESTDATA_SCHEMAS["documents"])
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``embeddings`` as a file stream (one-file 'directory'; the
     production analogue is a landing prefix of embedding shards from
