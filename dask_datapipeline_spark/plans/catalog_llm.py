@@ -8361,3 +8361,76 @@ def q_streaming_gopher_report(spark, sf_dir):
     )
     run_to_memory(agg, name, "complete", state_partitions=8)
     return spark.table(name)
+
+
+def _gopher_triage_sql() -> str:
+    sig = gopher_sql_projections("text")
+    flags = gopher_fail_flags_sql(sig)
+    branches = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{n}' AS rule FROM flagged WHERE {n}"
+        for n in FAIL_NAMES
+    )
+    inner = ",\n         ".join(f"{flags[n]} AS {n}" for n in FAIL_NAMES)
+    return f"""
+WITH flagged AS (
+  SELECT doc_id,
+         {inner}
+  FROM documents WHERE text IS NOT NULL
+), offenders AS (
+{branches}
+)
+SELECT rule,
+       COUNT(*) AS n_failing,
+       array_to_string(list_transform(
+         (array_agg(doc_id ORDER BY doc_id))[1:3],
+         x -> CAST(x AS VARCHAR)), ',') AS sample_doc_ids
+FROM offenders GROUP BY rule
+"""
+
+
+@register_extra(
+    "gopher_triage",
+    _gopher_triage_sql(),
+    "Quality triage report: per Gopher rule, the failing-doc count plus the "
+    "3 lowest offending doc_ids (the click-through sample a curation "
+    "reviewer reads before trusting a threshold). One scan -> per-rule "
+    "posexplode of the SHARED fail flags -> one rule-keyed groupBy with a "
+    "map-side min-3 semantics (sort_array(collect_list)[:3] over <=3-id "
+    "slices after a window prune); ids render as a joined string so "
+    "ordering drift is impossible to miss",
+)
+def q_gopher_triage(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load_testdata(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sig = gopher_signal_cols(F.col("text"))
+    flags = gopher_fail_flags(sig)
+    flagged = docs.select(
+        "doc_id", *[flags[n].alias(n) for n in FAIL_NAMES]
+    )
+    names = F.array(*[F.lit(n) for n in FAIL_NAMES])
+    vals = F.array(*[F.col(n) for n in FAIL_NAMES])
+    offenders = flagged.select(
+        "doc_id",
+        F.explode(F.filter(F.arrays_zip(names.alias("rule"), vals.alias("f")),
+                           lambda s: s["f"])).alias("z"),
+    ).select("doc_id", F.col("z.rule").alias("rule"))
+    w = Window.partitionBy("rule").orderBy("doc_id")
+    pruned = offenders.withColumn("__rn", F.row_number().over(w))
+    return (
+        pruned.groupBy("rule")
+        .agg(
+            F.count(F.lit(1)).alias("n_failing"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("__rn") <= 3, F.col("doc_id"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("sample_doc_ids"),
+        )
+    )

@@ -1334,3 +1334,37 @@ def test_join_cardinality_estimate_tracks_actual(spark):
     # PK-FK join: estimate = n_orders * n_cust / ndv(custkey) — exact
     # up to the HLL ndv error (~3.2% at p=10; allow 4 sigma)
     assert abs(est - actual) / actual < 0.15, (est, actual)
+
+
+def test_gopher_triage_samples_are_min_ids(spark):
+    from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG
+
+    rows = {
+        r["rule"]: r.asDict()
+        for r in EXTRA_CATALOG["gopher_triage"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    from dask_datapipeline_spark.functions.quality import (
+        FAIL_NAMES,
+        gopher_fail_flags,
+        gopher_signal_cols,
+    )
+    from dask_datapipeline_spark.sources.readers import load_testdata
+
+    docs = load_testdata(spark, "/root/testdata/sf0.001", "documents").where(
+        F.col("text").isNotNull()
+    )
+    sig = gopher_signal_cols(F.col("text"))
+    flags = gopher_fail_flags(sig)
+    per_doc = docs.select(
+        "doc_id", *[flags[n].alias(n) for n in FAIL_NAMES]
+    ).collect()
+    for n in FAIL_NAMES:
+        failing = sorted(r["doc_id"] for r in per_doc if r[n])
+        if not failing:
+            assert n not in rows
+            continue
+        assert rows[n]["n_failing"] == len(failing)
+        want = ",".join(str(d) for d in failing[:3])
+        assert rows[n]["sample_doc_ids"] == want, (n, rows[n], want)
