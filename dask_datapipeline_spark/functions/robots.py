@@ -133,15 +133,30 @@ def robots_allowed(
     path_col: str = "path",
     agent: str = "*",
 ) -> DataFrame:
-    """``urls`` + an ``allowed`` flag under ``rules`` for ``agent``
-    (rules for ``*`` and for ``agent`` both apply). The rule side is
-    broadcast (one row per host×rule — bounded); matching is a
-    host-keyed equi-join + startswith filter + per-URL ``max_by`` over
-    (prefix_length, is_allow) with rule_order as the unique
-    tiebreak."""
-    r = rules.where(
-        (F.col("agent") == F.lit(agent.lower())) | (F.col("agent") == "*")
-    ).select(
+    """``urls`` + an ``allowed`` flag under ``rules`` for ``agent``.
+
+    Group selection is RFC 9309 most-specific: on a host that has any
+    rules for the EXACT agent, only that group applies and the host's
+    ``*`` rows are dropped; the ``*`` group applies only on hosts with
+    no exact-agent group (a crawler obeys one group, never the union —
+    a stricter ``*`` rule must not flip a named agent's decision).
+    The rule side is broadcast (one row per host×rule — bounded), and
+    the group selection is a rules-side-only aggregate over the same
+    bounded table; matching is a host-keyed equi-join + startswith
+    filter + per-URL ``max_by`` over (prefix_length, is_allow) with
+    rule_order as the unique tiebreak."""
+    a = agent.lower()
+    r0 = rules.where((F.col("agent") == F.lit(a)) | (F.col("agent") == "*"))
+    if a != "*":
+        has_exact = r0.groupBy("host").agg(
+            F.max((F.col("agent") == F.lit(a)).cast("int")).alias("__has_exact")
+        )
+        r0 = (
+            r0.join(has_exact, "host")
+            .where((F.col("agent") == F.lit(a)) | (F.col("__has_exact") == 0))
+            .drop("__has_exact")
+        )
+    r = r0.select(
         F.col("host").alias("__rhost"),
         "is_allow",
         "prefix",

@@ -39,8 +39,12 @@ from dask_datapipeline_spark.operators.sketches import (
     hll_registers,
 )
 
-#: type prefixes whose CAST-to-string is engine-identical
-_SAFE_TYPES = ("bigint", "int", "smallint", "tinyint", "string", "decimal")
+#: base type names whose CAST-to-string is engine-identical; matched
+#: EXACTLY on the name before any '(' (so decimal(18,2) passes but
+#: 'interval day to second' can never slip past an 'int' prefix)
+_SAFE_TYPES = frozenset(
+    {"bigint", "int", "integer", "smallint", "tinyint", "string", "decimal"}
+)
 
 
 def table_stats(df: DataFrame, cols: list[str], p: int = HLL_P) -> DataFrame:
@@ -48,7 +52,7 @@ def table_stats(df: DataFrame, cols: list[str], p: int = HLL_P) -> DataFrame:
     with (column, n_rows, n_null, min_val, max_val, ndv_est)."""
     for c in cols:
         t = dict(df.dtypes)[c]
-        if not t.startswith(_SAFE_TYPES):
+        if t.split("(")[0].strip() not in _SAFE_TYPES:
             raise ValueError(
                 f"column {c!r} has type {t!r} — min/max string forms are "
                 "not engine-portable for this type (module docstring)"

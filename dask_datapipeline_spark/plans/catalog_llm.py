@@ -4179,17 +4179,31 @@ SELECT decile,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
 FROM ranked GROUP BY decile
 """,
-    "Equi-depth histogram via ntile(10) with a TOTAL order (unique-key tiebreak, "
-    "so bucket boundaries are deterministic): the exact form of the boundary "
-    "sampling RangePartitioner does for repartitionByRange; decimal-exact sums",
+    "Equi-depth histogram: ntile(10) under a TOTAL order (unique-key tiebreak, "
+    "so bucket boundaries are deterministic) computed by the two-pass "
+    "distributed prefix-sum (operators/ranks.py::global_ntile) — a ~105-row "
+    "price-range bucket table carries the offsets, every corpus-sized window "
+    "is PARTITIONED by range bucket; the oracle replays it as one plain "
+    "ntile window, bit-identical because tile math is exact BIGINT",
 )
 def q_equi_depth_histogram(spark, sf_dir):
-    from pyspark.sql.window import Window
+    from dask_datapipeline_spark.operators.ranks import global_ntile
 
-    li = load_testdata(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    li = load_testdata(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    # range bucket = floor(price/1000): monotone in the leading order
+    # key (901.82..104997.88 -> ~105 buckets), the prefix the two-pass
+    # rank needs; l_extendedprice is NOT NULL in the data contract
+    tiled = global_ntile(
+        li,
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        F.floor(F.col("l_extendedprice") / 1000),
+        10,
+        tile_col="decile",
+    )
     return (
-        li.select("l_extendedprice", F.ntile(10).over(w).alias("decile"))
+        tiled.select("l_extendedprice", "decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -4574,8 +4588,6 @@ WHERE rn <= {_COLLOC_TOP}
     "rounded to 9dp (the tfidf recipe)",
 )
 def q_collocations(spark, sf_dir):
-    from pyspark.sql.window import Window
-
     from dask_datapipeline_spark.operators.dedup import tokens
     from dask_datapipeline_spark.parallel import fan_out
 
@@ -4588,12 +4600,15 @@ def q_collocations(spark, sf_dir):
         .distinct()
     )
     dfreq = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    wv = Window.orderBy(F.desc("df"), F.asc("token"))
+    # vocab cap as orderBy().limit() -> TakeOrderedAndProject (per-
+    # partition top-k + driver merge of k rows), never a row_number
+    # over an unpartitioned window on the full token-df table — the
+    # same cap discipline as drift.py; (df desc, token) is a total
+    # order so the cut is deterministic
     vocab = (
         dfreq.where(F.col("df") >= 2)
-        .withColumn("rn", F.row_number().over(wv))
-        .where(F.col("rn") <= _COLLOC_VOCAB)
-        .drop("rn")
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(_COLLOC_VOCAB)
     )
     dtv = dt.join(F.broadcast(vocab.select("token")), on="token").select(
         "doc_id", "token"
@@ -4627,12 +4642,11 @@ def q_collocations(spark, sf_dir):
             ).alias("pmi"),
         )
     )
-    wr = Window.orderBy(F.desc("n_co"), F.asc("tok_a"), F.asc("tok_b"))
-    return (
-        scored.withColumn("rn", F.row_number().over(wr))
-        .where(F.col("rn") <= _COLLOC_TOP)
-        .drop("rn")
-    )
+    # same TakeOrdered discipline for the final cut (bounded at
+    # vocab^2/2 rows anyway, but no reason to keep a window here)
+    return scored.orderBy(
+        F.desc("n_co"), F.asc("tok_a"), F.asc("tok_b")
+    ).limit(_COLLOC_TOP)
 
 
 # --------------------------------------------------------------------
@@ -5846,17 +5860,24 @@ FROM d GROUP BY decile
     _SQL_MARGIN_DECILES,
     "Classifier calibration readout: documents ranked into margin deciles "
     "(ntile over the (margin_raw, doc_id) total order — margin_raw orders "
-    "identically to margin and stays integer), per-decile doc/keep counts "
-    "and EXACT integer margin/token sums — no double aggregate anywhere",
+    "identically to margin and stays integer) via the two-pass prefix-sum "
+    "(operators/ranks.py::global_ntile, ~110 margin-range buckets of "
+    "DIV 256 — truncating integer division is monotone, so the bucket is a "
+    "prefix of the order and no corpus-sized window exists); per-decile "
+    "doc/keep counts and EXACT integer margin/token sums — no double "
+    "aggregate anywhere",
 )
 def q_margin_deciles(spark, sf_dir):
-    from pyspark.sql.window import Window
+    from dask_datapipeline_spark.operators.ranks import global_ntile
 
     docs = load_testdata(spark, sf_dir, "documents")
     sc = hashed_linear_score(docs, "doc_id", "text", seed="qw", scale=1000)
-    w = Window.orderBy("margin_raw", "doc_id")
-    d = sc.select(
-        "doc_id", "n_tokens", "margin_raw", F.ntile(10).over(w).alias("decile")
+    d = global_ntile(
+        sc.select("doc_id", "n_tokens", "margin_raw"),
+        ["margin_raw", "doc_id"],
+        F.expr("margin_raw DIV 256"),
+        10,
+        tile_col="decile",
     )
     return d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -6630,14 +6651,35 @@ def q_table_diff(spark, sf_dir):
 
 # ----- vocabulary growth (Heaps-law curve) ---------------------------
 
-_VOCAB_BUCKET = 50  # docs per curve point: bucket count stays bounded
+_VOCAB_BUCKET = 50  # FLOOR: docs per curve point at small corpora
+_VOCAB_MAX_POINTS = 10_000  # CAP: curve points at ANY corpus size
+
+
+def _vocab_bucket_width(max_doc_id: int) -> int:
+    """Bucket width for the Heaps-law curve: at least ``_VOCAB_BUCKET``
+    docs per point, and wide enough that the curve never exceeds
+    ``_VOCAB_MAX_POINTS`` points — so the cumulative window's input
+    (one row per bucket, a single partition by construction) stays
+    BOUNDED as the corpus grows instead of linear in it. Exact
+    integer ceil-division, replayed verbatim by the oracle SQL."""
+    return max(
+        _VOCAB_BUCKET,
+        (int(max_doc_id) + _VOCAB_MAX_POINTS) // _VOCAB_MAX_POINTS,
+    )
+
 
 _SQL_VOCAB_GROWTH = f"""
-WITH tok AS (
+WITH wparam AS (
+  SELECT GREATEST({_VOCAB_BUCKET},
+                  (MAX(doc_id) + {_VOCAB_MAX_POINTS}) // {_VOCAB_MAX_POINTS}) AS w
+  FROM documents
+),
+tok AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
   FROM documents WHERE text IS NOT NULL
 ),
-t2 AS (SELECT doc_id // {_VOCAB_BUCKET} AS b, token FROM tok WHERE token <> ''),
+t2 AS (SELECT doc_id // (SELECT w FROM wparam) AS b, token
+       FROM tok WHERE token <> ''),
 per_b AS (SELECT b, COUNT(*) AS n_tokens FROM t2 GROUP BY b),
 firsts AS (SELECT token, MIN(b) AS fb FROM t2 GROUP BY token),
 nv AS (SELECT fb AS b, COUNT(*) AS n_new FROM firsts GROUP BY fb)
@@ -6653,10 +6695,12 @@ FROM per_b p LEFT JOIN nv ON nv.b = p.b
     _SQL_VOCAB_GROWTH,
     "Vocabulary-growth (Heaps-law) curve: cumulative token count vs "
     "cumulative DISTINCT-type count as the corpus grows in doc_id order, "
-    "at one point per 50-doc bucket. A type's first-appearance bucket is "
+    "with the bucket width derived from corpus size (>=50 docs per point, "
+    "<=10k points at ANY size — the cumulative window's input is bounded, "
+    "not linear in the corpus). A type's first-appearance bucket is "
     "min(bucket) per token — one token-keyed groupBy, never a global "
     "distinct-so-far window; the only ordered window runs over the BUCKET "
-    "table (corpus/50 rows, the bounded-prefix-sum pattern shard_by_tokens "
+    "table (<=10k rows, the bounded-prefix-sum pattern shard_by_tokens "
     "uses), so nothing corpus-sized ever concentrates. Both windowed sums "
     "cast to BIGINT against the DuckDB HUGEINT/float64 fetch trap",
 )
@@ -6664,10 +6708,14 @@ def q_vocab_growth(spark, sf_dir):
     from pyspark.sql.window import Window
 
     docs = load_testdata(spark, sf_dir, "documents")
+    # bounded scalar collect (one MAX row) — the width parameter both
+    # engines derive identically; see _vocab_bucket_width
+    max_id = docs.agg(F.max("doc_id")).first()[0] or 0
+    width = _vocab_bucket_width(max_id)
     t2 = (
         docs.where(F.col("text").isNotNull())
         .select(
-            F.expr(f"doc_id DIV {_VOCAB_BUCKET}").alias("b"),
+            F.expr(f"doc_id DIV {width}").alias("b"),
             F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
         )
         .where(F.col("token") != "")
@@ -8140,6 +8188,72 @@ def q_warc_web_pipeline(spark, sf_dir):
     )
 
 
+def _warc_wet_sql() -> str:
+    from dask_datapipeline_spark.functions.html import html_to_text_sql_steps
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {_RAW_HTML_SQL} AS page
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       'https://crawl.example.com/doc/' || doc_id AS url,
+       'conversion' AS record_type,
+       {html_to_text_sql_steps("page")} AS text
+FROM raw
+"""
+
+
+@register_extra(
+    "warc_wet",
+    _warc_wet_sql(),
+    "WET derivation over a MIXED-record crawl stream: pages packed with the "
+    "real record mix (warcinfo head + request/response/metadata per doc, "
+    "write_warc_batches mixed_records=True) -> parse_warc_typed routes by "
+    "WARC-Type (a mis-routed request/metadata record would surface as an "
+    "extra row and fail the row count) -> responses html_to_text -> packed "
+    "as WET conversion records -> re-parsed. The oracle builds the expected "
+    "text directly, so an exact match proves BOTH the mixed-record routing "
+    "and the conversion-record codec round trip",
+)
+def q_warc_wet(spark, sf_dir):
+    from dask_datapipeline_spark.functions.html import html_to_text
+    from dask_datapipeline_spark.sources.warc import (
+        parse_warc_typed,
+        write_wet_batches,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    staged = docs.select(
+        (F.col("doc_id") % 16).alias("batch_id"),
+        F.concat(
+            F.lit("https://crawl.example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        _raw_html_col().alias("text"),
+    )
+    warc = write_warc_batches(staged, gzip_records=True, mixed_records=True)
+    responses = parse_warc_typed(warc).where(F.col("record_type") == "response")
+    wet_in = responses.select(
+        (F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long") % 16).alias(
+            "batch_id"
+        ),
+        "url",
+        html_to_text(F.col("text")).alias("text"),
+    )
+    wet = write_wet_batches(wet_in, gzip_records=True)
+    return (
+        parse_warc_typed(wet)
+        .where(F.col("record_type") == "conversion")
+        .select(
+            F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+            "url",
+            "record_type",
+            "text",
+        )
+    )
+
+
 # ----- corpus distribution drift -------------------------------------
 
 from dask_datapipeline_spark.operators.drift import (  # noqa: E402
@@ -8262,7 +8376,13 @@ SELECT doc_id,
             ELSE '/public/' || doc_id END AS path,
        CASE WHEN doc_id % 5 = 0 THEN FALSE
             WHEN doc_id % 5 = 2
-            THEN (CAST(regexp_extract(source, '(\\d+)$', 1) AS INTEGER) % 3 <> 0)
+            -- TRY_CAST + COALESCE: a regenerated source value with no
+            -- trailing digits extracts '' (NULL under TRY_CAST) — the
+            -- Spark twin appends no Disallow line then, so ground
+            -- truth is allowed=TRUE, never an oracle crash
+            THEN COALESCE(
+              TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS INTEGER) % 3 <> 0,
+              TRUE)
             ELSE TRUE END AS allowed
 FROM documents WHERE text IS NOT NULL
 """,

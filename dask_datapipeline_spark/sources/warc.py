@@ -51,6 +51,26 @@ _CRLF = b"\r\n"
 WARC_BATCH_SCHEMA = "batch_id long, payload binary, n_records int"
 #: schema of parsed records
 WARC_RECORD_SCHEMA = "url string, http_status int, text string"
+#: schema of typed parsed records (all WARC-Types routed, not skipped)
+WARC_TYPED_SCHEMA = "record_type string, url string, http_status int, text string"
+
+
+def _warc_head(rtype: bytes, url: str | None, ctype: bytes, clen: int) -> bytes:
+    """WARC header block for one record (Target-URI omitted when the
+    record type carries none, e.g. warcinfo)."""
+    rid = hashlib.md5(
+        (rtype.decode() + ":" + (url or "")).encode()
+    ).hexdigest()
+    head = b"WARC/1.0" + _CRLF + b"WARC-Type: " + rtype + _CRLF
+    if url is not None:
+        head += b"WARC-Target-URI: " + url.encode() + _CRLF
+    head += (
+        b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">" + _CRLF
+        + b"Content-Type: " + ctype + _CRLF
+        + b"Content-Length: " + str(clen).encode() + _CRLF
+        + _CRLF
+    )
+    return head
 
 
 def _record_bytes(url: str, body: bytes) -> bytes:
@@ -62,18 +82,44 @@ def _record_bytes(url: str, body: bytes) -> bytes:
         + _CRLF
         + body
     )
-    rid = hashlib.md5(url.encode()).hexdigest()
-    head = (
-        b"WARC/1.0" + _CRLF
-        + b"WARC-Type: response" + _CRLF
-        + b"WARC-Target-URI: " + url.encode() + _CRLF
-        + b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">" + _CRLF
-        + b"Content-Type: application/http; msgtype=response" + _CRLF
-        + b"Content-Length: " + str(len(http)).encode() + _CRLF
-        + _CRLF
+    head = _warc_head(
+        b"response", url, b"application/http; msgtype=response", len(http)
     )
     # two CRLFs terminate a record (WARC/1.0 §4)
     return head + http + _CRLF + _CRLF
+
+
+def _request_bytes(url: str) -> bytes:
+    """One WARC request record — the GET that fetched ``url``; real
+    Common Crawl files interleave these with responses."""
+    path = "/" + url.split("/", 3)[3] if url.count("/") >= 3 else "/"
+    host = url.split("/")[2] if url.count("/") >= 2 else ""
+    http = (
+        b"GET " + path.encode() + b" HTTP/1.1" + _CRLF
+        + b"Host: " + host.encode() + _CRLF
+        + _CRLF
+    )
+    head = _warc_head(
+        b"request", url, b"application/http; msgtype=request", len(http)
+    )
+    return head + http + _CRLF + _CRLF
+
+
+def _fields_bytes(rtype: bytes, url: str | None, fields: dict[str, str]) -> bytes:
+    """One warcinfo/metadata record: a warc-fields body (key: value
+    lines) — the non-HTTP record shapes real crawls interleave."""
+    body = b"".join(
+        k.encode() + b": " + v.encode() + _CRLF for k, v in fields.items()
+    )
+    head = _warc_head(rtype, url, b"application/warc-fields", len(body))
+    return head + body + _CRLF + _CRLF
+
+
+def _conversion_bytes(url: str, text: bytes) -> bytes:
+    """One WET-style conversion record: plain extracted text, no HTTP
+    message (the WARC-Type real WET sibling files carry)."""
+    head = _warc_head(b"conversion", url, b"text/plain", len(text))
+    return head + text + _CRLF + _CRLF
 
 
 def write_warc_batches(
@@ -82,19 +128,81 @@ def write_warc_batches(
     text_col: str = "text",
     batch_col: str = "batch_id",
     gzip_records: bool = True,
+    mixed_records: bool = False,
 ) -> DataFrame:
     """Pack (url, text) rows into one WARC payload per ``batch_col``
     value, records in URL order (deterministic). ``gzip_records=True``
     compresses each record as an independent gzip member
     (``mtime=0`` so the bytes are reproducible), concatenated — the
-    Common Crawl file layout."""
+    Common Crawl file layout. ``mixed_records=True`` reproduces the
+    real crawl record mix: a warcinfo record heads each payload and
+    every document carries request + response + metadata records —
+    the fixture that proves the parser routes by ``WARC-Type`` instead
+    of assuming a response-only stream."""
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(url_col, kind="mergesort")
+        out = bytearray()
+        n = 0
+
+        def _emit(rec: bytes):
+            nonlocal out
+            if gzip_records:
+                rec = gzip.compress(rec, mtime=0)
+            out += rec
+
+        if mixed_records:
+            _emit(
+                _fields_bytes(
+                    b"warcinfo",
+                    None,
+                    {"software": "dask-datapipeline-spark", "format": "WARC/1.0"},
+                )
+            )
+        for url, text in zip(pdf[url_col], pdf[text_col]):
+            if mixed_records:
+                _emit(_request_bytes(str(url)))
+            _emit(_record_bytes(str(url), str(text).encode("utf-8")))
+            if mixed_records:
+                _emit(
+                    _fields_bytes(
+                        b"metadata", str(url), {"fetchTimeMs": "0"}
+                    )
+                )
+            n += 1
+        return pd.DataFrame(
+            {
+                "batch_id": [int(pdf[batch_col].iloc[0])],
+                "payload": [bytes(out)],
+                "n_records": [n],
+            }
+        )
+
+    return (
+        docs.select(batch_col, url_col, text_col)
+        .groupBy(batch_col)
+        .applyInPandas(_pack, WARC_BATCH_SCHEMA)
+    )
+
+
+def write_wet_batches(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    batch_col: str = "batch_id",
+    gzip_records: bool = True,
+) -> DataFrame:
+    """Pack extracted text into WET-style payloads: one ``conversion``
+    record per document (plain text body, no HTTP message) — the
+    sibling-file format Common Crawl ships next to its WARCs. Same
+    batch/gzip discipline as ``write_warc_batches``."""
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(url_col, kind="mergesort")
         out = bytearray()
         n = 0
         for url, text in zip(pdf[url_col], pdf[text_col]):
-            rec = _record_bytes(str(url), str(text).encode("utf-8"))
+            rec = _conversion_bytes(str(url), str(text).encode("utf-8"))
             if gzip_records:
                 rec = gzip.compress(rec, mtime=0)
             out += rec
@@ -137,7 +245,11 @@ def _int_header(headers: dict, key: bytes) -> int:
 
 
 def _parse_stream(raw: bytes):
-    """Yield (url, status, text) from an uncompressed WARC stream."""
+    """Yield (record_type, url, status, text) from an uncompressed
+    WARC stream. Every known ``WARC-Type`` is ROUTED, not skipped:
+    response records parse their HTTP message; conversion records
+    (WET files) are plain text bodies; request/metadata/warcinfo
+    bodies decode as-is with status 0 — callers filter by type."""
     pos = 0
     while True:
         start = raw.find(b"WARC/1.0", pos)
@@ -156,9 +268,16 @@ def _parse_stream(raw: bytes):
             continue
         block = raw[hdr_end + 4 : hdr_end + 4 + clen]
         pos = hdr_end + 4 + clen
-        if headers.get(b"warc-type") != b"response":
-            continue
+        rtype = headers.get(b"warc-type", b"").decode()
         url = headers.get(b"warc-target-uri", b"").decode()
+        if rtype != "response":
+            # non-HTTP-response shapes: conversion (WET) is the
+            # extracted text itself; request/metadata/warcinfo bodies
+            # are warc-fields / HTTP-request text — decode verbatim
+            yield rtype, url, 0, _decode_body(
+                block, headers.get(b"content-type", b"")
+            )
+            continue
         http_end = block.find(_CRLF + _CRLF)
         if http_end < 0:
             continue
@@ -169,11 +288,18 @@ def _parse_stream(raw: bytes):
         for line in block[:http_end].split(_CRLF)[1:]:
             k, _, v = line.partition(b":")
             http_headers[k.strip().lower()] = v.strip()
-        blen = _int_header(http_headers, b"content-length")
-        if blen < 0:
-            continue
+        if b"content-length" in http_headers:
+            blen = _int_header(http_headers, b"content-length")
+            if blen < 0:
+                continue
+        else:
+            # absent HTTP Content-Length (chunked transfer is routine
+            # in real captures): the body is the remainder of the WARC
+            # block — its length is already pinned by the WARC-level
+            # Content-Length, so this stays delimiter-free
+            blen = len(block) - http_end - 4
         body = block[http_end + 4 : http_end + 4 + blen]
-        yield url, status, _decode_body(
+        yield "response", url, status, _decode_body(
             body, http_headers.get(b"content-type", b"")
         )
 
@@ -205,25 +331,54 @@ def _decode_body(body: bytes, content_type: bytes) -> str:
     return body.decode(_CHARSETS.get(charset, "utf-8"), errors="replace")
 
 
+def _parse_payload_rows(pdf: pd.DataFrame, payload_col: str):
+    """Typed (record_type, url, status, text) rows from one Arrow
+    batch of payload blobs (gzipped-members or plain — sniffed by
+    magic bytes per blob)."""
+    rows = []
+    for payload in pdf[payload_col]:
+        raw = bytes(payload)
+        streams = (
+            _gzip_members(raw) if raw[:2] == b"\x1f\x8b" else iter((raw,))
+        )
+        for member in streams:
+            rows.extend(_parse_stream(member))
+    return rows
+
+
 def parse_warc(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Parse WARC payload blobs (gzipped-members or plain — sniffed by
-    magic bytes per blob) into (url, http_status, text) rows. Use on
-    the synthesized batch table or directly on
+    """Parse WARC payload blobs into (url, http_status, text) rows —
+    HTTP ``response`` records only (request/metadata/warcinfo records
+    interleaved in real crawls are routed past, never mis-parsed).
+    Use on the synthesized batch table or directly on
     ``spark.read.format("binaryFile").load("*.warc.gz")``'s
     ``content`` column."""
 
     def _parse(batches):
         for pdf in batches:
-            rows = []
-            for payload in pdf[payload_col]:
-                raw = bytes(payload)
-                streams = (
-                    _gzip_members(raw)
-                    if raw[:2] == b"\x1f\x8b"
-                    else iter((raw,))
-                )
-                for member in streams:
-                    rows.extend(_parse_stream(member))
+            rows = [
+                r[1:]
+                for r in _parse_payload_rows(pdf, payload_col)
+                if r[0] == "response"
+            ]
             yield pd.DataFrame(rows, columns=["url", "http_status", "text"])
 
     return df.select(payload_col).mapInPandas(_parse, WARC_RECORD_SCHEMA)
+
+
+def parse_warc_typed(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Parse WARC payload blobs into (record_type, url, http_status,
+    text) rows for EVERY record type — response (HTTP-parsed),
+    conversion (WET plain text), request/metadata/warcinfo (bodies
+    verbatim, status 0). The reader for mixed real-crawl streams and
+    WET sibling files; same one-pass no-shuffle Arrow shape as
+    ``parse_warc``."""
+
+    def _parse(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                _parse_payload_rows(pdf, payload_col),
+                columns=["record_type", "url", "http_status", "text"],
+            )
+
+    return df.select(payload_col).mapInPandas(_parse, WARC_TYPED_SCHEMA)

@@ -851,7 +851,31 @@ def stream_incremental_hll(
         hll_registers,
     )
 
+    base = sketch_dir.rstrip("/")
+    parent, name = os.path.split(os.path.abspath(base))
+
+    def _recover() -> None:
+        """Heal a mid-swap crash before touching the sketch: the swap
+        below is two renames, and a crash between them leaves
+        ``sketch_dir`` missing with the previous snapshot intact in an
+        ``.old-*`` dir — restoring it (then re-merging the replayed
+        batch, which is idempotent for max-merge) loses nothing.
+        Leftover ``.stage-*``/``.old-*`` dirs from healed or completed
+        swaps are garbage once a live snapshot exists — removed so
+        they cannot accumulate or be mistaken for state."""
+        siblings = os.listdir(parent) if os.path.isdir(parent) else []
+        if not os.path.isdir(sketch_dir):
+            olds = sorted(d for d in siblings if d.startswith(name + ".old-"))
+            if olds:
+                os.rename(os.path.join(parent, olds[-1]), sketch_dir)
+                siblings = os.listdir(parent)
+        if os.path.isdir(sketch_dir):
+            for d in siblings:
+                if d.startswith(name + ".old-") or d.startswith(name + ".stage-"):
+                    shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        _recover()
         reg = hll_registers(batch_df, group_cols, value_col, p=p, seed=HLL_SEED)
         cur = (
             reg

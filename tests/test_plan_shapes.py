@@ -42,6 +42,60 @@ def _lookup(name):
     return CATALOG[name]
 
 
+# Operators that BOUND the rows flowing into an Exchange
+# SinglePartition: an aggregate reduces to one row per group of an
+# already-shuffled key set, a limit cuts to k rows. A single-partition
+# exchange whose subtree reaches a scan with none of these is moving
+# the full input onto one executor — the unpartitioned-window /
+# global-sort scale-killer.
+_BOUNDING = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+)
+
+
+# Bounded-by-construction single-partition windows the heuristic
+# cannot see: streaming_quantile's final estimate scans the
+# MATERIALIZED sample snapshot — a parquet dir holding at most k=1024
+# rows by the sketch contract (sketches.py::quantiles_from_sample
+# docstring), so the "scan under a SinglePartition exchange" is a
+# sketch read, not a corpus read.
+_SKIP_SINGLE_PARTITION = {"extra:streaming_quantile"}
+
+
+def _indent(line: str) -> int:
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+def _unbounded_single_partition_exchanges(plan: str) -> list[str]:
+    """Lines planning an Exchange SinglePartition whose subtree hits a
+    scan without passing a bounding operator first."""
+    lines = plan.splitlines()
+    bad = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln or "ReusedExchange" in ln:
+            continue
+        d = _indent(ln)
+        bounded = False
+        for j in range(i + 1, len(lines)):
+            if _indent(lines[j]) <= d:
+                break
+            if any(b in lines[j] for b in _BOUNDING):
+                bounded = True
+                break
+        if not bounded:
+            bad.append(ln.strip())
+    return bad
+
+
 @pytest.mark.parametrize("name", _batch_queries())
 def test_no_quadratic_join_shapes(spark, sf_dir, name):
     df = _lookup(name).fn(spark, sf_dir)
@@ -51,6 +105,16 @@ def test_no_quadratic_join_shapes(spark, sf_dir, name):
         f"{name} plans {hits} — quadratic per key/partition-pair; "
         "re-encode as an equi-join (bucketing, banding, broadcast of a "
         "bounded side) before this reaches a cluster"
+    )
+    if name in _SKIP_SINGLE_PARTITION:
+        return
+    solo = _unbounded_single_partition_exchanges(plan)
+    assert not solo, (
+        f"{name} plans a single-partition exchange over UNBOUNDED input "
+        f"({solo}) — the whole input moves to one executor (global "
+        "window/sort). Use the two-pass prefix-sum "
+        "(operators/ranks.py::global_ntile, packing.py::shard_by_tokens) "
+        "or an orderBy().limit() TakeOrdered cap instead"
     )
 
 
