@@ -55,6 +55,43 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def _score_and_rank(
+    tf: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+) -> DataFrame:
+    """Shared scoring tail of both BM25 paths: from a candidate frame
+    of (doc_id, dl, token, tf) rows — ALL postings of each candidate
+    term, whether tokenized live or read from the materialized index —
+    compute df (token-keyed count window over the SAME frame: one row
+    per (doc, token), so count(*) per token IS the document
+    frequency), the per-term Robertson score (round-9dp → exact
+    DECIMAL sum → double), and the (score DESC, doc_id) top-k via
+    TakeOrderedAndProject. ONE function so the live and index-backed
+    paths cannot drift."""
+    joined = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    sat = (F.col("tf") * (F.lit(k1) + F.lit(1.0))) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
+    )
+    term = F.round(idf * sat, 9).cast("decimal(19,9)")
+    scored = joined.groupBy("doc_id").agg(
+        F.sum(term).cast("double").alias("score")
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -92,31 +129,78 @@ def bm25_topk(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
     ).where(F.col("token").isin(*query_terms))
     tf = toks.groupBy("doc_id", "dl", "token").agg(F.count(F.lit(1)).alias("tf"))
-    # df as a token-keyed window over tf (one row per (doc, token), so
-    # count(*) per token IS the document frequency) — NOT a groupBy +
-    # join back: that plans a SECOND corpus scan for the df side
-    # (measured in docs/PLANS.md round 9), and at 100 TB an extra
-    # token-keyed shuffle of the small candidate set is far cheaper
-    # than re-reading the corpus
-    joined = tf.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
-    )
+    # df as a token-keyed window over tf — NOT a groupBy + join back:
+    # that plans a SECOND corpus scan for the df side (measured in
+    # docs/PLANS.md round 9); see _score_and_rank
+    return _score_and_rank(tf, n_docs, avgdl, k1, b, k)
 
-    idf = F.log(
-        (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+
+def build_bm25_index(docs: DataFrame, index_dir: str) -> None:
+    """Materialize the BM25 inverted index: ``<index_dir>/postings``
+    holds (token, doc_id, tf, dl) — the full per-(term, doc) term
+    frequency table, clustered on token (repartition + sort-within so
+    every term's postings are contiguous and parquet min/max footers
+    prune a term probe to a handful of row groups) — and
+    ``<index_dir>/stats`` one row (n_docs, sum_dl), the corpus
+    constants scoring needs that postings alone cannot reproduce
+    (a doc whose every token is empty never reaches postings).
+
+    This is the index the ``inverted_index`` catalog row sketches
+    (capped display form) made SCORABLE: build once per corpus
+    snapshot, then ``bm25_topk_from_index`` answers every query from
+    the postings scan — at 100 TB the difference between a
+    seconds-scale probe of query-term row groups and re-tokenizing
+    the corpus per query. On a cluster, write bucketed
+    (``bucketBy(token)``) for static pruning; plain clustered parquet
+    keeps this self-contained."""
+    base = docs.where(F.col("text").isNotNull())
+    toks = base.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("dl"),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
     )
-    sat = (F.col("tf") * (F.lit(k1) + F.lit(1.0))) / (
-        F.col("tf")
-        + F.lit(k1)
-        * (F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
+    postings = toks.groupBy("token", "doc_id", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
     )
-    term = F.round(idf * sat, 9).cast("decimal(19,9)")
-    scored = joined.groupBy("doc_id").agg(
-        F.sum(term).cast("double").alias("score")
+    (
+        postings.repartition("token")
+        .sortWithinPartitions("token", "doc_id")
+        .write.mode("overwrite")
+        .parquet(index_dir.rstrip("/") + "/postings")
     )
-    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return topk.withColumn("rank", F.row_number().over(w))
+    base.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("sum_dl"),
+    ).write.mode("overwrite").parquet(index_dir.rstrip("/") + "/stats")
+
+
+def bm25_topk_from_index(
+    spark,
+    index_dir: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """``bm25_topk`` served from a materialized ``build_bm25_index``
+    directory instead of the corpus: the query-term ``IN`` filter
+    pushes into the postings parquet scan (row-group pruning on the
+    token-clustered layout), so the per-query cost is the candidate
+    postings — the corpus is never re-read or re-tokenized. Output is
+    bit-identical to ``bm25_topk`` on the same corpus snapshot: the
+    scoring tail is literally the same function, and tf/dl/df/stats
+    are exact integers either way."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    st = spark.read.parquet(index_dir.rstrip("/") + "/stats").first()
+    n_docs = int(st["n_docs"])
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = float(int(st["sum_dl"] or 0)) / float(n_docs)
+    tf = spark.read.parquet(index_dir.rstrip("/") + "/postings").where(
+        F.col("token").isin(*query_terms)
+    )
+    return _score_and_rank(tf, n_docs, avgdl, k1, b, k)
 
 
 def bm25_topk_oracle_sql(

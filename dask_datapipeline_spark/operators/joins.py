@@ -66,10 +66,59 @@ def equi_join(
     return left.join(right, on=keys, how=how)
 
 
+def plan_join_order(stats: Sequence[dict]) -> list[int]:
+    """System-R greedy left-deep join order over one shared equi-key:
+    indices into ``stats`` (one ``table_stats`` row per input — dicts
+    with ``n_rows``/``n_null``/``ndv_est`` for the join key), ordered
+    so each step joins in the input minimizing the estimated result
+    cardinality (``operators/stats.py::estimate_equi_join_rows``,
+    the containment-of-value-sets estimate). This is the consumer the
+    ANALYZE pass exists for: the reference hard-codes its fold order
+    (reference ``main.py:257`` folds in caller order via ``reduce``);
+    here statistics pick it.
+
+    Composite stats after a join follow the same assumption: rows =
+    the estimate, key ndv = min of the sides' ndv (an inner join on
+    the key cannot widen its value set), nulls = 0 (inner equi-keys
+    drop nulls). Deterministic: ties break on input index, so equal
+    stats reproduce caller order. Driver-side arithmetic over k
+    bounded rows — never a Spark job."""
+    from dask_datapipeline_spark.operators.stats import estimate_equi_join_rows
+
+    n = len(stats)
+    if n <= 2:
+        return list(range(n))
+
+    def merged(a: dict, b: dict) -> dict:
+        return {
+            "n_rows": estimate_equi_join_rows(a, b),
+            "n_null": 0,
+            "ndv_est": min(float(a["ndv_est"]), float(b["ndv_est"])),
+        }
+
+    first = min(
+        ((i, j) for i in range(n) for j in range(i + 1, n)),
+        key=lambda p: (estimate_equi_join_rows(stats[p[0]], stats[p[1]]), p),
+    )
+    order = list(first)
+    cur = merged(stats[first[0]], stats[first[1]])
+    remaining = [k for k in range(n) if k not in order]
+    while remaining:
+        nxt = min(
+            remaining, key=lambda k: (estimate_equi_join_rows(cur, stats[k]), k)
+        )
+        order.append(nxt)
+        cur = merged(cur, stats[nxt])
+        remaining.remove(nxt)
+    return order
+
+
 def fold_join(
     dfs: Iterable[DataFrame],
     on: str | Sequence[str],
     how: str = "inner",
+    order: str = "given",
+    stats: Sequence[dict] | None = None,
 ) -> DataFrame:
     """Left-deep fold of equi-joins (reference O9, main.py:257).
 
@@ -78,6 +127,17 @@ def fold_join(
     those house ids which made transactions"). Catalyst/CBO may reorder
     the join tree; semantics are order-independent for inner joins.
 
+    ``order='stats'`` (inner joins only — outer folds are order-
+    SENSITIVE) reorders the fold by ``plan_join_order`` so the
+    smallest estimated intermediates come first: pass precomputed
+    ``stats`` rows (``table_stats(df, [key])`` dicts, one per input,
+    caller order) or leave ``stats=None`` to run the ANALYZE pass
+    here (two scans per input — amortize by precomputing when the
+    fold is hot). Multi-column keys plan on the LEADING key's stats
+    (the usual leading-prefix heuristic); pass joint-key stats rows
+    to override. The result multiset is identical either way — only
+    the intermediate sizes change.
+
     Raises ValueError on an empty list (reference main.py:254-255).
     """
     df_list = list(dfs)
@@ -85,6 +145,24 @@ def fold_join(
         raise ValueError("fold_join requires at least one dataframe")
     for d in df_list:
         require_dataframe(d)
+    if order == "stats":
+        if how != "inner":
+            raise ValueError(
+                f"order='stats' requires how='inner' (got {how!r}) — "
+                "outer folds are order-sensitive"
+            )
+        key = on if isinstance(on, str) else list(on)[0]
+        if stats is None:
+            from dask_datapipeline_spark.operators.stats import table_stats
+
+            stats = [table_stats(d, [key]).first().asDict() for d in df_list]
+        if len(stats) != len(df_list):
+            raise ValueError(
+                f"stats has {len(stats)} rows for {len(df_list)} inputs"
+            )
+        df_list = [df_list[i] for i in plan_join_order(stats)]
+    elif order != "given":
+        raise ValueError(f"order={order!r} not in ('given', 'stats')")
     return reduce(lambda l, r: equi_join(l, r, on=on, how=how), df_list)
 
 

@@ -353,13 +353,18 @@ def q_filter_before_sum(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "filter_between_sum",
     f"""
 SELECT user_id, {_dsum('value', 'total_amount_during_campaign')}
 FROM events WHERE ts BETWEEN {_W_LO} AND {_W_HI} GROUP BY user_id
 """,
-    "O7: inclusive-both-ends BETWEEN (feature3) — Spark Column.between matches pandas inclusive",
+    "O7: inclusive-both-ends BETWEEN (feature3) — Spark Column.between "
+    "matches pandas inclusive. Rotated to the extras in round 10 (README "
+    "policy rule 2: filter_before_sum keeps the time-filter-sum shape "
+    "driver-checked — this row is its BETWEEN twin over the same agg body) "
+    "to free the driver slot for bm25_topk; O7 stays swept by the local "
+    "gate here",
 )
 def q_filter_between_sum(spark, sf_dir):
     ev = load_testdata(spark, sf_dir, "events")
@@ -421,6 +426,38 @@ def q_fold_join(spark, sf_dir):
     c = group_agg(li, "l_orderkey", AggSpec("l_extendedprice", "max", "max_price"))
     out = fold_join([o, a, b, c], on="l_orderkey", how="inner")
     return out.select("l_orderkey", "o_totalprice", "sum_qty", "n_lines", "max_price")
+
+
+@register_extra(
+    "join_order_planned",
+    f"""
+WITH a AS (SELECT l_orderkey, {_dsum('l_quantity', 'sum_qty')} FROM lineitem GROUP BY l_orderkey),
+     s AS (SELECT o_orderkey AS l_orderkey, o_totalprice FROM orders
+           WHERE o_totalprice > 150000)
+SELECT o.o_orderkey AS l_orderkey, o.o_orderpriority, a.sum_qty, s.o_totalprice
+FROM orders o
+JOIN a ON o.o_orderkey = a.l_orderkey
+JOIN s ON o.o_orderkey = s.l_orderkey
+""",
+    "Stats-driven n-ary fold: fold_join(order='stats') runs the ANALYZE pass "
+    "(operators/stats.py::table_stats) on each input's join key and reorders "
+    "the left-deep fold by ascending estimated join cardinality "
+    "(plan_join_order — System-R greedy over the containment estimate), so "
+    "the selective filtered input joins FIRST and every later intermediate "
+    "is pre-shrunk. Inner-join semantics are order-independent, so the "
+    "oracle replays the unordered joins and an exact match proves the "
+    "reorder is free",
+)
+def q_join_order_planned(spark, sf_dir):
+    li = load_testdata(spark, sf_dir, "lineitem")
+    orders = load_testdata(spark, sf_dir, "orders")
+    o = orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    a = group_agg(li, "l_orderkey", AggSpec("l_quantity", "sum_exact", "sum_qty", round_scale=2))
+    s = orders.where(F.col("o_totalprice") > 150000).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    out = fold_join([o, a, s], on="l_orderkey", how="inner", order="stats")
+    return out.select("l_orderkey", "o_orderpriority", "sum_qty", "o_totalprice")
 
 
 # --------------------------------------------------------------------
@@ -880,7 +917,10 @@ DRIVER_ORDER: list[str] = [
     "count_agg",
     "multi_agg_pricing",
     "filter_before_sum",
-    "filter_between_sum",
+    # round-10 rotation (README policy rules 2+3): filter_between_sum
+    # out to EXTRA_CATALOG — it is filter_before_sum's BETWEEN twin
+    # over the same agg body, so the pair held two driver slots for
+    # one shape. Slot freed for bm25_topk below.
     "fold_join",
     # generalized relational surface (SURVEY.md §2.1 absences)
     "window_topk",
@@ -920,6 +960,11 @@ DRIVER_ORDER: list[str] = [
     # stay. Slot freed for gopher_quality below.
     "text_stats",
     "tfidf_top_terms",
+    # round-10 promotion (slot freed by filter_between_sum above):
+    # BM25 ranked retrieval — the retrieval/decontamination-probe
+    # family's first driver row (tfidf_top_terms covers term weighting,
+    # nothing covered scoring+top-k); exact-match green since round 9
+    "bm25_topk",
     "data_split",
     "json_props_agg",
     "multimodal_features",

@@ -7710,7 +7710,7 @@ _BM25_QUERY = ["dup", "vector", "spark"]
 _BM25_K = 15
 
 
-@register_extra(
+@register(
     "bm25_topk",
     bm25_topk_oracle_sql("documents", _BM25_QUERY, k=_BM25_K),
     "Okapi BM25 top-k retrieval (operators/bm25.py): the query-time half of "
@@ -7718,11 +7718,41 @@ _BM25_K = 15
     "BEFORE any shuffle, one (doc,term) groupBy for tf, <=|Q|-row broadcast df "
     "join, TakeOrderedAndProject top-k (no global sort). ln-idf rounded 9dp "
     "-> exact DECIMAL sum -> double (lm_perplexity recipe); (score DESC, "
-    "doc_id) unique-key order",
+    "doc_id) unique-key order. Promoted to the driver window in round 10 "
+    "(README policy rule 3: retrieval is a production stage with no driver "
+    "representative; slot freed by filter_between_sum)",
 )
 def q_bm25_topk(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents")
     return bm25_topk(docs, _BM25_QUERY, k=_BM25_K)
+
+
+@register_extra(
+    "bm25_from_index",
+    bm25_topk_oracle_sql("documents", _BM25_QUERY, k=_BM25_K),
+    "Index-backed BM25 (operators/bm25.py::bm25_topk_from_index): the "
+    "materialized inverted index made scorable — build_bm25_index writes "
+    "token-clustered postings (token, doc_id, tf, dl) + one-row corpus "
+    "stats; the query then probes ONLY query-term postings (IN filter "
+    "pushed into the postings parquet scan) and never re-tokenizes the "
+    "corpus — at 100 TB a seconds-scale row-group probe vs a full pass. "
+    "Shares bm25_topk's oracle verbatim: an exact match proves the index "
+    "round trip is transparent (the scoring tail is literally the same "
+    "function)",
+)
+def q_bm25_from_index(spark, sf_dir):
+    import os as _os
+    import tempfile as _tf
+
+    from dask_datapipeline_spark.operators.bm25 import (
+        bm25_topk_from_index,
+        build_bm25_index,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    idx = _os.path.join(_tf.mkdtemp(prefix="ddps_bm25_idx_"), "index")
+    build_bm25_index(docs, idx)
+    return bm25_topk_from_index(spark, idx, _BM25_QUERY, k=_BM25_K)
 
 
 # ----- C4 line-level page cleaning -----------------------------------

@@ -256,6 +256,96 @@ def test_global_ntile_plan_has_no_single_partition_sort(spark):
             "HashAggregate" in following[:2000], plan
 
 
+# ----- stats-driven join ordering ---------------------------------------
+
+
+def test_plan_join_order_flips_on_skewed_stats():
+    """Skewed stats must provably flip the fold order and shrink the
+    first intermediate (the System-R point)."""
+    from dask_datapipeline_spark.operators.joins import plan_join_order
+    from dask_datapipeline_spark.operators.stats import estimate_equi_join_rows
+
+    big = {"n_rows": 1_000_000, "n_null": 0, "ndv_est": 1_000_000.0}
+    big2 = {"n_rows": 900_000, "n_null": 0, "ndv_est": 900_000.0}
+    tiny = {"n_rows": 100, "n_null": 0, "ndv_est": 100.0}
+    stats = [big, big2, tiny]
+    order = plan_join_order(stats)
+    assert order == [0, 2, 1]  # tiny joins first (tie on est -> index)
+    est_planned = estimate_equi_join_rows(stats[order[0]], stats[order[1]])
+    est_given = estimate_equi_join_rows(big, big2)
+    assert est_planned < est_given  # 100 vs 900k intermediate rows
+    # equal stats reproduce caller order — the reorder is stats-driven,
+    # never arbitrary
+    assert plan_join_order([big, dict(big), dict(big)]) == [0, 1, 2]
+    assert plan_join_order([big, tiny]) == [0, 1]
+
+
+def test_fold_join_stats_order_matches_given(spark):
+    from dask_datapipeline_spark.operators.joins import fold_join
+
+    base = spark.range(200).select(F.col("id").alias("k"), (F.col("id") * 2).alias("x"))
+    mid = spark.range(150).select(F.col("id").alias("k"), (F.col("id") + 7).alias("y"))
+    small = spark.range(10).select(F.col("id").alias("k"), (F.col("id") % 3).alias("z"))
+    given = fold_join([base, mid, small], on="k", how="inner")
+    planned = fold_join([base, mid, small], on="k", how="inner", order="stats")
+    assert sorted(planned.columns) == sorted(given.columns)
+    g = sorted(tuple(r) for r in given.select(*sorted(given.columns)).collect())
+    p = sorted(tuple(r) for r in planned.select(*sorted(given.columns)).collect())
+    assert p == g and len(p) == 10
+
+
+def test_fold_join_stats_order_rejects_outer(spark):
+    from dask_datapipeline_spark.operators.joins import fold_join
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="order-sensitive"):
+        fold_join([df, df], on="k", how="left", order="stats")
+
+
+# ----- index-backed BM25 ------------------------------------------------
+
+
+def test_bm25_from_index_bit_identical_to_live(spark, sf_dir, tmp_path):
+    from dask_datapipeline_spark.operators.bm25 import (
+        bm25_topk,
+        bm25_topk_from_index,
+        build_bm25_index,
+    )
+    from dask_datapipeline_spark.sources.readers import load_testdata
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    idx = str(tmp_path / "bm25_index")
+    build_bm25_index(docs, idx)
+    terms = ["dup", "vector", "spark"]
+    live = bm25_topk(docs, terms, k=15).collect()
+    from_idx = bm25_topk_from_index(spark, idx, terms, k=15).collect()
+    assert [tuple(r) for r in from_idx] == [tuple(r) for r in live]
+
+
+def test_bm25_index_probe_scans_postings_not_corpus(spark, sf_dir, tmp_path):
+    """The plan contract: the probe reads the postings files with the
+    query-term IN filter PUSHED into the scan; the documents corpus
+    appears nowhere."""
+    from dask_datapipeline_spark.operators.bm25 import (
+        bm25_topk_from_index,
+        build_bm25_index,
+    )
+    from dask_datapipeline_spark.sources.readers import load_testdata
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    idx = str(tmp_path / "bm25_index")
+    build_bm25_index(docs, idx)
+    df = bm25_topk_from_index(spark, idx, ["dup", "vector"], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one parquet scan, reading the postings schema (a corpus
+    # scan would read text), with the query-term filter pushed down
+    assert plan.count("Scan parquet") == 1, plan
+    assert "struct<token:string,doc_id:bigint" in plan, plan
+    assert "text" not in plan.split("ReadSchema:")[1].splitlines()[0], plan
+    assert "PushedFilters: [In(token" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 # ----- vocab_growth bucket width guard ---------------------------------
 
 
