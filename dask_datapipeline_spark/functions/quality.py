@@ -39,14 +39,18 @@ Conventions, stated once:
   one empty line, so no denominator is ever 0 under ANSI mode. NULL
   text must be gated by the caller (same ``isNotNull`` contract as
   the rest of the text family).
-- The stopword floor uses the ENGLISH marker set deliberately: the
-  Gopher rule suite is an English-corpus instrument, and the
-  pipelines that adopted it (MassiveText, RefinedWeb, FineWeb) run it
-  on the English shard AFTER language-ID splitting — compose with
+- The stopword floor defaults to the ENGLISH marker set: the Gopher
+  rule suite is an English-corpus instrument, and the pipelines that
+  adopted it (MassiveText, RefinedWeb, FineWeb) run it on the English
+  shard AFTER language-ID splitting — compose with
   ``functions/text.py::lang_id`` (the ``lang_quality`` row) upstream,
-  exactly as ``web_corpus_clean`` stages its filters. Scoring a
-  non-English shard against English stopwords would mass-fail
-  ``fail_stopwords`` by construction, not by quality.
+  exactly as ``web_corpus_clean`` stages its filters. For
+  multilingual shards pass ``lang=`` to ``gopher_signal_cols`` (or
+  use ``stopword_hits_by_lang`` directly): the floor then scores each
+  row against its OWN language's ``LANG_MARKERS`` row (the
+  ``gopher_multilang`` catalog row), so non-English shards are judged
+  by their own function words instead of mass-failing
+  ``fail_stopwords`` by construction.
 """
 
 from __future__ import annotations
@@ -103,10 +107,59 @@ def _lines(col: Column) -> Column:
     return F.split(F.regexp_replace(col, r"\r", ""), r"\n")
 
 
-def gopher_signal_cols(text: Column | str) -> dict[str, Column]:
+def stopword_hits_by_lang(text: Column | str, lang: Column | str) -> Column:
+    """Per-row language-aware stopword hits: the marker set is chosen
+    by the ``lang`` column (the ``LANG_MARKERS`` table, same fixed key
+    order as ``lang_id``'s CASE chain); unknown or NULL langs fall
+    back to the English markers — so Gopher's stopword floor composes
+    with ``lang_id`` upstream instead of mass-failing non-English
+    shards against English function words. Still a pure per-row array
+    expression: the marker table is a handful of literals per
+    language, never a join."""
+    c = F.col(text) if isinstance(text, str) else text
+    l = F.col(lang) if isinstance(lang, str) else lang
+    toks = F.split(F.lower(c), " ")
+
+    def hits(markers: list[str]) -> Column:
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    out = None
+    for lg, markers in LANG_MARKERS.items():
+        if lg == "en":
+            continue
+        cond = l == F.lit(lg)
+        out = F.when(cond, hits(markers)) if out is None else out.when(cond, hits(markers))
+    return out.otherwise(hits(LANG_MARKERS["en"]))
+
+
+def stopword_hits_by_lang_sql(expr: str, lang_expr: str) -> str:
+    """DuckDB replay of ``stopword_hits_by_lang`` — same marker
+    constants by import, same CASE order, same en fallback."""
+    toks = f"string_split(lower({expr}), ' ')"
+
+    def hits(markers: list[str]) -> str:
+        lst = ", ".join(f"'{_q(m)}'" for m in markers)
+        return f"len(list_filter({toks}, t -> t IN ({lst})))"
+
+    whens = " ".join(
+        f"WHEN {lang_expr} = '{_q(lg)}' THEN {hits(markers)}"
+        for lg, markers in LANG_MARKERS.items()
+        if lg != "en"
+    )
+    return f"CAST(CASE {whens} ELSE {hits(LANG_MARKERS['en'])} END AS BIGINT)"
+
+
+def gopher_signal_cols(
+    text: Column | str, lang: Column | str | None = None
+) -> dict[str, Column]:
     """All Gopher shape/repetition signals of a non-NULL text column,
     as a name → Column dict in ``SIGNAL_NAMES`` order. Pure per-row
-    expressions (module docstring)."""
+    expressions (module docstring). With ``lang`` given, the stopword
+    floor scores against that row's OWN language markers
+    (``stopword_hits_by_lang``) instead of the English-only default —
+    the multilingual-shard composition the module docstring calls
+    for."""
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.lower(c), " ")
     n_words = F.size(toks)
@@ -135,7 +188,9 @@ def gopher_signal_cols(text: Column | str) -> dict[str, Column]:
             F.filter(toks, lambda t: t.rlike(ALPHA_WORD_RE))
         )
         / n_words,
-        "stop_hits": stopword_hits(c).cast("long"),
+        "stop_hits": (
+            stopword_hits(c) if lang is None else stopword_hits_by_lang(c, lang)
+        ).cast("long"),
         "dup_line_frac": F.lit(1.0)
         - F.size(F.array_distinct(lines)) / n_lines,
         # guard: a doc whose every line is empty has 0 total line
@@ -196,12 +251,13 @@ def _q(s: str) -> str:
     return s.replace("'", "''")
 
 
-def gopher_sql_projections(expr: str) -> dict[str, str]:
+def gopher_sql_projections(expr: str, lang_expr: str | None = None) -> dict[str, str]:
     """DuckDB replay of ``gopher_signal_cols`` over ``expr`` (a
     non-NULL text expression) — per-row list functions mirroring the
     Spark array expressions, same constants, same division trees.
     ``\\u2022``/``\\u2026`` embed as UTF-8 bytes (RE2 reads the same
-    bytes Java does); regexes embed verbatim."""
+    bytes Java does); regexes embed verbatim. ``lang_expr`` mirrors
+    the Spark side's per-language stopword floor."""
     toks = f"string_split(lower({expr}), ' ')"
     lines = f"string_split(replace({expr}, chr(13), ''), chr(10))"
     n_words = f"len({toks})"
@@ -231,6 +287,8 @@ def gopher_sql_projections(expr: str) -> dict[str, str]:
         ),
         "stop_hits": (
             f"CAST(len(list_filter({toks}, t -> t IN ({markers}))) AS BIGINT)"
+            if lang_expr is None
+            else stopword_hits_by_lang_sql(expr, lang_expr)
         ),
         "dup_line_frac": f"1.0 - len(list_distinct({lines})) / {n_lines}",
         "dup_line_char_frac": (

@@ -7604,6 +7604,83 @@ def q_gopher_report(spark, sf_dir):
     )
 
 
+def _gopher_multilang_sql() -> str:
+    from dask_datapipeline_spark.functions.quality import (
+        THRESHOLDS,
+        gopher_sql_projections,
+    )
+    from dask_datapipeline_spark.functions.text import LANG_MARKERS
+
+    whens = " ".join(
+        f"WHEN lang = '{lg}' THEN '{m[0]} {m[1]} '"
+        for lg, m in LANG_MARKERS.items()
+        if lg != "en"
+    )
+    en = LANG_MARKERS["en"]
+    prefix = f"CASE {whens} ELSE '{en[0]} {en[1]} ' END"
+    hits_lang = gopher_sql_projections("text2", lang_expr="lang")["stop_hits"]
+    hits_en = gopher_sql_projections("text2")["stop_hits"]
+    floor = int(THRESHOLDS["min_stopword_hits"])
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {prefix} || text AS text2
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+)
+SELECT doc_id, lang,
+       {hits_lang} AS stop_hits,
+       {hits_en} AS stop_hits_en,
+       {hits_lang} < {floor} AS fail_stopwords,
+       {hits_en} < {floor} AS fail_stopwords_en
+FROM t
+"""
+
+
+@register_extra(
+    "gopher_multilang",
+    _gopher_multilang_sql(),
+    "Per-language Gopher stopword floor (functions/quality.py::"
+    "stopword_hits_by_lang): each document scores against ITS OWN "
+    "language's marker table (the LANG_MARKERS discipline, keyed by the "
+    "lang column) so the quality gate composes with lang_id on "
+    "multilingual shards instead of mass-failing non-English docs against "
+    "English function words. Fixture prepends each doc's two native "
+    "markers, so every doc passes its own floor while the ride-along "
+    "English-only columns show the counterfactual; still one per-row "
+    "codegen expression, the marker table is literals, never a join",
+)
+def q_gopher_multilang(spark, sf_dir):
+    from dask_datapipeline_spark.functions.quality import (
+        THRESHOLDS,
+        stopword_hits_by_lang,
+    )
+    from dask_datapipeline_spark.functions.text import LANG_MARKERS, stopword_hits
+
+    docs = load_testdata(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    prefix = None
+    for lg, m in LANG_MARKERS.items():
+        if lg == "en":
+            continue
+        cond = F.col("lang") == F.lit(lg)
+        val = F.lit(f"{m[0]} {m[1]} ")
+        prefix = F.when(cond, val) if prefix is None else prefix.when(cond, val)
+    en = LANG_MARKERS["en"]
+    prefix = prefix.otherwise(F.lit(f"{en[0]} {en[1]} "))
+    text2 = F.concat(prefix, F.col("text"))
+    hits_lang = stopword_hits_by_lang(text2, F.col("lang")).cast("long")
+    hits_en = stopword_hits(text2).cast("long")
+    floor = int(THRESHOLDS["min_stopword_hits"])
+    return docs.select(
+        "doc_id",
+        "lang",
+        hits_lang.alias("stop_hits"),
+        hits_en.alias("stop_hits_en"),
+        (hits_lang < floor).alias("fail_stopwords"),
+        (hits_en < floor).alias("fail_stopwords_en"),
+    )
+
+
 # ----- HyperLogLog distinct sketch -----------------------------------
 
 from dask_datapipeline_spark.operators.sketches import (  # noqa: E402

@@ -365,6 +365,82 @@ def test_vocab_bucket_width_caps_points():
     assert _vocab_bucket_width(10_000) == _VOCAB_BUCKET
 
 
+# ----- per-language Gopher stopword floor -------------------------------
+
+
+def test_gopher_multilang_floor_scores_own_language(spark):
+    """A German doc passes ITS OWN stopword floor while failing the
+    English-only one — the composition the multilingual shard needs."""
+    from dask_datapipeline_spark.functions.quality import (
+        THRESHOLDS,
+        gopher_signal_cols,
+        stopword_hits_by_lang,
+    )
+    from dask_datapipeline_spark.functions.text import stopword_hits
+
+    de_text = "der hund und die katze sind nicht hier im garten heute"
+    en_text = "the cat and the dog are in a garden today it is nice"
+    df = spark.createDataFrame(
+        [(1, "de", de_text), (2, "en", en_text), (3, "xx", en_text)],
+        "doc_id long, lang string, text string",
+    )
+    floor = int(THRESHOLDS["min_stopword_hits"])
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            stopword_hits_by_lang(F.col("text"), F.col("lang")).alias("own"),
+            stopword_hits(F.col("text")).alias("en_only"),
+        ).collect()
+    }
+    assert out[1]["own"] >= floor        # de doc passes its own floor
+    assert out[1]["en_only"] < floor     # ... while failing the en one
+    assert out[2]["own"] == out[2]["en_only"]  # en rows identical either way
+    assert out[3]["own"] == out[3]["en_only"]  # unknown lang falls back to en
+
+    # gopher_signal_cols(lang=...) threads the same hits into stop_hits
+    sig = gopher_signal_cols(F.col("text"), lang=F.col("lang"))
+    got = {
+        r["doc_id"]: r["stop_hits"]
+        for r in df.select("doc_id", sig["stop_hits"].alias("stop_hits")).collect()
+    }
+    assert got[1] == out[1]["own"] and got[2] == out[2]["own"]
+
+
+def test_gopher_multilang_sql_twin_matches(spark):
+    """The DuckDB twin of the per-language floor counts identically on
+    the same rows."""
+    import duckdb
+
+    from dask_datapipeline_spark.functions.quality import stopword_hits_by_lang
+
+    rows = [
+        (1, "de", "der hund und die katze"),
+        (2, "es", "el gato y los perros que"),
+        (3, "fr", "le chat et les chiens dans"),
+        (4, "en", "the cat and a dog"),
+        (5, "zz", "the cat and a dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id",
+            stopword_hits_by_lang(F.col("text"), F.col("lang")).alias("h"),
+        ).collect()
+    }
+    from dask_datapipeline_spark.functions.quality import stopword_hits_by_lang_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(doc_id BIGINT, lang VARCHAR, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    sql = stopword_hits_by_lang_sql("text", "lang")
+    want = dict(con.execute(f"SELECT doc_id, {sql} FROM t").fetchall())
+    assert got == want
+
+
 # ----- streaming HLL: mid-swap crash recovery --------------------------
 
 
