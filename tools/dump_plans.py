@@ -50,7 +50,10 @@ SHOWCASE = [
     ("extra:sql_q17ish", "correlated scalar-aggregate subquery DECORRELATED: one Aggregate over lineitem.l_partkey feeding a join — no per-row subquery node"),
     ("gopher_quality", "Gopher quality rules (driver row since round 9): every signal + the keep flag in ONE Project over the scan — zero Exchange, zero Python; the whole curation filter is scan-bound"),
     ("extra:hll_distinct", "HyperLogLog: register build is Catalyst partial_max alone (no Python), shuffle carries <= groups*2^p fixed-width register rows; estimate is a second bounded groupBy"),
-    ("extra:bm25_topk", "BM25 retrieval: ONE corpus scan — query-term IN filter prunes postings at the generator, df rides along as a token window over the small candidate frame, TakeOrderedAndProject top-k (no global sort, no second scan)"),
+    ("bm25_topk", "BM25 retrieval (driver row since round 10): ONE corpus scan — query-term IN filter prunes postings at the generator, df rides along as a token window over the small candidate frame, TakeOrderedAndProject top-k (no global sort, no second scan)"),
+    ("extra:bm25_from_index", "index-backed BM25: the corpus scan is REPLACED by the materialized postings scan (ReadSchema is the postings struct, PushedFilters carries In(token, ...)) — the per-query cost is the candidate postings' row groups, the corpus is never re-tokenized"),
+    ("extra:equi_depth_histogram", "distributed equi-depth ntile (ranks.py::global_ntile): bucket-count groupBy + bounded offset window, then a window PARTITIONED by price-range bucket + broadcast offset join — the global ntile's Exchange SinglePartition is gone (round-10 rewrite)"),
+    ("extra:join_order_planned", "stats-driven fold order: the ANALYZE pass ran at plan time (plan_join_order over table_stats rows), so the filtered small input joins first — the physical tree is the System-R left-deep order, not caller order"),
 ]
 
 
