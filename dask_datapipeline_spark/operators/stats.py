@@ -29,6 +29,8 @@ linear-counting branch, see sketches.py).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -135,6 +137,89 @@ SELECT w.col_name, w.n_rows, w.n_null, w.min_val, w.max_val,
        COALESCE(n.est_distinct, 0.0) AS ndv_est
 FROM wide w LEFT JOIN ndv n ON n.col_name = w.col_name
 """
+
+
+def equi_depth_bounds(
+    df: DataFrame, col: str, n_buckets: int = 10, unique_key: str | None = None
+) -> DataFrame:
+    """Equi-depth histogram STATISTIC for ``col``: one row per bucket
+    with (bucket, n_rows, lo, hi) — the ANALYZE histogram every CBO
+    prices range predicates with (DuckDB/Postgres equi-depth,
+    Spark's own ``ANALYZE ... FOR COLUMNS`` shape). Built on the
+    two-pass distributed ntile (``operators/ranks.py::global_ntile``)
+    so no corpus-sized single-partition window exists; ``unique_key``
+    supplies the total-order tiebreak (defaults to ``col`` alone,
+    which is fine for the statistic — ties land in adjacent buckets
+    either way and bounds are unaffected). NULLs are excluded (they
+    never satisfy a range predicate; price them from ``table_stats``
+    null counts)."""
+    from dask_datapipeline_spark.operators.ranks import global_ntile
+
+    order = [col] + ([unique_key] if unique_key else [])
+    src = df.where(F.col(col).isNotNull()).select(*dict.fromkeys(order))
+    v = F.col(col).cast("double")
+    # bounded scalar probe (one MIN/MAX row — the ANALYZE precedent)
+    # sizes the coarse range bucket the two-pass rank needs: ~64
+    # buckets per tile keeps the offset table bounded while spreading
+    # the per-bucket partitioned sorts across executors
+    mm = src.agg(F.min(v).alias("mn"), F.max(v).alias("mx")).first()
+    mn = float(mm["mn"]) if mm["mn"] is not None else 0.0
+    mx = float(mm["mx"]) if mm["mx"] is not None else 0.0
+    width = (mx - mn) / (n_buckets * 64) if mx > mn else 1.0
+    bucket = F.floor((v - F.lit(mn)) / F.lit(width))
+    tiled = global_ntile(src, order, bucket, n_buckets, tile_col="bucket")
+    return tiled.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(v).alias("lo"),
+        F.max(v).alias("hi"),
+    )
+
+
+def estimate_range_rows(
+    hist: Sequence[dict], lo: float | None, hi: float | None
+) -> float:
+    """Estimated rows with ``lo <= col <= hi`` from an
+    ``equi_depth_bounds`` histogram (list of bucket dicts with
+    ``n_rows``/``lo``/``hi``): full buckets inside the range count
+    whole, boundary buckets interpolate linearly on the value axis —
+    the textbook equi-depth selectivity rule. ``None`` bounds are
+    open. Driver-side arithmetic over n_buckets rows."""
+    total = 0.0
+    for b in hist:
+        b_lo, b_hi, n = float(b["lo"]), float(b["hi"]), float(b["n_rows"])
+        q_lo = b_lo if lo is None else max(lo, b_lo)
+        q_hi = b_hi if hi is None else min(hi, b_hi)
+        if q_lo > q_hi:
+            continue
+        if b_hi == b_lo:
+            total += n  # single-valued bucket wholly inside
+        else:
+            total += n * (q_hi - q_lo) / (b_hi - b_lo)
+    return total
+
+
+def apply_selectivity(stats: dict, selectivity: float) -> dict:
+    """A ``table_stats`` row scaled by a predicate selectivity — the
+    composition step that lets ``plan_join_order`` price FILTERED
+    inputs: rows scale by s; key ndv scales by the standard
+    uniform-mapping estimate ``ndv · (1 - (1 - s)^(n/ndv))``
+    (Yao/Selinger: the chance a distinct value survives when its
+    ~n/ndv rows are each kept with probability s), capped at the
+    surviving rows; nulls scale with s."""
+    s = min(max(float(selectivity), 0.0), 1.0)
+    n = float(stats["n_rows"])
+    ndv = float(stats["ndv_est"])
+    rows = n * s
+    if ndv <= 0 or n <= 0:
+        ndv_new = 0.0
+    else:
+        per_value = n / ndv
+        ndv_new = min(ndv * (1.0 - (1.0 - s) ** per_value), rows)
+    return {
+        "n_rows": rows,
+        "n_null": float(stats["n_null"]) * s,
+        "ndv_est": ndv_new,
+    }
 
 
 def estimate_equi_join_rows(

@@ -460,6 +460,61 @@ def q_join_order_planned(spark, sf_dir):
     return out.select("l_orderkey", "o_orderpriority", "sum_qty", "o_totalprice")
 
 
+@register_extra(
+    "join_order_histogram",
+    f"""
+WITH a AS (SELECT l_orderkey, {_dsum('l_quantity', 'sum_qty')} FROM lineitem GROUP BY l_orderkey),
+     s AS (SELECT o_orderkey AS l_orderkey, o_totalprice FROM orders
+           WHERE o_totalprice > 150000)
+SELECT o.o_orderkey AS l_orderkey, o.o_orderpriority, a.sum_qty, s.o_totalprice
+FROM orders o
+JOIN a ON o.o_orderkey = a.l_orderkey
+JOIN s ON o.o_orderkey = s.l_orderkey
+""",
+    "Filter-aware stats-driven fold: the filtered input's stats are PRICED, "
+    "not re-ANALYZEd — equi_depth_bounds builds the o_totalprice equi-depth "
+    "histogram (the two-pass distributed ntile), estimate_range_rows prices "
+    "the >150000 predicate off it, apply_selectivity scales the unfiltered "
+    "ANALYZE row (Yao ndv survival), and plan_join_order folds on the priced "
+    "stats — the full CBO path (histogram -> selectivity -> cardinality -> "
+    "join order) in one query. Same oracle as join_order_planned: inner "
+    "reordering is result-free",
+)
+def q_join_order_histogram(spark, sf_dir):
+    from dask_datapipeline_spark.operators.stats import (
+        apply_selectivity,
+        equi_depth_bounds,
+        estimate_range_rows,
+        table_stats,
+    )
+
+    li = load_testdata(spark, sf_dir, "lineitem")
+    orders = load_testdata(spark, sf_dir, "orders")
+    o = orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    a = group_agg(li, "l_orderkey", AggSpec("l_quantity", "sum_exact", "sum_qty", round_scale=2))
+    s = orders.where(F.col("o_totalprice") > 150000).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    # ANALYZE the UNFILTERED inputs once (amortized in production);
+    # the filtered input is priced, never rescanned
+    st_orders = table_stats(orders, ["o_orderkey"]).first().asDict()
+    st_a = table_stats(a, ["l_orderkey"]).first().asDict()
+    hist = [
+        r.asDict()
+        for r in equi_depth_bounds(
+            orders, "o_totalprice", n_buckets=10, unique_key="o_orderkey"
+        ).collect()
+    ]
+    n_vals = sum(r["n_rows"] for r in hist)
+    sel = estimate_range_rows(hist, 150000.0, None) / n_vals if n_vals else 0.0
+    st_s = apply_selectivity(st_orders, sel)
+    out = fold_join(
+        [o, a, s], on="l_orderkey", how="inner", order="stats",
+        stats=[st_orders, st_a, st_s],
+    )
+    return out.select("l_orderkey", "o_orderpriority", "sum_qty", "o_totalprice")
+
+
 # --------------------------------------------------------------------
 # Generalized relational surface (absent from reference, SURVEY.md §2.1)
 # --------------------------------------------------------------------

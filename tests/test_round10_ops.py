@@ -346,6 +346,94 @@ def test_bm25_index_probe_scans_postings_not_corpus(spark, sf_dir, tmp_path):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+# ----- histogram selectivity (the stats layer's range pricing) ----------
+
+
+def test_equi_depth_bounds_shape(spark):
+    from dask_datapipeline_spark.operators.stats import equi_depth_bounds
+
+    df = spark.range(1000).select((F.col("id") * 3 % 997).alias("v"), "id")
+    hist = (
+        equi_depth_bounds(df, "v", n_buckets=10, unique_key="id")
+        .orderBy("bucket")
+        .collect()
+    )
+    assert len(hist) == 10
+    assert sum(r["n_rows"] for r in hist) == 1000
+    assert all(r["n_rows"] == 100 for r in hist)  # exact equi-depth
+    for a, b in zip(hist, hist[1:]):
+        assert a["hi"] <= b["lo"]
+        assert a["lo"] <= a["hi"]
+
+
+def test_estimate_range_rows_uniform(spark):
+    from dask_datapipeline_spark.operators.stats import (
+        equi_depth_bounds,
+        estimate_range_rows,
+    )
+
+    df = spark.range(10_000).select(F.col("id").cast("double").alias("v"), "id")
+    hist = [r.asDict() for r in equi_depth_bounds(df, "v", 10, "id").collect()]
+    n = sum(r["n_rows"] for r in hist)
+    assert estimate_range_rows(hist, None, None) == pytest.approx(n, rel=0.01)
+    assert estimate_range_rows(hist, 2_500, 7_499) == pytest.approx(5_000, rel=0.05)
+    assert estimate_range_rows(hist, 20_000, 30_000) == 0.0
+    assert estimate_range_rows(hist, 9_000, None) == pytest.approx(1_000, rel=0.1)
+
+
+def test_apply_selectivity_bounds():
+    from dask_datapipeline_spark.operators.stats import apply_selectivity
+
+    st = {"n_rows": 1000, "n_null": 10, "ndv_est": 100.0}
+    full = apply_selectivity(st, 1.0)
+    assert full["n_rows"] == 1000 and full["ndv_est"] == pytest.approx(100.0)
+    none = apply_selectivity(st, 0.0)
+    assert none["n_rows"] == 0 and none["ndv_est"] == 0.0
+    half = apply_selectivity(st, 0.5)
+    assert 0 < half["ndv_est"] <= half["n_rows"] == 500
+    # unique-key column: ndv tracks rows (per_value=1 -> ndv*s)
+    uk = apply_selectivity({"n_rows": 1000, "n_null": 0, "ndv_est": 1000.0}, 0.3)
+    assert uk["ndv_est"] == pytest.approx(300.0)
+
+
+def test_histogram_priced_filter_flips_join_order():
+    """Filter-aware planning end-to-end at the arithmetic level: a big
+    input with a selective range predicate must be ordered FIRST once
+    its stats are scaled by the histogram-priced selectivity."""
+    from dask_datapipeline_spark.operators.joins import plan_join_order
+    from dask_datapipeline_spark.operators.stats import (
+        apply_selectivity,
+        estimate_range_rows,
+    )
+
+    # synthetic uniform histogram over [0, 1000) with 1M rows
+    hist = [
+        {"bucket": i + 1, "n_rows": 100_000, "lo": i * 100.0, "hi": (i + 1) * 100.0 - 1}
+        for i in range(10)
+    ]
+    from dask_datapipeline_spark.operators.stats import estimate_equi_join_rows
+
+    big = {"n_rows": 1_000_000, "n_null": 0, "ndv_est": 500_000.0}
+    other = {"n_rows": 800_000, "n_null": 0, "ndv_est": 400_000.0}
+    mid = {"n_rows": 600_000, "n_null": 0, "ndv_est": 300_000.0}
+    base_order = plan_join_order([big, other, mid])
+    base_first = estimate_equi_join_rows(
+        [big, other, mid][base_order[0]], [big, other, mid][base_order[1]]
+    )
+    assert base_first == pytest.approx(1_200_000.0)
+    # price `v >= 995` off the histogram: ~0.5% selectivity
+    sel = estimate_range_rows(hist, 995.0, None) / 1_000_000
+    assert sel < 0.01
+    filtered_big = apply_selectivity(big, sel)
+    order = plan_join_order([filtered_big, other, mid])
+    assert 0 in order[:2]  # the filtered big table joins first...
+    first = estimate_equi_join_rows(
+        [filtered_big, other, mid][order[0]], [filtered_big, other, mid][order[1]]
+    )
+    # ...and the first intermediate collapses by orders of magnitude
+    assert first < base_first / 50
+
+
 # ----- vocab_growth bucket width guard ---------------------------------
 
 
