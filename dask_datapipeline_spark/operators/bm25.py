@@ -153,6 +153,24 @@ def build_bm25_index(docs: DataFrame, index_dir: str) -> None:
     the corpus per query. On a cluster, write bucketed
     (``bucketBy(token)``) for static pruning; plain clustered parquet
     keeps this self-contained."""
+    postings, stats = postings_frames(docs)
+    (
+        postings.repartition("token")
+        .sortWithinPartitions("token", "doc_id")
+        .write.mode("overwrite")
+        .parquet(index_dir.rstrip("/") + "/postings")
+    )
+    stats.write.mode("overwrite").parquet(index_dir.rstrip("/") + "/stats")
+
+
+def postings_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The two frames a BM25 index snapshot holds, from a (doc_id,
+    text) frame: postings (token, doc_id, tf, dl) and a ONE-ROW stats
+    frame (n_docs, sum_dl). Shared by the batch builder and the
+    streaming delta maintainer so an index is the same bytes whichever
+    path wrote it. Stats must come from the BASE frame, not the
+    postings (a doc whose every token is empty reaches stats but not
+    postings)."""
     base = docs.where(F.col("text").isNotNull())
     toks = base.select(
         "doc_id",
@@ -162,16 +180,11 @@ def build_bm25_index(docs: DataFrame, index_dir: str) -> None:
     postings = toks.groupBy("token", "doc_id", "dl").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    (
-        postings.repartition("token")
-        .sortWithinPartitions("token", "doc_id")
-        .write.mode("overwrite")
-        .parquet(index_dir.rstrip("/") + "/postings")
-    )
-    base.select(
+    stats = base.select(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("sum_dl"),
-    ).write.mode("overwrite").parquet(index_dir.rstrip("/") + "/stats")
+    )
+    return postings, stats
 
 
 def bm25_topk_from_index(
@@ -192,8 +205,15 @@ def bm25_topk_from_index(
     are exact integers either way."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    st = spark.read.parquet(index_dir.rstrip("/") + "/stats").first()
-    n_docs = int(st["n_docs"])
+    # SUM over the stats rows: the batch builder writes one, the
+    # streaming maintainer one per delta — both reduce to the same
+    # exact-integer corpus constants (bounded: #batches rows)
+    st = (
+        spark.read.parquet(index_dir.rstrip("/") + "/stats")
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl"))
+        .first()
+    )
+    n_docs = int(st["n_docs"] or 0)
     if n_docs == 0:
         raise ValueError("empty corpus")
     avgdl = float(int(st["sum_dl"] or 0)) / float(n_docs)

@@ -7832,6 +7832,64 @@ def q_bm25_from_index(spark, sf_dir):
     return bm25_topk_from_index(spark, idx, _BM25_QUERY, k=_BM25_K)
 
 
+@register_extra(
+    "streaming_bm25_index",
+    bm25_topk_oracle_sql("documents", _BM25_QUERY, k=_BM25_K),
+    "Streaming twin of the BM25 index build (streaming/windows.py::"
+    "stream_incremental_bm25_index): documents arrive as THREE micro-batch "
+    "files through a real foreachBatch sink that appends replay-idempotent "
+    "postings/stats DELTAS (overwrite by stable batch_id path — per-batch "
+    "cost O(batch), the index is never rewritten). Scoring the drained "
+    "index shares bm25_topk's oracle verbatim: an exact match proves the "
+    "incremental wiring (delta union, stats SUM, checkpoint replay) loses "
+    "nothing vs the one-shot batch build",
+)
+def q_streaming_bm25_index(spark, sf_dir):
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import time as _time
+
+    from dask_datapipeline_spark.operators.bm25 import bm25_topk_from_index
+    from dask_datapipeline_spark.streaming.windows import (
+        stream_incremental_bm25_index,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    work = _tf.mkdtemp(prefix="ddps_stream_bm25_")
+    staged = _os.path.join(work, "staged")
+    _os.makedirs(staged, exist_ok=True)
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] or 0
+    cuts = [hi // 3, 2 * hi // 3]
+    parts = [
+        docs.where(F.col("doc_id") <= cuts[0]),
+        docs.where((F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])),
+        docs.where(F.col("doc_id") > cuts[1]),
+    ]
+    now = _time.time()
+    for i, part in enumerate(parts):
+        tmp = _os.path.join(work, f"stage-tmp-{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            _os.path.join(tmp, f)
+            for f in _os.listdir(tmp)
+            if f.endswith(".parquet")
+        )
+        dst = _os.path.join(staged, f"chunk-{i}.parquet")
+        _sh.move(src, dst)
+        _os.utime(dst, (now + i, now + i))
+        _sh.rmtree(tmp)
+    index_dir = _os.path.join(work, "index")
+    stream_incremental_bm25_index(
+        spark,
+        staged,
+        index_dir,
+        schema="doc_id long, text string",
+        checkpoint_dir=_os.path.join(work, "ckpt"),
+    )
+    return bm25_topk_from_index(spark, index_dir, _BM25_QUERY, k=_BM25_K)
+
+
 # ----- C4 line-level page cleaning -----------------------------------
 
 from dask_datapipeline_spark.functions.quality import (  # noqa: E402

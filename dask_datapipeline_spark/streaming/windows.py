@@ -815,6 +815,66 @@ def stateful_cusum(
     )
 
 
+def stream_incremental_bm25_index(
+    spark: SparkSession,
+    staged_dir: str,
+    index_dir: str,
+    schema: str,
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 240,
+) -> None:
+    """Maintain the BM25 inverted index (``operators/bm25.py``)
+    incrementally over a (doc_id, text) file stream: per micro-batch,
+    write the batch's postings and one-row stats as a DELTA under
+    ``<index_dir>/postings/delta=<batch_id>`` and
+    ``<index_dir>/stats/delta=<batch_id>``.
+
+    Why deltas instead of a merge-and-swap: postings are ADDITIVE — a
+    file stream delivers each document in exactly one micro-batch, so
+    deltas are disjoint by doc_id and their plain union IS the full
+    postings table; per-batch cost is O(batch), the index is never
+    rewritten (the snapshot-swap twins pay O(state) per batch, fine
+    for sketch-sized state, wrong for a corpus-sized index).
+    Replay idempotency is BY PATH: an at-least-once foreachBatch
+    replay rewrites the SAME delta directory (mode=overwrite, stable
+    batch_id from the checkpoint), so duplicates cannot accumulate.
+    ``bm25_topk_from_index`` reads the union transparently (partition
+    discovery; stats SUM across delta rows), so after draining the
+    stream the scored output is BIT-IDENTICAL to an index built by
+    ``build_bm25_index`` in one batch — the catalog row proves it by
+    sharing ``bm25_topk``'s oracle verbatim. Production compaction
+    (fold old deltas into a base) is the ``minhash_index`` /
+    ``compact_small_files`` discipline, orthogonal to correctness
+    here."""
+    from dask_datapipeline_spark.operators.bm25 import postings_frames
+
+    base = index_dir.rstrip("/")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        postings, stats = postings_frames(batch_df)
+        (
+            postings.repartition("token")
+            .sortWithinPartitions("token", "doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{base}/postings/delta={batch_id}")
+        )
+        stats.write.mode("overwrite").parquet(f"{base}/stats/delta={batch_id}")
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_dir)
+        .writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or base + ".ckpt",
+        )
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
 def stream_incremental_hll(
     spark: SparkSession,
     staged_dir: str,

@@ -294,9 +294,7 @@ def test_bm25_plan_single_scan_and_takeordered(spark, sf_dir):
     second full scan, measured round 9), the query-term IN filter
     prunes postings at the generator, and the top-k is
     TakeOrderedAndProject, not a global sort."""
-    from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG
-
-    df = EXTRA_CATALOG["bm25_topk"].fn(spark, sf_dir)
+    df = CATALOG["bm25_topk"].fn(spark, sf_dir)  # driver row since r10
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("Scan parquet") == 1, plan

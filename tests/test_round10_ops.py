@@ -529,6 +529,71 @@ def test_gopher_multilang_sql_twin_matches(spark):
     assert got == want
 
 
+# ----- streaming BM25 index maintenance ---------------------------------
+
+
+def test_streaming_bm25_deltas_match_batch_index(spark, tmp_path):
+    """Drained incremental index scores bit-identically to the
+    one-shot batch build; a replayed batch (same batch_id) cannot
+    double-count because the delta path is overwritten."""
+    import os
+
+    from dask_datapipeline_spark.operators.bm25 import (
+        bm25_topk_from_index,
+        build_bm25_index,
+        postings_frames,
+    )
+    from dask_datapipeline_spark.streaming.windows import (
+        stream_incremental_bm25_index,
+    )
+
+    rows = [
+        (i, f"spark rows data {'dup ' * (i % 3)}value spark table {i}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    for i in range(3):
+        part = docs.where((F.col("doc_id") % 3) == i)
+        part.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"tmp{i}")
+        )
+        src = next(
+            f for f in os.listdir(tmp_path / f"tmp{i}") if f.endswith(".parquet")
+        )
+        os.rename(tmp_path / f"tmp{i}" / src, tmp_path / "staged" / f"c{i}.parquet")
+
+    inc_dir = str(tmp_path / "inc_index")
+    stream_incremental_bm25_index(
+        spark, staged, inc_dir, "doc_id long, text string",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    deltas = os.listdir(inc_dir + "/postings")
+    assert len([d for d in deltas if d.startswith("delta=")]) == 3
+
+    batch_dir = str(tmp_path / "batch_index")
+    build_bm25_index(docs, batch_dir)
+    terms = ["spark", "dup"]
+    inc = bm25_topk_from_index(spark, inc_dir, terms, k=10).collect()
+    bat = bm25_topk_from_index(spark, batch_dir, terms, k=10).collect()
+    assert [tuple(r) for r in inc] == [tuple(r) for r in bat]
+
+    # replay simulation: rewrite delta=0 with the same batch's frames —
+    # results unchanged (idempotent by path). Recover batch 0's doc set
+    # from the delta itself (file->batch order is mtime-dependent).
+    ids0 = [
+        r["doc_id"]
+        for r in spark.read.parquet(inc_dir + "/postings/delta=0")
+        .select("doc_id").distinct().collect()
+    ]
+    p0, s0 = postings_frames(docs.where(F.col("doc_id").isin(ids0)))
+    p0.write.mode("overwrite").parquet(inc_dir + "/postings/delta=0")
+    s0.write.mode("overwrite").parquet(inc_dir + "/stats/delta=0")
+    replayed = bm25_topk_from_index(spark, inc_dir, terms, k=10).collect()
+    assert [tuple(r) for r in replayed] == [tuple(r) for r in bat]
+
+
 # ----- streaming HLL: mid-swap crash recovery --------------------------
 
 

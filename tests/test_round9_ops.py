@@ -1155,12 +1155,15 @@ def test_robots_allowed_longest_prefix_and_defaults(spark):
         for r in robots_allowed(urls, rules, agent="*").collect()
     }
     assert got == {1: False, 2: True, 3: True, 4: True, 5: True}
-    # strictbot gets BOTH the * group and its own catch-all disallow
+    # RFC 9309 most-specific group (round-10 fix): strictbot has an
+    # exact-agent group on h, so ONLY that group applies — its
+    # catch-all disallow decides every path on h and the * group's
+    # Allow rules cannot leak in; hosts without rules stay allowed
     got_strict = {
         r["id"]: r["allowed"]
         for r in robots_allowed(urls, rules, agent="strictbot").collect()
     }
-    assert got_strict == {1: False, 2: True, 3: True, 4: False, 5: True}
+    assert got_strict == {1: False, 2: False, 3: False, 4: False, 5: True}
 
 
 def test_warc_decodes_declared_charsets(spark):
