@@ -119,6 +119,7 @@ def fold_join(
     how: str = "inner",
     order: str = "given",
     stats: Sequence[dict] | None = None,
+    broadcast_rows: int | None = None,
 ) -> DataFrame:
     """Left-deep fold of equi-joins (reference O9, main.py:257).
 
@@ -137,6 +138,15 @@ def fold_join(
     (the usual leading-prefix heuristic); pass joint-key stats rows
     to override. The result multiset is identical either way — only
     the intermediate sizes change.
+
+    ``broadcast_rows`` (stats mode only) completes the physical half
+    of the CBO move: any non-leading input whose surviving key rows
+    (``n_rows - n_null``) are at or under the threshold gets an
+    explicit ``broadcast()`` hint — the stats already know the side
+    is dimension-sized, so the fold never depends on
+    autoBroadcastJoinThreshold seeing a size estimate (post-filter
+    sizes are exactly what Catalyst's static estimate misses and the
+    priced stats capture).
 
     Raises ValueError on an empty list (reference main.py:254-255).
     """
@@ -160,9 +170,23 @@ def fold_join(
             raise ValueError(
                 f"stats has {len(stats)} rows for {len(df_list)} inputs"
             )
-        df_list = [df_list[i] for i in plan_join_order(stats)]
+        idx = plan_join_order(stats)
+        df_list = [df_list[i] for i in idx]
+        if broadcast_rows is not None:
+            picked = [stats[i] for i in idx]
+            df_list = [
+                F.broadcast(d)
+                if pos > 0
+                and (
+                    float(st["n_rows"]) - float(st["n_null"])
+                ) <= broadcast_rows
+                else d
+                for pos, (d, st) in enumerate(zip(df_list, picked))
+            ]
     elif order != "given":
         raise ValueError(f"order={order!r} not in ('given', 'stats')")
+    elif broadcast_rows is not None:
+        raise ValueError("broadcast_rows requires order='stats'")
     return reduce(lambda l, r: equi_join(l, r, on=on, how=how), df_list)
 
 

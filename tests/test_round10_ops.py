@@ -294,6 +294,44 @@ def test_fold_join_stats_order_matches_given(spark):
     assert p == g and len(p) == 10
 
 
+def test_fold_join_broadcast_rows_hints_small_side(spark):
+    """With broadcast disabled at BOTH thresholds, only the explicit
+    stats-driven hint can produce a BroadcastHashJoin — proving the
+    fold no longer depends on Catalyst seeing a size estimate."""
+    from dask_datapipeline_spark.operators.joins import fold_join
+
+    base = spark.range(500).select(F.col("id").alias("k"), (F.col("id") * 2).alias("x"))
+    mid = spark.range(400).select(F.col("id").alias("k"), (F.col("id") + 7).alias("y"))
+    small = spark.range(8).select(F.col("id").alias("k"), (F.col("id") % 3).alias("z"))
+    old_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    except Exception:  # unset — conf.get validates defaults, so probe
+        old_aqe = None
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = fold_join([base, mid, small], on="k", order="stats")
+        hinted = fold_join(
+            [base, mid, small], on="k", order="stats", broadcast_rows=100
+        )
+        plan_plain = plain._jdf.queryExecution().executedPlan().toString()
+        plan_hinted = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_plain, plan_plain
+        assert "BroadcastHashJoin" in plan_hinted, plan_hinted
+        g = sorted(tuple(r) for r in plain.select(*sorted(plain.columns)).collect())
+        h = sorted(tuple(r) for r in hinted.select(*sorted(plain.columns)).collect())
+        assert g == h and len(h) == 8
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_static)
+        if old_aqe:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    with pytest.raises(ValueError, match="broadcast_rows requires"):
+        fold_join([base, small], on="k", broadcast_rows=100)
+
+
 def test_fold_join_stats_order_rejects_outer(spark):
     from dask_datapipeline_spark.operators.joins import fold_join
 

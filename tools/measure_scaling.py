@@ -76,6 +76,9 @@ QUERIES = [
     ("gopher_quality_scaled", "documents"),
     ("c4_line_filter_scaled", "documents"),
     ("bm25_topk_scaled", "documents"),
+    ("bm25_from_index_scaled", "documents"),
+    ("equi_depth_histogram_scaled", "documents"),
+    ("margin_deciles_scaled", "documents"),
     ("hll_distinct_scaled", "documents"),
     ("warc_roundtrip_scaled", "documents"),
 ]
@@ -380,6 +383,63 @@ def _hll_distinct_scaled(spark, sf_dir, n_rows):
     )
 
 
+_BM25_IDX_CACHE: dict[str, str] = {}
+
+
+def _bm25_from_index_scaled(spark, sf_dir, n_rows):
+    """The index-backed probe at the tier. The index builds ONCE per
+    corpus dir (cached across the cold/warm pair — the cold number
+    includes the build, the WARM number is the pure probe, which is
+    what the exponent reports). Tiled tokens are t<k>-prefixed so the
+    candidate postings stay constant across tiers: the probe should be
+    near-FLAT (alpha ~ 0) where bm25_topk_scaled's live scan is
+    alpha ~ 1 — the measured value of materializing the index."""
+    import os as _os
+    import tempfile as _tf
+
+    from dask_datapipeline_spark.operators.bm25 import (
+        bm25_topk_from_index,
+        build_bm25_index,
+    )
+
+    idx = _BM25_IDX_CACHE.get(sf_dir)
+    if idx is None:
+        idx = _os.path.join(_tf.mkdtemp(prefix="ddps_scale_bm25idx_"), "index")
+        build_bm25_index(load_testdata(spark, sf_dir, "documents"), idx)
+        _BM25_IDX_CACHE[sf_dir] = idx
+    return bm25_topk_from_index(spark, idx, ["dup", "vector", "spark"], k=15)
+
+
+def _equi_depth_histogram_scaled(spark, sf_dir, n_rows):
+    """The two-pass distributed ntile (operators/ranks.py) over the
+    tier's documents (text length as the value, doc_id tiebreak) —
+    the round-10 replacement for the global-window ntile. Output is a
+    10-row aggregate, so count() forces the full rank pipeline."""
+    from dask_datapipeline_spark.operators.ranks import global_ntile
+
+    docs = load_testdata(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    src = docs.select(F.length("text").alias("v"), "doc_id")
+    tiled = global_ntile(
+        src, ["v", "doc_id"], F.floor(F.col("v") / 64), 10, tile_col="decile"
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+
+
+def _margin_deciles_scaled(spark, sf_dir, n_rows):
+    """The classifier-calibration deciles at the tier — the second
+    round-10 prefix-sum rewrite, measured on its real body (hashed
+    linear score + global ntile + integer sums)."""
+    from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG
+
+    return EXTRA_CATALOG["margin_deciles"].fn(spark, sf_dir)
+
+
 #: rows measured through a scale-parameterized builder instead of the
 #: fixed-config catalog row; fn(spark, sf_dir, n_input_rows) → DataFrame
 CUSTOM = {
@@ -392,6 +452,9 @@ CUSTOM = {
     "gopher_quality_scaled": _gopher_quality_scaled,
     "c4_line_filter_scaled": _c4_line_filter_scaled,
     "bm25_topk_scaled": _bm25_topk_scaled,
+    "bm25_from_index_scaled": _bm25_from_index_scaled,
+    "equi_depth_histogram_scaled": _equi_depth_histogram_scaled,
+    "margin_deciles_scaled": _margin_deciles_scaled,
     "hll_distinct_scaled": _hll_distinct_scaled,
     "warc_roundtrip_scaled": _warc_roundtrip_scaled,
 }
