@@ -187,6 +187,40 @@ def postings_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return postings, stats
 
 
+def compact_bm25_index(spark, index_dir: str, out_dir: str) -> None:
+    """Fold a delta-built index (``stream_incremental_bm25_index``)
+    into the one-shot layout: postings deltas union → re-cluster on
+    token → single postings dir; stats deltas SUM → one row. Scoring
+    from the compacted index is bit-identical (postings are disjoint
+    across deltas, so the union is a repartition, not a merge; stats
+    addition is exact integers). Run it when delta count starts to
+    hurt probe latency (many small files ÷ row-group pruning) — the
+    classic log-structured compaction, kept OUT of the query path.
+    Writes to ``out_dir`` (building a compacted copy next to the live
+    index, then switching readers, is the caller's atomic-publish
+    step — the ``write_versioned`` manifest discipline)."""
+    base = index_dir.rstrip("/")
+    postings = spark.read.parquet(base + "/postings").select(
+        "token", "doc_id", "dl", "tf"
+    )
+    out = out_dir.rstrip("/")
+    (
+        postings.repartition("token")
+        .sortWithinPartitions("token", "doc_id")
+        .write.mode("overwrite")
+        .parquet(out + "/postings")
+    )
+    (
+        spark.read.parquet(base + "/stats")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+        .write.mode("overwrite")
+        .parquet(out + "/stats")
+    )
+
+
 def bm25_topk_from_index(
     spark,
     index_dir: str,
