@@ -396,6 +396,43 @@ def q_filter_compound(spark, sf_dir):
     ).select("event_id", "user_id", "event_type", "value")
 
 
+@register_extra(
+    "partition_pruning",
+    """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events WHERE event_type = 'click' AND value IS NOT NULL
+GROUP BY event_type
+""",
+    "Partition-pruned scan: events written partitionBy(event_type), read "
+    "back with an equality filter — the filter becomes a PartitionFilter "
+    "(directory-level pruning: non-matching partitions are never opened, "
+    "the scan lists ONE directory) instead of a row-level PushedFilter. "
+    "At 100 TB this is the difference between touching 1/K of the files "
+    "and scanning everything; plan shape pinned in tests/test_round10_ops. "
+    "Money as the gate-proven cents recipe; oracle reads the source table "
+    "directly, so an exact match also proves the partitioned write "
+    "round-trips values",
+)
+def q_partition_pruning(spark, sf_dir):
+    import os as _os
+    import tempfile as _tf
+
+    ev = load_testdata(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    out = _os.path.join(_tf.mkdtemp(prefix="ddps_part_prune_"), "events_by_type")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).where(
+        (F.col("event_type") == "click") & F.col("value").isNotNull()
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("total_cents"),
+    )
+
+
 # --------------------------------------------------------------------
 # O9: n-ary fold join
 # --------------------------------------------------------------------

@@ -8231,6 +8231,122 @@ SELECT scope, n_buckets_used, {est} AS est_distinct FROM agg_g
 """
 
 
+def _hll_set_ops_sql() -> str:
+    """Two filtered register CTEs + their max-merge, shared hash CTE;
+    intersection by inclusion-exclusion over the same 6dp-rounded
+    estimates both engines emit."""
+    from dask_datapipeline_spark.operators.sketches import (
+        _HLL_HASH_BITS,
+        _SQL_HASH60,
+        hll_alpha_m2_scaled,
+    )
+
+    p = HLL_P
+    m, w = 1 << p, _HLL_HASH_BITS - p
+    w1, mask = w + 1, (1 << w) - 1
+    alpha = repr(hll_alpha_m2_scaled(p))
+    hash_expr = _SQL_HASH60.format(seed=HLL_SEED, col="CAST(user_id AS VARCHAR)")
+    rho = (
+        f"MAX(CASE WHEN (hh & {mask}) > 0 "
+        f"THEN {w1} - length(bin(hh & {mask})) ELSE {w1} END)"
+    )
+    raw = (
+        f"{alpha} / CAST(s_occ + ({m} - n_buckets_used) * "
+        f"(CAST(1 AS BIGINT) << {w1}) AS DOUBLE)"
+    )
+    est = (
+        f"round(CASE WHEN {raw} <= {repr(2.5 * m)} "
+        f"AND ({m} - n_buckets_used) > 0 "
+        f"THEN {repr(float(m))} * ln({repr(float(m))} / "
+        f"CAST({m} - n_buckets_used AS DOUBLE)) "
+        f"ELSE {raw} END, 6)"
+    )
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {hash_expr} AS hh
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IN ('click', 'purchase')
+),
+reg_t AS (
+  SELECT event_type, hh >> {w} AS bucket, {rho} AS m_reg
+  FROM h GROUP BY 1, 2
+),
+agg_t AS (
+  SELECT event_type AS scope, COUNT(*) AS n_buckets_used,
+         SUM(CAST(1 AS BIGINT) << ({w1} - m_reg)) AS s_occ
+  FROM reg_t GROUP BY 1
+),
+reg_u AS (
+  SELECT bucket, MAX(m_reg) AS m_reg FROM reg_t GROUP BY 1
+),
+agg_u AS (
+  SELECT 'union' AS scope, COUNT(*) AS n_buckets_used,
+         SUM(CAST(1 AS BIGINT) << ({w1} - m_reg)) AS s_occ
+  FROM reg_u
+),
+longt AS (
+  SELECT scope, {est} AS est FROM agg_t
+  UNION ALL
+  SELECT scope, {est} AS est FROM agg_u
+)
+SELECT SUM(CASE WHEN scope = 'click' THEN est END) AS est_click,
+       SUM(CASE WHEN scope = 'purchase' THEN est END) AS est_purchase,
+       SUM(CASE WHEN scope = 'union' THEN est END) AS est_union,
+       SUM(CASE WHEN scope = 'click' THEN est END)
+         + SUM(CASE WHEN scope = 'purchase' THEN est END)
+         - SUM(CASE WHEN scope = 'union' THEN est END) AS est_intersection
+FROM longt
+"""
+
+
+@register_extra(
+    "hll_set_ops",
+    _hll_set_ops_sql(),
+    "HLL set algebra: |A|, |B|, |A∪B| (register max-merge — exact on the "
+    "sketch) and |A∩B| by inclusion-exclusion over the same estimates — "
+    "the audience-overlap question (how many users did BOTH) answered from "
+    "kilobytes of mergeable register state, never a distinct-pair shuffle. "
+    "Registers build once and serve all four numbers; intersection is one "
+    "double add/subtract of the 6dp-rounded estimates, identical in both "
+    "engines",
+)
+def q_hll_set_ops(spark, sf_dir):
+    from dask_datapipeline_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    ev = (
+        load_testdata(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .where(F.col("event_type").isin("click", "purchase"))
+    )
+    reg = hll_registers(ev, ["event_type"], "user_id", p=HLL_P, seed=HLL_SEED)
+    reg = reg.localCheckpoint(eager=True)  # built once, read twice
+    per = hll_estimate_from_registers(reg, ["event_type"], p=HLL_P).select(
+        F.col("event_type").alias("scope"), "est_distinct"
+    )
+    uni = hll_estimate_from_registers(
+        hll_merge_registers(reg.drop("event_type"), []), [], p=HLL_P
+    ).select(F.lit("union").alias("scope"), "est_distinct")
+    longt = per.unionByName(uni)
+
+    def pick(scope: str):
+        return F.sum(
+            F.when(F.col("scope") == scope, F.col("est_distinct"))
+        )
+
+    return longt.agg(
+        pick("click").alias("est_click"),
+        pick("purchase").alias("est_purchase"),
+        pick("union").alias("est_union"),
+        (pick("click") + pick("purchase") - pick("union")).alias(
+            "est_intersection"
+        ),
+    )
+
+
 @register_extra(
     "hll_rollup",
     _hll_rollup_sql(),

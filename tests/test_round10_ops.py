@@ -491,6 +491,23 @@ def test_vocab_bucket_width_caps_points():
     assert _vocab_bucket_width(10_000) == _VOCAB_BUCKET
 
 
+# ----- partition pruning plan pin ----------------------------------------
+
+
+def test_partition_pruning_plan_prunes_directories(spark, sf_dir):
+    """The equality filter on the partition column must surface as a
+    PartitionFilter (directory pruning), not a row-level pushed
+    filter; the value filter stays a PushedFilter on the data files."""
+    from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG
+
+    df = EXTRA_CATALOG["partition_pruning"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "event_type" in pf and "click" in pf, plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_type" not in read, plan  # partition col never read from files
+
+
 # ----- per-language Gopher stopword floor -------------------------------
 
 
