@@ -8535,6 +8535,41 @@ def q_warc_wet(spark, sf_dir):
     )
 
 
+@register_extra(
+    "wds_roundtrip",
+    """
+SELECT doc_id, text
+FROM documents WHERE text IS NOT NULL
+""",
+    "WebDataset tar shard codec (sources/webdataset.py, stdlib-only): "
+    "documents packed into numbered .tar shards ({key}.txt members, "
+    "zeroed mtime/uid — reproducible bytes) then stream-parsed back — the "
+    "export format GPU data loaders consume (sequential member reads, the "
+    "unit of parallelism = the shard file). One applyInPandas pack per "
+    "shard (the shard key comes from the packing stage at scale, reusing "
+    "its shuffle) + one flatMap parse pass; oracle states the expected "
+    "output directly, so an exact match proves the round trip byte-perfect",
+)
+def q_wds_roundtrip(spark, sf_dir):
+    from dask_datapipeline_spark.sources.webdataset import (
+        parse_wds,
+        write_wds_shards,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    staged = docs.select(
+        (F.col("doc_id") % 16).alias("shard_id"),
+        F.col("doc_id").cast("string").alias("key"),
+        "text",
+    )
+    shards = write_wds_shards(staged, gzip_shards=True)
+    members = parse_wds(shards).where(F.col("ext") == "txt")
+    return members.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.decode(F.col("content"), "utf-8").alias("text"),
+    )
+
+
 # ----- corpus distribution drift -------------------------------------
 
 from dask_datapipeline_spark.operators.drift import (  # noqa: E402

@@ -1,0 +1,132 @@
+"""WebDataset-style tar shard codec (beyond-reference LLM-pipeline
+surface; SURVEY.md §2.2 export family).
+
+The format GPU data loaders actually consume: a training corpus
+shipped as numbered ``.tar`` shards whose members group by basename —
+``{key}.txt`` for text, ``{key}.jpg``/``{key}.bin`` for media — so a
+loader streams samples sequentially with zero random I/O (the
+WebDataset/tarp convention). This module implements the shard layer
+with the stdlib only, in the same spirit as ``sources/warc.py`` and
+the BMP/WAV/AVI codecs:
+
+- ``write_wds_shards``: pack (key, payload-per-extension) rows into
+  one tar blob per shard — members in key order, zero mtime/uid/gid,
+  USTAR format, so shard bytes are a pure function of the content
+  (reproducible-build discipline; the driver environment forbids
+  wall-clock in fixtures).
+- ``parse_wds``: stream-parse shard bytes back into
+  (key, ext, content) rows — binary-safe (tar length-delimits, never
+  delimiter-scans), one member in memory at a time.
+
+Scale shape: packing is one ``applyInPandas`` per shard key (the only
+shuffle — and the shard key normally comes straight from
+``shard_by_tokens``/``pack_greedy``, so the export reuses the packing
+shuffle); parsing is a flatMap-style ``mapInPandas`` — embarrassingly
+parallel, the unit of parallelism is the shard file, exactly how
+loaders fan out over shards. gzip (``.tar.gz`` shards) applies to the
+WHOLE shard (the WebDataset convention), ``mtime=0``.
+
+The catalog row proves documents → shards → parse lands byte-exactly
+on the source table (oracle states the expected output directly — it
+never parses tar itself).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import tarfile
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: schema of the synthesized shard table
+WDS_SHARD_SCHEMA = "shard_id long, payload binary, n_samples int"
+#: schema of parsed members
+WDS_MEMBER_SCHEMA = "key string, ext string, content binary"
+
+
+def _tar_bytes(samples: list[tuple[str, str, bytes]]) -> bytes:
+    """One deterministic USTAR blob from (key, ext, content) triples —
+    zeroed timestamps/ownership, caller-supplied order."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for key, ext, content in samples:
+            info = tarfile.TarInfo(name=f"{key}.{ext}")
+            info.size = len(content)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            tf.addfile(info, io.BytesIO(content))
+    return buf.getvalue()
+
+
+def write_wds_shards(
+    docs: DataFrame,
+    key_col: str = "key",
+    shard_col: str = "shard_id",
+    content_cols: dict[str, str] | None = None,
+    gzip_shards: bool = False,
+) -> DataFrame:
+    """Pack rows into one WebDataset tar blob per ``shard_col`` value.
+
+    ``content_cols`` maps member EXTENSION → source column (default
+    ``{"txt": "text"}``); string columns encode utf-8, binary columns
+    pass through — so a multimodal sample (``{"txt": "text", "bin":
+    "payload"}``) emits adjacent same-key members, the WebDataset
+    sample-grouping contract. Members are ordered by (key, ext):
+    deterministic bytes, loader-friendly sequential layout."""
+    exts = content_cols or {"txt": "text"}
+    cols = [shard_col, key_col, *exts.values()]
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(key_col, kind="mergesort")
+        samples: list[tuple[str, str, bytes]] = []
+        n = 0
+        for _, row in pdf.iterrows():
+            key = str(row[key_col])
+            for ext in sorted(exts):
+                v = row[exts[ext]]
+                content = (
+                    bytes(v) if isinstance(v, (bytes, bytearray)) else str(v).encode()
+                )
+                samples.append((key, ext, content))
+            n += 1
+        blob = _tar_bytes(samples)
+        if gzip_shards:
+            blob = gzip.compress(blob, mtime=0)
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf[shard_col].iloc[0])],
+                "payload": [blob],
+                "n_samples": [n],
+            }
+        )
+
+    return docs.select(*cols).groupBy(shard_col).applyInPandas(_pack, WDS_SHARD_SCHEMA)
+
+
+def parse_wds(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Parse WebDataset shard blobs (gzip sniffed by magic bytes) back
+    into (key, ext, content) member rows. Works identically on
+    ``binaryFile`` ingest of real ``*.tar``/``*.tar.gz`` shards."""
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload)
+                if raw[:2] == b"\x1f\x8b":
+                    raw = gzip.decompress(raw)
+                with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
+                    for info in tf:
+                        if not info.isfile():
+                            continue
+                        name = info.name
+                        key, _, ext = name.rpartition(".")
+                        content = tf.extractfile(info).read()
+                        rows.append((key or name, ext, content))
+            yield pd.DataFrame(rows, columns=["key", "ext", "content"])
+
+    return df.select(payload_col).mapInPandas(_parse, WDS_MEMBER_SCHEMA)

@@ -28,7 +28,15 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
+
+_HYP = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
 
 
 # ----- table_stats type guard -----------------------------------------
@@ -384,6 +392,73 @@ def test_bm25_index_probe_scans_postings_not_corpus(spark, sf_dir, tmp_path):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=40),
+    k=st.integers(min_value=1, max_value=12),
+)
+@settings(**_HYP)
+def test_global_ntile_property_matches_window(spark, vals, k):
+    """Random multisets + random k: the two-pass prefix-sum ntile is
+    bit-identical to the single-window one (total order via the
+    synthetic unique id tiebreak; DIV-4 coarse bucket exercises
+    negative-key truncation)."""
+    from pyspark.sql.window import Window
+
+    from dask_datapipeline_spark.operators.ranks import global_ntile
+
+    rows = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v long, id long").repartition(3)
+    got = {
+        (r["v"], r["id"]): r["tile"]
+        for r in global_ntile(df, ["v", "id"], F.expr("v DIV 4"), k).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        (r["v"], r["id"]): r["tile"]
+        for r in df.select("v", "id", F.ntile(k).over(w).alias("tile")).collect()
+    }
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef le und der el y ", max_size=40), min_size=1, max_size=12
+    ),
+    langs=st.lists(
+        st.sampled_from(["en", "de", "es", "fr", "zh", "xx"]), min_size=12, max_size=12
+    ),
+)
+@settings(**_HYP)
+def test_stopword_hits_by_lang_property_engine_parity(spark, texts, langs):
+    """Random token soup × random langs: Spark and the DuckDB twin
+    count identical per-language stopword hits (the marker CASE chain
+    cannot drift between engines)."""
+    import duckdb
+
+    from dask_datapipeline_spark.functions.quality import (
+        stopword_hits_by_lang,
+        stopword_hits_by_lang_sql,
+    )
+
+    rows = [(i, langs[i], t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", stopword_hits_by_lang(F.col("text"), F.col("lang")).alias("h")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {stopword_hits_by_lang_sql('text', 'lang')} FROM t"
+        ).fetchall()
+    )
+    assert got == want
+
+
 # ----- histogram selectivity (the stats layer's range pricing) ----------
 
 
@@ -582,6 +657,71 @@ def test_gopher_multilang_sql_twin_matches(spark):
     sql = stopword_hits_by_lang_sql("text", "lang")
     want = dict(con.execute(f"SELECT doc_id, {sql} FROM t").fetchall())
     assert got == want
+
+
+# ----- WebDataset tar shards ---------------------------------------------
+
+
+def test_wds_roundtrip_binary_safe_and_deterministic(spark):
+    from dask_datapipeline_spark.sources.webdataset import (
+        parse_wds,
+        write_wds_shards,
+    )
+
+    payloads = [
+        b"\x00\x01\xffraw bytes",
+        b"contains ustar\x00magic and \x1f\x8b gzip magic",
+        "unicode é中 text".encode(),
+    ]
+    rows = [(0, f"{i:06d}", "doc " + str(i), payloads[i]) for i in range(3)]
+    docs = spark.createDataFrame(
+        rows, "shard_id long, key string, text string, payload binary"
+    )
+    shards = write_wds_shards(
+        docs, content_cols={"txt": "text", "bin": "payload"}
+    )
+    out = parse_wds(shards).toPandas().sort_values(["key", "ext"]).reset_index(drop=True)
+    assert len(out) == 6  # two members per sample, grouped by key
+    for i in range(3):
+        sample = out[out["key"] == f"{i:06d}"]
+        assert set(sample["ext"]) == {"bin", "txt"}
+        assert bytes(sample[sample["ext"] == "bin"]["content"].iloc[0]) == payloads[i]
+        assert bytes(sample[sample["ext"] == "txt"]["content"].iloc[0]) == (
+            "doc " + str(i)
+        ).encode()
+    # reproducible bytes: two packs of the same rows are identical
+    b1 = bytes(shards.collect()[0]["payload"])
+    b2 = bytes(
+        write_wds_shards(docs, content_cols={"txt": "text", "bin": "payload"})
+        .collect()[0]["payload"]
+    )
+    assert b1 == b2
+
+
+def test_wds_gzip_shards_and_binaryfile_ingest(spark, tmp_path):
+    import os
+
+    from dask_datapipeline_spark.sources.webdataset import (
+        parse_wds,
+        write_wds_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i % 2, f"k{i}", f"text {i}") for i in range(6)],
+        "shard_id long, key string, text string",
+    )
+    shards = write_wds_shards(docs, gzip_shards=True).collect()
+    for r in shards:
+        p = tmp_path / f"shard-{r['shard_id']:05d}.tar.gz"
+        p.write_bytes(bytes(r["payload"]))
+    ingested = (
+        spark.read.format("binaryFile")
+        .load(str(tmp_path / "*.tar.gz"))
+        .select(F.col("content").alias("payload"))
+    )
+    out = parse_wds(ingested).toPandas()
+    assert len(out) == 6
+    assert sorted(out["key"]) == sorted(f"k{i}" for i in range(6))
 
 
 # ----- streaming BM25 index maintenance ---------------------------------
