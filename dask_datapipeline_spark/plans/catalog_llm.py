@@ -4806,6 +4806,75 @@ def q_training_shards(spark, sf_dir):
     return shard_by_tokens(docs, "doc_id", "n_tok", shard_tokens=_SHARD_TOKENS)
 
 
+_SQL_WDS_EXPORT = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         CAST(CONCAT('0x', SUBSTRING(md5('shard:' || doc_id), 1, 15)) AS BIGINT) AS h
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+),
+c AS (
+  SELECT doc_id,
+         CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id, n_tokens
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS BIGINT) AS stream_offset
+  FROM t
+)
+SELECT c.doc_id,
+       CAST(c.stream_offset // {_SHARD_TOKENS} AS BIGINT) AS shard_id,
+       d.text
+FROM c JOIN documents d ON d.doc_id = c.doc_id
+"""
+
+
+@register_extra(
+    "wds_export_pipeline",
+    _SQL_WDS_EXPORT,
+    "The training hand-off END-TO-END: token-balanced shard assignment "
+    "(shard_by_tokens — the two-pass prefix sum) -> WebDataset tar packing "
+    "keyed '{shard}/{doc}' (the path-key convention; packing groups on the "
+    "shard id the assignment already computed, ONE shuffle for both) -> "
+    "stream-parse back. The oracle replays only the ASSIGNMENT (one window "
+    "cumsum) and joins the source text, so an exact match proves the whole "
+    "tar leg transparent — the last stage of corpus production, closing "
+    "crawl-in (WARC) to loader-out (WDS)",
+)
+def q_wds_export_pipeline(spark, sf_dir):
+    from dask_datapipeline_spark.functions import text as _TXT
+    from dask_datapipeline_spark.operators.packing import shard_by_tokens
+    from dask_datapipeline_spark.sources.webdataset import (
+        parse_wds,
+        write_wds_shards,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    sh = shard_by_tokens(
+        docs.select("doc_id", _TXT.whitespace_token_count("text").alias("n_tok")),
+        "doc_id",
+        "n_tok",
+        shard_tokens=_SHARD_TOKENS,
+    )
+    staged = sh.join(docs.select("doc_id", "text"), "doc_id").select(
+        "shard_id",
+        F.concat(
+            F.lpad(F.col("shard_id").cast("string"), 6, "0"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("key"),
+        "text",
+    )
+    members = parse_wds(write_wds_shards(staged, shard_col="shard_id")).where(
+        F.col("ext") == "txt"
+    )
+    parts = F.split(F.col("key"), "/")
+    return members.select(
+        F.element_at(parts, 2).cast("long").alias("doc_id"),
+        F.element_at(parts, 1).cast("long").alias("shard_id"),
+        F.decode(F.col("content"), "utf-8").alias("text"),
+    )
+
+
 # ----- time-series resample + LOCF gap-fill --------------------------
 
 

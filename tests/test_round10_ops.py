@@ -494,6 +494,38 @@ def test_estimate_range_rows_uniform(spark):
     assert estimate_range_rows(hist, 9_000, None) == pytest.approx(1_000, rel=0.1)
 
 
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=1000), min_size=10, max_size=120),
+    lo=st.integers(min_value=-100, max_value=1100),
+    width=st.integers(min_value=0, max_value=600),
+)
+@settings(max_examples=50, deadline=None)
+def test_estimate_range_rows_properties(vals, lo, width):
+    """Pure-arithmetic invariants of the equi-depth estimator on a
+    synthetic exact histogram: full-range recovers N, estimates stay
+    within [0, N], and widening the range never decreases them."""
+    from dask_datapipeline_spark.operators.stats import estimate_range_rows
+
+    vals = sorted(vals)
+    n, k = len(vals), 5
+    # exact equi-depth buckets by rank (ntile split)
+    q, r = divmod(n, k)
+    hist, i = [], 0
+    for b in range(k):
+        size = q + (1 if b < r else 0)
+        if size == 0:
+            continue
+        chunk = vals[i : i + size]
+        hist.append({"n_rows": size, "lo": chunk[0], "hi": chunk[-1]})
+        i += size
+    total = estimate_range_rows(hist, None, None)
+    assert total == pytest.approx(n)
+    est = estimate_range_rows(hist, lo, lo + width)
+    assert -1e-9 <= est <= n + 1e-9
+    wider = estimate_range_rows(hist, lo - 50, lo + width + 50)
+    assert wider >= est - 1e-9
+
+
 def test_apply_selectivity_bounds():
     from dask_datapipeline_spark.operators.stats import apply_selectivity
 
