@@ -4,8 +4,12 @@
 The standard ranked-retrieval scorer (Robertson et al., TREC-3) —
 what an LLM-data pipeline runs for decontamination probes ("which
 training docs score highest against this benchmark question?"),
-hard-negative mining seeds, and corpus QA. Complements the
-``inverted_index`` row (index BUILD) with the query-time half.
+hard-negative mining seeds, and corpus QA. Two serving paths, one
+scoring tail: ``bm25_topk`` scans the corpus (the one-shot probe
+shape) and ``bm25_topk_from_index`` probes the materialized
+``build_bm25_index`` postings (the repeated-query shape; maintained
+incrementally by ``streaming/windows.py::stream_incremental_bm25_index``
+and folded by ``compact_bm25_index``).
 
     score(D, Q) = Σ_{t in Q} idf(t) · tf(t,D)·(k1+1)
                                / (tf(t,D) + k1·(1 - b + b·|D|/avgdl))

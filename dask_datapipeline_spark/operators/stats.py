@@ -152,7 +152,10 @@ def equi_depth_bounds(
     which is fine for the statistic — ties land in adjacent buckets
     either way and bounds are unaffected). NULLs are excluded (they
     never satisfy a range predicate; price them from ``table_stats``
-    null counts)."""
+    null counts). A CONSTANT column degenerates to one range bucket
+    (a single partitioned sort) — its histogram is one trivial row, so
+    callers should skip columns whose ``table_stats`` min == max
+    rather than build it."""
     from dask_datapipeline_spark.operators.ranks import global_ntile
 
     order = [col] + ([unique_key] if unique_key else [])

@@ -8809,6 +8809,63 @@ def q_robots_allow(spark, sf_dir):
     return robots_allowed(urls, rules, "host", "path", agent="*")
 
 
+@register_extra(
+    "robots_agent_group",
+    """
+SELECT doc_id,
+       source AS host,
+       CASE WHEN doc_id % 5 = 0 THEN '/private/' || doc_id
+            WHEN doc_id % 5 = 1 THEN '/private/ok/' || doc_id
+            WHEN doc_id % 5 = 2 THEN '/articles/' || doc_id
+            WHEN doc_id % 5 = 3 THEN '/'
+            ELSE '/public/' || doc_id END AS path,
+       CASE WHEN COALESCE(
+              TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS INTEGER) % 2 = 0,
+              FALSE)
+            -- host HAS a goodbot group: ONLY it applies (RFC 9309
+            -- most-specific) — /articles disallowed, and the * group's
+            -- /private rules must NOT leak in
+            THEN doc_id % 5 <> 2
+            -- no goodbot group: the * group decides
+            ELSE doc_id % 5 <> 0 END AS allowed
+FROM documents WHERE text IS NOT NULL
+""",
+    "RFC 9309 most-specific group, oracle-gated for a NAMED agent: hosts "
+    "with even suffixes carry a goodbot group (Disallow /articles) on top "
+    "of the * group (Disallow /private, Allow /private/ok); deciding as "
+    "goodbot must use ONLY the goodbot group there (so /private is "
+    "ALLOWED — the union semantics the round-9 advice flagged would flip "
+    "it) and fall back to * on odd hosts. The oracle states ground truth "
+    "per the spec directly, so an exact match pins the group-selection "
+    "logic cross-engine, not just in pytest",
+)
+def q_robots_agent_group(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    num = F.regexp_extract("source", r"(\d+)$", 1).cast("int")
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+        F.when(
+            num % 2 == 0, F.lit("\nUser-agent: goodbot\nDisallow: /articles\n")
+        ).otherwise(F.lit("")),
+    )
+    hosts = docs.select("source").distinct().select(
+        F.col("source").alias("host"), txt.alias("robots_txt")
+    )
+    rules = parse_robots(hosts)
+    d = F.col("doc_id").cast("string")
+    urls = docs.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/private/"), d))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/private/ok/"), d))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/articles/"), d))
+        .when(F.col("doc_id") % 5 == 3, F.lit("/"))
+        .otherwise(F.concat(F.lit("/public/"), d))
+        .alias("path"),
+    )
+    return robots_allowed(urls, rules, "host", "path", agent="goodbot")
+
+
 # ----- ANALYZE-style table statistics --------------------------------
 
 from dask_datapipeline_spark.operators.stats import (  # noqa: E402
