@@ -545,9 +545,14 @@ def q_join_order_histogram(spark, sf_dir):
     n_vals = sum(r["n_rows"] for r in hist)
     sel = estimate_range_rows(hist, 150000.0, None) / n_vals if n_vals else 0.0
     st_s = apply_selectivity(st_orders, sel)
+    # the priced small side also gets the PHYSICAL half of the CBO
+    # move: an explicit broadcast hint whenever its estimated
+    # surviving keys are dimension-sized (100k rows ~ a few MB of key
+    # pairs) — post-filter sizes are what Catalyst's static estimate
+    # can't see and the histogram pricing can
     out = fold_join(
         [o, a, s], on="l_orderkey", how="inner", order="stats",
-        stats=[st_orders, st_a, st_s],
+        stats=[st_orders, st_a, st_s], broadcast_rows=100_000,
     )
     return out.select("l_orderkey", "o_orderpriority", "sum_qty", "o_totalprice")
 
