@@ -112,21 +112,33 @@ def parse_wds(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     into (key, ext, content) member rows. Works identically on
     ``binaryFile`` ingest of real ``*.tar``/``*.tar.gz`` shards."""
 
+    def _members(raw: bytes):
+        """Members of one shard; a corrupt blob yields what parsed
+        before the corruption and stops — a truncated shard becomes a
+        data decision, never a task-retry storm (the WARC/media
+        quarantine discipline; tarfile raises mid-iteration on
+        truncated archives)."""
+        out = []
+        try:
+            if raw[:2] == b"\x1f\x8b":
+                raw = gzip.decompress(raw)
+            with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
+                for info in tf:
+                    if not info.isfile():
+                        continue
+                    name = info.name
+                    key, _, ext = name.rpartition(".")
+                    content = tf.extractfile(info).read()
+                    out.append((key or name, ext, content))
+        except (tarfile.TarError, gzip.BadGzipFile, OSError, EOFError):
+            pass
+        return out
+
     def _parse(batches):
         for pdf in batches:
             rows = []
             for payload in pdf[payload_col]:
-                raw = bytes(payload)
-                if raw[:2] == b"\x1f\x8b":
-                    raw = gzip.decompress(raw)
-                with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
-                    for info in tf:
-                        if not info.isfile():
-                            continue
-                        name = info.name
-                        key, _, ext = name.rpartition(".")
-                        content = tf.extractfile(info).read()
-                        rows.append((key or name, ext, content))
+                rows.extend(_members(bytes(payload)))
             yield pd.DataFrame(rows, columns=["key", "ext", "content"])
 
     return df.select(payload_col).mapInPandas(_parse, WDS_MEMBER_SCHEMA)

@@ -756,6 +756,33 @@ def test_wds_gzip_shards_and_binaryfile_ingest(spark, tmp_path):
     assert sorted(out["key"]) == sorted(f"k{i}" for i in range(6))
 
 
+def test_wds_corrupt_shard_quarantines_not_throws(spark):
+    """A truncated/garbage shard yields its parseable prefix (or
+    nothing) instead of failing the task — the quarantine discipline."""
+    from dask_datapipeline_spark.sources.webdataset import (
+        parse_wds,
+        write_wds_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "k0", "good text")], "shard_id long, key string, text string"
+    )
+    good = bytes(write_wds_shards(docs).collect()[0]["payload"])
+    payloads = [
+        (good,),                      # intact
+        (good[:100],),                # truncated inside the header
+        (good[: len(good) - 700],),   # truncated after member 1's data
+        (b"\x1f\x8b not really gzip",),
+        (b"garbage that is not tar at all" * 20,),
+    ]
+    df = spark.createDataFrame(payloads, "payload binary")
+    out = parse_wds(df).collect()
+    # intact shard + the parseable PREFIX of the mid-truncated one;
+    # header-truncated and garbage shards quarantine to zero rows
+    assert sorted(r["key"] for r in out) == ["k0", "k0"]
+    assert all(bytes(r["content"]) == b"good text" for r in out)
+
+
 # ----- streaming BM25 index maintenance ---------------------------------
 
 
