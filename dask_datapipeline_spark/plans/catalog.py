@@ -422,7 +422,15 @@ def q_partition_pruning(spark, sf_dir):
     ev = load_testdata(spark, sf_dir, "events").select(
         "event_type", "event_id", "value"
     )
-    out = _os.path.join(_tf.mkdtemp(prefix="ddps_part_prune_"), "events_by_type")
+    # one deterministic path per sf, rewritten (mode=overwrite) per
+    # call — repeated gate runs must not leak a fresh mkdtemp each
+    # time (the q_scan_json convention); the sf suffix keeps parallel
+    # gates on different sf dirs from clobbering each other
+    out = _os.path.join(
+        _tf.gettempdir(),
+        "spark_graft_part_prune_" + _os.path.basename(sf_dir.rstrip("/")),
+        "events_by_type",
+    )
     ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
     back = spark.read.parquet(out).where(
         (F.col("event_type") == "click") & F.col("value").isNotNull()

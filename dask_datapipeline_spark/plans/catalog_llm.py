@@ -7896,7 +7896,14 @@ def q_bm25_from_index(spark, sf_dir):
     )
 
     docs = load_testdata(spark, sf_dir, "documents")
-    idx = _os.path.join(_tf.mkdtemp(prefix="ddps_bm25_idx_"), "index")
+    # deterministic per-sf path, mode=overwrite inside the builder —
+    # repeated gate runs rebuild in place instead of leaking a full
+    # postings copy per call (the q_scan_json convention)
+    idx = _os.path.join(
+        _tf.gettempdir(),
+        "spark_graft_bm25_idx_" + _os.path.basename(sf_dir.rstrip("/")),
+        "index",
+    )
     build_bm25_index(docs, idx)
     return bm25_topk_from_index(spark, idx, _BM25_QUERY, k=_BM25_K)
 
@@ -8782,7 +8789,7 @@ FROM documents WHERE text IS NOT NULL
 )
 def q_robots_allow(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    num = F.regexp_extract("source", r"(\d+)$", 1).cast("int")
+    num = F.expr("try_cast(regexp_extract(source, '(\\\\d+)$', 1) AS INT)")
     txt = F.concat(
         F.lit(
             "# crawl policy\r\nUser-agent: *\nDisallow: /private\n"
@@ -8841,7 +8848,7 @@ FROM documents WHERE text IS NOT NULL
 )
 def q_robots_agent_group(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    num = F.regexp_extract("source", r"(\d+)$", 1).cast("int")
+    num = F.expr("try_cast(regexp_extract(source, '(\\\\d+)$', 1) AS INT)")
     txt = F.concat(
         F.lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
         F.when(

@@ -84,10 +84,12 @@ def write_wds_shards(
         pdf = pdf.sort_values(key_col, kind="mergesort")
         samples: list[tuple[str, str, bytes]] = []
         n = 0
-        for _, row in pdf.iterrows():
-            key = str(row[key_col])
-            for ext in sorted(exts):
-                v = row[exts[ext]]
+        ordered_exts = sorted(exts)
+        # zip of column Series (the warc.py packer idiom) — iterrows
+        # materializes a Series per row and dominates pack cost
+        for vals in zip(pdf[key_col], *[pdf[exts[e]] for e in ordered_exts]):
+            key = str(vals[0])
+            for ext, v in zip(ordered_exts, vals[1:]):
                 content = (
                     bytes(v) if isinstance(v, (bytes, bytearray)) else str(v).encode()
                 )
@@ -127,9 +129,11 @@ def parse_wds(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     if not info.isfile():
                         continue
                     name = info.name
-                    key, _, ext = name.rpartition(".")
+                    key, dot, ext = name.rpartition(".")
+                    if not dot:  # extensionless member: ext is empty,
+                        key, ext = name, ""  # never the whole filename
                     content = tf.extractfile(info).read()
-                    out.append((key or name, ext, content))
+                    out.append((key, ext, content))
         except (tarfile.TarError, gzip.BadGzipFile, OSError, EOFError):
             pass
         return out

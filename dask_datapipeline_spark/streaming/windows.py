@@ -842,13 +842,44 @@ def stream_incremental_bm25_index(
     discovery; stats SUM across delta rows), so after draining the
     stream the scored output is BIT-IDENTICAL to an index built by
     ``build_bm25_index`` in one batch — the catalog row proves it by
-    sharing ``bm25_topk``'s oracle verbatim. Production compaction
-    (fold old deltas into a base) is the ``minhash_index`` /
-    ``compact_small_files`` discipline, orthogonal to correctness
-    here."""
+    sharing ``bm25_topk``'s oracle verbatim. An EXISTING one-shot
+    index is adopted on entry: its flat part files move into
+    ``delta=-1`` (Spark refuses mixed-depth layouts), after which
+    batch-built and streamed contributions read as one table.
+    Production compaction (fold old deltas into a base) is
+    ``operators/bm25.py::compact_bm25_index``."""
     from dask_datapipeline_spark.operators.bm25 import postings_frames
 
     base = index_dir.rstrip("/")
+
+    def _adopt_flat_layout() -> None:
+        """An index built by ``build_bm25_index`` stores flat part
+        files under postings/ and stats/; Spark refuses mixed-depth
+        layouts, so deltas cannot land next to them. Adopt the batch
+        build as the BASE delta: move its files into ``delta=-1``
+        (idempotent — once moved, no flat files remain), after which
+        the one-shot and streamed contributions read as one
+        partitioned table."""
+        import os
+        import shutil
+
+        for sub in ("postings", "stats"):
+            d = f"{base}/{sub}"
+            if not os.path.isdir(d):
+                continue
+            flat = [
+                f
+                for f in os.listdir(d)
+                if os.path.isfile(os.path.join(d, f))
+            ]
+            if not flat:
+                continue
+            dest = os.path.join(d, "delta=-1")
+            os.makedirs(dest, exist_ok=True)
+            for f in flat:
+                shutil.move(os.path.join(d, f), os.path.join(dest, f))
+
+    _adopt_flat_layout()
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         postings, stats = postings_frames(batch_df)

@@ -76,23 +76,41 @@ def _indent(line: str) -> int:
 
 
 def _unbounded_single_partition_exchanges(plan: str) -> list[str]:
-    """Lines planning an Exchange SinglePartition whose subtree hits a
-    scan without passing a bounding operator first."""
+    """Lines planning an Exchange SinglePartition with some scan in
+    its subtree whose ANCESTOR PATH to the exchange carries no
+    bounding operator — i.e. unbounded rows can actually reach the
+    single partition. Checking per-path (not 'any bounding op
+    anywhere in the subtree') closes the sibling-branch false
+    negative: Join(Aggregate(small), full scan) under the exchange is
+    still flagged, because the full scan's own path is unguarded.
+    LocalTableScan (literal rows) never counts as an unbounded leaf;
+    ReusedExchange references are audited at their definition site."""
     lines = plan.splitlines()
     bad = []
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" not in ln or "ReusedExchange" in ln:
             continue
         d = _indent(ln)
-        bounded = False
         for j in range(i + 1, len(lines)):
-            if _indent(lines[j]) <= d:
+            dj = _indent(lines[j])
+            if dj <= d:
                 break
-            if any(b in lines[j] for b in _BOUNDING):
-                bounded = True
+            if "Scan" not in lines[j] or "LocalTableScan" in lines[j]:
+                continue
+            # ancestor chain of line j back to the exchange: lines
+            # whose indent strictly decreases as we walk up
+            guarded = False
+            min_d = dj
+            for k in range(j - 1, i, -1):
+                dk = _indent(lines[k])
+                if dk < min_d:
+                    min_d = dk
+                    if any(b in lines[k] for b in _BOUNDING):
+                        guarded = True
+                        break
+            if not guarded:
+                bad.append(ln.strip() + " <- " + lines[j].strip()[:80])
                 break
-        if not bounded:
-            bad.append(ln.strip())
     return bad
 
 

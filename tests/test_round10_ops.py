@@ -879,6 +879,47 @@ def test_compact_bm25_index_is_transparent(spark, tmp_path):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_streaming_bm25_adopts_batch_built_index(spark, tmp_path):
+    """build_bm25_index then stream MORE docs into the same dir: the
+    flat layout is adopted as delta=-1 and the final index scores
+    bit-identically to a one-shot build over everything."""
+    import os
+
+    from dask_datapipeline_spark.operators.bm25 import (
+        bm25_topk_from_index,
+        build_bm25_index,
+    )
+    from dask_datapipeline_spark.streaming.windows import (
+        stream_incremental_bm25_index,
+    )
+
+    all_rows = [
+        (i, f"spark data {'dup ' * (i % 3)}table {i}") for i in range(40)
+    ]
+    docs = spark.createDataFrame(all_rows, "doc_id long, text string")
+    first, rest = docs.where(F.col("doc_id") < 20), docs.where(F.col("doc_id") >= 20)
+
+    mixed = str(tmp_path / "mixed")
+    build_bm25_index(first, mixed)
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    rest.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmp"))
+    src = next(f for f in os.listdir(tmp_path / "tmp") if f.endswith(".parquet"))
+    os.rename(tmp_path / "tmp" / src, tmp_path / "staged" / "c0.parquet")
+    stream_incremental_bm25_index(
+        spark, staged, mixed, "doc_id long, text string",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    assert os.path.isdir(mixed + "/postings/delta=-1")
+
+    full = str(tmp_path / "full")
+    build_bm25_index(docs, full)
+    terms = ["spark", "dup"]
+    got = bm25_topk_from_index(spark, mixed, terms, k=10).collect()
+    want = bm25_topk_from_index(spark, full, terms, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
 # ----- streaming HLL: mid-swap crash recovery --------------------------
 
 
