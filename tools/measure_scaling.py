@@ -78,6 +78,7 @@ QUERIES = [
     ("bm25_topk_scaled", "documents"),
     ("bm25_from_index_scaled", "documents"),
     ("equi_depth_histogram_scaled", "documents"),
+    ("wds_export_scaled", "documents"),
     ("margin_deciles_scaled", "documents"),
     ("hll_distinct_scaled", "documents"),
     ("warc_roundtrip_scaled", "documents"),
@@ -431,6 +432,17 @@ def _equi_depth_histogram_scaled(spark, sf_dir, n_rows):
     )
 
 
+def _wds_export_scaled(spark, sf_dir, n_rows):
+    """The training-export leg at the tier: token-balanced shard
+    assignment -> WebDataset tar pack -> stream-parse back (the
+    catalog composition row on the tier's documents). Parse output is
+    row-preserving through mapInPandas (count() cannot prune a Python
+    barrier), so a bare count forces both tar legs."""
+    from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG
+
+    return EXTRA_CATALOG["wds_export_pipeline"].fn(spark, sf_dir)
+
+
 def _margin_deciles_scaled(spark, sf_dir, n_rows):
     """The classifier-calibration deciles at the tier — the second
     round-10 prefix-sum rewrite, measured on its real body (hashed
@@ -454,6 +466,7 @@ CUSTOM = {
     "bm25_topk_scaled": _bm25_topk_scaled,
     "bm25_from_index_scaled": _bm25_from_index_scaled,
     "equi_depth_histogram_scaled": _equi_depth_histogram_scaled,
+    "wds_export_scaled": _wds_export_scaled,
     "margin_deciles_scaled": _margin_deciles_scaled,
     "hll_distinct_scaled": _hll_distinct_scaled,
     "warc_roundtrip_scaled": _warc_roundtrip_scaled,
