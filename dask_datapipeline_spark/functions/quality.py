@@ -118,19 +118,17 @@ def stopword_hits_by_lang(text: Column | str, lang: Column | str) -> Column:
     language, never a join."""
     c = F.col(text) if isinstance(text, str) else text
     l = F.col(lang) if isinstance(lang, str) else lang
-    toks = F.split(F.lower(c), " ")
-
-    def hits(markers: list[str]) -> Column:
-        arr = F.array(*[F.lit(m) for m in markers])
-        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-
+    # each branch IS text.py::stopword_hits(c, lg) — one expression
+    # source, so this floor can never drift from lang_id's scoring
+    # (re-implementing the filter here was flagged in review)
     out = None
-    for lg, markers in LANG_MARKERS.items():
+    for lg in LANG_MARKERS:
         if lg == "en":
             continue
         cond = l == F.lit(lg)
-        out = F.when(cond, hits(markers)) if out is None else out.when(cond, hits(markers))
-    return out.otherwise(hits(LANG_MARKERS["en"]))
+        branch = stopword_hits(c, lg)
+        out = F.when(cond, branch) if out is None else out.when(cond, branch)
+    return out.otherwise(stopword_hits(c, "en"))
 
 
 def stopword_hits_by_lang_sql(expr: str, lang_expr: str) -> str:

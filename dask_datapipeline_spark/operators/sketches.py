@@ -654,6 +654,47 @@ def hll_distinct(
     )
 
 
+def hll_sql_parts(p: int = HLL_P) -> dict:
+    """The shared SQL fragments of every HLL oracle replay — ONE
+    source so the plain replay, the rollup, and the set-ops builders
+    cannot drift (a tweak to the linear-counting branch lands in all
+    three or none):
+
+    - ``rho_max``: the MAX register expression over a column ``hh``;
+    - ``s_occ``: the exact-integer occupancy sum over ``m_reg``;
+    - ``est``: the 6dp-rounded estimate over an aggregate row with
+      ``(n_buckets_used, s_occ)`` columns;
+    - the geometry ints ``m``/``w``/``w1``/``mask``.
+    """
+    m = 1 << p
+    w = _HLL_HASH_BITS - p
+    w1 = w + 1
+    mask = (1 << w) - 1
+    alpha = repr(hll_alpha_m2_scaled(p))
+    raw = (
+        f"{alpha} / CAST(s_occ + ({m} - n_buckets_used) * "
+        f"(CAST(1 AS BIGINT) << {w1}) AS DOUBLE)"
+    )
+    return {
+        "rho_max": (
+            f"MAX(CASE WHEN (hh & {mask}) > 0 "
+            f"THEN {w1} - length(bin(hh & {mask})) ELSE {w1} END)"
+        ),
+        "s_occ": f"SUM(CAST(1 AS BIGINT) << ({w1} - m_reg))",
+        "est": (
+            f"round(CASE WHEN {raw} <= {repr(2.5 * m)} "
+            f"AND ({m} - n_buckets_used) > 0 "
+            f"THEN {repr(float(m))} * ln({repr(float(m))} / "
+            f"CAST({m} - n_buckets_used AS DOUBLE)) "
+            f"ELSE {raw} END, 6)"
+        ),
+        "m": m,
+        "w": w,
+        "w1": w1,
+        "mask": mask,
+    }
+
+
 def hll_oracle_sql(
     table: str,
     group_col: str,
@@ -665,37 +706,23 @@ def hll_oracle_sql(
     hash set (register max-merge is exact, so this IS the merged
     sketch) and read it out with the same exact-integer denominator
     and the same 6dp-rounded estimate."""
-    m = 1 << p
-    w = _HLL_HASH_BITS - p
-    w1 = w + 1
-    mask = (1 << w) - 1
-    alpha = repr(hll_alpha_m2_scaled(p))
+    parts = hll_sql_parts(p)
     hash_expr = _SQL_HASH60.format(seed=seed, col=f"CAST({value_col} AS VARCHAR)")
-    raw = (
-        f"{alpha} / CAST(s_occ + ({m} - n_buckets_used) * "
-        f"(CAST(1 AS BIGINT) << {w1}) AS DOUBLE)"
-    )
     return f"""
 WITH h AS (
   SELECT DISTINCT {group_col}, {hash_expr} AS hh
   FROM {table} WHERE {value_col} IS NOT NULL
 ), reg AS (
-  SELECT {group_col}, hh >> {w} AS bucket,
-         MAX(CASE WHEN (hh & {mask}) > 0
-                  THEN {w1} - length(bin(hh & {mask}))
-                  ELSE {w1} END) AS m_reg
+  SELECT {group_col}, hh >> {parts["w"]} AS bucket,
+         {parts["rho_max"]} AS m_reg
   FROM h GROUP BY 1, 2
 ), agg AS (
   SELECT {group_col}, COUNT(*) AS n_buckets_used,
-         SUM(CAST(1 AS BIGINT) << ({w1} - m_reg)) AS s_occ
+         {parts["s_occ"]} AS s_occ
   FROM reg GROUP BY 1
 )
 SELECT {group_col},
        n_buckets_used,
-       round(CASE WHEN {raw} <= {repr(2.5 * m)}
-                   AND ({m} - n_buckets_used) > 0
-             THEN {repr(float(m))} * ln({repr(float(m))} /
-                  CAST({m} - n_buckets_used AS DOUBLE))
-             ELSE {raw} END, 6) AS est_distinct
+       {parts["est"]} AS est_distinct
 FROM agg
 """

@@ -159,7 +159,13 @@ def equi_depth_bounds(
     from dask_datapipeline_spark.operators.ranks import global_ntile
 
     order = [col] + ([unique_key] if unique_key else [])
-    src = df.where(F.col(col).isNotNull()).select(*dict.fromkeys(order))
+    keep = F.col(col).isNotNull()
+    if dict(df.dtypes)[col] in ("double", "float"):
+        # NaN floors to 0 (lowest range bucket) while SORTING greatest
+        # — it would break the monotone-bucket contract and pollute
+        # bucket 0's hi; a NaN metric value prices no range predicate
+        keep = keep & ~F.isnan(F.col(col))
+    src = df.where(keep).select(*dict.fromkeys(order))
     v = F.col(col).cast("double")
     # bounded scalar probe (one MIN/MAX row — the ANALYZE precedent)
     # sizes the coarse range bucket the two-pass rank needs: ~64

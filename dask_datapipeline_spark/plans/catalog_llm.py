@@ -21,6 +21,35 @@ from dask_datapipeline_spark.operators.similarity import (
 from dask_datapipeline_spark.plans.catalog import register, register_extra
 from dask_datapipeline_spark.sources.readers import load_testdata
 
+def _stage_micro_batches(parts, staged: str) -> None:
+    """Write each part as ONE parquet file into ``staged`` with
+    strictly increasing mtimes — the micro-batch fixture every
+    streaming catalog row drives (Spark's file stream orders files by
+    modification time). Shared by all five streaming fixtures so the
+    fragile bits — single-file coalesce, part-file discovery, mtime
+    spacing, temp cleanup — live ONCE (review round 10: five verbatim
+    copies had drifted into existence)."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+    import time as _time
+
+    work = _tf.mkdtemp(prefix="ddps_stage_")
+    now = _time.time()
+    for i, part in enumerate(parts):
+        tmp = _os.path.join(work, f"stage-tmp-{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            _os.path.join(tmp, f)
+            for f in _os.listdir(tmp)
+            if f.endswith(".parquet")
+        )
+        dst = _os.path.join(staged, f"chunk-{i}.parquet")
+        _sh.move(src, dst)
+        _os.utime(dst, (now + i, now + i))
+    _sh.rmtree(work, ignore_errors=True)
+
+
 # ----- shared SQL fragments (mirror operators/dedup.py primitives) ---
 
 _SQL_HASH = "CAST(CONCAT('0x', SUBSTRING(md5('{seed}:' || {col}), 1, 15)) AS BIGINT)"
@@ -3101,21 +3130,9 @@ def q_streaming_kmv(spark, sf_dir):
         ev.where((F.col("event_id") > cuts[0]) & (F.col("event_id") <= cuts[1])),
         ev.where(F.col("event_id") > cuts[1]),
     ]
-    now = _time.time()
-    for i, part in enumerate(parts):
-        tmp = _os.path.join(work, f"stage-tmp-{i}")
-        part.select("event_type", "user_id").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        src = next(
-            _os.path.join(tmp, f)
-            for f in _os.listdir(tmp)
-            if f.endswith(".parquet")
-        )
-        dst = _os.path.join(staged, f"chunk-{i}.parquet")
-        _sh.move(src, dst)
-        _os.utime(dst, (now + i, now + i))
-        _sh.rmtree(tmp)
+    _stage_micro_batches(
+        [p.select("event_type", "user_id") for p in parts], staged
+    )
     sketch_dir = _os.path.join(work, "sketch")
     stream_incremental_kmv(
         spark,
@@ -3170,19 +3187,7 @@ def q_streaming_quantile(spark, sf_dir):
         ev.where((F.col("event_id") > cuts[0]) & (F.col("event_id") <= cuts[1])),
         ev.where(F.col("event_id") > cuts[1]),
     ]
-    now = _time.time()
-    for i, part in enumerate(parts):
-        tmp = _os.path.join(work, f"stage-tmp-{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(
-            _os.path.join(tmp, f)
-            for f in _os.listdir(tmp)
-            if f.endswith(".parquet")
-        )
-        dst = _os.path.join(staged, f"chunk-{i}.parquet")
-        _sh.move(src, dst)
-        _os.utime(dst, (now + i, now + i))
-        _sh.rmtree(tmp)
+    _stage_micro_batches(parts, staged)
     sample_dir = _os.path.join(work, "sample")
     stream_incremental_quantile_sample(
         spark,
@@ -4068,19 +4073,7 @@ def q_streaming_incremental_dedup(spark, sf_dir):
         batch.where((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
         batch.where(F.col("doc_id") >= cuts[1]),
     ]
-    now = _time.time()
-    for i, part in enumerate(parts):
-        tmp = _os.path.join(work, f"stage-tmp-{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(
-            _os.path.join(tmp, f)
-            for f in _os.listdir(tmp)
-            if f.endswith(".parquet")
-        )
-        dst = _os.path.join(staged, f"chunk-{i}.parquet")
-        _sh.move(src, dst)
-        _os.utime(dst, (now + i, now + i))
-        _sh.rmtree(tmp)
+    _stage_micro_batches(parts, staged)
     out_dir = _os.path.join(work, "flags")
     stream_incremental_dedup(
         spark,
@@ -4855,10 +4848,14 @@ def q_wds_export_pipeline(spark, sf_dir):
         "n_tok",
         shard_tokens=_SHARD_TOKENS,
     )
+    # key = '{shard}/{doc}' with NO padding: lpad TRUNCATES ids wider
+    # than its length (lpad('1234567',6,'0') -> '123456'), which would
+    # silently corrupt the mapping at 100 TB shard counts; each tar
+    # holds ONE shard anyway, so padding buys no ordering
     staged = sh.join(docs.select("doc_id", "text"), "doc_id").select(
         "shard_id",
         F.concat(
-            F.lpad(F.col("shard_id").cast("string"), 6, "0"),
+            F.col("shard_id").cast("string"),
             F.lit("/"),
             F.col("doc_id").cast("string"),
         ).alias("key"),
@@ -7811,21 +7808,9 @@ def q_streaming_hll(spark, sf_dir):
         ev.where((F.col("event_id") > cuts[0]) & (F.col("event_id") <= cuts[1])),
         ev.where(F.col("event_id") > cuts[1]),
     ]
-    now = _time.time()
-    for i, part in enumerate(parts):
-        tmp = _os.path.join(work, f"stage-tmp-{i}")
-        part.select("event_type", "user_id").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        src = next(
-            _os.path.join(tmp, f)
-            for f in _os.listdir(tmp)
-            if f.endswith(".parquet")
-        )
-        dst = _os.path.join(staged, f"chunk-{i}.parquet")
-        _sh.move(src, dst)
-        _os.utime(dst, (now + i, now + i))
-        _sh.rmtree(tmp)
+    _stage_micro_batches(
+        [p.select("event_type", "user_id") for p in parts], staged
+    )
     sketch_dir = _os.path.join(work, "sketch")
     stream_incremental_hll(
         spark,
@@ -7942,19 +7927,7 @@ def q_streaming_bm25_index(spark, sf_dir):
         docs.where((F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])),
         docs.where(F.col("doc_id") > cuts[1]),
     ]
-    now = _time.time()
-    for i, part in enumerate(parts):
-        tmp = _os.path.join(work, f"stage-tmp-{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(tmp)
-        src = next(
-            _os.path.join(tmp, f)
-            for f in _os.listdir(tmp)
-            if f.endswith(".parquet")
-        )
-        dst = _os.path.join(staged, f"chunk-{i}.parquet")
-        _sh.move(src, dst)
-        _os.utime(dst, (now + i, now + i))
-        _sh.rmtree(tmp)
+    _stage_micro_batches(parts, staged)
     index_dir = _os.path.join(work, "index")
     stream_incremental_bm25_index(
         spark,
@@ -8252,45 +8225,28 @@ def _hll_rollup_sql() -> str:
     hashed CTE — the global side builds registers over the full
     distinct hash set, which register max-merge exactness guarantees
     equals merging the per-type registers (what the Spark side
-    actually does)."""
+    actually does). All HLL fragments come from ONE shared builder
+    (``sketches.hll_sql_parts``) so the replay family cannot drift."""
     from dask_datapipeline_spark.operators.sketches import (
-        _HLL_HASH_BITS,
         _SQL_HASH60,
-        hll_alpha_m2_scaled,
+        hll_sql_parts,
     )
 
-    p = HLL_P
-    m, w = 1 << p, _HLL_HASH_BITS - p
-    w1, mask = w + 1, (1 << w) - 1
-    alpha = repr(hll_alpha_m2_scaled(p))
+    parts = hll_sql_parts(HLL_P)
     hash_expr = _SQL_HASH60.format(seed=HLL_SEED, col="CAST(user_id AS VARCHAR)")
-    rho = (
-        f"MAX(CASE WHEN (hh & {mask}) > 0 "
-        f"THEN {w1} - length(bin(hh & {mask})) ELSE {w1} END)"
-    )
-    raw = (
-        f"{alpha} / CAST(s_occ + ({m} - n_buckets_used) * "
-        f"(CAST(1 AS BIGINT) << {w1}) AS DOUBLE)"
-    )
-    est = (
-        f"round(CASE WHEN {raw} <= {repr(2.5 * m)} "
-        f"AND ({m} - n_buckets_used) > 0 "
-        f"THEN {repr(float(m))} * ln({repr(float(m))} / "
-        f"CAST({m} - n_buckets_used AS DOUBLE)) "
-        f"ELSE {raw} END, 6)"
-    )
+    est = parts["est"]
     return f"""
 WITH h AS (
   SELECT DISTINCT event_type, {hash_expr} AS hh
   FROM events WHERE user_id IS NOT NULL
 ),
 reg_t AS (
-  SELECT event_type, hh >> {w} AS bucket, {rho} AS m_reg
+  SELECT event_type, hh >> {parts["w"]} AS bucket, {parts["rho_max"]} AS m_reg
   FROM h GROUP BY 1, 2
 ),
 agg_t AS (
   SELECT event_type AS scope, COUNT(*) AS n_buckets_used,
-         SUM(CAST(1 AS BIGINT) << ({w1} - m_reg)) AS s_occ
+         {parts["s_occ"]} AS s_occ
   FROM reg_t GROUP BY 1
 ),
 reg_g AS (
@@ -8298,7 +8254,7 @@ reg_g AS (
 ),
 agg_g AS (
   SELECT 'ALL' AS scope, COUNT(*) AS n_buckets_used,
-         SUM(CAST(1 AS BIGINT) << ({w1} - m_reg)) AS s_occ
+         {parts["s_occ"]} AS s_occ
   FROM reg_g
 )
 SELECT scope, n_buckets_used, {est} AS est_distinct FROM agg_t
@@ -8310,33 +8266,16 @@ SELECT scope, n_buckets_used, {est} AS est_distinct FROM agg_g
 def _hll_set_ops_sql() -> str:
     """Two filtered register CTEs + their max-merge, shared hash CTE;
     intersection by inclusion-exclusion over the same 6dp-rounded
-    estimates both engines emit."""
+    estimates both engines emit. HLL fragments from the ONE shared
+    builder (``sketches.hll_sql_parts``)."""
     from dask_datapipeline_spark.operators.sketches import (
-        _HLL_HASH_BITS,
         _SQL_HASH60,
-        hll_alpha_m2_scaled,
+        hll_sql_parts,
     )
 
-    p = HLL_P
-    m, w = 1 << p, _HLL_HASH_BITS - p
-    w1, mask = w + 1, (1 << w) - 1
-    alpha = repr(hll_alpha_m2_scaled(p))
+    parts = hll_sql_parts(HLL_P)
     hash_expr = _SQL_HASH60.format(seed=HLL_SEED, col="CAST(user_id AS VARCHAR)")
-    rho = (
-        f"MAX(CASE WHEN (hh & {mask}) > 0 "
-        f"THEN {w1} - length(bin(hh & {mask})) ELSE {w1} END)"
-    )
-    raw = (
-        f"{alpha} / CAST(s_occ + ({m} - n_buckets_used) * "
-        f"(CAST(1 AS BIGINT) << {w1}) AS DOUBLE)"
-    )
-    est = (
-        f"round(CASE WHEN {raw} <= {repr(2.5 * m)} "
-        f"AND ({m} - n_buckets_used) > 0 "
-        f"THEN {repr(float(m))} * ln({repr(float(m))} / "
-        f"CAST({m} - n_buckets_used AS DOUBLE)) "
-        f"ELSE {raw} END, 6)"
-    )
+    est = parts["est"]
     return f"""
 WITH h AS (
   SELECT DISTINCT event_type, {hash_expr} AS hh
@@ -8344,12 +8283,12 @@ WITH h AS (
   WHERE user_id IS NOT NULL AND event_type IN ('click', 'purchase')
 ),
 reg_t AS (
-  SELECT event_type, hh >> {w} AS bucket, {rho} AS m_reg
+  SELECT event_type, hh >> {parts["w"]} AS bucket, {parts["rho_max"]} AS m_reg
   FROM h GROUP BY 1, 2
 ),
 agg_t AS (
   SELECT event_type AS scope, COUNT(*) AS n_buckets_used,
-         SUM(CAST(1 AS BIGINT) << ({w1} - m_reg)) AS s_occ
+         {parts["s_occ"]} AS s_occ
   FROM reg_t GROUP BY 1
 ),
 reg_u AS (
@@ -8357,7 +8296,7 @@ reg_u AS (
 ),
 agg_u AS (
   SELECT 'union' AS scope, COUNT(*) AS n_buckets_used,
-         SUM(CAST(1 AS BIGINT) << ({w1} - m_reg)) AS s_occ
+         {parts["s_occ"]} AS s_occ
   FROM reg_u
 ),
 longt AS (

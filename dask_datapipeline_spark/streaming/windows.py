@@ -30,6 +30,17 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+def _drain(q, timeout_sec: int, what: str = "stream") -> None:
+    """availableNow drains must FINISH: ``awaitTermination(timeout)``
+    returning False on a slow drain would hand the caller a PARTIAL
+    sink (and the still-live query would keep writing under it) —
+    stop the query and raise instead of returning quietly."""
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"{what} did not drain in {timeout_sec}s")
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` as a file stream (one-file 'directory'; production:
     a growing landing dir or Kafka source — same downstream plan).
@@ -382,7 +393,7 @@ def stream_merge_to_parquet(
         )
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _drain(q, timeout_sec)
 
 
 def stream_merge_to_versioned(
@@ -435,7 +446,7 @@ def stream_merge_to_versioned(
         )
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _drain(q, timeout_sec)
 
 
 def stream_incremental_quantile_sample(
@@ -504,7 +515,7 @@ def stream_incremental_quantile_sample(
         )
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _drain(q, timeout_sec)
 
 
 def stream_incremental_kmv(
@@ -573,7 +584,7 @@ def stream_incremental_kmv(
         )
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _drain(q, timeout_sec)
 
 
 def stream_incremental_dedup(
@@ -662,7 +673,7 @@ def stream_incremental_dedup(
         )
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _drain(q, timeout_sec)
 
 
 _ANOM_SCHEMA = T.StructType(
@@ -903,7 +914,7 @@ def stream_incremental_bm25_index(
         )
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _drain(q, timeout_sec)
 
 
 def stream_incremental_hll(
@@ -996,4 +1007,4 @@ def stream_incremental_hll(
         )
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _drain(q, timeout_sec)
