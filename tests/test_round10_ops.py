@@ -479,6 +479,24 @@ def test_equi_depth_bounds_shape(spark):
         assert a["lo"] <= a["hi"]
 
 
+def test_equi_depth_bounds_excludes_nan(spark):
+    """NaN floors to bucket 0 while sorting greatest — it must be
+    filtered like NULL or the histogram's lowest bucket is silently
+    wrong (review round 10, verified live pre-fix)."""
+    import math
+
+    from dask_datapipeline_spark.operators.stats import equi_depth_bounds
+
+    rows = [(float(v), i) for i, v in enumerate(range(1, 9))]
+    rows += [(float("nan"), 100), (None, 101)]
+    df = spark.createDataFrame(rows, "v double, id long")
+    hist = equi_depth_bounds(df, "v", n_buckets=4, unique_key="id").collect()
+    assert sum(r["n_rows"] for r in hist) == 8  # NaN and NULL excluded
+    assert all(
+        not math.isnan(r["lo"]) and not math.isnan(r["hi"]) for r in hist
+    )
+
+
 def test_estimate_range_rows_uniform(spark):
     from dask_datapipeline_spark.operators.stats import (
         equi_depth_bounds,
