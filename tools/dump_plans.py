@@ -54,6 +54,8 @@ SHOWCASE = [
     ("extra:bm25_from_index", "index-backed BM25: the corpus scan is REPLACED by the materialized postings scan (ReadSchema is the postings struct, PushedFilters carries In(token, ...)) — the per-query cost is the candidate postings' row groups, the corpus is never re-tokenized"),
     ("extra:equi_depth_histogram", "distributed equi-depth ntile (ranks.py::global_ntile): bucket-count groupBy + bounded offset window, then a window PARTITIONED by price-range bucket + broadcast offset join — the global ntile's Exchange SinglePartition is gone (round-10 rewrite)"),
     ("extra:join_order_planned", "stats-driven fold order: the ANALYZE pass ran at plan time (plan_join_order over table_stats rows), so the filtered small input joins first — the physical tree is the System-R left-deep order, not caller order"),
+    ("extra:partition_pruning", "partitionBy write + equality read-back: the partition filter prunes DIRECTORIES (PartitionFilters carries the event_type equality; ReadSchema omits the partition column entirely) — with bucketed_join and zorder_layout this completes the three-granularity pruning ladder"),
+    ("extra:wds_export_pipeline", "training export end-to-end: the two-pass shard assignment's partitioned windows + ONE applyInPandas tar pack on the same shard key + the flatMap parse — no corpus-sized single-partition operator anywhere in the chain"),
 ]
 
 
