@@ -3108,9 +3108,7 @@ def q_quantile_sketch(spark, sf_dir):
 )
 def q_streaming_kmv(spark, sf_dir):
     import os as _os
-    import shutil as _sh
     import tempfile as _tf
-    import time as _time
 
     from dask_datapipeline_spark.operators.sketches import (
         kmv_estimate_from_sketch,
@@ -3164,9 +3162,7 @@ def q_streaming_kmv(spark, sf_dir):
 )
 def q_streaming_quantile(spark, sf_dir):
     import os as _os
-    import shutil as _sh
     import tempfile as _tf
-    import time as _time
 
     from dask_datapipeline_spark.operators.sketches import quantiles_from_sample
     from dask_datapipeline_spark.streaming.windows import (
@@ -4029,9 +4025,7 @@ def q_incremental_dedup(spark, sf_dir):
 )
 def q_streaming_incremental_dedup(spark, sf_dir):
     import os as _os
-    import shutil as _sh
     import tempfile as _tf
-    import time as _time
     import uuid as _uuid
 
     from dask_datapipeline_spark.operators.minhash_index import build_minhash_index
@@ -4752,8 +4746,12 @@ def q_ngram_novelty(spark, sf_dir):
 
 _SHARD_TOKENS = 2000
 
-_SQL_TRAINING_SHARDS = f"""
-WITH t AS (
+#: the shard-assignment replay CTEs, shared by the training_shards
+#: oracle AND the WDS export oracle — ONE fragment so the two cannot
+#: drift (the hll_sql_parts discipline; these were two retyped copies
+#: until the round-10 review)
+_SQL_SHARD_ASSIGN_CTES = """
+t AS (
   SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
          CAST(CONCAT('0x', SUBSTRING(md5('shard:' || doc_id), 1, 15)) AS BIGINT) AS h
   FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
@@ -4773,6 +4771,10 @@ c AS (
            AS BIGINT) AS stream_offset
   FROM t
 )
+"""
+
+_SQL_TRAINING_SHARDS = f"""
+WITH {_SQL_SHARD_ASSIGN_CTES.strip()}
 SELECT doc_id, n_tokens, stream_offset,
        CAST(stream_offset // {_SHARD_TOKENS} AS BIGINT) AS shard_id
 FROM c
@@ -4800,22 +4802,13 @@ def q_training_shards(spark, sf_dir):
 
 
 _SQL_WDS_EXPORT = f"""
-WITH t AS (
-  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
-         CAST(CONCAT('0x', SUBSTRING(md5('shard:' || doc_id), 1, 15)) AS BIGINT) AS h
-  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
-),
-c AS (
-  SELECT doc_id,
-         CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id, n_tokens
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-           AS BIGINT) AS stream_offset
-  FROM t
-)
+WITH {_SQL_SHARD_ASSIGN_CTES.strip()}
 SELECT c.doc_id,
        CAST(c.stream_offset // {_SHARD_TOKENS} AS BIGINT) AS shard_id,
        d.text
-FROM c JOIN documents d ON d.doc_id = c.doc_id
+FROM c JOIN (SELECT doc_id, text FROM documents
+             WHERE text IS NOT NULL AND doc_id IS NOT NULL) d
+  ON d.doc_id = c.doc_id
 """
 
 
@@ -4839,8 +4832,11 @@ def q_wds_export_pipeline(spark, sf_dir):
         write_wds_shards,
     )
 
+    # doc_id guard mirrors the oracle's join-side filter exactly:
+    # shard_by_tokens drops NULL ids anyway, but the text join-back
+    # must not resurrect a NULL-id row the assignment never saw
     docs = load_testdata(spark, sf_dir, "documents").where(
-        F.col("text").isNotNull()
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
     )
     sh = shard_by_tokens(
         docs.select("doc_id", _TXT.whitespace_token_count("text").alias("n_tok")),
@@ -7786,9 +7782,7 @@ def q_hll_distinct(spark, sf_dir):
 )
 def q_streaming_hll(spark, sf_dir):
     import os as _os
-    import shutil as _sh
     import tempfile as _tf
-    import time as _time
 
     from dask_datapipeline_spark.operators.sketches import (
         hll_estimate_from_registers,
@@ -7907,9 +7901,7 @@ def q_bm25_from_index(spark, sf_dir):
 )
 def q_streaming_bm25_index(spark, sf_dir):
     import os as _os
-    import shutil as _sh
     import tempfile as _tf
-    import time as _time
 
     from dask_datapipeline_spark.operators.bm25 import bm25_topk_from_index
     from dask_datapipeline_spark.streaming.windows import (
@@ -8554,7 +8546,7 @@ def q_warc_wet(spark, sf_dir):
     "wds_roundtrip",
     """
 SELECT doc_id, text
-FROM documents WHERE text IS NOT NULL
+FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
 """,
     "WebDataset tar shard codec (sources/webdataset.py, stdlib-only): "
     "documents packed into numbered .tar shards ({key}.txt members, "
@@ -8571,7 +8563,11 @@ def q_wds_roundtrip(spark, sf_dir):
         write_wds_shards,
     )
 
-    docs = load_testdata(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # doc_id guard (mirrored in the oracle): a NULL id would NaN the
+    # pandas shard group and ANSI-crash the key cast on parse-back
+    docs = load_testdata(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
     staged = docs.select(
         (F.col("doc_id") % 16).alias("shard_id"),
         F.col("doc_id").cast("string").alias("key"),

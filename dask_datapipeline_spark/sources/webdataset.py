@@ -16,7 +16,8 @@ the BMP/WAV/AVI codecs:
   wall-clock in fixtures).
 - ``parse_wds``: stream-parse shard bytes back into
   (key, ext, content) rows — binary-safe (tar length-delimits, never
-  delimiter-scans), one member in memory at a time.
+  delimiter-scans); one Arrow batch is emitted PER SHARD, so executor
+  memory is bounded by one decompressed shard.
 
 Scale shape: packing is one ``applyInPandas`` per shard key (the only
 shuffle — and the shard key normally comes straight from
@@ -53,7 +54,17 @@ def _tar_bytes(samples: list[tuple[str, str, bytes]]) -> bytes:
     buf = io.BytesIO()
     with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
         for key, ext, content in samples:
-            info = tarfile.TarInfo(name=f"{key}.{ext}")
+            name = f"{key}.{ext}"
+            if len(name) > 100 and len(name.rsplit("/", 1)[-1]) > 100:
+                # USTAR's 100-char name field (155+100 with a '/'
+                # split) — fail with a CLEAR validation error instead
+                # of tarfile's opaque mid-task ValueError
+                raise ValueError(
+                    f"member name {name[:40]!r}... exceeds the USTAR "
+                    "100-char limit — shorten the sample key (hash it) "
+                    "or add a '/' split point"
+                )
+            info = tarfile.TarInfo(name=name)
             info.size = len(content)
             info.mtime = 0
             info.uid = info.gid = 0
@@ -140,9 +151,13 @@ def parse_wds(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     def _parse(batches):
         for pdf in batches:
-            rows = []
             for payload in pdf[payload_col]:
-                rows.extend(_members(bytes(payload)))
-            yield pd.DataFrame(rows, columns=["key", "ext", "content"])
+                # one DataFrame per SHARD: memory is bounded by one
+                # decompressed shard, not every shard in the Arrow
+                # batch (multi-GB shards are the export norm)
+                yield pd.DataFrame(
+                    _members(bytes(payload)),
+                    columns=["key", "ext", "content"],
+                )
 
     return df.select(payload_col).mapInPandas(_parse, WDS_MEMBER_SCHEMA)
