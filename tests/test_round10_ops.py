@@ -774,6 +774,22 @@ def test_wds_gzip_shards_and_binaryfile_ingest(spark, tmp_path):
     assert sorted(out["key"]) == sorted(f"k{i}" for i in range(6))
 
 
+def test_wds_rejects_ustar_overlong_names(spark):
+    from dask_datapipeline_spark.sources.webdataset import write_wds_shards
+
+    docs = spark.createDataFrame(
+        [(0, "k" * 150, "text")], "shard_id long, key string, text string"
+    )
+    with pytest.raises(Exception, match="USTAR 100-char limit"):
+        write_wds_shards(docs).collect()
+    # a '/' split point inside the long name keeps it packable
+    ok = spark.createDataFrame(
+        [(0, "p" * 80 + "/" + "k" * 60, "text")],
+        "shard_id long, key string, text string",
+    )
+    assert write_wds_shards(ok).count() == 1
+
+
 def test_wds_corrupt_shard_quarantines_not_throws(spark):
     """A truncated/garbage shard yields its parseable prefix (or
     nothing) instead of failing the task — the quarantine discipline."""
