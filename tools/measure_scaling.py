@@ -79,6 +79,7 @@ QUERIES = [
     ("bm25_from_index_scaled", "documents"),
     ("equi_depth_histogram_scaled", "documents"),
     ("wds_export_scaled", "documents"),
+    ("robots_allow_scaled", "documents"),
     ("margin_deciles_scaled", "documents"),
     ("hll_distinct_scaled", "documents"),
     ("warc_roundtrip_scaled", "documents"),
@@ -443,6 +444,16 @@ def _wds_export_scaled(spark, sf_dir, n_rows):
     return EXTRA_CATALOG["wds_export_pipeline"].fn(spark, sf_dir)
 
 
+def _robots_allow_scaled(spark, sf_dir, n_rows):
+    """robots.txt compliance at the tier: per-HOST rule table (bounded
+    by distinct sources) broadcast against the tier's URL corpus — the
+    claim is the URL side never shuffles for compliance, so wall time
+    should track the scan (alpha ~ 1 at worst)."""
+    from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG
+
+    return EXTRA_CATALOG["robots_allow"].fn(spark, sf_dir)
+
+
 def _margin_deciles_scaled(spark, sf_dir, n_rows):
     """The classifier-calibration deciles at the tier — the second
     round-10 prefix-sum rewrite, measured on its real body (hashed
@@ -467,6 +478,7 @@ CUSTOM = {
     "bm25_from_index_scaled": _bm25_from_index_scaled,
     "equi_depth_histogram_scaled": _equi_depth_histogram_scaled,
     "wds_export_scaled": _wds_export_scaled,
+    "robots_allow_scaled": _robots_allow_scaled,
     "margin_deciles_scaled": _margin_deciles_scaled,
     "hll_distinct_scaled": _hll_distinct_scaled,
     "warc_roundtrip_scaled": _warc_roundtrip_scaled,
