@@ -203,6 +203,19 @@ def compact_bm25_index(spark, index_dir: str, out_dir: str) -> None:
     Writes to ``out_dir`` (building a compacted copy next to the live
     index, then switching readers, is the caller's atomic-publish
     step — the ``write_versioned`` manifest discipline)."""
+    import os
+
+    live = os.path.abspath(index_dir.rstrip("/"))
+    target = os.path.abspath(out_dir.rstrip("/"))
+    if target == live or (target + os.sep).startswith(live + os.sep):
+        # mode=overwrite would truncate the postings directory Spark is
+        # lazily reading mid-compaction — the live index would be
+        # destroyed and the "compacted" copy built from its own ruins.
+        raise ValueError(
+            "compact_bm25_index: out_dir must not equal or nest under "
+            f"index_dir (got out_dir={out_dir!r} inside {index_dir!r}); "
+            "write next to the live index and switch readers atomically"
+        )
     base = index_dir.rstrip("/")
     postings = spark.read.parquet(base + "/postings").select(
         "token", "doc_id", "dl", "tf"

@@ -422,13 +422,18 @@ def q_partition_pruning(spark, sf_dir):
     ev = load_testdata(spark, sf_dir, "events").select(
         "event_type", "event_id", "value"
     )
-    # one deterministic path per sf, rewritten (mode=overwrite) per
-    # call — repeated gate runs must not leak a fresh mkdtemp each
-    # time (the q_scan_json convention); the sf suffix keeps parallel
-    # gates on different sf dirs from clobbering each other
+    # one deterministic path per (sf, Spark app), rewritten
+    # (mode=overwrite) per call — repeated gate runs in ONE session
+    # must not leak a fresh mkdtemp each time (the q_scan_json
+    # convention); the sf suffix keeps parallel gates on different sf
+    # dirs apart and the applicationId keeps two CONCURRENT gates on
+    # the SAME sf from overwriting the directory the other is reading
     out = _os.path.join(
         _tf.gettempdir(),
-        "spark_graft_part_prune_" + _os.path.basename(sf_dir.rstrip("/")),
+        "spark_graft_part_prune_"
+        + _os.path.basename(sf_dir.rstrip("/"))
+        + "_"
+        + spark.sparkContext.applicationId,
         "events_by_type",
     )
     ev.write.partitionBy("event_type").mode("overwrite").parquet(out)

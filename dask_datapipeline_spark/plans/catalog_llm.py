@@ -7671,15 +7671,19 @@ def _gopher_multilang_sql() -> str:
         THRESHOLDS,
         gopher_sql_projections,
     )
+    from dask_datapipeline_spark.functions.quality import _q
     from dask_datapipeline_spark.functions.text import LANG_MARKERS
 
+    # marker words routed through the same _q escaper as
+    # stopword_hits_by_lang_sql — an apostrophe-bearing marker
+    # (plausible French/Italian function words) must not break the SQL
     whens = " ".join(
-        f"WHEN lang = '{lg}' THEN '{m[0]} {m[1]} '"
+        f"WHEN lang = '{_q(lg)}' THEN '{_q(m[0])} {_q(m[1])} '"
         for lg, m in LANG_MARKERS.items()
         if lg != "en"
     )
     en = LANG_MARKERS["en"]
-    prefix = f"CASE {whens} ELSE '{en[0]} {en[1]} ' END"
+    prefix = f"CASE {whens} ELSE '{_q(en[0])} {_q(en[1])} ' END"
     hits_lang = gopher_sql_projections("text2", lang_expr="lang")["stop_hits"]
     hits_en = gopher_sql_projections("text2")["stop_hits"]
     floor = int(THRESHOLDS["min_stopword_hits"])
@@ -7875,12 +7879,17 @@ def q_bm25_from_index(spark, sf_dir):
     )
 
     docs = load_testdata(spark, sf_dir, "documents")
-    # deterministic per-sf path, mode=overwrite inside the builder —
-    # repeated gate runs rebuild in place instead of leaking a full
-    # postings copy per call (the q_scan_json convention)
+    # deterministic per-(sf, app) path, mode=overwrite inside the
+    # builder — repeated gate runs in one session rebuild in place
+    # instead of leaking a postings copy per call (the q_scan_json
+    # convention); applicationId keeps two CONCURRENT gates on the
+    # same sf from overwriting the index the other is probing
     idx = _os.path.join(
         _tf.gettempdir(),
-        "spark_graft_bm25_idx_" + _os.path.basename(sf_dir.rstrip("/")),
+        "spark_graft_bm25_idx_"
+        + _os.path.basename(sf_dir.rstrip("/"))
+        + "_"
+        + spark.sparkContext.applicationId,
         "index",
     )
     build_bm25_index(docs, idx)

@@ -55,14 +55,19 @@ def _tar_bytes(samples: list[tuple[str, str, bytes]]) -> bytes:
     with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
         for key, ext, content in samples:
             name = f"{key}.{ext}"
-            if len(name) > 100 and len(name.rsplit("/", 1)[-1]) > 100:
-                # USTAR's 100-char name field (155+100 with a '/'
-                # split) — fail with a CLEAR validation error instead
-                # of tarfile's opaque mid-task ValueError
+            if len(name) > 100 and not any(
+                i <= 155 and len(name) - i - 1 <= 100
+                for i, c in enumerate(name)
+                if c == "/"
+            ):
+                # USTAR stores long names as prefix(155) + '/' +
+                # name(100); a name with NO '/' split satisfying both
+                # fields fails in tarfile with an opaque mid-task
+                # ValueError — validate the full split up front
                 raise ValueError(
-                    f"member name {name[:40]!r}... exceeds the USTAR "
-                    "100-char limit — shorten the sample key (hash it) "
-                    "or add a '/' split point"
+                    f"member name {name[:40]!r}... has no USTAR "
+                    "prefix<=155 + name<=100 '/' split — shorten the "
+                    "sample key (hash it) or add a '/' split point"
                 )
             info = tarfile.TarInfo(name=name)
             info.size = len(content)
@@ -140,9 +145,17 @@ def parse_wds(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     if not info.isfile():
                         continue
                     name = info.name
-                    key, dot, ext = name.rpartition(".")
+                    # WebDataset convention: the key is everything up
+                    # to the FIRST dot of the basename (directory
+                    # prefix kept) — a multi-extension member
+                    # (key.json.gz) groups under 'key' with
+                    # ext='json.gz', not under 'key.json'
+                    slash = name.rfind("/")
+                    base = name[slash + 1 :]
+                    stem, dot, ext = base.partition(".")
+                    key = name[: slash + 1] + stem
                     if not dot:  # extensionless member: ext is empty,
-                        key, ext = name, ""  # never the whole filename
+                        ext = ""  # never the whole filename
                     content = tf.extractfile(info).read()
                     out.append((key, ext, content))
         except (tarfile.TarError, gzip.BadGzipFile, OSError, EOFError):

@@ -780,7 +780,7 @@ def test_wds_rejects_ustar_overlong_names(spark):
     docs = spark.createDataFrame(
         [(0, "k" * 150, "text")], "shard_id long, key string, text string"
     )
-    with pytest.raises(Exception, match="USTAR 100-char limit"):
+    with pytest.raises(Exception, match="USTAR"):
         write_wds_shards(docs).collect()
     # a '/' split point inside the long name keeps it packable
     ok = spark.createDataFrame(
@@ -788,6 +788,45 @@ def test_wds_rejects_ustar_overlong_names(spark):
         "shard_id long, key string, text string",
     )
     assert write_wds_shards(ok).count() == 1
+    # basename fits but the directory prefix blows USTAR's 155-char
+    # prefix field — must be rejected with the clear error, not
+    # tarfile's opaque one
+    bad_prefix = spark.createDataFrame(
+        [(0, "p" * 200 + "/" + "k" * 10, "text")],
+        "shard_id long, key string, text string",
+    )
+    with pytest.raises(Exception, match="USTAR"):
+        write_wds_shards(bad_prefix).collect()
+
+
+def test_wds_parse_splits_key_at_first_dot(spark):
+    """WebDataset convention: key = everything up to the FIRST dot of
+    the basename (directory prefix kept) — a multi-extension member
+    (key.json.gz) groups under 'key', not 'key.json'."""
+    import io
+    import tarfile
+
+    from dask_datapipeline_spark.sources.webdataset import parse_wds
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, content in [
+            ("s0.json.gz", b"a"),
+            ("s0.txt", b"b"),
+            ("dir.v2/s1.cls", b"c"),  # dot in the DIRECTORY stays in the key
+            ("noext", b"d"),
+        ]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(content)
+            tf.addfile(info, io.BytesIO(content))
+    df = spark.createDataFrame([(buf.getvalue(),)], "payload binary")
+    rows = {(r["key"], r["ext"]) for r in parse_wds(df).collect()}
+    assert rows == {
+        ("s0", "json.gz"),
+        ("s0", "txt"),
+        ("dir.v2/s1", "cls"),
+        ("noext", ""),
+    }
 
 
 def test_wds_corrupt_shard_quarantines_not_throws(spark):
@@ -911,6 +950,14 @@ def test_compact_bm25_index_is_transparent(spark, tmp_path):
     a = bm25_topk_from_index(spark, inc, terms, k=8).collect()
     b = bm25_topk_from_index(spark, comp, terms, k=8).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # in-place compaction would truncate the live postings mid-read —
+    # both identity and nesting must be rejected before any write
+    with pytest.raises(ValueError, match="nest under"):
+        compact_bm25_index(spark, inc, inc)
+    with pytest.raises(ValueError, match="nest under"):
+        compact_bm25_index(spark, inc, inc + "/compacted")
+    # a SIBLING whose name shares the prefix is fine
+    compact_bm25_index(spark, inc, inc + "_v2")
 
 
 def test_streaming_bm25_adopts_batch_built_index(spark, tmp_path):
