@@ -1099,7 +1099,15 @@ DRIVER_ORDER: list[str] = [
     "html_extract",
     "embedding_near_dup",
     "knn_join_lsh",
-    "knn_join_ivf",
+    # round-11 rotation (README policy rule 2): knn_join_ivf out to
+    # EXTRA_CATALOG — the ANN family held two index-variant slots
+    # (LSH + IVF) for one query semantics; knn_join_lsh keeps it
+    # driver-checked. Slot freed for main_content_extract below.
+    # round-11 promotion: DOM-grade main-content extraction — with
+    # url_dedup + html_extract + gopher_quality this puts the FULL
+    # web-curation front door (extract -> main-content -> dedup ->
+    # quality) in the driver window; exact-match green on arrival
+    "main_content_extract",
     # SemDeDup semantic dedup — promoted round 3 in place of
     # join_anti (anti-join stays driver-checked through
     # merge_upsert's broadcast anti-join; join_anti is in

@@ -1502,6 +1502,133 @@ def q_markdown_extract(spark, sf_dir):
     return docs.select("doc_id", markdown_to_text(_raw_md_col()).alias("text"))
 
 
+# ----- DOM-grade main-content extraction ------------------------------
+#
+# Fixture: each document's text becomes the MAIN paragraph of a full
+# page with planted boilerplate — site header, nav link list, a
+# link-dominated "trending" sidebar, a short <h2>, a short follower
+# paragraph with an HTML entity, and a footer. Every 5th doc's main
+# paragraph is truncated to a 20-char stub so the SHORT-main branch
+# (everything dropped) is exercised alongside the GOOD-main branch
+# (main + follower kept). The oracle NEVER parses HTML (the WDS/tar
+# discipline): it replays the exact-integer classification decisions
+# (non-ws length threshold, stub rule) straight off the documents
+# table and states the expected block-level output.
+
+#: follower paragraph, decoded form (the oracle's expected text); the
+#: page embeds the &amp;-encoded form so the parser's entity decode is
+#: exercised on the kept path
+_MC_FOLLOWER = "Notes & errata are in the appendix."
+_MC_STUB_LEN = 20  # every-5th-doc main paragraph truncation
+
+
+def _mc_body_col():
+    """Collapsed document text — the parser collapses whitespace with
+    the shared class, so the fixture feeds it pre-collapsed text to
+    keep the expected output a pure documents-table expression."""
+    from dask_datapipeline_spark.functions.html import WHITESPACE_RE
+
+    return F.trim(F.regexp_replace(F.col("text"), WHITESPACE_RE, " "))
+
+
+def _mc_page_col():
+    """The synthesized crawled page (Spark side only — the oracle
+    states outcomes, it never builds or parses pages)."""
+    d = F.col("doc_id").cast("string")
+    body = _mc_body_col()
+    mainp = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.trim(F.substring(body, 1, _MC_STUB_LEN)),
+    ).otherwise(body)
+    return F.concat(
+        F.lit("<html><head><title>Doc "), d,
+        F.lit("</title><style>p{margin:0}</style></head><body>"),
+        F.lit("<header><h1>Example Research Journal</h1></header>"),
+        F.lit('<nav><ul><li><a href="/">Home</a></li>'
+              '<li><a href="/archive">Archive</a></li>'
+              '<li><a href="/about">About</a></li></ul></nav>'),
+        F.lit('<div><p><a href="/top/1">Ten query tricks editors loved</a> '
+              '<a href="/top/2">Twelve join tips readers shared</a> '
+              "trending now</p></div>"),
+        F.lit("<article><h2>Doc "), d, F.lit("</h2><p>"),
+        mainp,
+        F.lit("</p><p>"),
+        F.lit(_MC_FOLLOWER.replace("&", "&amp;")),
+        F.lit("</p></article>"),
+        F.lit('<footer><p>Copyright 2024 Example Journal. '
+              '<a href="/tos">Terms</a> <a href="/privacy">Privacy</a>'
+              "</p></footer></body></html>"),
+    ).alias("html")
+
+
+def _mc_expected_ctes() -> str:
+    """CTE chain computing the extractor's expected per-doc outcome
+    from the documents table: body collapse → stub rule → non-ws
+    length → keep decision. Thresholds import from functions/content
+    so the SQL replays the SAME integers the classifier compares."""
+    from dask_datapipeline_spark.functions.content import MIN_BLOCK_CHARS
+    from dask_datapipeline_spark.functions.html import WHITESPACE_RE
+
+    ws = WHITESPACE_RE.replace("'", "''")
+    fol = _MC_FOLLOWER.replace("'", "''")
+    return f"""mc_t AS (
+  SELECT doc_id, lang, trim(regexp_replace(text, '{ws}', ' ', 'g')) AS body
+  FROM documents WHERE text IS NOT NULL
+),
+mc_m AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 5 = 0
+              THEN trim(substr(body, 1, {_MC_STUB_LEN}))
+              ELSE body END AS mainp
+  FROM mc_t
+),
+mc_c AS (
+  SELECT doc_id, lang, mainp,
+         length(replace(mainp, ' ', '')) AS nonws
+  FROM mc_m
+),
+mc AS (
+  SELECT doc_id, lang,
+         CASE WHEN nonws >= {MIN_BLOCK_CHARS}
+              THEN mainp || chr(10) || '{fol}'
+              ELSE '' END AS content,
+         CAST(CASE WHEN nonws = 0 THEN 8 ELSE 9 END AS INTEGER) AS n_blocks,
+         CAST(CASE WHEN nonws >= {MIN_BLOCK_CHARS} THEN 2 ELSE 0 END
+              AS INTEGER) AS n_kept
+  FROM mc_c
+)"""
+
+
+@register(
+    "main_content_extract",
+    f"WITH {_mc_expected_ctes()}\n"
+    "SELECT doc_id, content, n_blocks, n_kept FROM mc",
+    "DOM-grade main-content extraction (functions/content.py) — the tier "
+    "ABOVE the regex extractor: jusText-style block scoring over stdlib "
+    "html.parser (boilerplate containers BAD, 3*link_chars > chars BAD, "
+    ">=40 non-ws chars GOOD, SHORT inherits the nearest preceding non-"
+    "SHORT label) so nav/footer/sidebar/link-list boilerplate never "
+    "reaches the corpus while short in-article paragraphs survive. "
+    "Fixture plants a full page of boilerplate around each document; "
+    "every 5th doc's main paragraph is a 20-char stub exercising the "
+    "drop-everything branch. Decisions are exact-integer, so the oracle "
+    "replays them off the documents table and states the expected "
+    "block output — it never parses HTML. One Arrow mapInPandas pass, "
+    "zero shuffles (the media-decoder slot). DRIVER row on arrival "
+    "(round-11 rotation, slot freed by knn_join_ivf): completes the "
+    "crawl->clean front door at production fidelity alongside "
+    "url_dedup/html_extract/gopher_quality",
+)
+def q_main_content_extract(spark, sf_dir):
+    from dask_datapipeline_spark.functions.content import extract_main_content
+
+    docs = load_testdata(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    pages = docs.select("doc_id", _mc_page_col())
+    return extract_main_content(pages, html_col="html", keep_cols=("doc_id",))
+
+
 # Decoration for the normalization gate row: the synthetic corpus is
 # pure ASCII (normalize would be the identity — a vacuous exact-match),
 # so the query wraps every document in a fixture exercising the FULL
@@ -1951,7 +2078,7 @@ def q_hard_negative_mining(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "knn_join_ivf",
     f"""
 WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
@@ -1985,7 +2112,11 @@ SELECT query_id, neighbor_id, cosine_sim, rn FROM (
   FROM scored) WHERE rn <= 5
 """,
     "IVF k-NN: deterministic codebook → cell assignment → probe 4 nearest cells → "
-    "exact in-cell re-rank; oracle replays the identical assignment in SQL",
+    "exact in-cell re-rank; oracle replays the identical assignment in SQL. "
+    "Rotated to EXTRA_CATALOG round 11 (README policy rule 2): the ANN family "
+    "held two index-variant driver slots (LSH + IVF); knn_join_lsh keeps the "
+    "family driver-checked, IVF stays swept by the local gate. Slot freed for "
+    "main_content_extract",
 )
 def q_knn_join_ivf(spark, sf_dir):
     emb = load_testdata(spark, sf_dir, "embeddings")
@@ -2735,6 +2866,55 @@ def q_web_corpus_clean(spark, sf_dir):
         .select("doc_id", "lang", "text")
     )
     _kept, canon_split = _corpus_clean_split(spark, sf_dir, docs=urlkept)
+    return canon_split
+
+
+def _web_corpus_main_sql() -> str:
+    """corpus_clean with the MAIN-CONTENT front end: synthesized
+    boilerplate-laden pages → DOM-grade block extraction
+    (functions/content.py) → the identical quality/exact-dedup/
+    MinHash/split cascade over the pages whose extraction kept
+    anything. The front replays the extractor's exact-integer
+    decisions off the documents table (the main_content_extract
+    oracle's mc chain verbatim) — chaining proves the extracted text
+    is byte-usable by every downstream text operator."""
+    front = (
+        _mc_expected_ctes()
+        + """,
+mckept AS (
+  SELECT doc_id, lang, content AS text FROM mc WHERE content <> ''
+),
+"""
+    )
+    return _corpus_clean_sql(front_ctes=front, src="mckept")
+
+
+@register_extra(
+    "web_corpus_main",
+    _web_corpus_main_sql(),
+    "THE production-fidelity web pipeline: boilerplate-laden crawled pages -> "
+    "DOM-grade main-content extraction (functions/content.py block scoring, "
+    "one Arrow pass) -> quality gate / exact dedup / MinHash+LSH clustering / "
+    "split, composed from the same SQL body as corpus_clean. Completes the "
+    "crawl->clean cascade web_corpus_clean runs at regex tier: nav/footer/"
+    "sidebar boilerplate is REMOVED before any shingle or quality score is "
+    "computed, so near-dup clustering keys on prose, not on shared chrome — "
+    "at 100 TB shared-boilerplate collisions are THE dominant false-dup mode",
+)
+def q_web_corpus_main(spark, sf_dir):
+    from dask_datapipeline_spark.functions.content import extract_main_content
+
+    docs = load_testdata(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    pages = docs.select("doc_id", "lang", _mc_page_col())
+    extracted = extract_main_content(
+        pages, html_col="html", keep_cols=("doc_id", "lang")
+    )
+    kept_pages = extracted.where(F.col("content") != "").select(
+        "doc_id", "lang", F.col("content").alias("text")
+    )
+    _kept, canon_split = _corpus_clean_split(spark, sf_dir, docs=kept_pages)
     return canon_split
 
 
