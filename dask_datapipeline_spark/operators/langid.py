@@ -1,0 +1,433 @@
+"""Trained character-n-gram language identification (SURVEY.md §2.2
+text curation — the production-grade upgrade of the marker-word
+heuristic in ``functions/text.py::lang_id``).
+
+The marker heuristic routes on 8 function words per language: a
+marker miss mis-routes every downstream per-language stage (Gopher
+stopword floors, stratified sampling). Production LID (fastText
+langid, CLD3) is a linear model over hashed character n-grams —
+orthography carries the signal (umlauts, digraphs, accent patterns),
+so short or marker-free text still classifies. This module is that
+model, built on the repo's existing hashed-linear machinery
+(``operators/classifier.py``): multi-class averaged perceptron over
+hashed char-3-gram counts, trained ONCE on a deterministic synthetic
+multilingual fixture (pure Python, no RNG, no Spark needed), scored
+distributed with EXACT-INTEGER margins so a DuckDB oracle replays
+scoring bit-for-bit from the weight table as SQL literals.
+
+Determinism contract:
+
+- The training fixture is a pure function of (seed strings, vocab
+  constants): word ``j`` of doc ``i`` is ``vocab[lang][md5(seed:i:j)
+  % |vocab|]`` — the repo's shared 60-bit md5 device, replayable in
+  SQL if ever needed.
+- Training walks the fixture in fixed order with zero-initialized
+  weights and no RNG (the ``train_hashed_linear`` discipline);
+  float arithmetic is confined to training, which only produces the
+  integer weight VALUES.
+- Scoring accumulates ``raw[lang] = Σ w[lang][bucket(gram)]`` as
+  exact BIGINTs; argmax ties break on the fixed language order. No
+  division, no transcendental — the oracle replays every bit.
+
+Scale: scoring is one Arrow ``mapInPandas`` pass with the weight
+table in the closure (the semantic_dedup codebook-in-closure
+pattern) — zero shuffles, zero broadcast joins; at 100 TB the cost
+is one pass over the text bytes, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dask_datapipeline_spark.errors import require_columns
+from dask_datapipeline_spark.functions.text import LANG_MARKERS
+
+#: char n-gram order (3 = the classic LID feature)
+CHAR_N = 3
+#: hashed feature-space size — small on purpose: the weight table is
+#: embedded in the oracle SQL as VALUES literals, and collisions are
+#: harmless because BOTH paths share the one feature space
+N_BUCKETS = 1024
+#: integer weight range after quantization
+SCALE = 1000
+#: feature-hash namespace
+SEED = "lid"
+#: fixture-generation namespaces (train and eval draws never collide)
+TRAIN_SEED = "lidtrain"
+EVAL_SEED = "lideval"
+
+#: per-language vocabulary for the synthetic fixture: the marker
+#: function words PLUS orthographically characteristic common words
+#: (public dictionary words) — the char-3-gram signal lives in the
+#: accents/digraphs, which is exactly what the trained model learns
+#: and the marker heuristic cannot see.
+LANG_VOCAB: dict[str, list[str]] = {
+    "en": LANG_MARKERS["en"]
+    + ["that", "with", "this", "they", "have", "which", "would",
+       "there", "their", "about", "through", "thought", "world"],
+    "de": LANG_MARKERS["de"]
+    + ["sich", "auf", "für", "wird", "nach", "über", "zwischen",
+       "durch", "müssen", "schön", "straße", "größe", "wäre"],
+    "es": LANG_MARKERS["es"]
+    + ["como", "está", "años", "sobre", "también", "después",
+       "siempre", "corazón", "niño", "señor", "así", "más"],
+    "fr": LANG_MARKERS["fr"]
+    + ["avec", "être", "très", "même", "français", "où", "déjà",
+       "après", "peut", "c'est", "d'une", "voilà"],
+    "zh": LANG_MARKERS["zh"]
+    + ["zhong1", "guo2", "ren2", "da4", "xiao3", "hao3", "shuo1",
+       "xue2", "sheng1", "ming2", "tian1", "nian2"],
+}
+#: fixed language (tie-break) order — same convention as LANG_MARKERS
+LANGS: list[str] = list(LANG_MARKERS)
+#: words per synthetic fixture document
+FIXTURE_WORDS = 24
+
+
+def _h60(s: str) -> int:
+    """Python twin of dedup.seeded_hash64: 60-bit md5 prefix."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def bucket(gram: str) -> int:
+    """Feature bucket of one char n-gram — the classifier module's
+    ``_hash_bucket`` with this module's namespace."""
+    return _h60(f"{SEED}:{gram}") % N_BUCKETS
+
+
+def char_ngrams(text: str) -> list[str]:
+    """Char 3-grams of the space-padded lowercased text. Padding makes
+    word-initial/final shapes ('~th', 'ße~') first-class features."""
+    padded = f" {text.lower()} "
+    return [padded[i : i + CHAR_N] for i in range(len(padded) - CHAR_N + 1)]
+
+
+def synth_doc(
+    lang: str, i: int, namespace: str = TRAIN_SEED, marker_free: bool = False
+) -> str:
+    """Deterministic synthetic document ``i`` of ``lang``: FIXTURE_WORDS
+    draws from the language vocabulary keyed by the shared md5 hash —
+    no RNG, so the fixture (and therefore the trained model) is the
+    same bytes on every machine and every round."""
+    vocab = LANG_VOCAB[lang][len(LANG_MARKERS[lang]):] if marker_free \
+        else LANG_VOCAB[lang]
+    return " ".join(
+        vocab[_h60(f"{namespace}:{lang}:{i}:{j}") % len(vocab)]
+        for j in range(FIXTURE_WORDS)
+    )
+
+
+def synth_fixture(
+    n_per_lang: int, namespace: str = TRAIN_SEED, marker_free: bool = False
+) -> list[tuple[str, str]]:
+    """(lang, text) rows, ``n_per_lang`` per language, fixed order.
+    ``marker_free=True`` draws only from the orthographic tail of each
+    vocabulary (no marker function words) — the eval slice where the
+    marker heuristic is BLIND (every language scores zero hits and the
+    tie collapses to the first language) but char-3-gram orthography
+    still identifies the language."""
+    return [
+        (lang, synth_doc(lang, i, namespace, marker_free))
+        for lang in LANGS
+        for i in range(n_per_lang)
+    ]
+
+
+def train_lang_ngram(
+    docs: list[tuple[str, str]] | None = None,
+    epochs: int = 5,
+    n_per_lang: int = 40,
+) -> dict[str, dict[int, int]]:
+    """Multi-class averaged perceptron over mean-pooled hashed
+    char-3-gram counts → integer weights per language. Quantization
+    divides by ONE global peak so margins stay comparable ACROSS
+    languages. Deliberately BIAS-FREE: classes are balanced and
+    features mean-pooled, so a bias only memorizes priors — and the
+    averaged-perceptron bias is dominated by pre-convergence updates
+    (measured: the default language ate a constant −0.2 margin from
+    its first-epoch mispredictions, mis-routing EVERY one of its
+    eval docs while the bias-free model scores them all).
+
+    Pure Python and deterministic: default training data is the
+    synthetic fixture, walked in its fixed order with zero-initialized
+    weights. Runs in milliseconds at the default size — cheap enough
+    to call at catalog-import time so the oracle SQL can embed the
+    weights as literals."""
+    if docs is None:
+        docs = synth_fixture(n_per_lang)
+    feats = []
+    for lang, text in docs:
+        grams = char_ngrams(text)
+        counts: dict[int, int] = {}
+        for g in grams:
+            b = bucket(g)
+            counts[b] = counts.get(b, 0) + 1
+        feats.append((lang, counts, len(grams)))
+
+    w = {lang: {} for lang in LANGS}  # type: dict[str, dict[int, float]]
+    acc = {lang: {} for lang in LANGS}  # type: dict[str, dict[int, float]]
+    steps = 0
+    for _ in range(epochs):
+        for y, counts, n in feats:
+            steps += 1
+            scores = {
+                lang: sum(w[lang].get(b, 0.0) * c for b, c in counts.items()) / n
+                for lang in LANGS
+            }
+            pred = max(LANGS, key=lambda lang: (scores[lang], -LANGS.index(lang)))
+            if pred != y:
+                for b, c in counts.items():
+                    w[y][b] = w[y].get(b, 0.0) + c / n
+                    w[pred][b] = w[pred].get(b, 0.0) - c / n
+            for lang in LANGS:  # averaged perceptron accumulation
+                for b, v in w[lang].items():
+                    acc[lang][b] = acc[lang].get(b, 0.0) + v
+
+    avg = {
+        lang: {b: v / steps for b, v in acc[lang].items()} for lang in LANGS
+    }
+    peak = max(
+        (abs(v) for lang in LANGS for v in avg[lang].values()), default=0.0
+    )
+    if peak == 0.0:
+        return {lang: {} for lang in LANGS}
+    return {
+        lang: {
+            b: int(round(v / peak * SCALE))
+            for b, v in avg[lang].items()
+            if int(round(v / peak * SCALE)) != 0
+        }
+        for lang in LANGS
+    }
+
+
+def classify_text(text: str, weights: dict[str, dict[int, int]]) -> str:
+    """Pure-Python single-doc scorer — the shared kernel the Arrow
+    stage maps over batches (ONE function, so the distributed path
+    and the unit pins cannot drift). Exact-integer raw scores,
+    argmax ties on LANGS order."""
+    raws = raw_scores(text, weights)
+    best = max(raws.values())
+    return next(lang for lang in LANGS if raws[lang] == best)
+
+
+def raw_scores(text: str, weights: dict[str, dict[int, int]]) -> dict[str, int]:
+    grams = char_ngrams(text)
+    raws = {}
+    for lang in LANGS:
+        wl = weights[lang]
+        raw = 0
+        for g in grams:
+            raw += wl.get(bucket(g), 0)
+        raws[lang] = raw
+    return raws
+
+
+def lang_id_trained(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, dict[int, int]],
+) -> DataFrame:
+    """Distributed trained LID: (id, n_grams, raw_<lang>…, lang) with
+    exact-integer raw margins per language and the argmax prediction.
+    One Arrow pass, weight table in the closure — zero shuffles; NULL
+    text rows are dropped explicitly (the split(NULL) guard)."""
+    require_columns(df, [id_col, text_col])
+    import pandas as pd
+
+    from dask_datapipeline_spark.parallel import fan_out
+
+    id_dtype = dict(df.dtypes)[id_col]
+    raw_cols = [f"raw_{lang}" for lang in LANGS]
+    schema = (
+        f"{id_col} {id_dtype}, n_grams long, "
+        + ", ".join(f"{c} long" for c in raw_cols)
+        + ", lang string"
+    )
+    narrow = fan_out(df.where(F.col(text_col).isNotNull()).select(id_col, text_col))
+
+    def _score(batches):
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raws = raw_scores(t, weights)
+                best = max(raws.values())
+                pred = next(lang for lang in LANGS if raws[lang] == best)
+                rows.append(
+                    (i, len(char_ngrams(t)), *[raws[lang] for lang in LANGS], pred)
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "n_grams", *raw_cols, "lang"])
+
+    return narrow.mapInPandas(_score, schema)
+
+
+def weights_sql_cte(weights: dict[str, dict[int, int]]) -> str:
+    """The weight table as a DuckDB VALUES CTE ``lidw(b, w_en, …)``.
+    Only buckets with at least one nonzero weight emit a row; scoring
+    COALESCEs the misses to 0."""
+    buckets = sorted({b for lang in LANGS for b in weights[lang]})
+    rows = ", ".join(
+        "(" + ", ".join([str(b)] + [str(weights[lang].get(b, 0)) for lang in LANGS]) + ")"
+        for b in buckets
+    )
+    cols = ", ".join(f"w_{lang}" for lang in LANGS)
+    return f"lidw(b, {cols}) AS (VALUES {rows})"
+
+
+def lang_id_trained_sql(
+    weights: dict[str, dict[int, int]],
+    src: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    front_ctes: str = "",
+    tail_cols: str = "",
+) -> str:
+    """DuckDB oracle twin of :func:`lang_id_trained` — same padding,
+    same char-3-gram extraction, same md5 bucket, same integer
+    accumulation, same LANGS-order argmax CASE. ``front_ctes`` (must
+    end with a comma) prepends upstream fixture CTEs and ``src`` then
+    names one of them; ``tail_cols`` appends extra output columns
+    (e.g. a ground-truth ride-along) — they may reference ``{id_col}``
+    only."""
+    pad = f"' ' || lower({text_col}) || ' '"
+    b = (
+        f"CAST(CONCAT('0x', SUBSTRING(md5('{SEED}:' || gram), 1, 15)) AS BIGINT)"
+        f" % {N_BUCKETS}"
+    )
+    sums = ",\n         ".join(
+        f"SUM(COALESCE(w.w_{lang}, 0)) AS s_{lang}" for lang in LANGS
+    )
+    raws = ",\n       ".join(
+        f"CAST(COALESCE(s.s_{lang}, 0) AS BIGINT) AS raw_{lang}"
+        for lang in LANGS
+    )
+    # argmax with LANGS-order tie-break: lang i wins if raw_i >= every
+    # later raw (the functions/text.py lang_id CASE-chain device)
+    case = f"'{LANGS[-1]}'"
+    for i in range(len(LANGS) - 2, -1, -1):
+        conds = " AND ".join(
+            f"raw_{LANGS[i]} >= raw_{LANGS[j]}" for j in range(i + 1, len(LANGS))
+        )
+        case = f"CASE WHEN {conds} THEN '{LANGS[i]}' ELSE {case} END"
+    return f"""
+WITH {front_ctes}{weights_sql_cte(weights)},
+t AS (
+  SELECT {id_col}, {pad} AS padded FROM {src} WHERE {text_col} IS NOT NULL
+),
+g0 AS (
+  SELECT {id_col}, padded,
+         unnest(generate_series(1, length(padded) - {CHAR_N - 1})) AS i
+  FROM t
+),
+grams AS (SELECT {id_col}, substr(padded, i, {CHAR_N}) AS gram FROM g0),
+bk AS (SELECT {id_col}, {b} AS b FROM grams),
+s AS (
+  SELECT bk.{id_col}, {sums}
+  FROM bk LEFT JOIN lidw w ON w.b = bk.b
+  GROUP BY bk.{id_col}
+),
+gn AS (
+  SELECT {id_col}, length(padded) - {CHAR_N - 1} AS n_grams FROM t
+),
+r AS (
+  SELECT g.{id_col}, g.n_grams,
+       {raws}
+  FROM gn g LEFT JOIN s ON s.{id_col} = g.{id_col}
+)
+SELECT {id_col}, n_grams, {", ".join(f"raw_{lang}" for lang in LANGS)},
+       {case} AS lang{tail_cols}
+FROM r
+"""
+
+
+def synth_doc_col(
+    id_col: str = "doc_id",
+    namespace: str = EVAL_SEED,
+    marker_free: bool = True,
+):
+    """JVM-expression twin of :func:`synth_doc` keyed by a table id
+    column: language = ``LANGS[id % 5]``, word ``j`` =
+    ``vocab[h60(namespace:lang:id:j) % |vocab|]`` — byte-identical to
+    the Python generator (pinned in tests), so a catalog fixture can
+    synthesize the multilingual eval corpus FROM the documents table
+    in both engines. Pure codegen (md5 + element_at over literal
+    arrays); a fixture device, not a production path."""
+    from dask_datapipeline_spark.operators.dedup import seeded_hash64
+
+    def one_lang(lang: str):
+        vocab = (
+            LANG_VOCAB[lang][len(LANG_MARKERS[lang]):]
+            if marker_free
+            else LANG_VOCAB[lang]
+        )
+        arr = F.array(*[F.lit(wd) for wd in vocab])
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(FIXTURE_WORDS - 1)),
+            lambda j: F.element_at(
+                arr,
+                (
+                    seeded_hash64(
+                        F.concat(
+                            F.lit(f"{lang}:"),
+                            F.col(id_col).cast("string"),
+                            F.lit(":"),
+                            j.cast("string"),
+                        ),
+                        namespace,
+                    )
+                    % len(vocab)
+                ).cast("int")
+                + 1,
+            ),
+        )
+        return F.array_join(words, " ")
+
+    expr = one_lang(LANGS[-1])
+    for i in range(len(LANGS) - 2, -1, -1):
+        expr = F.when(
+            F.col(id_col) % len(LANGS) == i, one_lang(LANGS[i])
+        ).otherwise(expr)
+    return expr
+
+
+def synth_doc_sql_ctes(
+    src: str = "documents",
+    id_col: str = "doc_id",
+    namespace: str = EVAL_SEED,
+    marker_free: bool = True,
+) -> str:
+    """DuckDB replay of :func:`synth_doc_col` as CTEs ending in
+    ``ft(doc_id, text)`` — same md5 word draws, same LANGS[id%5]
+    routing; list literals escaped for apostrophe-bearing vocab
+    (c'est, d'une)."""
+
+    def _q(x: str) -> str:
+        return x.replace("'", "''")
+
+    branches = []
+    for i, lang in enumerate(LANGS):
+        vocab = (
+            LANG_VOCAB[lang][len(LANG_MARKERS[lang]):]
+            if marker_free
+            else LANG_VOCAB[lang]
+        )
+        lst = "[" + ", ".join(f"'{_q(wd)}'" for wd in vocab) + "]"
+        h = (
+            f"CAST(CONCAT('0x', SUBSTRING(md5('{namespace}:{lang}:' || "
+            f"{id_col} || ':' || j), 1, 15)) AS BIGINT) % {len(vocab)}"
+        )
+        branches.append(f"WHEN {i} THEN ({lst})[({h}) + 1]")
+    case = f"CASE {id_col} % {len(LANGS)} " + " ".join(branches) + " END"
+    return f"""fw AS (
+  SELECT {id_col}, unnest(generate_series(0, {FIXTURE_WORDS - 1})) AS j
+  FROM {src}
+),
+fx AS (SELECT {id_col}, j, {case} AS word FROM fw),
+ft AS (
+  SELECT {id_col}, string_agg(word, ' ' ORDER BY j) AS text
+  FROM fx GROUP BY {id_col}
+)"""

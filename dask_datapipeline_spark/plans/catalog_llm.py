@@ -7927,6 +7927,63 @@ def q_gopher_multilang(spark, sf_dir):
     )
 
 
+# ----- trained char-n-gram language ID --------------------------------
+
+from dask_datapipeline_spark.operators import langid as LID  # noqa: E402
+
+#: trained ONCE at import (pure Python, deterministic, ~0.3 s): the
+#: same weights feed the Spark scorer's closure AND the oracle SQL's
+#: VALUES literals, so the two paths score the identical model
+_LID_WEIGHTS = LID.train_lang_ngram()
+
+
+def _lang_id_trained_sql() -> str:
+    langs = LID.LANGS
+    truth = (
+        "CASE doc_id % 5 "
+        + " ".join(f"WHEN {i} THEN '{lg}'" for i, lg in enumerate(langs))
+        + " END"
+    )
+    tail = f",\n       {truth} AS lang_true,\n       lang = {truth} AS hit"
+    return LID.lang_id_trained_sql(
+        _LID_WEIGHTS,
+        src="ft",
+        front_ctes=LID.synth_doc_sql_ctes() + ",\n",
+        tail_cols=tail,
+    )
+
+
+@register_extra(
+    "lang_id_trained",
+    _lang_id_trained_sql(),
+    "Trained char-3-gram language ID (operators/langid.py) — the production-"
+    "grade upgrade of the marker-word heuristic: multi-class averaged "
+    "perceptron over hashed char-3-grams, trained at import on the "
+    "deterministic synthetic multilingual fixture, scored with EXACT-INTEGER "
+    "per-language margins in one Arrow pass (weights in the closure, zero "
+    "shuffles). The eval corpus is MARKER-FREE text synthesized from the "
+    "documents table via shared md5 word draws — the slice where the marker "
+    "heuristic collapses to 20% (no hits, tie falls to the first language) "
+    "while orthography still routes correctly (accuracy pinned 100% vs the "
+    "20% baseline in tests/test_langid.py). Oracle rebuilds the same fixture, "
+    "replays the same weight table as VALUES literals, the same bucket "
+    "hashes, integer sums and argmax CASE — bit-exact end to end",
+)
+def q_lang_id_trained(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id")
+    fixture = docs.select("doc_id", LID.synth_doc_col().alias("text"))
+    scored = LID.lang_id_trained(fixture, "doc_id", "text", _LID_WEIGHTS)
+    truth = None
+    for i, lg in enumerate(LID.LANGS):
+        cond = F.col("doc_id") % 5 == i
+        truth = F.when(cond, lg) if truth is None else truth.when(cond, lg)
+    return scored.select(
+        "*",
+        truth.alias("lang_true"),
+        (F.col("lang") == truth).alias("hit"),
+    )
+
+
 # ----- HyperLogLog distinct sketch -----------------------------------
 
 from dask_datapipeline_spark.operators.sketches import (  # noqa: E402
