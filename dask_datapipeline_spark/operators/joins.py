@@ -35,19 +35,51 @@ VALID_HOW = {
 }
 
 
+#: which side(s) a broadcast-hash join may build on, per join type —
+#: Spark cannot broadcast the row-preserving side (a broadcast hint on
+#: it is silently ignored and the join stays SMJ), so the stats picker
+#: must not waste the hint there
+_BROADCASTABLE: dict[str, tuple[str, ...]] = {
+    "inner": ("left", "right"),
+    "left": ("right",),
+    "semi": ("right",),
+    "left_semi": ("right",),
+    "anti": ("right",),
+    "left_anti": ("right",),
+    "right": ("left",),
+    "outer": (),
+    "full": (),
+}
+
+
 def equi_join(
     left: DataFrame,
     right: DataFrame,
     on: str | Sequence[str],
     how: str = "inner",
     broadcast: str = "auto",
+    stats: tuple[dict, dict] | None = None,
+    broadcast_rows: int | None = None,
 ) -> DataFrame:
     """Equi-join on shared key column(s).
 
     Fixes the reference's key-validation bug (main.py:131 checks the
     *union* of both column sets): the key must be present on BOTH sides
     (except cross joins, which take no key).
-    """
+
+    ``stats=(left_stats, right_stats)`` + ``broadcast_rows`` is the
+    single-join version of ``fold_join``'s stats-driven broadcast
+    pricing: each stats row is a ``table_stats(df, [key])`` dict
+    (``n_rows``/``n_null``), and a side whose surviving key rows
+    (``n_rows - n_null``) fit under the threshold gets an explicit
+    ``broadcast()`` hint — smaller side first when both fit, and only
+    on sides the join type can actually build on (the row-preserving
+    side of an outer join is never hinted). Why not leave it to AQE:
+    the scaling battery measured AQE flipping broadcast→SMJ mid-curve
+    as inputs grow past the byte threshold, and Catalyst's static
+    size estimate misses post-filter sizes entirely — priced stats
+    pin the strategy deliberately (CLAUDE.md: measured 3×BHJ at x10
+    flipping to 3×SMJ at x100 on the same query)."""
     require_dataframe(left, "left")
     require_dataframe(right, "right")
     if how not in VALID_HOW:
@@ -57,6 +89,29 @@ def equi_join(
     keys = [on] if isinstance(on, str) else list(on)
     require_columns(left, keys, "left")
     require_columns(right, keys, "right")
+    if (stats is None) != (broadcast_rows is None):
+        raise ValueError("stats and broadcast_rows must be passed together")
+    if stats is not None:
+        if broadcast != "auto":
+            raise ValueError(
+                "stats-driven pricing and an explicit broadcast side are "
+                "mutually exclusive — pass one or the other"
+            )
+        if len(stats) != 2:
+            raise ValueError(f"stats must hold (left, right) rows, got {len(stats)}")
+
+        def surviving(st: dict) -> float:
+            return float(st["n_rows"]) - float(st["n_null"])
+
+        fits = [
+            side
+            for side, st in zip(("left", "right"), stats)
+            if surviving(st) <= broadcast_rows
+            and side in _BROADCASTABLE.get(how, ())
+        ]
+        if fits:
+            sizes = {"left": surviving(stats[0]), "right": surviving(stats[1])}
+            broadcast = min(fits, key=lambda s: (sizes[s], s))
     if broadcast == "left":
         left = F.broadcast(left)
     elif broadcast == "right":

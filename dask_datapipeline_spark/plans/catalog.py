@@ -220,6 +220,35 @@ def q_join_inner(spark, sf_dir):
 
 
 @register_extra(
+    "join_stats_hinted",
+    """
+SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+    "join_inner's stats-driven twin: equi_join(stats=, broadcast_rows=) prices "
+    "BOTH sides from table_stats rows and hints the smaller fitting side "
+    "itself instead of trusting AQE's byte threshold (which the scaling "
+    "battery measured flipping broadcast->SMJ mid-curve). Shares join_inner's "
+    "oracle verbatim — an exact match proves the physical pricing is free; "
+    "the plan flip at the pinned threshold is asserted in tests/"
+    "test_round11_ops.py",
+)
+def q_join_stats_hinted(spark, sf_dir):
+    from dask_datapipeline_spark.operators.stats import table_stats
+
+    o = load_testdata(spark, sf_dir, "orders")
+    c = load_testdata(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    st = (
+        table_stats(o, ["o_custkey"]).first().asDict(),
+        table_stats(c, ["o_custkey"]).first().asDict(),
+    )
+    j = equi_join(o, c, on="o_custkey", stats=st, broadcast_rows=1_000_000)
+    return j.select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
+
+
+@register_extra(
     "join_left",
     """
 SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
