@@ -321,3 +321,136 @@ SELECT doc_id, score, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+# ----- in-place auto-compaction (streaming maintenance policy) --------
+
+
+def _compact_workdir(index_dir: str) -> str:
+    import os
+
+    return os.path.join(index_dir.rstrip("/"), ".compact")
+
+
+def _delta_dirs(index_dir: str, sub: str) -> list[str]:
+    import os
+
+    d = os.path.join(index_dir.rstrip("/"), sub)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        name
+        for name in os.listdir(d)
+        if name.startswith("delta=") and os.path.isdir(os.path.join(d, name))
+    )
+
+
+def _finish_compaction(index_dir: str) -> None:
+    """Phase C of :func:`maybe_compact_bm25_index`, idempotent so a
+    crash anywhere inside replays cleanly: remove the consumed delta
+    dirs recorded in the COMMIT marker, move the compacted base in as
+    ``delta=-1`` (skipped if a previous attempt already moved it),
+    then drop the work dir."""
+    import json
+    import os
+    import shutil
+
+    base = index_dir.rstrip("/")
+    work = _compact_workdir(base)
+    with open(os.path.join(work, "COMMIT")) as f:
+        consumed = json.load(f)
+    for sub in ("postings", "stats"):
+        for name in consumed[sub]:
+            shutil.rmtree(os.path.join(base, sub, name), ignore_errors=True)
+        src = os.path.join(work, sub, "delta=-1")
+        dst = os.path.join(base, sub, "delta=-1")
+        if os.path.isdir(src) and not os.path.isdir(dst):
+            shutil.move(src, dst)
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def recover_bm25_compaction(index_dir: str) -> None:
+    """Resolve a compaction a crash left half-done (the
+    ``stream_incremental_hll`` mid-swap ``_recover()`` pattern, called
+    at sink start and before every compaction attempt): a work dir
+    WITH a COMMIT marker is past the atomic commit point — finish
+    phase C; one without is pre-commit garbage — drop it, the live
+    index was never touched."""
+    import os
+    import shutil
+
+    work = _compact_workdir(index_dir)
+    if not os.path.isdir(work):
+        return
+    if os.path.isfile(os.path.join(work, "COMMIT")):
+        _finish_compaction(index_dir)
+    else:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def maybe_compact_bm25_index(
+    spark, index_dir: str, max_deltas: int
+) -> bool:
+    """The maintenance POLICY the streaming sink calls after each
+    delta append: when the postings delta count exceeds ``max_deltas``,
+    fold the whole index into one base delta IN PLACE — crash-safe,
+    scores bit-identical (postings deltas are disjoint by doc_id;
+    stats addition is exact integers; measured round 10: 64 deltas
+    cost +60% probe latency, which is exactly the regression this
+    bounds).
+
+    Crash safety without changing the reader (plain partition
+    discovery, no manifest): phase A writes the compacted
+    postings/stats into ``<index>/.compact/`` (outside the partition
+    roots, invisible to readers); phase B atomically renames a COMMIT
+    marker recording the consumed delta names — the single commit
+    point; phase C removes consumed deltas, moves the compacted pair
+    in as ``delta=-1`` and drops the work dir. A crash before B
+    leaves the live index untouched (work dir swept next call); a
+    crash after B replays phase C idempotently via
+    :func:`recover_bm25_compaction`. SINGLE-WRITER contract, same as
+    ``compact_minhash_index``: runs between micro-batches under the
+    sink's serialized foreachBatch, never concurrently with an append
+    or a reader mid-scan."""
+    import json
+    import os
+    import shutil
+
+    if max_deltas < 1:
+        raise ValueError(f"max_deltas={max_deltas} must be >= 1")
+    base = index_dir.rstrip("/")
+    recover_bm25_compaction(base)
+    consumed = {
+        "postings": _delta_dirs(base, "postings"),
+        "stats": _delta_dirs(base, "stats"),
+    }
+    if len(consumed["postings"]) <= max_deltas:
+        return False
+    work = _compact_workdir(base)
+    shutil.rmtree(work, ignore_errors=True)
+    # phase A: materialize the folded index OUTSIDE the live roots
+    (
+        spark.read.parquet(base + "/postings")
+        .select("token", "doc_id", "dl", "tf")
+        .repartition("token")
+        .sortWithinPartitions("token", "doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(work, "postings", "delta=-1"))
+    )
+    (
+        spark.read.parquet(base + "/stats")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(work, "stats", "delta=-1"))
+    )
+    # phase B: the atomic commit point (rename, same device)
+    tmp = os.path.join(work, "COMMIT.tmp")
+    with open(tmp, "w") as f:
+        json.dump(consumed, f)
+    os.rename(tmp, os.path.join(work, "COMMIT"))
+    # phase C
+    _finish_compaction(base)
+    return True

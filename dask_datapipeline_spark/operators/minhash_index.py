@@ -399,3 +399,22 @@ def incremental_near_dup_flags(
         .join(resolved, on=id_col, how="left")
         .select(id_col, "dup_of", F.col("dup_of").isNull().alias("is_new"))
     )
+
+
+def maybe_compact_minhash_index(
+    spark: SparkSession, index_path: str, max_increments: int
+) -> bool:
+    """Threshold-based maintenance policy over
+    :func:`compact_minhash_index`: compact only when the committed
+    increment list has grown past ``max_increments`` dir pairs — the
+    knob a streaming sink calls after every append so file count (and
+    with it per-scan open/footer cost) stays O(threshold) instead of
+    O(batches). Crash safety and bit-identical results are inherited
+    from the underlying compaction (manifest flip); same single-writer
+    contract."""
+    if max_increments < 1:
+        raise ValueError(f"max_increments={max_increments} must be >= 1")
+    if len(_read_manifest(index_path)["inc"]) <= max_increments:
+        return False
+    compact_minhash_index(spark, index_path)
+    return True

@@ -116,3 +116,145 @@ def test_equi_join_stats_validation(spark):
         equi_join(a, a, on="k", broadcast="right", stats=(st, st), broadcast_rows=10)
     with pytest.raises(ValueError, match="left, right"):
         equi_join(a, a, on="k", stats=(st,), broadcast_rows=10)
+
+
+# ----- index maintenance policy: auto-compaction triggers --------------
+
+
+def _delta_index(spark, tmp_path, n_batches=5):
+    from dask_datapipeline_spark.operators.bm25 import postings_frames
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta {'dup ' * (i % 4)}gamma {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    for b in range(n_batches):
+        p, s = postings_frames(docs.where(F.col("doc_id") % n_batches == b))
+        p.write.mode("overwrite").parquet(f"{idx}/postings/delta={b}")
+        s.write.mode("overwrite").parquet(f"{idx}/stats/delta={b}")
+    return idx
+
+
+def test_bm25_auto_compaction_fires_only_past_threshold(spark, tmp_path):
+    import os
+
+    from dask_datapipeline_spark.operators.bm25 import (
+        bm25_topk_from_index,
+        maybe_compact_bm25_index,
+    )
+
+    idx = _delta_index(spark, tmp_path, n_batches=5)
+    terms = ["dup", "alpha"]
+    before = [tuple(r) for r in bm25_topk_from_index(spark, idx, terms, k=8).collect()]
+    # under threshold: no-op, layout untouched
+    assert maybe_compact_bm25_index(spark, idx, max_deltas=8) is False
+    assert len(os.listdir(idx + "/postings")) == 5
+    # past threshold: folds to ONE base delta, scores bit-identical
+    assert maybe_compact_bm25_index(spark, idx, max_deltas=3) is True
+    assert os.listdir(idx + "/postings") == ["delta=-1"]
+    assert os.listdir(idx + "/stats") == ["delta=-1"]
+    after = [tuple(r) for r in bm25_topk_from_index(spark, idx, terms, k=8).collect()]
+    assert after == before
+    # compacts exactly once: the next call is a no-op
+    assert maybe_compact_bm25_index(spark, idx, max_deltas=3) is False
+    with pytest.raises(ValueError, match="max_deltas"):
+        maybe_compact_bm25_index(spark, idx, max_deltas=0)
+
+
+def test_bm25_compaction_crash_recovery_both_phases(spark, tmp_path, monkeypatch):
+    import os
+
+    import dask_datapipeline_spark.operators.bm25 as bm25
+
+    idx = _delta_index(spark, tmp_path, n_batches=4)
+    terms = ["dup", "gamma"]
+    want = [tuple(r) for r in bm25.bm25_topk_from_index(spark, idx, terms, k=8).collect()]
+
+    # crash BEFORE the commit marker: work dir is pre-commit garbage —
+    # recovery drops it, the live index is untouched
+    os.makedirs(idx + "/.compact/postings/delta=-1")
+    bm25.recover_bm25_compaction(idx)
+    assert not os.path.isdir(idx + "/.compact")
+    assert len(os.listdir(idx + "/postings")) == 4
+    got = [tuple(r) for r in bm25.bm25_topk_from_index(spark, idx, terms, k=8).collect()]
+    assert got == want
+
+    # crash AFTER the commit marker (phases A+B done, C never ran):
+    # recovery must FINISH the compaction, scores bit-identical
+    real_finish = bm25._finish_compaction
+
+    def boom(index_dir):
+        raise RuntimeError("simulated crash between commit and finish")
+
+    monkeypatch.setattr(bm25, "_finish_compaction", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        bm25.maybe_compact_bm25_index(spark, idx, max_deltas=2)
+    monkeypatch.setattr(bm25, "_finish_compaction", real_finish)
+    assert os.path.isfile(idx + "/.compact/COMMIT")  # past the commit point
+    bm25.recover_bm25_compaction(idx)
+    assert os.listdir(idx + "/postings") == ["delta=-1"]
+    got = [tuple(r) for r in bm25.bm25_topk_from_index(spark, idx, terms, k=8).collect()]
+    assert got == want
+
+
+def test_streaming_bm25_sink_auto_compacts(spark, tmp_path):
+    import os
+
+    from dask_datapipeline_spark.operators.bm25 import (
+        bm25_topk_from_index,
+        build_bm25_index,
+    )
+    from dask_datapipeline_spark.plans.catalog_llm import _stage_micro_batches
+    from dask_datapipeline_spark.streaming.windows import (
+        stream_incremental_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark data {'dup ' * (i % 3)}table {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    _stage_micro_batches(
+        [docs.where(F.col("doc_id") % 5 == b) for b in range(5)], staged
+    )
+    idx = str(tmp_path / "idx")
+    stream_incremental_bm25_index(
+        spark, staged, idx, "doc_id long, text string",
+        checkpoint_dir=str(tmp_path / "ck"),
+        compact_max_deltas=2,
+    )
+    # the policy kept the file count bounded by the threshold
+    assert len(os.listdir(idx + "/postings")) <= 3
+    full = str(tmp_path / "full")
+    build_bm25_index(docs, full)
+    terms = ["spark", "dup"]
+    got = [tuple(r) for r in bm25_topk_from_index(spark, idx, terms, k=10).collect()]
+    want = [tuple(r) for r in bm25_topk_from_index(spark, full, terms, k=10).collect()]
+    assert got == want
+
+
+def test_minhash_maybe_compact_threshold(spark, tmp_path):
+    from dask_datapipeline_spark.operators.minhash_index import (
+        append_to_minhash_index,
+        build_minhash_index,
+        maybe_compact_minhash_index,
+        read_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} common words here {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mh")
+    build_minhash_index(docs.where(F.col("doc_id") < 10), idx)
+    for b in range(3):
+        batch = docs.where((F.col("doc_id") >= 10 + b * 5) & (F.col("doc_id") < 15 + b * 5))
+        append_to_minhash_index(batch, idx, f"t{b}")
+    sh_before = sorted(tuple(r) for r in read_minhash_index(spark, idx)[0].collect())
+    assert maybe_compact_minhash_index(spark, idx, max_increments=5) is False
+    assert maybe_compact_minhash_index(spark, idx, max_increments=2) is True
+    assert maybe_compact_minhash_index(spark, idx, max_increments=2) is False
+    sh_after = sorted(tuple(r) for r in read_minhash_index(spark, idx)[0].collect())
+    assert sh_after == sh_before
