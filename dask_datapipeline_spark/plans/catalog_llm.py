@@ -2130,13 +2130,17 @@ def q_knn_join_ivf(spark, sf_dir):
 def _lang_case_and_scores() -> tuple[str, list[str], str]:
     """Shared SQL mirror of functions/text.py lang_id + quality_score:
     (CASE chain, per-lang score columns, stopword-hit expr)."""
+    from dask_datapipeline_spark.functions.quality import _q
+
     hit = (
         "len(list_filter(string_split(lower(text), ' '), "
         "t -> list_contains({markers}, t)))"
     )
+    # marker words routed through the same _q escaper as the gopher
+    # builders — an apostrophe-bearing marker must not break the SQL
     score_cols = []
     for lang, markers in TXT.LANG_MARKERS.items():
-        lit = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        lit = "[" + ", ".join(f"'{_q(m)}'" for m in markers) + "]"
         score_cols.append(
             f"CAST({hit.format(markers=lit)} AS DOUBLE) / n_tok AS s_{lang}"
         )
@@ -2146,7 +2150,7 @@ def _lang_case_and_scores() -> tuple[str, list[str], str]:
     for i in range(len(langs) - 2, -1, -1):
         conds = " AND ".join(f"s_{langs[i]} >= s_{langs[j]}" for j in range(i + 1, len(langs)))
         case = f"CASE WHEN {conds} THEN '{langs[i]}' ELSE {case} END"
-    en_markers = "[" + ", ".join(f"'{m}'" for m in TXT.LANG_MARKERS["en"]) + "]"
+    en_markers = "[" + ", ".join(f"'{_q(m)}'" for m in TXT.LANG_MARKERS["en"]) + "]"
     return case, score_cols, hit.format(markers=en_markers)
 
 
@@ -5195,6 +5199,28 @@ def q_bpe_tokens(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents")
     merges = train_bpe(docs, "text", num_merges=16)
     return bpe_token_count(docs, "doc_id", "text", merges)
+
+
+@register_extra(
+    "unigram_tokens",
+    None,  # iterative EM trainer — genuinely non-SQL-expressible;
+    # correctness is pinned against a pure-Python twin sharing the ONE
+    # Viterbi symbolizer in tests/test_unigram.py (fixed corpora, real
+    # testdata, hypothesis), so the gate records rows-only
+    "SentencePiece-style unigram-LM train (operators/unigram.py, Kudo 2018 "
+    "hard-EM): substring seed + Viterbi E-step + integer-exact M-step prune, "
+    "all on the DISTINCT-WORD table (the BPE Zipf trick); then per-doc piece "
+    "counts under the learned model (map-side, zero shuffles)",
+)
+def q_unigram_tokens(spark, sf_dir):
+    from dask_datapipeline_spark.operators.unigram import (
+        train_unigram,
+        unigram_token_count,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    model = train_unigram(docs, "text", vocab_size=96, num_iters=2, max_piece_len=6)
+    return unigram_token_count(docs, "doc_id", "text", model, max_piece_len=6)
 
 
 # ----- end-to-end training export ------------------------------------
