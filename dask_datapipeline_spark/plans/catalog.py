@@ -475,6 +475,44 @@ def q_partition_pruning(spark, sf_dir):
     )
 
 
+@register_extra(
+    "bloom_point_probe",
+    """
+SELECT doc_id, lang, length(text) AS n_text_chars
+FROM documents WHERE doc_id IN (7, 123, 456)
+""",
+    "Bloom-filter point probe: documents written with a parquet bloom "
+    "filter on doc_id (pruning tier 4 after directory/bucket/row-group "
+    "min-max), read back with an IN probe — on a randomly-ordered "
+    "high-cardinality key every row group's min/max spans the domain, "
+    "so only the bloom filter can skip groups; the skip itself is "
+    "metric-asserted in tests/test_round11_ops.py (scan numOutputRows "
+    "with blooms << without). Oracle reads the source table directly, "
+    "so an exact match also proves the bloomed write round-trips values",
+)
+def q_bloom_point_probe(spark, sf_dir):
+    import os as _os
+    import tempfile as _tf
+
+    from dask_datapipeline_spark.sources.writers import write_parquet
+
+    docs = load_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").alias("n_text_chars")
+    )
+    # same temp-path convention as q_partition_pruning: one
+    # deterministic dir per (sf, Spark app), overwritten per call
+    out = _os.path.join(
+        _tf.gettempdir(),
+        "spark_graft_bloom_probe_"
+        + _os.path.basename(sf_dir.rstrip("/"))
+        + "_"
+        + spark.sparkContext.applicationId,
+        "documents_bloom",
+    )
+    write_parquet(docs, out, bloom_cols=["doc_id"], bloom_ndv=1_000_000)
+    return spark.read.parquet(out).where(F.col("doc_id").isin(7, 123, 456))
+
+
 # --------------------------------------------------------------------
 # O9: n-ary fold join
 # --------------------------------------------------------------------

@@ -66,6 +66,9 @@ def write_parquet(
     partition_by: list[str] | None = None,
     bucket_by: tuple[int, list[str]] | None = None,
     table_name: str | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_ndv: int = 1_000_000,
+    row_group_bytes: int | None = None,
 ) -> bool:
     """Parquet sink — the scale path.
 
@@ -73,10 +76,35 @@ def write_parquet(
     skip); ``bucket_by=(n, cols)`` writes a bucketed table (requires
     ``table_name``, saveAsTable) so later equi-joins/aggs on the bucket
     key run shuffle-free.
+
+    ``bloom_cols`` writes a parquet BLOOM FILTER per listed column —
+    pruning tier 4 after directory/bucket/row-group min-max: a point
+    predicate on a HIGH-CARDINALITY key (doc_id probe, URL hash) skips
+    row groups whose bloom filter excludes the value even when min/max
+    spans everything (randomly-ordered keys). Spark's vectorized
+    reader consumes them on read automatically; so do parquet-mr,
+    arrow, and modern DuckDB. ``bloom_ndv`` sizes the filter (expected
+    distinct values PER ROW GROUP — overshooting just costs bytes,
+    undershooting inflates false-positive rate and loses pruning).
+    ``row_group_bytes`` overrides ``parquet.block.size`` (the pruning
+    granularity — smaller groups prune finer at more footer overhead).
     """
+    if bloom_cols:
+        from dask_datapipeline_spark.errors import require_columns
+
+        require_columns(df, list(bloom_cols))
+        if bloom_ndv < 1:
+            raise ValueError(f"bloom_ndv={bloom_ndv} must be >= 1")
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    for c in bloom_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer = writer.option(f"parquet.bloom.filter.expected.ndv#{c}", str(bloom_ndv))
+    if row_group_bytes is not None:
+        if row_group_bytes < 64 * 1024:
+            raise ValueError(f"row_group_bytes={row_group_bytes} must be >= 64 KiB")
+        writer = writer.option("parquet.block.size", str(row_group_bytes))
     if bucket_by:
         n, cols = bucket_by
         if not table_name:

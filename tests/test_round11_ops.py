@@ -258,3 +258,123 @@ def test_minhash_maybe_compact_threshold(spark, tmp_path):
     assert maybe_compact_minhash_index(spark, idx, max_increments=2) is False
     sh_after = sorted(tuple(r) for r in read_minhash_index(spark, idx)[0].collect())
     assert sh_after == sh_before
+
+
+# ----- parquet bloom-filter pruning (tier 4) --------------------------
+
+
+def _scan_output_rows(df) -> int:
+    """Rows MATERIALIZED by the parquet scan leaf after row-group
+    pruning (stats + dictionary + bloom) — the direct evidence that a
+    pushed point filter skipped row groups. Executes the plan."""
+    df.collect()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        it = leaf.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numOutputRows":
+                total += kv._2().value()
+    return total
+
+
+def _shuffled_keys(spark, n=200_000):
+    """High-cardinality key in RANDOM row order: every row group's
+    min/max spans ~the full key domain, so min-max pruning is USELESS
+    and any row-group skip on a point probe is the bloom filter's."""
+    return (
+        spark.range(n)
+        .select(
+            F.xxhash64("id").alias("k"),
+            F.col("id").alias("v"),
+        )
+        .repartition(1)
+        .sortWithinPartitions(F.expr("xxhash64(v, 7)"))
+    )
+
+
+def test_bloom_filter_prunes_row_groups_minmax_cannot(spark, tmp_path):
+    from dask_datapipeline_spark.sources.writers import write_parquet
+
+    df = _shuffled_keys(spark)
+    probe = df.limit(1).collect()[0].k
+    n_total = 200_000
+
+    bloom_path = str(tmp_path / "bloom")
+    plain_path = str(tmp_path / "plain")
+    # ~256 KiB row groups -> dozens of groups in one file
+    write_parquet(
+        df, bloom_path, bloom_cols=["k"], bloom_ndv=200_000,
+        row_group_bytes=256 * 1024,
+    )
+    write_parquet(df, plain_path, row_group_bytes=256 * 1024)
+
+    import pyarrow.parquet as pq
+    import glob as _g
+
+    md = pq.ParquetFile(_g.glob(bloom_path + "/*.parquet")[0]).metadata
+    assert md.num_row_groups >= 8, "need many row groups to demonstrate pruning"
+
+    q_bloom = spark.read.parquet(bloom_path).filter(F.col("k") == probe)
+    q_plain = spark.read.parquet(plain_path).filter(F.col("k") == probe)
+    # identical results either way
+    assert [r.v for r in q_bloom.collect()] == [r.v for r in q_plain.collect()]
+
+    read_bloom = _scan_output_rows(q_bloom)
+    read_plain = _scan_output_rows(q_plain)
+    # without blooms every row group survives min-max pruning (shuffled
+    # keys) -> full scan; with blooms only the true group (+ rare FP
+    # groups) materializes
+    assert read_plain == n_total
+    assert read_bloom <= n_total // 4, (
+        f"bloom scan materialized {read_bloom} rows — no row-group skip"
+    )
+
+
+def test_bloom_filter_absent_key_reads_nothing(spark, tmp_path):
+    from dask_datapipeline_spark.sources.writers import write_parquet
+
+    df = _shuffled_keys(spark, n=50_000)
+    out = str(tmp_path / "bloom_absent")
+    write_parquet(df, out, bloom_cols=["k"], bloom_ndv=50_000,
+                  row_group_bytes=256 * 1024)
+    # xxhash64(id) never equals 1 for this domain (verified empty result)
+    q = spark.read.parquet(out).filter(F.col("k") == F.lit(1).cast("long"))
+    assert q.count() == 0
+    assert _scan_output_rows(q) <= 50_000 // 4
+
+
+def test_bloom_filter_validation(spark, tmp_path):
+    from dask_datapipeline_spark.sources.writers import write_parquet
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(KeyError):
+        write_parquet(df, str(tmp_path / "x1"), bloom_cols=["nope"])
+    with pytest.raises(ValueError, match="bloom_ndv"):
+        write_parquet(df, str(tmp_path / "x2"), bloom_cols=["k"], bloom_ndv=0)
+    with pytest.raises(ValueError, match="row_group_bytes"):
+        write_parquet(df, str(tmp_path / "x3"), row_group_bytes=1024)
+
+
+def test_bloom_filter_composes_with_partition_by(spark, tmp_path):
+    """Tier 1 (directory) + tier 4 (bloom) compose: partitioned write
+    with blooms round-trips and a partition+point predicate still
+    returns exact rows."""
+    from dask_datapipeline_spark.sources.writers import write_parquet
+
+    df = spark.range(1000).select(
+        (F.col("id") % 4).cast("string").alias("p"),
+        F.xxhash64("id").alias("k"),
+        F.col("id").alias("v"),
+    )
+    out = str(tmp_path / "part_bloom")
+    write_parquet(df, out, partition_by=["p"], bloom_cols=["k"])
+    probe = df.filter(F.col("v") == 7).collect()[0]
+    got = (
+        spark.read.parquet(out)
+        .filter((F.col("p") == probe.p) & (F.col("k") == probe.k))
+        .collect()
+    )
+    assert [r.v for r in got] == [7]
