@@ -21,6 +21,7 @@ Scale strategy (SURVEY.md §4):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from functools import reduce
 from typing import Iterable, Sequence
 
@@ -431,6 +432,62 @@ def salt_join(
     )
     out = salted_left.join(exploded_right, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+@contextmanager
+def aqe_skew_split(
+    spark,
+    threshold_bytes: str = "64k",
+    advisory_bytes: str = "16k",
+    factor: int = 2,
+    force: bool = True,
+):
+    """Scope in which AQE's OWN skew-join splitting (OptimizeSkewedJoin)
+    is guaranteed eligible: skew thresholds lowered to ``threshold_bytes``
+    / ``factor`` × median, target split size ``advisory_bytes``, broadcast
+    disabled on both thresholds (a broadcast-hash join has no skew to
+    split — only SMJ/SHJ qualify), and ``forceOptimizeSkewedJoin`` so a
+    downstream distribution requirement can't veto the split. All nine
+    confs are restored on exit — catalog builders MUST materialize (e.g.
+    ``localCheckpoint(eager=True)``) inside the scope; a lazy DataFrame
+    executed after exit runs under the restored session confs.
+
+    This is the complement of ``salt_join``: salting is the manual
+    fallback for keys AQE can't fix (one key >> one partition even after
+    splitting the right side is replicated per split); AQE splitting is
+    what a production cluster leans on for garden-variety skew, with
+    defaults (256 MB / 5× median) that never fire at test scale — hence
+    the lowered thresholds here. The split is plan-visible as
+    ``SortMergeJoin(skew=true)`` + ``AQEShuffleRead skewed`` (asserted in
+    tests/test_round11_ops.py on a planted hot key).
+    """
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": threshold_bytes,
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": str(factor),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": advisory_bytes,
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": str(force).lower(),
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old: dict[str, str | None] = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:  # unset — conf.get validates defaults, so probe
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def interval_overlap_join(

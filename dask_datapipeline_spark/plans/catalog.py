@@ -952,6 +952,62 @@ def q_skew_join_salted(spark, sf_dir):
     )
 
 
+@register_extra(
+    "skew_join_aqe",
+    """
+WITH amp AS (
+  SELECT user_id, value,
+         unnest(generate_series(1, CASE WHEN user_id = (SELECT min(user_id) FROM events)
+                                        THEN 4096 ELSE 1 END)) AS rep
+  FROM events
+)
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM amp JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+    "AQE skew-join splitting (OptimizeSkewedJoin) — the automatic half of "
+    "the skew story (skew_join_salted is the manual fallback): ONE planted "
+    "hot key (min user_id ×4096) makes a partition that dwarfs the median; "
+    "under operators/joins.py::aqe_skew_split the join materializes with "
+    "AQE's own partition split (plan-asserted SortMergeJoin(skew=true) on "
+    "the same recipe in tests/test_round11_ops.py), then the aggregate runs "
+    "on the checkpointed join outside the conf scope. An exact oracle match "
+    "proves the split is semantics-preserving — duplicated build rows and "
+    "split probe partitions change NO aggregate. Money via the gate-proven "
+    "cents recipe; replication exact integer on both engines",
+)
+def q_skew_join_aqe(spark, sf_dir):
+    from dask_datapipeline_spark.operators.joins import aqe_skew_split
+
+    ev = load_testdata(spark, sf_dir, "events").select("user_id", "value")
+    # 1-row bounded collect: the planted hot key (oracle replays min())
+    hot = ev.agg(F.min("user_id")).collect()[0][0]
+    amp = ev.withColumn(
+        "rep",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.when(F.col("user_id") == F.lit(hot), F.lit(4096)).otherwise(
+                    F.lit(1)
+                ),
+            )
+        ),
+    )
+    cust = load_testdata(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    with aqe_skew_split(spark):
+        # materialize INSIDE the scope — the skew split happens here;
+        # the downstream agg must not be part of this plan (a required
+        # hash distribution above the join vetoes OptimizeSkewedJoin)
+        joined = amp.join(cust, "user_id").localCheckpoint(eager=True)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("total_cents"),
+    )
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 

@@ -378,3 +378,82 @@ def test_bloom_filter_composes_with_partition_by(spark, tmp_path):
         .collect()
     )
     assert [r.v for r in got] == [7]
+
+
+# ----- AQE skew-join splitting ----------------------------------------
+
+
+def test_aqe_skew_split_fires_on_planted_hot_key(spark):
+    """AQE's OptimizeSkewedJoin splits the hot partition under
+    aqe_skew_split: final plan shows SortMergeJoin(skew=true) +
+    AQEShuffleRead skewed, and results match the unsplit join."""
+    from dask_datapipeline_spark.operators.joins import aqe_skew_split
+
+    left = (
+        spark.range(150_000)
+        .select(F.lit(1).alias("k"), F.col("id").alias("v"))
+        .union(
+            spark.range(50_000).select(
+                (F.col("id") % 1000 + 2).alias("k"), F.col("id").alias("v")
+            )
+        )
+    )
+    right = spark.range(1002).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+
+    plain = left.join(right, "k").groupBy("k").count().collect()
+
+    with aqe_skew_split(spark):
+        j = left.join(right, "k").select("k", (F.col("v") + F.col("w")).alias("x"))
+        cp = j.localCheckpoint(eager=True)
+        # the executed (adaptive, final) plan lives on the PRE-checkpoint
+        # DataFrame — localCheckpoint returns a fresh RDD-scan plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, plan[:2000]
+    assert "AQEShuffleRead skewed" in plan or "skewed" in plan
+
+    split = cp.groupBy("k").count().collect()
+    assert sorted((r.k, r["count"]) for r in split) == sorted(
+        (r.k, r["count"]) for r in plain
+    )
+
+
+def test_aqe_skew_split_restores_confs(spark):
+    from dask_datapipeline_spark.operators.joins import aqe_skew_split
+
+    keys = [
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+    ]
+    before = {}
+    for k in keys:
+        try:
+            before[k] = spark.conf.get(k)
+        except Exception:
+            before[k] = None
+    with aqe_skew_split(spark):
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+        assert (
+            spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+            == "64k"
+        )
+    after = {}
+    for k in keys:
+        try:
+            after[k] = spark.conf.get(k)
+        except Exception:
+            after[k] = None
+    assert after == before
+
+
+def test_aqe_skew_split_restores_on_error(spark):
+    from dask_datapipeline_spark.operators.joins import aqe_skew_split
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with pytest.raises(RuntimeError, match="boom"):
+        with aqe_skew_split(spark):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
