@@ -7953,6 +7953,81 @@ def q_gopher_multilang(spark, sf_dir):
     )
 
 
+# ----- classifier calibration vs rule-based gates ---------------------
+
+
+def _classifier_calibration_sql() -> str:
+    from dask_datapipeline_spark.functions.quality import c4_sql_projections
+
+    sig = gopher_sql_projections("text")
+    c4 = c4_sql_projections("text")
+    return f"""
+WITH sc AS ({hashed_linear_score_sql(seed="qw", scale=1000)}),
+q AS (
+  SELECT doc_id, {gopher_keep_sql(sig)} AS gopher_keep,
+         {c4["keep_doc"]} AS c4_keep
+  FROM documents WHERE text IS NOT NULL
+),
+d AS (
+  SELECT sc.doc_id, sc.margin_raw, q.gopher_keep, q.c4_keep,
+         ntile(10) OVER (ORDER BY sc.margin_raw, sc.doc_id) AS decile
+  FROM sc JOIN q ON sc.doc_id = q.doc_id
+)
+SELECT decile, COUNT(*) AS n_docs,
+       COUNT(CASE WHEN margin_raw >= 0 THEN 1 END) AS n_clf_keep,
+       COUNT(CASE WHEN gopher_keep THEN 1 END) AS n_gopher_keep,
+       COUNT(CASE WHEN c4_keep THEN 1 END) AS n_c4_keep,
+       COUNT(CASE WHEN gopher_keep AND c4_keep AND margin_raw >= 0 THEN 1 END) AS n_all_keep
+FROM d GROUP BY decile
+"""
+
+
+@register_extra(
+    "classifier_calibration",
+    _classifier_calibration_sql(),
+    "Classifier CALIBRATION report: margin deciles (the margin_deciles "
+    "two-pass prefix-sum ntile — margin_raw orders identically to margin "
+    "and stays integer) cross-tabulated against the RULE-BASED gates "
+    "(Gopher keep, C4 page keep) per decile — production pipelines gate "
+    "on thresholds calibrated this way (does a higher classifier margin "
+    "actually predict passing the hand-written rules?), not on raw "
+    "margins. One broadcast-sized join of two per-row codegen scans; "
+    "every output an exact integer count",
+)
+def q_classifier_calibration(spark, sf_dir):
+    from dask_datapipeline_spark.functions.quality import c4_clean_cols
+    from dask_datapipeline_spark.operators.classifier import hashed_linear_score
+    from dask_datapipeline_spark.operators.ranks import global_ntile
+
+    docs = load_testdata(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    sc = hashed_linear_score(docs, "doc_id", "text", seed="qw", scale=1000)
+    sig = gopher_signal_cols(F.col("text"))
+    c4 = c4_clean_cols(F.col("text"))
+    q = docs.select(
+        "doc_id",
+        gopher_keep(sig).alias("gopher_keep"),
+        c4["keep_doc"].alias("c4_keep"),
+    )
+    d = global_ntile(
+        sc.select("doc_id", "margin_raw").join(q, "doc_id"),
+        ["margin_raw", "doc_id"],
+        F.expr("margin_raw DIV 256"),
+        10,
+        tile_col="decile",
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("margin_raw") >= 0, 1)).alias("n_clf_keep"),
+        F.count(F.when(F.col("gopher_keep"), 1)).alias("n_gopher_keep"),
+        F.count(F.when(F.col("c4_keep"), 1)).alias("n_c4_keep"),
+        F.count(
+            F.when(
+                F.col("gopher_keep") & F.col("c4_keep") & (F.col("margin_raw") >= 0), 1
+            )
+        ).alias("n_all_keep"),
+    )
+
+
 # ----- trained char-n-gram language ID --------------------------------
 
 from dask_datapipeline_spark.operators import langid as LID  # noqa: E402
