@@ -170,3 +170,77 @@ def bpe_token_count(
 
     narrow = fan_out(df.where(F.col(text_col).isNotNull()).select(id_col, text_col))
     return narrow.mapInPandas(_count, schema)
+
+
+def bpe_vocab(
+    df: DataFrame,
+    text_col: str,
+    merges: Sequence[tuple[str, str]],
+) -> list[str]:
+    """The corpus's symbol vocabulary under ``merges``: every distinct
+    symbol any corpus word symbolizes to, sorted. One Arrow pass over
+    the distinct-word table + one distinct groupBy whose output is
+    vocab-bounded (≤ |alphabet|·2 + |merges| symbols), then a bounded
+    collect — the id table ``bpe_encode_ids`` maps against (id =
+    rank in this sorted list, the deterministic assignment)."""
+    ms = list(merges)
+    words = word_counts(df, text_col)
+
+    def _syms(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            out: set[str] = set()
+            for w in pdf["w"]:
+                out.update(_symbolize(w, ms))
+            yield pd.DataFrame({"sym": sorted(out)})
+
+    rows = (
+        words.mapInPandas(_syms, "sym string")
+        .groupBy("sym")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()  # bounded by the symbol vocabulary, never the corpus
+    )
+    return sorted(r.sym for r in rows)
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: Sequence[tuple[str, str]],
+    vocab: Sequence[str],
+) -> DataFrame:
+    """Encode documents to integer token ids under a trained BPE
+    vocabulary — ``(id, input_ids: array<int>)``, the real model
+    input (``bpe_token_count`` is the budget-only sibling). Symbols
+    map through ``vocab``'s sorted rank; a symbol outside ``vocab``
+    (unseen character at inference time) encodes as -1, the explicit
+    UNK sentinel a downstream filter can act on.
+
+    Map-side Arrow pass, merges + id table in closure, zero shuffles;
+    composes with ``pack_input_ids`` for the tensor hand-off."""
+    require_columns(df, [id_col, text_col])
+    ms = list(merges)
+    table = {s: i for i, s in enumerate(vocab)}
+    id_dtype = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_dtype}, input_ids array<int>"
+
+    def _encode(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        cache: dict[str, list[int]] = {}
+        for pdf in batches:
+            ids_out, toks_out = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                ids: list[int] = []
+                for w in t.lower().split(" "):
+                    if not w:
+                        continue
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = [table.get(s, -1) for s in _symbolize(w, ms)]
+                        cache[w] = enc
+                    ids.extend(enc)
+                ids_out.append(i)
+                toks_out.append(ids)
+            yield pd.DataFrame({id_col: ids_out, "input_ids": toks_out})
+
+    narrow = fan_out(df.where(F.col(text_col).isNotNull()).select(id_col, text_col))
+    return narrow.mapInPandas(_encode, schema)

@@ -214,3 +214,120 @@ def shard_by_tokens(
             F.expr(f"stream_offset DIV CAST({shard_tokens} AS BIGINT)").alias("shard_id"),
         )
     )
+
+
+def hashed_token_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 32768,
+    seed: str = "ids",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Token-ID materialization via the hashing trick: every token
+    maps to ``seeded_hash64(token) % vocab_size`` — the vocab-free
+    tokenizer (fastText's input layer; also the fallback tier when a
+    trained BPE/unigram vocab isn't wired yet). Output
+    ``(id, *keep_cols, input_ids: array<int>)``.
+
+    Pure per-row codegen ``transform`` over the token split — zero
+    shuffles, fuses with the scan; the shared md5 hash family means
+    the DuckDB oracle embeds the same expression
+    (:func:`hashed_token_ids_sql`). NULL text is dropped explicitly
+    (legacy ``split(NULL)`` collapses to an empty array mid-expression
+    — the CLAUDE.md invariant)."""
+    require_columns(df, [id_col, text_col, *keep_cols])
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size={vocab_size} must be >= 1")
+    from dask_datapipeline_spark.operators.dedup import tokens
+
+    ids = F.transform(
+        tokens(text_col),
+        lambda t: (seeded_hash64(t, seed) % vocab_size).cast("int"),
+    )
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), *keep_cols, ids.alias("input_ids")
+    )
+
+
+def hashed_token_ids_sql(
+    expr: str, vocab_size: int = 32768, seed: str = "ids"
+) -> str:
+    """DuckDB twin of :func:`hashed_token_ids`'s id expression — same
+    md5 family, same modulus, same INT cast."""
+    h = f"CAST(CONCAT('0x', SUBSTRING(md5('{seed}:' || t), 1, 15)) AS BIGINT)"
+    return (
+        f"list_transform(string_split(lower({expr}), ' '), "
+        f"t -> CAST({h} % {vocab_size} AS INTEGER))"
+    )
+
+
+def pack_input_ids(
+    df: DataFrame,
+    id_col: str,
+    ids_col: str,
+    seq_len: int,
+    partition_col: str,
+) -> DataFrame:
+    """Fixed-length training-block materialization — the actual
+    ``input_ids`` tensors a pretraining loader consumes, not just the
+    doc→chunk bookkeeping of :func:`chunk_token_stream`. Per shard,
+    documents ordered by ``id_col`` form one token stream cut into
+    ``seq_len``-token blocks (GPT-style concat-then-chunk: documents
+    straddle); only FULL blocks are emitted (the tail remainder is
+    dropped, the standard discipline — padding wastes compute).
+
+    Output per block: ``(partition_col, block_id, input_ids:
+    array<int> of length seq_len, doc_starts: array<int>)`` where
+    ``doc_starts`` holds the within-block positions where a NEW
+    document begins (position 0 included only when the block opens on
+    a document head) — exactly the boundary set an attention-mask
+    reset needs.
+
+    Scale contract (the pack_greedy discipline): packing is per-shard
+    — ``applyInPandas`` holds ONE shard's id arrays in executor
+    memory, so shards must be sized like data-loader units (the
+    shard_by_tokens output is the intended input). One shuffle on the
+    shard key; the walk is a linear concatenation per shard. All
+    positions are exact integers; the stream order (``id_col`` per
+    shard) is total, so blocks are bit-identical on any cluster shape
+    and the oracle replays them with one ordinality window."""
+    require_columns(df, [id_col, ids_col, partition_col])
+    if seq_len < 1:
+        raise ValueError(f"seq_len={seq_len} must be >= 1")
+    part_dtype = dict(df.dtypes)[partition_col]
+    schema = (
+        f"{partition_col} {part_dtype}, block_id long, "
+        "input_ids array<int>, doc_starts array<int>"
+    )
+    narrow = df.select(partition_col, id_col, ids_col).where(
+        F.col(ids_col).isNotNull()
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        stream: list[int] = []
+        starts: list[int] = []  # stream positions where a doc begins
+        for arr in pdf[ids_col]:
+            ids = list(arr)
+            if ids:
+                starts.append(len(stream))
+                stream.extend(int(x) for x in ids)
+        n_blocks = len(stream) // seq_len
+        shard = pdf[partition_col].iloc[0] if len(pdf) else None
+        rows = []
+        si = 0
+        for b in range(n_blocks):
+            lo, hi = b * seq_len, (b + 1) * seq_len
+            while si < len(starts) and starts[si] < lo:
+                si += 1
+            ds, j = [], si
+            while j < len(starts) and starts[j] < hi:
+                ds.append(starts[j] - lo)
+                j += 1
+            rows.append((shard, b, stream[lo:hi], ds))
+        return pd.DataFrame(
+            rows, columns=[partition_col, "block_id", "input_ids", "doc_starts"]
+        )
+
+    return narrow.groupBy(partition_col).applyInPandas(_pack, schema)

@@ -3090,6 +3090,88 @@ def q_pack_chunks(spark, sf_dir):
     )
 
 
+def _pack_input_ids_sql(seq_len: int = 128) -> str:
+    from dask_datapipeline_spark.operators.packing import hashed_token_ids_sql
+
+    ids = hashed_token_ids_sql("text", vocab_size=32768, seed="ids")
+    return f"""
+WITH ids AS (
+  SELECT lang, doc_id, {ids} AS input_ids
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+tok AS (
+  SELECT lang, doc_id, unnest(input_ids) AS tk,
+         generate_subscripts(input_ids, 1) AS ord
+  FROM ids WHERE len(input_ids) > 0
+),
+pos AS (
+  SELECT lang, tk, ord,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id, ord) - 1 AS p
+  FROM tok
+)
+SELECT lang, p // {seq_len} AS block_id,
+       list(tk ORDER BY p) AS input_ids,
+       COALESCE(list(CAST(p % {seq_len} AS INTEGER) ORDER BY p)
+                  FILTER (WHERE ord = 1), CAST([] AS INTEGER[])) AS doc_starts
+FROM pos
+GROUP BY lang, p // {seq_len}
+HAVING COUNT(*) = {seq_len}
+"""
+
+
+@register_extra(
+    "pack_input_ids",
+    _pack_input_ids_sql(),
+    "The actual input_ids tensors: hashing-trick token ids "
+    "(operators/packing.py::hashed_token_ids — shared md5 family, pure "
+    "codegen transform fused with the scan) packed per-language into "
+    "fixed 128-token blocks with within-block doc-start offsets (the "
+    "attention-reset boundary set) via pack_input_ids — full blocks "
+    "only, tail dropped (the padding-free pretraining discipline). "
+    "applyInPandas holds ONE shard (a data-loader unit) in memory; "
+    "oracle replays the stream with one ordinality window. Exact "
+    "integer ids/positions; arrays compare element-ordered",
+)
+def q_pack_input_ids(spark, sf_dir):
+    from dask_datapipeline_spark.operators.packing import (
+        hashed_token_ids,
+        pack_input_ids,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents").where(
+        F.col("lang").isNotNull()
+    )
+    ids = hashed_token_ids(
+        docs, "doc_id", "text", vocab_size=32768, seed="ids", keep_cols=("lang",)
+    )
+    return pack_input_ids(ids, "doc_id", "input_ids", seq_len=128, partition_col="lang")
+
+
+@register_extra(
+    "bpe_encode_ids",
+    None,  # encoding under a TRAINED vocab is the iterative trainer's
+    # output applied per word (rank-ordered merge sweeps) — non-SQL-
+    # expressible like bpe_tokens; pinned against the shared _symbolize
+    # twin in tests (encode ids decode back to the exact symbol seq)
+    "BPE ids end-to-end (operators/bpe.py::bpe_vocab + bpe_encode_ids): "
+    "corpus symbol vocabulary under the trained merges (one vocab-bounded "
+    "distinct), then map-side encode to integer ids with -1 as the "
+    "explicit UNK sentinel — composes with pack_input_ids for the real "
+    "tensor hand-off",
+)
+def q_bpe_encode_ids(spark, sf_dir):
+    from dask_datapipeline_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_vocab,
+        train_bpe,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", num_merges=16)
+    vocab = bpe_vocab(docs, "text", merges)
+    return bpe_encode_ids(docs, "doc_id", "text", merges, vocab)
+
+
 @register_extra(
     "pack_greedy_bins",
     f"""

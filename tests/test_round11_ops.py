@@ -457,3 +457,120 @@ def test_aqe_skew_split_restores_on_error(spark):
         with aqe_skew_split(spark):
             raise RuntimeError("boom")
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+# ----- input_ids materialization + fixed-length packing ---------------
+
+
+def test_hashed_token_ids_matches_md5(spark):
+    import hashlib
+
+    from dask_datapipeline_spark.operators.packing import hashed_token_ids
+
+    df = spark.createDataFrame(
+        [(0, "Low newest"), (1, None)], "doc_id long, text string"
+    )
+    rows = hashed_token_ids(df, "doc_id", "text", vocab_size=97, seed="ids").collect()
+    assert {r.doc_id for r in rows} == {0}  # NULL text dropped
+
+    def h(t):
+        return int(hashlib.md5(f"ids:{t}".encode()).hexdigest()[:15], 16) % 97
+
+    assert rows[0].input_ids == [h("low"), h("newest")]
+
+
+def _ids_df(spark):
+    return spark.createDataFrame(
+        [
+            ("a", 1, [1, 2, 3]),
+            ("a", 2, [4, 5]),
+            ("a", 3, [6, 7, 8, 9]),
+            ("a", 4, []),          # empty: no tokens, no doc_start
+            ("a", 5, [10]),
+            ("b", 1, [11, 12]),
+            ("b", 2, [13]),
+        ],
+        "lang string, doc_id long, input_ids array<int>",
+    )
+
+
+def test_pack_input_ids_blocks_and_doc_starts(spark):
+    from dask_datapipeline_spark.operators.packing import pack_input_ids
+
+    out = pack_input_ids(_ids_df(spark), "doc_id", "input_ids", 4, "lang")
+    got = {(r.lang, r.block_id): r for r in out.collect()}
+    # shard a stream: [1,2,3 | 4,5 | 6,7,8,9 | 10] = 10 tokens -> 2 full blocks
+    assert got[("a", 0)].input_ids == [1, 2, 3, 4]
+    assert got[("a", 0)].doc_starts == [0, 3]        # docs 1 and 2 start here
+    assert got[("a", 1)].input_ids == [5, 6, 7, 8]
+    assert got[("a", 1)].doc_starts == [1]           # doc 3 starts at pos 1
+    # tail [9, 10] dropped; shard b has 3 tokens -> no full block
+    assert set(got) == {("a", 0), ("a", 1)}
+
+
+def test_pack_input_ids_partitioning_independent(spark):
+    from dask_datapipeline_spark.operators.packing import pack_input_ids
+
+    a = pack_input_ids(_ids_df(spark), "doc_id", "input_ids", 4, "lang").collect()
+    b = pack_input_ids(
+        _ids_df(spark).repartition(7), "doc_id", "input_ids", 4, "lang"
+    ).collect()
+    key = lambda r: (r.lang, r.block_id)  # noqa: E731
+    assert sorted(((r.lang, r.block_id, r.input_ids, r.doc_starts) for r in a)) == \
+           sorted(((r.lang, r.block_id, r.input_ids, r.doc_starts) for r in b))
+
+
+def test_pack_input_ids_validation(spark):
+    from dask_datapipeline_spark.operators.packing import pack_input_ids
+
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_input_ids(_ids_df(spark), "doc_id", "input_ids", 0, "lang")
+    with pytest.raises(KeyError):
+        pack_input_ids(_ids_df(spark), "doc_id", "nope", 4, "lang")
+
+
+def test_bpe_encode_ids_roundtrip(spark):
+    from dask_datapipeline_spark.operators.bpe import (
+        _symbolize,
+        bpe_encode_ids,
+        bpe_token_count,
+        bpe_vocab,
+        train_bpe,
+    )
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest",
+        "newest newest newest widest widest",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = train_bpe(df, "text", num_merges=8)
+    vocab = bpe_vocab(df, "text", merges)
+    # vocab covers the corpus: no UNK anywhere, ids decode back exactly
+    enc = {r.doc_id: r.input_ids for r in
+           bpe_encode_ids(df, "doc_id", "text", merges, vocab).collect()}
+    cnt = {r.doc_id: r.n_bpe_tokens for r in
+           bpe_token_count(df, "doc_id", "text", merges).collect()}
+    for i, t in enumerate(texts):
+        assert len(enc[i]) == cnt[i]
+        assert all(x >= 0 for x in enc[i])
+        want = []
+        for w in t.split(" "):
+            want.extend(_symbolize(w, merges))
+        assert [vocab[x] for x in enc[i]] == want
+
+
+def test_bpe_encode_ids_unk_sentinel(spark):
+    from dask_datapipeline_spark.operators.bpe import bpe_encode_ids
+
+    train = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    # vocab lacks 'z': unseen char encodes as -1
+    test = spark.createDataFrame([(1, "ab zb")], "doc_id long, text string")
+    from dask_datapipeline_spark.operators.bpe import bpe_vocab, train_bpe
+
+    merges = train_bpe(train, "text", num_merges=2, min_pair_count=1)
+    vocab = bpe_vocab(train, "text", merges)
+    row = bpe_encode_ids(test, "doc_id", "text", merges, vocab).collect()[0]
+    assert -1 in row.input_ids
