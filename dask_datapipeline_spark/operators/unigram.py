@@ -274,3 +274,50 @@ def unigram_token_count(
 
     narrow = fan_out(df.where(F.col(text_col).isNotNull()).select(id_col, text_col))
     return narrow.mapInPandas(_count, schema)
+
+
+def unigram_encode_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: Sequence[tuple[str, float]],
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Encode documents to integer piece ids under a TRAINED unigram
+    model — ``(id, input_ids: array<int>)``, the real model input
+    (``unigram_token_count`` is the budget-only sibling). Piece id =
+    rank in the model's sorted piece list; a character outside the
+    vocabulary (the UNK_LOGP fallback path) encodes as -1, the
+    explicit UNK sentinel. Same shared-Viterbi discipline — encode and
+    count CANNOT disagree on a segmentation. Map-side Arrow pass,
+    model in closure, zero shuffles; composes with
+    ``packing.pack_input_ids`` for the tensor hand-off."""
+    require_columns(df, [id_col, text_col])
+    logp = dict(model)
+    table = {p: i for i, (p, _) in enumerate(sorted(model))}
+    id_dtype = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_dtype}, input_ids array<int>"
+
+    def _encode(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        cache: dict[str, list[int]] = {}
+        for pdf in batches:
+            ids_out, toks_out = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                ids: list[int] = []
+                for w in t.lower().split(" "):
+                    if not w:
+                        continue
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = [
+                            table.get(p, -1)
+                            for p in viterbi_segment(w, logp, max_piece_len)
+                        ]
+                        cache[w] = enc
+                    ids.extend(enc)
+                ids_out.append(i)
+                toks_out.append(ids)
+            yield pd.DataFrame({id_col: ids_out, "input_ids": toks_out})
+
+    narrow = fan_out(df.where(F.col(text_col).isNotNull()).select(id_col, text_col))
+    return narrow.mapInPandas(_encode, schema)

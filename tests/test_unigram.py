@@ -265,3 +265,37 @@ def test_unigram_on_testdata(spark, sf_dir):
     want = sum(len(viterbi_segment(w, logp, 6)) for w in words)
     got = {r.doc_id: r.n_uni_tokens for r in rows}[doc.doc_id]
     assert got == want
+
+
+def test_unigram_encode_ids_roundtrip(spark):
+    from dask_datapipeline_spark.operators.unigram import unigram_encode_ids
+
+    df = _df(spark, CLASSIC)
+    model = train_unigram(df, "text", vocab_size=20, num_iters=2, max_piece_len=4)
+    logp = dict(model)
+    pieces = [p for p, _ in sorted(model)]
+    enc = {r.doc_id: r.input_ids for r in
+           unigram_encode_ids(df, "doc_id", "text", model, 4).collect()}
+    got_counts = {r.doc_id: r.n_uni_tokens for r in
+                  unigram_token_count(df, "doc_id", "text", model, 4).collect()}
+    for i, t in enumerate(CLASSIC):
+        # encode and count share the Viterbi — same length always
+        assert len(enc[i]) == got_counts[i]
+        # ids decode back to the exact segmentation
+        want = []
+        for w in t.lower().split(" "):
+            if w:
+                want.extend(viterbi_segment(w, logp, 4))
+        assert [pieces[x] if x >= 0 else None for x in enc[i]] == [
+            p if p in set(pieces) else None for p in want
+        ]
+
+
+def test_unigram_encode_ids_unk(spark):
+    from dask_datapipeline_spark.operators.unigram import unigram_encode_ids
+
+    model = [("lo", -0.5), ("w", -1.0)]
+    df = spark.createDataFrame([(0, "lowz")], "doc_id long, text string")
+    row = unigram_encode_ids(df, "doc_id", "text", model, 4).collect()[0]
+    assert -1 in row.input_ids          # 'z' is outside the vocab
+    assert row.input_ids[0] >= 0        # 'lo' resolves
