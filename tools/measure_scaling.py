@@ -83,6 +83,9 @@ QUERIES = [
     ("margin_deciles_scaled", "documents"),
     ("hll_distinct_scaled", "documents"),
     ("warc_roundtrip_scaled", "documents"),
+    ("main_content_scaled", "documents"),
+    ("pack_input_ids_scaled", "documents"),
+    ("unigram_train_scaled", "documents"),
 ]
 
 
@@ -463,6 +466,40 @@ def _margin_deciles_scaled(spark, sf_dir, n_rows):
     return EXTRA_CATALOG["margin_deciles"].fn(spark, sf_dir)
 
 
+def _main_content_scaled(spark, sf_dir, n_rows):
+    """DOM-grade block extraction at the tier: the stdlib-parser Arrow
+    stage — per-row O(page bytes), no shuffle, so the claim is
+    alpha ≈ 1 scan-bound. Row-preserving mapInPandas: count() cannot
+    prune the Python barrier."""
+    from dask_datapipeline_spark.plans.catalog import CATALOG as _C
+
+    return _C["main_content_extract"].fn(spark, sf_dir)
+
+
+def _pack_input_ids_scaled(spark, sf_dir, n_rows):
+    """input_ids materialization + per-language block packing at the
+    tier: codegen hashed ids feed ONE shard-keyed applyInPandas walk —
+    the cost is the id-stream concatenation, linear per shard."""
+    from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG
+
+    return EXTRA_CATALOG["pack_input_ids"].fn(spark, sf_dir)
+
+
+def _unigram_train_scaled(spark, sf_dir, n_rows):
+    """Unigram-LM train + encode at the tier: the corpus-sized work is
+    ONE distinct-word pass; each EM round re-maps the (Zipf-bounded)
+    word table, so wall time should grow with DISTINCT words, not
+    documents — the claim behind training tokenizers at 100 TB."""
+    from dask_datapipeline_spark.operators.unigram import (
+        train_unigram,
+        unigram_token_count,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    model = train_unigram(docs, "text", vocab_size=96, num_iters=2, max_piece_len=6)
+    return unigram_token_count(docs, "doc_id", "text", model, max_piece_len=6)
+
+
 #: rows measured through a scale-parameterized builder instead of the
 #: fixed-config catalog row; fn(spark, sf_dir, n_input_rows) → DataFrame
 CUSTOM = {
@@ -482,6 +519,9 @@ CUSTOM = {
     "margin_deciles_scaled": _margin_deciles_scaled,
     "hll_distinct_scaled": _hll_distinct_scaled,
     "warc_roundtrip_scaled": _warc_roundtrip_scaled,
+    "main_content_scaled": _main_content_scaled,
+    "pack_input_ids_scaled": _pack_input_ids_scaled,
+    "unigram_train_scaled": _unigram_train_scaled,
 }
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
