@@ -389,7 +389,7 @@ def recover_bm25_compaction(index_dir: str) -> None:
 
 
 def maybe_compact_bm25_index(
-    spark, index_dir: str, max_deltas: int
+    spark, index_dir: str, max_deltas: int, exclude_from: int | None = None
 ) -> bool:
     """The maintenance POLICY the streaming sink calls after each
     delta append: when the postings delta count exceeds ``max_deltas``,
@@ -411,7 +411,17 @@ def maybe_compact_bm25_index(
     :func:`recover_bm25_compaction`. SINGLE-WRITER contract, same as
     ``compact_minhash_index``: runs between micro-batches under the
     sink's serialized foreachBatch, never concurrently with an append
-    or a reader mid-scan."""
+    or a reader mid-scan.
+
+    ``exclude_from`` is the REPLAY WATERMARK for in-sink calls: deltas
+    with batch id >= ``exclude_from`` are NOT folded. Without it, a
+    sink compacting right after its own append would fold the current
+    batch's delta BEFORE Structured Streaming commits the batch — a
+    crash in that window replays the batch, recreates its delta, and
+    the rows count twice (once in the folded base, once in the replayed
+    delta). Folding only strictly-older deltas keeps the append's
+    overwrite-by-batch-id idempotency intact: the replayed delta
+    overwrites the still-live directory it originally wrote."""
     import json
     import os
     import shutil
@@ -420,17 +430,29 @@ def maybe_compact_bm25_index(
         raise ValueError(f"max_deltas={max_deltas} must be >= 1")
     base = index_dir.rstrip("/")
     recover_bm25_compaction(base)
+
+    def _eligible(names: list[str]) -> list[str]:
+        if exclude_from is None:
+            return names
+        return [
+            n for n in names if int(n.split("=", 1)[1]) < exclude_from
+        ]
+
     consumed = {
-        "postings": _delta_dirs(base, "postings"),
-        "stats": _delta_dirs(base, "stats"),
+        "postings": _eligible(_delta_dirs(base, "postings")),
+        "stats": _eligible(_delta_dirs(base, "stats")),
     }
     if len(consumed["postings"]) <= max_deltas:
         return False
     work = _compact_workdir(base)
     shutil.rmtree(work, ignore_errors=True)
-    # phase A: materialize the folded index OUTSIDE the live roots
+    # phase A: materialize the folded index OUTSIDE the live roots —
+    # reading ONLY the consumed delta dirs (an excluded in-flight
+    # delta must not leak into the base)
     (
-        spark.read.parquet(base + "/postings")
+        spark.read.parquet(
+            *[os.path.join(base, "postings", n) for n in consumed["postings"]]
+        )
         .select("token", "doc_id", "dl", "tf")
         .repartition("token")
         .sortWithinPartitions("token", "doc_id")
@@ -438,7 +460,9 @@ def maybe_compact_bm25_index(
         .parquet(os.path.join(work, "postings", "delta=-1"))
     )
     (
-        spark.read.parquet(base + "/stats")
+        spark.read.parquet(
+            *[os.path.join(base, "stats", n) for n in consumed["stats"]]
+        )
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("sum_dl").cast("long").alias("sum_dl"),

@@ -195,8 +195,7 @@ def bpe_vocab(
 
     rows = (
         words.mapInPandas(_syms, "sym string")
-        .groupBy("sym")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .distinct()
         .collect()  # bounded by the symbol vocabulary, never the corpus
     )
     return sorted(r.sym for r in rows)

@@ -204,14 +204,20 @@ def train_lang_ngram(
     }
 
 
+def argmax_lang(raws: dict[str, int]) -> str:
+    """THE argmax: highest raw score, ties on LANGS order. One
+    function so classify_text, the Arrow stage, and the SQL builder's
+    documented semantics cannot drift on the tie-break."""
+    best = max(raws.values())
+    return next(lang for lang in LANGS if raws[lang] == best)
+
+
 def classify_text(text: str, weights: dict[str, dict[int, int]]) -> str:
     """Pure-Python single-doc scorer — the shared kernel the Arrow
     stage maps over batches (ONE function, so the distributed path
     and the unit pins cannot drift). Exact-integer raw scores,
     argmax ties on LANGS order."""
-    raws = raw_scores(text, weights)
-    best = max(raws.values())
-    return next(lang for lang in LANGS if raws[lang] == best)
+    return argmax_lang(raw_scores(text, weights))
 
 
 def raw_scores(text: str, weights: dict[str, dict[int, int]]) -> dict[str, int]:
@@ -255,8 +261,7 @@ def lang_id_trained(
             rows = []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 raws = raw_scores(t, weights)
-                best = max(raws.values())
-                pred = next(lang for lang in LANGS if raws[lang] == best)
+                pred = argmax_lang(raws)
                 rows.append(
                     (i, len(char_ngrams(t)), *[raws[lang] for lang in LANGS], pred)
                 )

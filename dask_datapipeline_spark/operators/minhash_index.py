@@ -239,7 +239,9 @@ def append_to_minhash_index(
         _write_manifest(index_path, cur)
 
 
-def compact_minhash_index(spark: SparkSession, index_path: str) -> dict:
+def compact_minhash_index(
+    spark: SparkSession, index_path: str, keep_from: str | None = None
+) -> dict:
     """Fold the committed increment list back into ONE base dir pair —
     the compaction step of the base+delta cycle docs/SCALE.md promises
     for a long-running incremental ingest, whose increment list
@@ -266,8 +268,19 @@ def compact_minhash_index(spark: SparkSession, index_path: str) -> dict:
     SINGLE-WRITER contract (same as append): compaction runs between
     micro-batches, never concurrently with an append — a tag committed
     after the manifest snapshot here would be erased by the flip.
-    Returns the new manifest."""
+    Returns the new manifest.
+
+    ``keep_from`` is the REPLAY WATERMARK for in-sink calls: increment
+    tags >= ``keep_from`` (zero-padded batch tags sort by batch id)
+    are NOT folded — they stay in the new manifest's inc list with
+    their dirs untouched. Folding the CURRENT batch's tag before
+    Structured Streaming commits the batch would break the append's
+    tag-in-manifest idempotency: a crash in that window replays the
+    batch, the no-longer-listed tag re-appends, and its rows count
+    twice (once in the folded base, once in the re-appended inc)."""
     cur = _read_manifest(index_path)
+    fold = [t for t in cur["inc"] if keep_from is None or t < keep_from]
+    kept = [t for t in cur["inc"] if t not in set(fold)]
     base_sh = cur["shingles"]
     ver = int(base_sh.rsplit("-v", 1)[1]) if "-v" in base_sh else 0
     new_sh, new_sig = f"shingles-v{ver + 1}", f"signatures-v{ver + 1}"
@@ -283,7 +296,7 @@ def compact_minhash_index(spark: SparkSession, index_path: str) -> dict:
     sh = spark.read.parquet(os.path.join(index_path, cur["shingles"]))
     sig = spark.read.parquet(os.path.join(index_path, cur["signatures"]))
     inc_root = os.path.join(index_path, "inc")
-    for tag in cur["inc"]:
+    for tag in fold:
         sh = sh.unionByName(
             spark.read.parquet(os.path.join(inc_root, tag, "shingles"))
         )
@@ -293,14 +306,14 @@ def compact_minhash_index(spark: SparkSession, index_path: str) -> dict:
     sh.write.parquet(os.path.join(index_path, new_sh))
     sig.write.parquet(os.path.join(index_path, new_sig))
 
-    new_cur = {"shingles": new_sh, "signatures": new_sig, "inc": []}
+    new_cur = {"shingles": new_sh, "signatures": new_sig, "inc": kept}
     _write_manifest(index_path, new_cur)  # the atomic commit point
 
     # post-flip garbage collection (best-effort; next compaction sweeps
     # anything a crash strands here)
     shutil.rmtree(os.path.join(index_path, cur["shingles"]))
     shutil.rmtree(os.path.join(index_path, cur["signatures"]))
-    for tag in cur["inc"]:
+    for tag in fold:
         shutil.rmtree(os.path.join(inc_root, tag), ignore_errors=True)
     return new_cur
 
@@ -402,7 +415,10 @@ def incremental_near_dup_flags(
 
 
 def maybe_compact_minhash_index(
-    spark: SparkSession, index_path: str, max_increments: int
+    spark: SparkSession,
+    index_path: str,
+    max_increments: int,
+    keep_from: str | None = None,
 ) -> bool:
     """Threshold-based maintenance policy over
     :func:`compact_minhash_index`: compact only when the committed
@@ -411,10 +427,14 @@ def maybe_compact_minhash_index(
     with it per-scan open/footer cost) stays O(threshold) instead of
     O(batches). Crash safety and bit-identical results are inherited
     from the underlying compaction (manifest flip); same single-writer
-    contract."""
+    contract. ``keep_from`` (the replay watermark — see
+    :func:`compact_minhash_index`) both excludes in-flight tags from
+    the fold and from the threshold count."""
     if max_increments < 1:
         raise ValueError(f"max_increments={max_increments} must be >= 1")
-    if len(_read_manifest(index_path)["inc"]) <= max_increments:
+    inc = _read_manifest(index_path)["inc"]
+    eligible = [t for t in inc if keep_from is None or t < keep_from]
+    if len(eligible) <= max_increments:
         return False
-    compact_minhash_index(spark, index_path)
+    compact_minhash_index(spark, index_path, keep_from=keep_from)
     return True

@@ -1621,11 +1621,15 @@ mc AS (
 )
 def q_main_content_extract(spark, sf_dir):
     from dask_datapipeline_spark.functions.content import extract_main_content
+    from dask_datapipeline_spark.parallel import fan_out
 
     docs = load_testdata(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
     )
-    pages = docs.select("doc_id", _mc_page_col())
+    # the stdlib parse is compute-dense per-row Python and the testdata
+    # is a single parquet file (ONE scan partition) — fan_out the INPUT
+    # so the Arrow stage parallelizes; no-op at real partition counts
+    pages = fan_out(docs.select("doc_id", _mc_page_col()))
     return extract_main_content(pages, html_col="html", keep_cols=("doc_id",))
 
 
@@ -2911,7 +2915,10 @@ def q_web_corpus_main(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents").where(
         F.col("text").isNotNull()
     )
-    pages = docs.select("doc_id", "lang", _mc_page_col())
+    from dask_datapipeline_spark.parallel import fan_out
+
+    # same single-file input rationale as q_main_content_extract
+    pages = fan_out(docs.select("doc_id", "lang", _mc_page_col()))
     extracted = extract_main_content(
         pages, html_col="html", keep_cols=("doc_id", "lang")
     )

@@ -54,6 +54,19 @@ def _tar_bytes(samples: list[tuple[str, str, bytes]]) -> bytes:
     buf = io.BytesIO()
     with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
         for key, ext, content in samples:
+            base = key.rsplit("/", 1)[-1]
+            if "." in base:
+                # the WebDataset convention splits member names at the
+                # FIRST dot of the basename (parse_wds implements it) —
+                # a dot in the key's basename cannot round-trip: 'a.b'
+                # + ext 'txt' parses back as key 'a', ext 'b.txt', and
+                # two keys 'a.b'/'a.c' silently regroup under one
+                # sample. Reject at write time instead.
+                raise ValueError(
+                    f"sample key {key!r} has a '.' in its basename — "
+                    "it cannot round-trip the WebDataset first-dot "
+                    "member convention; hash or rename the key"
+                )
             name = f"{key}.{ext}"
             if len(name) > 100 and not any(
                 i <= 155 and len(name) - i - 1 <= 100

@@ -653,18 +653,22 @@ def stream_incremental_dedup(
         flags.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch-{batch_id:05d}")
         )
-        append_to_minhash_index(batch_df, index_path, f"b{batch_id:05d}")
+        tag = f"b{batch_id:05d}"
+        append_to_minhash_index(batch_df, index_path, tag)
         # compaction runs INSIDE foreachBatch, i.e. under the same
         # single-writer serialization as the appends (the contract
         # compact_minhash_index requires); flags are byte-identical
-        # before and after (pytest-pinned), so the cadence is purely
-        # an operational file-count knob. A crash mid-compaction is
-        # safe (manifest flip) — the replayed batch re-runs the
-        # (idempotent, now no-op) append and retries the compaction.
+        # before and after (pytest-pinned). keep_from=tag keeps THIS
+        # batch's (not-yet-checkpoint-committed) increment out of the
+        # fold: the append's tag-in-manifest idempotency is what makes
+        # a post-crash replay safe, and folding the tag would erase it
+        # — the replayed batch would re-append rows already in the base.
         if compact_every and (batch_id + 1) % compact_every == 0:
-            compact_minhash_index(spark, index_path)
+            compact_minhash_index(spark, index_path, keep_from=tag)
         if compact_max_inc is not None:
-            maybe_compact_minhash_index(spark, index_path, compact_max_inc)
+            maybe_compact_minhash_index(
+                spark, index_path, compact_max_inc, keep_from=tag
+            )
 
     q = (
         spark.readStream.schema(schema)
@@ -923,12 +927,16 @@ def stream_incremental_bm25_index(
         )
         stats.write.mode("overwrite").parquet(f"{base}/stats/delta={batch_id}")
         # maintenance policy: runs INSIDE foreachBatch, i.e. under the
-        # sink's serialized single-writer contract (the
-        # stream_incremental_dedup compact_every precedent); a replay
-        # of this batch re-runs it harmlessly (threshold check no-ops
-        # once compacted)
+        # sink's serialized single-writer contract. exclude_from keeps
+        # THIS batch's (not-yet-checkpoint-committed) delta out of the
+        # fold: a crash after compaction but before the streaming
+        # commit replays the batch, and its overwrite-by-batch-id
+        # append is idempotent only while its delta dir is still live
+        # — folding it would make the replay double-count the batch
         if compact_max_deltas is not None:
-            maybe_compact_bm25_index(spark, base, compact_max_deltas)
+            maybe_compact_bm25_index(
+                spark, base, compact_max_deltas, exclude_from=batch_id
+            )
 
     q = (
         spark.readStream.schema(schema)

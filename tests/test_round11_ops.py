@@ -574,3 +574,106 @@ def test_bpe_encode_ids_unk_sentinel(spark):
     vocab = bpe_vocab(train, "text", merges)
     row = bpe_encode_ids(test, "doc_id", "text", merges, vocab).collect()[0]
     assert -1 in row.input_ids
+
+
+def test_bm25_compaction_excludes_inflight_batch_replay_safe(spark, tmp_path):
+    """The replay-watermark contract: compacting with exclude_from
+    leaves the current batch's delta live, so a crash after compaction
+    but before the streaming commit replays the batch as a harmless
+    overwrite — scores identical. (Folding the in-flight delta would
+    double-count the batch on replay: its rows in the base AND in the
+    recreated delta.)"""
+    import os
+
+    from dask_datapipeline_spark.operators.bm25 import (
+        bm25_topk_from_index,
+        maybe_compact_bm25_index,
+        postings_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta {'dup ' * (i % 4)}gamma {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+
+    def _write_delta(b):
+        p, s = postings_frames(docs.where(F.col("doc_id") % 4 == b))
+        p.write.mode("overwrite").parquet(f"{idx}/postings/delta={b}")
+        s.write.mode("overwrite").parquet(f"{idx}/stats/delta={b}")
+
+    for b in range(4):
+        _write_delta(b)
+    terms = ["dup", "alpha"]
+    want = [tuple(r) for r in bm25_topk_from_index(spark, idx, terms, k=8).collect()]
+
+    # in-sink call during batch 3: folds ONLY committed deltas 0..2
+    assert maybe_compact_bm25_index(spark, idx, max_deltas=2, exclude_from=3) is True
+    assert sorted(os.listdir(idx + "/postings")) == ["delta=-1", "delta=3"]
+
+    # crash before the streaming commit -> batch 3 replays (overwrite)
+    _write_delta(3)
+    got = [tuple(r) for r in bm25_topk_from_index(spark, idx, terms, k=8).collect()]
+    assert got == want
+
+    # watermark also gates the threshold: nothing older than batch 0
+    assert maybe_compact_bm25_index(spark, idx, max_deltas=1, exclude_from=0) is False
+
+
+def test_minhash_compaction_keep_from_replay_safe(spark, tmp_path):
+    """Same watermark contract for the minhash index: keep_from leaves
+    the in-flight tag in the manifest, so the replayed append still
+    no-ops on the tag-in-manifest check."""
+    from dask_datapipeline_spark.operators.minhash_index import (
+        _read_manifest,
+        append_to_minhash_index,
+        build_minhash_index,
+        maybe_compact_minhash_index,
+        read_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} common words here {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mh2")
+    build_minhash_index(docs.where(F.col("doc_id") < 10), idx)
+    batches = {
+        f"t{b}": docs.where(
+            (F.col("doc_id") >= 10 + b * 5) & (F.col("doc_id") < 15 + b * 5)
+        )
+        for b in range(3)
+    }
+    for tag, batch in batches.items():
+        append_to_minhash_index(batch, idx, tag)
+    sh_before = sorted(tuple(r) for r in read_minhash_index(spark, idx)[0].collect())
+
+    # in-sink call during t2: folds t0/t1 only, t2 stays live
+    assert maybe_compact_minhash_index(spark, idx, 1, keep_from="t2") is True
+    assert _read_manifest(idx)["inc"] == ["t2"]
+
+    # crash before the streaming commit -> t2 replays; the append must
+    # no-op (tag still in the manifest), keeping rows single-counted
+    append_to_minhash_index(batches["t2"], idx, "t2")
+    sh_after = sorted(tuple(r) for r in read_minhash_index(spark, idx)[0].collect())
+    assert sh_after == sh_before
+    # threshold respects the watermark too
+    assert maybe_compact_minhash_index(spark, idx, 1, keep_from="t2") is False
+
+
+def test_wds_rejects_dotted_key_basename(spark):
+    """A '.' in the key's basename cannot round-trip the first-dot
+    member convention ('a.b' + ext 'txt' parses back as key 'a',
+    ext 'b.txt') — the writer rejects it instead of corrupting sample
+    grouping silently; a dot in the DIRECTORY part is fine."""
+    from dask_datapipeline_spark.sources.webdataset import write_wds_shards
+
+    bad = spark.createDataFrame(
+        [(0, "report.v2", "text")], "shard_id long, key string, text string"
+    )
+    with pytest.raises(Exception, match="first-dot"):
+        write_wds_shards(bad).collect()
+    ok = spark.createDataFrame(
+        [(0, "dir.v2/report", "text")], "shard_id long, key string, text string"
+    )
+    assert write_wds_shards(ok).count() == 1

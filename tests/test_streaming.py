@@ -495,5 +495,8 @@ def test_stream_incremental_dedup_with_compaction_is_flag_identical(
     comp_flags, comp_cur = run("compacted", 1)
     assert comp_flags == plain_flags
     assert comp_flags[5] == (3, False)  # found via the compacted base
-    assert comp_cur["inc"] == []  # every batch folded
+    # every COMMITTED batch folded; the final batch's tag stays live —
+    # the replay watermark (keep_from) never folds the in-flight batch,
+    # whose append idempotency a post-crash replay depends on
+    assert comp_cur["inc"] == [f"b{len(batches) - 1:05d}"]
     assert len(plain_cur["inc"]) == len(batches)
