@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -532,3 +533,163 @@ def ivfpq_topk_from_index(
 
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+# ----- incremental maintenance (append + log-structured compaction) ---
+#
+# The vector-index leg of the base+delta discipline bm25.py and
+# minhash_index.py already implement: streaming embedding ingest
+# appends replay-idempotent ``vectors/delta=<batch_id>/__cell=K``
+# partitions against a FROZEN coarse codebook (the FAISS ``add``
+# contract — adding vectors never retrains the quantizer, so cell
+# assignment of every existing vector is untouched and probes are
+# bit-identical to a one-shot build over the union), and a
+# threshold-triggered two-phase compaction folds committed deltas back
+# into one base delta out of the query path. Probes need NO code
+# change: partition discovery surfaces (delta, __cell) and the static
+# ``__cell IN (...)`` filter prunes cell directories at either depth.
+
+
+def _adopt_ivf_flat_layout(path: str) -> None:
+    """Move a one-shot index's flat ``vectors/__cell=K`` dirs under
+    ``vectors/delta=-1/`` so delta appends see ONE consistent
+    partition depth (the bm25 ``_adopt_flat_layout`` precedent).
+    Idempotent — a crash mid-move resumes on the next call; runs under
+    the single-writer contract like every maintenance step."""
+    root = os.path.join(path.rstrip("/"), "vectors")
+    if not os.path.isdir(root):
+        return
+    flat = [d for d in os.listdir(root) if d.startswith("__cell=")]
+    if not flat:
+        return
+    dest = os.path.join(root, "delta=-1")
+    os.makedirs(dest, exist_ok=True)
+    for d in flat:
+        shutil.move(os.path.join(root, d), os.path.join(dest, d))
+    # loose root files (_SUCCESS markers) confuse neither discovery
+    # nor the compactor; leave them
+
+
+def append_to_ivf_index(batch: DataFrame, path: str, batch_id: int) -> None:
+    """Append a batch of vectors as ``vectors/delta=<batch_id>`` —
+    assignment under the index's FROZEN codebook (one Arrow pass +
+    the partitioned write's hash exchange, exactly the build plan).
+    Overwrite by stable batch id = replay-idempotent: a crashed
+    micro-batch rewrites the same rows into the same directory.
+    Codebook and _META are never touched."""
+    spark = batch.sparkSession
+    meta = _read_meta(spark, path)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    require_columns(batch, [id_col, vec_col])
+    _adopt_ivf_flat_layout(path)
+    book = (
+        spark.read.parquet(os.path.join(path, "codebook"))
+        .orderBy("cell_id")
+        .collect()
+    )
+    c_ids = np.array([r.cell_id for r in book], dtype=np.int64)
+    c_mat = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in book])
+    cell_of = _cell_of_udf(c_ids, c_mat)
+    assigned = fan_out(batch.select(id_col, vec_col)).select(
+        id_col, vec_col, cell_of(F.col(vec_col)).alias("__cell")
+    )
+    assigned.write.mode("overwrite").partitionBy("__cell").parquet(
+        os.path.join(path, "vectors", f"delta={batch_id}")
+    )
+
+
+def _ivf_workdir(path: str) -> str:
+    return os.path.join(path.rstrip("/"), ".compact")
+
+
+def _ivf_delta_dirs(path: str) -> list[str]:
+    root = os.path.join(path.rstrip("/"), "vectors")
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(root)
+        if d.startswith("delta=") and os.path.isdir(os.path.join(root, d))
+    )
+
+
+def _finish_ivf_compaction(path: str) -> None:
+    """Phase C, idempotent (the bm25 discipline): drop consumed delta
+    dirs named in the COMMIT marker, move the folded base in as
+    ``delta=-1`` unless a prior attempt already did, drop the work
+    dir."""
+    base = path.rstrip("/")
+    work = _ivf_workdir(base)
+    with open(os.path.join(work, "COMMIT")) as f:
+        consumed = json.load(f)
+    for name in consumed["vectors"]:
+        shutil.rmtree(os.path.join(base, "vectors", name), ignore_errors=True)
+    src = os.path.join(work, "vectors", "delta=-1")
+    dst = os.path.join(base, "vectors", "delta=-1")
+    if os.path.isdir(src) and not os.path.isdir(dst):
+        shutil.move(src, dst)
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def recover_ivf_compaction(path: str) -> None:
+    """Resolve a half-done compaction at sink start / before every
+    attempt: a work dir WITH a COMMIT marker is past the commit point
+    — finish phase C; without one it is pre-commit garbage — drop it,
+    the live index was never touched."""
+    work = _ivf_workdir(path)
+    if not os.path.isdir(work):
+        return
+    if os.path.isfile(os.path.join(work, "COMMIT")):
+        _finish_ivf_compaction(path)
+    else:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def maybe_compact_ivf_index(
+    spark: SparkSession, path: str, max_deltas: int, exclude_from: int | None = None
+) -> bool:
+    """Threshold-triggered two-phase compaction of the vector deltas —
+    fold committed ``delta=*`` dirs into one ``delta=-1`` base out of
+    the query path; probes are bit-identical before and after (the
+    fold is a verbatim union; assignment never recomputes). Crash
+    safety = the bm25 protocol verbatim: phase A materializes into
+    ``.compact/`` (invisible to readers), phase B atomically renames a
+    COMMIT marker naming the consumed deltas, phase C replays
+    idempotently via :func:`recover_ivf_compaction`.
+
+    ``exclude_from`` is the REPLAY WATERMARK for in-sink calls (see
+    ``maybe_compact_bm25_index``): deltas with batch id >=
+    ``exclude_from`` are neither counted nor folded, preserving the
+    in-flight batch's overwrite idempotency."""
+    if max_deltas < 1:
+        raise ValueError(f"max_deltas={max_deltas} must be >= 1")
+    base = path.rstrip("/")
+    recover_ivf_compaction(base)
+    deltas = _ivf_delta_dirs(base)
+    if exclude_from is not None:
+        deltas = [d for d in deltas if int(d.split("=", 1)[1]) < exclude_from]
+    if len(deltas) <= max_deltas:
+        return False
+    meta = _read_meta(spark, base)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    work = _ivf_workdir(base)
+    shutil.rmtree(work, ignore_errors=True)
+    # phase A: fold ONLY the consumed deltas outside the live root —
+    # basePath makes the multiple delta roots (each with __cell=
+    # children) read as one partitioned table instead of tripping
+    # CONFLICTING_DIRECTORY_STRUCTURES
+    (
+        spark.read.option("basePath", os.path.join(base, "vectors"))
+        .parquet(*[os.path.join(base, "vectors", d) for d in deltas])
+        .select(id_col, vec_col, "__cell")
+        .write.mode("overwrite")
+        .partitionBy("__cell")
+        .parquet(os.path.join(work, "vectors", "delta=-1"))
+    )
+    # phase B: the atomic commit point
+    tmp = os.path.join(work, "COMMIT.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"vectors": deltas}, f)
+    os.rename(tmp, os.path.join(work, "COMMIT"))
+    _finish_ivf_compaction(base)
+    return True

@@ -2082,9 +2082,7 @@ def q_hard_negative_mining(spark, sf_dir):
     )
 
 
-@register_extra(
-    "knn_join_ivf",
-    f"""
+_IVF_ORACLE_SQL = f"""
 WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
 q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
 assign AS (
@@ -2114,7 +2112,12 @@ SELECT query_id, neighbor_id, cosine_sim, rn FROM (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rn
   FROM scored) WHERE rn <= 5
-""",
+"""
+
+
+@register_extra(
+    "knn_join_ivf",
+    _IVF_ORACLE_SQL,
     "IVF k-NN: deterministic codebook → cell assignment → probe 4 nearest cells → "
     "exact in-cell re-rank; oracle replays the identical assignment in SQL. "
     "Rotated to EXTRA_CATALOG round 11 (README policy rule 2): the ANN family "
@@ -2126,6 +2129,51 @@ def q_knn_join_ivf(spark, sf_dir):
     emb = load_testdata(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(queries, emb, k=5, n_cells=16, n_probe=4)
+
+
+@register_extra(
+    "ivf_index_incremental",
+    _IVF_ORACLE_SQL,
+    "Incremental on-disk IVF index (operators/ivf_index.py::"
+    "append_to_ivf_index + maybe_compact_ivf_index): base built from the "
+    "low-id half, the rest appended as two frozen-codebook deltas (the "
+    "FAISS add contract — assignment of existing vectors never moves), "
+    "committed deltas folded by the watermarked two-phase compaction, "
+    "then probed. SHARES knn_join_ivf's oracle verbatim: an exact match "
+    "proves append+compaction are a pure physical re-layout of the "
+    "one-shot index — the vector leg of the incremental-index family "
+    "beside BM25 postings deltas and MinHash increments",
+)
+def q_ivf_index_incremental(spark, sf_dir):
+    import os as _os
+    import tempfile as _tf
+
+    from dask_datapipeline_spark.operators.ivf_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_from_index,
+        maybe_compact_ivf_index,
+    )
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    idx = _os.path.join(
+        _tf.gettempdir(),
+        "spark_graft_ivf_inc_"
+        + _os.path.basename(sf_dir.rstrip("/"))
+        + "_"
+        + spark.sparkContext.applicationId,
+        "index",
+    )
+    # base holds the lowest ids, so the untrained codebook (n_cells
+    # lowest-id vectors) is identical to a one-shot build's — which is
+    # what lets this row share the one-shot oracle verbatim
+    build_ivf_index(emb.where(F.col("vec_id") < 200), idx, n_cells=16)
+    append_to_ivf_index(emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 350)), idx, 0)
+    append_to_ivf_index(emb.where(F.col("vec_id") >= 350), idx, 1)
+    # in-sink shape: batch 1 is in flight, so only delta 0 folds
+    maybe_compact_ivf_index(spark, idx, max_deltas=0 + 1, exclude_from=1)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk_from_index(spark, idx, queries, k=5, n_probe=4)
 
 
 # ----- text analysis -------------------------------------------------

@@ -212,3 +212,177 @@ def test_repeated_probes_leak_no_cache_entries(spark, emb, index_dir):
     for _ in range(3):
         ivf_topk_from_index(spark, index_dir, queries, k=K, n_probe=N_PROBE).count()
     assert cm.isEmpty()
+
+
+# ----- incremental maintenance: append / compaction / streaming -------
+
+
+def test_incremental_append_equals_one_shot(spark, emb, tmp_path):
+    """Frozen-codebook appends = one-shot build over the union, probes
+    bit-identical (the FAISS add contract). Base gets the lowest ids
+    so both paths derive the SAME untrained codebook."""
+    from dask_datapipeline_spark.operators.ivf_index import append_to_ivf_index
+
+    full = str(tmp_path / "full")
+    build_ivf_index(emb, full, n_cells=N_CELLS)
+    inc = str(tmp_path / "inc")
+    build_ivf_index(emb.where(F.col("vec_id") < 200), inc, n_cells=N_CELLS)
+    append_to_ivf_index(
+        emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 350)), inc, 0
+    )
+    append_to_ivf_index(emb.where(F.col("vec_id") >= 350), inc, 1)
+
+    queries = emb.where(F.col("vec_id") % 7 == 0)
+    want = sorted(map(tuple, ivf_topk_from_index(spark, full, queries, k=K, n_probe=N_PROBE).collect()))
+    got = sorted(map(tuple, ivf_topk_from_index(spark, inc, queries, k=K, n_probe=N_PROBE).collect()))
+    assert got == want and len(got) > 0
+
+    # replay of a batch (crash before the streaming commit) is a
+    # harmless overwrite
+    append_to_ivf_index(emb.where(F.col("vec_id") >= 350), inc, 1)
+    again = sorted(map(tuple, ivf_topk_from_index(spark, inc, queries, k=K, n_probe=N_PROBE).collect()))
+    assert again == want
+
+
+def test_incremental_compaction_bit_identical_and_watermarked(spark, emb, tmp_path):
+    import os as _os
+
+    from dask_datapipeline_spark.operators.ivf_index import (
+        append_to_ivf_index,
+        maybe_compact_ivf_index,
+    )
+
+    idx = str(tmp_path / "c")
+    build_ivf_index(emb.where(F.col("vec_id") < 200), idx, n_cells=N_CELLS)
+    for b in range(3):
+        append_to_ivf_index(
+            emb.where(
+                (F.col("vec_id") >= 200 + b * 100) & (F.col("vec_id") < 300 + b * 100)
+            ),
+            idx,
+            b,
+        )
+    queries = emb.where(F.col("vec_id") % 7 == 0)
+    want = sorted(map(tuple, ivf_topk_from_index(spark, idx, queries, k=K, n_probe=N_PROBE).collect()))
+
+    # under threshold: no-op
+    assert maybe_compact_ivf_index(spark, idx, max_deltas=8) is False
+    # watermark keeps the in-flight batch (id 2) out of fold and count
+    assert maybe_compact_ivf_index(spark, idx, max_deltas=1, exclude_from=2) is True
+    deltas = sorted(
+        d for d in _os.listdir(idx + "/vectors") if d.startswith("delta=")
+    )
+    assert deltas == ["delta=-1", "delta=2"]
+    got = sorted(map(tuple, ivf_topk_from_index(spark, idx, queries, k=K, n_probe=N_PROBE).collect()))
+    assert got == want
+    # replayed in-flight batch overwrites its still-live delta
+    append_to_ivf_index(
+        emb.where((F.col("vec_id") >= 400) & (F.col("vec_id") < 500)), idx, 2
+    )
+    again = sorted(map(tuple, ivf_topk_from_index(spark, idx, queries, k=K, n_probe=N_PROBE).collect()))
+    assert again == want
+    with pytest.raises(ValueError, match="max_deltas"):
+        maybe_compact_ivf_index(spark, idx, max_deltas=0)
+
+
+def test_incremental_compaction_crash_recovery(spark, emb, tmp_path):
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from dask_datapipeline_spark.operators.ivf_index import (
+        _ivf_workdir,
+        append_to_ivf_index,
+        maybe_compact_ivf_index,
+        recover_ivf_compaction,
+    )
+
+    idx = str(tmp_path / "r")
+    build_ivf_index(emb.where(F.col("vec_id") < 200), idx, n_cells=N_CELLS)
+    for b in range(2):
+        append_to_ivf_index(
+            emb.where(
+                (F.col("vec_id") >= 200 + b * 150) & (F.col("vec_id") < 350 + b * 150)
+            ),
+            idx,
+            b,
+        )
+    queries = emb.where(F.col("vec_id") % 7 == 0)
+    want = sorted(map(tuple, ivf_topk_from_index(spark, idx, queries, k=K, n_probe=N_PROBE).collect()))
+
+    # crash BEFORE commit: pre-commit garbage dropped, index untouched
+    work = _ivf_workdir(idx)
+    _os.makedirs(_os.path.join(work, "vectors"), exist_ok=True)
+    recover_ivf_compaction(idx)
+    assert not _os.path.isdir(work)
+    got = sorted(map(tuple, ivf_topk_from_index(spark, idx, queries, k=K, n_probe=N_PROBE).collect()))
+    assert got == want
+
+    # crash AFTER commit (between phases B and C): recreate the exact
+    # post-B state — a REAL fold of the live deltas in the work dir
+    # plus the COMMIT marker, live dirs still in place — and recover
+    assert maybe_compact_ivf_index(spark, idx, max_deltas=1) is True
+    live = sorted(
+        d for d in _os.listdir(idx + "/vectors") if d.startswith("delta=")
+    )
+    meta_cols = ["vec_id", "embedding", "__cell"]
+    (
+        spark.read.option("basePath", _os.path.join(idx, "vectors"))
+        .parquet(*[_os.path.join(idx, "vectors", d) for d in live])
+        .select(*meta_cols)
+        .write.mode("overwrite")
+        .partitionBy("__cell")
+        .parquet(_os.path.join(work, "vectors", "delta=-1"))
+    )
+    with open(_os.path.join(work, "COMMIT"), "w") as f:
+        _json.dump({"vectors": live}, f)
+    recover_ivf_compaction(idx)
+    assert not _os.path.isdir(work)
+    after = sorted(
+        d for d in _os.listdir(idx + "/vectors") if d.startswith("delta=")
+    )
+    assert after == ["delta=-1"]  # consumed deltas swept, base moved in
+    got2 = sorted(map(tuple, ivf_topk_from_index(spark, idx, queries, k=K, n_probe=N_PROBE).collect()))
+    assert got2 == want
+
+
+def test_streaming_ivf_sink_equals_one_shot(spark, emb, tmp_path):
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from dask_datapipeline_spark.streaming.windows import (
+        stream_incremental_ivf_index,
+    )
+
+    full = str(tmp_path / "full")
+    build_ivf_index(emb, full, n_cells=N_CELLS)
+
+    idx = str(tmp_path / "sidx")
+    build_ivf_index(emb.where(F.col("vec_id") < 200), idx, n_cells=N_CELLS)
+    staged = str(tmp_path / "staged")
+    _os.makedirs(staged)
+    work = str(tmp_path / "w")
+    for i, lo in enumerate(range(200, 500, 100)):
+        part = emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 100))
+        tmp = _os.path.join(work, f"t{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            _os.path.join(tmp, f) for f in _os.listdir(tmp) if f.endswith(".parquet")
+        )
+        dst = _os.path.join(staged, f"chunk-{i}.parquet")
+        _shutil.move(src, dst)
+        _os.utime(dst, (_time.time() + i, _time.time() + i))
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in emb.schema)
+    stream_incremental_ivf_index(
+        spark, staged, idx, schema,
+        checkpoint_dir=str(tmp_path / "ck"),
+        compact_max_deltas=1,
+    )
+    # the policy bounded the delta count (base + at most threshold+1)
+    deltas = [d for d in _os.listdir(idx + "/vectors") if d.startswith("delta=")]
+    assert len(deltas) <= 3
+    queries = emb.where(F.col("vec_id") % 7 == 0)
+    want = sorted(map(tuple, ivf_topk_from_index(spark, full, queries, k=K, n_probe=N_PROBE).collect()))
+    got = sorted(map(tuple, ivf_topk_from_index(spark, idx, queries, k=K, n_probe=N_PROBE).collect()))
+    assert got == want
