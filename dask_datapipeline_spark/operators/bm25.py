@@ -332,6 +332,27 @@ def _compact_workdir(index_dir: str) -> str:
     return os.path.join(index_dir.rstrip("/"), ".compact")
 
 
+def local_maintenance_path(path: str, what: str) -> str:
+    """Index MAINTENANCE (delta listing, compaction, recovery) walks
+    directories with os/shutil — driver-local filesystem only. Accept
+    plain paths and ``file://`` URIs (stripped to the local path);
+    reject remote schemes LOUDLY: ``os.path.isdir('s3a://...')`` is
+    simply False, so a silent pass would no-op adoption/recovery while
+    the Spark-side delta write succeeds remotely — a mixed-depth,
+    unreadable layout. Remote indexes run maintenance from a driver
+    with the store mounted, or via a future Hadoop-FS port."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        return unquote(parsed.path) if parsed.scheme == "file" else path
+    raise ValueError(
+        f"{what} walks the driver-local filesystem; index path "
+        f"{path!r} has remote scheme {parsed.scheme!r} — run "
+        "maintenance where the index is a local path"
+    )
+
+
 def _delta_dirs(index_dir: str, sub: str) -> list[str]:
     import os
 
@@ -348,9 +369,9 @@ def _delta_dirs(index_dir: str, sub: str) -> list[str]:
 def _finish_compaction(index_dir: str) -> None:
     """Phase C of :func:`maybe_compact_bm25_index`, idempotent so a
     crash anywhere inside replays cleanly: remove the consumed delta
-    dirs recorded in the COMMIT marker, move the compacted base in as
-    ``delta=-1`` (skipped if a previous attempt already moved it),
-    then drop the work dir."""
+    dirs recorded in the COMMIT marker, move the compacted base in
+    under the marker's fresh ``dest`` name (skipped if a previous
+    attempt already moved it), then drop the work dir."""
     import json
     import os
     import shutil
@@ -358,12 +379,19 @@ def _finish_compaction(index_dir: str) -> None:
     base = index_dir.rstrip("/")
     work = _compact_workdir(base)
     with open(os.path.join(work, "COMMIT")) as f:
-        consumed = json.load(f)
+        commit = json.load(f)
+    # the folded base's name is FRESH per compaction (one below the
+    # smallest existing delta id) and therefore never in the consumed
+    # list — so a phase-C replay after a crash between the move-in and
+    # the work-dir sweep cannot delete the base it just installed (a
+    # fixed delta=-1 destination WAS in consumed on second-and-later
+    # compactions, and the replayed rmtree destroyed the new base)
+    dest = commit["dest"]
     for sub in ("postings", "stats"):
-        for name in consumed[sub]:
+        for name in commit[sub]:
             shutil.rmtree(os.path.join(base, sub, name), ignore_errors=True)
-        src = os.path.join(work, sub, "delta=-1")
-        dst = os.path.join(base, sub, "delta=-1")
+        src = os.path.join(work, sub, dest)
+        dst = os.path.join(base, sub, dest)
         if os.path.isdir(src) and not os.path.isdir(dst):
             shutil.move(src, dst)
     shutil.rmtree(work, ignore_errors=True)
@@ -379,6 +407,7 @@ def recover_bm25_compaction(index_dir: str) -> None:
     import os
     import shutil
 
+    index_dir = local_maintenance_path(index_dir, "recover_bm25_compaction")
     work = _compact_workdir(index_dir)
     if not os.path.isdir(work):
         return
@@ -405,7 +434,9 @@ def maybe_compact_bm25_index(
     roots, invisible to readers); phase B atomically renames a COMMIT
     marker recording the consumed delta names — the single commit
     point; phase C removes consumed deltas, moves the compacted pair
-    in as ``delta=-1`` and drops the work dir. A crash before B
+    in under a FRESH base id (one below every consumed delta — never a
+    consumed name, so replaying phase C can never delete the base it
+    just installed) and drops the work dir. A crash before B
     leaves the live index untouched (work dir swept next call); a
     crash after B replays phase C idempotently via
     :func:`recover_bm25_compaction`. SINGLE-WRITER contract, same as
@@ -428,7 +459,7 @@ def maybe_compact_bm25_index(
 
     if max_deltas < 1:
         raise ValueError(f"max_deltas={max_deltas} must be >= 1")
-    base = index_dir.rstrip("/")
+    base = local_maintenance_path(index_dir, "maybe_compact_bm25_index").rstrip("/")
     recover_bm25_compaction(base)
 
     def _eligible(names: list[str]) -> list[str]:
@@ -444,6 +475,12 @@ def maybe_compact_bm25_index(
     }
     if len(consumed["postings"]) <= max_deltas:
         return False
+    # the folded base gets a FRESH id one below every consumed delta —
+    # never a name in the consumed list, so phase C stays idempotent
+    # (see _finish_compaction)
+    dest = "delta={}".format(
+        min(int(n.split("=", 1)[1]) for n in consumed["postings"]) - 1
+    )
     work = _compact_workdir(base)
     shutil.rmtree(work, ignore_errors=True)
     # phase A: materialize the folded index OUTSIDE the live roots —
@@ -457,7 +494,7 @@ def maybe_compact_bm25_index(
         .repartition("token")
         .sortWithinPartitions("token", "doc_id")
         .write.mode("overwrite")
-        .parquet(os.path.join(work, "postings", "delta=-1"))
+        .parquet(os.path.join(work, "postings", dest))
     )
     (
         spark.read.parquet(
@@ -468,12 +505,12 @@ def maybe_compact_bm25_index(
             F.sum("sum_dl").cast("long").alias("sum_dl"),
         )
         .write.mode("overwrite")
-        .parquet(os.path.join(work, "stats", "delta=-1"))
+        .parquet(os.path.join(work, "stats", dest))
     )
     # phase B: the atomic commit point (rename, same device)
     tmp = os.path.join(work, "COMMIT.tmp")
     with open(tmp, "w") as f:
-        json.dump(consumed, f)
+        json.dump({**consumed, "dest": dest}, f)
     os.rename(tmp, os.path.join(work, "COMMIT"))
     # phase C
     _finish_compaction(base)

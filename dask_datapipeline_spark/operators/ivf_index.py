@@ -127,6 +127,21 @@ def build_ivf_index(
     return meta
 
 
+def _load_codebook(spark: SparkSession, path: str):
+    """(cell ids, centroid matrix) of a built index — THE one loader
+    (ordering is the determinism contract: cell_id ASC), shared by the
+    probe and the append paths so assignment can never drift from the
+    codebook the index was built with."""
+    book = (
+        spark.read.parquet(os.path.join(path, "codebook"))
+        .orderBy("cell_id")
+        .collect()
+    )
+    c_ids = np.array([r.cell_id for r in book], dtype=np.int64)
+    c_mat = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in book])
+    return c_ids, c_mat
+
+
 def ivf_topk_from_index(
     spark: SparkSession,
     path: str,
@@ -146,13 +161,7 @@ def ivf_topk_from_index(
     meta = _read_meta(spark, path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     require_columns(queries, [id_col, vec_col])
-    book = (
-        spark.read.parquet(os.path.join(path, "codebook"))
-        .orderBy("cell_id")
-        .collect()
-    )
-    c_ids = np.array([r.cell_id for r in book], dtype=np.int64)
-    c_mat = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in book])
+    c_ids, c_mat = _load_codebook(spark, path)
     c_norms = np.sqrt(_seq_sq_norm(c_mat))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -577,19 +586,18 @@ def append_to_ivf_index(batch: DataFrame, path: str, batch_id: int) -> None:
     Overwrite by stable batch id = replay-idempotent: a crashed
     micro-batch rewrites the same rows into the same directory.
     Codebook and _META are never touched."""
+    from dask_datapipeline_spark.operators.bm25 import local_maintenance_path
+
     spark = batch.sparkSession
     meta = _read_meta(spark, path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     require_columns(batch, [id_col, vec_col])
+    # adoption/delta listing walk the driver-local FS — reject remote
+    # schemes loudly instead of corrupting the layout (the build/probe
+    # paths DO speak URIs; maintenance does not, yet)
+    path = local_maintenance_path(path, "append_to_ivf_index")
     _adopt_ivf_flat_layout(path)
-    book = (
-        spark.read.parquet(os.path.join(path, "codebook"))
-        .orderBy("cell_id")
-        .collect()
-    )
-    c_ids = np.array([r.cell_id for r in book], dtype=np.int64)
-    c_mat = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in book])
-    cell_of = _cell_of_udf(c_ids, c_mat)
+    cell_of = _cell_of_udf(*_load_codebook(spark, path))
     assigned = fan_out(batch.select(id_col, vec_col)).select(
         id_col, vec_col, cell_of(F.col(vec_col)).alias("__cell")
     )
@@ -615,17 +623,22 @@ def _ivf_delta_dirs(path: str) -> list[str]:
 
 def _finish_ivf_compaction(path: str) -> None:
     """Phase C, idempotent (the bm25 discipline): drop consumed delta
-    dirs named in the COMMIT marker, move the folded base in as
-    ``delta=-1`` unless a prior attempt already did, drop the work
-    dir."""
+    dirs named in the COMMIT marker, move the folded base in under the
+    marker's fresh ``dest`` name unless a prior attempt already did,
+    drop the work dir."""
     base = path.rstrip("/")
     work = _ivf_workdir(base)
     with open(os.path.join(work, "COMMIT")) as f:
-        consumed = json.load(f)
-    for name in consumed["vectors"]:
+        commit = json.load(f)
+    # the folded base's name is FRESH per compaction and never in the
+    # consumed list — a phase-C replay after a crash between the
+    # move-in and the work-dir sweep cannot delete the base it just
+    # installed (the bm25 _finish_compaction discipline)
+    dest = commit["dest"]
+    for name in commit["vectors"]:
         shutil.rmtree(os.path.join(base, "vectors", name), ignore_errors=True)
-    src = os.path.join(work, "vectors", "delta=-1")
-    dst = os.path.join(base, "vectors", "delta=-1")
+    src = os.path.join(work, "vectors", dest)
+    dst = os.path.join(base, "vectors", dest)
     if os.path.isdir(src) and not os.path.isdir(dst):
         shutil.move(src, dst)
     shutil.rmtree(work, ignore_errors=True)
@@ -636,6 +649,9 @@ def recover_ivf_compaction(path: str) -> None:
     attempt: a work dir WITH a COMMIT marker is past the commit point
     — finish phase C; without one it is pre-commit garbage — drop it,
     the live index was never touched."""
+    from dask_datapipeline_spark.operators.bm25 import local_maintenance_path
+
+    path = local_maintenance_path(path, "recover_ivf_compaction")
     work = _ivf_workdir(path)
     if not os.path.isdir(work):
         return
@@ -661,9 +677,11 @@ def maybe_compact_ivf_index(
     ``maybe_compact_bm25_index``): deltas with batch id >=
     ``exclude_from`` are neither counted nor folded, preserving the
     in-flight batch's overwrite idempotency."""
+    from dask_datapipeline_spark.operators.bm25 import local_maintenance_path
+
     if max_deltas < 1:
         raise ValueError(f"max_deltas={max_deltas} must be >= 1")
-    base = path.rstrip("/")
+    base = local_maintenance_path(path, "maybe_compact_ivf_index").rstrip("/")
     recover_ivf_compaction(base)
     deltas = _ivf_delta_dirs(base)
     if exclude_from is not None:
@@ -672,6 +690,9 @@ def maybe_compact_ivf_index(
         return False
     meta = _read_meta(spark, base)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
+    dest = "delta={}".format(
+        min(int(d.split("=", 1)[1]) for d in deltas) - 1
+    )
     work = _ivf_workdir(base)
     shutil.rmtree(work, ignore_errors=True)
     # phase A: fold ONLY the consumed deltas outside the live root —
@@ -684,12 +705,12 @@ def maybe_compact_ivf_index(
         .select(id_col, vec_col, "__cell")
         .write.mode("overwrite")
         .partitionBy("__cell")
-        .parquet(os.path.join(work, "vectors", "delta=-1"))
+        .parquet(os.path.join(work, "vectors", dest))
     )
     # phase B: the atomic commit point
     tmp = os.path.join(work, "COMMIT.tmp")
     with open(tmp, "w") as f:
-        json.dump({"vectors": deltas}, f)
+        json.dump({"vectors": deltas, "dest": dest}, f)
     os.rename(tmp, os.path.join(work, "COMMIT"))
     _finish_ivf_compaction(base)
     return True

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -239,6 +240,17 @@ def append_to_minhash_index(
         _write_manifest(index_path, cur)
 
 
+def _tag_order(tag: str) -> tuple[str, int]:
+    """Natural order for increment tags: a trailing digit run compares
+    NUMERICALLY, the prefix lexicographically — zero-padded batch tags
+    (b00042) would otherwise stop sorting by batch id the moment the
+    id outgrows the pad (``'b99999' < 'b100000'`` is False as strings),
+    permanently stranding older tags outside every future fold on
+    exactly the long-running ingests compaction exists for."""
+    m = re.match(r"^(.*?)(\d+)$", tag)
+    return (m.group(1), int(m.group(2))) if m else (tag, -1)
+
+
 def compact_minhash_index(
     spark: SparkSession, index_path: str, keep_from: str | None = None
 ) -> dict:
@@ -279,8 +291,17 @@ def compact_minhash_index(
     batch, the no-longer-listed tag re-appends, and its rows count
     twice (once in the folded base, once in the re-appended inc)."""
     cur = _read_manifest(index_path)
-    fold = [t for t in cur["inc"] if keep_from is None or t < keep_from]
+    fold = [
+        t
+        for t in cur["inc"]
+        if keep_from is None or _tag_order(t) < _tag_order(keep_from)
+    ]
     kept = [t for t in cur["inc"] if t not in set(fold)]
+    if not fold:
+        # nothing eligible (e.g. compact_every=1 at batch 0 with only
+        # the in-flight tag committed): folding would rewrite the
+        # ENTIRE base for zero file-count reduction — skip
+        return cur
     base_sh = cur["shingles"]
     ver = int(base_sh.rsplit("-v", 1)[1]) if "-v" in base_sh else 0
     new_sh, new_sig = f"shingles-v{ver + 1}", f"signatures-v{ver + 1}"
@@ -433,7 +454,9 @@ def maybe_compact_minhash_index(
     if max_increments < 1:
         raise ValueError(f"max_increments={max_increments} must be >= 1")
     inc = _read_manifest(index_path)["inc"]
-    eligible = [t for t in inc if keep_from is None or t < keep_from]
+    eligible = [
+        t for t in inc if keep_from is None or _tag_order(t) < _tag_order(keep_from)
+    ]
     if len(eligible) <= max_increments:
         return False
     compact_minhash_index(spark, index_path, keep_from=keep_from)

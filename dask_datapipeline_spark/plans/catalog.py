@@ -89,6 +89,29 @@ def _dsum(col: str, alias: str) -> str:
     return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"
 
 
+def gate_tmpdir(spark, sf_dir: str, name: str, *subdirs: str) -> str:
+    """THE temp-path recipe for catalog rows that materialize on disk
+    in their builder (partitioned/bloomed/indexed writes): one
+    deterministic dir per (query, sf, Spark app), rewritten
+    (mode=overwrite) per call — repeated gate runs in ONE session must
+    not leak a fresh mkdtemp each time; the sf suffix keeps parallel
+    gates on different sf dirs apart; the applicationId keeps two
+    CONCURRENT gates on the SAME sf from overwriting the directory the
+    other is reading. One helper so a future change to the isolation
+    scheme cannot miss a site."""
+    import os as _os
+    import tempfile as _tf
+
+    return _os.path.join(
+        _tf.gettempdir(),
+        f"spark_graft_{name}_"
+        + _os.path.basename(sf_dir.rstrip("/"))
+        + "_"
+        + spark.sparkContext.applicationId,
+        *subdirs,
+    )
+
+
 # --------------------------------------------------------------------
 # Flagship pipeline (reference main(), SURVEY.md §3.1)
 # --------------------------------------------------------------------
@@ -445,26 +468,10 @@ GROUP BY event_type
     "round-trips values",
 )
 def q_partition_pruning(spark, sf_dir):
-    import os as _os
-    import tempfile as _tf
-
     ev = load_testdata(spark, sf_dir, "events").select(
         "event_type", "event_id", "value"
     )
-    # one deterministic path per (sf, Spark app), rewritten
-    # (mode=overwrite) per call — repeated gate runs in ONE session
-    # must not leak a fresh mkdtemp each time (the q_scan_json
-    # convention); the sf suffix keeps parallel gates on different sf
-    # dirs apart and the applicationId keeps two CONCURRENT gates on
-    # the SAME sf from overwriting the directory the other is reading
-    out = _os.path.join(
-        _tf.gettempdir(),
-        "spark_graft_part_prune_"
-        + _os.path.basename(sf_dir.rstrip("/"))
-        + "_"
-        + spark.sparkContext.applicationId,
-        "events_by_type",
-    )
+    out = gate_tmpdir(spark, sf_dir, "part_prune", "events_by_type")
     ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
     back = spark.read.parquet(out).where(
         (F.col("event_type") == "click") & F.col("value").isNotNull()
@@ -491,24 +498,12 @@ FROM documents WHERE doc_id IN (7, 123, 456)
     "so an exact match also proves the bloomed write round-trips values",
 )
 def q_bloom_point_probe(spark, sf_dir):
-    import os as _os
-    import tempfile as _tf
-
     from dask_datapipeline_spark.sources.writers import write_parquet
 
     docs = load_testdata(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.length("text").alias("n_text_chars")
     )
-    # same temp-path convention as q_partition_pruning: one
-    # deterministic dir per (sf, Spark app), overwritten per call
-    out = _os.path.join(
-        _tf.gettempdir(),
-        "spark_graft_bloom_probe_"
-        + _os.path.basename(sf_dir.rstrip("/"))
-        + "_"
-        + spark.sparkContext.applicationId,
-        "documents_bloom",
-    )
+    out = gate_tmpdir(spark, sf_dir, "bloom_probe", "documents_bloom")
     write_parquet(docs, out, bloom_cols=["doc_id"], bloom_ndv=1_000_000)
     return spark.read.parquet(out).where(F.col("doc_id").isin(7, 123, 456))
 

@@ -2145,25 +2145,16 @@ def q_knn_join_ivf(spark, sf_dir):
     "beside BM25 postings deltas and MinHash increments",
 )
 def q_ivf_index_incremental(spark, sf_dir):
-    import os as _os
-    import tempfile as _tf
-
     from dask_datapipeline_spark.operators.ivf_index import (
         append_to_ivf_index,
         build_ivf_index,
         ivf_topk_from_index,
         maybe_compact_ivf_index,
     )
+    from dask_datapipeline_spark.plans.catalog import gate_tmpdir
 
     emb = load_testdata(spark, sf_dir, "embeddings")
-    idx = _os.path.join(
-        _tf.gettempdir(),
-        "spark_graft_ivf_inc_"
-        + _os.path.basename(sf_dir.rstrip("/"))
-        + "_"
-        + spark.sparkContext.applicationId,
-        "index",
-    )
+    idx = gate_tmpdir(spark, sf_dir, "ivf_inc", "index")
     # base holds the lowest ids, so the untrained codebook (n_cells
     # lowest-id vectors) is identical to a one-shot build's — which is
     # what lets this row share the one-shot oracle verbatim
@@ -8345,28 +8336,14 @@ def q_bm25_topk(spark, sf_dir):
     "function)",
 )
 def q_bm25_from_index(spark, sf_dir):
-    import os as _os
-    import tempfile as _tf
-
     from dask_datapipeline_spark.operators.bm25 import (
         bm25_topk_from_index,
         build_bm25_index,
     )
+    from dask_datapipeline_spark.plans.catalog import gate_tmpdir
 
     docs = load_testdata(spark, sf_dir, "documents")
-    # deterministic per-(sf, app) path, mode=overwrite inside the
-    # builder — repeated gate runs in one session rebuild in place
-    # instead of leaking a postings copy per call (the q_scan_json
-    # convention); applicationId keeps two CONCURRENT gates on the
-    # same sf from overwriting the index the other is probing
-    idx = _os.path.join(
-        _tf.gettempdir(),
-        "spark_graft_bm25_idx_"
-        + _os.path.basename(sf_dir.rstrip("/"))
-        + "_"
-        + spark.sparkContext.applicationId,
-        "index",
-    )
+    idx = gate_tmpdir(spark, sf_dir, "bm25_idx", "index")
     build_bm25_index(docs, idx)
     return bm25_topk_from_index(spark, idx, _BM25_QUERY, k=_BM25_K)
 

@@ -272,7 +272,9 @@ def test_incremental_compaction_bit_identical_and_watermarked(spark, emb, tmp_pa
     deltas = sorted(
         d for d in _os.listdir(idx + "/vectors") if d.startswith("delta=")
     )
-    assert deltas == ["delta=-1", "delta=2"]
+    # the fold consumed the adopted delta=-1 base, so the new base gets
+    # the FRESH id delta=-2 (phase-C idempotence depends on it)
+    assert deltas == ["delta=-2", "delta=2"]
     got = sorted(map(tuple, ivf_topk_from_index(spark, idx, queries, k=K, n_probe=N_PROBE).collect()))
     assert got == want
     # replayed in-flight batch overwrites its still-live delta
@@ -320,11 +322,13 @@ def test_incremental_compaction_crash_recovery(spark, emb, tmp_path):
 
     # crash AFTER commit (between phases B and C): recreate the exact
     # post-B state — a REAL fold of the live deltas in the work dir
-    # plus the COMMIT marker, live dirs still in place — and recover
+    # plus the COMMIT marker (fresh dest name), live dirs in place —
+    # and recover
     assert maybe_compact_ivf_index(spark, idx, max_deltas=1) is True
     live = sorted(
         d for d in _os.listdir(idx + "/vectors") if d.startswith("delta=")
     )
+    dest = "delta={}".format(min(int(d.split("=")[1]) for d in live) - 1)
     meta_cols = ["vec_id", "embedding", "__cell"]
     (
         spark.read.option("basePath", _os.path.join(idx, "vectors"))
@@ -332,18 +336,32 @@ def test_incremental_compaction_crash_recovery(spark, emb, tmp_path):
         .select(*meta_cols)
         .write.mode("overwrite")
         .partitionBy("__cell")
-        .parquet(_os.path.join(work, "vectors", "delta=-1"))
+        .parquet(_os.path.join(work, "vectors", dest))
     )
     with open(_os.path.join(work, "COMMIT"), "w") as f:
-        _json.dump({"vectors": live}, f)
+        _json.dump({"vectors": live, "dest": dest}, f)
     recover_ivf_compaction(idx)
     assert not _os.path.isdir(work)
     after = sorted(
         d for d in _os.listdir(idx + "/vectors") if d.startswith("delta=")
     )
-    assert after == ["delta=-1"]  # consumed deltas swept, base moved in
+    assert after == [dest]  # consumed deltas swept, base moved in
     got2 = sorted(map(tuple, ivf_topk_from_index(spark, idx, queries, k=K, n_probe=N_PROBE).collect()))
     assert got2 == want
+
+    # the data-loss regression the fresh dest name exists for: a crash
+    # BETWEEN the move-in and the work-dir sweep leaves COMMIT + an
+    # already-moved base; the recovery replay must NOT delete the base
+    # it just installed (a fixed delta=-1 dest was in the consumed
+    # list of every second-and-later compaction and got rmtree'd)
+    _os.makedirs(_os.path.join(work, "vectors"), exist_ok=True)
+    with open(_os.path.join(work, "COMMIT"), "w") as f:
+        # consumed names already swept; dest already moved in
+        _json.dump({"vectors": live, "dest": dest}, f)
+    recover_ivf_compaction(idx)
+    assert not _os.path.isdir(work)
+    got3 = sorted(map(tuple, ivf_topk_from_index(spark, idx, queries, k=K, n_probe=N_PROBE).collect()))
+    assert got3 == want
 
 
 def test_streaming_ivf_sink_equals_one_shot(spark, emb, tmp_path):

@@ -677,3 +677,61 @@ def test_wds_rejects_dotted_key_basename(spark):
         [(0, "dir.v2/report", "text")], "shard_id long, key string, text string"
     )
     assert write_wds_shards(ok).count() == 1
+
+
+def test_bm25_phase_c_replay_never_deletes_new_base(spark, tmp_path):
+    """Second-and-later compactions consume the PREVIOUS base — the
+    fold destination must be a FRESH name, or a phase-C replay (crash
+    between the move-in and the work-dir sweep) rmtree's the base it
+    just installed and the index silently loses every folded row."""
+    import json
+    import os
+
+    from dask_datapipeline_spark.operators.bm25 import (
+        bm25_topk_from_index,
+        maybe_compact_bm25_index,
+        postings_frames,
+        recover_bm25_compaction,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta {'dup ' * (i % 4)}gamma {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    for b in range(4):
+        p, s = postings_frames(docs.where(F.col("doc_id") % 8 == b))
+        p.write.mode("overwrite").parquet(f"{idx}/postings/delta={b}")
+        s.write.mode("overwrite").parquet(f"{idx}/stats/delta={b}")
+    terms = ["dup", "alpha"]
+    want = [tuple(r) for r in bm25_topk_from_index(spark, idx, terms, k=8).collect()]
+    assert maybe_compact_bm25_index(spark, idx, max_deltas=2) is True
+    assert os.listdir(idx + "/postings") == ["delta=-1"]
+
+    # second round of deltas, second compaction: consumed includes the
+    # delta=-1 base, dest must be the fresh delta=-2
+    for b in range(4, 7):
+        p, s = postings_frames(docs.where(F.col("doc_id") % 8 == b))
+        p.write.mode("overwrite").parquet(f"{idx}/postings/delta={b}")
+        s.write.mode("overwrite").parquet(f"{idx}/stats/delta={b}")
+    want2 = [tuple(r) for r in bm25_topk_from_index(spark, idx, terms, k=8).collect()]
+    assert maybe_compact_bm25_index(spark, idx, max_deltas=2) is True
+    assert os.listdir(idx + "/postings") == ["delta=-2"]
+    got = [tuple(r) for r in bm25_topk_from_index(spark, idx, terms, k=8).collect()]
+    assert got == want2
+
+    # phase-C replay: crash hit between the move-in and the work-dir
+    # sweep — COMMIT persists, consumed dirs already gone, dest already
+    # live. Recovery must leave the new base alone.
+    work = idx + "/.compact"
+    os.makedirs(work + "/postings", exist_ok=True)
+    os.makedirs(work + "/stats", exist_ok=True)
+    consumed = ["delta=-1"] + [f"delta={b}" for b in range(4, 7)]
+    with open(work + "/COMMIT", "w") as f:
+        json.dump({"postings": consumed, "stats": consumed, "dest": "delta=-2"}, f)
+    recover_bm25_compaction(idx)
+    assert not os.path.isdir(work)
+    assert os.listdir(idx + "/postings") == ["delta=-2"]
+    again = [tuple(r) for r in bm25_topk_from_index(spark, idx, terms, k=8).collect()]
+    assert again == want2
+    assert want  # first-round scores sanity-used above
