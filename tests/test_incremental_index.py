@@ -175,8 +175,12 @@ def test_compaction_flags_byte_identical(spark, grown_index):
     assert not os.path.isdir(os.path.join(grown_index, "inc", "b00000"))
     sh, sig, _, _ = read_minhash_index(spark, grown_index)
     assert sig.count() == len(CORPUS) + 2
-    # a second compaction of an increment-free index is fine too
-    assert compact_minhash_index(spark, grown_index)["shingles"] == "shingles-v2"
+    # a second compaction of an increment-free index is a NO-OP (the
+    # round-11 early return: folding nothing would rewrite the whole
+    # base for zero file-count reduction) — same manifest back, no
+    # version bump, flags untouched
+    assert compact_minhash_index(spark, grown_index)["shingles"] == "shingles-v1"
+    assert _flags_rows(spark, grown_index, probe) == before
 
 
 def test_compaction_restart_sweeps_crashed_stage(spark, grown_index):
