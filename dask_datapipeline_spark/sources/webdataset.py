@@ -187,3 +187,64 @@ def parse_wds(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 )
 
     return df.select(payload_col).mapInPandas(_parse, WDS_MEMBER_SCHEMA)
+
+
+def wds_manifest(shards: DataFrame) -> DataFrame:
+    """Integrity manifest of a packed shard table — (shard_id,
+    n_samples, n_bytes, sha256) per shard, the dataset-card sidecar a
+    training consumer verifies before reading terabytes of tar. Pure
+    codegen (``sha2`` over the payload column, JVM-side): one
+    row-local pass, no shuffle, and — because shard bytes are a pure
+    function of content (zeroed mtime/uid, deterministic member
+    order) — the digest is reproducible across clusters and reruns,
+    so two independent exports of the same corpus MUST produce the
+    same manifest."""
+    for c in ("shard_id", "payload", "n_samples"):
+        if c not in shards.columns:
+            raise KeyError(f"shards frame lacks column {c!r}")
+    return shards.select(
+        "shard_id",
+        "n_samples",
+        F.length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("sha256"),
+    )
+
+
+def verify_wds_export(shards: DataFrame, manifest: DataFrame) -> DataFrame:
+    """Re-derive the manifest from ``shards`` and FULL-OUTER join it
+    against the expected ``manifest``: one row per shard_id with an
+    ``ok`` flag — False on digest/size/count mismatch (corruption),
+    a NULL expected side (unexpected extra shard), or a NULL actual
+    side (missing shard). The verification a loader fleet runs before
+    a training job commits to an export; one broadcast-sized join
+    (manifests are rows-per-shard, never rows-per-sample)."""
+    got = wds_manifest(shards).select(
+        "shard_id",
+        F.col("n_samples").alias("_a_samples"),
+        F.col("n_bytes").alias("_a_bytes"),
+        F.col("sha256").alias("_a_sha"),
+    )
+    want = manifest.select(
+        "shard_id",
+        F.col("n_samples").alias("_e_samples"),
+        F.col("n_bytes").alias("_e_bytes"),
+        F.col("sha256").alias("_e_sha"),
+    )
+    j = got.join(want, on="shard_id", how="full")
+    ok = (
+        F.col("_a_sha").isNotNull()
+        & F.col("_e_sha").isNotNull()
+        & (F.col("_a_sha") == F.col("_e_sha"))
+        & (F.col("_a_bytes") == F.col("_e_bytes"))
+        & (F.col("_a_samples") == F.col("_e_samples"))
+    )
+    return j.select(
+        "shard_id",
+        F.coalesce(F.col("_a_samples"), F.lit(-1)).alias("n_samples"),
+        ok.alias("ok"),
+        F.when(F.col("_e_sha").isNull(), F.lit("unexpected"))
+        .when(F.col("_a_sha").isNull(), F.lit("missing"))
+        .when(~ok, F.lit("corrupt"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )

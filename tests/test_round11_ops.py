@@ -735,3 +735,82 @@ def test_bm25_phase_c_replay_never_deletes_new_base(spark, tmp_path):
     again = [tuple(r) for r in bm25_topk_from_index(spark, idx, terms, k=8).collect()]
     assert again == want2
     assert want  # first-round scores sanity-used above
+
+
+# ----- WDS export integrity manifest -----------------------------------
+
+
+def _wds_docs(spark):
+    return spark.createDataFrame(
+        [(i % 3, f"{i:05d}", f"text {i}") for i in range(12)],
+        "shard_id long, key string, text string",
+    )
+
+
+def test_wds_manifest_reproducible_and_verify_ok(spark):
+    from dask_datapipeline_spark.sources.webdataset import (
+        verify_wds_export,
+        wds_manifest,
+        write_wds_shards,
+    )
+
+    shards = write_wds_shards(_wds_docs(spark))
+    m1 = sorted(map(tuple, wds_manifest(shards).collect()))
+    # shard bytes are a pure function of content -> an independent
+    # re-export (different partitioning) yields the SAME manifest
+    m2 = sorted(
+        map(tuple, wds_manifest(write_wds_shards(_wds_docs(spark).repartition(7))).collect())
+    )
+    assert m1 == m2 and len(m1) == 3
+    assert all(len(r[3]) == 64 for r in m1)  # hex sha256
+    rep = verify_wds_export(shards, wds_manifest(shards))
+    assert all(r.ok and r.status == "ok" for r in rep.collect())
+
+
+def test_wds_verify_flags_corrupt_missing_unexpected(spark):
+    from dask_datapipeline_spark.sources.webdataset import (
+        verify_wds_export,
+        wds_manifest,
+        write_wds_shards,
+    )
+
+    shards = write_wds_shards(_wds_docs(spark))
+    manifest = wds_manifest(shards).localCheckpoint(eager=True)
+
+    # corrupt one shard's payload (same length -> only the digest trips)
+    def _flip(batch):
+        import pandas as pd
+
+        for pdf in batch:
+            out = pdf.copy()
+            out["payload"] = [
+                bytes([p[0] ^ 0xFF]) + bytes(p[1:]) if s == 1 else bytes(p)
+                for s, p in zip(out["shard_id"], out["payload"])
+            ]
+            yield out
+
+    tampered = shards.mapInPandas(
+        _flip, "shard_id long, payload binary, n_samples int"
+    )
+    rep = {r.shard_id: r for r in verify_wds_export(tampered, manifest).collect()}
+    assert rep[1].status == "corrupt" and not rep[1].ok
+    assert rep[0].status == "ok" and rep[2].status == "ok"
+
+    # missing shard + unexpected shard
+    partial = shards.where(F.col("shard_id") != 2)
+    rep2 = {r.shard_id: r for r in verify_wds_export(partial, manifest).collect()}
+    assert rep2[2].status == "missing" and not rep2[2].ok
+    extra = shards.union(
+        write_wds_shards(
+            spark.createDataFrame([(9, "x", "t")], "shard_id long, key string, text string")
+        )
+    )
+    rep3 = {r.shard_id: r for r in verify_wds_export(extra, manifest).collect()}
+    assert rep3[9].status == "unexpected" and not rep3[9].ok
+
+
+def test_wds_manifest_requires_shard_columns(spark):
+    from dask_datapipeline_spark.sources.webdataset import wds_manifest
+
+    with pytest.raises(KeyError, match="payload"):
+        wds_manifest(spark.createDataFrame([(1,)], "shard_id long"))
