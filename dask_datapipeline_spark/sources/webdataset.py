@@ -111,6 +111,16 @@ def write_wds_shards(
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(key_col, kind="mergesort")
+        if pdf[key_col].duplicated().any():
+            dup = pdf[key_col][pdf[key_col].duplicated()].iloc[0]
+            # duplicate keys break the loader's sample grouping AND the
+            # reproducible-bytes contract (equal-key member order would
+            # depend on the incoming partitioning, so two re-exports of
+            # the same corpus could hash differently)
+            raise ValueError(
+                f"duplicate sample key {dup!r} within shard "
+                f"{pdf[shard_col].iloc[0]!r} — keys must be unique per shard"
+            )
         samples: list[tuple[str, str, bytes]] = []
         n = 0
         ordered_exts = sorted(exts)
@@ -198,7 +208,12 @@ def wds_manifest(shards: DataFrame) -> DataFrame:
     function of content (zeroed mtime/uid, deterministic member
     order) — the digest is reproducible across clusters and reruns,
     so two independent exports of the same corpus MUST produce the
-    same manifest."""
+    same manifest.
+
+    sha-256, not the repo's md5 oracle family: these functions are
+    sink-contract surface (pytest-pinned, no SQL oracle row) and an
+    integrity digest should be collision-resistant; if a future round
+    registers an oracle row, DuckDB's sha256() replays it exactly."""
     for c in ("shard_id", "payload", "n_samples"):
         if c not in shards.columns:
             raise KeyError(f"shards frame lacks column {c!r}")
@@ -214,36 +229,55 @@ def verify_wds_export(shards: DataFrame, manifest: DataFrame) -> DataFrame:
     """Re-derive the manifest from ``shards`` and FULL-OUTER join it
     against the expected ``manifest``: one row per shard_id with an
     ``ok`` flag — False on digest/size/count mismatch (corruption),
-    a NULL expected side (unexpected extra shard), or a NULL actual
-    side (missing shard). The verification a loader fleet runs before
-    a training job commits to an export; one broadcast-sized join
-    (manifests are rows-per-shard, never rows-per-sample)."""
+    an absent expected row (unexpected extra shard), or an absent
+    actual row (missing shard); a PRESENT shard with a NULL payload
+    reads corrupt, not missing. The verification a loader fleet runs
+    before a training job commits to an export; one broadcast-sized
+    join (manifests are rows-per-shard, never rows-per-sample). Both
+    inputs must hold one row per shard_id — write_wds_shards
+    guarantees it for the shards side."""
+    for c in ("shard_id", "n_samples", "n_bytes", "sha256"):
+        if c not in manifest.columns:
+            raise KeyError(f"manifest frame lacks column {c!r}")
     got = wds_manifest(shards).select(
         "shard_id",
         F.col("n_samples").alias("_a_samples"),
         F.col("n_bytes").alias("_a_bytes"),
         F.col("sha256").alias("_a_sha"),
+        F.lit(True).alias("_a_present"),
     )
     want = manifest.select(
         "shard_id",
         F.col("n_samples").alias("_e_samples"),
         F.col("n_bytes").alias("_e_bytes"),
         F.col("sha256").alias("_e_sha"),
+        F.lit(True).alias("_e_present"),
     )
     j = got.join(want, on="shard_id", how="full")
-    ok = (
+    # null-SAFE equality + coalesce(False): in an INTEGRITY check a
+    # NULL field (half-written manifest, NULL payload) must read as a
+    # FAILED check, never propagate NULL through `ok` into the
+    # .otherwise('ok') branch of the status CASE
+    ok = F.coalesce(
         F.col("_a_sha").isNotNull()
         & F.col("_e_sha").isNotNull()
-        & (F.col("_a_sha") == F.col("_e_sha"))
-        & (F.col("_a_bytes") == F.col("_e_bytes"))
-        & (F.col("_a_samples") == F.col("_e_samples"))
+        & F.col("_a_sha").eqNullSafe(F.col("_e_sha"))
+        & F.col("_a_bytes").eqNullSafe(F.col("_e_bytes"))
+        & F.col("_a_samples").eqNullSafe(F.col("_e_samples")),
+        F.lit(False),
     )
+    # presence = the JOIN side existed (row markers), NOT a field being
+    # non-NULL — a present shard whose payload is NULL is CORRUPT (a
+    # broken pack stage), not 'missing' (a lost file): the two send an
+    # operator down different triage paths
     return j.select(
         "shard_id",
-        F.coalesce(F.col("_a_samples"), F.lit(-1)).alias("n_samples"),
+        F.coalesce(F.col("_a_samples"), F.col("_e_samples"), F.lit(-1)).alias(
+            "n_samples"
+        ),
         ok.alias("ok"),
-        F.when(F.col("_e_sha").isNull(), F.lit("unexpected"))
-        .when(F.col("_a_sha").isNull(), F.lit("missing"))
+        F.when(F.col("_e_present").isNull(), F.lit("unexpected"))
+        .when(F.col("_a_present").isNull(), F.lit("missing"))
         .when(~ok, F.lit("corrupt"))
         .otherwise(F.lit("ok"))
         .alias("status"),

@@ -814,3 +814,54 @@ def test_wds_manifest_requires_shard_columns(spark):
 
     with pytest.raises(KeyError, match="payload"):
         wds_manifest(spark.createDataFrame([(1,)], "shard_id long"))
+
+
+def test_wds_verify_null_fields_never_pass(spark):
+    """Integrity semantics: NULL anywhere reads as a FAILED check —
+    a present shard with NULL payload is corrupt (broken pack stage),
+    a manifest row with a NULL field never falls through to 'ok'."""
+    from dask_datapipeline_spark.sources.webdataset import (
+        verify_wds_export,
+        wds_manifest,
+        write_wds_shards,
+    )
+
+    shards = write_wds_shards(_wds_docs(spark))
+    manifest = wds_manifest(shards).localCheckpoint(eager=True)
+
+    nulled = shards.withColumn(
+        "payload",
+        F.when(F.col("shard_id") == 1, F.lit(None).cast("binary")).otherwise(
+            F.col("payload")
+        ),
+    )
+    rep = {r.shard_id: r for r in verify_wds_export(nulled, manifest).collect()}
+    assert rep[1].status == "corrupt" and rep[1].ok is False
+
+    holey = manifest.withColumn(
+        "n_bytes",
+        F.when(F.col("shard_id") == 0, F.lit(None).cast("int")).otherwise(
+            F.col("n_bytes")
+        ),
+    )
+    rep2 = {r.shard_id: r for r in verify_wds_export(shards, holey).collect()}
+    assert rep2[0].ok is False and rep2[0].status == "corrupt"
+
+    # a missing shard's report still shows the EXPECTED sample count
+    partial = shards.where(F.col("shard_id") != 2)
+    rep3 = {r.shard_id: r for r in verify_wds_export(partial, manifest).collect()}
+    want_n = {r.shard_id: r.n_samples for r in manifest.collect()}[2]
+    assert rep3[2].status == "missing" and rep3[2].n_samples == want_n
+
+    with pytest.raises(KeyError, match="sha256"):
+        verify_wds_export(shards, manifest.drop("sha256"))
+
+
+def test_wds_pack_rejects_duplicate_keys(spark):
+    from dask_datapipeline_spark.sources.webdataset import write_wds_shards
+
+    dup = spark.createDataFrame(
+        [(0, "k1", "a"), (0, "k1", "b")], "shard_id long, key string, text string"
+    )
+    with pytest.raises(Exception, match="duplicate sample key"):
+        write_wds_shards(dup).collect()
