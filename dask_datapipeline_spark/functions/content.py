@@ -32,8 +32,15 @@ expected block-level outcome; it never parses HTML itself):
 - anything else is SHORT and is kept iff the nearest PRECEDING
   non-SHORT block is GOOD (the jusText context rule, restricted to
   the preceding direction so one forward scan resolves everything —
-  a heading is kept only when it follows good prose; ``<br>`` runs
-  are NOT paragraph breaks, a documented simplification).
+  a heading is kept only when it follows good prose);
+- a RUN of >=2 consecutive ``<br>`` (whitespace-only text between
+  them) is a paragraph break — it flushes the block exactly like a
+  block tag (real pages separate paragraphs with ``<br><br>``
+  heavily; collapsing them into one giant block dilutes link
+  density and defeats the short-block context rule). A SINGLE
+  ``<br>`` is a line break WITHIN a block: it contributes one word
+  separator (whitespace — never counted by any measure) and must
+  not split.
 
 Scale: one Arrow ``mapInPandas`` pass (the slot the media decoders
 occupy), zero shuffles, zero driver collects; cost is O(page bytes)
@@ -94,6 +101,7 @@ class _BlockParser(HTMLParser):
         self._boiler = 0
         self._skip = 0
         self._a = 0
+        self._br = 0  # length of the current <br> run
         self.blocks: list[tuple[str, int, int, bool]] = []
 
     # -- block lifecycle ----------------------------------------------
@@ -107,10 +115,20 @@ class _BlockParser(HTMLParser):
             self.blocks.append((text, n, min(ln, n), self._boiler > 0))
         self._chunks = []
         self._link_chunks = []
+        self._br = 0  # a block boundary always ends a <br> run
 
     def handle_starttag(self, tag, attrs):
         if tag in SKIP_TAGS:
             self._skip += 1
+            return
+        if tag == "br":
+            if self._skip:
+                return
+            self._br += 1
+            if self._br >= 2:
+                self._flush()  # the run is ONE break however long
+            else:
+                self._chunks.append(" ")  # in-block line break
             return
         if tag in BOILER_CONTAINERS:
             self._flush()
@@ -135,6 +153,8 @@ class _BlockParser(HTMLParser):
     def handle_data(self, data):
         if self._skip:
             return
+        if _WS.sub("", data):
+            self._br = 0  # non-whitespace content ends a <br> run
         self._chunks.append(data)
         if self._a:
             self._link_chunks.append(data)

@@ -648,10 +648,15 @@ def recover_ivf_compaction(path: str) -> None:
     """Resolve a half-done compaction at sink start / before every
     attempt: a work dir WITH a COMMIT marker is past the commit point
     — finish phase C; without one it is pre-commit garbage — drop it,
-    the live index was never touched."""
+    the live index was never touched. Also resumes a half-done flat-
+    layout ADOPTION (idempotent): a crash midway through
+    :func:`_adopt_ivf_flat_layout` leaves ``vectors/`` mixed-depth and
+    probes failing with CONFLICTING_DIRECTORY_STRUCTURES until the next
+    append — sink-start recovery heals it immediately instead."""
     from dask_datapipeline_spark.operators.bm25 import local_maintenance_path
 
     path = local_maintenance_path(path, "recover_ivf_compaction")
+    _adopt_ivf_flat_layout(path)
     work = _ivf_workdir(path)
     if not os.path.isdir(work):
         return

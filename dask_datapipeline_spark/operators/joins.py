@@ -460,6 +460,17 @@ def aqe_skew_split(
     the lowered thresholds here. The split is plan-visible as
     ``SortMergeJoin(skew=true)`` + ``AQEShuffleRead skewed`` (asserted in
     tests/test_round11_ops.py on a planted hot key).
+
+    SESSION-WIDE and NON-REENTRANT: the nine confs are session globals,
+    so every query that EXECUTES on this SparkSession while the scope is
+    open — including one launched from another thread — runs with
+    broadcast joins fully disabled and the skew thresholds here, and a
+    nested scope restores the inner scope's saved values, not the
+    session defaults. The lowered defaults (64k/16k) are TEST-scale
+    knobs chosen so splitting fires on kB fixtures; a production caller
+    should pass cluster-scale values explicitly (e.g. threshold
+    ``'256m'``, advisory ``'64m'``) or simply enable the stock AQE skew
+    confs session-wide rather than borrowing this scope.
     """
     confs = {
         "spark.sql.adaptive.enabled": "true",

@@ -246,9 +246,15 @@ def _tag_order(tag: str) -> tuple[str, int]:
     (b00042) would otherwise stop sorting by batch id the moment the
     id outgrows the pad (``'b99999' < 'b100000'`` is False as strings),
     permanently stranding older tags outside every future fold on
-    exactly the long-running ingests compaction exists for."""
+    exactly the long-running ingests compaction exists for.
+
+    A DIGITLESS tag (a manual append like 'backfill') compares
+    unconditionally OLDER than any digit-suffixed watermark: sorting it
+    by its own prefix would leave it >= every ``keep_from`` whose
+    prefix sorts earlier, permanently stranding it outside every fold
+    when manual appends mix with the streaming sink's batch tags."""
     m = re.match(r"^(.*?)(\d+)$", tag)
-    return (m.group(1), int(m.group(2))) if m else (tag, -1)
+    return (m.group(1), int(m.group(2))) if m else ("", -1)
 
 
 def compact_minhash_index(
@@ -297,6 +303,15 @@ def compact_minhash_index(
         if keep_from is None or _tag_order(t) < _tag_order(keep_from)
     ]
     kept = [t for t in cur["inc"] if t not in set(fold)]
+    # clear stage dirs a crashed previous compaction may have left —
+    # BEFORE the no-fold early return, or garbage stranded by a crash
+    # persists until a fold-eligible compaction happens to run
+    for d in os.listdir(index_path):
+        if (
+            (d.startswith("shingles-v") or d.startswith("signatures-v"))
+            and d not in (cur["shingles"], cur["signatures"])
+        ):
+            shutil.rmtree(os.path.join(index_path, d), ignore_errors=True)
     if not fold:
         # nothing eligible (e.g. compact_every=1 at batch 0 with only
         # the in-flight tag committed): folding would rewrite the
@@ -305,14 +320,6 @@ def compact_minhash_index(
     base_sh = cur["shingles"]
     ver = int(base_sh.rsplit("-v", 1)[1]) if "-v" in base_sh else 0
     new_sh, new_sig = f"shingles-v{ver + 1}", f"signatures-v{ver + 1}"
-
-    # clear stage dirs a crashed previous compaction may have left
-    for d in os.listdir(index_path):
-        if (
-            (d.startswith("shingles-v") or d.startswith("signatures-v"))
-            and d not in (cur["shingles"], cur["signatures"])
-        ):
-            shutil.rmtree(os.path.join(index_path, d))
 
     sh = spark.read.parquet(os.path.join(index_path, cur["shingles"]))
     sig = spark.read.parquet(os.path.join(index_path, cur["signatures"]))

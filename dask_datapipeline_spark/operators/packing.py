@@ -235,14 +235,17 @@ def hashed_token_ids(
     the DuckDB oracle embeds the same expression
     (:func:`hashed_token_ids_sql`). NULL text is dropped explicitly
     (legacy ``split(NULL)`` collapses to an empty array mid-expression
-    — the CLAUDE.md invariant)."""
+    — the CLAUDE.md invariant). EMPTY tokens (leading/trailing/
+    consecutive spaces) are dropped too — the same word definition as
+    ``word_counts``/``bpe_encode_ids``/``unigram_encode_ids``, so no
+    phantom ids reach packed blocks."""
     require_columns(df, [id_col, text_col, *keep_cols])
     if vocab_size < 1:
         raise ValueError(f"vocab_size={vocab_size} must be >= 1")
     from dask_datapipeline_spark.operators.dedup import tokens
 
     ids = F.transform(
-        tokens(text_col),
+        F.filter(tokens(text_col), lambda t: t != F.lit("")),
         lambda t: (seeded_hash64(t, seed) % vocab_size).cast("int"),
     )
     return df.where(F.col(text_col).isNotNull()).select(
@@ -254,11 +257,11 @@ def hashed_token_ids_sql(
     expr: str, vocab_size: int = 32768, seed: str = "ids"
 ) -> str:
     """DuckDB twin of :func:`hashed_token_ids`'s id expression — same
-    md5 family, same modulus, same INT cast."""
+    md5 family, same modulus, same INT cast, same empty-token drop."""
     h = f"CAST(CONCAT('0x', SUBSTRING(md5('{seed}:' || t), 1, 15)) AS BIGINT)"
     return (
-        f"list_transform(string_split(lower({expr}), ' '), "
-        f"t -> CAST({h} % {vocab_size} AS INTEGER))"
+        f"list_transform(list_filter(string_split(lower({expr}), ' '), "
+        f"t -> t != ''), t -> CAST({h} % {vocab_size} AS INTEGER))"
     )
 
 

@@ -1521,6 +1521,20 @@ def q_markdown_extract(spark, sf_dir):
 _MC_FOLLOWER = "Notes & errata are in the appendix."
 _MC_STUB_LEN = 20  # every-5th-doc main paragraph truncation
 
+#: appendix div exercising the <br> rules (round-12): paragraph A and
+#: B are separated by <br><br> (a block FLUSH — two blocks, not one
+#: link-diluted giant), while A itself embeds a single <br> (a word
+#: separator that must NOT split). Constants hold the EXPECTED decoded
+#: text; the page derives the markup from them, so oracle and fixture
+#: cannot drift.
+_MC_APPENDIX_A = (
+    "Appendix A lists the full derivations and raw replication "
+    "tables for every reported measurement."
+)
+#: the single in-paragraph <br> replaces this space in the markup
+_MC_APPENDIX_A_SPLIT = "derivations and"
+_MC_APPENDIX_B = "See errata page."  # SHORT: kept by A's GOOD context
+
 
 def _mc_body_col():
     """Collapsed document text — the parser collapses whitespace with
@@ -1555,6 +1569,17 @@ def _mc_page_col():
         F.lit("</p><p>"),
         F.lit(_MC_FOLLOWER.replace("&", "&amp;")),
         F.lit("</p></article>"),
+        F.lit(
+            "<div>"
+            + _MC_APPENDIX_A.replace(
+                _MC_APPENDIX_A_SPLIT,
+                _MC_APPENDIX_A_SPLIT.replace(" ", "<br>", 1),
+                1,
+            )
+            + "<br><br>"
+            + _MC_APPENDIX_B
+            + "</div>"
+        ),
         F.lit('<footer><p>Copyright 2024 Example Journal. '
               '<a href="/tos">Terms</a> <a href="/privacy">Privacy</a>'
               "</p></footer></body></html>"),
@@ -1571,6 +1596,11 @@ def _mc_expected_ctes() -> str:
 
     ws = WHITESPACE_RE.replace("'", "''")
     fol = _MC_FOLLOWER.replace("'", "''")
+    # appendix: A (GOOD — its single <br> decodes to the word separator
+    # this literal already holds) then B (SHORT, kept by A's context),
+    # present on EVERY page — the <br><br> flush puts them in separate
+    # blocks, so they are kept even when the main paragraph is a stub
+    apx = (_MC_APPENDIX_A + "\n" + _MC_APPENDIX_B).replace("'", "''")
     return f"""mc_t AS (
   SELECT doc_id, lang, trim(regexp_replace(text, '{ws}', ' ', 'g')) AS body
   FROM documents WHERE text IS NOT NULL
@@ -1590,10 +1620,10 @@ mc_c AS (
 mc AS (
   SELECT doc_id, lang,
          CASE WHEN nonws >= {MIN_BLOCK_CHARS}
-              THEN mainp || chr(10) || '{fol}'
-              ELSE '' END AS content,
-         CAST(CASE WHEN nonws = 0 THEN 8 ELSE 9 END AS INTEGER) AS n_blocks,
-         CAST(CASE WHEN nonws >= {MIN_BLOCK_CHARS} THEN 2 ELSE 0 END
+              THEN mainp || chr(10) || '{fol}' || chr(10) || '{apx}'
+              ELSE '{apx}' END AS content,
+         CAST(CASE WHEN nonws = 0 THEN 10 ELSE 11 END AS INTEGER) AS n_blocks,
+         CAST(CASE WHEN nonws >= {MIN_BLOCK_CHARS} THEN 4 ELSE 2 END
               AS INTEGER) AS n_kept
   FROM mc_c
 )"""

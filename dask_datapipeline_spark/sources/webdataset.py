@@ -233,9 +233,12 @@ def verify_wds_export(shards: DataFrame, manifest: DataFrame) -> DataFrame:
     actual row (missing shard); a PRESENT shard with a NULL payload
     reads corrupt, not missing. The verification a loader fleet runs
     before a training job commits to an export; one broadcast-sized
-    join (manifests are rows-per-shard, never rows-per-sample). Both
-    inputs must hold one row per shard_id — write_wds_shards
-    guarantees it for the shards side."""
+    join (manifests are rows-per-shard, never rows-per-sample). The
+    shards side must hold one row per shard_id — write_wds_shards
+    guarantees it; the MANIFEST side is pre-aggregated by shard_id so
+    a duplicated manifest row (a corrupt sidecar) surfaces as ONE
+    result row with ``status='duplicate_manifest'`` instead of
+    silently fanning the join out to two rows."""
     for c in ("shard_id", "n_samples", "n_bytes", "sha256"):
         if c not in manifest.columns:
             raise KeyError(f"manifest frame lacks column {c!r}")
@@ -246,20 +249,23 @@ def verify_wds_export(shards: DataFrame, manifest: DataFrame) -> DataFrame:
         F.col("sha256").alias("_a_sha"),
         F.lit(True).alias("_a_present"),
     )
-    want = manifest.select(
-        "shard_id",
-        F.col("n_samples").alias("_e_samples"),
-        F.col("n_bytes").alias("_e_bytes"),
-        F.col("sha256").alias("_e_sha"),
-        F.lit(True).alias("_e_present"),
-    )
+    # one aggregated row per shard_id whatever the sidecar holds: at
+    # multiplicity 1 the MINs are the row's fields verbatim; above 1
+    # the fields are moot (the multiplicity itself fails the check)
+    want = manifest.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("_e_mult"),
+        F.min("n_samples").alias("_e_samples"),
+        F.min("n_bytes").alias("_e_bytes"),
+        F.min("sha256").alias("_e_sha"),
+    ).withColumn("_e_present", F.lit(True))
     j = got.join(want, on="shard_id", how="full")
     # null-SAFE equality + coalesce(False): in an INTEGRITY check a
     # NULL field (half-written manifest, NULL payload) must read as a
     # FAILED check, never propagate NULL through `ok` into the
     # .otherwise('ok') branch of the status CASE
     ok = F.coalesce(
-        F.col("_a_sha").isNotNull()
+        (F.col("_e_mult") == 1)
+        & F.col("_a_sha").isNotNull()
         & F.col("_e_sha").isNotNull()
         & F.col("_a_sha").eqNullSafe(F.col("_e_sha"))
         & F.col("_a_bytes").eqNullSafe(F.col("_e_bytes"))
@@ -278,6 +284,7 @@ def verify_wds_export(shards: DataFrame, manifest: DataFrame) -> DataFrame:
         ok.alias("ok"),
         F.when(F.col("_e_present").isNull(), F.lit("unexpected"))
         .when(F.col("_a_present").isNull(), F.lit("missing"))
+        .when(F.col("_e_mult") > 1, F.lit("duplicate_manifest"))
         .when(~ok, F.lit("corrupt"))
         .otherwise(F.lit("ok"))
         .alias("status"),

@@ -111,6 +111,50 @@ def test_nested_boiler_containers():
     assert (n_blocks, n_kept) == (3, 1)
 
 
+def test_single_br_is_a_word_separator_not_a_split():
+    # one <br> stays IN the block, contributing a word separator —
+    # whitespace, so no measure changes; <br/> spelling is identical
+    for br in ("<br>", "<br/>", "<br />"):
+        content, n_blocks, n_kept = main_content(f"<p>{LONG}{br}follow up</p>")
+        assert n_blocks == 1 and n_kept == 1
+        assert content == f"{LONG.strip()} follow up"
+
+
+def test_br_run_flushes_a_block():
+    # >=2 consecutive <br> (whitespace-only between) is a paragraph
+    # break: two blocks, the short second kept by the first's context
+    for sep in ("<br><br>", "<br/><br>", "<br> \n\t <br>", "<br><br><br>"):
+        content, n_blocks, n_kept = main_content(f"<p>{LONG}{sep}follow up</p>")
+        assert n_blocks == 2 and n_kept == 2, sep
+        assert content == f"{LONG.strip()}\nfollow up"
+    # non-whitespace text between brs ends the run: still one block
+    content, n_blocks, n_kept = main_content(f"<p>{LONG}<br>x<br>y</p>")
+    assert n_blocks == 1 and content == f"{LONG.strip()} x y"
+
+
+def test_br_split_separates_link_density():
+    # the <br><br> flush is what keeps a trailing link list from
+    # diluting the prose block it used to share (the rule's point)
+    links = '<a href="/a">one two three four five six seven eight</a>'
+    page = f"<div>{LONG}<br><br>{links} {links}</div>"
+    content, n_blocks, n_kept = main_content(page)
+    assert n_blocks == 2
+    assert (content, n_kept) == (LONG.strip(), 1)  # link block dropped
+    # without the split the page is one merged block whose link share
+    # exceeds 1/3 — the PROSE dies with the link list (the failure
+    # mode the flush exists to prevent)
+    merged, m_blocks, m_kept = main_content(page.replace("<br><br>", " "))
+    assert m_blocks == 1 and m_kept == 0 and merged == ""
+
+
+def test_br_inside_skip_tags_ignored():
+    content, n_blocks, n_kept = main_content(
+        f"<p>ab<script>x<br><br>y</script>cd{LONG}</p>"
+    )
+    assert n_blocks == 1 and n_kept == 1
+    assert content == f"abcd{LONG.strip()}"
+
+
 def test_null_and_empty_page():
     assert main_content(None) == (None, 0, 0)
     assert main_content("") == ("", 0, 0)

@@ -203,6 +203,48 @@ def test_compaction_restart_sweeps_crashed_stage(spark, grown_index):
     assert not os.path.exists(os.path.join(grown_index, "shingles-v1", "junk"))
 
 
+def test_no_fold_compaction_still_sweeps_stranded_stage(spark, grown_index):
+    """The no-fold early return (everything behind the watermark) must
+    still sweep stage dirs a crashed compaction stranded — otherwise
+    they persist until a fold-eligible compaction happens to run."""
+    from dask_datapipeline_spark.operators.minhash_index import (
+        compact_minhash_index,
+    )
+
+    os.makedirs(os.path.join(grown_index, "signatures-v7"))
+    cur = compact_minhash_index(spark, grown_index, keep_from="b00000")
+    assert cur["inc"] == ["b00000", "b00001"]  # nothing folded
+    assert not os.path.exists(os.path.join(grown_index, "signatures-v7"))
+
+
+def test_digitless_tags_fold_before_any_watermark(spark, grown_index):
+    """A manual (digitless) tag is unconditionally OLDER than any
+    digit-suffixed watermark — it must fold instead of being stranded
+    in the inc list forever when manual appends mix with a sink."""
+    from dask_datapipeline_spark.operators.minhash_index import (
+        _tag_order,
+        append_to_minhash_index,
+        compact_minhash_index,
+    )
+
+    assert _tag_order("manual") < _tag_order("b00000")
+    assert _tag_order("backfill") < _tag_order("z00000")
+    append_to_minhash_index(
+        spark.createDataFrame([BATCH[2]], "doc_id long, text string"),
+        grown_index,
+        "manual",
+    )
+    probe = [(9, "entirely new content that matches nothing else at all")]
+    before = _flags_rows(spark, grown_index, probe)
+    # watermark b00001: folds b00000 AND the manual tag, keeps b00001
+    cur = compact_minhash_index(spark, grown_index, keep_from="b00001")
+    assert cur["inc"] == ["b00001"]
+    assert not os.path.isdir(os.path.join(grown_index, "inc", "manual"))
+    assert _flags_rows(spark, grown_index, probe) == before
+    _, sig, _, _ = read_minhash_index(spark, grown_index)
+    assert sig.count() == len(CORPUS) + 3
+
+
 def test_uncommitted_increment_invisible_and_replay_heals(spark, grown_index):
     """Crash between the increment dir rename and the manifest commit
     (ADVICE r6): the dir exists but is unreferenced — reads skip it,

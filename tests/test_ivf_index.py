@@ -217,6 +217,41 @@ def test_repeated_probes_leak_no_cache_entries(spark, emb, index_dir):
 # ----- incremental maintenance: append / compaction / streaming -------
 
 
+def test_recovery_heals_half_done_adoption(spark, emb, tmp_path):
+    """A crash midway through flat-layout adoption leaves vectors/
+    mixed-depth (CONFLICTING_DIRECTORY_STRUCTURES on probe); sink-start
+    recovery must resume the idempotent adoption, not just compactions."""
+    import shutil
+
+    from dask_datapipeline_spark.operators.ivf_index import (
+        append_to_ivf_index,
+        recover_ivf_compaction,
+    )
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb, path, n_cells=N_CELLS)
+    # simulate the mid-adoption crash: ONE flat cell dir already moved
+    root = os.path.join(path, "vectors")
+    cells = sorted(d for d in os.listdir(root) if d.startswith("__cell="))
+    assert len(cells) >= 2
+    os.makedirs(os.path.join(root, "delta=-1"))
+    shutil.move(
+        os.path.join(root, cells[0]), os.path.join(root, "delta=-1", cells[0])
+    )
+    recover_ivf_compaction(path)
+    assert not any(d.startswith("__cell=") for d in os.listdir(root))
+    assert sorted(
+        d for d in os.listdir(os.path.join(root, "delta=-1"))
+        if d.startswith("__cell=")
+    ) == cells
+    # the healed index answers probes; a later append still lands
+    queries = emb.where(F.col("vec_id") % 11 == 0)
+    got = ivf_topk_from_index(spark, path, queries, k=K, n_probe=N_PROBE)
+    assert got.count() > 0
+    append_to_ivf_index(emb.limit(5), path, 0)
+    assert os.path.isdir(os.path.join(root, "delta=0"))
+
+
 def test_incremental_append_equals_one_shot(spark, emb, tmp_path):
     """Frozen-codebook appends = one-shot build over the union, probes
     bit-identical (the FAISS add contract). Base gets the lowest ids

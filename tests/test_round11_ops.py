@@ -479,6 +479,29 @@ def test_hashed_token_ids_matches_md5(spark):
     assert rows[0].input_ids == [h("low"), h("newest")]
 
 
+def test_hashed_token_ids_drops_empty_tokens(spark):
+    """Leading/trailing/consecutive spaces split into empty strings —
+    those must NOT become phantom vocab ids in packed blocks (the same
+    word definition as word_counts/bpe_encode_ids/unigram_encode_ids)."""
+    import hashlib
+
+    from dask_datapipeline_spark.operators.packing import hashed_token_ids
+
+    df = spark.createDataFrame(
+        [(0, "  low    newest "), (1, "   ")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r.input_ids
+        for r in hashed_token_ids(df, "doc_id", "text", vocab_size=97).collect()
+    }
+
+    def h(t):
+        return int(hashlib.md5(f"ids:{t}".encode()).hexdigest()[:15], 16) % 97
+
+    assert rows[0] == [h("low"), h("newest")]
+    assert rows[1] == []  # all-space text packs nothing
+
+
 def _ids_df(spark):
     return spark.createDataFrame(
         [
@@ -855,6 +878,25 @@ def test_wds_verify_null_fields_never_pass(spark):
 
     with pytest.raises(KeyError, match="sha256"):
         verify_wds_export(shards, manifest.drop("sha256"))
+
+
+def test_wds_verify_flags_duplicate_manifest_row(spark):
+    """A duplicated MANIFEST row (corrupt sidecar) must surface as ONE
+    result row with status='duplicate_manifest', never fan the join out
+    to two 'ok' rows — even when both copies match the shard bytes."""
+    from dask_datapipeline_spark.sources.webdataset import (
+        verify_wds_export,
+        wds_manifest,
+        write_wds_shards,
+    )
+
+    shards = write_wds_shards(_wds_docs(spark))
+    manifest = wds_manifest(shards).localCheckpoint(eager=True)
+    duped = manifest.union(manifest.where(F.col("shard_id") == 1))
+    rep = {r.shard_id: r for r in verify_wds_export(shards, duped).collect()}
+    assert len(rep) == 3  # one row per shard_id, not four
+    assert rep[1].status == "duplicate_manifest" and rep[1].ok is False
+    assert rep[0].status == "ok" and rep[2].status == "ok"
 
 
 def test_wds_pack_rejects_duplicate_keys(spark):
