@@ -306,6 +306,22 @@ def test_hll_plan_is_pythonless_partial_max(spark, sf_dir):
     assert "EvalPython" not in plan, plan
 
 
+def test_main_content_plan_is_one_arrow_pass_over_scan(spark, sf_dir):
+    """The extractor's 100 TB claim IS its plan shape: one MapInPandas
+    Arrow stage directly over the scan projection — no joins, no keyed
+    shuffle. The ONLY Exchange allowed is fan_out's explicit
+    round-robin (the single-file test parquet scans as ONE partition;
+    a no-op at real partition counts), never a hash/range exchange."""
+    df = CATALOG["main_content_extract"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "roundrobin" in plan.lower(), plan
+    assert "hashpartitioning" not in plan.lower(), plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def test_bm25_plan_single_scan_and_takeordered(spark, sf_dir):
     """BM25's plan contract: ONE corpus scan (df rides along as a
     token window over the candidate frame — a join-back df planned a

@@ -44,6 +44,7 @@ SHOWCASE = [
     ("extra:keep_best_dedup", "keep-best survivor: one id-keyed join attaching quality + one window partitioned by bounded near-dup clusters, stacked on the banded clustering cascade"),
     ("extra:skew_report", "skew diagnostics: per-key groupBy collapses to the count-of-counts histogram before any ordered window — the window input is bounded by distinct multiplicities"),
     ("html_extract", "HTML->text (driver row since round 8): the whole extraction is regexp_replace/replace expressions fused into the scan projection — zero Exchange, zero Python in the plan"),
+    ("main_content_extract", "DOM-grade main-content extraction (driver row since round 11): ONE mapInPandas Arrow stage directly over the scan projection — no Exchange anywhere, no joins; block scoring is O(page bytes) per row and pipelines with the scan exactly like the media decoders"),
     ("extra:substring_dedup", "exact-substring dedup: rolling window hashes explode scan-side; the only corpus-sized exchanges carry (id, pos, 8-byte hash) — frequency groupBy with partial aggregation + hash-keyed join back; coverage/reassembly are array exprs in the final projection"),
     ("extra:zorder_layout", "z-order keys: 32 masked shifts as a pure codegen projection over the scan — zero Exchange in the whole plan"),
     ("extra:sequence_pattern", "CEP pattern match: one user-keyed shuffle builds the type string; regexp_count/extract run in the post-agg projection, no self-joins"),
