@@ -55,6 +55,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dask_datapipeline_spark.indexfs import IndexFS
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 
@@ -324,62 +326,38 @@ SELECT doc_id, score, rank FROM (
 
 
 # ----- in-place auto-compaction (streaming maintenance policy) --------
+#
+# All maintenance filesystem work goes through indexfs.IndexFS — plain
+# paths use os/shutil verbatim, URI paths (file:/hdfs:/s3a:) the Hadoop
+# FileSystem API — so the triad is operable wherever the Spark-side
+# delta writes already land (round 12; formerly driver-local-FS only
+# behind `local_maintenance_path`'s loud rejection). Unresolvable
+# schemes still raise loudly at IndexFS.for_path. SINGLE-WRITER as
+# ever; see indexfs module docstring for per-backend rename atomicity.
 
 
 def _compact_workdir(index_dir: str) -> str:
-    import os
-
-    return os.path.join(index_dir.rstrip("/"), ".compact")
+    return IndexFS.join(index_dir, ".compact")
 
 
-def local_maintenance_path(path: str, what: str) -> str:
-    """Index MAINTENANCE (delta listing, compaction, recovery) walks
-    directories with os/shutil — driver-local filesystem only. Accept
-    plain paths and ``file://`` URIs (stripped to the local path);
-    reject remote schemes LOUDLY: ``os.path.isdir('s3a://...')`` is
-    simply False, so a silent pass would no-op adoption/recovery while
-    the Spark-side delta write succeeds remotely — a mixed-depth,
-    unreadable layout. Remote indexes run maintenance from a driver
-    with the store mounted, or via a future Hadoop-FS port."""
-    from urllib.parse import unquote, urlparse
-
-    parsed = urlparse(path)
-    if parsed.scheme in ("", "file"):
-        return unquote(parsed.path) if parsed.scheme == "file" else path
-    raise ValueError(
-        f"{what} walks the driver-local filesystem; index path "
-        f"{path!r} has remote scheme {parsed.scheme!r} — run "
-        "maintenance where the index is a local path"
-    )
-
-
-def _delta_dirs(index_dir: str, sub: str) -> list[str]:
-    import os
-
-    d = os.path.join(index_dir.rstrip("/"), sub)
-    if not os.path.isdir(d):
-        return []
-    return sorted(
+def _delta_dirs(fs: IndexFS, index_dir: str, sub: str) -> list[str]:
+    d = IndexFS.join(index_dir, sub)
+    return [
         name
-        for name in os.listdir(d)
-        if name.startswith("delta=") and os.path.isdir(os.path.join(d, name))
-    )
+        for name in fs.listdir(d)
+        if name.startswith("delta=") and fs.isdir(IndexFS.join(d, name))
+    ]
 
 
-def _finish_compaction(index_dir: str) -> None:
+def _finish_compaction(fs: IndexFS, index_dir: str) -> None:
     """Phase C of :func:`maybe_compact_bm25_index`, idempotent so a
     crash anywhere inside replays cleanly: remove the consumed delta
     dirs recorded in the COMMIT marker, move the compacted base in
     under the marker's fresh ``dest`` name (skipped if a previous
     attempt already moved it), then drop the work dir."""
-    import json
-    import os
-    import shutil
-
     base = index_dir.rstrip("/")
     work = _compact_workdir(base)
-    with open(os.path.join(work, "COMMIT")) as f:
-        commit = json.load(f)
+    commit = fs.read_json(IndexFS.join(work, "COMMIT"))
     # the folded base's name is FRESH per compaction (one below the
     # smallest existing delta id) and therefore never in the consumed
     # list — so a phase-C replay after a crash between the move-in and
@@ -389,12 +367,12 @@ def _finish_compaction(index_dir: str) -> None:
     dest = commit["dest"]
     for sub in ("postings", "stats"):
         for name in commit[sub]:
-            shutil.rmtree(os.path.join(base, sub, name), ignore_errors=True)
-        src = os.path.join(work, sub, dest)
-        dst = os.path.join(base, sub, dest)
-        if os.path.isdir(src) and not os.path.isdir(dst):
-            shutil.move(src, dst)
-    shutil.rmtree(work, ignore_errors=True)
+            fs.rmtree(IndexFS.join(base, sub, name))
+        src = IndexFS.join(work, sub, dest)
+        dst = IndexFS.join(base, sub, dest)
+        if fs.isdir(src) and not fs.isdir(dst):
+            fs.move(src, dst)
+    fs.rmtree(work)
 
 
 def recover_bm25_compaction(index_dir: str) -> None:
@@ -404,17 +382,15 @@ def recover_bm25_compaction(index_dir: str) -> None:
     WITH a COMMIT marker is past the atomic commit point — finish
     phase C; one without is pre-commit garbage — drop it, the live
     index was never touched."""
-    import os
-    import shutil
-
-    index_dir = local_maintenance_path(index_dir, "recover_bm25_compaction")
-    work = _compact_workdir(index_dir)
-    if not os.path.isdir(work):
+    fs = IndexFS.for_path(index_dir, "recover_bm25_compaction")
+    base = index_dir.rstrip("/")
+    work = _compact_workdir(base)
+    if not fs.isdir(work):
         return
-    if os.path.isfile(os.path.join(work, "COMMIT")):
-        _finish_compaction(index_dir)
+    if fs.isfile(IndexFS.join(work, "COMMIT")):
+        _finish_compaction(fs, base)
     else:
-        shutil.rmtree(work, ignore_errors=True)
+        fs.rmtree(work)
 
 
 def maybe_compact_bm25_index(
@@ -453,13 +429,10 @@ def maybe_compact_bm25_index(
     delta). Folding only strictly-older deltas keeps the append's
     overwrite-by-batch-id idempotency intact: the replayed delta
     overwrites the still-live directory it originally wrote."""
-    import json
-    import os
-    import shutil
-
     if max_deltas < 1:
         raise ValueError(f"max_deltas={max_deltas} must be >= 1")
-    base = local_maintenance_path(index_dir, "maybe_compact_bm25_index").rstrip("/")
+    fs = IndexFS.for_path(index_dir, "maybe_compact_bm25_index")
+    base = index_dir.rstrip("/")
     recover_bm25_compaction(base)
 
     def _eligible(names: list[str]) -> list[str]:
@@ -470,8 +443,8 @@ def maybe_compact_bm25_index(
         ]
 
     consumed = {
-        "postings": _eligible(_delta_dirs(base, "postings")),
-        "stats": _eligible(_delta_dirs(base, "stats")),
+        "postings": _eligible(_delta_dirs(fs, base, "postings")),
+        "stats": _eligible(_delta_dirs(fs, base, "stats")),
     }
     if len(consumed["postings"]) <= max_deltas:
         return False
@@ -482,36 +455,35 @@ def maybe_compact_bm25_index(
         min(int(n.split("=", 1)[1]) for n in consumed["postings"]) - 1
     )
     work = _compact_workdir(base)
-    shutil.rmtree(work, ignore_errors=True)
+    fs.rmtree(work)
     # phase A: materialize the folded index OUTSIDE the live roots —
     # reading ONLY the consumed delta dirs (an excluded in-flight
     # delta must not leak into the base)
     (
         spark.read.parquet(
-            *[os.path.join(base, "postings", n) for n in consumed["postings"]]
+            *[IndexFS.join(base, "postings", n) for n in consumed["postings"]]
         )
         .select("token", "doc_id", "dl", "tf")
         .repartition("token")
         .sortWithinPartitions("token", "doc_id")
         .write.mode("overwrite")
-        .parquet(os.path.join(work, "postings", dest))
+        .parquet(IndexFS.join(work, "postings", dest))
     )
     (
         spark.read.parquet(
-            *[os.path.join(base, "stats", n) for n in consumed["stats"]]
+            *[IndexFS.join(base, "stats", n) for n in consumed["stats"]]
         )
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("sum_dl").cast("long").alias("sum_dl"),
         )
         .write.mode("overwrite")
-        .parquet(os.path.join(work, "stats", dest))
+        .parquet(IndexFS.join(work, "stats", dest))
     )
-    # phase B: the atomic commit point (rename, same device)
-    tmp = os.path.join(work, "COMMIT.tmp")
-    with open(tmp, "w") as f:
-        json.dump({**consumed, "dest": dest}, f)
-    os.rename(tmp, os.path.join(work, "COMMIT"))
+    # phase B: the atomic commit point (marker file rename)
+    fs.write_json_atomic(
+        IndexFS.join(work, "COMMIT"), {**consumed, "dest": dest}
+    )
     # phase C
-    _finish_compaction(base)
+    _finish_compaction(fs, base)
     return True

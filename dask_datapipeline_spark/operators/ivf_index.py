@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 
 import numpy as np
 import pandas as pd
@@ -44,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dask_datapipeline_spark.errors import require_columns
+from dask_datapipeline_spark.indexfs import IndexFS
 from dask_datapipeline_spark.operators.similarity import (
     TRAIN_SEED,
     _cell_of_udf,
@@ -565,16 +565,17 @@ def _adopt_ivf_flat_layout(path: str) -> None:
     partition depth (the bm25 ``_adopt_flat_layout`` precedent).
     Idempotent — a crash mid-move resumes on the next call; runs under
     the single-writer contract like every maintenance step."""
-    root = os.path.join(path.rstrip("/"), "vectors")
-    if not os.path.isdir(root):
+    fs = IndexFS.for_path(path, "_adopt_ivf_flat_layout")
+    root = IndexFS.join(path, "vectors")
+    if not fs.isdir(root):
         return
-    flat = [d for d in os.listdir(root) if d.startswith("__cell=")]
+    flat = [d for d in fs.listdir(root) if d.startswith("__cell=")]
     if not flat:
         return
-    dest = os.path.join(root, "delta=-1")
-    os.makedirs(dest, exist_ok=True)
+    dest = IndexFS.join(root, "delta=-1")
+    fs.makedirs(dest)
     for d in flat:
-        shutil.move(os.path.join(root, d), os.path.join(dest, d))
+        fs.move(IndexFS.join(root, d), IndexFS.join(dest, d))
     # loose root files (_SUCCESS markers) confuse neither discovery
     # nor the compactor; leave them
 
@@ -585,17 +586,13 @@ def append_to_ivf_index(batch: DataFrame, path: str, batch_id: int) -> None:
     the partitioned write's hash exchange, exactly the build plan).
     Overwrite by stable batch id = replay-idempotent: a crashed
     micro-batch rewrites the same rows into the same directory.
-    Codebook and _META are never touched."""
-    from dask_datapipeline_spark.operators.bm25 import local_maintenance_path
-
+    Codebook and _META are never touched. Maintenance (adoption/delta
+    listing) speaks any Hadoop FS URI via indexfs (round 12), same as
+    the build/probe paths always did."""
     spark = batch.sparkSession
     meta = _read_meta(spark, path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     require_columns(batch, [id_col, vec_col])
-    # adoption/delta listing walk the driver-local FS — reject remote
-    # schemes loudly instead of corrupting the layout (the build/probe
-    # paths DO speak URIs; maintenance does not, yet)
-    path = local_maintenance_path(path, "append_to_ivf_index")
     _adopt_ivf_flat_layout(path)
     cell_of = _cell_of_udf(*_load_codebook(spark, path))
     assigned = fan_out(batch.select(id_col, vec_col)).select(
@@ -607,41 +604,38 @@ def append_to_ivf_index(batch: DataFrame, path: str, batch_id: int) -> None:
 
 
 def _ivf_workdir(path: str) -> str:
-    return os.path.join(path.rstrip("/"), ".compact")
+    return IndexFS.join(path, ".compact")
 
 
-def _ivf_delta_dirs(path: str) -> list[str]:
-    root = os.path.join(path.rstrip("/"), "vectors")
-    if not os.path.isdir(root):
-        return []
-    return sorted(
+def _ivf_delta_dirs(fs: IndexFS, path: str) -> list[str]:
+    root = IndexFS.join(path, "vectors")
+    return [
         d
-        for d in os.listdir(root)
-        if d.startswith("delta=") and os.path.isdir(os.path.join(root, d))
-    )
+        for d in fs.listdir(root)
+        if d.startswith("delta=") and fs.isdir(IndexFS.join(root, d))
+    ]
 
 
-def _finish_ivf_compaction(path: str) -> None:
+def _finish_ivf_compaction(fs: IndexFS, path: str) -> None:
     """Phase C, idempotent (the bm25 discipline): drop consumed delta
     dirs named in the COMMIT marker, move the folded base in under the
     marker's fresh ``dest`` name unless a prior attempt already did,
     drop the work dir."""
     base = path.rstrip("/")
     work = _ivf_workdir(base)
-    with open(os.path.join(work, "COMMIT")) as f:
-        commit = json.load(f)
+    commit = fs.read_json(IndexFS.join(work, "COMMIT"))
     # the folded base's name is FRESH per compaction and never in the
     # consumed list — a phase-C replay after a crash between the
     # move-in and the work-dir sweep cannot delete the base it just
     # installed (the bm25 _finish_compaction discipline)
     dest = commit["dest"]
     for name in commit["vectors"]:
-        shutil.rmtree(os.path.join(base, "vectors", name), ignore_errors=True)
-    src = os.path.join(work, "vectors", dest)
-    dst = os.path.join(base, "vectors", dest)
-    if os.path.isdir(src) and not os.path.isdir(dst):
-        shutil.move(src, dst)
-    shutil.rmtree(work, ignore_errors=True)
+        fs.rmtree(IndexFS.join(base, "vectors", name))
+    src = IndexFS.join(work, "vectors", dest)
+    dst = IndexFS.join(base, "vectors", dest)
+    if fs.isdir(src) and not fs.isdir(dst):
+        fs.move(src, dst)
+    fs.rmtree(work)
 
 
 def recover_ivf_compaction(path: str) -> None:
@@ -653,17 +647,15 @@ def recover_ivf_compaction(path: str) -> None:
     :func:`_adopt_ivf_flat_layout` leaves ``vectors/`` mixed-depth and
     probes failing with CONFLICTING_DIRECTORY_STRUCTURES until the next
     append — sink-start recovery heals it immediately instead."""
-    from dask_datapipeline_spark.operators.bm25 import local_maintenance_path
-
-    path = local_maintenance_path(path, "recover_ivf_compaction")
+    fs = IndexFS.for_path(path, "recover_ivf_compaction")
     _adopt_ivf_flat_layout(path)
-    work = _ivf_workdir(path)
-    if not os.path.isdir(work):
+    work = _ivf_workdir(path.rstrip("/"))
+    if not fs.isdir(work):
         return
-    if os.path.isfile(os.path.join(work, "COMMIT")):
-        _finish_ivf_compaction(path)
+    if fs.isfile(IndexFS.join(work, "COMMIT")):
+        _finish_ivf_compaction(fs, path)
     else:
-        shutil.rmtree(work, ignore_errors=True)
+        fs.rmtree(work)
 
 
 def maybe_compact_ivf_index(
@@ -682,13 +674,12 @@ def maybe_compact_ivf_index(
     ``maybe_compact_bm25_index``): deltas with batch id >=
     ``exclude_from`` are neither counted nor folded, preserving the
     in-flight batch's overwrite idempotency."""
-    from dask_datapipeline_spark.operators.bm25 import local_maintenance_path
-
     if max_deltas < 1:
         raise ValueError(f"max_deltas={max_deltas} must be >= 1")
-    base = local_maintenance_path(path, "maybe_compact_ivf_index").rstrip("/")
+    fs = IndexFS.for_path(path, "maybe_compact_ivf_index")
+    base = path.rstrip("/")
     recover_ivf_compaction(base)
-    deltas = _ivf_delta_dirs(base)
+    deltas = _ivf_delta_dirs(fs, base)
     if exclude_from is not None:
         deltas = [d for d in deltas if int(d.split("=", 1)[1]) < exclude_from]
     if len(deltas) <= max_deltas:
@@ -699,23 +690,22 @@ def maybe_compact_ivf_index(
         min(int(d.split("=", 1)[1]) for d in deltas) - 1
     )
     work = _ivf_workdir(base)
-    shutil.rmtree(work, ignore_errors=True)
+    fs.rmtree(work)
     # phase A: fold ONLY the consumed deltas outside the live root —
     # basePath makes the multiple delta roots (each with __cell=
     # children) read as one partitioned table instead of tripping
     # CONFLICTING_DIRECTORY_STRUCTURES
     (
-        spark.read.option("basePath", os.path.join(base, "vectors"))
-        .parquet(*[os.path.join(base, "vectors", d) for d in deltas])
+        spark.read.option("basePath", IndexFS.join(base, "vectors"))
+        .parquet(*[IndexFS.join(base, "vectors", d) for d in deltas])
         .select(id_col, vec_col, "__cell")
         .write.mode("overwrite")
         .partitionBy("__cell")
-        .parquet(os.path.join(work, "vectors", dest))
+        .parquet(IndexFS.join(work, "vectors", dest))
     )
-    # phase B: the atomic commit point
-    tmp = os.path.join(work, "COMMIT.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"vectors": deltas, "dest": dest}, f)
-    os.rename(tmp, os.path.join(work, "COMMIT"))
-    _finish_ivf_compaction(base)
+    # phase B: the atomic commit point (marker file rename)
+    fs.write_json_atomic(
+        IndexFS.join(work, "COMMIT"), {"vectors": deltas, "dest": dest}
+    )
+    _finish_ivf_compaction(fs, base)
     return True

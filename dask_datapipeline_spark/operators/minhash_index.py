@@ -38,15 +38,12 @@ exactly.)
 
 from __future__ import annotations
 
-import json
-import os
 import re
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dask_datapipeline_spark.indexfs import IndexFS
 from dask_datapipeline_spark.operators.dedup import (
     _jaccard_from_distinct,
     _signatures_from_hashed,
@@ -87,15 +84,15 @@ def build_minhash_index(
         )
     else:
         hot = sh_raw.select("__h").limit(0)
-    hot.write.mode("overwrite").parquet(os.path.join(path, "hot_hashes"))
+    hot.write.mode("overwrite").parquet(IndexFS.join(path, "hot_hashes"))
     spark = df.sparkSession
-    hot_back = spark.read.parquet(os.path.join(path, "hot_hashes"))
+    hot_back = spark.read.parquet(IndexFS.join(path, "hot_hashes"))
     sh = sh_raw.join(hot_back, on="__h", how="left_anti")
-    sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
-    sh_back = spark.read.parquet(os.path.join(path, "shingles"))
+    sh.write.mode("overwrite").parquet(IndexFS.join(path, "shingles"))
+    sh_back = spark.read.parquet(IndexFS.join(path, "shingles"))
     _signatures_from_hashed(sh_back, id_col, num_hashes).write.mode(
         "overwrite"
-    ).parquet(os.path.join(path, "signatures"))
+    ).parquet(IndexFS.join(path, "signatures"))
     sh_raw.unpersist()
     meta = {
         "id_col": id_col,
@@ -104,8 +101,8 @@ def build_minhash_index(
         "shingle_n": shingle_n,
         "max_df": max_df,
     }
-    with open(os.path.join(path, "_META"), "w") as f:
-        json.dump(meta, f)
+    fs = IndexFS.for_path(path, "build_minhash_index")
+    fs.write_json_atomic(IndexFS.join(path, "_META"), meta)
     _write_manifest(
         path, {"shingles": "shingles", "signatures": "signatures", "inc": []}
     )
@@ -113,18 +110,16 @@ def build_minhash_index(
 
 
 def _manifest_path(index_path: str) -> str:
-    return os.path.join(index_path, "_CURRENT")
+    return IndexFS.join(index_path, "_CURRENT")
 
 
 def _write_manifest(index_path: str, manifest: dict) -> None:
     """Atomically commit the live-state manifest: write a temp file in
-    the same directory, then rename over ``_CURRENT`` (rename within a
-    directory is atomic on POSIX; on an object store the equivalent is
-    a conditional PUT of the manifest key)."""
-    tmp = _manifest_path(index_path) + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.rename(tmp, _manifest_path(index_path))
+    the same directory, then rename over ``_CURRENT`` (atomic on POSIX
+    and through HDFS FileContext; see indexfs module docstring for the
+    object-store caveat)."""
+    fs = IndexFS.for_path(index_path, "_write_manifest")
+    fs.write_json_atomic(_manifest_path(index_path), manifest)
 
 
 def _read_manifest(index_path: str) -> dict:
@@ -132,20 +127,19 @@ def _read_manifest(index_path: str) -> dict:
     index written before ``_CURRENT`` existed — skipping dot-prefixed
     temp dirs and any increment missing either parquet dir (a partial
     left by a pre-manifest crash; its replay overwrites it whole)."""
+    fs = IndexFS.for_path(index_path, "_read_manifest")
     mp = _manifest_path(index_path)
-    if os.path.isfile(mp):
-        with open(mp) as f:
-            return json.load(f)
-    inc_root = os.path.join(index_path, "inc")
+    if fs.isfile(mp):
+        return fs.read_json(mp)
+    inc_root = IndexFS.join(index_path, "inc")
     tags = []
-    if os.path.isdir(inc_root):
-        for tag in sorted(os.listdir(inc_root)):
-            if tag.startswith("."):
-                continue
-            if os.path.isdir(os.path.join(inc_root, tag, "shingles")) and os.path.isdir(
-                os.path.join(inc_root, tag, "signatures")
-            ):
-                tags.append(tag)
+    for tag in fs.listdir(inc_root):
+        if tag.startswith("."):
+            continue
+        if fs.isdir(IndexFS.join(inc_root, tag, "shingles")) and fs.isdir(
+            IndexFS.join(inc_root, tag, "signatures")
+        ):
+            tags.append(tag)
     return {"shingles": "shingles", "signatures": "signatures", "inc": tags}
 
 
@@ -160,23 +154,23 @@ def read_minhash_index(
     is invisible. ``compact_minhash_index`` folds the increment list
     back into one base pair when it grows long (the standard
     base+delta compaction cycle)."""
-    with open(os.path.join(path, "_META")) as f:
-        meta = json.load(f)
+    fs = IndexFS.for_path(path, "read_minhash_index")
+    meta = fs.read_json(IndexFS.join(path, "_META"))
     cur = _read_manifest(path)
-    sh = spark.read.parquet(os.path.join(path, cur["shingles"]))
-    sig = spark.read.parquet(os.path.join(path, cur["signatures"]))
-    inc_root = os.path.join(path, "inc")
+    sh = spark.read.parquet(IndexFS.join(path, cur["shingles"]))
+    sig = spark.read.parquet(IndexFS.join(path, cur["signatures"]))
+    inc_root = IndexFS.join(path, "inc")
     for tag in cur["inc"]:
         sh = sh.unionByName(
-            spark.read.parquet(os.path.join(inc_root, tag, "shingles"))
+            spark.read.parquet(IndexFS.join(inc_root, tag, "shingles"))
         )
         sig = sig.unionByName(
-            spark.read.parquet(os.path.join(inc_root, tag, "signatures"))
+            spark.read.parquet(IndexFS.join(inc_root, tag, "signatures"))
         )
     return (
         sh,
         sig,
-        spark.read.parquet(os.path.join(path, "hot_hashes")),
+        spark.read.parquet(IndexFS.join(path, "hot_hashes")),
         meta,
     )
 
@@ -203,38 +197,40 @@ def append_to_minhash_index(
     increment (ADVICE r6). The document-frequency cap stays FROZEN:
     batch shingles are capped against the build-time hot-hash set only
     (module docstring semantics)."""
+    import uuid
+
     from pyspark.storagelevel import StorageLevel
 
     spark = batch.sparkSession
-    with open(os.path.join(index_path, "_META")) as f:
-        meta = json.load(f)
-    inc_root = os.path.join(index_path, "inc")
-    final = os.path.join(inc_root, batch_tag)
+    fs = IndexFS.for_path(index_path, "append_to_minhash_index")
+    meta = fs.read_json(IndexFS.join(index_path, "_META"))
+    inc_root = IndexFS.join(index_path, "inc")
+    final = IndexFS.join(inc_root, batch_tag)
     cur = _read_manifest(index_path)
-    if batch_tag in cur["inc"] and os.path.isdir(final):
+    if batch_tag in cur["inc"] and fs.isdir(final):
         # already committed: a foreachBatch replay carries the SAME
         # rows for the same batch_id, and the frozen hot-hash cap makes
         # the staged content deterministic — pure no-op, so a
         # manifest-referenced dir is never touched
         return
-    hot = spark.read.parquet(os.path.join(index_path, "hot_hashes"))
+    hot = spark.read.parquet(IndexFS.join(index_path, "hot_hashes"))
     b_sh = (
         hashed_shingles(batch, meta["id_col"], text_col, meta["shingle_n"])
         .distinct()
         .join(hot, on="__h", how="left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    os.makedirs(inc_root, exist_ok=True)
-    tmp = os.path.join(inc_root, f".tmp-{batch_tag}-{uuid.uuid4().hex[:8]}")
-    b_sh.write.mode("overwrite").parquet(os.path.join(tmp, "shingles"))
-    sh_back = spark.read.parquet(os.path.join(tmp, "shingles"))
+    fs.makedirs(inc_root)
+    tmp = IndexFS.join(inc_root, f".tmp-{batch_tag}-{uuid.uuid4().hex[:8]}")
+    b_sh.write.mode("overwrite").parquet(IndexFS.join(tmp, "shingles"))
+    sh_back = spark.read.parquet(IndexFS.join(tmp, "shingles"))
     _signatures_from_hashed(sh_back, meta["id_col"], meta["num_hashes"]).write.mode(
         "overwrite"
-    ).parquet(os.path.join(tmp, "signatures"))
+    ).parquet(IndexFS.join(tmp, "signatures"))
     b_sh.unpersist()
-    if os.path.isdir(final):  # staged by a crashed run but never committed
-        shutil.rmtree(final)
-    os.rename(tmp, final)
+    if fs.isdir(final):  # staged by a crashed run but never committed
+        fs.rmtree(final)
+    fs.move(tmp, final)
     if batch_tag not in cur["inc"]:
         cur["inc"] = sorted(cur["inc"] + [batch_tag])
         _write_manifest(index_path, cur)
@@ -296,6 +292,7 @@ def compact_minhash_index(
     tag-in-manifest idempotency: a crash in that window replays the
     batch, the no-longer-listed tag re-appends, and its rows count
     twice (once in the folded base, once in the re-appended inc)."""
+    fs = IndexFS.for_path(index_path, "compact_minhash_index")
     cur = _read_manifest(index_path)
     fold = [
         t
@@ -306,12 +303,12 @@ def compact_minhash_index(
     # clear stage dirs a crashed previous compaction may have left —
     # BEFORE the no-fold early return, or garbage stranded by a crash
     # persists until a fold-eligible compaction happens to run
-    for d in os.listdir(index_path):
+    for d in fs.listdir(index_path):
         if (
             (d.startswith("shingles-v") or d.startswith("signatures-v"))
             and d not in (cur["shingles"], cur["signatures"])
         ):
-            shutil.rmtree(os.path.join(index_path, d), ignore_errors=True)
+            fs.rmtree(IndexFS.join(index_path, d))
     if not fold:
         # nothing eligible (e.g. compact_every=1 at batch 0 with only
         # the in-flight tag committed): folding would rewrite the
@@ -321,28 +318,28 @@ def compact_minhash_index(
     ver = int(base_sh.rsplit("-v", 1)[1]) if "-v" in base_sh else 0
     new_sh, new_sig = f"shingles-v{ver + 1}", f"signatures-v{ver + 1}"
 
-    sh = spark.read.parquet(os.path.join(index_path, cur["shingles"]))
-    sig = spark.read.parquet(os.path.join(index_path, cur["signatures"]))
-    inc_root = os.path.join(index_path, "inc")
+    sh = spark.read.parquet(IndexFS.join(index_path, cur["shingles"]))
+    sig = spark.read.parquet(IndexFS.join(index_path, cur["signatures"]))
+    inc_root = IndexFS.join(index_path, "inc")
     for tag in fold:
         sh = sh.unionByName(
-            spark.read.parquet(os.path.join(inc_root, tag, "shingles"))
+            spark.read.parquet(IndexFS.join(inc_root, tag, "shingles"))
         )
         sig = sig.unionByName(
-            spark.read.parquet(os.path.join(inc_root, tag, "signatures"))
+            spark.read.parquet(IndexFS.join(inc_root, tag, "signatures"))
         )
-    sh.write.parquet(os.path.join(index_path, new_sh))
-    sig.write.parquet(os.path.join(index_path, new_sig))
+    sh.write.parquet(IndexFS.join(index_path, new_sh))
+    sig.write.parquet(IndexFS.join(index_path, new_sig))
 
     new_cur = {"shingles": new_sh, "signatures": new_sig, "inc": kept}
     _write_manifest(index_path, new_cur)  # the atomic commit point
 
     # post-flip garbage collection (best-effort; next compaction sweeps
     # anything a crash strands here)
-    shutil.rmtree(os.path.join(index_path, cur["shingles"]))
-    shutil.rmtree(os.path.join(index_path, cur["signatures"]))
+    fs.rmtree(IndexFS.join(index_path, cur["shingles"]))
+    fs.rmtree(IndexFS.join(index_path, cur["signatures"]))
     for tag in fold:
-        shutil.rmtree(os.path.join(inc_root, tag), ignore_errors=True)
+        fs.rmtree(IndexFS.join(inc_root, tag))
     return new_cur
 
 

@@ -895,25 +895,24 @@ def stream_incremental_bm25_index(
         build as the BASE delta: move its files into ``delta=-1``
         (idempotent — once moved, no flat files remain), after which
         the one-shot and streamed contributions read as one
-        partitioned table."""
-        import os
-        import shutil
+        partitioned table. Speaks any Hadoop FS URI via indexfs
+        (round 12), like the rest of the maintenance triad."""
+        from dask_datapipeline_spark.indexfs import IndexFS
 
+        fs = IndexFS.for_path(base, "stream_incremental_bm25_index")
         for sub in ("postings", "stats"):
-            d = f"{base}/{sub}"
-            if not os.path.isdir(d):
-                continue
+            d = IndexFS.join(base, sub)
             flat = [
                 f
-                for f in os.listdir(d)
-                if os.path.isfile(os.path.join(d, f))
+                for f in fs.listdir(d)
+                if fs.isfile(IndexFS.join(d, f))
             ]
             if not flat:
                 continue
-            dest = os.path.join(d, "delta=-1")
-            os.makedirs(dest, exist_ok=True)
+            dest = IndexFS.join(d, "delta=-1")
+            fs.makedirs(dest)
             for f in flat:
-                shutil.move(os.path.join(d, f), os.path.join(dest, f))
+                fs.move(IndexFS.join(d, f), IndexFS.join(dest, f))
 
     _adopt_flat_layout()
 

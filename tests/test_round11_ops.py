@@ -184,7 +184,7 @@ def test_bm25_compaction_crash_recovery_both_phases(spark, tmp_path, monkeypatch
     # recovery must FINISH the compaction, scores bit-identical
     real_finish = bm25._finish_compaction
 
-    def boom(index_dir):
+    def boom(fs, index_dir):
         raise RuntimeError("simulated crash between commit and finish")
 
     monkeypatch.setattr(bm25, "_finish_compaction", boom)
