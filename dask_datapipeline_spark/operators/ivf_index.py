@@ -33,7 +33,6 @@ an index is a physical re-layout, never a semantic change.
 
 from __future__ import annotations
 
-import json
 import os
 
 import numpy as np
@@ -57,31 +56,23 @@ from dask_datapipeline_spark.parallel import fan_out
 
 
 def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
-    """Persist ``<path>/_META`` through the Hadoop FileSystem API, so
-    the index lives wherever the parquet does (file:, hdfs:, s3a:) —
-    a plain ``open()`` silently writes to the driver's LOCAL disk for
-    any non-local URI and the index becomes unreadable at scale."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_META"))
-    fs = p.getFileSystem(conf)
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(json.dumps(meta).encode("utf-8")))
-    finally:
-        out.close()
+    """Persist ``<path>/_META`` through the indexfs shim, so the index
+    lives wherever the parquet does (plain paths → os I/O; file:/hdfs:/
+    s3a: URIs → the Hadoop FileSystem API — a plain ``open()`` would
+    silently write to the driver's LOCAL disk for a non-local URI and
+    the index becomes unreadable at scale). ONE write channel per
+    namespace: mixing Hadoop writes (which keep .crc sidecars on the
+    checksummed local FS) with plain rewrites of the same file leaves
+    a stale checksum that fails every later Hadoop read."""
+    IndexFS.for_path(path, "_write_meta").write_json_atomic(
+        IndexFS.join(path, "_META"), meta
+    )
 
 
 def _read_meta(spark: SparkSession, path: str) -> dict:
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_META"))
-    fs = p.getFileSystem(conf)
-    stream = fs.open(p)
-    baos = jvm.java.io.ByteArrayOutputStream()
-    # copyBytes(close=True) closes both streams
-    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, conf, True)
-    return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+    return IndexFS.for_path(path, "_read_meta").read_json(
+        IndexFS.join(path, "_META")
+    )
 
 
 def build_ivf_index(
@@ -594,6 +585,19 @@ def append_to_ivf_index(batch: DataFrame, path: str, batch_id: int) -> None:
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     require_columns(batch, [id_col, vec_col])
     _adopt_ivf_flat_layout(path)
+    # normalize the batch's vector dtype to the INDEX's before
+    # assignment: a double-element batch appended to a float-element
+    # index writes a delta whose parquet physical type conflicts with
+    # the base — every later union read fails with
+    # SchemaColumnConvertNotSupported. Cast first, so assignment and
+    # storage both see exactly what the index stores.
+    fs = IndexFS.for_path(path, "append_to_ivf_index")
+    existing = _ivf_delta_dirs(fs, path)
+    if existing:
+        want = spark.read.parquet(
+            IndexFS.join(path, "vectors", existing[0])
+        ).schema[vec_col].dataType
+        batch = batch.withColumn(vec_col, F.col(vec_col).cast(want))
     cell_of = _cell_of_udf(*_load_codebook(spark, path))
     assigned = fan_out(batch.select(id_col, vec_col)).select(
         id_col, vec_col, cell_of(F.col(vec_col)).alias("__cell")
@@ -620,7 +624,11 @@ def _finish_ivf_compaction(fs: IndexFS, path: str) -> None:
     """Phase C, idempotent (the bm25 discipline): drop consumed delta
     dirs named in the COMMIT marker, move the folded base in under the
     marker's fresh ``dest`` name unless a prior attempt already did,
-    drop the work dir."""
+    drop the work dir. A RETRAIN commit (see :func:`compact_ivf_index`)
+    additionally swaps the codebook in and rewrites ``_META`` — both
+    steps idempotent (the move is src-presence-guarded; the _META
+    rewrite writes the same marker-recorded content on every replay),
+    so a crash anywhere in C still replays cleanly."""
     base = path.rstrip("/")
     work = _ivf_workdir(base)
     commit = fs.read_json(IndexFS.join(work, "COMMIT"))
@@ -629,6 +637,15 @@ def _finish_ivf_compaction(fs: IndexFS, path: str) -> None:
     # move-in and the work-dir sweep cannot delete the base it just
     # installed (the bm25 _finish_compaction discipline)
     dest = commit["dest"]
+    # retrained codebook first: probes between steps are excluded by
+    # the single-writer/no-concurrent-reader maintenance contract
+    if commit.get("retrained"):
+        src_book = IndexFS.join(work, "codebook")
+        dst_book = IndexFS.join(base, "codebook")
+        if fs.isdir(src_book):
+            fs.rmtree(dst_book)
+            fs.move(src_book, dst_book)
+        fs.write_json_atomic(IndexFS.join(base, "_META"), commit["meta"])
     for name in commit["vectors"]:
         fs.rmtree(IndexFS.join(base, "vectors", name))
     src = IndexFS.join(work, "vectors", dest)
@@ -707,5 +724,219 @@ def maybe_compact_ivf_index(
     fs.write_json_atomic(
         IndexFS.join(work, "COMMIT"), {"vectors": deltas, "dest": dest}
     )
+    _finish_ivf_compaction(fs, base)
+    return True
+
+
+# ----- codebook drift: measurement + the retrain escape hatch ---------
+#
+# append_to_ivf_index freezes the codebook forever (the FAISS add
+# contract) — correct per batch, but a long-running ingest whose
+# distribution drifts away from the codebook's training sample
+# silently degrades cell balance and probe recall, and nothing in the
+# frozen-append path can see it. ivf_drift_report MEASURES the drift
+# per delta (assignment distortion + cell-occupancy divergence vs the
+# base); compact_ivf_index(retrain=True) is the ESCAPE HATCH — fold
+# every delta through a freshly trained codebook with full
+# reassignment, under the same two-phase COMMIT protocol.
+
+
+def ivf_drift_report(spark: SparkSession, path: str) -> DataFrame:
+    """Per-delta drift diagnostics of a built/incremental IVF index:
+    ``(delta, n_vectors, mean_residual, max_residual, occ_l1)``.
+
+    - ``mean_residual`` / ``max_residual``: assignment distortion —
+      ``1 - cosine(vector, its stored cell's centroid)`` under the
+      CURRENT codebook. A delta drawn from the codebook's training
+      distribution scores like the base; a drifted delta scores
+      visibly higher.
+    - ``occ_l1``: L1 distance between the delta's cell-occupancy
+      distribution and the BASE delta's (the lowest delta id —
+      ``delta=-1`` after adoption). Drift that collapses new vectors
+      onto few cells (the recall killer: probes scan giant cells)
+      shows here even when residuals move little.
+
+    Determinism (the lm_perplexity recipe, oracle-replayable): each
+    residual / occupancy term is a pure IEEE expression over exact
+    integers and strict-order dots, rounded to 9dp and summed as
+    DECIMAL(19,9), so every aggregate is order-independent and
+    bit-identical in DuckDB. Scale shape: ONE Arrow cosine pass over
+    the index scan + bounded aggregates (deltas × cells rows); the
+    base-occupancy collect is <= n_cells rows (the codebook's own
+    driver contract)."""
+    fs = IndexFS.for_path(path, "ivf_drift_report")
+    base = path.rstrip("/")
+    meta = _read_meta(spark, base)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    root = IndexFS.join(base, "vectors")
+    deltas = _ivf_delta_dirs(fs, base)
+    if deltas:
+        vecs = (
+            spark.read.option("basePath", root)
+            .parquet(*[IndexFS.join(root, d) for d in deltas])
+            .select(
+                F.col("delta").cast("long").alias("delta"),
+                F.col(id_col).alias("__vid"),
+                F.col(vec_col).alias("__v"),
+                F.col("__cell").cast("long").alias("__cell"),
+            )
+        )
+        base_id = min(int(d.split("=", 1)[1]) for d in deltas)
+    else:  # flat one-shot layout: the whole index is the base
+        vecs = spark.read.parquet(root).select(
+            F.lit(-1).cast("long").alias("delta"),
+            F.col(id_col).alias("__vid"),
+            F.col(vec_col).alias("__v"),
+            F.col("__cell").cast("long").alias("__cell"),
+        )
+        base_id = -1
+
+    book = spark.read.parquet(IndexFS.join(base, "codebook")).select(
+        F.col("cell_id").alias("__cell"), F.col("centroid").alias("__c")
+    )
+    res = F.round(
+        F.lit(1.0) - _cosine_batch_seq(F.col("__v"), F.col("__c")), 9
+    )
+    per_vec = vecs.join(F.broadcast(book), on="__cell").select(
+        "delta", res.alias("__r")
+    )
+    dist = per_vec.groupBy("delta").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (
+            F.sum(F.col("__r").cast("decimal(19,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_residual"),
+        F.max("__r").alias("max_residual"),
+    )
+
+    # occupancy: per-(delta, cell) counts; the base distribution is a
+    # BOUNDED collect (<= n_cells rows) turned into a literal grid so
+    # cells absent from a delta still contribute |0 - p_base| terms
+    occ = vecs.groupBy("delta", "__cell").agg(F.count(F.lit(1)).alias("__n"))
+    base_occ = {
+        int(r["__cell"]): int(r["__n"])
+        for r in occ.where(F.col("delta") == base_id).collect()
+    }
+    n_b = sum(base_occ.values())
+    if n_b == 0:
+        # an empty base would put a 0 divisor into the ANSI-mode plan
+        raise ValueError(
+            f"ivf_drift_report: base delta={base_id} holds no vectors"
+        )
+    delta_ids = sorted(
+        int(d.split("=", 1)[1]) for d in deltas
+    ) or [-1]
+    grid = spark.createDataFrame(
+        [
+            (int(d), int(c), int(n))
+            for d in delta_ids
+            for c, n in sorted(base_occ.items())
+        ],
+        "delta long, __cell long, __nb long",
+    )
+    # full outer keyed (delta, cell): Spark's named-key full join
+    # COALESCES the keys (USING semantics) — the oracle replays with
+    # explicit COALESCE
+    both = occ.join(grid, on=["delta", "__cell"], how="full")
+    totals = occ.groupBy("delta").agg(F.sum("__n").alias("__nd"))
+    term = F.round(
+        F.abs(
+            F.coalesce(F.col("__n"), F.lit(0)) / F.col("__nd")
+            - F.coalesce(F.col("__nb"), F.lit(0)) / F.lit(n_b)
+        ),
+        9,
+    ).cast("decimal(19,9)")
+    occ_l1 = (
+        both.join(totals, on="delta")
+        .groupBy("delta")
+        .agg(F.sum(term).cast("double").alias("occ_l1"))
+    )
+    return dist.join(occ_l1, on="delta").select(
+        "delta", "n_vectors", "mean_residual", "max_residual", "occ_l1"
+    )
+
+
+def compact_ivf_index(
+    spark: SparkSession,
+    path: str,
+    retrain: bool = False,
+    train_sample: int = 4096,
+    train_iter: int = 10,
+    train_seed: int = TRAIN_SEED,
+) -> bool:
+    """Unconditional full fold of every committed delta into one base
+    (the threshold-free twin of :func:`maybe_compact_ivf_index`; same
+    two-phase COMMIT protocol, same crash recovery).
+
+    ``retrain=False``: a pure physical re-layout — probes bit-identical
+    before and after (pytest-pinned).
+
+    ``retrain=True``: the codebook-drift escape hatch — train a FRESH
+    spherical-k-means codebook on a bounded deterministic sample of
+    the FULL current corpus (base + every delta), reassign every
+    vector under it (one Arrow pass — exactly the build plan), and
+    swap vectors + codebook + ``_META`` in one commit. Assignments
+    (and therefore probe results) CHANGE by design; recall against the
+    drifted distribution recovers (pytest-pinned via the brute-force
+    oracle). The new ``_META`` records ``trained=True`` and the
+    retrain parameters. Crash safety: the new codebook lands in the
+    work dir during phase A, the COMMIT marker records it plus the new
+    meta, and phase C's swap is replay-idempotent
+    (:func:`_finish_ivf_compaction`)."""
+    fs = IndexFS.for_path(path, "compact_ivf_index")
+    base = path.rstrip("/")
+    recover_ivf_compaction(base)
+    deltas = _ivf_delta_dirs(fs, base)
+    if not deltas or (len(deltas) == 1 and not retrain):
+        return False
+    meta = _read_meta(spark, base)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    dest = "delta={}".format(min(int(d.split("=", 1)[1]) for d in deltas) - 1)
+    work = _ivf_workdir(base)
+    fs.rmtree(work)
+    all_vecs = (
+        spark.read.option("basePath", IndexFS.join(base, "vectors"))
+        .parquet(*[IndexFS.join(base, "vectors", d) for d in deltas])
+        .select(id_col, vec_col, "__cell")
+    )
+    commit: dict = {"vectors": deltas, "dest": dest}
+    if retrain:
+        from dask_datapipeline_spark.operators.similarity import (
+            _kmeans_lloyd,
+            _train_sample,
+        )
+
+        c_mat = _kmeans_lloyd(
+            _train_sample(all_vecs, id_col, vec_col, train_sample, train_seed),
+            meta["n_cells"],
+            train_iter,
+            train_seed,
+            spherical=True,
+        )
+        c_ids = np.arange(meta["n_cells"], dtype=np.int64)
+        cell_of = _cell_of_udf(c_ids, c_mat)
+        out = fan_out(all_vecs.select(id_col, vec_col)).select(
+            id_col, vec_col, cell_of(F.col(vec_col)).alias("__cell")
+        )
+        spark.createDataFrame(
+            [(int(cid), [float(x) for x in row]) for cid, row in zip(c_ids, c_mat)],
+            "cell_id long, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            IndexFS.join(work, "codebook")
+        )
+        commit["retrained"] = True
+        commit["meta"] = {
+            **meta,
+            "trained": True,
+            "retrain_sample": int(train_sample),
+            "retrain_iter": int(train_iter),
+            "retrain_seed": int(train_seed),
+        }
+    else:
+        out = all_vecs
+    out.write.mode("overwrite").partitionBy("__cell").parquet(
+        IndexFS.join(work, "vectors", dest)
+    )
+    fs.write_json_atomic(IndexFS.join(work, "COMMIT"), commit)
     _finish_ivf_compaction(fs, base)
     return True

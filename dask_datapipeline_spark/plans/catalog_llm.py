@@ -2197,6 +2197,110 @@ def q_ivf_index_incremental(spark, sf_dir):
     return ivf_topk_from_index(spark, idx, queries, k=5, n_probe=4)
 
 
+# cosine of the SHIFTED-then-float-cast delta vectors: the shift runs
+# in double, append_to_ivf_index casts back to the index's float
+# elements, and the report reads the stored floats — the oracle replays
+# the same double→float→double round-trip so residuals are bit-exact
+_DRIFT_V_BASE = "CAST(embedding AS DOUBLE[])"
+_DRIFT_V_SHIFT = (
+    "CAST(CAST(list_transform(CAST(embedding AS DOUBLE[]), e -> e + 0.5) "
+    "AS FLOAT[]) AS DOUBLE[])"
+)
+
+_IVF_DRIFT_ORACLE_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 8
+),
+src AS (
+  SELECT vec_id, CAST(-1 AS BIGINT) AS delta, {_DRIFT_V_BASE} AS v
+  FROM embeddings WHERE vec_id < 300
+  UNION ALL
+  SELECT vec_id, CAST(0 AS BIGINT) AS delta, {_DRIFT_V_SHIFT} AS v
+  FROM embeddings WHERE vec_id >= 300
+),
+assign AS (
+  SELECT s.delta, s.vec_id, c.cid,
+         round(1 - {_COS_SQL.format(a='s.v', b='c.cv')}, 9) AS r,
+         row_number() OVER (
+           PARTITION BY s.delta, s.vec_id
+           ORDER BY {_COS_SQL.format(a='s.v', b='c.cv')} DESC, c.cid
+         ) AS rn
+  FROM src s CROSS JOIN c
+),
+cells AS (SELECT delta, vec_id, cid, r FROM assign WHERE rn = 1),
+dist AS (
+  SELECT delta, COUNT(*) AS n_vectors,
+         CAST(SUM(CAST(r AS DECIMAL(19,9))) AS DOUBLE) / COUNT(*)
+           AS mean_residual,
+         MAX(r) AS max_residual
+  FROM cells GROUP BY delta
+),
+occ AS (SELECT delta, cid, COUNT(*) AS n FROM cells GROUP BY 1, 2),
+tot AS (SELECT delta, CAST(SUM(n) AS BIGINT) AS nd FROM occ GROUP BY 1),
+bocc AS (SELECT cid, n AS nb FROM occ WHERE delta = -1),
+btot AS (SELECT CAST(SUM(nb) AS BIGINT) AS nbt FROM bocc),
+grid AS (
+  SELECT d.delta, b.cid, b.nb
+  FROM (SELECT DISTINCT delta FROM occ) d CROSS JOIN bocc b
+),
+onion AS (
+  SELECT COALESCE(o.delta, g.delta) AS delta,
+         COALESCE(o.cid, g.cid) AS cid,
+         COALESCE(o.n, 0) AS n, COALESCE(g.nb, 0) AS nbc
+  FROM occ o FULL OUTER JOIN grid g
+    ON o.delta = g.delta AND o.cid = g.cid
+),
+l1 AS (
+  SELECT u.delta,
+         CAST(SUM(CAST(round(abs(
+           CAST(u.n AS DOUBLE) / t.nd
+           - CAST(u.nbc AS DOUBLE) / (SELECT nbt FROM btot)
+         ), 9) AS DECIMAL(19,9))) AS DOUBLE) AS occ_l1
+  FROM onion u JOIN tot t ON u.delta = t.delta
+  GROUP BY 1
+)
+SELECT d.delta, d.n_vectors, d.mean_residual, d.max_residual, l.occ_l1
+FROM dist d JOIN l1 l ON d.delta = l.delta
+"""
+
+
+@register_extra(
+    "ivf_drift_report",
+    _IVF_DRIFT_ORACLE_SQL,
+    "IVF codebook-drift diagnostics (operators/ivf_index.py::"
+    "ivf_drift_report): the frozen-codebook append contract (FAISS add) "
+    "silently degrades cell balance and recall when the ingested "
+    "distribution drifts — this report MEASURES it per delta: assignment "
+    "distortion (1 - cosine to the stored cell's centroid; strict-order "
+    "dots, round-9dp -> exact DECIMAL sum) plus cell-occupancy L1 "
+    "divergence vs the base delta (exact-integer counts, one division "
+    "each). Fixture plants the drift: base = low-id vectors as built, "
+    "delta 0 = the rest shifted +0.5 per element (double math, float-"
+    "cast on append — the oracle replays the same round-trip). One Arrow "
+    "cosine pass over the index scan + bounded (deltas x cells) "
+    "aggregates; the escape hatch it feeds is compact_ivf_index("
+    "retrain=True), pytest-pinned to recover recall",
+)
+def q_ivf_drift_report(spark, sf_dir):
+    from dask_datapipeline_spark.operators.ivf_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_drift_report,
+    )
+    from dask_datapipeline_spark.plans.catalog import gate_tmpdir
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    idx = gate_tmpdir(spark, sf_dir, "ivf_drift", "index")
+    build_ivf_index(emb.where(F.col("vec_id") < 300), idx, n_cells=8)
+    shifted = emb.where(F.col("vec_id") >= 300).select(
+        "vec_id",
+        F.transform("embedding", lambda e: e + F.lit(0.5)).alias("embedding"),
+    )
+    append_to_ivf_index(shifted, idx, 0)
+    return ivf_drift_report(spark, idx)
+
+
 # ----- text analysis -------------------------------------------------
 
 

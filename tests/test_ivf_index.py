@@ -252,6 +252,134 @@ def test_recovery_heals_half_done_adoption(spark, emb, tmp_path):
     assert os.path.isdir(os.path.join(root, "delta=0"))
 
 
+def _planted_drift_index(spark, emb, tmp_path, shift=0.5):
+    """Base = vec_id<300 as built; delta 0 = the rest shifted +shift
+    per element (double math, float-cast on append — the drift the
+    frozen codebook was never trained for)."""
+    from dask_datapipeline_spark.operators.ivf_index import append_to_ivf_index
+
+    path = str(tmp_path / "drift_idx")
+    build_ivf_index(emb.where(F.col("vec_id") < 300), path, n_cells=N_CELLS)
+    shifted = emb.where(F.col("vec_id") >= 300).select(
+        "vec_id",
+        F.transform("embedding", lambda e: e + F.lit(shift)).alias("embedding"),
+    )
+    append_to_ivf_index(shifted, path, 0)
+    return path, shifted
+
+
+def test_drift_report_trips_on_planted_shift(spark, emb, tmp_path):
+    from dask_datapipeline_spark.operators.ivf_index import ivf_drift_report
+
+    path, _ = _planted_drift_index(spark, emb, tmp_path)
+    rep = {int(r["delta"]): r for r in ivf_drift_report(spark, path).collect()}
+    assert set(rep) == {-1, 0}
+    base, delta = rep[-1], rep[0]
+    assert base["occ_l1"] == 0.0  # the base IS the reference
+    assert delta["mean_residual"] > base["mean_residual"]
+    assert delta["occ_l1"] > 0.1  # occupancy diverges from the base
+    assert base["n_vectors"] + delta["n_vectors"] == emb.count()
+
+
+def test_retrain_compaction_recovers_recall(spark, emb, tmp_path):
+    """The drift escape hatch: frozen-codebook probes lose recall on a
+    drifted corpus (cell boundaries cut through the shifted cloud);
+    compact_ivf_index(retrain=True) re-fits the codebook over the full
+    mixture and recall against the brute-force truth recovers.
+    Measured at sf0.01: frozen 0.83, retrained 1.0."""
+    import numpy as np
+
+    from dask_datapipeline_spark.operators.ivf_index import (
+        _read_meta,
+        compact_ivf_index,
+        ivf_drift_report,
+    )
+
+    # explicitly sf0.01 (not the suite default): the smaller fixture's
+    # shifted cloud fits one frozen cell and recall barely moves —
+    # 4k+ vectors is where the frozen boundaries measurably cut it
+    emb = load_testdata(spark, "/root/testdata/sf0.01", "embeddings")
+    path, shifted = _planted_drift_index(spark, emb, tmp_path)
+    # drifted-corpus ground truth (stored floats, exact cosine)
+    rows = emb.collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.stack([np.asarray(r[1], float) for r in rows])
+    o = np.argsort(ids)
+    ids, mat = ids[o], mat[o]
+    m = ids >= 300
+    mat[m] = (mat[m] + 0.5).astype(np.float32).astype(float)
+    qidx = np.where(m)[0][:64]
+    sc = (mat[qidx] @ mat.T) / (
+        np.linalg.norm(mat[qidx], axis=1)[:, None]
+        * np.linalg.norm(mat, axis=1)[None, :]
+    )
+    truth = {
+        int(ids[i]): set(ids[np.lexsort((ids, -sc[j]))[:10]].tolist())
+        for j, i in enumerate(qidx)
+    }
+    qdf = shifted.join(
+        spark.createDataFrame([(int(i),) for i in ids[qidx]], "vec_id long"),
+        "vec_id",
+    )
+
+    def recall(df):
+        got: dict = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return float(
+            np.mean([len(got.get(q, set()) & t) / 10 for q, t in truth.items()])
+        )
+
+    frozen_rep = {
+        int(r["delta"]): r for r in ivf_drift_report(spark, path).collect()
+    }
+    frozen = recall(ivf_topk_from_index(spark, path, qdf, k=10, n_probe=2))
+    assert compact_ivf_index(spark, path, retrain=True) is True
+    retrained = recall(ivf_topk_from_index(spark, path, qdf, k=10, n_probe=2))
+    assert retrained >= frozen + 0.05 and retrained >= 0.95
+    # distortion drops corpus-wide and _META records the retrain
+    rep2 = list(ivf_drift_report(spark, path).collect())
+    assert len(rep2) == 1  # everything folded into one fresh base
+    assert rep2[0]["mean_residual"] < frozen_rep[0]["mean_residual"]
+    meta = _read_meta(spark, path)
+    assert meta["trained"] is True and meta["retrain_sample"] == 4096
+
+
+def test_plain_compact_is_bit_identical_and_append_casts_dtype(
+    spark, emb, tmp_path
+):
+    """retrain=False full fold must not move a single probe row; and a
+    double-element batch appended to a float-element index is cast to
+    the index dtype (a mixed-type delta fails every later union read
+    with SchemaColumnConvertNotSupported)."""
+    from dask_datapipeline_spark.operators.ivf_index import compact_ivf_index
+
+    path, _ = _planted_drift_index(spark, emb, tmp_path)
+    queries = emb.where(F.col("vec_id") % 13 == 0)
+    before = sorted(
+        map(
+            tuple,
+            ivf_topk_from_index(spark, path, queries, k=K, n_probe=N_PROBE).collect(),
+        )
+    )
+    assert compact_ivf_index(spark, path) is True
+    after = sorted(
+        map(
+            tuple,
+            ivf_topk_from_index(spark, path, queries, k=K, n_probe=N_PROBE).collect(),
+        )
+    )
+    assert after == before
+    # the appended delta holds FLOAT elements even though the batch
+    # carried doubles (F.transform promoted them)
+    import pyspark.sql.types as T
+
+    root = str(tmp_path / "drift_idx" / "vectors")
+    delta0 = spark.read.parquet(root)
+    el = delta0.schema["embedding"].dataType.elementType
+    assert isinstance(el, T.FloatType)
+
+
 def test_incremental_append_equals_one_shot(spark, emb, tmp_path):
     """Frozen-codebook appends = one-shot build over the union, probes
     bit-identical (the FAISS add contract). Base gets the lowest ids
