@@ -110,12 +110,14 @@ def _lines(col: Column) -> Column:
 def stopword_hits_by_lang(text: Column | str, lang: Column | str) -> Column:
     """Per-row language-aware stopword hits: the marker set is chosen
     by the ``lang`` column (the ``LANG_MARKERS`` table, same fixed key
-    order as ``lang_id``'s CASE chain); unknown or NULL langs fall
-    back to the English markers — so Gopher's stopword floor composes
-    with ``lang_id`` upstream instead of mass-failing non-English
-    shards against English function words. Still a pure per-row array
-    expression: the marker table is a handful of literals per
-    language, never a join."""
+    order as ``lang_id``'s CASE chain); unknown or NULL langs — and
+    EXPLICITLY the trained LID's abstain label ``'und'``
+    (``operators/langid.py::UND``) — fall back to the English markers,
+    so Gopher's stopword floor composes with ``lang_id`` /
+    ``lang_id_trained`` upstream instead of mass-failing non-English
+    or undetermined shards against a missing branch. Still a pure
+    per-row array expression: the marker table is a handful of
+    literals per language, never a join."""
     c = F.col(text) if isinstance(text, str) else text
     l = F.col(lang) if isinstance(lang, str) else lang
     # each branch IS text.py::stopword_hits(c, lg) — one expression

@@ -86,6 +86,78 @@ LANGS: list[str] = list(LANG_MARKERS)
 #: words per synthetic fixture document
 FIXTURE_WORDS = 24
 
+#: the abstain label (ISO 639-3 'undetermined') — a 5-language model
+#: sees ~95% of web languages as out-of-vocabulary; without an abstain
+#: path every one of them is CONFIDENTLY mislabeled as one of the five
+#: and routed to the wrong per-language Gopher floor. Downstream,
+#: quality.stopword_hits_by_lang routes 'und' (like any unknown lang)
+#: to the English floor explicitly.
+UND = "und"
+#: default abstain threshold, milli-(raw-score)-per-gram: abstain iff
+#: (top1 - top2) * 1000 < DEFAULT_ABSTAIN_MILLI * n_grams — an
+#: ALL-INTEGER inequality (no division), i.e. margin-per-gram < 10.0.
+#: Calibrated on the fixtures (round 12): in-vocab marker-free eval
+#: min margin/gram 25.5 (never abstains), out-of-vocab Polish draws
+#: max 8.6 (always abstains), and both mislabeled held-out sentences
+#: sit below 1.5 (abstain instead of a wrong label).
+DEFAULT_ABSTAIN_MILLI = 10_000
+
+#: out-of-vocabulary fixture vocabulary (public Polish words — an
+#: orthography none of the five training languages shares): the
+#: eval slice that MUST abstain
+OOV_VOCAB: list[str] = [
+    "żeby", "się", "właśnie", "jeszcze", "wszystko", "człowiek",
+    "dziś", "książka", "przez", "gdzie", "tylko", "bardzo",
+]
+
+#: held-out REAL text (public-domain literature openers / classic
+#: lines; zh is romanized pinyin — the training vocabulary's script):
+#: nothing here shares a single word draw with the training fixture,
+#: so accuracy on it is a genuine out-of-sample floor, pinned in
+#: tests/test_langid.py against the marker-heuristic baseline.
+HELDOUT_SENTENCES: dict[str, list[str]] = {
+    "en": [
+        "It is a truth universally acknowledged that a single man in "
+        "possession of a good fortune must be in want of a wife.",
+        "Call me Ishmael. Some years ago, never mind how long precisely, "
+        "I thought I would sail about a little.",
+        "It was the best of times, it was the worst of times, it was the "
+        "age of wisdom.",
+    ],
+    "de": [
+        "Als Gregor Samsa eines Morgens aus unruhigen Träumen erwachte, "
+        "fand er sich zu einem ungeheueren Ungeziefer verwandelt.",
+        "Der Frühling läßt sein blaues Band wieder flattern durch die "
+        "Lüfte, süße wohlbekannte Düfte streifen ahnungsvoll das Land.",
+        "Wer reitet so spät durch Nacht und Wind? Es ist der Vater mit "
+        "seinem Kind.",
+    ],
+    "es": [
+        "En un lugar de la Mancha, de cuyo nombre no quiero acordarme, "
+        "no ha mucho tiempo que vivía un hidalgo.",
+        "Muchos años después, frente al pelotón de fusilamiento, el "
+        "coronel había de recordar aquella tarde remota.",
+        "La vida no es la que uno vivió, sino la que uno recuerda y cómo "
+        "la recuerda para contarla.",
+    ],
+    "fr": [
+        "Longtemps, je me suis couché de bonne heure. Parfois, à peine "
+        "ma bougie éteinte, mes yeux se fermaient si vite.",
+        "Aujourd'hui, maman est morte. Ou peut-être hier, je ne sais "
+        "pas. J'ai reçu un télégramme de l'asile.",
+        "On ne voit bien qu'avec le cœur. L'essentiel est invisible "
+        "pour les yeux.",
+    ],
+    "zh": [
+        "zhong1 guo2 ren2 min2 da4 xue2 sheng1 huo2 hao3 tian1 qi4 "
+        "ming2 nian2 xue2 xi2",
+        "ni3 hao3 ma1 wo3 men2 jin1 tian1 qu4 xue2 xiao4 shang4 ke4 "
+        "xue2 sheng1 hen3 duo1",
+        "da4 jia1 hao3 xiao3 ming2 shuo1 hua4 sheng1 yin1 hen3 da4 "
+        "nian2 nian2 you3 yu2",
+    ],
+}
+
 
 def _h60(s: str) -> int:
     """Python twin of dedup.seeded_hash64: 60-bit md5 prefix."""
@@ -212,12 +284,37 @@ def argmax_lang(raws: dict[str, int]) -> str:
     return next(lang for lang in LANGS if raws[lang] == best)
 
 
-def classify_text(text: str, weights: dict[str, dict[int, int]]) -> str:
+def decide_lang(
+    raws: dict[str, int], n_grams: int, abstain_milli: int | None
+) -> str:
+    """THE decision rule: argmax, then the margin-threshold abstain —
+    ``'und'`` iff ``(top1 - top2) * 1000 < abstain_milli * n_grams``
+    (all-integer, no division; a two-way top tie has margin 0 and
+    always abstains). ``abstain_milli=None`` disables abstaining (the
+    pre-round-12 behavior). ONE function shared by classify_text and
+    the Arrow stage; the SQL builder documents the identical
+    inequality."""
+    pred = argmax_lang(raws)
+    if abstain_milli is None:
+        return pred
+    top2 = max(raws[lang] for lang in LANGS if lang != pred)
+    if (raws[pred] - top2) * 1000 < abstain_milli * n_grams:
+        return UND
+    return pred
+
+
+def classify_text(
+    text: str,
+    weights: dict[str, dict[int, int]],
+    abstain_milli: int | None = None,
+) -> str:
     """Pure-Python single-doc scorer — the shared kernel the Arrow
     stage maps over batches (ONE function, so the distributed path
     and the unit pins cannot drift). Exact-integer raw scores,
-    argmax ties on LANGS order."""
-    return argmax_lang(raw_scores(text, weights))
+    argmax ties on LANGS order, optional margin abstain."""
+    return decide_lang(
+        raw_scores(text, weights), len(char_ngrams(text)), abstain_milli
+    )
 
 
 def raw_scores(text: str, weights: dict[str, dict[int, int]]) -> dict[str, int]:
@@ -237,11 +334,15 @@ def lang_id_trained(
     id_col: str,
     text_col: str,
     weights: dict[str, dict[int, int]],
+    abstain_milli: int | None = None,
 ) -> DataFrame:
     """Distributed trained LID: (id, n_grams, raw_<lang>…, lang) with
-    exact-integer raw margins per language and the argmax prediction.
-    One Arrow pass, weight table in the closure — zero shuffles; NULL
-    text rows are dropped explicitly (the split(NULL) guard)."""
+    exact-integer raw margins per language and the argmax prediction —
+    or ``'und'`` under the margin abstain rule when ``abstain_milli``
+    is set (:func:`decide_lang`; pass :data:`DEFAULT_ABSTAIN_MILLI`
+    for the calibrated production setting). One Arrow pass, weight
+    table in the closure — zero shuffles; NULL text rows are dropped
+    explicitly (the split(NULL) guard)."""
     require_columns(df, [id_col, text_col])
     import pandas as pd
 
@@ -261,10 +362,9 @@ def lang_id_trained(
             rows = []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 raws = raw_scores(t, weights)
-                pred = argmax_lang(raws)
-                rows.append(
-                    (i, len(char_ngrams(t)), *[raws[lang] for lang in LANGS], pred)
-                )
+                n = len(char_ngrams(t))
+                pred = decide_lang(raws, n, abstain_milli)
+                rows.append((i, n, *[raws[lang] for lang in LANGS], pred))
             yield pd.DataFrame(rows, columns=[id_col, "n_grams", *raw_cols, "lang"])
 
     return narrow.mapInPandas(_score, schema)
@@ -290,14 +390,17 @@ def lang_id_trained_sql(
     text_col: str = "text",
     front_ctes: str = "",
     tail_cols: str = "",
+    abstain_milli: int | None = None,
 ) -> str:
     """DuckDB oracle twin of :func:`lang_id_trained` — same padding,
     same char-3-gram extraction, same md5 bucket, same integer
-    accumulation, same LANGS-order argmax CASE. ``front_ctes`` (must
-    end with a comma) prepends upstream fixture CTEs and ``src`` then
-    names one of them; ``tail_cols`` appends extra output columns
-    (e.g. a ground-truth ride-along) — they may reference ``{id_col}``
-    only."""
+    accumulation, same LANGS-order argmax CASE, and (when
+    ``abstain_milli`` is set) the same all-integer margin-abstain
+    inequality ``(top1 - top2) * 1000 < abstain_milli * n_grams``.
+    ``front_ctes`` (must end with a comma) prepends upstream fixture
+    CTEs and ``src`` then names one of them; ``tail_cols`` appends
+    extra output columns (e.g. a ground-truth ride-along) — they may
+    reference ``{id_col}`` only."""
     pad = f"' ' || lower({text_col}) || ' '"
     b = (
         f"CAST(CONCAT('0x', SUBSTRING(md5('{SEED}:' || gram), 1, 15)) AS BIGINT)"
@@ -318,6 +421,27 @@ def lang_id_trained_sql(
             f"raw_{LANGS[i]} >= raw_{LANGS[j]}" for j in range(i + 1, len(LANGS))
         )
         case = f"CASE WHEN {conds} THEN '{LANGS[i]}' ELSE {case} END"
+    raw_list = ", ".join(f"raw_{lang}" for lang in LANGS)
+    if abstain_milli is None:
+        lang_expr = "pred"
+    else:
+        # top2 = max of the non-predicted raws (a two-way top tie
+        # makes top2 = top1, margin 0 — always abstains, same as
+        # decide_lang)
+        m2_whens = " ".join(
+            "WHEN '{lg}' THEN greatest({others})".format(
+                lg=lg,
+                others=", ".join(
+                    f"raw_{o}" for o in LANGS if o != lg
+                ),
+            )
+            for lg in LANGS
+        )
+        lang_expr = (
+            f"CASE WHEN (greatest({raw_list}) - CASE pred {m2_whens} END) "
+            f"* 1000 < {int(abstain_milli)} * n_grams "
+            f"THEN '{UND}' ELSE pred END"
+        )
     return f"""
 WITH {front_ctes}{weights_sql_cte(weights)},
 t AS (
@@ -342,33 +466,45 @@ r AS (
   SELECT g.{id_col}, g.n_grams,
        {raws}
   FROM gn g LEFT JOIN s ON s.{id_col} = g.{id_col}
+),
+r2 AS (
+  SELECT {id_col}, n_grams, {raw_list}, {case} AS pred FROM r
 )
-SELECT {id_col}, n_grams, {", ".join(f"raw_{lang}" for lang in LANGS)},
-       {case} AS lang{tail_cols}
-FROM r
+SELECT {id_col}, n_grams, {raw_list},
+       {lang_expr} AS lang{tail_cols}
+FROM r2
 """
+
+
+def synth_oov_doc(i: int, namespace: str = EVAL_SEED) -> str:
+    """Deterministic out-of-vocabulary document ``i``: FIXTURE_WORDS
+    draws from :data:`OOV_VOCAB` keyed ``oov`` — the abstain slice's
+    Python twin (same md5 device as :func:`synth_doc`)."""
+    return " ".join(
+        OOV_VOCAB[_h60(f"{namespace}:oov:{i}:{j}") % len(OOV_VOCAB)]
+        for j in range(FIXTURE_WORDS)
+    )
 
 
 def synth_doc_col(
     id_col: str = "doc_id",
     namespace: str = EVAL_SEED,
     marker_free: bool = True,
+    include_oov: bool = False,
 ):
     """JVM-expression twin of :func:`synth_doc` keyed by a table id
     column: language = ``LANGS[id % 5]``, word ``j`` =
     ``vocab[h60(namespace:lang:id:j) % |vocab|]`` — byte-identical to
     the Python generator (pinned in tests), so a catalog fixture can
     synthesize the multilingual eval corpus FROM the documents table
-    in both engines. Pure codegen (md5 + element_at over literal
-    arrays); a fixture device, not a production path."""
+    in both engines. ``include_oov=True`` routes on ``id % 6`` instead
+    and draws branch 5 from :data:`OOV_VOCAB` keyed ``oov`` (the slice
+    the abstain rule must send to 'und'). Pure codegen (md5 +
+    element_at over literal arrays); a fixture device, not a
+    production path."""
     from dask_datapipeline_spark.operators.dedup import seeded_hash64
 
-    def one_lang(lang: str):
-        vocab = (
-            LANG_VOCAB[lang][len(LANG_MARKERS[lang]):]
-            if marker_free
-            else LANG_VOCAB[lang]
-        )
+    def draw(key: str, vocab: list[str]):
         arr = F.array(*[F.lit(wd) for wd in vocab])
         words = F.transform(
             F.sequence(F.lit(0), F.lit(FIXTURE_WORDS - 1)),
@@ -377,7 +513,7 @@ def synth_doc_col(
                 (
                     seeded_hash64(
                         F.concat(
-                            F.lit(f"{lang}:"),
+                            F.lit(f"{key}:"),
                             F.col(id_col).cast("string"),
                             F.lit(":"),
                             j.cast("string"),
@@ -391,10 +527,22 @@ def synth_doc_col(
         )
         return F.array_join(words, " ")
 
-    expr = one_lang(LANGS[-1])
-    for i in range(len(LANGS) - 2, -1, -1):
+    def one_lang(lang: str):
+        vocab = (
+            LANG_VOCAB[lang][len(LANG_MARKERS[lang]):]
+            if marker_free
+            else LANG_VOCAB[lang]
+        )
+        return draw(lang, vocab)
+
+    modulus = len(LANGS) + 1 if include_oov else len(LANGS)
+    expr = (
+        draw("oov", OOV_VOCAB) if include_oov else one_lang(LANGS[-1])
+    )
+    last = len(LANGS) - 1 if include_oov else len(LANGS) - 2
+    for i in range(last, -1, -1):
         expr = F.when(
-            F.col(id_col) % len(LANGS) == i, one_lang(LANGS[i])
+            F.col(id_col) % modulus == i, one_lang(LANGS[i])
         ).otherwise(expr)
     return expr
 
@@ -404,14 +552,23 @@ def synth_doc_sql_ctes(
     id_col: str = "doc_id",
     namespace: str = EVAL_SEED,
     marker_free: bool = True,
+    include_oov: bool = False,
 ) -> str:
     """DuckDB replay of :func:`synth_doc_col` as CTEs ending in
     ``ft(doc_id, text)`` — same md5 word draws, same LANGS[id%5]
-    routing; list literals escaped for apostrophe-bearing vocab
-    (c'est, d'une)."""
+    (or id%6 with the OOV branch) routing; list literals escaped for
+    apostrophe-bearing vocab (c'est, d'une)."""
 
     def _q(x: str) -> str:
         return x.replace("'", "''")
+
+    def branch(i: int, key: str, vocab: list[str]) -> str:
+        lst = "[" + ", ".join(f"'{_q(wd)}'" for wd in vocab) + "]"
+        h = (
+            f"CAST(CONCAT('0x', SUBSTRING(md5('{namespace}:{key}:' || "
+            f"{id_col} || ':' || j), 1, 15)) AS BIGINT) % {len(vocab)}"
+        )
+        return f"WHEN {i} THEN ({lst})[({h}) + 1]"
 
     branches = []
     for i, lang in enumerate(LANGS):
@@ -420,13 +577,12 @@ def synth_doc_sql_ctes(
             if marker_free
             else LANG_VOCAB[lang]
         )
-        lst = "[" + ", ".join(f"'{_q(wd)}'" for wd in vocab) + "]"
-        h = (
-            f"CAST(CONCAT('0x', SUBSTRING(md5('{namespace}:{lang}:' || "
-            f"{id_col} || ':' || j), 1, 15)) AS BIGINT) % {len(vocab)}"
-        )
-        branches.append(f"WHEN {i} THEN ({lst})[({h}) + 1]")
-    case = f"CASE {id_col} % {len(LANGS)} " + " ".join(branches) + " END"
+        branches.append(branch(i, lang, vocab))
+    modulus = len(LANGS)
+    if include_oov:
+        branches.append(branch(len(LANGS), "oov", OOV_VOCAB))
+        modulus += 1
+    case = f"CASE {id_col} % {modulus} " + " ".join(branches) + " END"
     return f"""fw AS (
   SELECT {id_col}, unnest(generate_series(0, {FIXTURE_WORDS - 1})) AS j
   FROM {src}

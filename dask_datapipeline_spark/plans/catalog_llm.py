@@ -8347,6 +8347,63 @@ def q_lang_id_trained(spark, sf_dir):
     )
 
 
+def _lang_id_abstain_sql() -> str:
+    langs = LID.LANGS
+    truth = (
+        "CASE doc_id % 6 "
+        + " ".join(f"WHEN {i} THEN '{lg}'" for i, lg in enumerate(langs))
+        + f" ELSE '{LID.UND}' END"
+    )
+    tail = f",\n       {truth} AS lang_true,\n       lang = {truth} AS hit"
+    return LID.lang_id_trained_sql(
+        _LID_WEIGHTS,
+        src="ft",
+        front_ctes=LID.synth_doc_sql_ctes(include_oov=True) + ",\n",
+        tail_cols=tail,
+        abstain_milli=LID.DEFAULT_ABSTAIN_MILLI,
+    )
+
+
+@register_extra(
+    "lang_id_abstain",
+    _lang_id_abstain_sql(),
+    "Trained LID with the margin-threshold ABSTAIN path (operators/"
+    "langid.py::decide_lang): lang='und' iff (top1 - top2) * 1000 < "
+    f"{LID.DEFAULT_ABSTAIN_MILLI} * n_grams — an all-integer inequality "
+    "both engines replay exactly. A 5-language model sees ~95% of web "
+    "languages as out-of-vocabulary; without 'und' every one is "
+    "confidently mislabeled and mis-routed to a per-language Gopher "
+    "floor (downstream, stopword_hits_by_lang routes 'und' to the "
+    "English floor explicitly). Fixture routes id%6: five in-vocab "
+    "marker-free languages (calibrated min margin/gram 25.5 — never "
+    "abstains) plus an out-of-vocab Polish slice (max 8.6 — always "
+    "abstains); held-out REAL-text accuracy incl. the two sentences "
+    "the plain argmax mislabels is pinned in tests/test_langid.py",
+)
+def q_lang_id_abstain(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id")
+    fixture = docs.select(
+        "doc_id", LID.synth_doc_col(include_oov=True).alias("text")
+    )
+    scored = LID.lang_id_trained(
+        fixture,
+        "doc_id",
+        "text",
+        _LID_WEIGHTS,
+        abstain_milli=LID.DEFAULT_ABSTAIN_MILLI,
+    )
+    truth = None
+    for i, lg in enumerate(LID.LANGS):
+        cond = F.col("doc_id") % 6 == i
+        truth = F.when(cond, lg) if truth is None else truth.when(cond, lg)
+    truth = truth.otherwise(F.lit(LID.UND))
+    return scored.select(
+        "*",
+        truth.alias("lang_true"),
+        (F.col("lang") == truth).alias("hit"),
+    )
+
+
 # ----- HyperLogLog distinct sketch -----------------------------------
 
 from dask_datapipeline_spark.operators.sketches import (  # noqa: E402
