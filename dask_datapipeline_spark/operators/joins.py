@@ -169,6 +169,96 @@ def plan_join_order(stats: Sequence[dict]) -> list[int]:
     return order
 
 
+def explain_cost(
+    spark,
+    stats: Sequence[dict],
+    broadcast_rows: int | None = None,
+    labels: Sequence[str] | None = None,
+) -> DataFrame:
+    """The "why this plan" readout for a stats-ordered fold — the
+    operator a user reaches for FIRST when a fold misbehaves at scale:
+    one row per input in the CHOSEN left-deep order with the estimated
+    cardinalities and broadcast decisions the planner acted on.
+
+    Columns: ``step`` (position in the chosen order), ``input_idx``
+    (caller index), ``label``, ``est_rows`` (surviving key rows of
+    this input: ``n_rows - n_null``), ``est_ndv``, ``est_out_rows``
+    (estimated cardinality of the left-deep tree AFTER this input
+    joins; step 0 = its own surviving rows), ``broadcast`` (the
+    ``fold_join(broadcast_rows=)`` decision for this input), and a
+    human ``reason``.
+
+    The report CANNOT drift from the planner: the order comes from
+    :func:`plan_join_order`, every estimate from
+    ``stats.estimate_equi_join_rows``, and the composite-stats rule is
+    the same merged() assumption — so
+    ``fold_join(order='stats', stats=s, broadcast_rows=b)`` executes
+    exactly the tree this report prints. Driver-side arithmetic over k
+    bounded rows turned into a k-row DataFrame — never a Spark job
+    over the inputs."""
+    from dask_datapipeline_spark.operators.stats import estimate_equi_join_rows
+
+    stats = list(stats)
+    if labels is not None and len(labels) != len(stats):
+        raise ValueError(
+            f"labels has {len(labels)} entries for {len(stats)} stats rows"
+        )
+
+    def name(i: int) -> str:
+        return labels[i] if labels is not None else f"input_{i}"
+
+    def surviving(st: dict) -> float:
+        return float(st["n_rows"]) - float(st["n_null"])
+
+    order = plan_join_order(stats)
+    rows = []
+    cur: dict | None = None
+    for step, idx in enumerate(order):
+        st = stats[idx]
+        if step == 0:
+            out = surviving(st)
+            reason = "leading input of the smallest estimated first pair"
+            bc = False  # the leading side is the build base, never hinted
+        else:
+            out = estimate_equi_join_rows(cur, st)
+            reason = "smallest estimated intermediate among remaining inputs"
+            bc = broadcast_rows is not None and surviving(st) <= broadcast_rows
+            if broadcast_rows is not None:
+                reason += (
+                    f"; broadcast ({surviving(st):.0f} <= {broadcast_rows})"
+                    if bc
+                    else f"; shuffle ({surviving(st):.0f} > {broadcast_rows})"
+                )
+        # the same composite-stats assumption plan_join_order uses
+        cur = (
+            dict(st)
+            if cur is None
+            else {
+                "n_rows": out,
+                "n_null": 0,
+                "ndv_est": min(float(cur["ndv_est"]), float(st["ndv_est"])),
+            }
+        )
+        rows.append(
+            (
+                step,
+                idx,
+                name(idx),
+                surviving(st),
+                float(st["ndv_est"]),
+                float(out),
+                bool(bc),
+                reason,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "step int, input_idx int, label string, est_rows double, "
+        "est_ndv double, est_out_rows double, broadcast boolean, "
+        "reason string",
+    )
+
+
 def fold_join(
     dfs: Iterable[DataFrame],
     on: str | Sequence[str],

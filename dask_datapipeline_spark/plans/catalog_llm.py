@@ -3050,6 +3050,90 @@ def q_web_corpus_clean(spark, sf_dir):
     return canon_split
 
 
+@register_extra(
+    "streaming_corpus_clean",
+    _web_corpus_clean_sql(),
+    "Streaming twin of web_corpus_clean (streaming/windows.py::"
+    "stream_stage_deltas): the crawled pages arrive as THREE micro-batch "
+    "files through a real Structured Streaming foreachBatch sink; the "
+    "ROW-LOCAL front (HTML->text, unicode normalization, URL "
+    "canonicalization — the compute-dense Arrow/codegen work) runs per "
+    "trigger at O(batch) and lands as replay-idempotent delta=<batch_id> "
+    "parquet; the corpus-GLOBAL stages (URL dedup window, quality gate, "
+    "exact dedup, MinHash clustering, split) then run ONCE over the "
+    "accumulated deltas — the production split of streaming extraction "
+    "vs periodic dedup compaction. Row-local stage + partitioning "
+    "deltas means union-then-clean == clean-then-union, so this row "
+    "shares web_corpus_clean's oracle VERBATIM: an exact match proves "
+    "the streaming wiring (offsets, batch-id replay idempotence, drain) "
+    "loses nothing end to end",
+)
+def q_streaming_corpus_clean(spark, sf_dir):
+    import os as _os
+    import tempfile as _tf
+    import uuid as _uuid
+
+    from pyspark.sql.window import Window
+
+    from dask_datapipeline_spark.functions.html import html_to_text
+    from dask_datapipeline_spark.functions.normalize import normalize_text
+    from dask_datapipeline_spark.functions.urls import canonical_url
+    from dask_datapipeline_spark.streaming.windows import stream_stage_deltas
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", "lang", _raw_url_col(), _raw_html_col())
+    # fresh working area per invocation (the streaming_incremental_dedup
+    # harness): the sink appends deltas, a cached dir would contaminate
+    work = _os.path.join(
+        _tf.gettempdir(), f"ddps_stream_clean_{_uuid.uuid4().hex[:8]}"
+    )
+    staged = _os.path.join(work, "staged")
+    _os.makedirs(staged, exist_ok=True)
+    # FIXTURE-ONLY collect (bounded: one id column) for the id cuts —
+    # a real ingest's crawl files arrive already staged
+    ids = sorted(r[0] for r in raw.select("doc_id").collect())
+    cuts = (
+        [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+        if len(ids) >= 3
+        else [0, 0]
+    )
+    _stage_micro_batches(
+        [
+            raw.where(F.col("doc_id") < cuts[0]),
+            raw.where((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
+            raw.where(F.col("doc_id") >= cuts[1]),
+        ],
+        staged,
+    )
+
+    def _front(batch):
+        return batch.select(
+            "doc_id",
+            "lang",
+            normalize_text(html_to_text(F.col("html"))).alias("text"),
+            canonical_url(F.col("url")).alias("__curl"),
+        )
+
+    extracted_dir = _os.path.join(work, "extracted")
+    stream_stage_deltas(
+        spark,
+        staged,
+        extracted_dir,
+        "doc_id long, lang string, url string, html string",
+        _front,
+        checkpoint_dir=_os.path.join(work, "ckpt"),
+    )
+    extracted = spark.read.parquet(extracted_dir).drop("delta")
+    w = Window.partitionBy("__curl")
+    urlkept = (
+        extracted.withColumn("__surv", F.min("doc_id").over(w))
+        .filter(F.col("__surv") == F.col("doc_id"))
+        .select("doc_id", "lang", "text")
+    )
+    _kept, canon_split = _corpus_clean_split(spark, sf_dir, docs=urlkept)
+    return canon_split
+
+
 def _web_corpus_main_sql() -> str:
     """corpus_clean with the MAIN-CONTENT front end: synthesized
     boilerplate-laden pages → DOM-grade block extraction

@@ -952,6 +952,55 @@ def stream_incremental_bm25_index(
     _drain(q, timeout_sec)
 
 
+def stream_stage_deltas(
+    spark: SparkSession,
+    staged_dir: str,
+    out_dir: str,
+    schema,
+    stage_fn,
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 240,
+) -> None:
+    """ROW-LOCAL pipeline stage under the micro-batch engine: per
+    micro-batch, apply ``stage_fn`` (DataFrame → DataFrame; must be
+    row-local — extraction, normalization, per-row scoring — never a
+    cross-batch aggregate) and write the result as
+    ``<out_dir>/delta=<batch_id>`` (mode=overwrite by checkpointed
+    batch id — the replay-idempotent append discipline every
+    incremental sink here uses). Reading ``out_dir`` afterward yields
+    the union of all processed batches via partition discovery.
+
+    This is THE streaming shape for the web-curation front door: the
+    compute-dense per-row work (HTML parsing, normalization, quality
+    signals — the Arrow stages) streams at O(batch) per trigger as
+    crawl files land, while the corpus-GLOBAL stages (URL/exact/
+    MinHash dedup, splits) run over the accumulated deltas as a
+    periodic batch pass — exactly how a production pipeline splits
+    the work, and what keeps per-trigger cost O(batch) instead of the
+    O(corpus) a snapshot-recompute twin would pay. Because stage_fn is
+    row-local and the deltas partition the input, batch-over-the-union
+    ≡ union-over-the-batches BY CONSTRUCTION — the catalog row
+    (extra:streaming_corpus_clean) proves the end-to-end equality by
+    sharing web_corpus_clean's oracle verbatim."""
+    out = out_dir.rstrip("/")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        stage_fn(batch_df).write.mode("overwrite").parquet(
+            f"{out}/delta={batch_id}"
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_dir)
+        .writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir or out + ".ckpt")
+        .start()
+    )
+    _drain(q, timeout_sec)
+
+
 def stream_incremental_hll(
     spark: SparkSession,
     staged_dir: str,
