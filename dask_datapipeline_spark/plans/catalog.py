@@ -1175,7 +1175,16 @@ DRIVER_ORDER: list[str] = [
     # Slot freed for html_extract below.
     "session_window",
     "streaming_tumbling",
-    "streaming_dedup",
+    # round-12 rotation (README policy rule 2): streaming_dedup out to
+    # EXTRA_CATALOG — dedup semantics is the most driver-covered family
+    # (dedup_exact/jaccard/minhash/dup_clusters) and the streaming
+    # family keeps three representatives. Slot freed for the round-12
+    # promotion below: streaming_corpus_clean, the END-TO-END streaming
+    # web-curation proof (micro-batch HTML extraction as replay-
+    # idempotent deltas -> corpus-global dedup/quality/split over the
+    # union), sharing web_corpus_clean's oracle verbatim — exact-match
+    # green on arrival
+    "streaming_corpus_clean",
     "streaming_user_totals",
     # LLM-pipeline operators (SURVEY.md §2.2)
     "dedup_exact",

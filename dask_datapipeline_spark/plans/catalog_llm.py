@@ -2814,14 +2814,17 @@ def q_streaming_user_totals(spark, sf_dir):
     )
 
 
-@register(
+@register_extra(
     "streaming_dedup",
     "SELECT DISTINCT user_id, event_type FROM events",
     "Streaming exact dedup (append-mode dropDuplicates on the key columns, memory "
     "sink): projected to the keys, the emitted set is exactly DISTINCT regardless of "
     "arrival order. Production uses dropDuplicatesWithinWatermark (bounded state; "
     "see streaming/windows.py::stream_dedup) — unbounded-state dropDuplicates here "
-    "keeps the oracle exact over replayed late data",
+    "keeps the oracle exact over replayed late data. Rotated to EXTRA_CATALOG "
+    "round 12 (README policy rule 2): dedup semantics is the most driver-covered "
+    "family (dedup_exact/jaccard/minhash/dup_clusters) and the streaming family "
+    "keeps three driver rows; slot freed for streaming_corpus_clean",
 )
 def q_streaming_dedup(spark, sf_dir):
     from dask_datapipeline_spark.streaming.windows import run_to_memory, stream_events
@@ -3050,7 +3053,7 @@ def q_web_corpus_clean(spark, sf_dir):
     return canon_split
 
 
-@register_extra(
+@register(
     "streaming_corpus_clean",
     _web_corpus_clean_sql(),
     "Streaming twin of web_corpus_clean (streaming/windows.py::"

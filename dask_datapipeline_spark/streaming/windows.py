@@ -960,6 +960,7 @@ def stream_stage_deltas(
     stage_fn,
     checkpoint_dir: str | None = None,
     timeout_sec: int = 240,
+    compact_max_deltas: int | None = None,
 ) -> None:
     """ROW-LOCAL pipeline stage under the micro-batch engine: per
     micro-batch, apply ``stage_fn`` (DataFrame → DataFrame; must be
@@ -969,6 +970,12 @@ def stream_stage_deltas(
     batch id — the replay-idempotent append discipline every
     incremental sink here uses). Reading ``out_dir`` afterward yields
     the union of all processed batches via partition discovery.
+    ``compact_max_deltas`` turns on the in-sink maintenance policy
+    (``operators/deltas.py::maybe_compact_deltas`` with the
+    ``exclude_from=batch_id`` replay watermark): a long-running stream
+    otherwise accumulates unbounded tiny delta dirs — the same
+    file-count regression the index compactions bound. Half-done
+    compactions recover at sink start.
 
     This is THE streaming shape for the web-curation front door: the
     compute-dense per-row work (HTML parsing, normalization, quality
@@ -982,12 +989,22 @@ def stream_stage_deltas(
     ≡ union-over-the-batches BY CONSTRUCTION — the catalog row
     (extra:streaming_corpus_clean) proves the end-to-end equality by
     sharing web_corpus_clean's oracle verbatim."""
+    from dask_datapipeline_spark.operators.deltas import (
+        maybe_compact_deltas,
+        recover_delta_compaction,
+    )
+
     out = out_dir.rstrip("/")
+    recover_delta_compaction(out)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         stage_fn(batch_df).write.mode("overwrite").parquet(
             f"{out}/delta={batch_id}"
         )
+        if compact_max_deltas is not None:
+            maybe_compact_deltas(
+                spark, out, compact_max_deltas, exclude_from=batch_id
+            )
 
     q = (
         spark.readStream.schema(schema)
