@@ -391,6 +391,50 @@ def c4_clean_cols(text: Column | str) -> dict[str, Column]:
     }
 
 
+def dedup_lines_cols(text: Column | str) -> dict[str, Column]:
+    """Within-DOCUMENT duplicate-line removal (round 12): keep the
+    FIRST occurrence of every line, document order preserved — the
+    RefinedWeb/FineWeb 'remove duplicated lines within page' TRANSFORM
+    that complements the ``dup_line_frac`` Gopher SIGNAL (the signal
+    judges repetition; this repairs the common benign case — repeated
+    nav/subscribe/copyright lines a template stamps through the page —
+    so an otherwise-good page passes instead of being dropped whole).
+
+    ``array_distinct`` preserves first-occurrence order (the oracle
+    replays it as an index-aware ``list_filter`` keeping positions
+    where ``list_position`` equals the element's own index, so the
+    cross-engine order contract is gate-verified, not assumed). Empty
+    lines dedup like any other line — a blank-separated page keeps its
+    FIRST blank only; callers wanting paragraph structure intact run
+    this BEFORE splitting on blank runs. Pure per-row array exprs —
+    zero shuffles, zero Python; non-NULL text contract (same as
+    ``c4_clean_cols``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = _lines(c)
+    uniq = F.array_distinct(lines)
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "n_unique": F.size(uniq).cast("long"),
+        "text_dedup": F.array_join(uniq, "\n"),
+    }
+
+
+def dedup_lines_sql_projections(expr: str) -> dict[str, str]:
+    """DuckDB replay of :func:`dedup_lines_cols` — first-occurrence
+    order stated EXPLICITLY (index-aware list_filter + list_position)
+    rather than trusting list_distinct's unspecified order."""
+    lines = f"string_split(replace({expr}, chr(13), ''), chr(10))"
+    uniq = f"list_filter({lines}, (l, i) -> list_position({lines}, l) = i)"
+    return {
+        "n_lines": f"CAST(len({lines}) AS BIGINT)",
+        "n_unique": f"CAST(len({uniq}) AS BIGINT)",
+        # COALESCE: the empty-list array_to_string NULL divergence
+        # (CLAUDE.md; unreachable here — split never yields an empty
+        # list — kept for the family-wide discipline)
+        "text_dedup": f"COALESCE(array_to_string({uniq}, chr(10)), '')",
+    }
+
+
 def c4_sql_projections(expr: str) -> dict[str, str]:
     """DuckDB replay of ``c4_clean_cols`` — same constants, same
     per-line predicate, same reassembly."""

@@ -8491,6 +8491,81 @@ def q_lang_id_abstain(spark, sf_dir):
     )
 
 
+def _multilang_gate_trained_sql() -> str:
+    from dask_datapipeline_spark.functions.quality import (
+        THRESHOLDS,
+        stopword_hits_by_lang_sql,
+    )
+
+    lid_sql = LID.lang_id_trained_sql(
+        _LID_WEIGHTS,
+        src="ft",
+        front_ctes=LID.synth_doc_sql_ctes(
+            marker_free=False, include_oov=True
+        )
+        + ",\n",
+        abstain_milli=LID.DEFAULT_ABSTAIN_MILLI,
+    )
+    hits = stopword_hits_by_lang_sql("t.text", "l.lang")
+    floor = int(THRESHOLDS["min_stopword_hits"])
+    # the outer ft rebuilds the SAME deterministic fixture for the
+    # text join; the inner WITH (lid) shadows its own copy — scoped,
+    # no collision
+    return f"""
+WITH {LID.synth_doc_sql_ctes(marker_free=False, include_oov=True)},
+lid AS ({lid_sql})
+SELECT l.doc_id, l.lang,
+       {hits} AS stop_hits,
+       {hits} < {floor} AS fail_stopwords
+FROM lid l JOIN ft t ON l.doc_id = t.doc_id
+"""
+
+
+@register_extra(
+    "multilang_gate_trained",
+    _multilang_gate_trained_sql(),
+    "THE composed multilingual quality gate (round 12): trained LID with "
+    "the abstain path routes every document — five in-vocab languages "
+    "plus an out-of-vocab slice — and the per-language Gopher stopword "
+    "floor scores each doc against ITS PREDICTED language's markers "
+    "(stopword_hits_by_lang), with 'und' falling to the English floor "
+    "explicitly. Marker-inclusive fixture: correctly-routed docs hit "
+    "their own floor, the OOV slice abstains and (correctly) fails the "
+    "English floor — the observable difference between 'und' and a "
+    "confident mislabel that would have scored a random language's "
+    "markers. One Arrow LID pass + one codegen floor expression; the "
+    "oracle composes the lang_id_abstain scoring (nested WITH) with the "
+    "same marker CASE, bit-exact end to end",
+)
+def q_multilang_gate_trained(spark, sf_dir):
+    from dask_datapipeline_spark.functions.quality import (
+        THRESHOLDS,
+        stopword_hits_by_lang,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id")
+    fixture = docs.select(
+        "doc_id",
+        LID.synth_doc_col(marker_free=False, include_oov=True).alias("text"),
+    )
+    scored = LID.lang_id_trained(
+        fixture,
+        "doc_id",
+        "text",
+        _LID_WEIGHTS,
+        abstain_milli=LID.DEFAULT_ABSTAIN_MILLI,
+    )
+    joined = scored.select("doc_id", "lang").join(fixture, "doc_id")
+    hits = stopword_hits_by_lang(F.col("text"), F.col("lang")).cast("long")
+    floor = int(THRESHOLDS["min_stopword_hits"])
+    return joined.select(
+        "doc_id",
+        "lang",
+        hits.alias("stop_hits"),
+        (hits < floor).alias("fail_stopwords"),
+    )
+
+
 # ----- HyperLogLog distinct sketch -----------------------------------
 
 from dask_datapipeline_spark.operators.sketches import (  # noqa: E402
@@ -8748,6 +8823,92 @@ def q_c4_line_filter(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     sig = c4_clean_cols(_raw_page_col())
     return docs.select("doc_id", *[sig[n].alias(n) for n in C4_COLS])
+
+
+# ----- within-document duplicate-line removal --------------------------
+
+# Fixture: template chrome stamped through each page — a subscribe
+# banner before AND after the body, the body repeated (pagination
+# echo), a 40-char teaser that equals the body only for short docs
+# (exercising the collision branch), and every 3rd doc a second
+# banner pair. Exact cross-engine string ops only.
+_DDL_BANNER = "Subscribe to our newsletter today"
+_DDL_RIGHTS = "All rights reserved worldwide"
+
+
+def _raw_dupline_page_col():
+    nl = F.lit("\n")
+    return F.concat(
+        F.lit(_DDL_BANNER), nl,
+        F.col("text"), nl,
+        F.lit(_DDL_BANNER), nl,
+        F.substring(F.col("text"), 1, 40), nl,
+        F.col("text"), nl,
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_DDL_RIGHTS), nl, F.lit(_DDL_RIGHTS), nl),
+        ).otherwise(F.lit("")),
+        F.lit(_DDL_RIGHTS),
+    )
+
+
+_RAW_DUPLINE_PAGE_SQL = f"""'{_DDL_BANNER}' || chr(10) ||
+  text || chr(10) ||
+  '{_DDL_BANNER}' || chr(10) ||
+  substr(text, 1, 40) || chr(10) ||
+  text || chr(10) ||
+  CASE WHEN doc_id % 3 = 0
+       THEN '{_DDL_RIGHTS}' || chr(10) || '{_DDL_RIGHTS}' || chr(10)
+       ELSE '' END ||
+  '{_DDL_RIGHTS}'"""
+
+
+def _line_dedup_sql() -> str:
+    from dask_datapipeline_spark.functions.quality import (
+        dedup_lines_sql_projections,
+    )
+
+    sig = dedup_lines_sql_projections("page")
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {_RAW_DUPLINE_PAGE_SQL} AS page
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, {sig["n_lines"]} AS n_lines, {sig["n_unique"]} AS n_unique,
+       {sig["text_dedup"]} AS text_dedup
+FROM raw
+"""
+
+
+@register_extra(
+    "line_dedup_within_doc",
+    _line_dedup_sql(),
+    "Within-document duplicate-line removal (functions/quality.py::"
+    "dedup_lines_cols; round 12) — the RefinedWeb 'remove duplicated "
+    "lines within page' TRANSFORM complementing the dup_line_frac Gopher "
+    "SIGNAL: template chrome (subscribe banners, rights lines, "
+    "pagination echoes of the body) is repaired so the page passes "
+    "instead of being dropped whole. First occurrence kept, document "
+    "order preserved — Spark array_distinct vs the oracle's EXPLICIT "
+    "index-aware list_filter/list_position first-occurrence statement, "
+    "so the cross-engine order contract is gate-verified. Fixture "
+    "stamps banners/echoes through each page incl. a teaser line that "
+    "collides with the body only for short docs. Pure per-row array "
+    "exprs, zero shuffles, fused into the scan",
+)
+def q_line_dedup_within_doc(spark, sf_dir):
+    from dask_datapipeline_spark.functions.quality import dedup_lines_cols
+
+    docs = load_testdata(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    sig = dedup_lines_cols(_raw_dupline_page_col())
+    return docs.select(
+        "doc_id",
+        sig["n_lines"].alias("n_lines"),
+        sig["n_unique"].alias("n_unique"),
+        sig["text_dedup"].alias("text_dedup"),
+    )
 
 
 # ----- C4 -> Gopher curation funnel ----------------------------------

@@ -251,3 +251,40 @@ def test_stream_stage_deltas_in_sink_compaction(spark, tmp_path):
         d for d in os.listdir(compacted_dir) if d.startswith("delta=")
     )
     assert len(names) <= 3  # folded base + at most the spared tail
+
+
+# ----- within-document duplicate-line removal ---------------------------
+
+
+def test_dedup_lines_first_occurrence_order(spark):
+    from dask_datapipeline_spark.functions.quality import dedup_lines_cols
+
+    df = spark.createDataFrame(
+        [(1, "B\nA\nB\nC\nA\nB"), (2, "x"), (3, "\n\na\n\nb\n\n")],
+        "doc_id long, text string",
+    )
+    sig = dedup_lines_cols("text")
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            sig["n_lines"].alias("n_lines"),
+            sig["n_unique"].alias("n_unique"),
+            sig["text_dedup"].alias("t"),
+        ).collect()
+    }
+    # first occurrence kept, document order preserved
+    assert rows[1]["t"] == "B\nA\nC" and rows[1]["n_lines"] == 6
+    assert rows[1]["n_unique"] == 3
+    assert rows[2]["t"] == "x"
+    # empty lines dedup like any line: first blank survives only
+    assert rows[3]["t"] == "\na\nb" and rows[3]["n_unique"] == 3
+
+
+def test_dedup_lines_strips_carriage_returns(spark):
+    from dask_datapipeline_spark.functions.quality import dedup_lines_cols
+
+    df = spark.createDataFrame([(1, "A\r\nA\nB\r")], "doc_id long, text string")
+    sig = dedup_lines_cols("text")
+    row = df.select(sig["text_dedup"].alias("t")).first()
+    assert row["t"] == "A\nB"
