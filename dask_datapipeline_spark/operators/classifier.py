@@ -297,22 +297,44 @@ def hashed_linear_score_trained(
     )
 
 
+#: deflate-ratio DECISION thresholds (round 12, calibrated on the
+#: corpus at level 6 — sf0.01, median doc 306 chars): natural docs
+#: span ratio 0.40-0.84; ×20-repeated text drops to 0.04; base64-class
+#: high-entropy junk measures ~0.84-0.88. TEXT cannot exceed ~0.9
+#: however random (6-6.6 bits/char ceiling), so a byte-entropy
+#: threshold like 0.95 would never fire on a string column.
+COMPRESS_LOW_RATIO = 0.25
+COMPRESS_HIGH_RATIO = 0.8
+#: the incompressible flag requires this many bytes: under it the
+#: fixed deflate header dominates and SHORT NATURAL docs read as
+#: incompressible (measured: a 6-byte doc "compresses" to ratio 2.3,
+#: corpus max 1.02) — length-gate the flag, not the ratio itself
+COMPRESS_MIN_BYTES = 256
+
+
 def compression_quality(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     level: int = 6,
+    low: float = COMPRESS_LOW_RATIO,
+    high: float = COMPRESS_HIGH_RATIO,
 ) -> DataFrame:
     """Compression-ratio quality signal (zlib level ``level``): highly
     repetitive / templated / boilerplate text compresses far below
     natural prose, and near-random strings barely compress — the cheap
     content-agnostic filter real corpus pipelines run alongside the
     n-gram heuristics (low ratio → likely machine-generated
-    repetition; ratio ≈ 1 → likely binary junk or ciphertext).
+    repetition; high ratio → likely base64/minified/encoded junk that
+    survived extraction).
 
-    Output: ``(id_col, raw_len, compressed_len, ratio)`` over UTF-8
-    byte lengths; NULL text rows are dropped (the contract everywhere
-    else in the text family — an explicit gate, not a silent 0).
+    Output: ``(id_col, raw_len, compressed_len, ratio,
+    flag_repetitive, flag_incompressible)`` over UTF-8 byte lengths —
+    the flags are the round-12 calibrated DECISIONS (``ratio < low``;
+    ``ratio > high`` AND at least ``COMPRESS_MIN_BYTES`` bytes, so
+    header overhead on short docs cannot false-flag). NULL text rows
+    are dropped (the contract everywhere else in the text family — an
+    explicit gate, not a silent 0).
 
     Physical shape: one Arrow-batched ``mapInPandas`` pass, zero
     shuffles — embarrassingly parallel over the corpus scan like the
@@ -338,16 +360,28 @@ def compression_quality(
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 raw = t.encode("utf-8")
                 comp = len(zlib.compress(raw, level))
+                ratio = comp / len(raw) if raw else 1.0
                 out.append(
                     {
                         id_col: i,
                         "raw_len": len(raw),
                         "compressed_len": comp,
-                        "ratio": comp / len(raw) if raw else 1.0,
+                        "ratio": ratio,
+                        "flag_repetitive": bool(raw) and ratio < low,
+                        "flag_incompressible": len(raw) >= COMPRESS_MIN_BYTES
+                        and ratio > high,
                     }
                 )
             yield pd.DataFrame(
-                out, columns=[id_col, "raw_len", "compressed_len", "ratio"]
+                out,
+                columns=[
+                    id_col,
+                    "raw_len",
+                    "compressed_len",
+                    "ratio",
+                    "flag_repetitive",
+                    "flag_incompressible",
+                ],
             )
 
     schema = T.StructType(
@@ -356,6 +390,8 @@ def compression_quality(
             T.StructField("raw_len", T.LongType()),
             T.StructField("compressed_len", T.LongType()),
             T.StructField("ratio", T.DoubleType()),
+            T.StructField("flag_repetitive", T.BooleanType()),
+            T.StructField("flag_incompressible", T.BooleanType()),
         ]
     )
     from dask_datapipeline_spark.parallel import fan_out

@@ -699,13 +699,44 @@ def q_embedding_dup_clusters(spark, sf_dir):
     "Compression-ratio quality signal (operators/classifier.py::"
     "compression_quality): zlib ratio per document — repetitive/templated text "
     "compresses far below natural prose, near-random strings barely compress; "
-    "one Arrow pass, zero shuffles, bit-deterministic for a fixed zlib",
+    "one Arrow pass, zero shuffles, bit-deterministic for a fixed zlib. "
+    "Round 12: calibrated DECISION flags — flag_repetitive (ratio < 0.25; "
+    "natural corpus docs span 0.40-0.84, x20 repetition hits 0.04) and "
+    "flag_incompressible (ratio > 0.8 AND >= 256 bytes — the length gate "
+    "keeps deflate-header overhead on short docs from false-flagging; "
+    "base64-class junk measures ~0.84, and TEXT cannot exceed ~0.9 however "
+    "random, so a 0.95-style byte threshold would never fire). Fixture "
+    "plants both tails: every 4th doc's text repeated x20, every 9th "
+    "replaced by a base64(md5-digest) high-entropy chain",
 )
 def q_compression_quality(spark, sf_dir):
     from dask_datapipeline_spark.operators.classifier import compression_quality
 
-    docs = load_testdata(spark, sf_dir, "documents")
-    return compression_quality(docs)
+    docs = load_testdata(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    # planted tails: x20 repetition / base64-of-md5-digest chains
+    # (6-bit/char entropy — md5 HEX would deflate to ~0.62, never flag)
+    rnd = F.concat(
+        *[
+            F.base64(
+                F.unhex(
+                    F.md5(
+                        F.concat(F.col("doc_id").cast("string"), F.lit(f":{k}"))
+                    )
+                )
+            )
+            for k in range(16)
+        ]
+    )
+    decorated = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 9 == 0, rnd)
+        .when(F.col("doc_id") % 4 == 0, F.repeat(F.col("text"), 20))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return compression_quality(decorated)
 
 
 @register_extra(
