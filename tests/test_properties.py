@@ -1254,3 +1254,57 @@ def test_audio_fingerprint_matches_python_model_through_codec(spark, n, seed):
         if fs * n > total * len(ts):
             want |= 1 << k
     assert got == want
+
+
+@given(
+    lines=st.lists(
+        st.sampled_from(["a", "bb", "", "line three", "x y", "bb", "zz"]),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_dedup_lines_matches_python_model(spark, lines):
+    """dedup_lines_cols (round 12) == pure-Python first-occurrence
+    filter over any line multiset, including blank runs — the array_
+    distinct order assumption verified against the model, not assumed."""
+    from dask_datapipeline_spark.functions.quality import dedup_lines_cols
+
+    text = "\n".join(lines)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    sig = dedup_lines_cols("text")
+    row = df.select(
+        sig["n_lines"].alias("n"),
+        sig["n_unique"].alias("u"),
+        sig["text_dedup"].alias("t"),
+    ).first()
+    seen: list[str] = []
+    for ln in lines:
+        if ln not in seen:
+            seen.append(ln)
+    assert row["n"] == len(lines)
+    assert row["u"] == len(seen)
+    assert row["t"] == "\n".join(seen)
+
+
+@given(
+    raws=st.lists(
+        st.integers(min_value=-5000, max_value=5000), min_size=5, max_size=5
+    ),
+    n_grams=st.integers(min_value=1, max_value=200),
+    tau=st.integers(min_value=0, max_value=20000),
+)
+@settings(**_SETTINGS)
+def test_decide_lang_matches_integer_model(raws, n_grams, tau):
+    """decide_lang (round 12) == the all-integer margin model for any
+    raw-score vector: argmax with LANGS-order ties, 'und' iff
+    (top1 - top2) * 1000 < tau * n_grams (strict)."""
+    from dask_datapipeline_spark.operators import langid as L
+
+    rd = dict(zip(L.LANGS, raws))
+    best = max(raws)
+    pred = next(lg for lg in L.LANGS if rd[lg] == best)
+    second = max(v for lg, v in rd.items() if lg != pred)
+    want = L.UND if (best - second) * 1000 < tau * n_grams else pred
+    assert L.decide_lang(rd, n_grams, tau) == want
+    assert L.decide_lang(rd, n_grams, None) == pred
