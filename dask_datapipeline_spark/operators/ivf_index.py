@@ -856,6 +856,63 @@ def ivf_drift_report(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def maybe_retrain_ivf_index(
+    spark: SparkSession,
+    path: str,
+    max_mean_residual: float | None = None,
+    max_occ_l1: float | None = None,
+    train_sample: int = 4096,
+    train_iter: int = 10,
+    train_seed: int = TRAIN_SEED,
+) -> bool:
+    """The maintenance POLICY connecting :func:`ivf_drift_report` to
+    :func:`compact_ivf_index(retrain=True)` — the drift analogue of
+    the ``maybe_compact_*`` thresholds: retrain when any NON-BASE
+    delta's measured assignment distortion exceeds
+    ``max_mean_residual`` or its cell-occupancy divergence exceeds
+    ``max_occ_l1`` (pass either or both; at least one required).
+    Returns whether a retrain fired. Idempotent as a policy: after a
+    retrain everything lives in one fresh base, the report has no
+    non-base delta rows, and the next call is a no-op until new
+    drifted appends accumulate.
+
+    OFFLINE-ONLY — stronger than the compaction sinks' single-writer
+    contract: retrain folds EVERY delta (there is deliberately no
+    replay watermark, because excluding an in-flight delta would leave
+    its stored cells assigned under the replaced codebook — stale
+    routing). Run it between streaming runs / from a scheduler when no
+    micro-batch can be in flight; a foreachBatch replay racing a
+    retrain would re-append rows the fold already absorbed."""
+    if max_mean_residual is None and max_occ_l1 is None:
+        raise ValueError(
+            "pass max_mean_residual and/or max_occ_l1 — a policy with "
+            "no threshold can never fire"
+        )
+    rep = ivf_drift_report(spark, path).collect()
+    if len(rep) <= 1:
+        return False  # base only — nothing appended since the last fold
+    base_id = min(int(r["delta"]) for r in rep)
+    tripped = any(
+        (
+            max_mean_residual is not None
+            and float(r["mean_residual"]) > max_mean_residual
+        )
+        or (max_occ_l1 is not None and float(r["occ_l1"]) > max_occ_l1)
+        for r in rep
+        if int(r["delta"]) != base_id
+    )
+    if not tripped:
+        return False
+    return compact_ivf_index(
+        spark,
+        path,
+        retrain=True,
+        train_sample=train_sample,
+        train_iter=train_iter,
+        train_seed=train_seed,
+    )
+
+
 def compact_ivf_index(
     spark: SparkSession,
     path: str,

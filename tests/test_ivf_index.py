@@ -567,3 +567,39 @@ def test_streaming_ivf_sink_equals_one_shot(spark, emb, tmp_path):
     want = sorted(map(tuple, ivf_topk_from_index(spark, full, queries, k=K, n_probe=N_PROBE).collect()))
     got = sorted(map(tuple, ivf_topk_from_index(spark, idx, queries, k=K, n_probe=N_PROBE).collect()))
     assert got == want
+
+
+def test_retrain_policy_fires_on_drift_and_settles(spark, emb, tmp_path):
+    """maybe_retrain_ivf_index: the drift thresholds connect the
+    report to the retrain — planted drift trips it exactly once
+    (after the retrain the index is one fresh base and the policy is
+    a no-op), an undrifted index never fires, and a thresholdless
+    call is rejected."""
+    from dask_datapipeline_spark.operators.ivf_index import (
+        append_to_ivf_index,
+        ivf_drift_report,
+        maybe_retrain_ivf_index,
+    )
+
+    path, _ = _planted_drift_index(spark, emb, tmp_path)
+    base_mean = {
+        int(r["delta"]): r["mean_residual"]
+        for r in ivf_drift_report(spark, path).collect()
+    }[-1]
+    # threshold between base and drifted distortion: fires once
+    tau = base_mean + 0.01
+    assert maybe_retrain_ivf_index(spark, path, max_mean_residual=tau) is True
+    assert maybe_retrain_ivf_index(spark, path, max_mean_residual=tau) is False
+    rep = ivf_drift_report(spark, path).collect()
+    assert len(rep) == 1 and rep[0]["mean_residual"] < base_mean
+    # an UNDRIFTED append under the retrained codebook stays quiet on
+    # the occupancy axis with a generous distortion ceiling
+    append_to_ivf_index(emb.where(F.col("vec_id") < 50), path, 7)
+    assert (
+        maybe_retrain_ivf_index(spark, path, max_mean_residual=2.0, max_occ_l1=2.0)
+        is False
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold"):
+        maybe_retrain_ivf_index(spark, path)
