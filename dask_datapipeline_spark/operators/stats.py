@@ -49,9 +49,10 @@ _SAFE_TYPES = frozenset(
 )
 
 
-def table_stats(df: DataFrame, cols: list[str], p: int = HLL_P) -> DataFrame:
-    """Long-form statistics for ``cols`` of ``df``: one row per column
-    with (column, n_rows, n_null, min_val, max_val, ndv_est)."""
+def check_stats_types(df: DataFrame, cols: Sequence[str]) -> None:
+    """Reject columns whose CAST-to-string is not engine-portable
+    (module docstring) — shared by the batch pass and the streaming
+    maintainer so neither can accept what the other rejects."""
     for c in cols:
         t = dict(df.dtypes)[c]
         if t.split("(")[0].strip() not in _SAFE_TYPES:
@@ -59,6 +60,17 @@ def table_stats(df: DataFrame, cols: list[str], p: int = HLL_P) -> DataFrame:
                 f"column {c!r} has type {t!r} — min/max string forms are "
                 "not engine-portable for this type (module docstring)"
             )
+
+
+def scalar_stats_long(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """The count/null/min/max half of the ANALYZE pass in LONG form:
+    one row per column with (col_name, n_rows, n_null, min_val,
+    max_val). ONE wide reduced aggregate over the scan; min/max are
+    taken on the STRING form so ordering is the lexicographic one in
+    BOTH engines (callers wanting numeric extremes cast back). Shared
+    by ``table_stats`` and the streaming maintainer — every field is
+    MERGEABLE (counts sum, lexicographic min/max merge), which is what
+    makes the incremental twin exact."""
     wide = df.agg(
         F.count(F.lit(1)).alias("__n"),
         *[
@@ -68,22 +80,6 @@ def table_stats(df: DataFrame, cols: list[str], p: int = HLL_P) -> DataFrame:
         *[F.min(F.col(c).cast("string")).alias(f"__min_{c}") for c in cols],
         *[F.max(F.col(c).cast("string")).alias(f"__max_{c}") for c in cols],
     )
-    # NOTE: min/max are taken on the STRING form so ordering is the
-    # lexicographic one in BOTH engines — numeric min/max as numbers
-    # then cast would differ from this for negative/mixed-width values
-    # in neither engine (each casts its own min) but lexicographic is
-    # what the shared contract pins; callers wanting numeric extremes
-    # cast the emitted strings back.
-    stacked = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
-    long_vals = df.selectExpr(
-        f"stack({len(cols)}, {stacked}) AS (col_name, value)"
-    )
-    ndv = hll_estimate_from_registers(
-        hll_registers(long_vals, ["col_name"], "value", p=p, seed=HLL_SEED),
-        ["col_name"],
-        p=p,
-    ).select("col_name", F.col("est_distinct").alias("ndv_est"))
-
     rows = None
     for c in cols:
         piece = wide.select(
@@ -94,13 +90,77 @@ def table_stats(df: DataFrame, cols: list[str], p: int = HLL_P) -> DataFrame:
             F.col(f"__max_{c}").alias("max_val"),
         )
         rows = piece if rows is None else rows.unionByName(piece)
-    return rows.join(ndv, "col_name", "left").select(
+    return rows
+
+
+def stacked_values(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """The unpivoted (col_name, value) pass the ndv sketch feeds on —
+    k× the rows but still ONE scan."""
+    stacked = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
+    return df.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS (col_name, value)"
+    )
+
+
+def assemble_table_stats(
+    scalars: DataFrame, registers: DataFrame, p: int = HLL_P
+) -> DataFrame:
+    """(scalars long rows, HLL register rows) → the table_stats output
+    contract: one row per column with ndv from the registers. Shared
+    by the batch pass and the snapshot reader so the two outputs are
+    the same bytes."""
+    ndv = hll_estimate_from_registers(registers, ["col_name"], p=p).select(
+        "col_name", F.col("est_distinct").alias("ndv_est")
+    )
+    return scalars.join(ndv, "col_name", "left").select(
         "col_name",
         "n_rows",
         "n_null",
         "min_val",
         "max_val",
         F.coalesce(F.col("ndv_est"), F.lit(0.0)).alias("ndv_est"),
+    )
+
+
+def table_stats(df: DataFrame, cols: list[str], p: int = HLL_P) -> DataFrame:
+    """Long-form statistics for ``cols`` of ``df``: one row per column
+    with (column, n_rows, n_null, min_val, max_val, ndv_est)."""
+    check_stats_types(df, cols)
+    registers = hll_registers(
+        stacked_values(df, cols), ["col_name"], "value", p=p, seed=HLL_SEED
+    )
+    return assemble_table_stats(scalar_stats_long(df, cols), registers, p=p)
+
+
+def merge_scalar_stats(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two long-form scalar-stats frames: counts SUM,
+    lexicographic min/max MERGE — exact whatever the batching, which
+    is the algebra the streaming maintainer leans on."""
+    return (
+        a.unionByName(b)
+        .groupBy("col_name")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("n_null").cast("long").alias("n_null"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+        )
+    )
+
+
+def table_stats_from_snapshot(
+    spark, stats_dir: str, p: int = HLL_P
+) -> DataFrame:
+    """Read a ``stream_incremental_table_stats`` snapshot back as the
+    ``table_stats`` output contract — the SAME assembly function, so
+    after draining a stream the maintained statistics are bit-identical
+    to the batch ANALYZE over the full input (the catalog row shares
+    ``table_stats``' oracle verbatim)."""
+    base = stats_dir.rstrip("/")
+    return assemble_table_stats(
+        spark.read.parquet(base + "/scalars"),
+        spark.read.parquet(base + "/registers"),
+        p=p,
     )
 
 

@@ -1111,6 +1111,121 @@ def stream_incremental_hll(
     _drain(q, timeout_sec)
 
 
+def stream_incremental_table_stats(
+    spark: SparkSession,
+    staged_dir: str,
+    stats_dir: str,
+    schema,
+    cols: list[str],
+    p: int | None = None,
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 240,
+) -> None:
+    """Maintain ANALYZE statistics (``operators/stats.py``)
+    incrementally over a file stream — the streaming leg of the CBO
+    stats family: per micro-batch, compute the batch's scalar stats
+    (counts/nulls/lexicographic min-max, long form) and HLL registers,
+    merge with the snapshot, atomically swap. After draining,
+    ``table_stats_from_snapshot`` is BIT-IDENTICAL to the batch
+    ``table_stats`` over the full input (counts sum exactly,
+    lexicographic min/max merge exactly, register max-merge is exact)
+    — the catalog row shares table_stats' oracle verbatim.
+
+    REPLAY GUARD (new in this family): unlike the max/distinct
+    sketches, the COUNT halves are sums — re-merging a replayed batch
+    would double-count it. The snapshot therefore records the last
+    applied batch id (``_APPLIED``, written INTO the staging dir so
+    the swap commits data and marker atomically together), and a
+    replayed batch id (a crash after the swap but before the
+    streaming commit) is SKIPPED — batch ids are monotone, so the
+    ``<=`` check is exact. Mid-swap crashes heal via the standard
+    ``_recover`` (old snapshot restored, the batch replays and
+    applies). State is sketch-sized: k scalar rows + k·2^p register
+    rows per snapshot."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from dask_datapipeline_spark.operators.sketches import (
+        HLL_P,
+        HLL_SEED,
+        hll_merge_registers,
+        hll_registers,
+    )
+    from dask_datapipeline_spark.operators.stats import (
+        check_stats_types,
+        merge_scalar_stats,
+        scalar_stats_long,
+        stacked_values,
+    )
+
+    p = HLL_P if p is None else p
+    base = stats_dir.rstrip("/")
+    parent, name = os.path.split(os.path.abspath(base))
+
+    def _recover() -> None:
+        siblings = os.listdir(parent) if os.path.isdir(parent) else []
+        if not os.path.isdir(base):
+            olds = sorted(d for d in siblings if d.startswith(name + ".old-"))
+            if olds:
+                os.rename(os.path.join(parent, olds[-1]), base)
+                siblings = os.listdir(parent)
+        if os.path.isdir(base):
+            for d in siblings:
+                if d.startswith(name + ".old-") or d.startswith(name + ".stage-"):
+                    shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
+    def _applied() -> int:
+        try:
+            with open(os.path.join(base, "_APPLIED")) as f:
+                return int(json.load(f)["batch_id"])
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        _recover()
+        if batch_id <= _applied():
+            return  # replay of an already-folded batch: sums must not re-apply
+        check_stats_types(batch_df, cols)
+        scal = scalar_stats_long(batch_df, cols)
+        regs = hll_registers(
+            stacked_values(batch_df, cols), ["col_name"], "value", p=p,
+            seed=HLL_SEED,
+        )
+        if os.path.isdir(base):
+            scal = merge_scalar_stats(
+                spark.read.parquet(os.path.join(base, "scalars")), scal
+            )
+            regs = regs.unionByName(
+                spark.read.parquet(os.path.join(base, "registers"))
+            )
+        regs = hll_merge_registers(regs, ["col_name"])
+        staging = base + f".stage-{uuid.uuid4().hex[:8]}"
+        scal.write.mode("overwrite").parquet(os.path.join(staging, "scalars"))
+        regs.write.mode("overwrite").parquet(os.path.join(staging, "registers"))
+        with open(os.path.join(staging, "_APPLIED"), "w") as f:
+            json.dump({"batch_id": int(batch_id)}, f)
+        if os.path.isdir(base):
+            old = base + f".old-{uuid.uuid4().hex[:8]}"
+            os.rename(base, old)
+            os.rename(staging, base)
+            shutil.rmtree(old)
+        else:
+            os.rename(staging, base)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_dir)
+        .writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir or base + ".ckpt")
+        .start()
+    )
+    _drain(q, timeout_sec)
+
+
 def stream_incremental_ivf_index(
     spark: SparkSession,
     staged_dir: str,

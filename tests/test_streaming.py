@@ -500,3 +500,64 @@ def test_stream_incremental_dedup_with_compaction_is_flag_identical(
     # whose append idempotency a post-crash replay depends on
     assert comp_cur["inc"] == [f"b{len(batches) - 1:05d}"]
     assert len(plain_cur["inc"]) == len(batches)
+
+
+def test_stream_table_stats_equals_batch_and_guards_replay(spark, tmp_path):
+    """stream_incremental_table_stats (round 12): after a three-batch
+    drain the snapshot equals the batch ANALYZE bit-for-bit, and the
+    _APPLIED replay guard keeps a re-delivered batch id from
+    double-counting the SUM halves (the failure mode the max/distinct
+    sketch sinks never had)."""
+    import json
+    import os
+
+    from dask_datapipeline_spark.operators.stats import (
+        table_stats,
+        table_stats_from_snapshot,
+    )
+    from dask_datapipeline_spark.plans.catalog_llm import _stage_micro_batches
+    from dask_datapipeline_spark.streaming.windows import (
+        stream_incremental_table_stats,
+    )
+
+    src = spark.range(300).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE id % 40 END AS v",
+        "CAST(id % 11 AS STRING) AS s",
+    )
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    _stage_micro_batches(
+        [src.where(F.col("k") % 3 == i) for i in range(3)], staged
+    )
+    stats_dir = str(tmp_path / "stats")
+    stream_incremental_table_stats(
+        spark,
+        staged,
+        stats_dir,
+        "k long, v long, s string",
+        ["k", "v", "s"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = sorted(
+        map(tuple, table_stats_from_snapshot(spark, stats_dir).collect())
+    )
+    want = sorted(map(tuple, table_stats(src, ["k", "v", "s"]).collect()))
+    assert got == want
+    with open(os.path.join(stats_dir, "_APPLIED")) as f:
+        assert json.load(f)["batch_id"] == 2
+    # at-least-once replay of already-applied ids: a second drain with
+    # a FRESH checkpoint re-delivers ids 0..2 — without the guard the
+    # counts would double; with it the snapshot is untouched
+    stream_incremental_table_stats(
+        spark,
+        staged,
+        stats_dir,
+        "k long, v long, s string",
+        ["k", "v", "s"],
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    again = sorted(
+        map(tuple, table_stats_from_snapshot(spark, stats_dir).collect())
+    )
+    assert again == want
