@@ -48,9 +48,15 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 from urllib.parse import urlparse
+
+#: the temp-file suffix write_text_atomic stamps (name + ".tmp-" +
+#: 8 hex chars) — sweep_tmp only ever touches names matching this, so
+#: it can never eat user data
+_TMP_RE = re.compile(r"\.tmp-[0-9a-f]{8}$")
 
 
 def _scheme(path: str) -> str:
@@ -111,12 +117,34 @@ class IndexFS:
         (see module docstring for per-backend atomicity)."""
         raise NotImplementedError
 
+    def delete_file(self, path: str) -> None:
+        """Delete one FILE; missing path is a no-op."""
+        raise NotImplementedError
+
     # -- shared convenience ---------------------------------------------
     def read_json(self, path: str) -> dict:
         return json.loads(self.read_text(path))
 
     def write_json_atomic(self, path: str, obj: dict) -> None:
         self.write_text_atomic(path, json.dumps(obj))
+
+    def sweep_tmp(self, dirpath: str) -> list[str]:
+        """Remove stale ``*.tmp-xxxxxxxx`` FILES in ``dirpath`` —
+        strands a crashed/thrown :meth:`write_text_atomic` can leave
+        behind (the Hadoop delete+rename fallback window; a kill
+        between the temp write and the rename on either backend).
+        Called at maintenance start (the recover_* entry points), so
+        the no-strands discipline every two-phase protocol documents
+        also covers the marker writes. Non-recursive and gated on the
+        exact temp-name pattern, so it can never touch live state.
+        Returns the swept names (for tests/logging)."""
+        swept = []
+        for name in self.listdir(dirpath):
+            full = IndexFS.join(dirpath, name)
+            if _TMP_RE.search(name) and self.isfile(full):
+                self.delete_file(full)
+                swept.append(name)
+        return swept
 
 
 class _LocalFS(IndexFS):
@@ -151,7 +179,20 @@ class _LocalFS(IndexFS):
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(data)
-        os.rename(tmp, path)  # atomic overwrite on POSIX
+        try:
+            os.rename(tmp, path)  # atomic overwrite on POSIX
+        except Exception:
+            try:  # never strand the temp on a thrown rename
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
+
+    def delete_file(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
 
 
 class _HadoopFS(IndexFS):
@@ -258,10 +299,22 @@ class _HadoopFS(IndexFS):
             # scheme without an AbstractFileSystem binding: fall back
             # to delete+rename — non-atomic window documented in the
             # module docstring, safe under the single-writer contract
-            jdst = self._jpath(path)
-            if self._fs.exists(jdst):
-                self._fs.delete(jdst, False)
-            if not self._fs.rename(self._jpath(tmp), jdst):
-                raise OSError(
-                    f"manifest flip failed: {tmp!r} -> {path!r}"
-                ) from None
+            try:
+                jdst = self._jpath(path)
+                if self._fs.exists(jdst):
+                    self._fs.delete(jdst, False)
+                if not self._fs.rename(self._jpath(tmp), jdst):
+                    raise OSError(
+                        f"manifest flip failed: {tmp!r} -> {path!r}"
+                    ) from None
+            except Exception:
+                try:  # never strand the temp on a thrown fallback
+                    self._fs.delete(self._jpath(tmp), False)
+                except Exception:
+                    pass
+                raise
+
+    def delete_file(self, path: str) -> None:
+        jp = self._jpath(path)
+        if self._fs.exists(jp):
+            self._fs.delete(jp, False)

@@ -341,11 +341,18 @@ def _compact_workdir(index_dir: str) -> str:
 
 
 def _delta_dirs(fs: IndexFS, index_dir: str, sub: str) -> list[str]:
+    # non-integer delta= names (stray manual dirs) are skipped, never
+    # folded — a single one would otherwise kill every later
+    # compaction attempt at the int() parse (operators/deltas.delta_id)
+    from dask_datapipeline_spark.operators.deltas import delta_id
+
     d = IndexFS.join(index_dir, sub)
     return [
         name
         for name in fs.listdir(d)
-        if name.startswith("delta=") and fs.isdir(IndexFS.join(d, name))
+        if name.startswith("delta=")
+        and fs.isdir(IndexFS.join(d, name))
+        and delta_id(name) is not None
     ]
 
 
@@ -384,6 +391,7 @@ def recover_bm25_compaction(index_dir: str) -> None:
     index was never touched."""
     fs = IndexFS.for_path(index_dir, "recover_bm25_compaction")
     base = index_dir.rstrip("/")
+    fs.sweep_tmp(base)  # stranded marker temps from a crashed writer
     work = _compact_workdir(base)
     if not fs.isdir(work):
         return

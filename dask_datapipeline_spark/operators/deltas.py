@@ -50,6 +50,21 @@ def _delta_names(fs: IndexFS, root: str) -> list[str]:
     ]
 
 
+def delta_id(name: str) -> int | None:
+    """Batch id of a ``delta=<n>`` directory name, or None for a
+    non-integer suffix (stray manual dir, corrupted name). Compaction
+    SKIPS None ids — it cannot order them against the watermark, and
+    folding an unknown dir risks destroying state it didn't write;
+    before this guard a single ``delta=foo`` made ``int()`` throw and
+    killed every subsequent compaction attempt for the sink
+    (ADVICE r12). The skipped dir still counts against nothing and is
+    left exactly where it was."""
+    try:
+        return int(name.split("=", 1)[1])
+    except ValueError:
+        return None
+
+
 def _finish(fs: IndexFS, root: str) -> None:
     """Phase C, idempotent: drop consumed deltas named in the COMMIT
     marker, move the folded base in under the marker's fresh ``dest``
@@ -73,6 +88,7 @@ def recover_delta_compaction(root: str) -> None:
     pre-commit garbage — drop it, the live root was never touched."""
     fs = IndexFS.for_path(root, "recover_delta_compaction")
     base = root.rstrip("/")
+    fs.sweep_tmp(base)  # stranded marker temps from a crashed writer
     work = _workdir(base)
     if not fs.isdir(work):
         return
@@ -99,12 +115,13 @@ def maybe_compact_deltas(
     fs = IndexFS.for_path(root, "maybe_compact_deltas")
     base = root.rstrip("/")
     recover_delta_compaction(base)
-    deltas = _delta_names(fs, base)
+    # non-integer delta= dirs are skipped, never folded (see delta_id)
+    deltas = [d for d in _delta_names(fs, base) if delta_id(d) is not None]
     if exclude_from is not None:
-        deltas = [d for d in deltas if int(d.split("=", 1)[1]) < exclude_from]
+        deltas = [d for d in deltas if delta_id(d) < exclude_from]
     if len(deltas) <= max_deltas:
         return False
-    dest = "delta={}".format(min(int(d.split("=", 1)[1]) for d in deltas) - 1)
+    dest = "delta={}".format(min(delta_id(d) for d in deltas) - 1)
     work = _workdir(base)
     fs.rmtree(work)
     # phase A: fold ONLY the consumed deltas, outside partition

@@ -612,11 +612,20 @@ def _ivf_workdir(path: str) -> str:
 
 
 def _ivf_delta_dirs(fs: IndexFS, path: str) -> list[str]:
+    # non-integer delta= names (stray manual dirs) are skipped, never
+    # folded or priced — a single one would otherwise kill every later
+    # compaction/drift call at the int() parse, and an ANSI cast of a
+    # non-numeric partition value throws at read time anyway
+    # (operators/deltas.delta_id is the shared parse)
+    from dask_datapipeline_spark.operators.deltas import delta_id
+
     root = IndexFS.join(path, "vectors")
     return [
         d
         for d in fs.listdir(root)
-        if d.startswith("delta=") and fs.isdir(IndexFS.join(root, d))
+        if d.startswith("delta=")
+        and fs.isdir(IndexFS.join(root, d))
+        and delta_id(d) is not None
     ]
 
 
@@ -665,6 +674,7 @@ def recover_ivf_compaction(path: str) -> None:
     probes failing with CONFLICTING_DIRECTORY_STRUCTURES until the next
     append — sink-start recovery heals it immediately instead."""
     fs = IndexFS.for_path(path, "recover_ivf_compaction")
+    fs.sweep_tmp(path.rstrip("/"))  # stranded _META/marker temps
     _adopt_ivf_flat_layout(path)
     work = _ivf_workdir(path.rstrip("/"))
     if not fs.isdir(work):

@@ -288,15 +288,21 @@ def decide_lang(
     raws: dict[str, int], n_grams: int, abstain_milli: int | None
 ) -> str:
     """THE decision rule: argmax, then the margin-threshold abstain —
-    ``'und'`` iff ``(top1 - top2) * 1000 < abstain_milli * n_grams``
-    (all-integer, no division; a two-way top tie has margin 0 and
-    always abstains). ``abstain_milli=None`` disables abstaining (the
+    ``'und'`` iff ``n_grams == 0`` OR ``(top1 - top2) * 1000 <
+    abstain_milli * n_grams`` (all-integer, no division; a two-way top
+    tie has margin 0 and always abstains). The explicit ``n_grams == 0``
+    arm closes the empty-text hole (ADVICE r12): with zero grams every
+    raw is 0 and the strict inequality ``0 < milli*0`` is false, so
+    without it an empty/whitespace-only doc got a CONFIDENT
+    LANGS-order 'en'. ``abstain_milli=None`` disables abstaining (the
     pre-round-12 behavior). ONE function shared by classify_text and
-    the Arrow stage; the SQL builder documents the identical
-    inequality."""
+    the Arrow stage; the SQL builder replays the identical
+    inequality (including the ``n_grams = 0`` arm)."""
     pred = argmax_lang(raws)
     if abstain_milli is None:
         return pred
+    if n_grams <= 0:
+        return UND  # no evidence at all — never a confident label
     top2 = max(raws[lang] for lang in LANGS if lang != pred)
     if (raws[pred] - top2) * 1000 < abstain_milli * n_grams:
         return UND
@@ -438,7 +444,8 @@ def lang_id_trained_sql(
             for lg in LANGS
         )
         lang_expr = (
-            f"CASE WHEN (greatest({raw_list}) - CASE pred {m2_whens} END) "
+            f"CASE WHEN n_grams = 0 OR "
+            f"(greatest({raw_list}) - CASE pred {m2_whens} END) "
             f"* 1000 < {int(abstain_milli)} * n_grams "
             f"THEN '{UND}' ELSE pred END"
         )

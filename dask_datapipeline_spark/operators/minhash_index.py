@@ -293,6 +293,7 @@ def compact_minhash_index(
     batch, the no-longer-listed tag re-appends, and its rows count
     twice (once in the folded base, once in the re-appended inc)."""
     fs = IndexFS.for_path(index_path, "compact_minhash_index")
+    fs.sweep_tmp(index_path.rstrip("/"))  # stranded manifest temps
     cur = _read_manifest(index_path)
     fold = [
         t

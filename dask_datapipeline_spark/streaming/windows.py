@@ -23,11 +23,88 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+import uuid
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from dask_datapipeline_spark.indexfs import IndexFS, _scheme
+
+
+class _Snapshot:
+    """Crash-safe snapshot-swap state directory for the sketch-sized
+    streaming sinks (quantile sample / KMV / HLL / table stats / CDC
+    parquet snapshot), over ANY Hadoop FS URI via ``indexfs.IndexFS``
+    (round 13 — closes the asymmetry round 12 fixed for the
+    base+delta indexes: the batch inputs and the index triad already
+    spoke object-storage URIs while these snapshots were driver-local
+    ``os.rename`` only).
+
+    Protocol (unchanged from the round-11 ``stream_incremental_hll``
+    pattern — plain paths behave byte-identically to the old os/shutil
+    code): each batch writes the merged state into a fresh
+    ``<base>.stage-*`` sibling, then swaps it live with two renames
+    (base → ``.old-*``, stage → base) and drops the old dir. A crash
+    between the renames leaves base missing with the previous snapshot
+    intact in ``.old-*``; :meth:`recover` (called at the top of every
+    batch) restores it and sweeps completed/healed leftovers — plus
+    any stranded ``*.tmp-*`` marker temps (the indexfs no-strands
+    discipline). On object stores the directory renames are O(state)
+    copies — acceptable for SKETCH-sized state by definition; anything
+    corpus-sized belongs in the delta-append family instead."""
+
+    def __init__(self, path: str, what: str) -> None:
+        self.base = (
+            os.path.abspath(path.rstrip("/"))
+            if _scheme(path) == ""
+            else path.rstrip("/")
+        )
+        self.fs = IndexFS.for_path(self.base, what)
+        self.parent, self.name = self.base.rsplit("/", 1)
+
+    def exists(self) -> bool:
+        return self.fs.isdir(self.base)
+
+    def staging(self) -> str:
+        return self.base + f".stage-{uuid.uuid4().hex[:8]}"
+
+    def recover(self) -> None:
+        """Heal a mid-swap crash before touching state: base missing →
+        restore the newest ``.old-*``; once a live base exists, sweep
+        leftover ``.old-*``/``.stage-*`` siblings (garbage from healed
+        or completed swaps) and stranded marker temps."""
+        siblings = self.fs.listdir(self.parent)
+        if not self.fs.isdir(self.base):
+            olds = sorted(
+                d for d in siblings if d.startswith(self.name + ".old-")
+            )
+            if olds:
+                self.fs.move(
+                    IndexFS.join(self.parent, olds[-1]), self.base
+                )
+                siblings = self.fs.listdir(self.parent)
+        if self.fs.isdir(self.base):
+            for d in siblings:
+                if d.startswith(self.name + ".old-") or d.startswith(
+                    self.name + ".stage-"
+                ):
+                    self.fs.rmtree(IndexFS.join(self.parent, d))
+            self.fs.sweep_tmp(self.base)
+
+    def swap(self, staging: str) -> None:
+        """Make ``staging`` the live snapshot. Each rename is atomic;
+        the pair is not — the recover() contract covers the window."""
+        if self.fs.isdir(self.base):
+            old = self.base + f".old-{uuid.uuid4().hex[:8]}"
+            self.fs.move(self.base, old)
+            self.fs.move(staging, self.base)
+            self.fs.rmtree(old)
+        else:
+            self.fs.move(staging, self.base)
 
 
 def _drain(q, timeout_sec: int, what: str = "stream") -> None:
@@ -342,39 +419,32 @@ def stream_merge_to_parquet(
     the version column, so "latest" is total-ordered even under
     duplicate timestamps), MERGE with the current snapshot
     (``merge_upsert``), write the new
-    snapshot to a staging dir and swap it in via two renames (each
-    rename is atomic; the swap as a whole is not — a concurrent
-    reader can transiently see a missing directory, never a mixed
-    one; see ``compact_small_files``). foreachBatch gives
+    snapshot to a staging dir and swap it in via the shared
+    ``_Snapshot`` protocol (each rename is atomic; the swap as a whole
+    is not — a concurrent reader can transiently see a missing
+    directory, never a mixed one, and a mid-swap crash heals at the
+    next batch via recover(); any Hadoop FS URI). foreachBatch gives
     at-least-once delivery; the MERGE is IDEMPOTENT per key (replayed
     batches re-apply the same latest rows), which is what makes the
     end state exactly-once — the same reasoning every foreachBatch
     upsert sink relies on.
     """
-    import os
-    import shutil
-    import uuid
-
     from dask_datapipeline_spark.operators.merge import latest_per_key, merge_upsert
 
     keys = key_cols or ["user_id"]
+    snap = _Snapshot(snapshot_dir, "stream_merge_to_parquet")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        snap.recover()
         changes = latest_per_key(batch_df, keys, "event_id")
-        if os.path.isdir(snapshot_dir):
-            base = spark.read.parquet(snapshot_dir)
+        if snap.exists():
+            base = spark.read.parquet(snap.base)
             merged = merge_upsert(base, changes, keys)
         else:
             merged = changes
-        staging = snapshot_dir.rstrip("/") + f".stage-{uuid.uuid4().hex[:8]}"
+        staging = snap.staging()
         merged.write.mode("overwrite").parquet(staging)
-        if os.path.isdir(snapshot_dir):
-            old = snapshot_dir.rstrip("/") + f".old-{uuid.uuid4().hex[:8]}"
-            os.rename(snapshot_dir, old)
-            os.rename(staging, snapshot_dir)
-            shutil.rmtree(old)
-        else:
-            os.rename(staging, snapshot_dir)
+        snap.swap(staging)
 
     q = (
         stream_events(spark, sf_dir)
@@ -474,34 +544,28 @@ def stream_incremental_quantile_sample(
     foreachBatch) is idempotent: rows are deduped on the unique
     ``id_col`` before the re-take, so a replayed batch's rows merge
     into themselves. Per micro-batch cost is O(batch + k); the corpus
-    is never rescanned. Same stable-checkpoint + staged-rename-swap
-    discipline as ``stream_merge_to_parquet``."""
-    import os
-    import shutil
-    import uuid
-
+    is never rescanned. Stable checkpoint + the ``_Snapshot``
+    swap/recover protocol over any Hadoop FS URI (round 13 — plain
+    paths behave exactly as before)."""
     from dask_datapipeline_spark.operators.sketches import quantile_sample
 
+    snap = _Snapshot(sample_dir, "stream_incremental_quantile_sample")
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        snap.recover()
         cur = (
             batch_df.select(id_col, value_col)
-            if not os.path.isdir(sample_dir)
-            else spark.read.parquet(sample_dir)
+            if not snap.exists()
+            else spark.read.parquet(snap.base)
             .select(id_col, value_col)
             .unionByName(batch_df.select(id_col, value_col))
         )
         new_sample = quantile_sample(
             cur.dropDuplicates([id_col]), value_col, id_col, k=k
         )
-        staging = sample_dir.rstrip("/") + f".stage-{uuid.uuid4().hex[:8]}"
+        staging = snap.staging()
         new_sample.write.mode("overwrite").parquet(staging)
-        if os.path.isdir(sample_dir):
-            old = sample_dir.rstrip("/") + f".old-{uuid.uuid4().hex[:8]}"
-            os.rename(sample_dir, old)
-            os.rename(staging, sample_dir)
-            shutil.rmtree(old)
-        else:
-            os.rename(staging, sample_dir)
+        snap.swap(staging)
 
     q = (
         spark.readStream.schema(schema)
@@ -540,37 +604,31 @@ def stream_incremental_kmv(
     full stream (the catalog row shares the batch oracle verbatim).
     Replay is idempotent for free here: the sketch is a DISTINCT hash
     set, so re-merged rows vanish in the distinct. Per micro-batch
-    cost is O(batch + groups·k)."""
-    import os
-    import shutil
-    import uuid
-
+    cost is O(batch + groups·k). Snapshot swap/recover via
+    ``_Snapshot`` — any Hadoop FS URI (round 13)."""
     from dask_datapipeline_spark.operators.dedup import seeded_hash64
     from dask_datapipeline_spark.operators.sketches import (
         KMV_SEED,
         kmv_sketch_rows,
     )
 
+    snap = _Snapshot(sketch_dir, "stream_incremental_kmv")
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        snap.recover()
         hashed = batch_df.where(F.col(value_col).isNotNull()).select(
             *group_cols,
             seeded_hash64(F.col(value_col).cast("string"), KMV_SEED).alias("__h"),
         )
         cur = (
             hashed
-            if not os.path.isdir(sketch_dir)
-            else spark.read.parquet(sketch_dir).unionByName(hashed)
+            if not snap.exists()
+            else spark.read.parquet(snap.base).unionByName(hashed)
         )
         new_sketch = kmv_sketch_rows(cur, group_cols, k)
-        staging = sketch_dir.rstrip("/") + f".stage-{uuid.uuid4().hex[:8]}"
+        staging = snap.staging()
         new_sketch.write.mode("overwrite").parquet(staging)
-        if os.path.isdir(sketch_dir):
-            old = sketch_dir.rstrip("/") + f".old-{uuid.uuid4().hex[:8]}"
-            os.rename(sketch_dir, old)
-            os.rename(staging, sketch_dir)
-            shutil.rmtree(old)
-        else:
-            os.rename(staging, sketch_dir)
+        snap.swap(staging)
 
     q = (
         spark.readStream.schema(schema)
@@ -637,8 +695,6 @@ def stream_incremental_dedup(
     increment list exceeds K pairs, which bounds file count by STATE
     rather than cadence (a cadence knob over-compacts small batches
     and under-compacts big ones)."""
-    import os
-
     from dask_datapipeline_spark.operators.minhash_index import (
         append_to_minhash_index,
         compact_minhash_index,
@@ -651,7 +707,7 @@ def stream_incremental_dedup(
             batch_df, index_path, threshold=threshold
         )
         flags.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch-{batch_id:05d}")
+            IndexFS.join(out_dir, f"batch-{batch_id:05d}")
         )
         tag = f"b{batch_id:05d}"
         append_to_minhash_index(batch_df, index_path, tag)
@@ -1042,59 +1098,30 @@ def stream_incremental_hll(
     verbatim. Replay (at-least-once foreachBatch) is idempotent for
     free: re-merging a batch's registers maxes them into themselves.
     Per micro-batch cost is O(batch + groups·2^p); the corpus is never
-    rescanned. Same stable-checkpoint + staged-rename-swap discipline
-    as the KMV/quantile twins above."""
-    import os
-    import shutil
-    import uuid
-
+    rescanned. A mid-swap crash heals at the next batch start: the
+    ``_Snapshot`` recover() restores the intact ``.old-*`` snapshot
+    and re-merging the replayed batch is idempotent for max-merge —
+    nothing is lost. Any Hadoop FS URI (round 13)."""
     from dask_datapipeline_spark.operators.sketches import (
         HLL_SEED,
         hll_merge_registers,
         hll_registers,
     )
 
-    base = sketch_dir.rstrip("/")
-    parent, name = os.path.split(os.path.abspath(base))
-
-    def _recover() -> None:
-        """Heal a mid-swap crash before touching the sketch: the swap
-        below is two renames, and a crash between them leaves
-        ``sketch_dir`` missing with the previous snapshot intact in an
-        ``.old-*`` dir — restoring it (then re-merging the replayed
-        batch, which is idempotent for max-merge) loses nothing.
-        Leftover ``.stage-*``/``.old-*`` dirs from healed or completed
-        swaps are garbage once a live snapshot exists — removed so
-        they cannot accumulate or be mistaken for state."""
-        siblings = os.listdir(parent) if os.path.isdir(parent) else []
-        if not os.path.isdir(sketch_dir):
-            olds = sorted(d for d in siblings if d.startswith(name + ".old-"))
-            if olds:
-                os.rename(os.path.join(parent, olds[-1]), sketch_dir)
-                siblings = os.listdir(parent)
-        if os.path.isdir(sketch_dir):
-            for d in siblings:
-                if d.startswith(name + ".old-") or d.startswith(name + ".stage-"):
-                    shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    snap = _Snapshot(sketch_dir, "stream_incremental_hll")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        _recover()
+        snap.recover()
         reg = hll_registers(batch_df, group_cols, value_col, p=p, seed=HLL_SEED)
         cur = (
             reg
-            if not os.path.isdir(sketch_dir)
-            else spark.read.parquet(sketch_dir).unionByName(reg)
+            if not snap.exists()
+            else spark.read.parquet(snap.base).unionByName(reg)
         )
         new_sketch = hll_merge_registers(cur, group_cols)
-        staging = sketch_dir.rstrip("/") + f".stage-{uuid.uuid4().hex[:8]}"
+        staging = snap.staging()
         new_sketch.write.mode("overwrite").parquet(staging)
-        if os.path.isdir(sketch_dir):
-            old = sketch_dir.rstrip("/") + f".old-{uuid.uuid4().hex[:8]}"
-            os.rename(sketch_dir, old)
-            os.rename(staging, sketch_dir)
-            shutil.rmtree(old)
-        else:
-            os.rename(staging, sketch_dir)
+        snap.swap(staging)
 
     q = (
         spark.readStream.schema(schema)
@@ -1134,19 +1161,22 @@ def stream_incremental_table_stats(
     REPLAY GUARD (new in this family): unlike the max/distinct
     sketches, the COUNT halves are sums — re-merging a replayed batch
     would double-count it. The snapshot therefore records the last
-    applied batch id (``_APPLIED``, written INTO the staging dir so
-    the swap commits data and marker atomically together), and a
-    replayed batch id (a crash after the swap but before the
-    streaming commit) is SKIPPED — batch ids are monotone, so the
-    ``<=`` check is exact. Mid-swap crashes heal via the standard
-    ``_recover`` (old snapshot restored, the batch replays and
-    applies). State is sketch-sized: k scalar rows + k·2^p register
-    rows per snapshot."""
-    import json
-    import os
-    import shutil
-    import uuid
-
+    applied batch id AND the checkpoint identity (``_APPLIED``,
+    written INTO the staging dir so the swap commits data and marker
+    atomically together), and a replayed batch id (a crash after the
+    swap but before the streaming commit) is SKIPPED — batch ids are
+    monotone PER CHECKPOINT, so the ``<=`` check is exact only within
+    one checkpoint lineage. A stream started on a FRESH checkpoint
+    against an existing stats_dir restarts batch ids at 0 — every
+    batch would silently skip and the snapshot go permanently stale
+    (ADVICE r12) — so an identity mismatch RAISES: delete the
+    stats_dir (rebuild) or reuse the original checkpoint. A corrupt
+    ``_APPLIED`` also raises instead of being masked as -1. Mid-swap
+    crashes heal via the standard ``_Snapshot`` recover (old snapshot
+    restored, the batch replays and applies). State is sketch-sized:
+    k scalar rows + k·2^p register rows per snapshot. Marker I/O goes
+    through ``IndexFS`` — one write channel per file, any Hadoop FS
+    URI (round 13)."""
     from dask_datapipeline_spark.operators.sketches import (
         HLL_P,
         HLL_SEED,
@@ -1161,30 +1191,40 @@ def stream_incremental_table_stats(
     )
 
     p = HLL_P if p is None else p
-    base = stats_dir.rstrip("/")
-    parent, name = os.path.split(os.path.abspath(base))
-
-    def _recover() -> None:
-        siblings = os.listdir(parent) if os.path.isdir(parent) else []
-        if not os.path.isdir(base):
-            olds = sorted(d for d in siblings if d.startswith(name + ".old-"))
-            if olds:
-                os.rename(os.path.join(parent, olds[-1]), base)
-                siblings = os.listdir(parent)
-        if os.path.isdir(base):
-            for d in siblings:
-                if d.startswith(name + ".old-") or d.startswith(name + ".stage-"):
-                    shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    snap = _Snapshot(stats_dir, "stream_incremental_table_stats")
+    base = snap.base
+    fs = snap.fs
+    ckpt = checkpoint_dir or base + ".ckpt"
 
     def _applied() -> int:
-        try:
-            with open(os.path.join(base, "_APPLIED")) as f:
-                return int(json.load(f)["batch_id"])
-        except (OSError, ValueError, KeyError):
+        marker = IndexFS.join(base, "_APPLIED")
+        if not fs.isfile(marker):
             return -1
+        try:
+            rec = fs.read_json(marker)
+            applied = int(rec["batch_id"])
+        except Exception as e:
+            raise ValueError(
+                f"stream_incremental_table_stats: corrupt _APPLIED "
+                f"marker at {marker!r} — refusing to guess whether the "
+                f"snapshot already folded this batch (a wrong guess "
+                f"either double-counts or goes stale): {e}"
+            ) from e
+        rec_ckpt = rec.get("ckpt")
+        if rec_ckpt is not None and rec_ckpt != ckpt:
+            raise ValueError(
+                f"stream_incremental_table_stats: snapshot {base!r} was "
+                f"built under checkpoint {rec_ckpt!r} but this stream "
+                f"uses {ckpt!r} — batch ids are only monotone within "
+                "one checkpoint lineage, so the replay guard would "
+                "silently skip every batch and the snapshot would go "
+                "permanently stale. Delete the stats dir to rebuild, "
+                "or point the stream at the original checkpoint."
+            )
+        return applied
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        _recover()
+        snap.recover()
         if batch_id <= _applied():
             return  # replay of an already-folded batch: sums must not re-apply
         check_stats_types(batch_df, cols)
@@ -1193,26 +1233,22 @@ def stream_incremental_table_stats(
             stacked_values(batch_df, cols), ["col_name"], "value", p=p,
             seed=HLL_SEED,
         )
-        if os.path.isdir(base):
+        if snap.exists():
             scal = merge_scalar_stats(
-                spark.read.parquet(os.path.join(base, "scalars")), scal
+                spark.read.parquet(IndexFS.join(base, "scalars")), scal
             )
             regs = regs.unionByName(
-                spark.read.parquet(os.path.join(base, "registers"))
+                spark.read.parquet(IndexFS.join(base, "registers"))
             )
         regs = hll_merge_registers(regs, ["col_name"])
-        staging = base + f".stage-{uuid.uuid4().hex[:8]}"
-        scal.write.mode("overwrite").parquet(os.path.join(staging, "scalars"))
-        regs.write.mode("overwrite").parquet(os.path.join(staging, "registers"))
-        with open(os.path.join(staging, "_APPLIED"), "w") as f:
-            json.dump({"batch_id": int(batch_id)}, f)
-        if os.path.isdir(base):
-            old = base + f".old-{uuid.uuid4().hex[:8]}"
-            os.rename(base, old)
-            os.rename(staging, base)
-            shutil.rmtree(old)
-        else:
-            os.rename(staging, base)
+        staging = snap.staging()
+        scal.write.mode("overwrite").parquet(IndexFS.join(staging, "scalars"))
+        regs.write.mode("overwrite").parquet(IndexFS.join(staging, "registers"))
+        fs.write_json_atomic(
+            IndexFS.join(staging, "_APPLIED"),
+            {"batch_id": int(batch_id), "ckpt": ckpt},
+        )
+        snap.swap(staging)
 
     q = (
         spark.readStream.schema(schema)
@@ -1220,7 +1256,7 @@ def stream_incremental_table_stats(
         .parquet(staged_dir)
         .writeStream.foreachBatch(_apply)
         .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint_dir or base + ".ckpt")
+        .option("checkpointLocation", ckpt)
         .start()
     )
     _drain(q, timeout_sec)

@@ -156,6 +156,29 @@ def test_abstain_margin_is_exact_integer_rule():
     assert L.decide_lang(raws, 10, 100) == L.LANGS[-1]  # strict <
 
 
+def test_empty_text_abstains(spark):
+    """ADVICE r12: n_grams == 0 (empty/whitespace-only text) must
+    abstain — before the fix every raw was 0 and the strict inequality
+    0 < milli*0 was false, handing empty docs a confident 'en'. The
+    Arrow stage and pure-Python kernel agree; with abstain OFF the
+    legacy LANGS-order label is kept."""
+    w = L.train_lang_ngram()
+    tau = L.DEFAULT_ABSTAIN_MILLI
+    assert L.classify_text("", w, abstain_milli=tau) == L.UND
+    # whitespace-only: grams exist but are all-space — raw 0, margin 0,
+    # n_grams > 0, so the margin arm (not the n_grams arm) abstains
+    assert L.classify_text("   ", w, abstain_milli=tau) == L.UND
+    assert L.classify_text("", w) == L.LANGS[0]  # abstain off: legacy
+    assert L.decide_lang({lg: 0 for lg in L.LANGS}, 0, tau) == L.UND
+    df = spark.createDataFrame([(1, ""), (2, "the of and in is")],
+                               "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in L.lang_id_trained(df, "doc_id", "text", w, tau).collect()
+    }
+    assert got[1] == L.UND and got[2] == "en"
+
+
 def test_oov_fixture_devices_match_python(spark):
     """synth_doc_col(include_oov=True) routes id%6 and its branch 5 is
     byte-identical to synth_oov_doc."""

@@ -545,19 +545,50 @@ def test_stream_table_stats_equals_batch_and_guards_replay(spark, tmp_path):
     want = sorted(map(tuple, table_stats(src, ["k", "v", "s"]).collect()))
     assert got == want
     with open(os.path.join(stats_dir, "_APPLIED")) as f:
-        assert json.load(f)["batch_id"] == 2
-    # at-least-once replay of already-applied ids: a second drain with
-    # a FRESH checkpoint re-delivers ids 0..2 — without the guard the
-    # counts would double; with it the snapshot is untouched
+        marker = json.load(f)
+    assert marker["batch_id"] == 2
+    assert marker["ckpt"] == str(tmp_path / "ckpt")
+    # GENUINE at-least-once replay: drop the last commit marker from
+    # the SAME checkpoint — the engine re-executes batch 2 under its
+    # original id; without the guard the SUM halves would double-count,
+    # with it the snapshot is untouched
+    os.remove(tmp_path / "ckpt" / "commits" / "2")
+    crc = tmp_path / "ckpt" / "commits" / ".2.crc"
+    if crc.exists():  # stale checksum sidecar would fail the rewrite
+        os.remove(crc)
     stream_incremental_table_stats(
         spark,
         staged,
         stats_dir,
         "k long, v long, s string",
         ["k", "v", "s"],
-        checkpoint_dir=str(tmp_path / "ckpt2"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
     )
     again = sorted(
         map(tuple, table_stats_from_snapshot(spark, stats_dir).collect())
     )
     assert again == want
+    # a FRESH checkpoint against an existing snapshot restarts batch
+    # ids at 0 — the old <= guard silently skipped every batch forever
+    # (ADVICE r12); the recorded checkpoint identity now raises loudly
+    with pytest.raises(Exception, match="checkpoint"):
+        stream_incremental_table_stats(
+            spark,
+            staged,
+            stats_dir,
+            "k long, v long, s string",
+            ["k", "v", "s"],
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+        )
+    # and a corrupt _APPLIED marker is loud, never masked as -1
+    with open(os.path.join(stats_dir, "_APPLIED"), "w") as f:
+        f.write("not json{")
+    with pytest.raises(Exception, match="corrupt _APPLIED"):
+        stream_incremental_table_stats(
+            spark,
+            staged,
+            stats_dir,
+            "k long, v long, s string",
+            ["k", "v", "s"],
+            checkpoint_dir=str(tmp_path / "ckpt3"),
+        )
