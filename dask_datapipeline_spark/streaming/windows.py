@@ -656,6 +656,7 @@ def stream_incremental_dedup(
     timeout_sec: int = 240,
     compact_every: int | None = None,
     compact_max_inc: int | None = None,
+    lease=None,
 ) -> None:
     """Streaming incremental near-dup: drain a document file stream
     (one staged parquet file per micro-batch) through ``foreachBatch``,
@@ -702,7 +703,12 @@ def stream_incremental_dedup(
         maybe_compact_minhash_index,
     )
 
+    if lease is not None:  # single-writer contract, enforced (r13)
+        lease.acquire()
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if lease is not None:
+            lease.check_and_renew()
         flags = incremental_near_dup_flags(
             batch_df, index_path, threshold=threshold
         )
@@ -903,6 +909,7 @@ def stream_incremental_bm25_index(
     checkpoint_dir: str | None = None,
     timeout_sec: int = 240,
     compact_max_deltas: int | None = None,
+    lease=None,
 ) -> None:
     """Maintain the BM25 inverted index (``operators/bm25.py``)
     incrementally over a (doc_id, text) file stream: per micro-batch,
@@ -934,7 +941,14 @@ def stream_incremental_bm25_index(
     the delta count exceeds N (crash-safe two-phase commit; scores
     bit-identical — round 10 measured 64 deltas costing +60% probe
     latency, which this bounds at O(N) files). Half-done compactions
-    from a previous crash are recovered at sink start."""
+    from a previous crash are recovered at sink start.
+
+    ``lease``: an optional ``lease.WriterLease`` ENFORCING the
+    single-writer contract the protocol documents — acquired at sink
+    start (a second live writer is rejected with ``LeaseHeldError``
+    before touching state) and checked-and-renewed before every batch
+    apply (a stale owner that lost the lease stops with
+    ``LeaseFencedError`` instead of interleaving flips)."""
     from dask_datapipeline_spark.operators.bm25 import (
         maybe_compact_bm25_index,
         postings_frames,
@@ -942,6 +956,8 @@ def stream_incremental_bm25_index(
     )
 
     base = index_dir.rstrip("/")
+    if lease is not None:
+        lease.acquire()
     recover_bm25_compaction(base)
 
     def _adopt_flat_layout() -> None:
@@ -973,6 +989,8 @@ def stream_incremental_bm25_index(
     _adopt_flat_layout()
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if lease is not None:
+            lease.check_and_renew()
         postings, stats = postings_frames(batch_df)
         (
             postings.repartition("token")
@@ -1017,6 +1035,7 @@ def stream_stage_deltas(
     checkpoint_dir: str | None = None,
     timeout_sec: int = 240,
     compact_max_deltas: int | None = None,
+    lease=None,
 ) -> None:
     """ROW-LOCAL pipeline stage under the micro-batch engine: per
     micro-batch, apply ``stage_fn`` (DataFrame → DataFrame; must be
@@ -1051,9 +1070,13 @@ def stream_stage_deltas(
     )
 
     out = out_dir.rstrip("/")
+    if lease is not None:  # single-writer contract, enforced (r13)
+        lease.acquire()
     recover_delta_compaction(out)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if lease is not None:
+            lease.check_and_renew()
         stage_fn(batch_df).write.mode("overwrite").parquet(
             f"{out}/delta={batch_id}"
         )
@@ -1270,6 +1293,7 @@ def stream_incremental_ivf_index(
     checkpoint_dir: str | None = None,
     timeout_sec: int = 240,
     compact_max_deltas: int | None = None,
+    lease=None,
 ) -> None:
     """Maintain an on-disk IVF vector index (``operators/ivf_index``)
     incrementally over an (id, embedding) file stream — the vector leg
@@ -1294,9 +1318,13 @@ def stream_incremental_ivf_index(
     )
 
     base = index_path.rstrip("/")
+    if lease is not None:  # single-writer contract, enforced (r13)
+        lease.acquire()
     recover_ivf_compaction(base)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if lease is not None:
+            lease.check_and_renew()
         append_to_ivf_index(batch_df, base, batch_id)
         if compact_max_deltas is not None:
             maybe_compact_ivf_index(

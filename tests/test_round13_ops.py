@@ -182,6 +182,97 @@ def test_snapshot_protocol_recover_and_swap(spark, tmp_path, via_uri):
     assert s.fs.read_text(IndexFS.join(s.base, "data")) == "v2"
 
 
+# ----- writer lease / fencing (VERDICT r12 item 3) ----------------------
+
+
+class _Clock:
+    def __init__(self, t=1000.0):
+        self.t = t
+
+    def __call__(self):
+        return self.t
+
+
+@pytest.mark.parametrize("via_uri", [False, True])
+def test_writer_lease_reject_takeover_fence(spark, tmp_path, via_uri):
+    """Second live writer rejected at acquire; stale lease taken over
+    after ttl expiry; the fenced old owner stops at its next
+    check_and_renew; release frees the root."""
+    from dask_datapipeline_spark.lease import (
+        LeaseFencedError,
+        LeaseHeldError,
+        WriterLease,
+    )
+
+    root = _uri(tmp_path / "idx") if via_uri else str(tmp_path / "idx")
+    clock = _Clock()
+    a = WriterLease(root, owner="job-a", ttl_sec=100, clock=clock)
+    b = WriterLease(root, owner="job-b", ttl_sec=100, clock=clock)
+    assert a.acquire() == 1
+    # a second live writer is rejected before touching state
+    with pytest.raises(LeaseHeldError, match="job-a"):
+        b.acquire()
+    # the holder renews freely; re-acquire by the same owner also works
+    a.check_and_renew()
+    assert a.acquire() == 2
+    # crashed owner: ttl passes, takeover bumps the epoch
+    clock.t += 101
+    assert b.acquire() == 3
+    # ...and the stale owner is FENCED at its next state-touching step
+    with pytest.raises(LeaseFencedError, match="job-b"):
+        a.check_and_renew()
+    b.release()
+    # release keeps the record (expired) so the epoch stays monotone
+    assert a.acquire() == 4
+    a.release()
+
+
+def test_writer_lease_corrupt_file_is_loud(tmp_path):
+    from dask_datapipeline_spark.lease import WriterLease
+
+    root = tmp_path / "idx"
+    os.makedirs(root)
+    (root / "_LEASE").write_text("not json{")
+    with pytest.raises(ValueError, match="corrupt lease"):
+        WriterLease(str(root), owner="job-a").acquire()
+
+
+def test_stage_delta_sink_enforces_lease(spark, tmp_path):
+    """Sink-level: a drain under a lease succeeds (the _LEASE file is
+    invisible to readers — underscore-prefixed), and a second writer's
+    sink start on the same root is rejected."""
+    import time
+
+    from dask_datapipeline_spark.lease import LeaseHeldError, WriterLease
+    from dask_datapipeline_spark.streaming.windows import stream_stage_deltas
+
+    work = str(tmp_path)
+    staged = os.path.join(work, "staged")
+    os.makedirs(staged)
+    df = spark.range(20).selectExpr("id", "id * 2 AS v")
+    _stage(spark, work, staged, "a", df, time.time())
+    out = os.path.join(work, "out")
+    lease_a = WriterLease(out, owner="job-a", ttl_sec=3600)
+    stream_stage_deltas(
+        spark, staged, out, "id long, v long",
+        lambda b: b.selectExpr("id", "v + 1 AS v1"),
+        checkpoint_dir=os.path.join(work, "ck"),
+        lease=lease_a,
+    )
+    # reads ignore the underscore-prefixed lease file
+    assert spark.read.parquet(out).count() == 20
+    assert os.path.isfile(os.path.join(out, "_LEASE"))
+    lease_b = WriterLease(out, owner="job-b", ttl_sec=3600)
+    with pytest.raises(LeaseHeldError, match="job-a"):
+        stream_stage_deltas(
+            spark, staged, out, "id long, v long",
+            lambda b: b.selectExpr("id", "v + 1 AS v1"),
+            checkpoint_dir=os.path.join(work, "ck2"),
+            lease=lease_b,
+        )
+    lease_a.release()
+
+
 def _stage(spark, work, staged, name, df, mt):
     import time  # noqa: F401  (mtimes passed in)
 
