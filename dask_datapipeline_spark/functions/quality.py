@@ -461,3 +461,293 @@ def c4_sql_projections(expr: str) -> dict[str, str]:
         # alone never exercises a zero-survivor page)
         "clean_text": f"COALESCE(array_to_string({kept}, chr(10)), '')",
     }
+
+
+# ----- script-routed quality tier (round 13; VERDICT r12 item 2b) -----
+#
+# The Gopher word rules above are an instrument for WHITESPACE-
+# SEGMENTED Latin-script text: an unsegmented CJK page is one giant
+# "word" (fails the word-count floor and the mean-word-length ceiling
+# by construction), [a-z] alpha-word and English stopword floors fail
+# every non-Latin script outright. The routed tier applies the right
+# instrument per ``operators/scripts.py`` route:
+#
+# - zh/ja (non-whitespace scripts): CHAR-count bounds, symbol-per-CHAR
+#   ratio, a CJK function-character stopword floor, and the
+#   script-agnostic LINE rules (bullets/ellipsis/repetition).
+# - latin: the full Gopher suite above (optionally per-language via
+#   ``lang``).
+# - everything else (ko, und-Cyrl, und-Arab, und): whitespace-
+#   segmented but non-Latin — the SHAPE rules that are script-agnostic
+#   (word-count bounds, symbol ratio, line rules); mean-word-length,
+#   [a-z] alpha fraction and the Latin stopword floors are EXCLUDED by
+#   design (documented, not silently failed).
+
+#: routes whose pages carry no word-delimiting whitespace
+CJK_ROUTES: tuple[str, ...] = ("zh", "ja")
+
+#: char-based thresholds for the CJK tier. Gopher's 50..100k WORD
+#: bounds scaled by ~2.5 chars/word of running Chinese/Japanese text;
+#: the symbol ratio is per CHAR (Gopher's 0.1 per word / ~5 chars per
+#: Latin word).
+CJK_THRESHOLDS: dict[str, float] = {
+    "min_chars": 125,
+    "max_chars": 250_000,
+    "max_symbol_char_ratio": 0.02,
+    "min_stop_hits": 2,
+}
+
+#: high-frequency function CHARACTERS per CJK route — the stopword
+#: floor's counterpart for unsegmented text (zh: structural particles
+#: 的/了/是 + negation/top-frequency 不/一; ja: case particles). Real
+#: running text carries them constantly; keyword-stuffing / gibberish
+#: pages do not.
+CJK_MARKERS: dict[str, list[str]] = {
+    "zh": ["的", "一", "是", "了", "不"],
+    "ja": ["の", "に", "は", "を", "が"],
+}
+
+#: CJK-tier failure-flag order (column contract of both builders)
+CJK_FAIL_NAMES: tuple[str, ...] = (
+    "fail_chars",
+    "fail_symbols",
+    "fail_bullets",
+    "fail_ellipsis",
+    "fail_stopwords",
+    "fail_repetition",
+)
+
+
+def cjk_stop_hits(text: Column | str, script: Column | str) -> Column:
+    """Total occurrences of the row's OWN route's function characters
+    — exact integers via the length-difference device (``replace`` is
+    engine-portable; every marker is a single BMP char)."""
+    c = F.col(text) if isinstance(text, str) else text
+    s = F.col(script) if isinstance(script, str) else script
+
+    def hits(markers: list[str]) -> Column:
+        total = F.lit(0).cast("long")
+        for m in markers:
+            total = total + (
+                F.length(c) - F.length(F.replace(c, F.lit(m), F.lit("")))
+            )
+        return total
+
+    out = F.lit(0).cast("long")
+    for route, markers in CJK_MARKERS.items():
+        out = F.when(s == route, hits(markers)).otherwise(out)
+    return out.cast("long")
+
+
+def cjk_signal_cols(
+    text: Column | str, script: Column | str
+) -> dict[str, Column]:
+    """The CJK-tier quality signals of a non-NULL text column (rows
+    routed zh/ja) — pure per-row codegen, exact-integer counts, single
+    IEEE divisions (engine-bit-identical)."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = _lines(c)
+    n_lines = F.size(lines)
+    n_chars = F.length(c)
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+    )
+    distinct_line_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+    )
+    dup_chars = line_chars - distinct_line_chars
+    return {
+        "n_chars": n_chars.cast("long"),
+        # empty text cannot be routed zh/ja (route needs a letter
+        # majority), but the standalone guard keeps ANSI mode safe
+        "symbol_char_ratio": F.when(
+            n_chars > 0, F.regexp_count(c, F.lit(SYMBOL_RE)) / n_chars
+        ).otherwise(F.lit(0.0)),
+        "bullet_line_frac": F.size(
+            F.filter(lines, lambda l: l.rlike(BULLET_LINE_RE))
+        )
+        / n_lines,
+        "ellipsis_line_frac": F.size(
+            F.filter(lines, lambda l: l.rlike(ELLIPSIS_LINE_RE))
+        )
+        / n_lines,
+        "stop_hits": cjk_stop_hits(c, script),
+        "dup_line_frac": F.lit(1.0)
+        - F.size(F.array_distinct(lines)) / n_lines,
+        "dup_line_char_frac": F.when(
+            line_chars > 0, dup_chars / line_chars
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def cjk_fail_flags(sig: dict[str, Column]) -> dict[str, Column]:
+    """Per-rule CJK-tier violation flags, ``CJK_FAIL_NAMES`` order.
+    Line thresholds are shared with :data:`THRESHOLDS` (they are
+    script-agnostic); char thresholds come from
+    :data:`CJK_THRESHOLDS`."""
+    t, ct = THRESHOLDS, CJK_THRESHOLDS
+    return {
+        "fail_chars": (sig["n_chars"] < F.lit(int(ct["min_chars"])))
+        | (sig["n_chars"] > F.lit(int(ct["max_chars"]))),
+        "fail_symbols": sig["symbol_char_ratio"]
+        > F.lit(ct["max_symbol_char_ratio"]),
+        "fail_bullets": sig["bullet_line_frac"] > F.lit(t["max_bullet_line_frac"]),
+        "fail_ellipsis": sig["ellipsis_line_frac"]
+        > F.lit(t["max_ellipsis_line_frac"]),
+        "fail_stopwords": sig["stop_hits"] < F.lit(int(ct["min_stop_hits"])),
+        "fail_repetition": (sig["dup_line_frac"] > F.lit(t["max_dup_line_frac"]))
+        | (sig["dup_line_char_frac"] > F.lit(t["max_dup_line_char_frac"])),
+    }
+
+
+def cjk_keep(sig: dict[str, Column]) -> Column:
+    """CJK-tier keep flag — NOT-any-fail over :func:`cjk_fail_flags`."""
+    out = F.lit(True)
+    for flag in cjk_fail_flags(sig).values():
+        out = out & ~flag
+    return out
+
+
+#: word-based rules that are script-AGNOSTIC (shape, not orthography)
+#: — the subset applied to whitespace-segmented non-Latin routes
+GENERIC_FAIL_NAMES: tuple[str, ...] = (
+    "fail_words",
+    "fail_symbols",
+    "fail_bullets",
+    "fail_ellipsis",
+    "fail_repetition",
+)
+
+
+def generic_word_keep(sig: dict[str, Column]) -> Column:
+    """Keep flag for whitespace-segmented NON-LATIN routes (ko,
+    und-Cyrl, und-Arab, und): the script-agnostic subset of the Gopher
+    flags — mean-word-length, [a-z] alpha fraction and the Latin
+    stopword floor are excluded BY DESIGN (they fail every non-Latin
+    script by construction, which is mis-scoring, not filtering)."""
+    flags = gopher_fail_flags(sig)
+    out = F.lit(True)
+    for name in GENERIC_FAIL_NAMES:
+        out = out & ~flags[name]
+    return out
+
+
+def quality_keep_routed(
+    text: Column | str,
+    script: Column | str,
+    lang: Column | str | None = None,
+) -> Column:
+    """THE script-routed page-quality keep flag: the right instrument
+    per ``operators/scripts.py`` route — CJK tier for zh/ja, the full
+    Gopher suite for the Latin route (per-language stopword floor when
+    ``lang`` is given), the script-agnostic shape subset for every
+    other route. One codegen expression, no Python, no shuffle."""
+    from dask_datapipeline_spark.operators.scripts import LATIN_ROUTE
+
+    c = F.col(text) if isinstance(text, str) else text
+    s = F.col(script) if isinstance(script, str) else script
+    word_sig = gopher_signal_cols(c, lang)
+    return (
+        F.when(s.isin(*CJK_ROUTES), cjk_keep(cjk_signal_cols(c, s)))
+        .when(s == LATIN_ROUTE, gopher_keep(word_sig))
+        .otherwise(generic_word_keep(word_sig))
+    )
+
+
+# ----- SQL twins of the routed tier -------------------------------------
+
+
+def cjk_stop_hits_sql(expr: str, script_expr: str) -> str:
+    def hits(markers: list[str]) -> str:
+        return " + ".join(
+            f"(length({expr}) - length(replace({expr}, '{_q(m)}', '')))"
+            for m in markers
+        )
+
+    whens = " ".join(
+        f"WHEN '{route}' THEN {hits(markers)}"
+        for route, markers in CJK_MARKERS.items()
+    )
+    return f"CAST(CASE {script_expr} {whens} ELSE 0 END AS BIGINT)"
+
+
+def cjk_sql_projections(expr: str, script_expr: str) -> dict[str, str]:
+    """DuckDB replay of :func:`cjk_signal_cols`."""
+    lines = f"string_split(replace({expr}, chr(13), ''), chr(10))"
+    n_lines = f"len({lines})"
+    line_chars = f"list_sum(list_transform({lines}, l -> length(l)))"
+    distinct_line_chars = (
+        f"list_sum(list_transform(list_distinct({lines}), l -> length(l)))"
+    )
+    return {
+        "n_chars": f"CAST(length({expr}) AS BIGINT)",
+        "symbol_char_ratio": (
+            f"CASE WHEN length({expr}) > 0 THEN "
+            f"len(regexp_extract_all({expr}, '{_q(SYMBOL_RE)}')) / length({expr}) "
+            f"ELSE 0.0 END"
+        ),
+        "bullet_line_frac": (
+            f"len(list_filter({lines}, l -> "
+            f"regexp_matches(l, '{_q(BULLET_LINE_RE)}'))) / {n_lines}"
+        ),
+        "ellipsis_line_frac": (
+            f"len(list_filter({lines}, l -> "
+            f"regexp_matches(l, '{_q(ELLIPSIS_LINE_RE)}'))) / {n_lines}"
+        ),
+        "stop_hits": cjk_stop_hits_sql(expr, script_expr),
+        "dup_line_frac": f"1.0 - len(list_distinct({lines})) / {n_lines}",
+        "dup_line_char_frac": (
+            f"CASE WHEN {line_chars} > 0 THEN "
+            f"({line_chars} - {distinct_line_chars}) / {line_chars} "
+            f"ELSE 0.0 END"
+        ),
+    }
+
+
+def cjk_keep_sql(sig: dict[str, str]) -> str:
+    t, ct = THRESHOLDS, CJK_THRESHOLDS
+    flags = {
+        "fail_chars": (
+            f"({sig['n_chars']} < {int(ct['min_chars'])}"
+            f" OR {sig['n_chars']} > {int(ct['max_chars'])})"
+        ),
+        "fail_symbols": (
+            f"({sig['symbol_char_ratio']} > {ct['max_symbol_char_ratio']})"
+        ),
+        "fail_bullets": (
+            f"({sig['bullet_line_frac']} > {t['max_bullet_line_frac']})"
+        ),
+        "fail_ellipsis": (
+            f"({sig['ellipsis_line_frac']} > {t['max_ellipsis_line_frac']})"
+        ),
+        "fail_stopwords": f"({sig['stop_hits']} < {int(ct['min_stop_hits'])})",
+        "fail_repetition": (
+            f"({sig['dup_line_frac']} > {t['max_dup_line_frac']}"
+            f" OR {sig['dup_line_char_frac']} > {t['max_dup_line_char_frac']})"
+        ),
+    }
+    return "(" + " AND ".join(f"NOT {flags[n]}" for n in CJK_FAIL_NAMES) + ")"
+
+
+def generic_word_keep_sql(sig: dict[str, str]) -> str:
+    flags = gopher_fail_flags_sql(sig)
+    return (
+        "(" + " AND ".join(f"NOT {flags[n]}" for n in GENERIC_FAIL_NAMES) + ")"
+    )
+
+
+def quality_keep_routed_sql(
+    expr: str, script_expr: str, lang_expr: str | None = None
+) -> str:
+    """DuckDB replay of :func:`quality_keep_routed`."""
+    from dask_datapipeline_spark.operators.scripts import LATIN_ROUTE
+
+    word_sig = gopher_sql_projections(expr, lang_expr)
+    cjk_routes = ", ".join(f"'{r}'" for r in CJK_ROUTES)
+    return (
+        f"CASE WHEN {script_expr} IN ({cjk_routes}) THEN "
+        f"{cjk_keep_sql(cjk_sql_projections(expr, script_expr))} "
+        f"WHEN {script_expr} = '{LATIN_ROUTE}' THEN "
+        f"{gopher_keep_sql(word_sig)} "
+        f"ELSE {generic_word_keep_sql(word_sig)} END"
+    )

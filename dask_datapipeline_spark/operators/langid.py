@@ -111,10 +111,13 @@ OOV_VOCAB: list[str] = [
 ]
 
 #: held-out REAL text (public-domain literature openers / classic
-#: lines; zh is romanized pinyin — the training vocabulary's script):
-#: nothing here shares a single word draw with the training fixture,
-#: so accuracy on it is a genuine out-of-sample floor, pinned in
-#: tests/test_langid.py against the marker-heuristic baseline.
+#: lines): nothing here shares a single word draw with the training
+#: fixture, so accuracy on it is a genuine out-of-sample floor, pinned
+#: in tests/test_langid.py against the marker-heuristic baseline.
+#: 'zh' is REAL Han text since round 13 (the pinyin stand-in is gone):
+#: the production path routes it by SCRIPT before the Latin-trained
+#: trigram model (``operators/scripts.py``); the model alone sees it
+#: as out-of-vocabulary and must ABSTAIN, never mislabel.
 HELDOUT_SENTENCES: dict[str, list[str]] = {
     "en": [
         "It is a truth universally acknowledged that a single man in "
@@ -149,12 +152,38 @@ HELDOUT_SENTENCES: dict[str, list[str]] = {
         "pour les yeux.",
     ],
     "zh": [
-        "zhong1 guo2 ren2 min2 da4 xue2 sheng1 huo2 hao3 tian1 qi4 "
-        "ming2 nian2 xue2 xi2",
-        "ni3 hao3 ma1 wo3 men2 jin1 tian1 qu4 xue2 xiao4 shang4 ke4 "
-        "xue2 sheng1 hen3 duo1",
-        "da4 jia1 hao3 xiao3 ming2 shuo1 hua4 sheng1 yin1 hen3 da4 "
-        "nian2 nian2 you3 yu2",
+        "子曰 學而時習之 不亦說乎 有朋自遠方來 不亦樂乎 人不知而不慍 不亦君子乎",
+        "道可道 非常道 名可名 非常名 無名天地之始 有名萬物之母",
+        "人之初 性本善 性相近 習相遠 苟不教 性乃遷 教之道 貴以專",
+    ],
+}
+
+#: held-out real text in the NON-LATIN scripts the router covers
+#: beyond zh (public-domain classics) — the script-routing floor:
+#: none of these may ever be labeled one of the five Latin languages
+#: (tests/test_langid.py), and the composed classifier must route
+#: each to its script label.
+HELDOUT_SCRIPT_SENTENCES: dict[str, list[str]] = {
+    "ja": [
+        "吾輩は猫である。名前はまだ無い。どこで生れたかとんと見当がつかぬ。",
+        "祇園精舎の鐘の声、諸行無常の響きあり。沙羅双樹の花の色、盛者必衰の理をあらはす。",
+        "いろはにほへと ちりぬるを わかよたれそ つねならむ",
+    ],
+    "ko": [
+        "나라의 말이 중국과 달라 문자와 서로 통하지 아니하므로",
+        "이런 까닭으로 어리석은 백성이 이르고자 할 바가 있어도",
+        "동해물과 백두산이 마르고 닳도록 하느님이 보우하사 우리나라 만세",
+    ],
+    "und-Cyrl": [
+        "Все счастливые семьи похожи друг на друга, каждая несчастливая "
+        "семья несчастлива по-своему.",
+        "Мой дядя самых честных правил, когда не в шутку занемог",
+        "Я помню чудное мгновенье: передо мной явилась ты",
+    ],
+    "und-Arab": [
+        "قفا نبك من ذكرى حبيب ومنزل بسقط اللوى بين الدخول فحومل",
+        "العلم نور والجهل ظلام والكتاب خير جليس في الزمان",
+        "ألا ليت الشباب يعود يوما فأخبره بما فعل المشيب",
     ],
 }
 

@@ -1218,12 +1218,17 @@ DRIVER_ORDER: list[str] = [
     # (extract -> canonicalize/dedup -> quality-filter) in the driver
     # window; exact-match green at sf0.01 on arrival
     "gopher_quality",
-    # round-8 promotion (slot freed by tumbling_window above):
-    # HTML->text extraction — with url_dedup this puts BOTH stages of
-    # the web front door (every RefinedWeb/FineWeb-style pipeline's
-    # first two operators) in the driver window, production config,
-    # exact-match green since round 7
-    "html_extract",
+    # round-13 rotation (README policy rule 2): html_extract out to
+    # EXTRA_CATALOG — the extraction family held two driver slots
+    # (tag-strip html_extract + DOM-grade main_content_extract below)
+    # for one extract semantics; the production path keeps it
+    # driver-checked. Slot freed for the round-13 promotion:
+    # script_route — Unicode-script profiling, the all-integer routing
+    # rule (han/kana/hangul/cyrillic/arabic BEFORE the Latin-trained
+    # trigram LID), and the script-routed CJK-safe quality keep; the
+    # multilingual front door the driver window previously lacked.
+    # Exact-match green on arrival.
+    "script_route",
     "embedding_near_dup",
     "knn_join_lsh",
     # round-11 rotation (README policy rule 2): knn_join_ivf out to

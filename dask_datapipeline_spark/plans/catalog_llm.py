@@ -1448,7 +1448,7 @@ FROM rawdocs
 """
 
 
-@register(
+@register_extra(
     "html_extract",
     _html_extract_oracle_sql(),
     "HTML -> text extraction (functions/html.py) — the stage every RefinedWeb/"
@@ -1456,9 +1456,11 @@ FROM rawdocs
     "with their content, drop comments, strip tags to spaces, decode the core "
     "entities (&amp; last, so &amp;lt; single-decodes), collapse whitespace. Pure "
     "codegen regex + literal replace, zero shuffles; patterns shared as Python "
-    "constants with the RE2 oracle so the engines cannot drift. DRIVER row since "
-    "round 8 (rotation: tumbling_window out — its aggregation stays driver-"
-    "checked via streaming_tumbling, the bit-identical streaming twin)",
+    "constants with the RE2 oracle so the engines cannot drift. Driver row "
+    "rounds 8-12; rotated to extras round 13 (policy rule 2: the extraction "
+    "family held two driver slots — main_content_extract is the DOM-grade "
+    "production path and keeps the family driver-checked; this tag-strip "
+    "stage remains its first step and stays oracle-gated here)",
 )
 def q_html_extract(spark, sf_dir):
     from dask_datapipeline_spark.functions.html import html_to_text
@@ -8595,6 +8597,87 @@ def q_multilang_gate_trained(spark, sf_dir):
         hits.alias("stop_hits"),
         (hits < floor).alias("fail_stopwords"),
     )
+
+
+# ----- Unicode-script routing + CJK-safe tier (round 13) ----------------
+
+from dask_datapipeline_spark.operators import scripts as USC  # noqa: E402
+
+
+def _script_route_sql() -> str:
+    from dask_datapipeline_spark.functions.quality import (
+        quality_keep_routed_sql,
+    )
+
+    counts = USC.script_count_sql("text")
+    count_cols = ",\n         ".join(
+        f"{sql} AS {name}" for name, sql in counts.items() if name != "n_letters"
+    )
+    lid = USC.lang_id_script_routed_sql(
+        _LID_WEIGHTS, src="fx", abstain_milli=LID.DEFAULT_ABSTAIN_MILLI
+    )
+    n_cols = ", ".join(f"psp.n_{s}" for s in USC.SCRIPTS)
+    return f"""
+WITH fx AS (
+  SELECT doc_id, {USC.script_fixture_sql()} AS text FROM documents
+),
+psc AS (
+  SELECT doc_id, text, {count_cols}
+  FROM fx WHERE text IS NOT NULL
+),
+psp AS (SELECT *, {counts["n_letters"]} AS n_letters FROM psc),
+psr AS (
+  SELECT doc_id, text, {USC.script_route_sql()} AS script FROM psp
+),
+lr AS (
+{lid}
+),
+kq AS (
+  SELECT doc_id, {quality_keep_routed_sql("psr.text", "psr.script")} AS keep
+  FROM psr
+)
+SELECT psp.doc_id, psp.n_chars, {n_cols}, psp.n_letters,
+       psr.script, lr.lang, kq.keep
+FROM psp
+JOIN psr ON psr.doc_id = psp.doc_id
+JOIN lr ON lr.doc_id = psp.doc_id
+JOIN kq ON kq.doc_id = psp.doc_id
+"""
+
+
+@register(
+    "script_route",
+    _script_route_sql(),
+    "Unicode-script profiling + routing + the CJK-safe quality tier "
+    "(operators/scripts.py, functions/quality.py routed tier — round 13): "
+    "per-script codepoint counts via the length-difference regex device "
+    "(the \\x{..} class syntax Java regex and RE2 share), the all-integer "
+    "majority route (han→zh unless kana≥1/20 of CJK→ja, hangul→ko, "
+    "cyrillic/arabic→honest und-* script labels, latin→trained trigram "
+    "model with margin abstain), and the script-routed page-quality keep "
+    "(char-based Gopher bounds + CJK function-character stopword floor "
+    "for unsegmented zh/ja, full Gopher for latin, the script-agnostic "
+    "shape subset elsewhere). Fixture: real held-out sentences in seven "
+    "scripts + edge shapes, synthesized from the documents table by one "
+    "shared literal pool. Everything is exact integers or single IEEE "
+    "divisions — bit-exact across engines; zero Python outside the "
+    "Latin-routed trigram slice. DRIVER row since round 13 (rotation: "
+    "html_extract out — extraction stays driver-checked via "
+    "main_content_extract, its DOM-grade superset)",
+)
+def q_script_route(spark, sf_dir):
+    from dask_datapipeline_spark.functions.quality import quality_keep_routed
+
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id")
+    fixture = docs.select("doc_id", USC.script_fixture_col().alias("text"))
+    prof = USC.script_profile(fixture, "doc_id", "text")
+    lang = USC.lang_id_script_routed(
+        fixture, "doc_id", "text", _LID_WEIGHTS, LID.DEFAULT_ABSTAIN_MILLI
+    ).select("doc_id", "lang")
+    keep = fixture.join(prof.select("doc_id", "script"), "doc_id").select(
+        "doc_id", quality_keep_routed("text", "script").alias("keep")
+    )
+    return prof.join(lang, "doc_id").join(keep, "doc_id")
 
 
 # ----- HyperLogLog distinct sketch -----------------------------------

@@ -98,33 +98,90 @@ def test_weights_cte_escapes_apostrophes():
 
 
 def test_heldout_real_text_accuracy_vs_marker_baseline():
-    """Round-12 held-out gate: REAL public-domain sentences, zero
-    overlap with the synthetic training vocabulary's word draws. The
-    trained model with the abstain rule never MISLABELS a held-out
-    sentence (wrong answers become 'und'); the plain argmax and the
-    marker heuristic each mislabel some. Deterministic end to end
-    (literal sentences, fixture-trained weights)."""
+    """Round-12/13 held-out gate: REAL public-domain sentences ('zh'
+    is real Han text since round 13), zero overlap with the synthetic
+    training vocabulary's word draws. The PRODUCTION path (script
+    route → trigram model with abstain; operators/scripts.py) never
+    MISLABELS a held-out sentence (wrong answers become 'und'); the
+    raw model without routing, the plain argmax, and the marker
+    heuristic each mislabel some — measured: the third Han sentence
+    draws a confident 'fr' from the unrouted abstain model, which is
+    exactly the failure script routing exists to stop."""
+    from dask_datapipeline_spark.operators.scripts import py_classify_routed
+
     w = L.train_lang_ngram()
     tau = L.DEFAULT_ABSTAIN_MILLI
-    total = wrong_abstained = decided = wrong_decided = 0
-    plain_wrong = marker_wrong = 0
+    total = decided = wrong_decided = 0
+    unrouted_wrong = plain_wrong = marker_wrong = 0
     for lang, sents in L.HELDOUT_SENTENCES.items():
         for s in sents:
             total += 1
-            got = L.classify_text(s, w, abstain_milli=tau)
-            if got == L.UND:
-                wrong_abstained += 0  # abstain is never "wrong"
-            else:
+            got = py_classify_routed(s, w, abstain_milli=tau)
+            if got != L.UND:
                 decided += 1
                 wrong_decided += got != lang
+            unrouted_wrong += (
+                L.classify_text(s, w, abstain_milli=tau) not in (lang, L.UND)
+            )
             plain_wrong += L.classify_text(s, w) != lang
             marker_wrong += _marker_lang(s) != lang
     assert total == 15
-    # the abstain model never mislabels; it still decides most rows
+    # the routed production path never mislabels; it decides MORE rows
+    # than the unrouted model (all Han rows are confidently 'zh')
     assert wrong_decided == 0
-    assert decided >= 8
-    # both baselines DO mislabel on held-out text (measured: 2 each)
+    assert decided >= 9  # measured: 6 Latin rows + all 3 Han rows
+    # every baseline DOES go wrong on held-out text
+    assert unrouted_wrong >= 1  # the Han→'fr' confident mislabel
     assert plain_wrong >= 1 and marker_wrong >= 1
+
+
+def test_script_floor_no_latin_label_for_non_latin_scripts():
+    """The round-13 floor: NO Han/kana/Hangul/Cyrillic/Arabic held-out
+    sentence is ever labeled one of the Latin-script languages by the
+    production path — Han routes 'zh', kana 'ja', Hangul 'ko', and
+    Cyrillic/Arabic the honest script-level 'und-*' labels."""
+    from dask_datapipeline_spark.operators.scripts import py_classify_routed
+
+    w = L.train_lang_ngram()
+    tau = L.DEFAULT_ABSTAIN_MILLI
+    latin_langs = {"en", "de", "es", "fr"}
+    for s in L.HELDOUT_SENTENCES["zh"]:
+        assert py_classify_routed(s, w, tau) == "zh"
+    for label, sents in L.HELDOUT_SCRIPT_SENTENCES.items():
+        for s in sents:
+            got = py_classify_routed(s, w, tau)
+            assert got == label
+            assert got not in latin_langs
+
+
+def test_script_route_python_twin_matches_engines(spark):
+    """py_script_counts/py_route equal the Spark codegen device AND the
+    DuckDB replay on every held-out sentence plus edge shapes — the
+    three implementations share one constant table and must not
+    drift."""
+    import duckdb
+    import pandas as pd
+
+    from dask_datapipeline_spark.operators import scripts as S
+
+    texts = (
+        [s for ss in L.HELDOUT_SENTENCES.values() for s in ss]
+        + [s for ss in L.HELDOUT_SCRIPT_SENTENCES.values() for s in ss]
+        + ["", "1234 !!!", "mixed 漢字 with mostly english words here ok",
+           "半々のテキスト half and half latin かなカナ交じり文です"]
+    )
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: tuple(r) for r in S.script_profile(df, "doc_id", "text").collect()}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {r[0]: tuple(r) for r in con.execute(S.script_profile_sql()).fetchall()}
+    assert got == want
+    for i, t in rows:
+        c = S.py_script_counts(t)
+        assert got[i][1] == c["n_chars"]
+        assert got[i][-2] == c["n_letters"]
+        assert got[i][-1] == S.py_route(t)
 
 
 def test_abstain_rule_separates_oov_from_in_vocab():

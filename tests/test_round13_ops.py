@@ -182,6 +182,109 @@ def test_snapshot_protocol_recover_and_swap(spark, tmp_path, via_uri):
     assert s.fs.read_text(IndexFS.join(s.base, "data")) == "v2"
 
 
+# ----- script-routed quality tier (VERDICT r12 item 2b) ------------------
+
+
+def test_quality_keep_routed_tiers_and_engines_agree(spark):
+    """The routed keep applies the right instrument per route — a good
+    CJK page KEEPS under the char tier (it would mass-fail the word
+    tier as one giant word), gibberish CJK fails the function-char
+    floor, short CJK fails the char floor, a good Cyrillic page KEEPS
+    under the shape subset (it would fail [a-z] alpha + English
+    stopwords under the full Gopher suite) — and the DuckDB twin
+    agrees bit-for-bit on every row."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dask_datapipeline_spark.functions import quality as Q
+    from dask_datapipeline_spark.operators import scripts as S
+
+    zh_lines = [
+        "我的朋友是一位老师，他说的话不只是一种语言，而是三种不同的语言。",
+        "昨天我们一起去了图书馆，看了很多关于历史的书，这些书的内容很有意思。",
+        "今天的天气很好，我们决定去公园散步，一路上看到了不少美丽的花。",
+        "他说学习一门新的语言需要很长的时间，但是只要努力，就一定能学好。",
+    ]
+    zh_good = "\n".join(l * 2 for l in zh_lines)
+    zh_gibberish = "\n".join(
+        ["火水木金土日月山川田中上下左右大小" * 5] * 2 + ["東西南北春夏秋冬" * 8]
+    )
+    ja_good = "\n".join(
+        l * 2
+        for l in [
+            "吾輩は猫である。名前はまだ無い。どこで生れたかとんと見当がつかぬ。",
+            "何でも薄暗いじめじめした所でニャーニャー泣いていた事だけは記憶している。",
+            "吾輩はここで始めて人間というものを見た。それは書生という種族であったそうだ。",
+        ]
+    )
+    ru_words = (
+        "семьи похожи друг на друга несчастлива своему зимой вечером "
+        "город дорога история письмо гора река утро ответ слово книга"
+    ).split()
+    ru_good = "\n".join(
+        " ".join(ru_words[(i * 7 + j) % len(ru_words)] for j in range(30))
+        for i in range(5)
+    )
+    rows = [
+        (0, zh_good),
+        (1, zh_gibberish),
+        (2, "的一是了不"),  # short CJK: fails the char floor
+        (3, ja_good),
+        (4, ru_good),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prof = S.script_profile(df, "doc_id", "text").select("doc_id", "script")
+    got = {
+        r["doc_id"]: (r["script"], r["keep"])
+        for r in df.join(prof, "doc_id")
+        .select(
+            "doc_id",
+            "script",
+            Q.quality_keep_routed("text", "script").alias("keep"),
+        )
+        .collect()
+    }
+    assert got[0] == ("zh", True)
+    assert got[1] == ("zh", False)  # no function characters at all
+    assert got[2] == ("zh", False)  # 5 chars < min_chars
+    assert got[3] == ("ja", True)
+    assert got[4] == ("und-Cyrl", True)  # shape subset keeps it
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sql = f"""
+WITH p AS (SELECT doc_id, text FROM documents),
+pr AS ({S.script_profile_sql(src="p")})
+SELECT p.doc_id, pr.script,
+       {Q.quality_keep_routed_sql("p.text", "pr.script")} AS keep
+FROM p JOIN pr ON p.doc_id = pr.doc_id
+"""
+    want = {r[0]: (r[1], bool(r[2])) for r in con.execute(sql).fetchall()}
+    assert got == want
+    # ...and the same Cyrillic page FAILS the unrouted full Gopher
+    # suite (alpha-word + stopword mis-scoring — the round-13 fix)
+    unrouted = (
+        df.where(F.col("doc_id") == 4)
+        .select(Q.gopher_keep(Q.gopher_signal_cols("text")).alias("k"))
+        .collect()[0]["k"]
+    )
+    assert unrouted is False
+
+
+def test_script_route_catalog_fixture_is_non_vacuous(spark):
+    """The driver row's fixture must exercise EVERY route label and
+    both keep outcomes — a fixture that never routes a class proves
+    nothing about it."""
+    from dask_datapipeline_spark.plans.catalog import CATALOG
+
+    out = CATALOG["script_route"].fn(spark, "/root/testdata/sf0.001").collect()
+    routes = {r["script"] for r in out}
+    assert routes >= {"zh", "ja", "ko", "und-Cyrl", "und-Arab", "latin", "und"}
+    langs = {r["lang"] for r in out}
+    assert {"zh", "ja", "ko", "und-Cyrl", "und-Arab"} <= langs
+    assert {True, False} & {r["keep"] for r in out}
+
+
 # ----- writer lease / fencing (VERDICT r12 item 3) ----------------------
 
 
