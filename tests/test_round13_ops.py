@@ -182,6 +182,68 @@ def test_snapshot_protocol_recover_and_swap(spark, tmp_path, via_uri):
     assert s.fs.read_text(IndexFS.join(s.base, "data")) == "v2"
 
 
+# ----- explain_cost filtered-fold path (VERDICT r12 item 4) --------------
+
+
+def test_explain_cost_prices_predicates_inline(spark):
+    """Passing the histogram + range spec to explain_cost must produce
+    the SAME report as hand-applying apply_selectivity (the
+    join_order_histogram recipe) — plus the new selectivity column and
+    the pricing note in the reason; the leading side's reason states
+    its broadcast exemption explicitly."""
+    from dask_datapipeline_spark.operators.joins import explain_cost
+    from dask_datapipeline_spark.operators.stats import (
+        apply_selectivity,
+        estimate_range_rows,
+    )
+
+    hist = [
+        {"bucket": i + 1, "n_rows": 100_000, "lo": i * 100.0,
+         "hi": (i + 1) * 100.0 - 1}
+        for i in range(10)
+    ]
+    big = {"n_rows": 1_000_000, "n_null": 0, "ndv_est": 500_000.0}
+    other = {"n_rows": 800_000, "n_null": 0, "ndv_est": 400_000.0}
+    mid = {"n_rows": 600_000, "n_null": 0, "ndv_est": 300_000.0}
+    spec = {"hist": hist, "lo": 995.0, "hi": None}
+    got = [
+        r.asDict()
+        for r in explain_cost(
+            spark,
+            [big, other, mid],
+            broadcast_rows=10_000,
+            predicates=[spec, None, None],
+        )
+        .orderBy("step")
+        .collect()
+    ]
+    sel = estimate_range_rows(hist, 995.0, None) / 1_000_000
+    want = [
+        r.asDict()
+        for r in explain_cost(
+            spark,
+            [apply_selectivity(big, sel), other, mid],
+            broadcast_rows=10_000,
+        )
+        .orderBy("step")
+        .collect()
+    ]
+    for g, w in zip(got, want):
+        for k in ("step", "input_idx", "est_rows", "est_ndv",
+                  "est_out_rows", "broadcast"):
+            assert g[k] == w[k], (k, g, w)
+    by_idx = {r["input_idx"]: r for r in got}
+    assert by_idx[0]["selectivity"] == pytest.approx(sel)
+    assert by_idx[1]["selectivity"] == 1.0 and by_idx[2]["selectivity"] == 1.0
+    assert "predicate keeps" in by_idx[0]["reason"]
+    assert "exempt from the broadcast decision" in got[0]["reason"]
+    # the priced big side is now dimension-sized AND non-leading in
+    # this fixture or leading — either way the broadcast flags agree
+    # with the hand-priced report (checked above); validation errors:
+    with pytest.raises(ValueError, match="predicates"):
+        explain_cost(spark, [big, other], predicates=[None])
+
+
 # ----- script-routed quality tier (VERDICT r12 item 2b) ------------------
 
 
