@@ -134,6 +134,24 @@ def main() -> None:
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 3),
         "sf": float(sf),
+        # Streaming rows carry a FIXED micro-batch floor unrelated to
+        # data size: availableNow with maxFilesPerTrigger=1 over a
+        # 3-file staging dir = 3 triggers × ~1 s engine overhead each
+        # (offset commit + checkpoint I/O + planning; measured in
+        # docs/SCALE.md "Streaming extraction per-trigger cost").
+        # Subtract it before reading a streaming row's timing as data
+        # work — streaming_corpus_clean's ~10 s is ~3-4 s floor plus
+        # the batch cascade it shares with web_corpus_clean.
+        "notes": {
+            "streaming_trigger_floor_sec": 3.0,
+            "streaming_queries": [
+                n for n in order if n.startswith("streaming_")
+            ],
+            "detail": "fixed availableNow micro-batch overhead "
+            "(3 triggers x ~1s: offset commit, checkpoint I/O, "
+            "planning) — docs/SCALE.md per-trigger table; subtract "
+            "from streaming rows before cross-round comparison",
+        },
     }
     # Full detail to a sidecar: the driver's artifact keeps only the
     # last ~2000 chars of stdout, and cold+warm per-query dicts exceed
@@ -145,6 +163,7 @@ def main() -> None:
     # per-query warm dict lives in BENCH_LOCAL.json.
     line = dict(payload)
     line.pop("queries_warm")
+    line.pop("notes")  # full note lives in BENCH_LOCAL.json
     line["queries"] = {k: round(v, 2) for k, v in timings.items()}
     out = json.dumps(line, separators=(",", ":"))
     if len(out) > 1900:  # last-resort guard: drop slowest-name detail, never the totals

@@ -595,10 +595,25 @@ def test_retrain_policy_fires_on_drift_and_settles(spark, emb, tmp_path):
     # an UNDRIFTED append under the retrained codebook stays quiet on
     # the occupancy axis with a generous distortion ceiling
     append_to_ivf_index(emb.where(F.col("vec_id") < 50), path, 7)
+
+    def _index_state():
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = (os.path.getsize(p), os.path.getmtime(p))
+        return out
+
+    before = _index_state()
     assert (
         maybe_retrain_ivf_index(spark, path, max_mean_residual=2.0, max_occ_l1=2.0)
         is False
     )
+    # NO-OP COST PIN (round 13; the cadence guidance in docs/SCALE.md
+    # relies on this): a policy call that does not fire pays ONLY the
+    # drift report — a bounded read — and never rewrites a byte of the
+    # index (no fold, no codebook churn, no _META flip)
+    assert _index_state() == before
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="threshold"):
