@@ -97,8 +97,43 @@ def shingles(text_col: Column | str, n: int) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 
+def char_shingles(text_col: Column | str, n: int) -> Column:
+    """CHAR n-gram shingles of the lowercased text (round 13) — the
+    non-whitespace-script member of the shingle family: an unsegmented
+    CJK page has no word delimiters, so :func:`shingles` sees ONE
+    giant token and emits an EMPTY array (zero near-dup recall by
+    construction, pytest-pinned). Char n-grams are the standard
+    substitute (CCNet/fastText practice). Same empty-array guard as
+    the word variant for texts shorter than ``n``; spaces count as
+    characters (both engines agree)."""
+    c = F.lower(F.col(text_col) if isinstance(text_col, str) else text_col)
+    stop = F.length(c) - n + 1
+    idx = F.filter(
+        F.sequence(F.lit(1), F.greatest(stop, F.lit(1))), lambda i: i <= stop
+    )
+    return F.transform(idx, lambda i: c.substr(i, F.lit(n)))
+
+
+#: shingle extraction modes shared by the whole near-dup family
+SHINGLE_MODES = ("word", "char")
+
+
+def _shingle_col(text_col: str, shingle_n: int, mode: str) -> Column:
+    if mode not in SHINGLE_MODES:
+        raise ValueError(f"shingle_mode={mode!r} not in {SHINGLE_MODES}")
+    return (
+        shingles(text_col, shingle_n)
+        if mode == "word"
+        else char_shingles(text_col, shingle_n)
+    )
+
+
 def hashed_shingles(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """(id, __h) rows — one 60-bit hash per shingle occurrence
     (duplicates kept; callers distinct/min as needed).
@@ -123,7 +158,12 @@ def hashed_shingles(
 
     return (
         fan_out(df.select(id_col, text_col))
-        .select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__sh"))
+        .select(
+            F.col(id_col),
+            F.explode(_shingle_col(text_col, shingle_n, shingle_mode)).alias(
+                "__sh"
+            ),
+        )
         .where(F.col("__sh") != "")
         .select(F.col(id_col), seeded_hash64(F.col("__sh"), 0).alias("__h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -191,6 +231,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """Per-document MinHash signature: sig[i] = min over distinct
     shingles of g_i(shingle), where g_i(h) = (a_i·h + b_i) mod P is an
@@ -202,7 +243,7 @@ def minhash_signatures(
     leaves the executor unreduced). No distinct before the groupBy:
     ``min`` over duplicate shingles equals min over the set, and a
     distinct would cost a full extra shuffle."""
-    hashed = hashed_shingles(df, id_col, text_col, shingle_n)
+    hashed = hashed_shingles(df, id_col, text_col, shingle_n, shingle_mode)
     return _signatures_from_hashed(hashed, id_col, num_hashes)
 
 
@@ -281,6 +322,7 @@ def jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (or all pairs
     sharing ≥1 shingle when ``candidates`` is None — the small-scale /
@@ -307,8 +349,12 @@ def jaccard_pairs(
 
     The no-candidates path uses PPJoin-style PREFIX FILTERING
     (Chaudhuri/Ganti/Kaushik 2006, Xiao et al. 2008) — exact, not a
-    heuristic: see ``_jaccard_allpairs_prefix``."""
-    hashed = hashed_shingles(df, id_col, text_col, shingle_n)
+    heuristic: see ``_jaccard_allpairs_prefix``.
+
+    ``shingle_mode='char'`` swaps in char n-grams (round 13) — the
+    correct feature for unsegmented CJK corpora, where word shingles
+    are empty by construction."""
+    hashed = hashed_shingles(df, id_col, text_col, shingle_n, shingle_mode)
     from pyspark.storagelevel import StorageLevel
 
     sh = (
@@ -543,6 +589,7 @@ def near_dup_pairs_minhash(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """End-to-end near-dup detection: MinHash → LSH banding →
     exact-Jaccard verification of candidates only. ``max_df`` caps
@@ -562,7 +609,10 @@ def near_dup_pairs_minhash(
 
     sh = (
         cap_document_frequency(
-            hashed_shingles(df, id_col, text_col, shingle_n).distinct(), max_df
+            hashed_shingles(
+                df, id_col, text_col, shingle_n, shingle_mode
+            ).distinct(),
+            max_df,
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -8680,6 +8680,135 @@ def q_script_route(spark, sf_dir):
     return prof.join(lang, "doc_id").join(keep, "doc_id")
 
 
+# Char-shingle near-dup for unsegmented CJK (round 13): word shingles
+# see ONE giant token on a no-space page and emit an EMPTY array —
+# zero recall by construction (pytest-pinned) — so the CJK slice of a
+# multilingual corpus dedups on char n-grams instead.
+
+#: 40-char Han vocabulary for the deterministic unique tails (opening
+#: of the Thousand Character Classic — public domain)
+_CJK_TAIL_VOCAB = list(
+    "天地玄黃宇宙洪荒日月盈昃辰宿列張寒來暑往秋收冬藏閏餘成歲律呂調陽雲騰致雨露結為霜"
+)
+_CJK_TAIL_LEN = 36
+#: appended to odd doc_ids only — the partner-pair delta
+_CJK_EXTRA = "。另外再說一句話"
+
+
+def _cjk_bases() -> list[str]:
+    return LID.HELDOUT_SENTENCES["zh"] + LID.HELDOUT_SCRIPT_SENTENCES["ja"]
+
+
+def _cjk_fixture_col():
+    """text(doc_id) = bases[(doc_id//2) % 6] + 36 unique-per-pair Han
+    tail chars + an extra clause on odd ids — docs 2k/2k+1 are planted
+    near-dup partners (share base+tail), different pairs share at most
+    the base sentence (tails are md5-unique), so char-3-gram Jaccard
+    cleanly separates partners (≈0.8) from cross-pair (≤0.4)."""
+    bases = _cjk_bases()
+    base_arr = F.array(*[F.lit(s) for s in bases])
+    g = F.floor(F.col("doc_id") / 2).cast("long")
+    base = F.element_at(base_arr, (g % len(bases)).cast("int") + 1)
+    vocab_arr = F.array(*[F.lit(c) for c in _CJK_TAIL_VOCAB])
+    tail = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_CJK_TAIL_LEN - 1)),
+            lambda j: F.element_at(
+                vocab_arr,
+                (
+                    DD.seeded_hash64(
+                        F.concat(
+                            g.cast("string"), F.lit(":"), j.cast("string")
+                        ),
+                        "cjktail",
+                    )
+                    % len(_CJK_TAIL_VOCAB)
+                ).cast("int")
+                + 1,
+            ),
+        ),
+        "",
+    )
+    return F.concat(
+        base,
+        tail,
+        F.when(F.col("doc_id") % 2 == 1, F.lit(_CJK_EXTRA)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def _sql_char_shingles_hashed(src: str = "documents", n: int = 3) -> str:
+    """Char-n-gram twin of ``_sql_shingles_hashed`` — substr over
+    generate_series on the lowercased text, then the SAME hash/
+    distinct/df-cap chain ending in ``shh``."""
+    return (
+        f"""
+chs AS (SELECT doc_id, lower(text) AS s FROM {src}),
+cidx AS (SELECT doc_id, s, unnest(generate_series(1, greatest(length(s)-{n - 1}, 0))) AS i FROM chs),
+csh0 AS (SELECT doc_id, substr(s, i, {n}) AS sh FROM cidx),
+hsh AS (SELECT doc_id, """
+        + _SQL_HASH.format(seed=0, col="sh")
+        + f""" AS h FROM csh0 WHERE sh <> ''),
+shh0 AS (SELECT DISTINCT doc_id, h FROM hsh),
+hkeep AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM shh0 GROUP BY h) WHERE df <= {_MAX_DF}),
+shh AS (SELECT s.doc_id, s.h FROM shh0 s JOIN hkeep k ON s.h = k.h)
+"""
+    )
+
+
+def _cjk_near_dup_sql() -> str:
+    bases = _cjk_bases()
+    base_lst = (
+        "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in bases) + "]"
+    )
+    vocab_lst = "[" + ", ".join(f"'{c}'" for c in _CJK_TAIL_VOCAB) + "]"
+    h = _SQL_HASH.format(
+        seed="cjktail", col="CAST(g AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
+    )
+    fixture = f"""
+tg AS (SELECT doc_id, doc_id // 2 AS g FROM documents),
+tj AS (SELECT doc_id, g, unnest(generate_series(0, {_CJK_TAIL_LEN - 1})) AS j FROM tg),
+td AS (SELECT doc_id, j, ({vocab_lst})[({h}) % {len(_CJK_TAIL_VOCAB)} + 1] AS ch FROM tj),
+tt AS (SELECT doc_id, string_agg(ch, '' ORDER BY j) AS tail FROM td GROUP BY doc_id),
+fx AS (
+  SELECT tg.doc_id,
+         ({base_lst})[(tg.g % {len(bases)}) + 1] || tt.tail ||
+         CASE WHEN tg.doc_id % 2 = 1 THEN '{_CJK_EXTRA}' ELSE '' END AS text
+  FROM tg JOIN tt ON tt.doc_id = tg.doc_id
+),"""
+    return (
+        "WITH "
+        + fixture
+        + _sql_char_shingles_hashed("fx")
+        + ","
+        + _sql_jaccard_verify()
+    )
+
+
+@register_extra(
+    "cjk_near_dup",
+    _cjk_near_dup_sql(),
+    "CHAR-3-gram shingle near-dup for unsegmented CJK text (round 13: "
+    "dedup.char_shingles / shingle_mode='char' threaded through the whole "
+    "MinHash/Jaccard family): a no-space Han/kana page is ONE token to the "
+    "word shingler — empty shingle array, ZERO near-dup recall by "
+    "construction (pytest-pinned) — so the CJK slice of a multilingual "
+    "corpus dedups on char n-grams (CCNet practice). Fixture plants "
+    "partner pairs (2k, 2k+1) sharing a real Han/kana sentence + a "
+    "36-char md5-unique tail, odd ids adding one clause: partners score "
+    "J≈0.8, cross-pair ≤0.4, so threshold 0.5 separates exactly; same "
+    "PPJoin prefix-filtered self-join as jaccard_near_dup, md5-identical "
+    "oracle via substr/generate_series",
+)
+def q_cjk_near_dup(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id")
+    fixture = docs.select("doc_id", _cjk_fixture_col().alias("text"))
+    return DD.jaccard_pairs(
+        fixture, None, threshold=0.5, max_df=_MAX_DF, shingle_mode="char"
+    )
+
+
 # ----- HyperLogLog distinct sketch -----------------------------------
 
 from dask_datapipeline_spark.operators.sketches import (  # noqa: E402

@@ -182,6 +182,63 @@ def test_snapshot_protocol_recover_and_swap(spark, tmp_path, via_uri):
     assert s.fs.read_text(IndexFS.join(s.base, "data")) == "v2"
 
 
+# ----- char-shingle near-dup for unsegmented CJK --------------------------
+
+
+def test_word_shingles_blind_on_cjk_char_mode_recovers(spark):
+    """The failure char mode exists to fix, pinned in both directions:
+    word 3-gram shingles of a no-space Han page are EMPTY (one giant
+    token), so word-mode near-dup has zero recall by construction;
+    char mode finds the planted partner pair. Short-text guards hold
+    in both modes."""
+    from dask_datapipeline_spark.operators import dedup as DD
+
+    a = "吾輩は猫である。名前はまだ無い。どこで生れたかとんと見当がつかぬ。"
+    b = a + "何で。"  # tiny delta: J≈0.9, above any banding coin-flip
+    c = "道可道非常道名可名非常名無名天地之始有名萬物之母常無欲以觀其妙。"
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, text string"
+    )
+    from pyspark.sql import functions as F
+
+    word = df.select(F.size(DD.shingles("text", 3)).alias("n")).collect()
+    assert [r["n"] for r in word] == [0, 0, 0]  # one token < n each
+    char = df.select(F.size(DD.char_shingles("text", 3)).alias("n")).collect()
+    assert [r["n"] for r in char] == [len(a) - 2, len(b) - 2, len(c) - 2]
+    # char shingle CONTENT matches the Python model on the first doc
+    got = df.where(F.col("doc_id") == 0).select(
+        DD.char_shingles("text", 3).alias("sh")
+    ).collect()[0]["sh"]
+    want = [a.lower()[i : i + 3] for i in range(len(a) - 2)]
+    assert got == want
+    # word mode: zero pairs; char mode: exactly the planted partner
+    assert DD.jaccard_pairs(df, None, threshold=0.5).count() == 0
+    pairs = DD.jaccard_pairs(
+        df, None, threshold=0.5, shingle_mode="char"
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+    assert pairs[0]["jaccard"] >= 0.5
+    # minhash end-to-end honors the mode too
+    mh = DD.near_dup_pairs_minhash(
+        df, threshold=0.5, shingle_mode="char"
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in mh] == [(0, 1)]
+    with pytest.raises(ValueError, match="shingle_mode"):
+        DD.jaccard_pairs(df, None, shingle_mode="byte")
+
+
+def test_cjk_near_dup_fixture_separates_partners(spark):
+    """The catalog row's planted structure: every (2k, 2k+1) partner
+    pair is found, NO cross-pair leaks over the threshold, and the
+    word-mode run over the same fixture finds nothing."""
+    from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG
+
+    out = EXTRA_CATALOG["cjk_near_dup"].fn(spark, "/root/testdata/sf0.001").collect()
+    pairs = sorted((r["id_a"], r["id_b"]) for r in out)
+    assert pairs, "fixture must plant at least one partner pair"
+    assert all(b == a + 1 and a % 2 == 0 for a, b in pairs)
+
+
 # ----- explain_cost filtered-fold path (VERDICT r12 item 4) --------------
 
 
