@@ -8685,10 +8685,17 @@ def q_script_route(spark, sf_dir):
 # zero recall by construction (pytest-pinned) — so the CJK slice of a
 # multilingual corpus dedups on char n-grams instead.
 
-#: 40-char Han vocabulary for the deterministic unique tails (opening
-#: of the Thousand Character Classic — public domain)
+#: 120-char Han vocabulary for the deterministic unique tails (opening
+#: of the Thousand Character Classic — public domain; its 1000 chars
+#: are all DISTINCT). Width matters for the scaling battery: a 40-char
+#: alphabet saturates the 3-gram space by ~50k docs (per-gram df grows
+#: with the corpus → quadratic join fan-out — a FIXTURE artifact, not
+#: operator behavior); 120 chars give ~1.7M possible grams, so tail
+#: grams stay near-unique through the x10 tier.
 _CJK_TAIL_VOCAB = list(
     "天地玄黃宇宙洪荒日月盈昃辰宿列張寒來暑往秋收冬藏閏餘成歲律呂調陽雲騰致雨露結為霜"
+    "金生麗水玉出崑岡劍號巨闕珠稱夜光果珍李柰菜重芥薑海鹹河淡鱗潛羽翔龍師火帝鳥官人皇"
+    "始制文字乃服衣裳推位讓國有虞陶唐弔民伐罪周發殷湯坐朝問道垂拱平章"
 )
 _CJK_TAIL_LEN = 36
 #: appended to odd doc_ids only — the partner-pair delta

@@ -529,6 +529,7 @@ def stream_incremental_quantile_sample(
     k: int = 256,
     checkpoint_dir: str | None = None,
     timeout_sec: int = 240,
+    lease=None,
 ) -> None:
     """Maintain the mergeable quantile sketch (``operators/sketches.py
     ::quantile_sample`` — the bottom-k-by-md5(id) row sample)
@@ -550,8 +551,13 @@ def stream_incremental_quantile_sample(
     from dask_datapipeline_spark.operators.sketches import quantile_sample
 
     snap = _Snapshot(sample_dir, "stream_incremental_quantile_sample")
+    if lease is not None:  # lease root must live OUTSIDE the swapped
+        lease.acquire()    # snapshot dir (e.g. its parent) — the dir
+                           # itself is replaced every batch
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if lease is not None:
+            lease.check_and_renew()
         snap.recover()
         cur = (
             batch_df.select(id_col, value_col)
@@ -592,6 +598,7 @@ def stream_incremental_kmv(
     k: int = 64,
     checkpoint_dir: str | None = None,
     timeout_sec: int = 240,
+    lease=None,
 ) -> None:
     """Maintain the KMV distinct-count sketch (``operators/sketches.py``)
     incrementally over a file stream: per micro-batch, hash the batch's
@@ -613,8 +620,12 @@ def stream_incremental_kmv(
     )
 
     snap = _Snapshot(sketch_dir, "stream_incremental_kmv")
+    if lease is not None:  # lease root outside the swapped dir
+        lease.acquire()
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if lease is not None:
+            lease.check_and_renew()
         snap.recover()
         hashed = batch_df.where(F.col(value_col).isNotNull()).select(
             *group_cols,
@@ -1107,6 +1118,7 @@ def stream_incremental_hll(
     p: int = 10,
     checkpoint_dir: str | None = None,
     timeout_sec: int = 240,
+    lease=None,
 ) -> None:
     """Maintain the HyperLogLog register table (``operators/sketches
     .py::hll_registers``) incrementally over a file stream: per
@@ -1132,8 +1144,12 @@ def stream_incremental_hll(
     )
 
     snap = _Snapshot(sketch_dir, "stream_incremental_hll")
+    if lease is not None:  # lease root outside the swapped dir
+        lease.acquire()
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if lease is not None:
+            lease.check_and_renew()
         snap.recover()
         reg = hll_registers(batch_df, group_cols, value_col, p=p, seed=HLL_SEED)
         cur = (
@@ -1170,6 +1186,7 @@ def stream_incremental_table_stats(
     p: int | None = None,
     checkpoint_dir: str | None = None,
     timeout_sec: int = 240,
+    lease=None,
 ) -> None:
     """Maintain ANALYZE statistics (``operators/stats.py``)
     incrementally over a file stream — the streaming leg of the CBO
@@ -1246,7 +1263,12 @@ def stream_incremental_table_stats(
             )
         return applied
 
+    if lease is not None:  # lease root outside the swapped dir
+        lease.acquire()
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if lease is not None:
+            lease.check_and_renew()
         snap.recover()
         if batch_id <= _applied():
             return  # replay of an already-folded batch: sums must not re-apply

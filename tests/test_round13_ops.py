@@ -495,6 +495,42 @@ def test_stage_delta_sink_enforces_lease(spark, tmp_path):
     lease_a.release()
 
 
+def test_snapshot_sink_enforces_lease(spark, tmp_path):
+    """The snapshot-swap sinks take the same lease as the index sinks;
+    the lease roots OUTSIDE the swapped dir (the parent), so it
+    survives every swap. A second writer is rejected at start."""
+    import time
+
+    from dask_datapipeline_spark.lease import LeaseHeldError, WriterLease
+    from dask_datapipeline_spark.streaming.windows import (
+        stream_incremental_quantile_sample,
+    )
+
+    work = str(tmp_path)
+    staged = os.path.join(work, "staged")
+    os.makedirs(staged)
+    df = spark.createDataFrame(
+        [(i, float(i % 13)) for i in range(60)], "id long, v double"
+    )
+    _stage(spark, work, staged, "a", df, time.time())
+    sample_dir = os.path.join(work, "sample")
+    kw = dict(schema="id long, v double", value_col="v", id_col="id", k=16)
+    lease_a = WriterLease(work, owner="job-a", ttl_sec=3600)
+    stream_incremental_quantile_sample(
+        spark, staged, sample_dir, lease=lease_a,
+        checkpoint_dir=os.path.join(work, "ck"), **kw,
+    )
+    assert os.path.isdir(sample_dir)
+    assert os.path.isfile(os.path.join(work, "_LEASE"))  # survived swaps
+    with pytest.raises(LeaseHeldError, match="job-a"):
+        stream_incremental_quantile_sample(
+            spark, staged, sample_dir,
+            lease=WriterLease(work, owner="job-b", ttl_sec=3600),
+            checkpoint_dir=os.path.join(work, "ck2"), **kw,
+        )
+    lease_a.release()
+
+
 def _stage(spark, work, staged, name, df, mt):
     import time  # noqa: F401  (mtimes passed in)
 

@@ -87,6 +87,8 @@ QUERIES = [
     ("pack_input_ids_scaled", "documents"),
     ("unigram_train_scaled", "documents"),
     ("ivf_drift_scaled", "embeddings"),
+    ("script_route_scaled", "documents"),
+    ("cjk_near_dup_scaled", "documents"),
 ]
 
 
@@ -539,9 +541,65 @@ def _ivf_drift_scaled(spark, sf_dir, n_rows):
     return rep.where(F.col("mean_residual") + F.col("occ_l1") >= 0)
 
 
+_LID_W = None
+
+
+def _script_route_scaled(spark, sf_dir, n_rows):
+    """The full round-13 multilingual front door over the REAL corpus
+    text: script profile (codegen counts+route), the composed LID
+    (Arrow trigram stage over the Latin-routed slice — on this corpus
+    that is ~every row, the worst case for the UDF), and the routed
+    quality keep. Forcing filter references a column from every leg so
+    count() cannot prune any of the three."""
+    global _LID_W
+    from dask_datapipeline_spark.functions.quality import quality_keep_routed
+    from dask_datapipeline_spark.operators import langid as LID
+    from dask_datapipeline_spark.operators import scripts as USC
+
+    if _LID_W is None:
+        _LID_W = LID.train_lang_ngram()
+    docs = (
+        load_testdata(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    prof = USC.script_profile(docs, "doc_id", "text")
+    lang = USC.lang_id_script_routed(
+        docs, "doc_id", "text", _LID_W, LID.DEFAULT_ABSTAIN_MILLI
+    ).select("doc_id", "lang")
+    keep = docs.join(prof.select("doc_id", "script"), "doc_id").select(
+        "doc_id", quality_keep_routed("text", "script").alias("keep")
+    )
+    out = prof.join(lang, "doc_id").join(keep, "doc_id")
+    return out.where(
+        (F.col("n_letters") >= 0)
+        & F.col("lang").isNotNull()
+        & F.col("keep").isNotNull()
+        & F.col("script").isNotNull()
+    )
+
+
+def _cjk_near_dup_scaled(spark, sf_dir, n_rows):
+    """Char-3-gram PPJoin near-dup over the planted CJK fixture — the
+    pair join IS the work, so count() forces everything."""
+    from dask_datapipeline_spark.operators import dedup as DD
+    from dask_datapipeline_spark.plans.catalog_llm import (
+        _MAX_DF,
+        _cjk_fixture_col,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id")
+    fixture = docs.select("doc_id", _cjk_fixture_col().alias("text"))
+    return DD.jaccard_pairs(
+        fixture, None, threshold=0.5, max_df=_MAX_DF, shingle_mode="char"
+    )
+
+
 #: rows measured through a scale-parameterized builder instead of the
 #: fixed-config catalog row; fn(spark, sf_dir, n_input_rows) → DataFrame
 CUSTOM = {
+    "script_route_scaled": _script_route_scaled,
+    "cjk_near_dup_scaled": _cjk_near_dup_scaled,
     "embedding_near_dup_scaled": _embedding_near_dup_scaled,
     "multimodal_features_scaled": _multimodal_features_scaled,
     "image_near_dup_scaled": _image_near_dup_scaled,
