@@ -153,6 +153,39 @@ def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def routed_token_count(
+    text: Column | str, script: Column | str
+) -> Column:
+    """Script-aware token count — the token-counting member of the
+    routed tier: whitespace-split words for segmented scripts, LETTER
+    CODEPOINTS for the non-whitespace routes (zh/ja), where each
+    character is roughly a morpheme and the word count is 1 by
+    construction. Matches how production pipelines size CJK documents
+    (chars, not words) for packing/length floors. Exact integers, pure
+    codegen."""
+    c = F.col(text) if isinstance(text, str) else text
+    s = F.col(script) if isinstance(script, str) else script
+    counts = script_count_cols(c)
+    cjk_tokens = counts["n_han"] + counts["n_kana"]
+    words = F.size(F.filter(F.split(c, " "), lambda t: t != F.lit("")))
+    return (
+        F.when(s.isin("zh", "ja"), cjk_tokens)
+        .otherwise(words.cast("long"))
+        .cast("long")
+    )
+
+
+def routed_token_count_sql(expr: str, script_expr: str) -> str:
+    """DuckDB replay of :func:`routed_token_count` — references the
+    ``n_han``/``n_kana`` columns of :func:`script_count_sql` by name
+    (the caller's profile CTE provides them)."""
+    words = f"len(list_filter(string_split({expr}, ' '), t -> t <> ''))"
+    return (
+        f"CAST(CASE WHEN {script_expr} IN ('zh', 'ja') "
+        f"THEN n_han + n_kana ELSE {words} END AS BIGINT)"
+    )
+
+
 # ----- catalog fixture devices ------------------------------------------
 
 #: edge shapes appended to the held-out real-script sentences in the

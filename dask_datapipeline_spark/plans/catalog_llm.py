@@ -8680,6 +8680,66 @@ def q_script_route(spark, sf_dir):
     return prof.join(lang, "doc_id").join(keep, "doc_id")
 
 
+def _script_token_stats_sql() -> str:
+    counts = USC.script_count_sql("text")
+    count_cols = ",\n         ".join(
+        f"{sql} AS {name}" for name, sql in counts.items() if name != "n_letters"
+    )
+    words = "len(list_filter(string_split(text, ' '), t -> t <> ''))"
+    return f"""
+WITH fx AS (
+  SELECT doc_id, {USC.script_fixture_sql()} AS text FROM documents
+),
+psc AS (
+  SELECT doc_id, text, {count_cols}
+  FROM fx WHERE text IS NOT NULL
+),
+psp AS (SELECT *, {counts["n_letters"]} AS n_letters FROM psc),
+psr AS (
+  SELECT doc_id, text, n_han, n_kana,
+         {USC.script_route_sql()} AS script
+  FROM psp
+)
+SELECT doc_id, script,
+       {USC.routed_token_count_sql("text", "script")} AS n_tokens,
+       CAST({words} AS BIGINT) AS n_tokens_word
+FROM psr
+"""
+
+
+@register_extra(
+    "script_token_stats",
+    _script_token_stats_sql(),
+    "Script-aware token counting (operators/scripts.py::"
+    "routed_token_count — round 13): whitespace words for segmented "
+    "scripts, LETTER CODEPOINTS for unsegmented zh/ja (where the word "
+    "count is 1 by construction and chars approximate morphemes — how "
+    "production pipelines size CJK docs for packing/length floors). The "
+    "contrast column n_tokens_word pins the mis-measurement the routing "
+    "fixes: a 30-char Han sentence counts ~7 'words' only because the "
+    "classical fixture uses clause spaces; real unsegmented text counts "
+    "1. Exact integers, pure codegen, bit-exact oracle",
+)
+def q_script_token_stats(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id")
+    fixture = docs.select("doc_id", USC.script_fixture_col().alias("text"))
+    prof = USC.script_profile(fixture, "doc_id", "text").select(
+        "doc_id", "script"
+    )
+    words = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    )
+    return (
+        fixture.join(prof, "doc_id")
+        .select(
+            "doc_id",
+            "script",
+            USC.routed_token_count("text", "script").alias("n_tokens"),
+            words.cast("long").alias("n_tokens_word"),
+        )
+    )
+
+
 # Char-shingle near-dup for unsegmented CJK (round 13): word shingles
 # see ONE giant token on a no-space page and emit an EMPTY array —
 # zero recall by construction (pytest-pinned) — so the CJK slice of a
