@@ -37,6 +37,7 @@ is one pass over the text bytes, embarrassingly parallel.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 from pyspark.sql import DataFrame
@@ -193,9 +194,14 @@ def _h60(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
+@functools.lru_cache(maxsize=1 << 20)
 def bucket(gram: str) -> int:
     """Feature bucket of one char n-gram — the classifier module's
-    ``_hash_bucket`` with this module's namespace."""
+    ``_hash_bucket`` with this module's namespace. Cached: scoring
+    calls this once per gram OCCURRENCE and real text reuses a small
+    gram vocabulary, so the md5 (the scorer's dominant cost — measured
+    ~1.2 ms/doc uncached at bench sf0.1) amortizes to a dict hit;
+    per-worker caches, pure function, bounded size."""
     return _h60(f"{SEED}:{gram}") % N_BUCKETS
 
 
@@ -353,13 +359,16 @@ def classify_text(
 
 
 def raw_scores(text: str, weights: dict[str, dict[int, int]]) -> dict[str, int]:
-    grams = char_ngrams(text)
+    # hash each gram ONCE, not once per language (identical sums —
+    # integer addition is order-insensitive and the per-lang loop
+    # walks the same gram order)
+    bks = [bucket(g) for g in char_ngrams(text)]
     raws = {}
     for lang in LANGS:
         wl = weights[lang]
         raw = 0
-        for g in grams:
-            raw += wl.get(bucket(g), 0)
+        for b in bks:
+            raw += wl.get(b, 0)
         raws[lang] = raw
     return raws
 

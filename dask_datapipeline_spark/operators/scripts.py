@@ -143,13 +143,23 @@ def script_route_col(counts: dict[str, Column]) -> Column:
 def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n_chars, n_han, …, n_letters, script) — the per-document
     script profile + route. NULL text rows are dropped explicitly (the
-    repo-wide split(NULL)/size(NULL) guard discipline)."""
+    repo-wide split(NULL)/size(NULL) guard discipline).
+
+    TWO projections on purpose: the route CASE references each count
+    ~8 times, and inlining the count EXPRESSIONS (regexp_replace over
+    the text) into it re-executes every regex per reference —
+    measured ~25% of the catalog row's wall. Materializing the counts
+    as columns first keeps each regex to ONE execution per row
+    (Catalyst's CollapseProject declines to inline non-cheap exprs, so
+    the split survives optimization)."""
     require_columns(df, [id_col, text_col])
     counts = script_count_cols(text_col)
-    return df.where(F.col(text_col).isNotNull()).select(
-        id_col,
-        *[counts[k].alias(k) for k in counts],
-        script_route_col(counts).alias("script"),
+    step = df.where(F.col(text_col).isNotNull()).select(
+        id_col, *[counts[k].alias(k) for k in counts]
+    )
+    refs = {k: F.col(k) for k in counts}
+    return step.select(
+        id_col, *counts.keys(), script_route_col(refs).alias("script")
     )
 
 

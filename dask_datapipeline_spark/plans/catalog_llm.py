@@ -8670,14 +8670,32 @@ def q_script_route(spark, sf_dir):
 
     docs = load_testdata(spark, sf_dir, "documents").select("doc_id")
     fixture = docs.select("doc_id", USC.script_fixture_col().alias("text"))
-    prof = USC.script_profile(fixture, "doc_id", "text")
+    # counts, route AND the routed keep in ONE projection chain (text
+    # carried along, then dropped) — the keep leg needs no second
+    # scan/join; only the Arrow LID leg joins back. Counts materialize
+    # as columns BEFORE the route references them (script_profile's
+    # one-regex-execution-per-row discipline).
+    counts = USC.script_count_cols("text")
+    step = fixture.where(F.col("text").isNotNull()).select(
+        "doc_id", "text", *[counts[k].alias(k) for k in counts]
+    )
+    refs = {k: F.col(k) for k in counts}
+    prof = step.select(
+        "doc_id",
+        "text",
+        *counts.keys(),
+        USC.script_route_col(refs).alias("script"),
+    )
+    prof = prof.select(
+        *[c for c in prof.columns if c != "text"],
+        quality_keep_routed("text", "script").alias("keep"),
+    )
     lang = USC.lang_id_script_routed(
         fixture, "doc_id", "text", _LID_WEIGHTS, LID.DEFAULT_ABSTAIN_MILLI
     ).select("doc_id", "lang")
-    keep = fixture.join(prof.select("doc_id", "script"), "doc_id").select(
-        "doc_id", quality_keep_routed("text", "script").alias("keep")
+    return prof.join(lang, "doc_id").select(
+        *[c for c in prof.columns if c != "keep"], "lang", "keep"
     )
-    return prof.join(lang, "doc_id").join(keep, "doc_id")
 
 
 def _script_token_stats_sql() -> str:
