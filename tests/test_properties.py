@@ -1308,3 +1308,108 @@ def test_decide_lang_matches_integer_model(raws, n_grams, tau):
     want = L.UND if (best - second) * 1000 < tau * n_grams else pred
     assert L.decide_lang(rd, n_grams, tau) == want
     assert L.decide_lang(rd, n_grams, None) == pred
+
+
+# random codepoint soup, deliberately including astral-plane chars
+# (emoji, CJK ext-B) the BMP-range profile must count as 'other' —
+# surrogates excluded (not expressible in valid UTF-8 interchange)
+_uni_char = st.one_of(
+    st.characters(min_codepoint=0x20, max_codepoint=0x2FF),
+    st.characters(min_codepoint=0x3000, max_codepoint=0x9FFF),
+    st.characters(min_codepoint=0xAC00, max_codepoint=0xD7AF),
+    st.characters(min_codepoint=0x1F300, max_codepoint=0x1F6FF),  # emoji
+    st.characters(min_codepoint=0x20000, max_codepoint=0x2003F),  # ext-B
+    st.sampled_from(list("  \n\t.!?的の가дق")),
+)
+_uni_text = st.text(_uni_char, min_size=0, max_size=60)
+
+
+@given(texts=st.lists(_uni_text, min_size=1, max_size=12))
+@settings(**_SETTINGS)
+def test_script_profile_matches_duckdb_and_python_on_soup(spark, texts):
+    """Unicode-soup fuzz over the round-13 script profile: the Spark
+    codegen device, the DuckDB regex replay, and the pure-Python
+    codepoint walk agree on every count and route for arbitrary
+    codepoints — INCLUDING astral-plane chars, where a UTF-16
+    code-unit length() would break the length-difference trick (both
+    engines count codepoints, pinned here rather than assumed)."""
+    import duckdb
+    import pandas as pd
+
+    from dask_datapipeline_spark.operators import scripts as S
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in S.script_profile(df, "doc_id", "text").collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = {r[0]: tuple(r) for r in con.execute(S.script_profile_sql()).fetchall()}
+    assert got == want
+    for i, t in rows:
+        c = S.py_script_counts(t)
+        assert got[i][1] == c["n_chars"], (i, t)
+        assert got[i][-2] == c["n_letters"], (i, t)
+        assert got[i][-1] == S.py_route(t), (i, t)
+
+
+@given(texts=st.lists(_uni_text, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_routed_quality_keep_matches_duckdb_on_soup(spark, texts):
+    """The routed quality keep (CJK tier / Gopher / shape subset) is
+    engine-bit-identical on arbitrary unicode soup — the div-by-zero
+    guards (empty text, all-empty lines) and the per-route CASE arms
+    all land the same on both sides."""
+    import duckdb
+    import pandas as pd
+
+    from dask_datapipeline_spark.functions import quality as Q
+    from dask_datapipeline_spark.operators import scripts as S
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prof = S.script_profile(df, "doc_id", "text").select("doc_id", "script")
+    got = {
+        r["doc_id"]: (r["script"], r["keep"])
+        for r in df.join(prof, "doc_id")
+        .select(
+            "doc_id", "script",
+            Q.quality_keep_routed("text", "script").alias("keep"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sql = f"""
+WITH p AS (SELECT doc_id, text FROM documents),
+pr AS ({S.script_profile_sql(src="p")})
+SELECT p.doc_id, pr.script,
+       {Q.quality_keep_routed_sql("p.text", "pr.script")} AS keep
+FROM p JOIN pr ON p.doc_id = pr.doc_id
+"""
+    want = {r[0]: (r[1], bool(r[2])) for r in con.execute(sql).fetchall()}
+    assert got == want
+
+
+@given(texts=st.lists(st.text(_uni_char, min_size=0, max_size=40), min_size=2, max_size=8))
+@settings(**_SETTINGS)
+def test_char_shingles_match_python_model(spark, texts):
+    """char_shingles == the sliding-window Python model on arbitrary
+    codepoints (incl. astral) for several n."""
+    from dask_datapipeline_spark.operators.dedup import char_shingles
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3, 5):
+        got = {
+            r["doc_id"]: r["sh"]
+            for r in df.select(
+                "doc_id", char_shingles("text", n).alias("sh")
+            ).collect()
+        }
+        for i, t in rows:
+            lo = t.lower()
+            want = [lo[j : j + n] for j in range(max(len(lo) - n + 1, 0))]
+            assert got[i] == want, (i, t, n)
