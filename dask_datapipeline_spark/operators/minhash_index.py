@@ -61,8 +61,16 @@ def build_minhash_index(
     bands: int = 4,
     shingle_n: int = 3,
     max_df: int | None = None,
+    shingle_mode: str = "word",
 ) -> dict:
     """Write the corpus index (one corpus pass; see module docstring).
+
+    ``shingle_mode='char'`` builds a CHAR-n-gram index (round 13) —
+    the correct feature for unsegmented CJK corpora, where word
+    shingles are empty by construction. The mode is RECORDED in
+    ``_META``, so every later append and probe shingle the same way
+    without the caller re-passing it (a mode mismatch would silently
+    score zero overlaps).
 
     Shuffle budget: the shingle explode+hash is map-side; the hot-hash
     groupBy, the anti-join, and the signature groupBy are the three
@@ -71,7 +79,7 @@ def build_minhash_index(
     from pyspark.storagelevel import StorageLevel
 
     sh_raw = (
-        hashed_shingles(df, id_col, text_col, shingle_n)
+        hashed_shingles(df, id_col, text_col, shingle_n, shingle_mode)
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -100,6 +108,7 @@ def build_minhash_index(
         "bands": bands,
         "shingle_n": shingle_n,
         "max_df": max_df,
+        "shingle_mode": shingle_mode,
     }
     fs = IndexFS.for_path(path, "build_minhash_index")
     fs.write_json_atomic(IndexFS.join(path, "_META"), meta)
@@ -215,7 +224,13 @@ def append_to_minhash_index(
         return
     hot = spark.read.parquet(IndexFS.join(index_path, "hot_hashes"))
     b_sh = (
-        hashed_shingles(batch, meta["id_col"], text_col, meta["shingle_n"])
+        hashed_shingles(
+            batch,
+            meta["id_col"],
+            text_col,
+            meta["shingle_n"],
+            meta.get("shingle_mode", "word"),  # pre-r13 indexes: word
+        )
         .distinct()
         .join(hot, on="__h", how="left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -387,7 +402,10 @@ def incremental_near_dup_flags(
     idx_sig = idx_sig.join(F.broadcast(b_ids_bc), on=id_col, how="left_anti")
 
     b_sh = (
-        hashed_shingles(batch, id_col, text_col, meta["shingle_n"])
+        hashed_shingles(
+            batch, id_col, text_col, meta["shingle_n"],
+            meta.get("shingle_mode", "word"),
+        )
         .distinct()
         .join(hot, on="__h", how="left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -227,6 +227,53 @@ def test_word_shingles_blind_on_cjk_char_mode_recovers(spark):
         DD.jaccard_pairs(df, None, shingle_mode="byte")
 
 
+def test_minhash_index_char_mode_flags_cjk_batch(spark, tmp_path):
+    """A char-mode MinHash index (mode recorded in _META) flags a CJK
+    batch near-dup of a corpus doc; a word-mode index over the same
+    corpus is blind (empty shingles). Appends inherit the mode from
+    _META — no caller re-passing."""
+    from dask_datapipeline_spark.operators.minhash_index import (
+        append_to_minhash_index,
+        build_minhash_index,
+        incremental_near_dup_flags,
+        read_minhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "吾輩は猫である。名前はまだ無い。どこで生れたかとんと見当がつかぬ。"),
+            (1, "道可道非常道名可名非常名無名天地之始有名萬物之母常無欲以觀其妙。"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "吾輩は猫である。名前はまだ無い。どこで生れたかとんと見当がつかぬ。了")],
+        "doc_id long, text string",
+    )
+    char_idx = str(tmp_path / "char_idx")
+    meta = build_minhash_index(corpus, char_idx, shingle_mode="char")
+    assert meta["shingle_mode"] == "char"
+    flags = incremental_near_dup_flags(batch, char_idx, threshold=0.5).collect()
+    assert [(r["doc_id"], r["is_new"], r["dup_of"]) for r in flags] == [
+        (10, False, 0)
+    ]
+    # append honors the recorded mode: a later batch dups against it
+    append_to_minhash_index(batch, char_idx, "b00000")
+    sh, _sig, _hot, meta2 = read_minhash_index(spark, char_idx)
+    assert meta2.get("shingle_mode") == "char" and sh.count() > 0
+    batch2 = spark.createDataFrame(
+        [(20, "吾輩は猫である。名前はまだ無い。どこで生れたかとんと見当がつかぬ。了了")],
+        "doc_id long, text string",
+    )
+    flags2 = incremental_near_dup_flags(batch2, char_idx, threshold=0.5).collect()
+    assert flags2[0]["is_new"] is False and flags2[0]["dup_of"] in (0, 10)
+    # the word-mode twin over the same corpus: zero shingles, no flag
+    word_idx = str(tmp_path / "word_idx")
+    build_minhash_index(corpus, word_idx)  # default word mode
+    wflags = incremental_near_dup_flags(batch, word_idx, threshold=0.5).collect()
+    assert [(r["doc_id"], r["is_new"]) for r in wflags] == [(10, True)]
+
+
 def test_cjk_near_dup_fixture_separates_partners(spark):
     """The catalog row's planted structure: every (2k, 2k+1) partner
     pair is found, NO cross-pair leaks over the threshold, and the
