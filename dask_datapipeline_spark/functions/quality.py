@@ -483,8 +483,14 @@ def c4_sql_projections(expr: str) -> dict[str, str]:
 #   [a-z] alpha fraction and the Latin stopword floors are EXCLUDED by
 #   design (documented, not silently failed).
 
-#: routes whose pages carry no word-delimiting whitespace
-CJK_ROUTES: tuple[str, ...] = ("zh", "ja")
+#: routes whose pages carry no word-delimiting whitespace — imported
+#: from operators/scripts.py (the single source, next to SCRIPT_RANGES)
+#: so this tier and routed_token_count can never drift on which routes
+#: are unsegmented (ADVICE r13); the local name is kept for the
+#: existing cjk_* API surface
+from dask_datapipeline_spark.operators.scripts import (  # noqa: E402
+    UNSEGMENTED_ROUTES as CJK_ROUTES,
+)
 
 #: char-based thresholds for the CJK tier. Gopher's 50..100k WORD
 #: bounds scaled by ~2.5 chars/word of running Chinese/Japanese text;

@@ -21,9 +21,18 @@ already uses:
   ``epoch = old_epoch + 1``. The epoch bump is the FENCE: a stale
   owner that wakes up later fails its next :meth:`check_and_renew`.
 - ``check_and_renew()``: re-read the lease and require (owner, epoch)
-  to still be ours — called before every batch apply / compaction, so
-  a fenced writer stops at the next state-touching step, not after an
-  interleaved flip. On success the expiry is pushed out by ``ttl``.
+  to still be ours — called at every batch apply AND again inside each
+  compaction immediately before its atomic commit point (ADVICE r13:
+  one batch performs several state-touching flips — delta append, then
+  the multi-phase compact — so the batch-start check alone would let a
+  mid-batch takeover interleave a compaction flip; the pre-commit
+  re-check stops the fenced writer with only unreferenced staging
+  left behind). Fencing granularity is therefore per STATE FLIP, with
+  one honest window: the delta append itself is checked at batch
+  start, not per file write — an overwrite-by-batch-id append that
+  loses the lease mid-write is re-overwritten verbatim by the
+  replaying new owner, so it cannot corrupt state, only waste work.
+  On success the expiry is pushed out by ``ttl``.
 - ``release()``: if still ours, mark the lease EXPIRED in place
   (``expires_at = -inf``-ish) rather than deleting it — the epoch
   stays monotone forever, so a stale pre-release writer can never

@@ -402,7 +402,11 @@ def recover_bm25_compaction(index_dir: str) -> None:
 
 
 def maybe_compact_bm25_index(
-    spark, index_dir: str, max_deltas: int, exclude_from: int | None = None
+    spark,
+    index_dir: str,
+    max_deltas: int,
+    exclude_from: int | None = None,
+    lease=None,
 ) -> bool:
     """The maintenance POLICY the streaming sink calls after each
     delta append: when the postings delta count exceeds ``max_deltas``,
@@ -488,7 +492,13 @@ def maybe_compact_bm25_index(
         .write.mode("overwrite")
         .parquet(IndexFS.join(work, "stats", dest))
     )
-    # phase B: the atomic commit point (marker file rename)
+    # phase B: the atomic commit point (marker file rename). The writer
+    # fence is re-checked HERE, not only at batch start — one batch
+    # performs several state-touching flips and a mid-batch takeover
+    # must stop before this one (ADVICE r13); a fenced writer leaves
+    # only a pre-commit work dir, swept by the next recover
+    if lease is not None:
+        lease.check_and_renew()
     fs.write_json_atomic(
         IndexFS.join(work, "COMMIT"), {**consumed, "dest": dest}
     )

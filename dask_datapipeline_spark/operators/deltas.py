@@ -33,6 +33,8 @@ serialized foreachBatch. All filesystem work goes through
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import SparkSession
 
 from dask_datapipeline_spark.indexfs import IndexFS
@@ -52,17 +54,24 @@ def _delta_names(fs: IndexFS, root: str) -> list[str]:
 
 def delta_id(name: str) -> int | None:
     """Batch id of a ``delta=<n>`` directory name, or None for a
-    non-integer suffix (stray manual dir, corrupted name). Compaction
+    non-CANONICAL suffix (stray manual dir, corrupted name). Compaction
     SKIPS None ids — it cannot order them against the watermark, and
     folding an unknown dir risks destroying state it didn't write;
     before this guard a single ``delta=foo`` made ``int()`` throw and
     killed every subsequent compaction attempt for the sink
     (ADVICE r12). The skipped dir still counts against nothing and is
-    left exactly where it was."""
-    try:
-        return int(name.split("=", 1)[1])
-    except ValueError:
+    left exactly where it was.
+
+    Canonical means ASCII digits with an optional leading ``-`` ONLY
+    (ADVICE r13): bare ``int()`` also accepts underscores, unicode
+    digits, leading ``+`` and whitespace — a stray ``delta=1_0`` would
+    parse as id 10 and get FOLDED (and could collide with a real
+    ``delta=10``) while Spark's own partition-value parse disagrees.
+    Only names this module itself would have written pass."""
+    suffix = name.split("=", 1)[1]
+    if re.fullmatch(r"-?[0-9]+", suffix) is None:
         return None
+    return int(suffix)
 
 
 def _finish(fs: IndexFS, root: str) -> None:
@@ -103,6 +112,7 @@ def maybe_compact_deltas(
     root: str,
     max_deltas: int,
     exclude_from: int | None = None,
+    lease=None,
 ) -> bool:
     """Fold the committed ``delta=*`` dirs under ``root`` into ONE
     fresh base delta once their count exceeds ``max_deltas`` — rows
@@ -131,7 +141,13 @@ def maybe_compact_deltas(
         .write.mode("overwrite")
         .parquet(IndexFS.join(work, dest))
     )
-    # phase B: the atomic commit point (marker file rename)
+    # phase B: the atomic commit point (marker file rename). The writer
+    # fence is re-checked HERE, not only at batch start — one batch
+    # performs several state-touching flips and a mid-batch takeover
+    # must stop before this one (ADVICE r13); a fenced writer leaves
+    # only a pre-commit work dir, swept by the next recover
+    if lease is not None:
+        lease.check_and_renew()
     fs.write_json_atomic(
         IndexFS.join(work, "COMMIT"), {"deltas": deltas, "dest": dest}
     )

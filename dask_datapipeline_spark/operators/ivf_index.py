@@ -686,7 +686,11 @@ def recover_ivf_compaction(path: str) -> None:
 
 
 def maybe_compact_ivf_index(
-    spark: SparkSession, path: str, max_deltas: int, exclude_from: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_deltas: int,
+    exclude_from: int | None = None,
+    lease=None,
 ) -> bool:
     """Threshold-triggered two-phase compaction of the vector deltas —
     fold committed ``delta=*`` dirs into one ``delta=-1`` base out of
@@ -730,7 +734,13 @@ def maybe_compact_ivf_index(
         .partitionBy("__cell")
         .parquet(IndexFS.join(work, "vectors", dest))
     )
-    # phase B: the atomic commit point (marker file rename)
+    # phase B: the atomic commit point (marker file rename). The writer
+    # fence is re-checked HERE, not only at batch start — one batch
+    # performs several state-touching flips and a mid-batch takeover
+    # must stop before this one (ADVICE r13); a fenced writer leaves
+    # only a pre-commit work dir, swept by the next recover
+    if lease is not None:
+        lease.check_and_renew()
     fs.write_json_atomic(
         IndexFS.join(work, "COMMIT"), {"vectors": deltas, "dest": dest}
     )

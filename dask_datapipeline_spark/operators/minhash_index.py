@@ -269,7 +269,10 @@ def _tag_order(tag: str) -> tuple[str, int]:
 
 
 def compact_minhash_index(
-    spark: SparkSession, index_path: str, keep_from: str | None = None
+    spark: SparkSession,
+    index_path: str,
+    keep_from: str | None = None,
+    lease=None,
 ) -> dict:
     """Fold the committed increment list back into ONE base dir pair —
     the compaction step of the base+delta cycle docs/SCALE.md promises
@@ -348,6 +351,12 @@ def compact_minhash_index(
     sig.write.parquet(IndexFS.join(index_path, new_sig))
 
     new_cur = {"shingles": new_sh, "signatures": new_sig, "inc": kept}
+    if lease is not None:
+        # re-check the writer fence AT the flip boundary, not only at
+        # batch start — one batch performs several state-touching flips
+        # and a mid-batch takeover must stop before this one (ADVICE
+        # r13); a fenced writer leaves only unreferenced stage dirs
+        lease.check_and_renew()
     _write_manifest(index_path, new_cur)  # the atomic commit point
 
     # post-flip garbage collection (best-effort; next compaction sweeps
@@ -463,6 +472,7 @@ def maybe_compact_minhash_index(
     index_path: str,
     max_increments: int,
     keep_from: str | None = None,
+    lease=None,
 ) -> bool:
     """Threshold-based maintenance policy over
     :func:`compact_minhash_index`: compact only when the committed
@@ -482,5 +492,5 @@ def maybe_compact_minhash_index(
     ]
     if len(eligible) <= max_increments:
         return False
-    compact_minhash_index(spark, index_path, keep_from=keep_from)
+    compact_minhash_index(spark, index_path, keep_from=keep_from, lease=lease)
     return True

@@ -86,6 +86,21 @@ SCRIPTS: list[str] = list(SCRIPT_RANGES)
 #: trigram model" (never emitted by the composed classifier)
 LATIN_ROUTE = "latin"
 
+#: routes whose pages carry no word-delimiting whitespace — THE single
+#: source of char-tier membership (the quality CJK tier, routed token
+#: counting and the routed shingle mode all import it; ADVICE r13: two
+#: separately-hardcoded copies of this set could silently drift, so it
+#: lives once, next to the ranges that define the routes)
+UNSEGMENTED_ROUTES: tuple[str, ...] = ("zh", "ja")
+
+#: which script counts make up an unsegmented route's LETTER total —
+#: the routed token count of such a page (chars ≈ morphemes; the word
+#: count is 1 by construction on no-space text)
+UNSEGMENTED_COUNT_SCRIPTS: dict[str, tuple[str, ...]] = {
+    "zh": ("han", "kana"),
+    "ja": ("han", "kana"),
+}
+
 #: kana share (1/KANA_DENOM of CJK letters) that flips a CJK-majority
 #: page from 'zh' to 'ja' — Japanese running text is typically ≥30%
 #: kana; 5% catches kanji-heavy formal text while one stray kana
@@ -176,13 +191,17 @@ def routed_token_count(
     c = F.col(text) if isinstance(text, str) else text
     s = F.col(script) if isinstance(script, str) else script
     counts = script_count_cols(c)
-    cjk_tokens = counts["n_han"] + counts["n_kana"]
     words = F.size(F.filter(F.split(c, " "), lambda t: t != F.lit("")))
-    return (
-        F.when(s.isin("zh", "ja"), cjk_tokens)
-        .otherwise(words.cast("long"))
-        .cast("long")
-    )
+    out = words.cast("long")
+    # one WHEN per unsegmented route, driven by the shared constants —
+    # token counting can never disagree with the quality tier on which
+    # scripts are unsegmented (ADVICE r13)
+    for route in UNSEGMENTED_ROUTES:
+        letters = counts[f"n_{UNSEGMENTED_COUNT_SCRIPTS[route][0]}"]
+        for scr in UNSEGMENTED_COUNT_SCRIPTS[route][1:]:
+            letters = letters + counts[f"n_{scr}"]
+        out = F.when(s == route, letters).otherwise(out)
+    return out.cast("long")
 
 
 def routed_token_count_sql(expr: str, script_expr: str) -> str:
@@ -190,9 +209,13 @@ def routed_token_count_sql(expr: str, script_expr: str) -> str:
     ``n_han``/``n_kana`` columns of :func:`script_count_sql` by name
     (the caller's profile CTE provides them)."""
     words = f"len(list_filter(string_split({expr}, ' '), t -> t <> ''))"
+    whens = " ".join(
+        f"WHEN '{route}' THEN "
+        + " + ".join(f"n_{scr}" for scr in UNSEGMENTED_COUNT_SCRIPTS[route])
+        for route in UNSEGMENTED_ROUTES
+    )
     return (
-        f"CAST(CASE WHEN {script_expr} IN ('zh', 'ja') "
-        f"THEN n_han + n_kana ELSE {words} END AS BIGINT)"
+        f"CAST(CASE {script_expr} {whens} ELSE {words} END AS BIGINT)"
     )
 
 

@@ -737,10 +737,13 @@ def stream_incremental_dedup(
         # a post-crash replay safe, and folding the tag would erase it
         # — the replayed batch would re-append rows already in the base.
         if compact_every and (batch_id + 1) % compact_every == 0:
-            compact_minhash_index(spark, index_path, keep_from=tag)
+            compact_minhash_index(
+                spark, index_path, keep_from=tag, lease=lease
+            )
         if compact_max_inc is not None:
             maybe_compact_minhash_index(
-                spark, index_path, compact_max_inc, keep_from=tag
+                spark, index_path, compact_max_inc, keep_from=tag,
+                lease=lease,
             )
 
     q = (
@@ -1019,7 +1022,8 @@ def stream_incremental_bm25_index(
         # — folding it would make the replay double-count the batch
         if compact_max_deltas is not None:
             maybe_compact_bm25_index(
-                spark, base, compact_max_deltas, exclude_from=batch_id
+                spark, base, compact_max_deltas, exclude_from=batch_id,
+                lease=lease,
             )
 
     q = (
@@ -1093,7 +1097,8 @@ def stream_stage_deltas(
         )
         if compact_max_deltas is not None:
             maybe_compact_deltas(
-                spark, out, compact_max_deltas, exclude_from=batch_id
+                spark, out, compact_max_deltas, exclude_from=batch_id,
+                lease=lease,
             )
 
     q = (
@@ -1210,13 +1215,23 @@ def stream_incremental_table_stats(
     against an existing stats_dir restarts batch ids at 0 — every
     batch would silently skip and the snapshot go permanently stale
     (ADVICE r12) — so an identity mismatch RAISES: delete the
-    stats_dir (rebuild) or reuse the original checkpoint. A corrupt
-    ``_APPLIED`` also raises instead of being masked as -1. Mid-swap
-    crashes heal via the standard ``_Snapshot`` recover (old snapshot
-    restored, the batch replays and applies). State is sketch-sized:
-    k scalar rows + k·2^p register rows per snapshot. Marker I/O goes
-    through ``IndexFS`` — one write channel per file, any Hadoop FS
-    URI (round 13)."""
+    stats_dir (rebuild) or reuse the original checkpoint. The identity
+    token is the STREAMING QUERY ID Spark writes to
+    ``<ckpt>/metadata`` when the checkpoint is created (stable across
+    restarts of one checkpoint lineage, fresh on recreation) — NOT the
+    checkpoint path (ADVICE r13: a path compares equal across the
+    delete-and-recreate misconfiguration, where batch ids restart at 0
+    and every batch would silently skip, and compares UNEQUAL across
+    harmless respellings of one checkpoint — relative vs absolute,
+    trailing slash — spuriously rejecting a legitimate restart).
+    Legacy r13 markers carry only the path; they are checked
+    normalized and upgraded to the query id at the next swap. A
+    corrupt ``_APPLIED`` also raises instead of being masked as -1.
+    Mid-swap crashes heal via the standard ``_Snapshot`` recover (old
+    snapshot restored, the batch replays and applies). State is
+    sketch-sized: k scalar rows + k·2^p register rows per snapshot.
+    Marker I/O goes through ``IndexFS`` — one write channel per file,
+    any Hadoop FS URI (round 13)."""
     from dask_datapipeline_spark.operators.sketches import (
         HLL_P,
         HLL_SEED,
@@ -1236,6 +1251,19 @@ def stream_incremental_table_stats(
     fs = snap.fs
     ckpt = checkpoint_dir or base + ".ckpt"
 
+    _qid_cache: list[str] = []
+
+    def _qid() -> str:
+        # the streaming query id Spark wrote to <ckpt>/metadata at
+        # checkpoint creation — read lazily (the file exists once the
+        # query has started, which is before the first foreachBatch)
+        # and cached (one read per run)
+        if not _qid_cache:
+            cfs = IndexFS.for_path(ckpt, "stream checkpoint metadata")
+            rec = cfs.read_json(IndexFS.join(ckpt.rstrip("/"), "metadata"))
+            _qid_cache.append(str(rec["id"]))
+        return _qid_cache[0]
+
     def _applied() -> int:
         marker = IndexFS.join(base, "_APPLIED")
         if not fs.isfile(marker):
@@ -1250,8 +1278,25 @@ def stream_incremental_table_stats(
                 f"snapshot already folded this batch (a wrong guess "
                 f"either double-counts or goes stale): {e}"
             ) from e
+        rec_qid = rec.get("query_id")
+        if rec_qid is not None:
+            if rec_qid != _qid():
+                raise ValueError(
+                    f"stream_incremental_table_stats: snapshot {base!r} "
+                    f"was built under streaming query {rec_qid!r} but "
+                    f"this checkpoint's query id is {_qid()!r} — a "
+                    "different checkpoint lineage (fresh or "
+                    "deleted-and-recreated checkpoint) restarts batch "
+                    "ids at 0, so the replay guard would silently skip "
+                    "every batch and the snapshot would go permanently "
+                    "stale. Delete the stats dir to rebuild, or point "
+                    "the stream at the original checkpoint."
+                )
+            return applied
+        # legacy r13 marker: path identity, compared normalized (the
+        # next swap upgrades the marker to the query id)
         rec_ckpt = rec.get("ckpt")
-        if rec_ckpt is not None and rec_ckpt != ckpt:
+        if rec_ckpt is not None and rec_ckpt.rstrip("/") != ckpt.rstrip("/"):
             raise ValueError(
                 f"stream_incremental_table_stats: snapshot {base!r} was "
                 f"built under checkpoint {rec_ckpt!r} but this stream "
@@ -1291,7 +1336,9 @@ def stream_incremental_table_stats(
         regs.write.mode("overwrite").parquet(IndexFS.join(staging, "registers"))
         fs.write_json_atomic(
             IndexFS.join(staging, "_APPLIED"),
-            {"batch_id": int(batch_id), "ckpt": ckpt},
+            # query id is the identity token; the path rides along for
+            # operators debugging a mismatch (never compared)
+            {"batch_id": int(batch_id), "query_id": _qid(), "ckpt": ckpt},
         )
         snap.swap(staging)
 
@@ -1350,7 +1397,8 @@ def stream_incremental_ivf_index(
         append_to_ivf_index(batch_df, base, batch_id)
         if compact_max_deltas is not None:
             maybe_compact_ivf_index(
-                spark, base, compact_max_deltas, exclude_from=batch_id
+                spark, base, compact_max_deltas, exclude_from=batch_id,
+                lease=lease,
             )
 
     q = (

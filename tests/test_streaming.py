@@ -568,6 +568,25 @@ def test_stream_table_stats_equals_batch_and_guards_replay(spark, tmp_path):
         map(tuple, table_stats_from_snapshot(spark, stats_dir).collect())
     )
     assert again == want
+    # the identity token is the QUERY ID from <ckpt>/metadata, not the
+    # path (ADVICE r13): a respelled path (trailing slash) of the SAME
+    # checkpoint is a legitimate restart — replay a batch under it and
+    # the guard must skip quietly, not raise
+    os.remove(tmp_path / "ckpt" / "commits" / "2")
+    crc = tmp_path / "ckpt" / "commits" / ".2.crc"
+    if crc.exists():
+        os.remove(crc)
+    stream_incremental_table_stats(
+        spark,
+        staged,
+        stats_dir,
+        "k long, v long, s string",
+        ["k", "v", "s"],
+        checkpoint_dir=str(tmp_path / "ckpt") + "/",
+    )
+    assert sorted(
+        map(tuple, table_stats_from_snapshot(spark, stats_dir).collect())
+    ) == want
     # a FRESH checkpoint against an existing snapshot restarts batch
     # ids at 0 — the old <= guard silently skipped every batch forever
     # (ADVICE r12); the recorded checkpoint identity now raises loudly
@@ -579,6 +598,22 @@ def test_stream_table_stats_equals_batch_and_guards_replay(spark, tmp_path):
             "k long, v long, s string",
             ["k", "v", "s"],
             checkpoint_dir=str(tmp_path / "ckpt2"),
+        )
+    # the checkpoint DELETED AND RECREATED AT THE SAME PATH (the common
+    # 'reset the stream' misconfiguration) is a fresh lineage too: the
+    # path compares equal but the metadata id is new — must raise, not
+    # silently skip every batch (ADVICE r13)
+    import shutil
+
+    shutil.rmtree(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="checkpoint"):
+        stream_incremental_table_stats(
+            spark,
+            staged,
+            stats_dir,
+            "k long, v long, s string",
+            ["k", "v", "s"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
         )
     # and a corrupt _APPLIED marker is loud, never masked as -1
     with open(os.path.join(stats_dir, "_APPLIED"), "w") as f:
