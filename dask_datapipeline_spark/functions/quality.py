@@ -472,16 +472,18 @@ def c4_sql_projections(expr: str) -> dict[str, str]:
 # every non-Latin script outright. The routed tier applies the right
 # instrument per ``operators/scripts.py`` route:
 #
-# - zh/ja (non-whitespace scripts): CHAR-count bounds, symbol-per-CHAR
-#   ratio, a CJK function-character stopword floor, and the
-#   script-agnostic LINE rules (bullets/ellipsis/repetition).
+# - zh/ja/th (non-whitespace scripts — UNSEGMENTED_ROUTES): CHAR-count
+#   bounds, symbol-per-CHAR ratio, a per-script function-character
+#   stopword floor, and the script-agnostic LINE rules
+#   (bullets/ellipsis/repetition).
 # - latin: the full Gopher suite above (optionally per-language via
 #   ``lang``).
-# - everything else (ko, und-Cyrl, und-Arab, und): whitespace-
-#   segmented but non-Latin — the SHAPE rules that are script-agnostic
-#   (word-count bounds, symbol ratio, line rules); mean-word-length,
-#   [a-z] alpha fraction and the Latin stopword floors are EXCLUDED by
-#   design (documented, not silently failed).
+# - everything else (ko, und-Cyrl, und-Arab, und-Grek, und-Deva,
+#   und-Hebr, und): whitespace-segmented but non-Latin — the SHAPE
+#   rules that are script-agnostic (word-count bounds, symbol ratio,
+#   line rules); mean-word-length, [a-z] alpha fraction and the Latin
+#   stopword floors are EXCLUDED by design (documented, not silently
+#   failed).
 
 #: routes whose pages carry no word-delimiting whitespace — imported
 #: from operators/scripts.py (the single source, next to SCRIPT_RANGES)
@@ -511,7 +513,19 @@ CJK_THRESHOLDS: dict[str, float] = {
 CJK_MARKERS: dict[str, list[str]] = {
     "zh": ["的", "一", "是", "了", "不"],
     "ja": ["の", "に", "は", "を", "が"],
+    # Thai joins the unsegmented tier in round 14: the highest-
+    # frequency letters of running Thai (vowel sara-aa, consonants
+    # no-nu/ro-rua/ko-kai, leading vowel sara-e) — present constantly
+    # in real text, absent from keyword-stuffed gibberish
+    "th": ["า", "น", "ร", "ก", "เ"],
 }
+
+# every unsegmented route MUST have a marker set or its stop-hits
+# floor silently scores 0 and fails all real pages of that script
+assert set(CJK_MARKERS) == set(CJK_ROUTES), (
+    "CJK_MARKERS and UNSEGMENTED_ROUTES drifted: "
+    f"{sorted(CJK_MARKERS)} vs {sorted(CJK_ROUTES)}"
+)
 
 #: CJK-tier failure-flag order (column contract of both builders)
 CJK_FAIL_NAMES: tuple[str, ...] = (

@@ -186,6 +186,38 @@ HELDOUT_SCRIPT_SENTENCES: dict[str, list[str]] = {
         "العلم نور والجهل ظلام والكتاب خير جليس في الزمان",
         "ألا ليت الشباب يعود يوما فأخبره بما فعل المشيب",
     ],
+    # round 14 (VERDICT r13 item 2) — the four remaining major BMP
+    # scripts. Thai gets the LANGUAGE label (Thai script ↔ Thai is
+    # 1:1 in practice, the hangul→ko precedent) and routes to the
+    # unsegmented char tier; Greek/Devanagari/Hebrew each serve
+    # several languages → honest script-level labels. Greek is MODERN
+    # MONOTONIC text (Solomos's Hymn to Liberty, 1823, plus a classic
+    # proverb) — polytonic Greek lives in the Greek Extended block,
+    # documented out of scope.
+    "th": [
+        "ในน้ำมีปลา ในนามีข้าว พ่อขุนรามคำแหงให้ปลูกป่าตาลไว้กลางเมือง",
+        "กรุงเทพมหานครเป็นเมืองหลวงของประเทศไทยและเป็นเมืองที่ใหญ่ที่สุด",
+        "ภาษาไทยเป็นภาษาประจำชาติและใช้ในการติดต่อสื่อสารทั่วประเทศ",
+    ],
+    "und-Grek": [
+        "Σε γνωρίζω από την κόψη του σπαθιού την τρομερή, σε γνωρίζω "
+        "από την όψη που με βία μετράει τη γη.",
+        "Απ' τα κόκαλα βγαλμένη των Ελλήνων τα ιερά, και σαν πρώτα "
+        "ανδρειωμένη, χαίρε, ω χαίρε, ελευθεριά!",
+        "Η αρχή είναι το ήμισυ του παντός, καθώς έλεγαν οι παλαιοί "
+        "σοφοί της πόλης.",
+    ],
+    "und-Deva": [
+        "सत्यमेव जयते नानृतं सत्येन पन्था विततो देवयानः",
+        "भारत एक विशाल देश है और इसकी सभ्यता संसार की सबसे पुरानी "
+        "सभ्यताओं में से एक है।",
+        "हिंदी भारत की राजभाषा है और करोड़ों लोग इसे बोलते और समझते हैं।",
+    ],
+    "und-Hebr": [
+        "בראשית ברא אלהים את השמים ואת הארץ והארץ היתה תהו ובהו",
+        "אם אין אני לי מי לי וכשאני לעצמי מה אני ואם לא עכשיו אימתי",
+        "כל ישראל ערבים זה בזה ודרך ארץ קדמה לתורה",
+    ],
 }
 
 

@@ -26,12 +26,14 @@ Design:
   'zh' unless kana is present (≥1/20 of the CJK letters → 'ja'; kana
   is Japanese-unique, Han alone overwhelmingly Chinese in practice —
   kana-free Japanese exists but is rare in running text, documented
-  not hidden). Hangul → 'ko'. Cyrillic → 'und-Cyrl' and Arabic →
-  'und-Arab' (HONEST script-level labels: a trigram model trained on
-  five Latin languages cannot tell ru/uk/bg/sr or ar/fa/ur apart, so
-  the router refuses to guess a language). Latin majority →
-  ``LATIN_ROUTE`` — the handoff marker meaning "run the trained
-  trigram model". No majority → 'und'.
+  not hidden). Hangul → 'ko'; Thai → 'th' (script ↔ language 1:1 in
+  practice, and unsegmented → the char tier). Cyrillic → 'und-Cyrl',
+  Arabic → 'und-Arab', Greek → 'und-Grek', Devanagari → 'und-Deva',
+  Hebrew → 'und-Hebr' (HONEST script-level labels: a trigram model
+  trained on five Latin languages cannot tell ru/uk/bg/sr, ar/fa/ur,
+  or hi/mr/ne apart, so the router refuses to guess a language).
+  Latin majority → ``LATIN_ROUTE`` — the handoff marker meaning "run
+  the trained trigram model". No majority → 'und'.
 - :func:`lang_id_script_routed` — the composed production classifier:
   script routing FIRST (pure codegen, zero Python for the non-Latin
   slice), the Arrow trigram scorer only over the Latin-routed rows.
@@ -69,6 +71,16 @@ SCRIPT_RANGES: dict[str, list[tuple[int, int]]] = {
     "hangul": [(0xAC00, 0xD7AF), (0x3130, 0x318F)],
     "cyrillic": [(0x0400, 0x04FF)],
     "arabic": [(0x0600, 0x06FF)],
+    # round 14 (VERDICT r13 item 2) — whole BMP blocks, the cyrillic/
+    # arabic precedent (in-block digits/punctuation count with their
+    # script; exact either way since both engines read this table):
+    # Greek and Coptic — MONOTONIC modern Greek only; polytonic
+    # (Greek Extended, 0x1F00-0x1FFF) stays 'other' by documented scope
+    "greek": [(0x0370, 0x03FF)],
+    "devanagari": [(0x0900, 0x097F)],
+    # Thai is UNSEGMENTED like CJK → routes to the char tier
+    "thai": [(0x0E00, 0x0E7F)],
+    "hebrew": [(0x0590, 0x05FF)],
     # ASCII letters + Latin-1 letters (× ÷ excluded) + Extended-A/B
     "latin": [
         (0x0041, 0x005A),
@@ -91,7 +103,7 @@ LATIN_ROUTE = "latin"
 #: counting and the routed shingle mode all import it; ADVICE r13: two
 #: separately-hardcoded copies of this set could silently drift, so it
 #: lives once, next to the ranges that define the routes)
-UNSEGMENTED_ROUTES: tuple[str, ...] = ("zh", "ja")
+UNSEGMENTED_ROUTES: tuple[str, ...] = ("zh", "ja", "th")
 
 #: which script counts make up an unsegmented route's LETTER total —
 #: the routed token count of such a page (chars ≈ morphemes; the word
@@ -99,6 +111,7 @@ UNSEGMENTED_ROUTES: tuple[str, ...] = ("zh", "ja")
 UNSEGMENTED_COUNT_SCRIPTS: dict[str, tuple[str, ...]] = {
     "zh": ("han", "kana"),
     "ja": ("han", "kana"),
+    "th": ("thai",),
 }
 
 #: kana share (1/KANA_DENOM of CJK letters) that flips a CJK-majority
@@ -150,6 +163,15 @@ def script_route_col(counts: dict[str, Column]) -> Column:
         .when(counts["n_hangul"] * 2 > letters, F.lit("ko"))
         .when(counts["n_cyrillic"] * 2 > letters, F.lit("und-Cyrl"))
         .when(counts["n_arabic"] * 2 > letters, F.lit("und-Arab"))
+        # round 14: Thai script ↔ Thai language is 1:1 in practice
+        # (the hangul→ko precedent) and unsegmented → the char tier;
+        # Greek/Devanagari/Hebrew each serve several languages a
+        # Latin-trained trigram model cannot tell apart → honest
+        # script-level labels (the cyrillic/arabic precedent)
+        .when(counts["n_thai"] * 2 > letters, F.lit("th"))
+        .when(counts["n_greek"] * 2 > letters, F.lit("und-Grek"))
+        .when(counts["n_devanagari"] * 2 > letters, F.lit("und-Deva"))
+        .when(counts["n_hebrew"] * 2 > letters, F.lit("und-Hebr"))
         .when(counts["n_latin"] * 2 > letters, F.lit(LATIN_ROUTE))
         .otherwise(F.lit("und"))
     )
@@ -303,6 +325,14 @@ def py_route(text: str) -> str:
         return "und-Cyrl"
     if c["n_arabic"] * 2 > letters:
         return "und-Arab"
+    if c["n_thai"] * 2 > letters:
+        return "th"
+    if c["n_greek"] * 2 > letters:
+        return "und-Grek"
+    if c["n_devanagari"] * 2 > letters:
+        return "und-Deva"
+    if c["n_hebrew"] * 2 > letters:
+        return "und-Hebr"
     if c["n_latin"] * 2 > letters:
         return LATIN_ROUTE
     return "und"
@@ -354,6 +384,10 @@ def script_route_sql() -> str:
   WHEN n_hangul * 2 > n_letters THEN 'ko'
   WHEN n_cyrillic * 2 > n_letters THEN 'und-Cyrl'
   WHEN n_arabic * 2 > n_letters THEN 'und-Arab'
+  WHEN n_thai * 2 > n_letters THEN 'th'
+  WHEN n_greek * 2 > n_letters THEN 'und-Grek'
+  WHEN n_devanagari * 2 > n_letters THEN 'und-Deva'
+  WHEN n_hebrew * 2 > n_letters THEN 'und-Hebr'
   WHEN n_latin * 2 > n_letters THEN '{LATIN_ROUTE}'
   ELSE 'und'
 END"""

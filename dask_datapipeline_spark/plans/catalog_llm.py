@@ -8714,7 +8714,7 @@ psc AS (
 ),
 psp AS (SELECT *, {counts["n_letters"]} AS n_letters FROM psc),
 psr AS (
-  SELECT doc_id, text, n_han, n_kana,
+  SELECT doc_id, text, {", ".join(f"n_{s}" for s in USC.SCRIPTS)},
          {USC.script_route_sql()} AS script
   FROM psp
 )

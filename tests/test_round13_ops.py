@@ -445,9 +445,16 @@ def test_script_route_catalog_fixture_is_non_vacuous(spark):
 
     out = CATALOG["script_route"].fn(spark, "/root/testdata/sf0.001").collect()
     routes = {r["script"] for r in out}
-    assert routes >= {"zh", "ja", "ko", "und-Cyrl", "und-Arab", "latin", "und"}
+    assert routes >= {
+        "zh", "ja", "ko", "und-Cyrl", "und-Arab", "latin", "und",
+        # round 14: the four new scripts must each be exercised too
+        "th", "und-Grek", "und-Deva", "und-Hebr",
+    }
     langs = {r["lang"] for r in out}
-    assert {"zh", "ja", "ko", "und-Cyrl", "und-Arab"} <= langs
+    assert {
+        "zh", "ja", "ko", "und-Cyrl", "und-Arab",
+        "th", "und-Grek", "und-Deva", "und-Hebr",
+    } <= langs
     assert {True, False} & {r["keep"] for r in out}
 
 

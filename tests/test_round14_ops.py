@@ -133,3 +133,100 @@ def test_lease_fence_stops_minhash_compaction_flip(spark, tmp_path):
     # every manifest-referenced dir still present and readable
     for key in ("shingles", "signatures"):
         assert spark.read.parquet(os.path.join(idx, after[key])).count() > 0
+
+
+# ----- round-14 scripts: Greek / Devanagari / Thai / Hebrew --------------
+
+
+def test_new_scripts_route_with_honest_labels():
+    """Every held-out sentence in the four new scripts routes to its
+    own label — never a Latin language, never 'und' (the pre-r14
+    behavior this extension fixes)."""
+    from dask_datapipeline_spark.operators import langid as L
+    from dask_datapipeline_spark.operators.scripts import py_route
+
+    for label in ("th", "und-Grek", "und-Deva", "und-Hebr"):
+        for s in L.HELDOUT_SCRIPT_SENTENCES[label]:
+            assert py_route(s) == label, (label, s)
+
+
+def test_thai_routes_to_char_tier_and_engines_agree(spark):
+    """Thai is unsegmented: token counting uses Thai LETTER codepoints
+    (not the clause-space word count), and the quality gate applies
+    the char tier — a real Thai page KEEPS, marker-free Thai gibberish
+    fails the function-char floor. DuckDB replays every value
+    bit-for-bit from the same constants."""
+    import duckdb
+    import pandas as pd
+
+    from dask_datapipeline_spark.functions import quality as Q
+    from dask_datapipeline_spark.operators import langid as L
+    from dask_datapipeline_spark.operators import scripts as S
+
+    assert "th" in S.UNSEGMENTED_ROUTES
+    th_lines = [s.replace(" ", "") for s in L.HELDOUT_SCRIPT_SENTENCES["th"]]
+    th_good = "\n".join(l * 2 for l in th_lines)  # >125 chars, real text
+    # rare consonants only — zero marker characters → stopword floor
+    th_gibberish = "\n".join(["ฆฑฒษศฬฮฃฅ" * 6] * 3)
+    rows = [(0, th_good), (1, th_gibberish), (2, th_lines[0])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prof = S.script_profile(df, "doc_id", "text").select("doc_id", "script")
+    out = {
+        r["doc_id"]: r
+        for r in df.join(prof, "doc_id")
+        .select(
+            "doc_id",
+            "script",
+            S.routed_token_count("text", "script").alias("n_tokens"),
+            Q.quality_keep_routed("text", "script").alias("keep"),
+        )
+        .collect()
+    }
+    assert all(out[i]["script"] == "th" for i in range(3))
+    # routed tokens = Thai codepoints, NOT the whitespace word count
+    c0 = S.py_script_counts(th_good)
+    assert out[0]["n_tokens"] == c0["n_thai"]
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False  # no function characters at all
+    assert out[2]["keep"] is False  # one sentence < min_chars floor
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    counts = S.script_count_sql("text")
+    count_cols = ",\n".join(
+        f"{sql} AS {name}"
+        for name, sql in counts.items()
+        if name != "n_letters"
+    )
+    sql = f"""
+WITH c AS (SELECT doc_id, text, {count_cols} FROM docs),
+p AS (SELECT *, {counts["n_letters"]} AS n_letters FROM c),
+r AS (SELECT *, {S.script_route_sql()} AS script FROM p)
+SELECT doc_id, script,
+       {S.routed_token_count_sql("text", "script")} AS n_tokens,
+       {Q.quality_keep_routed_sql("text", "script")} AS keep
+FROM r
+"""
+    want = {r[0]: r for r in con.execute(sql).fetchall()}
+    for i in range(3):
+        assert out[i]["script"] == want[i][1]
+        assert out[i]["n_tokens"] == want[i][2]
+        assert out[i]["keep"] == bool(want[i][3])
+
+
+def test_polytonic_greek_documented_out_of_scope():
+    """Greek Extended (polytonic accents, 0x1F00-0x1FFF) deliberately
+    counts as 'other' — the scope note in SCRIPT_RANGES — while the
+    basic Greek block letters still carry a real polytonic sentence to
+    und-Grek (most of its codepoints are unaccented)."""
+    from dask_datapipeline_spark.operators.scripts import (
+        py_route,
+        py_script_counts,
+    )
+
+    # pure Extended-block accented vowels: no 'greek' letters counted
+    assert py_script_counts("ἄἔῦἤὥ")["n_greek"] == 0
+    assert py_route("ἄἔῦἤὥ") == "und"
+    # a real polytonic opening still routes Greek via its basic-block
+    # majority — the Extended chars just don't count
+    assert py_route("ἄνδρα μοι ἔννεπε μοῦσα πολύτροπον") == "und-Grek"
+    assert py_route("Σε γνωρίζω από την κόψη του σπαθιού") == "und-Grek"
