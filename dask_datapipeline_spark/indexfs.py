@@ -121,6 +121,19 @@ class IndexFS:
         """Delete one FILE; missing path is a no-op."""
         raise NotImplementedError
 
+    def create_exclusive(self, path: str, data: str) -> bool:
+        """Create ``path`` with ``data`` IFF it does not exist; returns
+        whether this call created it (False = someone else already
+        had). The mutual-exclusion primitive the writer lease's epoch
+        claim uses (round 14): local backend via ``O_CREAT|O_EXCL``
+        (atomic on POSIX), Hadoop backend via
+        ``FileSystem.create(path, overwrite=false)`` — atomic at the
+        HDFS NameNode; on ``LocalFileSystem``/object stores it is the
+        filesystem's own best exclusivity primitive (RawLocalFileSystem
+        check-then-create; S3A conditional create where enabled), with
+        the residual window documented at the caller."""
+        raise NotImplementedError
+
     # -- shared convenience ---------------------------------------------
     def read_json(self, path: str) -> dict:
         return json.loads(self.read_text(path))
@@ -193,6 +206,17 @@ class _LocalFS(IndexFS):
             os.remove(path)
         except FileNotFoundError:
             pass
+
+    def create_exclusive(self, path: str, data: str) -> bool:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, data.encode("utf-8"))
+        finally:
+            os.close(fd)
+        return True
 
 
 class _HadoopFS(IndexFS):
@@ -318,3 +342,17 @@ class _HadoopFS(IndexFS):
         jp = self._jpath(path)
         if self._fs.exists(jp):
             self._fs.delete(jp, False)
+
+    def create_exclusive(self, path: str, data: str) -> bool:
+        jp = self._jpath(path)
+        try:
+            out = self._fs.create(jp, False)  # overwrite=false
+        except Exception:
+            if self._fs.exists(jp):
+                return False
+            raise  # a real I/O failure, not a lost race — stay loud
+        try:
+            out.write(bytearray(data.encode("utf-8")))
+        finally:
+            out.close()
+        return True

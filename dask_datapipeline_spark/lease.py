@@ -17,9 +17,17 @@ already uses:
 - ``acquire()``: read the current lease; if another owner holds it and
   it has not expired, raise :class:`LeaseHeldError` (the second writer
   is rejected at START, before it can touch state). Otherwise (absent,
-  our own, or expired → crashed owner) write a new record with
-  ``epoch = old_epoch + 1``. The epoch bump is the FENCE: a stale
-  owner that wakes up later fails its next :meth:`check_and_renew`.
+  our own, or expired → crashed owner) CLAIM the next epoch through a
+  CREATE-EXCLUSIVE sidecar ``_LEASE.e<epoch>`` (round 14; closes the
+  r13 read-check-write window): of two writers racing the same
+  observed epoch, exactly one creates the sidecar — the loser raises
+  :class:`LeaseHeldError`. Only the claim winner writes the ``_LEASE``
+  record (``epoch = old_epoch + 1``). The epoch bump is the FENCE: a
+  stale owner that wakes up later fails its next
+  :meth:`check_and_renew`. A claim whose writer crashed before
+  committing ``_LEASE`` is skipped once it is older than ``ttl`` (the
+  next acquirer claims the following epoch — monotonicity lives in the
+  committed record, never in claim file names).
 - ``check_and_renew()``: re-read the lease and require (owner, epoch)
   to still be ours — called at every batch apply AND again inside each
   compaction immediately before its atomic commit point (ADVICE r13:
@@ -39,13 +47,15 @@ already uses:
   collide with a post-release epoch (bounded runs / tests; a crashed
   owner is covered by ttl expiry instead).
 
-HONEST LIMITS (documented, not hidden): read-check-write over a
-filesystem is not a CAS — two writers racing ``acquire()`` within the
-same instant can both succeed. The lease is an OPERATIONAL guard
-against misconfiguration (the realistic failure: a second job pointed
-at the same index minutes or days later), not a distributed lock; a
-deployment needing true mutual exclusion puts a coordination service
-(ZooKeeper, DynamoDB conditional writes) in front. This is the same
+HONEST LIMITS (documented, not hidden): the epoch claim is as
+exclusive as the backend's create-exclusive — truly atomic on plain
+paths (``O_CREAT|O_EXCL``) and at the HDFS NameNode
+(``create(path, overwrite=false)``); on Hadoop's LocalFileSystem and
+plain object stores it is the store's own best primitive (a
+check-then-create in the Hadoop local case). Expiry-based takeover
+still assumes loosely-synchronized clocks. A deployment needing
+hard mutual exclusion under adversarial timing puts a coordination
+service (ZooKeeper, DynamoDB conditional writes) in front — the same
 stance as HDFS lease recovery or Delta Lake's S3 single-writer caveat.
 
 The clock is injectable (``clock=time.time``) so expiry/takeover paths
@@ -125,10 +135,29 @@ class WriterLease:
                 f"known idle: {e}"
             ) from e
 
+    def _claim_name(self, epoch: int) -> str:
+        return f"{LEASE_NAME}.e{epoch}"
+
+    def _read_claim(self, path: str) -> dict:
+        try:
+            rec = self.fs.read_json(path)
+            return {"owner": str(rec["owner"]), "ts": float(rec["ts"])}
+        except Exception as e:
+            # an unreadable claim is either a writer mid-create (a
+            # microsecond window) or a crash mid-write — ambiguous, so
+            # be loud, never guess (the corrupt-_LEASE precedent)
+            raise ValueError(
+                f"unreadable epoch claim {path!r} — a racing writer "
+                "may be mid-acquire; retry, or delete the claim file "
+                f"manually if the index is known idle: {e}"
+            ) from e
+
     def acquire(self) -> int:
         """Take (or retake/renew) the lease; returns the new epoch.
         Raises :class:`LeaseHeldError` if a DIFFERENT owner holds an
-        unexpired lease."""
+        unexpired lease, or if it loses the create-exclusive epoch
+        claim to a concurrent acquirer (round 14 — of two racers at
+        the same observed epoch, exactly one wins)."""
         rec = self._read()
         now = self.clock()
         if (
@@ -144,7 +173,39 @@ class WriterLease:
                 "for its lease to expire"
             )
         self.fs.makedirs(self.root)
-        self.epoch = (rec["epoch"] if rec is not None else 0) + 1
+        target = (rec["epoch"] if rec is not None else 0) + 1
+        while True:
+            claim = IndexFS.join(self.root, self._claim_name(target))
+            if self.fs.create_exclusive(
+                claim, f'{{"owner": "{self.owner}", "ts": {now}}}'
+            ):
+                break  # this epoch is EXCLUSIVELY ours to commit
+            # lost the claim: either its holder committed (the _LEASE
+            # record moved), or it crashed pre-commit (stale claim)
+            latest = self._read()
+            if (
+                latest is not None
+                and latest["owner"] != self.owner
+                and now < latest["expires_at"]
+            ):
+                raise LeaseHeldError(
+                    f"{self.root}: lost the epoch-{target} claim to "
+                    f"{latest['owner']!r}, whose lease is live — "
+                    "stop the other job or wait for expiry"
+                )
+            if latest is not None and latest["epoch"] >= target:
+                target = latest["epoch"] + 1  # holder committed+expired
+                continue
+            side = self._read_claim(claim)
+            if now >= side["ts"] + self.ttl:
+                target += 1  # claimer crashed before committing _LEASE
+                continue
+            raise LeaseHeldError(
+                f"{self.root}: epoch-{target} claim held by "
+                f"{side['owner']!r} ({side['ts'] + self.ttl - now:.0f}s "
+                "to expiry) — a racing acquire is in progress"
+            )
+        self.epoch = target
         self.fs.write_json_atomic(
             self.path,
             {
@@ -153,6 +214,17 @@ class WriterLease:
                 "expires_at": now + self.ttl,
             },
         )
+        # best-effort GC of older claims (monotonicity lives in the
+        # committed _LEASE record, never in claim file names)
+        for name in self.fs.listdir(self.root):
+            if not name.startswith(LEASE_NAME + ".e"):
+                continue
+            try:
+                e = int(name.rsplit(".e", 1)[1])
+            except ValueError:
+                continue
+            if e < target:
+                self.fs.delete_file(IndexFS.join(self.root, name))
         return self.epoch
 
     def check_and_renew(self) -> None:

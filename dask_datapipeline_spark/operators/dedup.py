@@ -114,18 +114,88 @@ def char_shingles(text_col: Column | str, n: int) -> Column:
     return F.transform(idx, lambda i: c.substr(i, F.lit(n)))
 
 
-#: shingle extraction modes shared by the whole near-dup family
-SHINGLE_MODES = ("word", "char")
+#: shingle extraction modes shared by the whole near-dup family.
+#: 'routed' (round 14, VERDICT r13 item 1) picks PER ROW: char n-grams
+#: for unsegmented scripts (zh/ja/th via operators/scripts.py routing),
+#: word shingles otherwise — a mixed-script corpus no longer has to
+#: choose one corpus-global mode (word = zero CJK recall, pinned;
+#: char = different Latin precision/recall than the gate-proven word
+#: mode).
+SHINGLE_MODES = ("word", "char", "routed")
+
+#: mode-namespace tags prepended to every shingle STRING in 'routed'
+#: mode before hashing, so a char gram can never hash-equal an
+#: identical word shingle — cross-mode docs share zero shingle hashes
+#: by construction (their true Jaccard over routed features is 0).
+#: Single-mode corpora ('word'/'char') stay untagged: their hashes
+#: remain byte-compatible with every r1-r13 index and oracle.
+ROUTED_TAGS = {"word": "w|", "char": "c|"}
 
 
 def _shingle_col(text_col: str, shingle_n: int, mode: str) -> Column:
     if mode not in SHINGLE_MODES:
         raise ValueError(f"shingle_mode={mode!r} not in {SHINGLE_MODES}")
+    if mode == "routed":
+        raise ValueError(
+            "mode='routed' needs the per-row script route — use "
+            "hashed_shingles(), which materializes the count columns "
+            "first (one regex execution per row)"
+        )
     return (
         shingles(text_col, shingle_n)
         if mode == "word"
         else char_shingles(text_col, shingle_n)
     )
+
+
+def _routed_hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """The 'routed' arm of :func:`hashed_shingles`: route each row by
+    Unicode script (pure codegen — ``operators/scripts.py``), then
+    shingle it in ITS mode: char n-grams for the unsegmented routes
+    (zh/ja/th), word shingles otherwise, each tagged with its
+    :data:`ROUTED_TAGS` namespace before the one md5.
+
+    ``shingle_n`` applies to both arms (n words / n chars — the same
+    default 3 both single modes use). Two projections on purpose: the
+    route CASE references each script count several times, so counts
+    materialize as columns first (script_profile's one-regex-execution-
+    per-row discipline). Scale shape is unchanged from the single
+    modes: one explode + one md5 per shingle occurrence, no shuffle,
+    no Python."""
+    from dask_datapipeline_spark.operators.scripts import (
+        UNSEGMENTED_ROUTES,
+        script_count_cols,
+        script_route_col,
+    )
+
+    counts = script_count_cols(text_col)
+    step = fan_out(df.select(id_col, text_col)).select(
+        id_col,
+        text_col,
+        *[counts[k].alias(f"__sc_{k}") for k in counts],
+    )
+    refs = {k: F.col(f"__sc_{k}") for k in counts}
+    char_mode = script_route_col(refs).isin(*UNSEGMENTED_ROUTES)
+    # the single-mode path drops '' shingles AFTER explode; here the
+    # tag would mask them, so drop them BEFORE tagging (char grams are
+    # never '' — substr always yields exactly n chars in range)
+    tagged = F.when(
+        char_mode,
+        F.transform(
+            char_shingles(text_col, shingle_n),
+            lambda g: F.concat(F.lit(ROUTED_TAGS["char"]), g),
+        ),
+    ).otherwise(
+        F.transform(
+            F.filter(
+                shingles(text_col, shingle_n), lambda s: s != F.lit("")
+            ),
+            lambda s: F.concat(F.lit(ROUTED_TAGS["word"]), s),
+        )
+    )
+    return step.select(F.col(id_col), F.explode(tagged).alias("__sh"))
 
 
 def hashed_shingles(
@@ -156,18 +226,22 @@ def hashed_shingles(
     require_columns(df, [id_col, text_col])
     from pyspark.storagelevel import StorageLevel
 
-    return (
-        fan_out(df.select(id_col, text_col))
-        .select(
-            F.col(id_col),
-            F.explode(_shingle_col(text_col, shingle_n, shingle_mode)).alias(
-                "__sh"
-            ),
+    if shingle_mode == "routed":
+        exploded = _routed_hashed_shingles(df, id_col, text_col, shingle_n)
+    else:
+        exploded = (
+            fan_out(df.select(id_col, text_col))
+            .select(
+                F.col(id_col),
+                F.explode(
+                    _shingle_col(text_col, shingle_n, shingle_mode)
+                ).alias("__sh"),
+            )
+            .where(F.col("__sh") != "")
         )
-        .where(F.col("__sh") != "")
-        .select(F.col(id_col), seeded_hash64(F.col("__sh"), 0).alias("__h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    return exploded.select(
+        F.col(id_col), seeded_hash64(F.col("__sh"), 0).alias("__h")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 # ----- exact dedup ---------------------------------------------------

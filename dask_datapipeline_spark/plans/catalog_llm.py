@@ -8894,6 +8894,259 @@ def q_cjk_near_dup(spark, sf_dir):
     )
 
 
+# ----- script-ROUTED shingle mode (round 14; VERDICT r13 item 1) ------
+#
+# shingle_mode was corpus-global through round 13: a MIXED-script
+# corpus had to word-shingle everything (ZERO recall on its
+# unsegmented CJK slice — pytest-pinned) or char-shingle everything
+# (different Latin precision/recall than the gate-proven word mode).
+# 'routed' picks per ROW via the round-13 script router, with the mode
+# folded into the shingle string as a namespace tag ('w|'/'c|') so
+# cross-mode hashes can never collide. The fixture plants partner
+# pairs in BOTH families, each constructed so exactly one single mode
+# finds it:
+#
+# - Latin groups: 8 shared base words + 12 group-keyed hex tail words
+#   + one 128-hex-char DOC-unique word. Word shingles: partners differ
+#   in 1 of 19 shingles (J = 18/20 = 0.9, found); char 3-grams: the
+#   long unique words dominate the union (J ≈ 0.34 < 0.5 — char mode
+#   MISSES the pair).
+# - CJK groups: the r13 device (real Han/kana base, space-STRIPPED so
+#   word mode sees one giant token and zero shingles — word mode
+#   MISSES) + 36 group-keyed Han tail chars + an extra clause on odd
+#   ids (char J ≈ 0.8, found).
+#
+# The routed mode must find BOTH. Same MinHash(16)/LSH(4)/exact-verify
+# chain and df cap as minhash_near_dup; md5-identical oracle.
+
+#: 8-word Latin base phrases (held-out openers, lowercased/truncated)
+_RT_LAT_BASES = [
+    "it is a truth universally acknowledged that a",
+    "call me ishmael some years ago never mind",
+    "en un lugar de la mancha de cuyo",
+]
+_RT_TAIL_WORDS = 12  # group-keyed 6-hex-char tail words (latin arm)
+_RT_LONG_PARTS = 4  # doc-unique word = 4 concatenated md5 hexes
+
+
+def _rt_cjk_bases() -> list[str]:
+    """The r13 CJK bases with clause spaces STRIPPED — genuinely
+    unsegmented, so the word arm's zero-recall property is by
+    construction, not by accident of the fixture."""
+    return [s.replace(" ", "") for s in _cjk_bases()]
+
+
+def _routed_fixture_col():
+    """text(doc_id) for the mixed-script corpus: groups g = doc_id//2
+    alternate families (even g Latin, odd g CJK); partners (2g, 2g+1)
+    are planted near-dups within their family's mode."""
+    g = F.floor(F.col("doc_id") / 2).cast("long")
+    k = F.floor(g / 2).cast("long")
+    # latin arm
+    lat_arr = F.array(*[F.lit(s) for s in _RT_LAT_BASES])
+    lat_base = F.element_at(
+        lat_arr, (k % len(_RT_LAT_BASES)).cast("int") + 1
+    )
+    tail = F.concat_ws(
+        " ",
+        *[
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("rtw:"), g.cast("string"), F.lit(f":{j}")
+                    )
+                ),
+                1,
+                6,
+            )
+            for j in range(_RT_TAIL_WORDS)
+        ],
+    )
+    longw = F.concat(
+        *[
+            F.md5(
+                F.concat(
+                    F.lit("rtl:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(f":{p}"),
+                )
+            )
+            for p in range(_RT_LONG_PARTS)
+        ]
+    )
+    lat_text = F.concat_ws(" ", lat_base, tail, longw)
+    # cjk arm — the r13 tail device under its own seed
+    bases = _rt_cjk_bases()
+    base_arr = F.array(*[F.lit(s) for s in bases])
+    cjk_base = F.element_at(base_arr, (k % len(bases)).cast("int") + 1)
+    vocab_arr = F.array(*[F.lit(c) for c in _CJK_TAIL_VOCAB])
+    ctail = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_CJK_TAIL_LEN - 1)),
+            lambda j: F.element_at(
+                vocab_arr,
+                (
+                    DD.seeded_hash64(
+                        F.concat(
+                            g.cast("string"), F.lit(":"), j.cast("string")
+                        ),
+                        "rtail",
+                    )
+                    % len(_CJK_TAIL_VOCAB)
+                ).cast("int")
+                + 1,
+            ),
+        ),
+        "",
+    )
+    cjk_text = F.concat(
+        cjk_base,
+        ctail,
+        F.when(F.col("doc_id") % 2 == 1, F.lit(_CJK_EXTRA)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(g % 2 == 1, cjk_text).otherwise(lat_text)
+
+
+def _sql_routed_fixture(src: str = "documents") -> str:
+    """DuckDB replay of :func:`_routed_fixture_col` as CTEs ending in
+    ``fx(doc_id, text)``."""
+    lat_lst = (
+        "["
+        + ", ".join("'" + s.replace("'", "''") + "'" for s in _RT_LAT_BASES)
+        + "]"
+    )
+    cjk_lst = (
+        "["
+        + ", ".join("'" + s.replace("'", "''") + "'" for s in _rt_cjk_bases())
+        + "]"
+    )
+    vocab_lst = "[" + ", ".join(f"'{c}'" for c in _CJK_TAIL_VOCAB) + "]"
+    th = _SQL_HASH.format(
+        seed="rtail", col="CAST(g AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
+    )
+    longw = " || ".join(
+        f"md5('rtl:' || CAST(rg.doc_id AS VARCHAR) || ':{p}')"
+        for p in range(_RT_LONG_PARTS)
+    )
+    return f"""
+rg AS (SELECT doc_id, doc_id // 2 AS g, (doc_id // 2) // 2 AS k FROM {src}),
+ltj AS (SELECT doc_id, g, unnest(generate_series(0, {_RT_TAIL_WORDS - 1})) AS j FROM rg WHERE g % 2 = 0),
+ltw AS (SELECT doc_id, j, substr(md5('rtw:' || CAST(g AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 6) AS w FROM ltj),
+ltt AS (SELECT doc_id, string_agg(w, ' ' ORDER BY j) AS tail FROM ltw GROUP BY doc_id),
+lfx AS (
+  SELECT rg.doc_id,
+         ({lat_lst})[(rg.k % {len(_RT_LAT_BASES)}) + 1] || ' ' || ltt.tail
+         || ' ' || {longw} AS text
+  FROM rg JOIN ltt ON ltt.doc_id = rg.doc_id
+),
+ctj AS (SELECT doc_id, g, unnest(generate_series(0, {_CJK_TAIL_LEN - 1})) AS j FROM rg WHERE g % 2 = 1),
+ctd AS (SELECT doc_id, j, ({vocab_lst})[({th}) % {len(_CJK_TAIL_VOCAB)} + 1] AS ch FROM ctj),
+ctt AS (SELECT doc_id, string_agg(ch, '' ORDER BY j) AS tail FROM ctd GROUP BY doc_id),
+cfx AS (
+  SELECT rg.doc_id,
+         ({cjk_lst})[(rg.k % {len(_rt_cjk_bases())}) + 1] || ctt.tail ||
+         CASE WHEN rg.doc_id % 2 = 1 THEN '{_CJK_EXTRA}' ELSE '' END AS text
+  FROM rg JOIN ctt ON ctt.doc_id = rg.doc_id
+),
+fx AS (SELECT * FROM lfx UNION ALL SELECT * FROM cfx)"""
+
+
+def _sql_routed_shingles_hashed(src: str = "fx", n: int = 3) -> str:
+    """Routed twin of ``_sql_shingles_hashed``: route per row from the
+    shared script constants, word-shingle the segmented slice tagged
+    'w|', char-gram the unsegmented slice tagged 'c|', then the SAME
+    hash/distinct/df-cap chain ending in ``shh``. Mirrors
+    ``operators/dedup.py::_routed_hashed_shingles`` exactly (the ''
+    word-shingle filter runs pre-tag as ``sh <> 'w|'``)."""
+    counts = USC.script_count_sql("text")
+    count_cols = ",\n       ".join(
+        f"{sql} AS {name}"
+        for name, sql in counts.items()
+        if name != "n_letters"
+    )
+    unseg = ", ".join(f"'{r}'" for r in USC.UNSEGMENTED_ROUTES)
+    return (
+        f"""
+rsc AS (SELECT doc_id, text, {count_cols} FROM {src}),
+rsp AS (SELECT *, {counts["n_letters"]} AS n_letters FROM rsc),
+rsr AS (SELECT doc_id, text, {USC.script_route_sql()} AS script FROM rsp),
+wt AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM rsr WHERE script NOT IN ({unseg})),
+wi AS (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk)-{n - 1}, 0))) AS i FROM wt),
+wsh AS (SELECT doc_id, 'w|' || array_to_string(tk[i:i+{n - 1}], ' ') AS sh FROM wi),
+ct AS (SELECT doc_id, lower(text) AS s FROM rsr WHERE script IN ({unseg})),
+ci AS (SELECT doc_id, s, unnest(generate_series(1, greatest(length(s)-{n - 1}, 0))) AS i FROM ct),
+csh AS (SELECT doc_id, 'c|' || substr(s, i, {n}) AS sh FROM ci),
+rsh0 AS (SELECT * FROM wsh WHERE sh <> 'w|' UNION ALL SELECT * FROM csh),
+hsh AS (SELECT doc_id, """
+        + _SQL_HASH.format(seed=0, col="sh")
+        + f""" AS h FROM rsh0),
+shh0 AS (SELECT DISTINCT doc_id, h FROM hsh),
+hkeep AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM shh0 GROUP BY h) WHERE df <= {_MAX_DF}),
+shh AS (SELECT s.doc_id, s.h FROM shh0 s JOIN hkeep k ON s.h = k.h)
+"""
+    )
+
+
+def _routed_near_dup_sql() -> str:
+    # MATERIALIZED on the multi-referenced CTEs: the band-join UNION
+    # references sig 8×, the verify references shh 4×, and both arms
+    # of the routed shingler reference the fixture+route chain — fully
+    # inlined, DuckDB's binder blows its memory budget on the
+    # resulting expression tree (observed OOM at 50 docs). Semantics
+    # identical; the hint only pins the evaluate-once plan.
+    fx = _sql_routed_fixture().replace("fx AS (", "fx AS MATERIALIZED (")
+    sh = _sql_routed_shingles_hashed("fx").replace(
+        "rsr AS (", "rsr AS MATERIALIZED ("
+    ).replace("shh AS (", "shh AS MATERIALIZED (")
+    sig = _SQL_SIG.replace("sig AS (", "sig AS MATERIALIZED (")
+    return (
+        "WITH "
+        + fx
+        + ","
+        + sh
+        + ","
+        + sig
+        + f""",
+cand AS (SELECT DISTINCT id_a, id_b FROM ({_SQL_BAND_JOINS}))
+,"""
+        + _sql_jaccard_verify(
+            extra_join="JOIN cand c ON c.id_a = i.id_a AND c.id_b = i.id_b"
+        )
+    )
+
+
+@register_extra(
+    "routed_near_dup",
+    _routed_near_dup_sql(),
+    "Script-ROUTED shingle mode through MinHash+LSH near-dup (round 14: "
+    "dedup.py shingle_mode='routed'): each row shingles in ITS script's "
+    "mode — char 3-grams for unsegmented zh/ja/th, word shingles "
+    "otherwise — with the mode folded into the shingle string as a "
+    "namespace tag ('w|'/'c|') so cross-mode hashes never collide. "
+    "Closes the last systematic-recall hole in the dedup family: a "
+    "mixed-script corpus previously chose ONE global mode (word = zero "
+    "CJK recall, char = different Latin precision). Fixture plants "
+    "partner pairs in BOTH families, each findable by exactly one "
+    "single mode (pytest-pinned: word misses the CJK pair, char misses "
+    "the long-unique-word Latin pair, routed finds both). Same "
+    "MinHash(16)/LSH(4 bands)/exact-Jaccard verify and df cap as "
+    "minhash_near_dup; md5-identical oracle",
+)
+def q_routed_near_dup(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id")
+    fixture = docs.select("doc_id", _routed_fixture_col().alias("text"))
+    return DD.near_dup_pairs_minhash(
+        fixture,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        threshold=0.5,
+        max_df=_MAX_DF,
+        shingle_mode="routed",
+    )
+
+
 # ----- HyperLogLog distinct sketch -----------------------------------
 
 from dask_datapipeline_spark.operators.sketches import (  # noqa: E402
