@@ -1188,7 +1188,14 @@ DRIVER_ORDER: list[str] = [
     "streaming_user_totals",
     # LLM-pipeline operators (SURVEY.md §2.2)
     "dedup_exact",
-    "jaccard_near_dup",
+    # round-14 rotation (README policy rules 2+3): jaccard_near_dup
+    # out to EXTRA_CATALOG — routed_near_dup runs the SAME exact-
+    # Jaccard verify semantics under the production configuration (a
+    # mixed-script corpus shingling each row in its script's mode:
+    # char for zh/ja/th, word otherwise, namespace-tagged hashes), so
+    # the family keeps four driver representatives while the
+    # word-only baseline stays swept by the local gate
+    "routed_near_dup",
     "minhash_near_dup",
     "dup_clusters",
     # round-9 rotation (README policy rule 2): simhash_near_dup out to

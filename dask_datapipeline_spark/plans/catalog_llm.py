@@ -213,12 +213,16 @@ def q_dedup_exact(spark, sf_dir):
 # ----- n-gram Jaccard (all pairs, the exact baseline) ----------------
 
 
-@register(
+@register_extra(
     "jaccard_near_dup",
     "WITH " + _SQL_SHINGLES_HASHED + "," + _sql_jaccard_verify(),
     "Near-dup by exact 3-gram-shingle Jaccard >= 0.5: self equi-join on the 60-bit "
     "shingle hash (no cross join), hot shingles capped at df<=256 ahead of the join "
-    "so per-key fan-out is bounded at any corpus size (no-op at test scales)",
+    "so per-key fan-out is bounded at any corpus size (no-op at test scales). "
+    "Round-14 rotation (README policy rules 2+3): driver slot ceded to "
+    "routed_near_dup — the near-dup family keeps four driver "
+    "representatives and the exact-Jaccard baseline stays swept by the "
+    "local gate here",
 )
 def q_jaccard_near_dup(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents")
@@ -9117,7 +9121,7 @@ cand AS (SELECT DISTINCT id_a, id_b FROM ({_SQL_BAND_JOINS}))
     )
 
 
-@register_extra(
+@register(
     "routed_near_dup",
     _routed_near_dup_sql(),
     "Script-ROUTED shingle mode through MinHash+LSH near-dup (round 14: "
@@ -9132,7 +9136,10 @@ cand AS (SELECT DISTINCT id_a, id_b FROM ({_SQL_BAND_JOINS}))
     "single mode (pytest-pinned: word misses the CJK pair, char misses "
     "the long-unique-word Latin pair, routed finds both). Same "
     "MinHash(16)/LSH(4 bands)/exact-Jaccard verify and df cap as "
-    "minhash_near_dup; md5-identical oracle",
+    "minhash_near_dup; md5-identical oracle. DRIVER row on arrival "
+    "(round-14 rotation: jaccard_near_dup out to extras — production "
+    "configuration over demo: the routed mode is what a mixed-script "
+    "100 TB crawl runs; the exact-Jaccard baseline stays gate-swept)",
 )
 def q_routed_near_dup(spark, sf_dir):
     docs = load_testdata(spark, sf_dir, "documents").select("doc_id")

@@ -339,3 +339,101 @@ def test_routed_minhash_index_end_to_end(spark, tmp_path):
     assert flags[100][1] is False  # caught by the Latin word slice
     assert flags[101][1] is False  # caught by the CJK char slice
     assert flags[102] == (None, True)
+
+
+# ----- create-exclusive lease acquire (VERDICT r13 item 3) ----------------
+
+
+def _uri14(p):
+    return "file://" + str(p)
+
+
+@pytest.mark.parametrize("via_uri", [False, True])
+def test_lease_acquire_race_exactly_one_wins(spark, tmp_path, via_uri):
+    """Two writers racing acquire() at the SAME observed epoch: the
+    create-exclusive epoch claim lets exactly one commit; the loser
+    raises LeaseHeldError — on both backends (plain path and the
+    Hadoop file:// channel). Simulated by replaying B's pre-race read:
+    B observed 'no lease' before A committed, then loses the claim."""
+    from dask_datapipeline_spark.lease import LeaseHeldError, WriterLease
+
+    root = _uri14(tmp_path / "idx") if via_uri else str(tmp_path / "idx")
+    now = [1000.0]
+    clock = lambda: now[0]  # noqa: E731
+    a = WriterLease(root, owner="job-a", ttl_sec=100, clock=clock)
+    b = WriterLease(root, owner="job-b", ttl_sec=100, clock=clock)
+    # B reads first (sees nothing), then A completes its acquire
+    real_read = b._read
+    pre_race = [b._read()]  # None — the stale observation
+    assert pre_race == [None]
+
+    def replayed_read():
+        if pre_race:
+            return pre_race.pop()
+        return real_read()
+
+    b._read = replayed_read
+    assert a.acquire() == 1
+    with pytest.raises(LeaseHeldError):
+        b.acquire()  # loses the e1 claim, re-reads, sees A live
+    assert b.epoch is None  # never committed anything
+    # A is unaffected
+    a.check_and_renew()
+
+
+@pytest.mark.parametrize("via_uri", [False, True])
+def test_lease_claim_orphan_and_in_progress(spark, tmp_path, via_uri):
+    """A claim whose writer crashed before committing _LEASE blocks
+    acquire only until ttl; past it the next acquirer skips to the
+    following epoch (monotonicity lives in the committed record)."""
+    from dask_datapipeline_spark.indexfs import IndexFS
+    from dask_datapipeline_spark.lease import LeaseHeldError, WriterLease
+
+    root = _uri14(tmp_path / "idx") if via_uri else str(tmp_path / "idx")
+    fs = IndexFS.for_path(root, "test")
+    fs.makedirs(root)
+    now = [1000.0]
+    clock = lambda: now[0]  # noqa: E731
+    # a FRESH in-progress claim for epoch 1 (no committed _LEASE)
+    assert fs.create_exclusive(
+        IndexFS.join(root, "_LEASE.e1"), '{"owner": "ghost", "ts": 1000.0}'
+    )
+    w = WriterLease(root, owner="job-w", ttl_sec=100, clock=clock)
+    with pytest.raises(LeaseHeldError, match="in progress"):
+        w.acquire()
+    # past ttl the claim is an orphan: the acquirer skips to epoch 2
+    now[0] = 1200.0
+    assert w.acquire() == 2
+    w.check_and_renew()
+    # older claims were garbage-collected; the current one remains
+    names = [n for n in fs.listdir(root) if n.startswith("_LEASE.e")]
+    assert names == ["_LEASE.e2"]
+
+
+def test_lease_epochs_stay_monotone_across_release_cycles(tmp_path):
+    """Release/re-acquire cycles keep bumping epochs through the
+    claim path (regression guard for the r13 semantics under the new
+    acquire)."""
+    from dask_datapipeline_spark.lease import WriterLease
+
+    root = str(tmp_path / "idx")
+    seen = []
+    for _ in range(3):
+        w = WriterLease(root, owner="job-x", ttl_sec=100)
+        seen.append(w.acquire())
+        w.release()
+    assert seen == [1, 2, 3]
+
+
+def test_indexfs_create_exclusive_both_backends(spark, tmp_path):
+    """The primitive itself: second create on one path returns False,
+    content written by the winner survives, on both channels."""
+    from dask_datapipeline_spark.indexfs import IndexFS
+
+    for root in (str(tmp_path / "plain"), _uri14(tmp_path / "had")):
+        fs = IndexFS.for_path(root, "test")
+        fs.makedirs(root)
+        p = IndexFS.join(root, "claim")
+        assert fs.create_exclusive(p, "first") is True
+        assert fs.create_exclusive(p, "second") is False
+        assert fs.read_text(p) == "first"
