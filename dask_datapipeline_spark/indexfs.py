@@ -66,6 +66,14 @@ def _scheme(path: str) -> str:
     return urlparse(path).scheme
 
 
+#: scheme → factory overrides consulted by :meth:`IndexFS.for_path`
+#: BEFORE the built-in dispatch. The injection point for test doubles
+#: (round 14: the object-store-semantics ``_FlakyFS`` drives the crash
+#: matrix through it by overriding the '' scheme) and for deployments
+#: wiring a custom backend. Factories take (path, what).
+_SCHEME_REGISTRY: dict = {}
+
+
 class IndexFS:
     """Uniform maintenance-filesystem surface; construct via
     :meth:`for_path`. All methods take/return full path strings in the
@@ -73,9 +81,23 @@ class IndexFS:
 
     @staticmethod
     def for_path(path: str, what: str = "index maintenance") -> "IndexFS":
+        factory = _SCHEME_REGISTRY.get(_scheme(path))
+        if factory is not None:
+            return factory(path, what)
         if _scheme(path) == "":
             return _LocalFS()
         return _HadoopFS(path, what)
+
+    @staticmethod
+    def register_scheme(scheme: str, factory) -> None:
+        """Install a factory for ``scheme`` (may override '' = plain
+        paths). Test doubles and custom backends only — production
+        schemes resolve through Hadoop."""
+        _SCHEME_REGISTRY[scheme] = factory
+
+    @staticmethod
+    def unregister_scheme(scheme: str) -> None:
+        _SCHEME_REGISTRY.pop(scheme, None)
 
     @staticmethod
     def join(base: str, *parts: str) -> str:

@@ -377,7 +377,11 @@ def _finish_compaction(fs: IndexFS, index_dir: str) -> None:
             fs.rmtree(IndexFS.join(base, sub, name))
         src = IndexFS.join(work, sub, dest)
         dst = IndexFS.join(base, sub, dest)
-        if fs.isdir(src) and not fs.isdir(dst):
+        if fs.isdir(src):
+            # dst coexisting with a live src = partial copy from a
+            # crashed non-atomic rename; src is authoritative until
+            # the rename's source delete (round 14, _FlakyFS-pinned)
+            fs.rmtree(dst)
             fs.move(src, dst)
     fs.rmtree(work)
 

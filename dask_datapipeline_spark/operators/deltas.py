@@ -85,7 +85,13 @@ def _finish(fs: IndexFS, root: str) -> None:
         fs.rmtree(IndexFS.join(root, name))
     src = IndexFS.join(work, dest)
     dst = IndexFS.join(root, dest)
-    if fs.isdir(src) and not fs.isdir(dst):
+    if fs.isdir(src):
+        # a dst COEXISTING with a live src is a partial copy from a
+        # crashed non-atomic (copy-then-delete) rename — src stays
+        # authoritative until the rename's source delete, so rebuild
+        # dst from it instead of trusting the partial (round 14,
+        # pinned under the _FlakyFS object-store double)
+        fs.rmtree(dst)
         fs.move(src, dst)
     fs.rmtree(work)
 

@@ -566,6 +566,9 @@ def _adopt_ivf_flat_layout(path: str) -> None:
     dest = IndexFS.join(root, "delta=-1")
     fs.makedirs(dest)
     for d in flat:
+        # re-run of a crashed adoption: a partially-copied cell under
+        # dest is rebuilt from the still-present flat source
+        fs.rmtree(IndexFS.join(dest, d))
         fs.move(IndexFS.join(root, d), IndexFS.join(dest, d))
     # loose root files (_SUCCESS markers) confuse neither discovery
     # nor the compactor; leave them
@@ -659,7 +662,11 @@ def _finish_ivf_compaction(fs: IndexFS, path: str) -> None:
         fs.rmtree(IndexFS.join(base, "vectors", name))
     src = IndexFS.join(work, "vectors", dest)
     dst = IndexFS.join(base, "vectors", dest)
-    if fs.isdir(src) and not fs.isdir(dst):
+    if fs.isdir(src):
+        # dst coexisting with a live src = partial copy from a crashed
+        # non-atomic rename; src is authoritative until the rename's
+        # source delete (round 14, _FlakyFS-pinned)
+        fs.rmtree(dst)
         fs.move(src, dst)
     fs.rmtree(work)
 

@@ -72,11 +72,77 @@ class _Snapshot:
     def staging(self) -> str:
         return self.base + f".stage-{uuid.uuid4().hex[:8]}"
 
+    def _sentinel(self) -> str:
+        return self.base + ".swap"
+
     def recover(self) -> None:
-        """Heal a mid-swap crash before touching state: base missing →
+        """Heal a mid-swap crash before touching state.
+
+        Phase-aware healing (round 14, _FlakyFS-pinned): on
+        copy-then-delete stores a rename can crash MID-COPY, leaving a
+        partial destination COEXISTING with the complete source — the
+        old base-missing check alone would then trust a partial base.
+        ``swap`` records which rename is in flight in a ``.swap``
+        sentinel (atomic small writes); healing leans on the rename
+        invariant that the SOURCE stays complete until the rename's
+        source delete commits:
+
+        - phase 1 (base → old in flight): base present ⟹ the rename
+          never committed, a coexisting old is the partial copy —
+          drop it; base absent ⟹ it committed, old is complete —
+          restore it.
+        - phase 2 (staging → base in flight; any recorded old is
+          complete): staging present ⟹ the install never committed,
+          base is partial-or-absent — drop it and restore the old;
+          staging absent ⟹ the install committed, base is complete.
+
+        A corrupt sentinel raises loudly (guessing risks installing a
+        partial snapshot). Then the legacy logic: base missing →
         restore the newest ``.old-*``; once a live base exists, sweep
-        leftover ``.old-*``/``.stage-*`` siblings (garbage from healed
-        or completed swaps) and stranded marker temps."""
+        leftover ``.old-*``/``.stage-*`` siblings and stranded marker
+        temps."""
+        import json as _json
+
+        sent = self._sentinel()
+        if self.fs.isfile(sent):
+            try:
+                rec = _json.loads(self.fs.read_text(sent))
+                phase = rec["phase"]
+                old = rec["old"]
+                stg = rec["staging"]
+            except Exception as e:
+                raise ValueError(
+                    f"corrupt swap sentinel {sent!r} — refusing to "
+                    "guess which rename was in flight (a wrong guess "
+                    f"can install a partial snapshot): {e}"
+                ) from e
+            old_p = IndexFS.join(self.parent, old) if old else None
+            stg_p = IndexFS.join(self.parent, stg)
+            if phase == 1:
+                if self.fs.isdir(self.base):
+                    if old_p:
+                        self.fs.rmtree(old_p)  # partial copy
+                elif old_p and self.fs.isdir(old_p):
+                    self.fs.move(old_p, self.base)  # committed → restore
+                else:
+                    raise ValueError(
+                        f"swap sentinel {sent!r} says base→old was in "
+                        f"flight but neither {self.base!r} nor the old "
+                        "dir exists — snapshot state is unrecoverable "
+                        "here; restore from upstream"
+                    )
+            elif phase == 2:
+                if self.fs.isdir(stg_p):  # install never committed
+                    self.fs.rmtree(self.base)
+                    if old_p and self.fs.isdir(old_p):
+                        self.fs.move(old_p, self.base)
+                # staging absent: install committed, base complete
+            else:
+                raise ValueError(
+                    f"swap sentinel {sent!r} has unknown phase "
+                    f"{phase!r} — refusing to guess"
+                )
+            self.fs.delete_file(sent)
         siblings = self.fs.listdir(self.parent)
         if not self.fs.isdir(self.base):
             olds = sorted(
@@ -94,17 +160,49 @@ class _Snapshot:
                 ):
                     self.fs.rmtree(IndexFS.join(self.parent, d))
             self.fs.sweep_tmp(self.base)
+            # stranded temps of OUR sentinel land in the PARENT (the
+            # sentinel is a sibling of base); sweep only names under
+            # our own prefix — a sibling snapshot's in-flight temp is
+            # not ours to touch
+            for d in self.fs.listdir(self.parent):
+                if d.startswith(self.name + ".swap.tmp-"):
+                    self.fs.delete_file(IndexFS.join(self.parent, d))
 
     def swap(self, staging: str) -> None:
-        """Make ``staging`` the live snapshot. Each rename is atomic;
-        the pair is not — the recover() contract covers the window."""
+        """Make ``staging`` the live snapshot. Each rename's crash
+        window — including MID-COPY on copy-then-delete stores — is
+        covered by the phase sentinel ``recover()`` reads (round 14);
+        the sentinel writes are atomic single-object puts."""
+        import json as _json
+
+        sent = self._sentinel()
+        stg_name = staging.rsplit("/", 1)[1]
         if self.fs.isdir(self.base):
             old = self.base + f".old-{uuid.uuid4().hex[:8]}"
+            old_name = old.rsplit("/", 1)[1]
+            self.fs.write_text_atomic(
+                sent,
+                _json.dumps(
+                    {"phase": 1, "old": old_name, "staging": stg_name}
+                ),
+            )
             self.fs.move(self.base, old)
+            self.fs.write_text_atomic(
+                sent,
+                _json.dumps(
+                    {"phase": 2, "old": old_name, "staging": stg_name}
+                ),
+            )
             self.fs.move(staging, self.base)
+            self.fs.delete_file(sent)
             self.fs.rmtree(old)
         else:
+            self.fs.write_text_atomic(
+                sent,
+                _json.dumps({"phase": 2, "old": None, "staging": stg_name}),
+            )
             self.fs.move(staging, self.base)
+            self.fs.delete_file(sent)
 
 
 def _drain(q, timeout_sec: int, what: str = "stream") -> None:
@@ -998,6 +1096,9 @@ def stream_incremental_bm25_index(
             dest = IndexFS.join(d, "delta=-1")
             fs.makedirs(dest)
             for f in flat:
+                # re-run of a crashed adoption: a half-renamed file
+                # (copy+delete stores) is rebuilt from the source
+                fs.delete_file(IndexFS.join(dest, f))
                 fs.move(IndexFS.join(d, f), IndexFS.join(dest, f))
 
     _adopt_flat_layout()
