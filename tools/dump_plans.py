@@ -21,7 +21,8 @@ SHOWCASE = [
     ("flagship_onepass", "one conditional-agg shuffle + broadcast dim joins; filters/pruning reach the parquet scan"),
     ("scan_projection", "column pruning + predicate pushdown into the scan (ReadSchema / PushedFilters)"),
     ("minhash_near_dup", "banded LSH self-join: ReusedExchange on the signature subplan, no Cartesian shapes"),
-    ("jaccard_near_dup", "prefix-filtered exact Jaccard: candidate join on exploded prefixes + array_intersect verify"),
+    ("extra:jaccard_near_dup", "prefix-filtered exact Jaccard (driver rows 6-13, extras since round 14): candidate join on exploded prefixes + array_intersect verify"),
+    ("routed_near_dup", "script-routed MinHash near-dup (driver row since round 14): ONE shingle projection whose per-row CASE picks word or char mode (namespace-tagged before the md5), then the same banded LSH self-join shapes as minhash_near_dup — routing adds zero exchanges"),
     ("knn_join_lsh", "bucket equi-join (shuffle_hash) over Arrow-batched SRP buckets; window top-k"),
     ("extra:bloom_semi_join", "the bloom PROBE branch (events scan -> literal-bitmap Filter) has no Exchange before its aggregate — the comparison aggregates around it shuffle as any groupBy does; the probe-only zero-exchange shape is pinned by tests/test_plan_shapes.py"),
     ("extra:funnel_steps", "one events scan -> collect_list -> aggregate fold; broadcast dim join; no self-joins"),

@@ -89,6 +89,7 @@ QUERIES = [
     ("ivf_drift_scaled", "embeddings"),
     ("script_route_scaled", "documents"),
     ("cjk_near_dup_scaled", "documents"),
+    ("routed_near_dup", "documents"),
 ]
 
 
@@ -685,7 +686,14 @@ def main() -> None:
             if name in CUSTOM:
                 fn = lambda: CUSTOM[name](spark, d, rows[lab][tbl])  # noqa: B023
             else:
-                fn = lambda: CATALOG[name].fn(spark, d)  # noqa: B023
+                from dask_datapipeline_spark.plans.catalog import (
+                    EXTRA_CATALOG,
+                )
+
+                # rotation-proof: a measured query may live in either
+                # half of the catalog (r14: jaccard_near_dup → extras)
+                qd = CATALOG.get(name) or EXTRA_CATALOG[name]
+                fn = lambda: qd.fn(spark, d)  # noqa: B023
             t0 = time.perf_counter()
             fn().count()
             cold = time.perf_counter() - t0
