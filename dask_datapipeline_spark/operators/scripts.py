@@ -241,6 +241,95 @@ def routed_token_count_sql(expr: str, script_expr: str) -> str:
     )
 
 
+# ----- route-aware sentence statistics (round 14) -----------------------
+
+#: sentence-terminator regex classes by tier (``\x{..}`` syntax shared
+#: by Java regex and RE2, the SCRIPT_RANGES precedent). Every class
+#: keeps the ASCII+ellipsis base (mixed pages carry ASCII terminators)
+#: and adds the script's own marks: CJK ideographic 。 + fullwidth
+#: ．！？; Devanagari danda । / double danda ॥; Arabic question mark
+#: ؟ / full stop ۔. Thai script has NO sentence-terminal mark (spaces
+#: separate clauses) — a 'th' page keeps the default class and
+#: typically reads 0 sentences: honest scope, the division in the
+#: report is guarded, real Thai sentence segmentation needs a model
+#: this tier deliberately avoids.
+SENTENCE_TERMINATORS: dict[str, str] = {
+    # . ! ? …
+    "default": "[.!?\\x{2026}]",
+    # + ideographic full stop 。, fullwidth ． ！ ？
+    "cjk": "[.!?\\x{2026}\\x{3002}\\x{FF0E}\\x{FF01}\\x{FF1F}]",
+    # + danda । and double danda ॥
+    "devanagari": "[.!?\\x{2026}\\x{0964}\\x{0965}]",
+    # + Arabic question mark ؟ and Arabic full stop ۔
+    "arabic": "[.!?\\x{2026}\\x{061F}\\x{06D4}]",
+}
+
+#: route -> terminator class for routes with script-specific marks;
+#: every unlisted route reads 'default'. Separate from
+#: UNSEGMENTED_ROUTES on purpose (not drift): 'th' is unsegmented for
+#: SHINGLING but Thai carries no terminal mark, while segmented
+#: Devanagari/Arabic have their own marks.
+TERMINATOR_ROUTE_CLASS: dict[str, str] = {
+    "zh": "cjk",
+    "ja": "cjk",
+    "und-Deva": "devanagari",
+    "und-Arab": "arabic",
+}
+
+
+def sentence_count_col(
+    text: Column | str, script: Column | str
+) -> Column:
+    """Sentence count = number of maximal terminator RUNS (``[.!?]+``
+    counts ``...`` once), class picked by the row's route — exact
+    leftmost-non-overlapping ``regexp_count`` on both engines (the
+    ``pii_counts`` device). Pure codegen, per-row."""
+    c = F.col(text) if isinstance(text, str) else text
+    s = F.col(script) if isinstance(script, str) else script
+    out = F.regexp_count(c, F.lit(SENTENCE_TERMINATORS["default"] + "+"))
+    for route, cls in TERMINATOR_ROUTE_CLASS.items():
+        out = F.when(
+            s == route,
+            F.regexp_count(c, F.lit(SENTENCE_TERMINATORS[cls] + "+")),
+        ).otherwise(out)
+    return out.cast("long")
+
+
+def sentence_count_sql(expr: str, script_expr: str) -> str:
+    """DuckDB replay of :func:`sentence_count_col` (RE2 needs no flag
+    here — ``len(regexp_extract_all(...))`` is the count device)."""
+    whens = " ".join(
+        f"WHEN '{route}' THEN len(regexp_extract_all({expr},"
+        f" '{SENTENCE_TERMINATORS[cls]}+'))"
+        for route, cls in TERMINATOR_ROUTE_CLASS.items()
+    )
+    dflt = (
+        f"len(regexp_extract_all({expr},"
+        f" '{SENTENCE_TERMINATORS['default']}+'))"
+    )
+    return (
+        f"CAST(CASE {script_expr} {whens} ELSE {dflt} END AS BIGINT)"
+    )
+
+
+def py_sentence_count(text: str, route: str) -> int:
+    """Python twin of :func:`sentence_count_col` (``re`` lacks the
+    ``\\x{{..}}`` syntax — rebuild the class from codepoints)."""
+    import re
+
+    def _cls(spec: str) -> str:
+        # translate \x{XXXX} to \uXXXX for Python re
+        return re.sub(
+            r"\\x\{([0-9A-Fa-f]+)\}",
+            lambda m: chr(int(m.group(1), 16)),
+            spec,
+        )
+
+    key = TERMINATOR_ROUTE_CLASS.get(route, "default")
+    pat = _cls(SENTENCE_TERMINATORS[key]) + "+"
+    return len(re.findall(pat, text))
+
+
 # ----- catalog fixture devices ------------------------------------------
 
 #: edge shapes appended to the held-out real-script sentences in the

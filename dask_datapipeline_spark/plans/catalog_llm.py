@@ -10485,3 +10485,269 @@ def q_gopher_triage(spark, sf_dir):
             ).alias("sample_doc_ids"),
         )
     )
+
+
+# ----- code-corpus front door (round 14): license + code signals -----
+
+from dask_datapipeline_spark.functions.code import (  # noqa: E402
+    code_like_col,
+    code_like_sql,
+    code_signal_cols,
+    code_signal_sql,
+    license_col,
+    license_sql,
+    permissive_col,
+    permissive_sql,
+)
+
+#: one header line per license family in the fixture rotation —
+#: mit / apache-2.0 / gpl / bsd (phrase) / mpl-2.0 / SPDX tag /
+#: no license. The phrases are the LICENSE_PHRASES constants' carriers.
+CODE_FIXTURE_HEADERS: list[str] = [
+    "// Permission is hereby granted, free of charge, to any person"
+    " obtaining a copy of this software",
+    '// Licensed under the Apache License, Version 2.0 (the "License");'
+    " you may not use this file",
+    "// This program is free software: you can redistribute it under"
+    " the terms of the GNU General Public License",
+    "// Redistribution and use in source and binary forms, with or"
+    " without modification, are permitted",
+    "// This Source Code Form is subject to the terms of the Mozilla"
+    " Public License, v. 2.0",
+    "// SPDX-License-Identifier: BSD-3-Clause",
+    "// utility helpers",
+]
+
+#: the repeated function body — braces, semicolons, 4-space indent,
+#: one long line: every code_signal_cols signal is non-vacuous
+CODE_FIXTURE_BODY = (
+    "static int frob(int a, int b) {\n"
+    "    int acc = 0;\n"
+    "    for (int i = 0; i < a; i += 1) {\n"
+    "        acc += acc * b + i;  /* accumulate the mixed product"
+    " term into the running total */\n"
+    "    }\n"
+    "    return acc;\n"
+    "}"
+)
+
+
+def _code_fixture_bodies() -> list[str]:
+    """k in 1..3 copies of the body (k = doc_id % 3 + 1), each copy
+    newline-prefixed — precomputed literals so neither engine needs a
+    repeat() with a column count."""
+    return [("\n" + CODE_FIXTURE_BODY) * k for k in (1, 2, 3)]
+
+
+def _code_fixture_col():
+    """Even doc_ids become synthetic source files (license family
+    rotating through the 7 headers by (doc_id%14)//2, body repeated
+    doc_id%3+1 times); odd doc_ids keep the REAL documents text as
+    prose negatives."""
+    hdrs = F.array(*[F.lit(h) for h in CODE_FIXTURE_HEADERS])
+    bodies = F.array(*[F.lit(b) for b in _code_fixture_bodies()])
+    fam = F.floor((F.col("doc_id") % 14) / 2).cast("int")
+    k = (F.col("doc_id") % 3).cast("int")
+    code = F.concat(
+        F.element_at(hdrs, fam + 1), F.element_at(bodies, k + 1)
+    )
+    return F.when(F.col("doc_id") % 2 == 0, code).otherwise(F.col("text"))
+
+
+def _sql_str(s: str) -> str:
+    """A SQL string literal with newlines/tabs spelled chr() — keeps
+    every generated oracle single-line-safe."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if ch in ("\n", "\t"):
+            if buf:
+                parts.append("'" + buf.replace("'", "''") + "'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            buf += ch
+    if buf:
+        parts.append("'" + buf.replace("'", "''") + "'")
+    return "(" + " || ".join(parts) + ")" if len(parts) > 1 else parts[0]
+
+
+def _code_license_report_sql() -> str:
+    hdr_lst = "[" + ", ".join(_sql_str(h) for h in CODE_FIXTURE_HEADERS) + "]"
+    body_lst = (
+        "[" + ", ".join(_sql_str(b) for b in _code_fixture_bodies()) + "]"
+    )
+    sig = code_signal_sql("text")
+    sig_cols = ",\n         ".join(f"{v} AS {k}" for k, v in sig.items())
+    return f"""
+WITH fx AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN ({hdr_lst})[((doc_id % 14) // 2) + 1]
+                   || ({body_lst})[(doc_id % 3) + 1]
+              ELSE text END AS text
+  FROM documents WHERE text IS NOT NULL
+),
+sig AS (
+  SELECT doc_id, {license_sql("text")} AS license,
+         {sig_cols}
+  FROM fx
+),
+per AS (
+  SELECT *, {permissive_sql("license")} AS permissive,
+         {code_like_sql()} AS code_like
+  FROM sig
+)
+SELECT license, permissive,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN code_like THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_code_like,
+       CAST(SUM(n_braces) AS BIGINT) AS braces,
+       CAST(SUM(n_semicolons) AS BIGINT) AS semicolons,
+       CAST(SUM(n_indented) AS BIGINT) AS indented,
+       CAST(MAX(max_line_len) AS BIGINT) AS max_line_len
+FROM per
+GROUP BY license, permissive
+"""
+
+
+@register_extra(
+    "code_license_report",
+    _code_license_report_sql(),
+    "Code-corpus front door (round 14, functions/code.py): license "
+    "detection (SPDX tag wins, else the legally-operative phrase per "
+    "family, else 'unknown' — fail-closed permissive flag, The Stack "
+    "practice) + exact-integer code-vs-prose structure signals "
+    "(lines/indent/braces/semicolons/max-line via the length-difference "
+    "substring-count device), folded into an all-integer code_like "
+    "decision. Everything is ONE codegen projection over the scan — "
+    "zero Python, zero extra shuffle beyond the report's groupBy. "
+    "Fixture plants 7 license families on even doc_ids (body repeated "
+    "1-3x), real prose on odd ids; oracle replays fixture + signals + "
+    "CASE from the same module constants",
+)
+def q_code_license_report(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    fixture = docs.select("doc_id", _code_fixture_col().alias("text"))
+    sig = code_signal_cols(F.col("text"))
+    per = fixture.select(
+        "doc_id",
+        license_col(F.col("text")).alias("license"),
+        *[sig[k].alias(k) for k in sig],
+    )
+    refs = {k: F.col(k) for k in sig}
+    per = per.select(
+        "*",
+        permissive_col("license").alias("permissive"),
+        code_like_col(refs).alias("code_like"),
+    )
+    return per.groupBy("license", "permissive").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("code_like").cast("long")).alias("n_code_like"),
+        F.sum("n_braces").alias("braces"),
+        F.sum("n_semicolons").alias("semicolons"),
+        F.sum("n_indented").alias("indented"),
+        F.max("max_line_len").alias("max_line_len"),
+    )
+
+
+# ----- route-aware sentence statistics (round 14) --------------------
+
+from dask_datapipeline_spark.operators.scripts import (  # noqa: E402
+    script_count_cols,
+    script_count_sql,
+    script_fixture_col,
+    script_fixture_sql,
+    script_route_col,
+    script_route_sql,
+    sentence_count_col,
+    sentence_count_sql,
+)
+
+
+def _sentence_stats_sql() -> str:
+    counts = script_count_sql("text")
+    count_cols = ",\n         ".join(
+        f"{sql} AS {name}"
+        for name, sql in counts.items()
+        if name != "n_letters"
+    )
+    return f"""
+WITH fx AS (
+  SELECT doc_id, {script_fixture_sql()} AS text
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, text, {count_cols}
+  FROM fx WHERE text IS NOT NULL
+),
+sp AS (SELECT *, {counts["n_letters"]} AS n_letters FROM sc),
+sr AS (
+  SELECT doc_id, text, n_chars, {script_route_sql()} AS script FROM sp
+),
+per AS (
+  SELECT doc_id, script, n_chars,
+         {sentence_count_sql("text", "script")} AS n_sentences
+  FROM sr
+)
+SELECT script,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_sentences) AS BIGINT) AS n_sentences,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CASE WHEN SUM(n_sentences) > 0
+            THEN CAST(SUM(n_chars) AS DOUBLE) / SUM(n_sentences)
+            ELSE NULL END AS mean_sentence_chars
+FROM per
+GROUP BY script
+"""
+
+
+@register_extra(
+    "sentence_stats",
+    _sentence_stats_sql(),
+    "Route-aware sentence statistics (round 14, operators/scripts.py::"
+    "sentence_count_col): sentence count = maximal terminator RUNS "
+    "('...' is one boundary) with the terminator CLASS picked by the "
+    "row's script route — zh/ja read the ideographic/fullwidth set "
+    "(\\u3002 etc.) that a Latin-only splitter scores as zero "
+    "sentences, everything else the ASCII+ellipsis set; Thai "
+    "documented 0-sentence honest scope (no terminal mark in the "
+    "script, div guarded). Pure codegen regexp_count per row over the "
+    "multilingual fixture pool; per-route report with IEEE-exact "
+    "integer-ratio mean. Completes the routed text-statistics tier "
+    "next to routed_token_count",
+)
+def q_sentence_stats(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id")
+    fixture = docs.select("doc_id", script_fixture_col().alias("text"))
+    counts = script_count_cols("text")
+    step = fixture.where(F.col("text").isNotNull()).select(
+        "doc_id", "text", *[counts[k].alias(k) for k in counts]
+    )
+    refs = {k: F.col(k) for k in counts}
+    routed = step.select(
+        "doc_id", "text", "n_chars", script_route_col(refs).alias("script")
+    )
+    per = routed.select(
+        "doc_id",
+        "script",
+        "n_chars",
+        sentence_count_col("text", "script").alias("n_sentences"),
+    )
+    agg = per.groupBy("script").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_sentences").alias("sum_sent"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    return agg.select(
+        "script",
+        "n_docs",
+        F.col("sum_sent").alias("n_sentences"),
+        F.col("sum_chars").alias("n_chars"),
+        F.when(
+            F.col("sum_sent") > 0,
+            F.col("sum_chars").cast("double") / F.col("sum_sent"),
+        ).alias("mean_sentence_chars"),
+    )

@@ -502,3 +502,162 @@ def test_stats_catalog_auto_equals_hand_fed(spark, tmp_path):
             [big, mid], on="k", order="stats",
             stats="auto", catalog=cat, tables=["big"],
         )
+
+
+# ----- code-corpus front door (round 14) ---------------------------------
+
+
+def test_license_detect_families_spdx_precedence_and_failclosed(spark):
+    """Every fixture family detects as intended; an SPDX tag beats a
+    phrase hit; permissive is fail-closed on unknown/copyleft."""
+    from dask_datapipeline_spark.functions.code import (
+        license_col,
+        permissive_col,
+        py_license,
+    )
+    from dask_datapipeline_spark.plans.catalog_llm import (
+        CODE_FIXTURE_BODY,
+        CODE_FIXTURE_HEADERS,
+    )
+
+    expected = [
+        "mit", "apache-2.0", "gpl", "bsd", "mpl-2.0",
+        "bsd-3-clause", "unknown",
+    ]
+    docs = [h + "\n" + CODE_FIXTURE_BODY for h in CODE_FIXTURE_HEADERS]
+    # SPDX tag wins over an embedded phrase
+    both = (
+        "// SPDX-License-Identifier: Apache-2.0\n"
+        "// Permission is hereby granted, free of charge, to anyone\n"
+        + CODE_FIXTURE_BODY
+    )
+    docs.append(both)
+    expected.append("apache-2.0")
+
+    for text, want in zip(docs, expected):
+        assert py_license(text) == want, text[:60]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "id long, text string"
+    )
+    rows = (
+        df.select(
+            "id",
+            license_col("text").alias("lic"),
+        )
+        .withColumn("perm", permissive_col("lic"))
+        .orderBy("id")
+        .collect()
+    )
+    assert [r["lic"] for r in rows] == expected
+    # fail-closed: gpl + unknown are NOT permissive, the rest are
+    assert [r["perm"] for r in rows] == [
+        True, True, False, True, True, True, False, True
+    ]
+
+
+def test_code_signals_three_way_agreement(spark):
+    """Spark exprs, the DuckDB twin, and the pure-Python twin agree on
+    crafted edge shapes (tab indent, 8-space indent, single-line prose
+    with a semicolon, empty string)."""
+    import duckdb
+
+    from dask_datapipeline_spark.functions.code import (
+        code_like_col,
+        code_like_sql,
+        code_signal_cols,
+        code_signal_sql,
+        py_code_like,
+        py_code_signals,
+    )
+    from dask_datapipeline_spark.plans.catalog_llm import CODE_FIXTURE_BODY
+
+    cases = [
+        CODE_FIXTURE_BODY,
+        "\tdef f(x):\n\t\treturn x\n",
+        "        double indent\n    quadruple\nplain",
+        "prose with one semicolon; and a single line",
+        "",
+        "x" * 300 + "\nshort",
+    ]
+    names = ["n_lines", "n_indented", "n_braces", "n_semicolons",
+             "max_line_len"]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "id long, text string"
+    )
+    sig = code_signal_cols(F.col("text"))
+    sdf = df.select("id", *[sig[k].alias(k) for k in names])
+    sdf = sdf.withColumn(
+        "code_like", code_like_col({k: F.col(k) for k in names})
+    )
+    spark_rows = {r["id"]: r.asDict() for r in sdf.collect()}
+
+    con = duckdb.connect()
+    sql_sig = code_signal_sql("text")
+    sel = ", ".join(f"{v} AS {k}" for k, v in sql_sig.items())
+    for i, text in enumerate(cases):
+        py = py_code_signals(text)
+        got = spark_rows[i]
+        for k in names:
+            assert got[k] == py[k], (i, k, got[k], py[k])
+        assert got["code_like"] == py_code_like(text), (i, text[:40])
+        duck = con.execute(
+            f"SELECT {sel}, "
+            f"(SELECT {code_like_sql()} FROM (SELECT {sel})) AS code_like "
+            "FROM (SELECT ? AS text)",
+            [text],
+        ).fetchone()
+        for j, k in enumerate(names):
+            assert duck[j] == py[k], (i, k, "duckdb", duck[j], py[k])
+        assert bool(duck[len(names)]) == py_code_like(text)
+
+
+# ----- route-aware sentence stats (round 14) -----------------------------
+
+
+def test_sentence_count_routed_three_way(spark):
+    """Terminator RUNS count once; the class follows the route (zh/ja
+    ideographic, und-Deva danda, und-Arab ؟/۔, th honest zero);
+    Spark / DuckDB / Python twins agree."""
+    import duckdb
+
+    from dask_datapipeline_spark.operators.scripts import (
+        py_sentence_count,
+        sentence_count_col,
+        sentence_count_sql,
+    )
+
+    cases = [
+        ("Hello world. How are you? Fine!", "latin", 3),
+        ("Wait... what?", "latin", 2),          # run of dots = ONE boundary
+        ("你好。世界！再见？", "zh", 3),
+        ("これはテストです。続きます！", "ja", 2),
+        ("一句没有标点的古文", "zh", 0),          # honest zero
+        ("यह एक वाक्य है। दूसरा वाक्य॥", "und-Deva", 2),
+        ("كيف حالك؟ بخير۔", "und-Arab", 2),
+        ("ประโยคไทยไม่มีเครื่องหมาย", "th", 0),   # no terminal mark in Thai
+        ("Mixed ascii? 中文。", "zh", 2),
+    ]
+    for text, route, want in cases:
+        assert py_sentence_count(text, route) == want, (text, route)
+
+    df = spark.createDataFrame(
+        [(i, t, r) for i, (t, r, _) in enumerate(cases)],
+        "id long, text string, script string",
+    )
+    rows = (
+        df.select("id", sentence_count_col("text", "script").alias("n"))
+        .orderBy("id")
+        .collect()
+    )
+    assert [r["n"] for r in rows] == [w for _, _, w in cases]
+
+    con = duckdb.connect()
+    expr = sentence_count_sql("text", "script")
+    for text, route, want in cases:
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS text, ? AS script)",
+            [text, route],
+        ).fetchone()[0]
+        assert got == want, (text, route, got)
