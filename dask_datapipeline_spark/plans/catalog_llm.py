@@ -10751,3 +10751,98 @@ def q_sentence_stats(spark, sf_dir):
             F.col("sum_chars").cast("double") / F.col("sum_sent"),
         ).alias("mean_sentence_chars"),
     )
+
+
+# ----- positional phrase search (round 14) ---------------------------
+
+from dask_datapipeline_spark.operators.phrase import (  # noqa: E402
+    build_positional_index,
+    phrase_search,
+    phrase_search_from_index,
+    phrase_search_oracle_sql,
+)
+
+#: the probe phrase — a repeated term ('alpha' occupies indices 0 AND
+#: 2) so the multi-index token arm and OVERLAP counting are both
+#: non-vacuous in the gate, not just in pytest
+PHRASE_TERMS: list[str] = ["alpha", "beta", "alpha"]
+
+#: planted tails: doc_id%3==0 gets 'alpha beta alpha beta alpha' —
+#: the phrase at anchors 0 AND 2, overlapping (sharing the middle
+#: 'alpha') — doc_id%3==1 a partial 'alpha beta gamma' (prefix hits
+#: that must NOT count), the rest untouched real prose
+_PHRASE_TAIL_FULL = " alpha beta alpha beta alpha"
+_PHRASE_TAIL_PART = " alpha beta gamma"
+
+
+def _phrase_fixture_col():
+    return F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_PHRASE_TAIL_FULL))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_PHRASE_TAIL_PART))
+        .otherwise(F.lit("")),
+    )
+
+
+def _phrase_fixture_cte() -> str:
+    return f"""fx AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN '{_PHRASE_TAIL_FULL}'
+                      WHEN doc_id % 3 = 1 THEN '{_PHRASE_TAIL_PART}'
+                      ELSE '' END AS text
+  FROM documents
+),
+"""
+
+
+@register_extra(
+    "phrase_search",
+    phrase_search_oracle_sql(
+        PHRASE_TERMS, src="fx", front_ctes=_phrase_fixture_cte()
+    ),
+    "Positional phrase search, scan path (round 14, operators/"
+    "phrase.py): exact consecutive-token matching via ANCHOR alignment "
+    "— term i at position p votes for anchor p-i, an anchor with all m "
+    "distinct indices is a match (COUNT(DISTINCT i)=m) — one shuffle "
+    "keyed (doc, anchor) carrying only phrase-term postings, never the "
+    "corpus; OVERLAPPING matches count separately (the substring-count "
+    "device undercounts exactly those, pytest-pinned) and a repeated "
+    "phrase term maps to BOTH its indices through a literal map "
+    "(zero joins). The decontamination primitive BM25 cannot answer: "
+    "does any training doc contain this exact sequence? Fixture plants "
+    "the phrase twice-overlapping on doc_id%3==0 and a must-not-match "
+    "prefix on %3==1; exact-integer oracle replays the same device",
+)
+def q_phrase_search(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    fixture = docs.select("doc_id", _phrase_fixture_col().alias("text"))
+    return phrase_search(fixture, PHRASE_TERMS)
+
+
+@register_extra(
+    "phrase_from_index",
+    phrase_search_oracle_sql(
+        PHRASE_TERMS, src="fx", front_ctes=_phrase_fixture_cte()
+    ),
+    "Positional phrase search, index path (round 14): "
+    "build_positional_index materializes (token, doc_id, poss) "
+    "clustered on token (the build_bm25_index layout — probes read "
+    "only the phrase terms' row groups, PushedFilters In(token,...) "
+    "pytest-pinned), then phrase_search_from_index explodes those "
+    "position arrays back through THE SAME anchor tail as the scan "
+    "path (one shared function, the _score_and_rank precedent). "
+    "Shares phrase_search's oracle verbatim: the exact match proves "
+    "the positional index round trip is transparent",
+)
+def q_phrase_from_index(spark, sf_dir):
+    from dask_datapipeline_spark.plans.catalog import gate_tmpdir
+
+    docs = load_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    fixture = docs.select("doc_id", _phrase_fixture_col().alias("text"))
+    idx = gate_tmpdir(spark, sf_dir, "phrase_idx", "index")
+    build_positional_index(fixture, idx)
+    return phrase_search_from_index(spark, idx, PHRASE_TERMS)

@@ -661,3 +661,80 @@ def test_sentence_count_routed_three_way(spark):
             [text, route],
         ).fetchone()[0]
         assert got == want, (text, route, got)
+
+
+# ----- positional phrase search (round 14) -------------------------------
+
+
+def test_phrase_overlap_and_repeated_term_semantics(spark):
+    """Overlapping matches count separately (the substring device
+    undercounts them — contrast pinned); a repeated phrase term maps
+    to both its indices; prefix hits never count."""
+    from dask_datapipeline_spark.operators.phrase import (
+        phrase_search,
+        py_phrase_count,
+    )
+
+    cases = [
+        (0, "ha ha ha", ["ha", "ha"], 2),           # overlap: anchors 0,1
+        (1, "alpha beta alpha beta alpha",
+         ["alpha", "beta", "alpha"], 2),            # shared middle token
+        (2, "alpha beta gamma", ["alpha", "beta", "alpha"], 0),
+        (3, "one two three", ["two", "three"], 1),
+        (4, "Case FOLDS here", ["case", "folds"], 1),
+        (5, "two  spaces", ["two", "spaces"], 0),   # '' token between
+    ]
+    for _, text, terms, want in cases:
+        assert py_phrase_count(text, terms) == want, (text, terms)
+        # the naive substring count on spaced text undercounts overlap
+        if want == 2 and terms == ["ha", "ha"]:
+            spaced = " " + text.lower() + " "
+            assert spaced.count(" " + " ".join(terms) + " ") == 1
+
+    for i, text, terms, want in cases:
+        df = spark.createDataFrame([(i, text)], "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_search(df, terms).collect()
+        }
+        assert got.get(i, 0) == want, (text, terms, got)
+
+
+def test_phrase_index_path_equals_scan_path_and_pushes_filter(
+    spark, tmp_path
+):
+    """The positional index round trip is transparent (same rows as
+    the scan path) and the probe's postings scan carries the
+    In(token, ...) pushed filter — the corpus is never re-tokenized."""
+    from dask_datapipeline_spark.operators.phrase import (
+        build_positional_index,
+        phrase_search,
+        phrase_search_from_index,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "quick brown quick brown quick"),
+        (2, "nothing to see here"),
+        (3, None),
+        (4, "brown quick brown"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["quick", "brown"]
+
+    scan = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(docs, terms).collect()
+    }
+    assert scan == {0: 1, 1: 2, 4: 1}
+
+    idx = str(tmp_path / "pidx")
+    build_positional_index(docs, idx)
+    probe = phrase_search_from_index(spark, idx, terms)
+    got = {r["doc_id"]: r["n_matches"] for r in probe.collect()}
+    assert got == scan
+
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [In(token" in plan, plan
