@@ -157,6 +157,80 @@ def normalize_text_sql_steps(expr: str, nfc: bool = True) -> str:
     return f"trim(regexp_replace({x}, '{_q(WHITESPACE_RE)}', ' ', 'g'))"
 
 
+# ----- homoglyph folding (round 14) --------------------------------------
+#
+# A dedup-KEY canonicalization, deliberately NOT part of
+# normalize_text: folding Cyrillic а into Latin a destroys linguistic
+# content (real Russian text must keep its alphabet), but is exactly
+# right when the string is about to become a hash key — spam/SEO
+# duplicates routinely swap Latin letters for visually-identical
+# Cyrillic/Greek/fullwidth codepoints to defeat hash-based dedup and
+# URL blocklists (the documented MinHash-evasion trick one tier above
+# the zero-width salting the translate pass already kills). Fold at
+# the key boundary, keep the corpus text untouched.
+#
+# The table is a CURATED 1:1 subset of Unicode confusables: only
+# pairs that render identically in common fonts (no α→a, no ё→e);
+# explicit codepoints because confusables are invisible in source.
+
+#: (codepoint, ascii replacement) — hand-curated Cyrillic/Greek/Latin
+#: lookalikes
+_HOMOGLYPH_1TO1: tuple[tuple[int, str], ...] = (
+    # Cyrillic lowercase
+    (0x0430, "a"), (0x0435, "e"), (0x043E, "o"), (0x0440, "p"),
+    (0x0441, "c"), (0x0443, "y"), (0x0445, "x"), (0x0455, "s"),
+    (0x0456, "i"), (0x0458, "j"), (0x051B, "q"), (0x051D, "w"),
+    (0x04BB, "h"),
+    # Cyrillic uppercase
+    (0x0410, "A"), (0x0412, "B"), (0x0415, "E"), (0x041A, "K"),
+    (0x041C, "M"), (0x041D, "H"), (0x041E, "O"), (0x0420, "P"),
+    (0x0421, "C"), (0x0422, "T"), (0x0423, "Y"), (0x0425, "X"),
+    (0x0405, "S"), (0x0406, "I"), (0x0408, "J"),
+    # Greek capitals that render as Latin
+    (0x0391, "A"), (0x0392, "B"), (0x0395, "E"), (0x0396, "Z"),
+    (0x0397, "H"), (0x0399, "I"), (0x039A, "K"), (0x039C, "M"),
+    (0x039D, "N"), (0x039F, "O"), (0x03A1, "P"), (0x03A4, "T"),
+    (0x03A5, "Y"), (0x03A7, "X"),
+    # Greek omicron — the one unambiguous lowercase
+    (0x03BF, "o"),
+    # Latin dotless i / dotless j
+    (0x0131, "i"), (0x0237, "j"),
+)
+
+#: + the whole fullwidth ASCII block ＡＢＣ…（０-９ etc.): U+FF01-FF5E
+#: maps 1:1 onto ASCII 0x21-0x7E — the highest-traffic spoof family
+HOMOGLYPH_SRC = "".join(chr(c) for c, _ in _HOMOGLYPH_1TO1) + "".join(
+    chr(0xFF01 + i) for i in range(0x5E)
+)
+HOMOGLYPH_DST = "".join(r for _, r in _HOMOGLYPH_1TO1) + "".join(
+    chr(0x21 + i) for i in range(0x5E)
+)
+
+
+def fold_homoglyphs(col: Column) -> Column:
+    """The spoof-resistant KEY form of a string: one ``translate``
+    pass over :data:`HOMOGLYPH_SRC`/``DST`` — pure codegen, zero
+    shuffle. Apply to the dedup/URL key right before hashing; never
+    to the stored corpus text."""
+    return F.translate(col, HOMOGLYPH_SRC, HOMOGLYPH_DST)
+
+
+def fold_homoglyphs_sql(expr: str) -> str:
+    """DuckDB replay of :func:`fold_homoglyphs` — same constants."""
+    return (
+        f"translate({expr}, '{_q(HOMOGLYPH_SRC)}', '{_q(HOMOGLYPH_DST)}')"
+    )
+
+
+def fold_homoglyphs_py(s: str | None) -> str | None:
+    """Pure-Python twin over the same constants."""
+    if s is None:
+        return None
+    return s.translate(
+        {ord(a): b for a, b in zip(HOMOGLYPH_SRC, HOMOGLYPH_DST)}
+    )
+
+
 def normalize_text_py(s: str | None, nfc: bool = True) -> str | None:
     """Pure-Python twin over the SAME constants — the hypothesis
     property oracle (idempotence, engine pins in tests)."""

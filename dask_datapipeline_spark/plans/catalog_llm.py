@@ -10846,3 +10846,88 @@ def q_phrase_from_index(spark, sf_dir):
     idx = gate_tmpdir(spark, sf_dir, "phrase_idx", "index")
     build_positional_index(fixture, idx)
     return phrase_search_from_index(spark, idx, PHRASE_TERMS)
+
+
+# ----- homoglyph-fold dedup keys (round 14) --------------------------
+
+from dask_datapipeline_spark.functions.normalize import (  # noqa: E402
+    fold_homoglyphs,
+    fold_homoglyphs_sql,
+)
+
+#: the fixture's spoof direction: Latin -> visually-identical Cyrillic
+#: (a subset of the fold table, applied in REVERSE to synthesize the
+#: adversarial copies — so fold(spoof(t)) == fold(t) by construction)
+_SPOOF_SRC = "aeopc"
+_SPOOF_DST = "".join(chr(c) for c in (0x0430, 0x0435, 0x043E, 0x0440, 0x0441))
+
+
+def _homoglyph_dedup_sql() -> str:
+    return f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+),
+pairs AS (
+  SELECT doc_id * 2 AS id, text AS t FROM src
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS id,
+         translate(text, '{_SPOOF_SRC}', '{_SPOOF_DST}') AS t
+  FROM src
+),
+folded AS (
+  SELECT id, md5({fold_homoglyphs_sql("t")}) AS folded_md5,
+         md5(t) AS kraw
+  FROM pairs
+)
+SELECT folded_md5, COUNT(*) AS n, MIN(id) AS id_a, MAX(id) AS id_b,
+       COUNT(DISTINCT kraw) AS raw_forms
+FROM folded GROUP BY folded_md5
+"""
+
+
+@register_extra(
+    "homoglyph_dedup",
+    _homoglyph_dedup_sql(),
+    "Homoglyph-folded dedup keys (round 14, functions/normalize.py::"
+    "fold_homoglyphs): spam/SEO duplicates swap Latin letters for "
+    "visually-identical Cyrillic/Greek/fullwidth codepoints to defeat "
+    "hash dedup — one curated-confusables translate() pass at the KEY "
+    "boundary (never the stored text) makes the spoofed copy collide "
+    "with its original. Fixture explodes each real doc into (original, "
+    "Cyrillic-spoofed copy); the folded-md5 groups reunite every pair "
+    "while raw_forms=2 per group proves the raw hashes did NOT collide "
+    "— the fold is load-bearing, not vacuous. Pure codegen (translate "
+    "+ md5), one bounded groupBy; exact oracle from the same constants",
+)
+def q_homoglyph_dedup(spark, sf_dir):
+    docs = (
+        load_testdata(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    spoofed = F.translate(F.col("text"), _SPOOF_SRC, _SPOOF_DST)
+    pairs = docs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("doc_id") * 2).alias("id"),
+                    F.col("text").alias("t"),
+                ),
+                F.struct(
+                    (F.col("doc_id") * 2 + 1).alias("id"),
+                    spoofed.alias("t"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.id", "r.t")
+    folded = pairs.select(
+        "id",
+        F.md5(fold_homoglyphs(F.col("t"))).alias("folded_md5"),
+        F.md5(F.col("t")).alias("kraw"),
+    )
+    return folded.groupBy("folded_md5").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("id").alias("id_a"),
+        F.max("id").alias("id_b"),
+        F.countDistinct("kraw").alias("raw_forms"),
+    )

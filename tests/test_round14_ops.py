@@ -738,3 +738,57 @@ def test_phrase_index_path_equals_scan_path_and_pushes_filter(
         probe._jdf.queryExecution(), "formatted"
     )
     assert "PushedFilters: [In(token" in plan, plan
+
+
+# ----- homoglyph folding (round 14) --------------------------------------
+
+
+def test_homoglyph_fold_three_way_and_spoof_roundtrip(spark):
+    """Spark translate / DuckDB translate / str.translate agree on the
+    fold; a Latin->Cyrillic spoofed copy differs raw but collides
+    folded; folding pure ASCII is the identity."""
+    import duckdb
+
+    from dask_datapipeline_spark.functions.normalize import (
+        HOMOGLYPH_DST,
+        HOMOGLYPH_SRC,
+        fold_homoglyphs,
+        fold_homoglyphs_py,
+        fold_homoglyphs_sql,
+    )
+
+    assert len(HOMOGLYPH_SRC) == len(HOMOGLYPH_DST)
+    cyr = "".join(chr(c) for c in (0x0430, 0x0435, 0x043E, 0x0440, 0x0441))
+    cases = [
+        "plain ascii stays unchanged",
+        "pаypаl lоgin",            # Cyrillic а/о spoofs
+        "ΑΤΟΜ atom",           # Greek capitals
+        "ＦＵＬＬｗidth ０９",  # fullwidth
+        "",
+    ]
+    con = duckdb.connect()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "id long, t string"
+    )
+    got = {
+        r["id"]: r["f"]
+        for r in df.select(
+            "id", fold_homoglyphs(F.col("t")).alias("f")
+        ).collect()
+    }
+    for i, t in enumerate(cases):
+        want = fold_homoglyphs_py(t)
+        assert got[i] == want, (t, got[i], want)
+        duck = con.execute(
+            f"SELECT {fold_homoglyphs_sql('t')} FROM (SELECT ? AS t)", [t]
+        ).fetchone()[0]
+        assert duck == want, (t, duck, want)
+
+    # ascii identity + spoof collision
+    base = "an ascii sentence with aeopc letters"
+    assert fold_homoglyphs_py(base) == base
+    spoofed = base.translate(
+        {ord(a): b for a, b in zip("aeopc", cyr)}
+    )
+    assert spoofed != base
+    assert fold_homoglyphs_py(spoofed) == base
