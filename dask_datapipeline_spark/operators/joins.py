@@ -169,12 +169,46 @@ def plan_join_order(stats: Sequence[dict]) -> list[int]:
     return order
 
 
+def _auto_stats(
+    catalog: dict | None,
+    tables: Sequence[str] | None,
+    key: str,
+    n_inputs: int | None,
+) -> tuple[list[str], list[dict]]:
+    """Resolve ``stats='auto'`` against a loaded snapshot catalog
+    (``operators/stats.py::stats_catalog``) — shared by ``fold_join``
+    and ``explain_cost`` so the resolution and its loud-failure
+    contract cannot drift. A missing tag or key raises (a silent
+    fallback to re-ANALYZE would hide exactly the misconfiguration
+    this exists to catch)."""
+    if catalog is None or tables is None:
+        raise ValueError(
+            "stats='auto' needs catalog= (a stats_catalog "
+            "mapping) and tables= (one table tag per input)"
+        )
+    tables = list(tables)
+    if n_inputs is not None and len(tables) != n_inputs:
+        raise ValueError(
+            f"tables has {len(tables)} tags for {n_inputs} inputs"
+        )
+    missing = [t for t in tables if t not in catalog or key not in catalog[t]]
+    if missing:
+        raise KeyError(
+            f"stats catalog has no {key!r} stats for "
+            f"{missing}; tables present: {sorted(catalog)}"
+        )
+    return tables, [catalog[t][key] for t in tables]
+
+
 def explain_cost(
     spark,
-    stats: Sequence[dict],
+    stats: Sequence[dict] | str,
     broadcast_rows: int | None = None,
     labels: Sequence[str] | None = None,
     predicates: Sequence[dict | None] | None = None,
+    catalog: dict | None = None,
+    tables: Sequence[str] | None = None,
+    key: str | None = None,
 ) -> DataFrame:
     """The "why this plan" readout for a stats-ordered fold — the
     operator a user reaches for FIRST when a fold misbehaves at scale:
@@ -216,6 +250,17 @@ def explain_cost(
         estimate_range_rows,
     )
 
+    if stats == "auto":
+        # round 14: the same snapshot-catalog resolution fold_join
+        # runs — the readout prices/orders EXACTLY the rows the fold
+        # would execute with; labels default to the table tags
+        if key is None:
+            raise ValueError("stats='auto' needs key= (the join key)")
+        tags, stats = _auto_stats(catalog, tables, key, None)
+        if labels is None:
+            labels = tags
+    elif isinstance(stats, str):
+        raise ValueError(f"stats={stats!r} — pass rows or 'auto'")
     stats = list(stats)
     if labels is not None and len(labels) != len(stats):
         raise ValueError(
@@ -377,28 +422,7 @@ def fold_join(
             # (operators/stats.py::stats_catalog) by its table tag —
             # zero scans at plan time; the snapshots were materialized
             # by the batch ANALYZE writer or the streaming maintainer
-            if catalog is None or tables is None:
-                raise ValueError(
-                    "stats='auto' needs catalog= (a stats_catalog "
-                    "mapping) and tables= (one table tag per input)"
-                )
-            tables = list(tables)
-            if len(tables) != len(df_list):
-                raise ValueError(
-                    f"tables has {len(tables)} tags for "
-                    f"{len(df_list)} inputs"
-                )
-            missing = [
-                t
-                for t in tables
-                if t not in catalog or key not in catalog[t]
-            ]
-            if missing:
-                raise KeyError(
-                    f"stats catalog has no {key!r} stats for "
-                    f"{missing}; tables present: {sorted(catalog)}"
-                )
-            stats = [catalog[t][key] for t in tables]
+            _, stats = _auto_stats(catalog, tables, key, len(df_list))
         elif isinstance(stats, str):
             raise ValueError(f"stats={stats!r} — pass rows or 'auto'")
         if stats is None:

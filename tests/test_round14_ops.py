@@ -792,3 +792,48 @@ def test_homoglyph_fold_three_way_and_spoof_roundtrip(spark):
     )
     assert spoofed != base
     assert fold_homoglyphs_py(spoofed) == base
+
+
+def test_explain_cost_auto_stats_matches_hand_fed(spark, tmp_path):
+    """explain_cost(stats='auto') prices and orders EXACTLY the rows
+    the hand-fed readout does (same catalog resolution as fold_join),
+    labels defaulting to the table tags; misconfiguration raises."""
+    from dask_datapipeline_spark.operators.joins import explain_cost
+    from dask_datapipeline_spark.operators.stats import (
+        stats_catalog,
+        table_stats,
+        write_table_stats_snapshot,
+    )
+
+    big = spark.range(400).selectExpr("id AS k", "id % 7 AS v")
+    mid = spark.range(120).selectExpr("id AS k", "id % 5 AS w")
+    small = spark.range(25).selectExpr("id AS k", "id % 3 AS u")
+    frames = {"big": big, "mid": mid, "small": small}
+    root = str(tmp_path / "cat")
+    for name, df in frames.items():
+        write_table_stats_snapshot(df, ["k"], f"{root}/{name}")
+    cat = stats_catalog(spark, root)
+    hand = {
+        name: table_stats(df, ["k"]).first().asDict()
+        for name, df in frames.items()
+    }
+    tags = ["big", "mid", "small"]
+    auto = explain_cost(
+        spark, "auto", broadcast_rows=100,
+        catalog=cat, tables=tags, key="k",
+    ).collect()
+    fed = explain_cost(
+        spark, [hand[t] for t in tags], broadcast_rows=100, labels=tags
+    ).collect()
+    assert [tuple(r) for r in auto] == [tuple(r) for r in fed]
+    # labels default to the table tags (order = the planner's choice)
+    assert sorted(r["label"] for r in auto) == sorted(tags)
+
+    with pytest.raises(ValueError, match="key="):
+        explain_cost(spark, "auto", catalog=cat, tables=tags)
+    with pytest.raises(KeyError, match="ghost"):
+        explain_cost(
+            spark, "auto", catalog=cat, tables=["ghost"], key="k"
+        )
+    with pytest.raises(ValueError, match="rows or 'auto'"):
+        explain_cost(spark, "automatic")
