@@ -1413,3 +1413,194 @@ def test_char_shingles_match_python_model(spark, texts):
             lo = t.lower()
             want = [lo[j : j + n] for j in range(max(len(lo) - n + 1, 0))]
             assert got[i] == want, (i, t, n)
+
+
+# ----- round-14 cross-engine text devices on unicode soup ----------------
+
+_r14_routes = st.sampled_from(
+    ["latin", "zh", "ja", "th", "und-Deva", "und-Arab", "ko", "und"]
+)
+_term_soup = st.text(
+    st.one_of(
+        _uni_char,
+        st.sampled_from(list("。！？।॥؟۔….!?")),
+    ),
+    min_size=0,
+    max_size=50,
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(_term_soup, _r14_routes), min_size=1, max_size=10
+    )
+)
+@settings(**_SETTINGS)
+def test_sentence_count_soup_three_way(spark, rows):
+    """Route-keyed sentence-run counting (round 14) is bit-identical
+    across Spark regexp_count, DuckDB regexp_extract_all, and the
+    Python twin on arbitrary soup including every terminator mark and
+    astral chars."""
+    import duckdb
+    import pandas as pd
+
+    from dask_datapipeline_spark.operators import scripts as S
+
+    data = [(i, t, r) for i, (t, r) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, text string, script string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id",
+            S.sentence_count_col("text", "script").alias("n"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "soup", pd.DataFrame(data, columns=["doc_id", "text", "script"])
+    )
+    expr = S.sentence_count_sql("text", "script")
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT doc_id, {expr} FROM soup"
+        ).fetchall()
+    }
+    assert got == want
+    for i, t, route in data:
+        assert got[i] == S.py_sentence_count(t, route), (t, route)
+
+
+_code_soup = st.lists(
+    st.one_of(
+        _uni_char,
+        st.sampled_from(list("{};\n\t ")),
+        st.sampled_from(["    ", "\n    ", "\n\t"]),
+    ),
+    min_size=0,
+    max_size=40,
+).map("".join)
+
+
+@given(texts=st.lists(_code_soup, min_size=1, max_size=10))
+@settings(**_SETTINGS)
+def test_code_signals_soup_three_way(spark, texts):
+    """Code structure signals + code_like (round 14) agree across the
+    three implementations on brace/indent/newline soup with astral
+    chars mixed in (codepoint length semantics pinned, not assumed)."""
+    import duckdb
+    import pandas as pd
+
+    from dask_datapipeline_spark.functions import code as C
+
+    names = ["n_lines", "n_indented", "n_braces", "n_semicolons",
+             "max_line_len"]
+    data = list(enumerate(texts))
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    sig = C.code_signal_cols(F.col("text"))
+    sdf = df.select("doc_id", *[sig[k].alias(k) for k in names])
+    sdf = sdf.withColumn(
+        "code_like", C.code_like_col({k: F.col(k) for k in names})
+    )
+    got = {r["doc_id"]: r.asDict() for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.register("soup", pd.DataFrame(data, columns=["doc_id", "text"]))
+    sel = ", ".join(f"{v} AS {k}" for k, v in C.code_signal_sql("text").items())
+    duck = con.execute(
+        f"SELECT doc_id, {sel} FROM soup"
+    ).fetchall()
+    for row in duck:
+        i = row[0]
+        py = C.py_code_signals(texts[i])
+        for j, k in enumerate(names):
+            assert got[i][k] == py[k] == row[j + 1], (texts[i], k)
+        assert got[i]["code_like"] == C.py_code_like(texts[i])
+
+
+_fold_soup = st.text(
+    st.one_of(
+        _uni_char,
+        st.sampled_from(
+            list("аеорсухАВЕКМНОРСТУХΑΒΕΟΡΤοｆｕｌｌＡ０")
+        ),
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(texts=st.lists(_fold_soup, min_size=1, max_size=10))
+@settings(**_SETTINGS)
+def test_homoglyph_fold_soup_three_way_and_idempotent(spark, texts):
+    """fold_homoglyphs (round 14) is engine-identical and idempotent
+    on confusable-rich soup (the dst alphabet is pure ASCII, which the
+    fold maps to itself)."""
+    import duckdb
+    import pandas as pd
+
+    from dask_datapipeline_spark.functions import normalize as N
+
+    data = list(enumerate(texts))
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", N.fold_homoglyphs(F.col("text")).alias("f")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("soup", pd.DataFrame(data, columns=["doc_id", "text"]))
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {N.fold_homoglyphs_sql('text')} FROM soup"
+        ).fetchall()
+    )
+    assert got == want
+    for i, t in data:
+        py = N.fold_homoglyphs_py(t)
+        assert got[i] == py, t
+        assert N.fold_homoglyphs_py(py) == py  # idempotent
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=8).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    phrase=st.lists(st.sampled_from("ab"), min_size=1, max_size=3),
+)
+@settings(**_SETTINGS)
+def test_phrase_search_soup_three_way(spark, docs, phrase):
+    """Anchor-device phrase matching (round 14) equals the sliding-
+    window Python model and the DuckDB replay on overlap-rich
+    two-token-alphabet corpora (worst case for anchor collisions)."""
+    import duckdb
+    import pandas as pd
+
+    from dask_datapipeline_spark.operators import phrase as P
+
+    data = list(enumerate(docs))
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in P.phrase_search(df, phrase).collect()
+    }
+    want_py = {
+        i: n
+        for i, t in data
+        if (n := P.py_phrase_count(t, phrase)) > 0
+    }
+    assert got == want_py
+
+    con = duckdb.connect()
+    con.register("soupdocs", pd.DataFrame(data, columns=["doc_id", "text"]))
+    want_sql = dict(
+        con.execute(
+            P.phrase_search_oracle_sql(list(phrase), src="soupdocs")
+        ).fetchall()
+    )
+    assert got == want_sql
