@@ -131,15 +131,59 @@ def script_class_re(script: str) -> str:
     return f"[{parts}]"
 
 
-def script_count_cols(text: Column | str) -> dict[str, Column]:
+#: matches any non-ASCII codepoint — the cheap pre-test gating the
+#: expensive per-script passes (Java regex and RE2 share the syntax;
+#: astral chars match, which is safe either way: no guarded class
+#: contains one)
+NONASCII_RE = r"[^\x{0000}-\x{007F}]"
+
+#: scripts whose every range lies above ASCII — their counts are
+#: PROVABLY zero on an ASCII-only row, so the count expression can
+#: short-circuit behind one non-ASCII test (everything but latin,
+#: whose range includes A-Za-z)
+GUARDED_SCRIPTS: tuple[str, ...] = tuple(
+    s
+    for s in SCRIPT_RANGES
+    if all(lo > 0x7F for lo, _ in SCRIPT_RANGES[s])
+)
+
+
+def nonascii_col(text: Column | str) -> Column:
+    """True iff the row contains ANY non-ASCII codepoint — one early-
+    exit regex pass; materialize it as a column ahead of
+    :func:`script_count_cols` (``nonascii=``) so the 9 guarded counts
+    read a boolean instead of re-scanning the text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return c.rlike(NONASCII_RE)
+
+
+def script_count_cols(
+    text: Column | str, nonascii: Column | None = None
+) -> dict[str, Column]:
     """Per-script codepoint counts of a non-NULL text column, plus
     ``n_chars`` (total codepoints) and ``n_letters`` (sum over the
-    profiled scripts) — all exact BIGINTs, pure codegen."""
+    profiled scripts) — all exact BIGINTs, pure codegen.
+
+    Round 14 (perf, semantics identical): every all-non-ASCII class
+    count short-circuits behind a non-ASCII pre-test — an ASCII-only
+    page (the overwhelming share of a Latin-heavy corpus) pays ONE
+    early-exit regex probe instead of 9 full regexp_replace passes.
+    The CASE is a provable no-op on the result (an ASCII row has zero
+    codepoints in any guarded class; NULL stays NULL through the
+    otherwise-branch), so the DuckDB oracle keeps the unguarded form
+    and the cross-engine fuzz pins the equivalence. Pass ``nonascii=``
+    (a materialized :func:`nonascii_col` column) to share one probe
+    across all classes; default inlines the probe per class (still an
+    early-exit scan, no string allocation)."""
     c = F.col(text) if isinstance(text, str) else text
+    na = nonascii_col(c) if nonascii is None else nonascii
     out: dict[str, Column] = {"n_chars": F.length(c).cast("long")}
     for s in SCRIPTS:
         stripped = F.regexp_replace(c, script_class_re(s), "")
-        out[f"n_{s}"] = (F.length(c) - F.length(stripped)).cast("long")
+        cnt = (F.length(c) - F.length(stripped)).cast("long")
+        if s in GUARDED_SCRIPTS:
+            cnt = F.when(~na, F.lit(0).cast("long")).otherwise(cnt)
+        out[f"n_{s}"] = cnt
     letters = out[f"n_{SCRIPTS[0]}"]
     for s in SCRIPTS[1:]:
         letters = letters + out[f"n_{s}"]
@@ -190,8 +234,15 @@ def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (Catalyst's CollapseProject declines to inline non-cheap exprs, so
     the split survives optimization)."""
     require_columns(df, [id_col, text_col])
-    counts = script_count_cols(text_col)
-    step = df.where(F.col(text_col).isNotNull()).select(
+    # round 14: materialize the non-ASCII probe FIRST (same
+    # CollapseProject reasoning) — the 9 guarded counts read one
+    # boolean, so an ASCII-only row pays a single early-exit regex
+    # pass instead of 9 replaces
+    pre = df.where(F.col(text_col).isNotNull()).select(
+        id_col, text_col, nonascii_col(text_col).alias("__na")
+    )
+    counts = script_count_cols(text_col, nonascii=F.col("__na"))
+    step = pre.select(
         id_col, *[counts[k].alias(k) for k in counts]
     )
     refs = {k: F.col(k) for k in counts}

@@ -8679,8 +8679,11 @@ def q_script_route(spark, sf_dir):
     # scan/join; only the Arrow LID leg joins back. Counts materialize
     # as columns BEFORE the route references them (script_profile's
     # one-regex-execution-per-row discipline).
-    counts = USC.script_count_cols("text")
-    step = fixture.where(F.col("text").isNotNull()).select(
+    pre = fixture.where(F.col("text").isNotNull()).select(
+        "doc_id", "text", USC.nonascii_col("text").alias("__na")
+    )
+    counts = USC.script_count_cols("text", nonascii=F.col("__na"))
+    step = pre.select(
         "doc_id", "text", *[counts[k].alias(k) for k in counts]
     )
     refs = {k: F.col(k) for k in counts}
@@ -10720,10 +10723,15 @@ GROUP BY script
     "next to routed_token_count",
 )
 def q_sentence_stats(spark, sf_dir):
+    from dask_datapipeline_spark.operators.scripts import nonascii_col
+
     docs = load_testdata(spark, sf_dir, "documents").select("doc_id")
     fixture = docs.select("doc_id", script_fixture_col().alias("text"))
-    counts = script_count_cols("text")
-    step = fixture.where(F.col("text").isNotNull()).select(
+    pre = fixture.where(F.col("text").isNotNull()).select(
+        "doc_id", "text", nonascii_col("text").alias("__na")
+    )
+    counts = script_count_cols("text", nonascii=F.col("__na"))
+    step = pre.select(
         "doc_id", "text", *[counts[k].alias(k) for k in counts]
     )
     refs = {k: F.col(k) for k in counts}

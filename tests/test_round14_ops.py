@@ -758,6 +758,11 @@ def test_homoglyph_fold_three_way_and_spoof_roundtrip(spark):
     )
 
     assert len(HOMOGLYPH_SRC) == len(HOMOGLYPH_DST)
+    # a duplicated src codepoint would silently shadow its later
+    # mapping (translate keeps the first) — keep the table injective
+    assert len(set(HOMOGLYPH_SRC)) == len(HOMOGLYPH_SRC)
+    # the fold range must land on ASCII so folding is idempotent
+    assert all(ord(c) < 0x80 for c in HOMOGLYPH_DST)
     cyr = "".join(chr(c) for c in (0x0430, 0x0435, 0x043E, 0x0440, 0x0441))
     cases = [
         "plain ascii stays unchanged",
