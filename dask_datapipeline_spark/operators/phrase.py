@@ -200,6 +200,109 @@ SELECT doc_id, COUNT(*) AS n_matches FROM phit GROUP BY doc_id
 """
 
 
+def phrase_decontaminate(
+    docs: DataFrame, phrases: DataFrame
+) -> DataFrame:
+    """Batch decontamination probe — the production form of
+    :func:`phrase_search`: EVERY benchmark sentence at once, one
+    corpus pass.
+
+    ``phrases`` is (phrase_id, text); each sentence is tokenized by
+    the corpus convention and becomes (phrase_id, i, term) rows. The
+    corpus tokens inner-join that table (broadcast — a benchmark set
+    is KB-sized against a 100 TB corpus, so the join is a map-side
+    filter: non-matching tokens never leave the scan), vote anchors
+    per (doc, phrase, anchor), and a full-phrase anchor needs all m
+    distinct indices of ITS phrase. Returns (doc_id, phrase_id,
+    n_matches) for contaminated pairs — the table a training run
+    excludes before sharding.
+
+    Scale shape: the only shuffle is the (doc, phrase, anchor)-keyed
+    aggregation over tokens that matched SOME phrase term — bounded
+    by the posting mass of the benchmark vocabulary, not the corpus;
+    phrase length multiplies candidates at most m-fold (one vote per
+    matching index), never a self-join power."""
+    ptok = phrases.where(F.col("text").isNotNull()).select(
+        "phrase_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+            "i", "term"
+        ),
+    )
+    plen = ptok.groupBy("phrase_id").agg(
+        F.max("i").alias("__mx")
+    ).select("phrase_id", (F.col("__mx") + 1).alias("m"))
+    ptok = ptok.join(F.broadcast(plen), "phrase_id")
+    tokp = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+            "pos", "token"
+        ),
+    )
+    cand = tokp.join(
+        F.broadcast(ptok), tokp["token"] == ptok["term"]
+    ).select(
+        "doc_id",
+        "phrase_id",
+        (F.col("pos") - F.col("i")).alias("anchor"),
+        "i",
+        "m",
+    ).where(F.col("anchor") >= 0)
+    hits = (
+        cand.groupBy("doc_id", "phrase_id", "anchor")
+        .agg(
+            F.countDistinct("i").alias("nhit"),
+            F.first("m").alias("m"),
+        )
+        .where(F.col("nhit") == F.col("m"))
+    )
+    return hits.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )
+
+
+def phrase_decontaminate_oracle_sql(
+    docs_src: str = "documents",
+    phrases_cte: str = "phrases",
+    front_ctes: str = "",
+) -> str:
+    """DuckDB replay of :func:`phrase_decontaminate`;
+    ``front_ctes`` (comma-terminated) must define ``docs_src`` and
+    the (phrase_id, text) ``phrases_cte``."""
+    return f"""
+WITH {front_ctes}dtoks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS tk
+  FROM {docs_src} WHERE text IS NOT NULL
+),
+dpos AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS j FROM dtoks
+),
+dtokp AS (SELECT doc_id, tk[j] AS token, j - 1 AS pos FROM dpos),
+qtoks AS (
+  SELECT phrase_id, string_split(lower(text), ' ') AS tk
+  FROM {phrases_cte} WHERE text IS NOT NULL
+),
+qpos AS (
+  SELECT phrase_id, tk, unnest(generate_series(1, len(tk))) AS j
+  FROM qtoks
+),
+qtokp AS (
+  SELECT phrase_id, tk[j] AS term, j - 1 AS i, len(tk) AS m FROM qpos
+),
+qcand AS (
+  SELECT d.doc_id, q.phrase_id, d.pos - q.i AS anchor, q.i, q.m
+  FROM dtokp d JOIN qtokp q ON d.token = q.term
+  WHERE d.pos - q.i >= 0
+),
+qhit AS (
+  SELECT doc_id, phrase_id, anchor FROM qcand
+  GROUP BY doc_id, phrase_id, anchor
+  HAVING COUNT(DISTINCT i) = MAX(m)
+)
+SELECT doc_id, phrase_id, COUNT(*) AS n_matches
+FROM qhit GROUP BY doc_id, phrase_id
+"""
+
+
 def py_phrase_count(text: str, terms: list[str]) -> int:
     """Pure-Python twin of the per-document match count (overlap
     counted), pinned against both engines in tests."""

@@ -10939,3 +10939,60 @@ def q_homoglyph_dedup(spark, sf_dir):
         F.max("id").alias("id_b"),
         F.countDistinct("kraw").alias("raw_forms"),
     )
+
+
+#: the fixture benchmark set for the batch probe: the overlap pair,
+#: the prefix sentence, and a never-matching control
+PHRASE_BENCH: list[tuple[int, str]] = [
+    (0, "alpha beta alpha"),
+    (1, "alpha beta gamma"),
+    (2, "delta epsilon zeta"),
+]
+
+
+def _phrase_decontaminate_sql() -> str:
+    from dask_datapipeline_spark.operators.phrase import (
+        phrase_decontaminate_oracle_sql,
+    )
+
+    vals = ", ".join(
+        f"({i}, '{t}')" for i, t in PHRASE_BENCH
+    )
+    front = (
+        _phrase_fixture_cte()
+        + f"phrases(phrase_id, text) AS (VALUES {vals}),\n"
+    )
+    return phrase_decontaminate_oracle_sql(
+        docs_src="fx", phrases_cte="phrases", front_ctes=front
+    )
+
+
+@register_extra(
+    "phrase_decontaminate",
+    _phrase_decontaminate_sql(),
+    "Batch decontamination probe (round 14, operators/phrase.py::"
+    "phrase_decontaminate): EVERY benchmark sentence at once in ONE "
+    "corpus pass — sentences tokenize into a (phrase_id, i, term) "
+    "table BROADCAST against the corpus tokens (map-side filter: "
+    "non-matching tokens never leave the scan), anchors vote per "
+    "(doc, phrase, anchor), a full-phrase anchor needs all m distinct "
+    "indices of ITS phrase. Output (doc_id, phrase_id, n_matches) is "
+    "the exclusion table a training run applies before sharding; "
+    "candidate volume bounded by the benchmark vocabulary's posting "
+    "mass, never a corpus self-join. Same planted tails as "
+    "phrase_search plus a never-matching control phrase; exact-integer "
+    "oracle replays the generalized anchor device",
+)
+def q_phrase_decontaminate(spark, sf_dir):
+    from dask_datapipeline_spark.operators.phrase import (
+        phrase_decontaminate,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    fixture = docs.select("doc_id", _phrase_fixture_col().alias("text"))
+    phrases = spark.createDataFrame(
+        PHRASE_BENCH, "phrase_id int, text string"
+    )
+    return phrase_decontaminate(fixture, phrases)

@@ -842,3 +842,33 @@ def test_explain_cost_auto_stats_matches_hand_fed(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="rows or 'auto'"):
         explain_cost(spark, "automatic")
+
+
+def test_phrase_decontaminate_matches_per_phrase_scan(spark):
+    """The batch probe equals per-phrase phrase_search for every
+    benchmark sentence (same anchor device, one pass), including the
+    overlap pair and a never-matching control."""
+    from dask_datapipeline_spark.operators.phrase import (
+        phrase_decontaminate,
+        phrase_search,
+    )
+
+    rows = [
+        (0, "ha ha ha and more"),
+        (1, "alpha beta alpha beta alpha"),
+        (2, "plain prose with no hits"),
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = [(0, "ha ha"), (1, "alpha beta alpha"), (2, "zeta eta")]
+    phrases = spark.createDataFrame(bench, "phrase_id int, text string")
+
+    got = {
+        (r["doc_id"], r["phrase_id"]): r["n_matches"]
+        for r in phrase_decontaminate(docs, phrases).collect()
+    }
+    want = {}
+    for pid, sent in bench:
+        for r in phrase_search(docs, sent.split(" ")).collect():
+            want[(r["doc_id"], pid)] = r["n_matches"]
+    assert got == want == {(0, 0): 2, (1, 1): 2}

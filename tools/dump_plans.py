@@ -55,6 +55,8 @@ SHOWCASE = [
     ("extra:hll_distinct", "HyperLogLog: register build is Catalyst partial_max alone (no Python), shuffle carries <= groups*2^p fixed-width register rows; estimate is a second bounded groupBy"),
     ("bm25_topk", "BM25 retrieval (driver row since round 10): ONE corpus scan — query-term IN filter prunes postings at the generator, df rides along as a token window over the small candidate frame, TakeOrderedAndProject top-k (no global sort, no second scan)"),
     ("extra:bm25_from_index", "index-backed BM25: the corpus scan is REPLACED by the materialized postings scan (ReadSchema is the postings struct, PushedFilters carries In(token, ...)) — the per-query cost is the candidate postings' row groups, the corpus is never re-tokenized"),
+    ("extra:phrase_search", "positional phrase search (round 14): ONE tokenize pass filtered to phrase terms at the scan (isin), anchor voting via a literal index map (zero joins), one (doc, anchor)-keyed aggregation carrying only phrase-term postings"),
+    ("extra:phrase_decontaminate", "batch decontamination probe (round 14): the benchmark (phrase_id,i,term) table BROADCAST against corpus tokens — a map-side filter, so the only exchange is the (doc,phrase,anchor) aggregation over tokens matching the benchmark vocabulary"),
     ("extra:equi_depth_histogram", "distributed equi-depth ntile (ranks.py::global_ntile): bucket-count groupBy + bounded offset window, then a window PARTITIONED by price-range bucket + broadcast offset join — the global ntile's Exchange SinglePartition is gone (round-10 rewrite)"),
     ("extra:join_order_planned", "stats-driven fold order: the ANALYZE pass ran at plan time (plan_join_order over table_stats rows), so the filtered small input joins first — the physical tree is the System-R left-deep order, not caller order"),
     ("extra:partition_pruning", "partitionBy write + equality read-back: the partition filter prunes DIRECTORIES (PartitionFilters carries the event_type equality; ReadSchema omits the partition column entirely) — with bucketed_join and zorder_layout this completes the three-granularity pruning ladder"),
