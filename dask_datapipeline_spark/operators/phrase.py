@@ -260,6 +260,61 @@ def phrase_decontaminate(
     )
 
 
+def phrase_decontaminate_from_index(
+    spark, index_dir: str, phrases: DataFrame
+) -> DataFrame:
+    """Index-path batch decontamination: the corpus side of
+    :func:`phrase_decontaminate` is REPLACED by the positional index's
+    postings, pruned to the benchmark vocabulary with a pushed
+    ``In(token, ...)`` filter — the corpus is never re-tokenized, and
+    each new benchmark revision costs one row-group probe.
+
+    The benchmark vocabulary is collected to the driver to build the
+    literal filter — bounded by documented contract (a benchmark set
+    is KB-sized; this is the same bounded-collect class as the BM25
+    query terms). The anchor tail is shared with the scan path."""
+    ptok = phrases.where(F.col("text").isNotNull()).select(
+        "phrase_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+            "i", "term"
+        ),
+    )
+    plen = ptok.groupBy("phrase_id").agg(
+        (F.max("i") + 1).alias("m")
+    )
+    ptok = ptok.join(F.broadcast(plen), "phrase_id")
+    # bounded driver collect BY CONTRACT: the benchmark vocabulary
+    vocab = sorted(
+        {r["term"] for r in ptok.select("term").distinct().collect()}
+    )
+    if not vocab:
+        raise ValueError("phrases produced an empty vocabulary")
+    postings = spark.read.parquet(index_dir.rstrip("/") + "/postings")
+    tokp = postings.where(F.col("token").isin(*vocab)).select(
+        "doc_id", "token", F.explode("poss").alias("pos")
+    )
+    cand = tokp.join(
+        F.broadcast(ptok), tokp["token"] == ptok["term"]
+    ).select(
+        "doc_id",
+        "phrase_id",
+        (F.col("pos") - F.col("i")).alias("anchor"),
+        "i",
+        "m",
+    ).where(F.col("anchor") >= 0)
+    hits = (
+        cand.groupBy("doc_id", "phrase_id", "anchor")
+        .agg(
+            F.countDistinct("i").alias("nhit"),
+            F.first("m").alias("m"),
+        )
+        .where(F.col("nhit") == F.col("m"))
+    )
+    return hits.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )
+
+
 def phrase_decontaminate_oracle_sql(
     docs_src: str = "documents",
     phrases_cte: str = "phrases",

@@ -10996,3 +10996,33 @@ def q_phrase_decontaminate(spark, sf_dir):
         PHRASE_BENCH, "phrase_id int, text string"
     )
     return phrase_decontaminate(fixture, phrases)
+
+
+@register_extra(
+    "phrase_decontaminate_from_index",
+    _phrase_decontaminate_sql(),
+    "Index-path batch decontamination (round 14): the corpus side of "
+    "phrase_decontaminate is REPLACED by the positional index's "
+    "postings, pruned to the benchmark vocabulary with a pushed "
+    "In(token,...) filter — the corpus is never re-tokenized, each "
+    "benchmark revision costs one row-group probe (the bounded driver "
+    "collect is the benchmark vocabulary, the bm25 query-terms class). "
+    "Shares phrase_decontaminate's oracle verbatim: the exact match "
+    "proves the positional index transparent for the batch probe too",
+)
+def q_phrase_decontaminate_from_index(spark, sf_dir):
+    from dask_datapipeline_spark.operators.phrase import (
+        phrase_decontaminate_from_index,
+    )
+    from dask_datapipeline_spark.plans.catalog import gate_tmpdir
+
+    docs = load_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    fixture = docs.select("doc_id", _phrase_fixture_col().alias("text"))
+    idx = gate_tmpdir(spark, sf_dir, "phrase_idx_bench", "index")
+    build_positional_index(fixture, idx)
+    phrases = spark.createDataFrame(
+        PHRASE_BENCH, "phrase_id int, text string"
+    )
+    return phrase_decontaminate_from_index(spark, idx, phrases)

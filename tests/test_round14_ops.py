@@ -872,3 +872,42 @@ def test_phrase_decontaminate_matches_per_phrase_scan(spark):
         for r in phrase_search(docs, sent.split(" ")).collect():
             want[(r["doc_id"], pid)] = r["n_matches"]
     assert got == want == {(0, 0): 2, (1, 1): 2}
+
+
+def test_phrase_decontaminate_index_equals_scan_and_pushes_vocab(
+    spark, tmp_path
+):
+    """The index-backed batch probe matches the scan-path probe and
+    its postings scan carries the benchmark-vocabulary In filter."""
+    from dask_datapipeline_spark.operators.phrase import (
+        build_positional_index,
+        phrase_decontaminate,
+        phrase_decontaminate_from_index,
+    )
+
+    rows = [
+        (0, "ha ha ha and more"),
+        (1, "alpha beta alpha beta alpha"),
+        (2, "plain prose with no hits"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    phrases = spark.createDataFrame(
+        [(0, "ha ha"), (1, "alpha beta alpha")],
+        "phrase_id int, text string",
+    )
+    idx = str(tmp_path / "pidx")
+    build_positional_index(docs, idx)
+    probe = phrase_decontaminate_from_index(spark, idx, phrases)
+    got = {
+        (r["doc_id"], r["phrase_id"]): r["n_matches"]
+        for r in probe.collect()
+    }
+    want = {
+        (r["doc_id"], r["phrase_id"]): r["n_matches"]
+        for r in phrase_decontaminate(docs, phrases).collect()
+    }
+    assert got == want == {(0, 0): 2, (1, 1): 2}
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [In(token" in plan, plan
