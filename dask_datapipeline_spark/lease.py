@@ -53,7 +53,12 @@ paths (``O_CREAT|O_EXCL``) and at the HDFS NameNode
 (``create(path, overwrite=false)``); on Hadoop's LocalFileSystem and
 plain object stores it is the store's own best primitive (a
 check-then-create in the Hadoop local case). Expiry-based takeover
-still assumes loosely-synchronized clocks. A deployment needing
+still assumes loosely-synchronized clocks, and a writer that stalls
+LONGER THAN TTL between winning its epoch claim and committing the
+record is in the same class (its claim reads as crashed, a racer may
+take the next epoch, and the stall survivor's late commit is only
+caught if it lands after the racer's — the post-claim validation
+narrows, not closes, that window). A deployment needing
 hard mutual exclusion under adversarial timing puts a coordination
 service (ZooKeeper, DynamoDB conditional writes) in front — the same
 stance as HDFS lease recovery or Delta Lake's S3 single-writer caveat.
@@ -157,75 +162,116 @@ class WriterLease:
         Raises :class:`LeaseHeldError` if a DIFFERENT owner holds an
         unexpired lease, or if it loses the create-exclusive epoch
         claim to a concurrent acquirer (round 14 — of two racers at
-        the same observed epoch, exactly one wins)."""
-        rec = self._read()
-        now = self.clock()
-        if (
-            rec is not None
-            and rec["owner"] != self.owner
-            and now < rec["expires_at"]
-        ):
-            raise LeaseHeldError(
-                f"{self.root}: writer lease held by {rec['owner']!r} "
-                f"(epoch {rec['epoch']}, {rec['expires_at'] - now:.0f}s "
-                f"left) — a second concurrent writer would interleave "
-                "manifest flips silently; stop the other job or wait "
-                "for its lease to expire"
-            )
-        self.fs.makedirs(self.root)
-        target = (rec["epoch"] if rec is not None else 0) + 1
-        while True:
-            claim = IndexFS.join(self.root, self._claim_name(target))
-            if self.fs.create_exclusive(
-                claim, f'{{"owner": "{self.owner}", "ts": {now}}}'
-            ):
-                break  # this epoch is EXCLUSIVELY ours to commit
-            # lost the claim: either its holder committed (the _LEASE
-            # record moved), or it crashed pre-commit (stale claim)
-            latest = self._read()
+        the same observed epoch, exactly one wins).
+
+        Round-14 review hardening: a claim win alone is NOT enough to
+        commit — the committed record is re-read first, and the claim
+        is abandoned unless the target epoch still advances it past a
+        non-live lease. Without this, an acquirer that stalled between
+        reading the record and creating its claim could win a claim at
+        an epoch the GC had already recycled and clobber a LIVE later
+        lease, regressing the epoch. A claim file carrying OUR OWN
+        owner id is adopted rather than waited out (a writer that
+        crashed between claim-create and commit would otherwise fence
+        ITSELF for a full ttl on restart)."""
+        for _ in range(64):  # bounded outer retries; deeper contention
+            # than this on one index root is a misconfiguration
+            rec = self._read()
+            now = self.clock()
             if (
+                rec is not None
+                and rec["owner"] != self.owner
+                and now < rec["expires_at"]
+            ):
+                raise LeaseHeldError(
+                    f"{self.root}: writer lease held by {rec['owner']!r} "
+                    f"(epoch {rec['epoch']}, {rec['expires_at'] - now:.0f}s "
+                    f"left) — a second concurrent writer would interleave "
+                    "manifest flips silently; stop the other job or wait "
+                    "for its lease to expire"
+                )
+            self.fs.makedirs(self.root)
+            target = (rec["epoch"] if rec is not None else 0) + 1
+            while True:
+                claim = IndexFS.join(self.root, self._claim_name(target))
+                if self.fs.create_exclusive(
+                    claim, f'{{"owner": "{self.owner}", "ts": {now}}}'
+                ):
+                    break  # this epoch is EXCLUSIVELY ours to commit
+                # lost the claim: either its holder committed (the
+                # _LEASE record moved), or it crashed pre-commit
+                latest = self._read()
+                if (
+                    latest is not None
+                    and latest["owner"] != self.owner
+                    and now < latest["expires_at"]
+                ):
+                    raise LeaseHeldError(
+                        f"{self.root}: lost the epoch-{target} claim to "
+                        f"{latest['owner']!r}, whose lease is live — "
+                        "stop the other job or wait for expiry"
+                    )
+                if latest is not None and latest["epoch"] >= target:
+                    target = latest["epoch"] + 1  # holder committed
+                    continue
+                side = self._read_claim(claim)
+                if side["owner"] == self.owner:
+                    # our own orphan (crash between claim-create and
+                    # commit, restart with a stable owner id) — adopt
+                    # it instead of self-fencing for a ttl
+                    break
+                if now >= side["ts"] + self.ttl:
+                    target += 1  # claimer crashed before committing
+                    continue
+                raise LeaseHeldError(
+                    f"{self.root}: epoch-{target} claim held by "
+                    f"{side['owner']!r} ({side['ts'] + self.ttl - now:.0f}s "
+                    "to expiry) — a racing acquire is in progress"
+                )
+            # POST-CLAIM validation: commit only if target still
+            # ADVANCES the committed record and no other owner went
+            # live while we raced — otherwise our claim is junk at a
+            # superseded epoch (the GC-recycled-name steal) and we
+            # must re-derive from fresh state
+            latest = self._read()
+            live_other = (
                 latest is not None
                 and latest["owner"] != self.owner
                 and now < latest["expires_at"]
-            ):
-                raise LeaseHeldError(
-                    f"{self.root}: lost the epoch-{target} claim to "
-                    f"{latest['owner']!r}, whose lease is live — "
-                    "stop the other job or wait for expiry"
-                )
-            if latest is not None and latest["epoch"] >= target:
-                target = latest["epoch"] + 1  # holder committed+expired
-                continue
-            side = self._read_claim(claim)
-            if now >= side["ts"] + self.ttl:
-                target += 1  # claimer crashed before committing _LEASE
-                continue
-            raise LeaseHeldError(
-                f"{self.root}: epoch-{target} claim held by "
-                f"{side['owner']!r} ({side['ts'] + self.ttl - now:.0f}s "
-                "to expiry) — a racing acquire is in progress"
             )
-        self.epoch = target
-        self.fs.write_json_atomic(
-            self.path,
-            {
-                "owner": self.owner,
-                "epoch": self.epoch,
-                "expires_at": now + self.ttl,
-            },
+            advances = target > (
+                latest["epoch"] if latest is not None else 0
+            )
+            if live_other or not advances:
+                self.fs.delete_file(claim)
+                continue
+            self.epoch = target
+            self.fs.write_json_atomic(
+                self.path,
+                {
+                    "owner": self.owner,
+                    "epoch": self.epoch,
+                    "expires_at": now + self.ttl,
+                },
+            )
+            # best-effort GC of older claims (monotonicity lives in
+            # the committed _LEASE record, never in claim file names;
+            # the post-claim validation above is what makes recycling
+            # an old claim NAME harmless)
+            for name in self.fs.listdir(self.root):
+                if not name.startswith(LEASE_NAME + ".e"):
+                    continue
+                try:
+                    e = int(name.rsplit(".e", 1)[1])
+                except ValueError:
+                    continue
+                if e < target:
+                    self.fs.delete_file(IndexFS.join(self.root, name))
+            return self.epoch
+        raise LeaseHeldError(
+            f"{self.root}: could not settle an epoch claim after "
+            "repeated races — check for a misconfigured writer storm"
         )
-        # best-effort GC of older claims (monotonicity lives in the
-        # committed _LEASE record, never in claim file names)
-        for name in self.fs.listdir(self.root):
-            if not name.startswith(LEASE_NAME + ".e"):
-                continue
-            try:
-                e = int(name.rsplit(".e", 1)[1])
-            except ValueError:
-                continue
-            if e < target:
-                self.fs.delete_file(IndexFS.join(self.root, name))
-        return self.epoch
 
     def check_and_renew(self) -> None:
         """Require the lease to still be ours at OUR epoch, then push

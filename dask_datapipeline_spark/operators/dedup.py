@@ -166,12 +166,20 @@ def _routed_hashed_shingles(
     no Python."""
     from dask_datapipeline_spark.operators.scripts import (
         UNSEGMENTED_ROUTES,
+        nonascii_col,
         script_count_cols,
         script_route_col,
     )
 
-    counts = script_count_cols(text_col)
-    step = fan_out(df.select(id_col, text_col)).select(
+    # materialize the non-ASCII probe ahead of the counts (round-14
+    # review: the default branch inlines one rlike per guarded script
+    # — nine re-scans per row on the ASCII-majority corpus shape this
+    # hot path runs over; script_profile's discipline applies here)
+    pre = fan_out(df.select(id_col, text_col)).select(
+        id_col, text_col, nonascii_col(text_col).alias("__sc_na")
+    )
+    counts = script_count_cols(text_col, nonascii=F.col("__sc_na"))
+    step = pre.select(
         id_col,
         text_col,
         *[counts[k].alias(f"__sc_{k}") for k in counts],

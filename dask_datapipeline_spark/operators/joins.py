@@ -450,6 +450,15 @@ def fold_join(
         raise ValueError(f"order={order!r} not in ('given', 'stats')")
     elif broadcast_rows is not None:
         raise ValueError("broadcast_rows requires order='stats'")
+    elif stats is not None or catalog is not None or tables is not None:
+        # round-14 review: stats='auto' (or hand-fed rows) with the
+        # default order='given' previously fell through SILENTLY — the
+        # caller believed the catalog drove the plan while the fold
+        # ran in caller order; the loud-failure contract applies here
+        raise ValueError(
+            "stats=/catalog=/tables= have no effect without "
+            "order='stats' — pass order='stats' (or drop them)"
+        )
     return reduce(lambda l, r: equi_join(l, r, on=on, how=how), df_list)
 
 

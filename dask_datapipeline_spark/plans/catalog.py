@@ -657,8 +657,6 @@ JOIN s ON o.o_orderkey = s.l_orderkey
     "sink or a scheduled ANALYZE",
 )
 def q_join_order_auto_stats(spark, sf_dir):
-    import tempfile
-
     from dask_datapipeline_spark.operators.stats import (
         stats_catalog,
         write_table_stats_snapshot,
@@ -673,7 +671,9 @@ def q_join_order_auto_stats(spark, sf_dir):
     )
     # FIXTURE-ONLY staging: materialize the three snapshots the way a
     # production deployment would have them already sitting on disk
-    root = tempfile.mkdtemp(prefix="stats_catalog_")
+    # (gate_tmpdir, round-14 review: repeated gate runs must reuse ONE
+    # per-(query, sf, app) dir, never leak a fresh mkdtemp each time)
+    root = gate_tmpdir(spark, sf_dir, "stats_catalog")
     for name, df in (("o", o), ("a", a), ("s", s)):
         write_table_stats_snapshot(df, ["l_orderkey"], f"{root}/{name}")
     cat = stats_catalog(spark, root)

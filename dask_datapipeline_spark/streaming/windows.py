@@ -1395,9 +1395,18 @@ def stream_incremental_table_stats(
                 )
             return applied
         # legacy r13 marker: path identity, compared normalized (the
-        # next swap upgrades the marker to the query id)
+        # next swap upgrades the marker to the query id). Round-14
+        # review: normalize plain paths through abspath too — a
+        # relative respelling of the same checkpoint dir must restart
+        # cleanly, not raise (URIs pass through untouched)
+        def _norm(p: str) -> str:
+            p = p.rstrip("/")
+            if "://" not in p:
+                p = os.path.abspath(p)
+            return p
+
         rec_ckpt = rec.get("ckpt")
-        if rec_ckpt is not None and rec_ckpt.rstrip("/") != ckpt.rstrip("/"):
+        if rec_ckpt is not None and _norm(rec_ckpt) != _norm(ckpt):
             raise ValueError(
                 f"stream_incremental_table_stats: snapshot {base!r} was "
                 f"built under checkpoint {rec_ckpt!r} but this stream "

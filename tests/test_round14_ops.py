@@ -911,3 +911,63 @@ def test_phrase_decontaminate_index_equals_scan_and_pushes_vocab(
         probe._jdf.queryExecution(), "formatted"
     )
     assert "PushedFilters: [In(token" in plan, plan
+
+
+# ----- round-14 review: lease protocol hardening -------------------------
+
+
+def test_lease_stalled_acquirer_cannot_steal_live_lease(tmp_path):
+    """The GC-recycled-claim steal (round-14 review): C reads epoch 3,
+    stalls; A releases and re-acquires through epochs 4 and 5 (GC
+    removes the e4 claim); C resumes and wins create_exclusive on the
+    recycled e4 name — the post-claim validation must refuse to
+    commit epoch 4 over A's LIVE epoch 5 and raise instead."""
+    from dask_datapipeline_spark.lease import LeaseHeldError, WriterLease
+
+    root = str(tmp_path / "idx")
+    now = [1000.0]
+    clock = lambda: now[0]  # noqa: E731
+    a = WriterLease(root, owner="job-a", ttl_sec=10, clock=clock)
+    a.acquire()  # epoch 1
+    a.release()
+    # C stalls here conceptually: it has read epoch 1 (expired record)
+    c = WriterLease(root, owner="job-c", ttl_sec=10, clock=clock)
+    rec_seen_by_c = c._read()
+    assert rec_seen_by_c["epoch"] == 1
+    # meanwhile A cycles twice more: epochs 2 and 3, still LIVE at 3
+    a.acquire(); a.release()      # epoch 2
+    a.acquire()                   # epoch 3, live
+    # C resumes with its stale view: the claim name e2 was GC'd, so
+    # create_exclusive succeeds — the old code would commit epoch 2
+    # over A's live epoch 3. The hardened acquire must raise.
+    with pytest.raises(LeaseHeldError):
+        c.acquire()
+    final = a._read()
+    assert final["owner"] == "job-a" and final["epoch"] == 3
+    # A is still unfenced
+    a.check_and_renew()
+
+
+def test_lease_own_orphan_claim_adopted_not_self_fencing(tmp_path):
+    """A writer that crashed between claim-create and _LEASE commit
+    must reclaim immediately on restart (stable owner id), not wait
+    out its own claim's ttl."""
+    from dask_datapipeline_spark.indexfs import IndexFS
+    from dask_datapipeline_spark.lease import WriterLease
+
+    root = str(tmp_path / "idx")
+    now = [1000.0]
+    clock = lambda: now[0]  # noqa: E731
+    a = WriterLease(root, owner="job-a", ttl_sec=600, clock=clock)
+    a.acquire()  # epoch 1
+    # simulate the crash: orphan claim for epoch 2, no commit
+    fs = IndexFS.for_path(root, "test")
+    assert fs.create_exclusive(
+        IndexFS.join(root, "_LEASE.e2"),
+        '{"owner": "job-a", "ts": 1000.0}',
+    )
+    restarted = WriterLease(root, owner="job-a", ttl_sec=600, clock=clock)
+    # no clock advance at all — adoption must be immediate
+    assert restarted.acquire() == 2
+    assert restarted._read()["epoch"] == 2
+    restarted.check_and_renew()
