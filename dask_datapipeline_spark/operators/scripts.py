@@ -292,6 +292,84 @@ def routed_token_count_sql(expr: str, script_expr: str) -> str:
     )
 
 
+# ----- mixed-script page detection (round 14) ---------------------------
+
+
+def script_mix_cols(counts: dict[str, Column]) -> dict[str, Column]:
+    """Mixed-script signals over :func:`script_count_cols` output —
+    the page-level consistency check behind boilerplate-injection /
+    SEO-spam detection (a prose page whose letters split across two
+    scripts is template chrome, machine-joined content, or spam; a
+    clean page is ~one script plus loanwords). ALL-INTEGER decisions
+    (no entropy, no division — the `zscore_outliers` exactness
+    stance):
+
+    - ``n_scripts_present``: scripts with ≥1 letter codepoint
+    - ``n_scripts_major``: scripts holding ≥1/4 of the letters
+      (``4*n_s >= n_letters``, letters > 0)
+    - ``mixed_script``: ≥2 major scripts — the flag a curation
+      pipeline routes to review/drop
+    """
+    L = counts["n_letters"]
+    present = None
+    major = None
+    for s in SCRIPTS:
+        p = (counts[f"n_{s}"] > 0).cast("long")
+        m = ((counts[f"n_{s}"] * 4 >= L) & (counts[f"n_{s}"] > 0)).cast(
+            "long"
+        )
+        present = p if present is None else present + p
+        major = m if major is None else major + m
+    return {
+        "n_scripts_present": present.cast("long"),
+        "n_scripts_major": F.when(L > 0, major).otherwise(
+            F.lit(0)
+        ).cast("long"),
+        "mixed_script": F.when(L > 0, major >= 2).otherwise(
+            F.lit(False)
+        ),
+    }
+
+
+def script_mix_sql() -> dict[str, str]:
+    """DuckDB replay of :func:`script_mix_cols`, referencing the
+    ``n_*`` columns of :func:`script_count_sql` by name."""
+    present = " + ".join(
+        f"CASE WHEN n_{s} > 0 THEN 1 ELSE 0 END" for s in SCRIPTS
+    )
+    major = " + ".join(
+        f"CASE WHEN n_{s} * 4 >= n_letters AND n_{s} > 0 THEN 1 ELSE 0 END"
+        for s in SCRIPTS
+    )
+    return {
+        "n_scripts_present": f"CAST({present} AS BIGINT)",
+        "n_scripts_major": (
+            f"CAST(CASE WHEN n_letters > 0 THEN {major} ELSE 0 END"
+            " AS BIGINT)"
+        ),
+        "mixed_script": (
+            f"(n_letters > 0 AND ({major}) >= 2)"
+        ),
+    }
+
+
+def py_script_mix(text: str) -> dict:
+    """Python twin of :func:`script_mix_cols`."""
+    c = py_script_counts(text)
+    L = c["n_letters"]
+    present = sum(1 for s in SCRIPTS if c[f"n_{s}"] > 0)
+    major = (
+        sum(1 for s in SCRIPTS if c[f"n_{s}"] > 0 and c[f"n_{s}"] * 4 >= L)
+        if L > 0
+        else 0
+    )
+    return {
+        "n_scripts_present": present,
+        "n_scripts_major": major,
+        "mixed_script": L > 0 and major >= 2,
+    }
+
+
 # ----- route-aware sentence statistics (round 14) -----------------------
 
 #: sentence-terminator regex classes by tier (``\x{..}`` syntax shared

@@ -11026,3 +11026,84 @@ def q_phrase_decontaminate_from_index(spark, sf_dir):
         PHRASE_BENCH, "phrase_id int, text string"
     )
     return phrase_decontaminate_from_index(spark, idx, phrases)
+
+
+# ----- mixed-script page detection (round 14) ------------------------
+
+from dask_datapipeline_spark.operators.scripts import (  # noqa: E402
+    nonascii_col,
+    script_mix_cols,
+    script_mix_sql,
+)
+
+
+def _script_mix_report_sql() -> str:
+    counts = script_count_sql("text")
+    count_cols = ",\n         ".join(
+        f"{sql} AS {name}"
+        for name, sql in counts.items()
+        if name != "n_letters"
+    )
+    mix = script_mix_sql()
+    return f"""
+WITH fx AS (
+  SELECT doc_id, {script_fixture_sql()} AS text
+  FROM documents
+),
+mc AS (
+  SELECT doc_id, {count_cols}
+  FROM fx WHERE text IS NOT NULL
+),
+mp AS (SELECT *, {counts["n_letters"]} AS n_letters FROM mc),
+mr AS (
+  SELECT doc_id, {script_route_sql()} AS script,
+         {mix["n_scripts_present"]} AS n_scripts_present,
+         {mix["n_scripts_major"]} AS n_scripts_major,
+         {mix["mixed_script"]} AS mixed_script
+  FROM mp
+)
+SELECT script, mixed_script,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_scripts_present) AS BIGINT) AS sum_present,
+       CAST(MAX(n_scripts_major) AS BIGINT) AS max_major
+FROM mr
+GROUP BY script, mixed_script
+"""
+
+
+@register_extra(
+    "script_mix_report",
+    _script_mix_report_sql(),
+    "Mixed-script page detection (round 14, operators/scripts.py::"
+    "script_mix_cols): the page-level consistency check behind "
+    "boilerplate-injection / SEO-spam triage — a prose page whose "
+    "letters split across two scripts (>=2 scripts each holding >=1/4 "
+    "of the letters) is template chrome, machine-joined content, or "
+    "spam. ALL-INTEGER decisions over the already-materialized script "
+    "counts (no entropy, no division); the fixture pool's "
+    "half-and-half CJK/Latin edge page plants the mixed=TRUE class by "
+    "construction. Per-(route, mixed) report, exact oracle from the "
+    "same constants",
+)
+def q_script_mix_report(spark, sf_dir):
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id")
+    fixture = docs.select("doc_id", script_fixture_col().alias("text"))
+    pre = fixture.where(F.col("text").isNotNull()).select(
+        "doc_id", "text", nonascii_col("text").alias("__na")
+    )
+    counts = script_count_cols("text", nonascii=F.col("__na"))
+    step = pre.select(
+        "doc_id", *[counts[k].alias(k) for k in counts]
+    )
+    refs = {k: F.col(k) for k in counts}
+    mix = script_mix_cols(refs)
+    per = step.select(
+        "doc_id",
+        script_route_col(refs).alias("script"),
+        *[mix[k].alias(k) for k in mix],
+    )
+    return per.groupBy("script", "mixed_script").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_scripts_present").alias("sum_present"),
+        F.max("n_scripts_major").alias("max_major"),
+    )

@@ -971,3 +971,65 @@ def test_lease_own_orphan_claim_adopted_not_self_fencing(tmp_path):
     assert restarted.acquire() == 2
     assert restarted._read()["epoch"] == 2
     restarted.check_and_renew()
+
+
+def test_script_mix_three_way(spark):
+    """Mixed-script signals agree across Spark / DuckDB / Python on
+    the planted classes: clean one-script pages, a half-and-half
+    page, loanword pages under the 1/4 floor, and empty/digit-only
+    pages (letters=0 → never mixed)."""
+    import duckdb
+    import pandas as pd
+
+    from dask_datapipeline_spark.operators import scripts as S
+
+    cases = [
+        "pure english prose with nothing else",
+        "半々のテキスト half and half latin かなカナ交じり文です",
+        "mostly english with 漢字 loanword",     # CJK < 1/4 of letters
+        "12345 !!! ... ??? 67890",               # zero letters
+        "",
+        "кириллица plus latin half and half here",
+    ]
+    data = list(enumerate(cases))
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    pre = df.select(
+        "doc_id", "text", S.nonascii_col("text").alias("__na")
+    )
+    counts = S.script_count_cols("text", nonascii=F.col("__na"))
+    step = pre.select("doc_id", *[counts[k].alias(k) for k in counts])
+    mix = S.script_mix_cols({k: F.col(k) for k in counts})
+    got = {
+        r["doc_id"]: (
+            r["n_scripts_present"], r["n_scripts_major"], r["mixed_script"]
+        )
+        for r in step.select(
+            "doc_id", *[mix[k].alias(k) for k in mix]
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("soup", pd.DataFrame(data, columns=["doc_id", "text"]))
+    csql = S.script_count_sql("text")
+    ccols = ", ".join(
+        f"{v} AS {k}" for k, v in csql.items() if k != "n_letters"
+    )
+    msql = S.script_mix_sql()
+    rows = con.execute(
+        f"WITH c AS (SELECT doc_id, {ccols} FROM soup), "
+        f"p AS (SELECT *, {csql['n_letters']} AS n_letters FROM c) "
+        f"SELECT doc_id, {msql['n_scripts_present']}, "
+        f"{msql['n_scripts_major']}, {msql['mixed_script']} FROM p"
+    ).fetchall()
+    want_sql = {r[0]: (r[1], r[2], bool(r[3])) for r in rows}
+    assert got == want_sql
+    for i, t in data:
+        m = S.py_script_mix(t)
+        assert got[i] == (
+            m["n_scripts_present"], m["n_scripts_major"], m["mixed_script"]
+        ), t
+    # the planted semantics
+    assert got[0][2] is False
+    assert got[1][2] is True      # half-and-half CJK/Latin
+    assert got[2][2] is False     # loanword under the 1/4 floor
+    assert got[3] == (0, 0, False)
+    assert got[5][2] is True      # Cyrillic/Latin split
