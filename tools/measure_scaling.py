@@ -90,6 +90,11 @@ QUERIES = [
     ("script_route_scaled", "documents"),
     ("cjk_near_dup_scaled", "documents"),
     ("routed_near_dup", "documents"),
+    # round-14 phrase family: scan-path probe and the batch
+    # decontamination probe (both EXTRA_CATALOG rows — the resolver
+    # reads either catalog half)
+    ("phrase_search", "documents"),
+    ("phrase_decontaminate", "documents"),
 ]
 
 
