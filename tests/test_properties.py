@@ -1604,3 +1604,91 @@ def test_phrase_search_soup_three_way(spark, docs, phrase):
         ).fetchall()
     )
     assert got == want_sql
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=8).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    bench=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=1, max_size=3).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@settings(**_SETTINGS)
+def test_phrase_decontaminate_soup_matches_python(spark, docs, bench):
+    """The batch probe equals the per-(doc, phrase) sliding-window
+    Python count on random small-alphabet corpora and benchmark sets
+    (duplicate benchmark sentences allowed — each phrase_id matches
+    independently)."""
+    from dask_datapipeline_spark.operators import phrase as P
+
+    ddf = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    pdf = spark.createDataFrame(
+        list(enumerate(bench)), "phrase_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["phrase_id"]): r["n_matches"]
+        for r in P.phrase_decontaminate(ddf, pdf).collect()
+    }
+    want = {}
+    for pid, sent in enumerate(bench):
+        for i, t in enumerate(docs):
+            n = P.py_phrase_count(t, sent.split(" "))
+            if n > 0:
+                want[(i, pid)] = n
+    assert got == want
+
+
+@given(texts=st.lists(_uni_text, min_size=1, max_size=10))
+@settings(**_SETTINGS)
+def test_script_mix_soup_three_way(spark, texts):
+    """Mixed-script signals agree across Spark / DuckDB / Python on
+    arbitrary soup (astral chars count toward no script and can never
+    make a page mixed by themselves)."""
+    import duckdb
+    import pandas as pd
+
+    from dask_datapipeline_spark.operators import scripts as S
+
+    data = list(enumerate(texts))
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    counts = S.script_count_cols("text")
+    step = df.select("doc_id", *[counts[k].alias(k) for k in counts])
+    mix = S.script_mix_cols({k: F.col(k) for k in counts})
+    got = {
+        r["doc_id"]: (
+            r["n_scripts_present"], r["n_scripts_major"], r["mixed_script"]
+        )
+        for r in step.select(
+            "doc_id", *[mix[k].alias(k) for k in mix]
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("soup", pd.DataFrame(data, columns=["doc_id", "text"]))
+    csql = S.script_count_sql("text")
+    ccols = ", ".join(
+        f"{v} AS {k}" for k, v in csql.items() if k != "n_letters"
+    )
+    msql = S.script_mix_sql()
+    rows = con.execute(
+        f"WITH c AS (SELECT doc_id, {ccols} FROM soup), "
+        f"p AS (SELECT *, {csql['n_letters']} AS n_letters FROM c) "
+        f"SELECT doc_id, {msql['n_scripts_present']}, "
+        f"{msql['n_scripts_major']}, {msql['mixed_script']} FROM p"
+    ).fetchall()
+    assert got == {r[0]: (r[1], r[2], bool(r[3])) for r in rows}
+    for i, t in data:
+        m = S.py_script_mix(t)
+        assert got[i] == (
+            m["n_scripts_present"], m["n_scripts_major"], m["mixed_script"]
+        ), t
