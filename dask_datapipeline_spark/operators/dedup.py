@@ -159,33 +159,38 @@ def _routed_hashed_shingles(
 
     ``shingle_n`` applies to both arms (n words / n chars — the same
     default 3 both single modes use). Two projections on purpose: the
-    route CASE references each script count several times, so counts
-    materialize as columns first (script_profile's one-regex-execution-
-    per-row discipline). Scale shape is unchanged from the single
-    modes: one explode + one md5 per shingle occurrence, no shuffle,
-    no Python."""
+    mode bit is referenced by both shingle arms, so it materializes as
+    a column first (script_profile's one-regex-execution-per-row
+    discipline). Scale shape is unchanged from the single modes: one
+    explode + one md5 per shingle occurrence, no shuffle, no Python.
+
+    Round 14 optimization pass: the mode bit comes from
+    ``scripts.unsegmented_route_col`` — THREE regex passes (union
+    letters class, han+kana, thai) instead of the full 10-class
+    profile + route CASE this previously materialized; the shingler
+    only needs char-tier membership, provably equal to
+    ``route ∈ UNSEGMENTED_ROUTES`` (see that function's docstring;
+    pytest-pinned against py_route on unicode soup)."""
     from dask_datapipeline_spark.operators.scripts import (
-        UNSEGMENTED_ROUTES,
         nonascii_col,
-        script_count_cols,
-        script_route_col,
+        unsegmented_route_col,
     )
 
-    # materialize the non-ASCII probe ahead of the counts (round-14
-    # review: the default branch inlines one rlike per guarded script
-    # — nine re-scans per row on the ASCII-majority corpus shape this
-    # hot path runs over; script_profile's discipline applies here)
+    # materialize the non-ASCII probe ahead of the mode bit (round-14
+    # review: the default branch inlines one rlike per class —
+    # re-scans per row on the ASCII-majority corpus shape this hot
+    # path runs over; script_profile's discipline applies here)
     pre = fan_out(df.select(id_col, text_col)).select(
         id_col, text_col, nonascii_col(text_col).alias("__sc_na")
     )
-    counts = script_count_cols(text_col, nonascii=F.col("__sc_na"))
     step = pre.select(
         id_col,
         text_col,
-        *[counts[k].alias(f"__sc_{k}") for k in counts],
+        unsegmented_route_col(text_col, nonascii=F.col("__sc_na")).alias(
+            "__sc_char"
+        ),
     )
-    refs = {k: F.col(f"__sc_{k}") for k in counts}
-    char_mode = script_route_col(refs).isin(*UNSEGMENTED_ROUTES)
+    char_mode = F.col("__sc_char")
     # the single-mode path drops '' shingles AFTER explode; here the
     # tag would mask them, so drop them BEFORE tagging (char grams are
     # never '' — substr always yields exactly n chars in range)

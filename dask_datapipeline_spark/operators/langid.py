@@ -411,6 +411,7 @@ def lang_id_trained(
     text_col: str,
     weights: dict[str, dict[int, int]],
     abstain_milli: int | None = None,
+    fan: bool = True,
 ) -> DataFrame:
     """Distributed trained LID: (id, n_grams, raw_<lang>…, lang) with
     exact-integer raw margins per language and the argmax prediction —
@@ -418,7 +419,14 @@ def lang_id_trained(
     is set (:func:`decide_lang`; pass :data:`DEFAULT_ABSTAIN_MILLI`
     for the calibrated production setting). One Arrow pass, weight
     table in the closure — zero shuffles; NULL text rows are dropped
-    explicitly (the split(NULL) guard)."""
+    explicitly (the split(NULL) guard).
+
+    ``fan=False`` when the caller already parallelized the input:
+    fan_out's partition probe goes through ``df.rdd``, which on a
+    frame with upstream exchanges EXECUTES them eagerly at plan-build
+    time (measured 2.7 s per call when script_route fed it a joined
+    slice, round 14) — the same contract note as
+    ``similarity.embedding_moments``."""
     require_columns(df, [id_col, text_col])
     import pandas as pd
 
@@ -431,7 +439,9 @@ def lang_id_trained(
         + ", ".join(f"{c} long" for c in raw_cols)
         + ", lang string"
     )
-    narrow = fan_out(df.where(F.col(text_col).isNotNull()).select(id_col, text_col))
+    narrow = df.where(F.col(text_col).isNotNull()).select(id_col, text_col)
+    if fan:
+        narrow = fan_out(narrow)
 
     def _score(batches):
         for pdf in batches:

@@ -8671,15 +8671,22 @@ JOIN kq ON kq.doc_id = psp.doc_id
 )
 def q_script_route(spark, sf_dir):
     from dask_datapipeline_spark.functions.quality import quality_keep_routed
+    from dask_datapipeline_spark.parallel import fan_out
 
     docs = load_testdata(spark, sf_dir, "documents").select("doc_id")
     fixture = docs.select("doc_id", USC.script_fixture_col().alias("text"))
     # counts, route AND the routed keep in ONE projection chain (text
     # carried along, then dropped) — the keep leg needs no second
-    # scan/join; only the Arrow LID leg joins back. Counts materialize
-    # as columns BEFORE the route references them (script_profile's
-    # one-regex-execution-per-row discipline).
-    pre = fixture.where(F.col("text").isNotNull()).select(
+    # scan/join. Counts materialize as columns BEFORE the route
+    # references them (script_profile's one-regex-execution-per-row
+    # discipline). Round 14 optimization pass: fan_out at the scan
+    # (the single-file test parquet is ONE partition — the regex
+    # passes ran on one core; no-op at real split counts), and the
+    # Arrow LID leg REUSES this chain's route via routed= instead of
+    # recomputing the 10-class profile and joining it back (guide
+    # §2.4: one count pass and one doc_id join fewer; measured
+    # 14.4 s → see OPTIMIZATION_r14.md).
+    pre = fan_out(fixture.where(F.col("text").isNotNull())).select(
         "doc_id", "text", USC.nonascii_col("text").alias("__na")
     )
     counts = USC.script_count_cols("text", nonascii=F.col("__na"))
@@ -8687,18 +8694,23 @@ def q_script_route(spark, sf_dir):
         "doc_id", "text", *[counts[k].alias(k) for k in counts]
     )
     refs = {k: F.col(k) for k in counts}
-    prof = step.select(
+    routed = step.select(
         "doc_id",
         "text",
         *counts.keys(),
         USC.script_route_col(refs).alias("script"),
     )
-    prof = prof.select(
-        *[c for c in prof.columns if c != "text"],
+    prof = routed.select(
+        *[c for c in routed.columns if c != "text"],
         quality_keep_routed("text", "script").alias("keep"),
     )
     lang = USC.lang_id_script_routed(
-        fixture, "doc_id", "text", _LID_WEIGHTS, LID.DEFAULT_ABSTAIN_MILLI
+        fixture,
+        "doc_id",
+        "text",
+        _LID_WEIGHTS,
+        LID.DEFAULT_ABSTAIN_MILLI,
+        routed=routed.select("doc_id", "text", "script"),
     ).select("doc_id", "lang")
     return prof.join(lang, "doc_id").select(
         *[c for c in prof.columns if c != "keep"], "lang", "keep"

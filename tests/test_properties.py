@@ -1393,6 +1393,29 @@ FROM p JOIN pr ON p.doc_id = pr.doc_id
     assert got == want
 
 
+@given(texts=st.lists(_uni_text, min_size=1, max_size=12))
+@settings(**_SETTINGS)
+def test_unsegmented_route_col_matches_full_route_on_soup(spark, texts):
+    """The 3-regex char-tier probe (round-14 optimization of the
+    routed shingler) equals full-route membership — for every unicode
+    soup row, ``unsegmented_route_col`` == ``py_route(text) in
+    UNSEGMENTED_ROUTES``. This is the equivalence proof the routed
+    near-dup family's cheaper mode bit rests on (disjoint ranges ⇒
+    union count = sum; at most one strict majority)."""
+    from dask_datapipeline_spark.operators import scripts as S
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["m"]
+        for r in df.select(
+            "doc_id", S.unsegmented_route_col("text").alias("m")
+        ).collect()
+    }
+    for i, t in rows:
+        assert got[i] == (S.py_route(t) in S.UNSEGMENTED_ROUTES), (i, t)
+
+
 @given(texts=st.lists(st.text(_uni_char, min_size=0, max_size=40), min_size=2, max_size=8))
 @settings(**_SETTINGS)
 def test_char_shingles_match_python_model(spark, texts):
