@@ -95,12 +95,24 @@ def main() -> None:
     except Exception:
         pass  # warmup only — a failure here surfaces in the measured query
 
+    # Round-14 rotation note: jaccard_near_dup moved from the driver
+    # catalog to EXTRA_CATALOG (slot now routed_near_dup), but bench
+    # entries are never removed — keep timing it from EXTRA_CATALOG so
+    # the row stays comparable across rounds.
+    from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG
+
+    _EXTRA_BENCH = {"jaccard_near_dup": EXTRA_CATALOG["jaccard_near_dup"]}
+
+    def _lookup(name):
+        return _EXTRA_BENCH.get(name) or CATALOG[name]
+
     timings: dict[str, float] = {}
     extra = [n for n in CATALOG if n not in BENCH_QUERIES]
     order = [n for n in BENCH_QUERIES + extra if n in CATALOG]
+    order += list(_EXTRA_BENCH)
     for name in order:
         t0 = time.perf_counter()
-        n_rows = CATALOG[name].fn(spark, sf_dir).count()
+        n_rows = _lookup(name).fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n_rows} rows)", file=sys.stderr)
         # NOTE: no clearCache() between queries — deliberate. Spark's
@@ -121,7 +133,7 @@ def main() -> None:
     warm: dict[str, float] = {}
     for name in order:
         t0 = time.perf_counter()
-        CATALOG[name].fn(spark, sf_dir).count()
+        _lookup(name).fn(spark, sf_dir).count()
         warm[name] = round(time.perf_counter() - t0, 3)
         print(f"# warm {name}: {warm[name]:.3f}s", file=sys.stderr)
 

@@ -268,8 +268,12 @@ def unsegmented_route_col(
     letters = F.regexp_count(c, F.lit(_union_class_re(SCRIPTS)))
     cjk = F.regexp_count(c, F.lit(_union_class_re(["han", "kana"])))
     thai = F.regexp_count(c, F.lit(script_class_re("thai")))
+    # greatest() instead of OR-of-two-majorities so each regex appears
+    # ONCE in the projection (Catalyst inlines this whole expression —
+    # an OR would re-execute the union-class count per disjunct);
+    # equivalent because 2·max(a,b) > L ⟺ 2a > L ∨ 2b > L.
     return F.when(~na, F.lit(False)).otherwise(
-        (cjk * 2 > letters) | (thai * 2 > letters)
+        F.greatest(cjk, thai) * 2 > letters
     )
 
 
@@ -744,9 +748,14 @@ def lang_id_script_routed(
             id_col, text_col, *[counts[k].alias(k) for k in counts]
         )
         refs = {k: F.col(k) for k in counts}
+        from pyspark.storagelevel import StorageLevel
+
+        # both classifier arms filter this frame — persist so the
+        # count projection runs once (the shared-root discipline;
+        # callers passing routed= manage their own persistence)
         routed = step.select(
             id_col, text_col, script_route_col(refs).alias("script")
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     latin = routed.where(F.col("script") == LATIN_ROUTE)
     other = routed.where(F.col("script") != LATIN_ROUTE).select(
         id_col, "script", F.col("script").alias("lang")

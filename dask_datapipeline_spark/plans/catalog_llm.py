@@ -2498,6 +2498,8 @@ def q_tfidf_top_terms(spark, sf_dir):
     from dask_datapipeline_spark.parallel import fan_out
 
     docs = load_testdata(spark, sf_dir, "documents")
+    # one job, but parquet count() is footer-metadata only — O(files),
+    # not O(rows), at any scale
     n_docs = docs.count()
     toks = (
         fan_out(docs.select("doc_id", "text"))
@@ -2505,12 +2507,25 @@ def q_tfidf_top_terms(spark, sf_dir):
         .where(F.col("token") != "")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(dfreq, "token").select(
+    # Round-14 optimization pass (guide §2.4): document frequency as a
+    # COUNT window over tf partitioned by token — tf rows are distinct
+    # (doc, token), so the window count IS the df groupBy's value, but
+    # the plan drops the second tokenize+explode evaluation and the
+    # tf⋈df join (tf was referenced twice, un-persisted: the full
+    # explode ran once per side). Exchanges: (doc,token) → token →
+    # doc_id, one corpus scan. Values bit-identical (same exact
+    # integers into the same ln expression).
+    w_df = Window.partitionBy("token")
+    scored = tf.select(
         "doc_id",
         "token",
         "tf",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+        (
+            F.col("tf")
+            * F.log(
+                F.lit(float(n_docs)) / F.count(F.lit(1)).over(w_df)
+            )
+        ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (
@@ -8694,12 +8709,18 @@ def q_script_route(spark, sf_dir):
         "doc_id", "text", *[counts[k].alias(k) for k in counts]
     )
     refs = {k: F.col(k) for k in counts}
+    from pyspark.storagelevel import StorageLevel
+
+    # the routed frame is the shared root of THREE consumers (the keep
+    # chain and both classifier arms) — persist it so the count
+    # projection runs once per session, the dedup family's shared-root
+    # discipline (hashed_shingles et al.)
     routed = step.select(
         "doc_id",
         "text",
         *counts.keys(),
         USC.script_route_col(refs).alias("script"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     prof = routed.select(
         *[c for c in routed.columns if c != "text"],
         quality_keep_routed("text", "script").alias("keep"),
