@@ -45,7 +45,7 @@ SHOWCASE = [
     ("extra:keep_best_dedup", "keep-best survivor: one id-keyed join attaching quality + one window partitioned by bounded near-dup clusters, stacked on the banded clustering cascade"),
     ("extra:skew_report", "skew diagnostics: per-key groupBy collapses to the count-of-counts histogram before any ordered window — the window input is bounded by distinct multiplicities"),
     ("extra:html_extract", "HTML->text (driver rows 8-12, extras since round 13): the whole extraction is regexp_replace/replace expressions fused into the scan projection — zero Exchange, zero Python in the plan"),
-    ("script_route", "Unicode-script routing (driver row since round 13): the per-script counts + route + routed quality keep are regexp/length expressions in scan projections; the only exchanges are doc_id-keyed joins of the three legs, and the Arrow trigram stage runs ONLY on the Latin-routed slice (filter ABOVE the scan, below the UDF)"),
+    ("script_route", "Unicode-script routing (driver row since round 13; round-14 optimization): counts + route + routed quality keep ride ONE persisted projection chain (regexp_count expressions, no profile join), the Arrow trigram stage runs ONLY on the Latin-routed slice (filter above the cached route, below the UDF), and the single join left is the broadcast of the (id, lang) legs back onto the profile"),
     ("main_content_extract", "DOM-grade main-content extraction (driver row since round 11): ONE mapInPandas Arrow stage directly over the scan projection — no Exchange anywhere, no joins; block scoring is O(page bytes) per row and pipelines with the scan exactly like the media decoders"),
     ("extra:substring_dedup", "exact-substring dedup: rolling window hashes explode scan-side; the only corpus-sized exchanges carry (id, pos, 8-byte hash) — frequency groupBy with partial aggregation + hash-keyed join back; coverage/reassembly are array exprs in the final projection"),
     ("extra:zorder_layout", "z-order keys: 32 masked shifts as a pure codegen projection over the scan — zero Exchange in the whole plan"),
