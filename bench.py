@@ -102,18 +102,54 @@ def main() -> None:
     from dask_datapipeline_spark.plans.catalog import EXTRA_CATALOG
 
     _EXTRA_BENCH = {"jaccard_near_dup": EXTRA_CATALOG["jaccard_near_dup"]}
+    # a name in both maps would be timed twice with _lookup silently
+    # shadowing the catalog entry (ADVICE r14) — refuse loudly instead
+    _dup = set(_EXTRA_BENCH) & set(CATALOG)
+    assert not _dup, f"extra bench entries shadow catalog entries: {_dup}"
+    # Round 15 (VERDICT r14 "What's wrong" #2): the extra entry runs in
+    # its PRE-ROTATION slot, not appended last. Appending it after the
+    # whole catalog moved the dedup family's shared shingle-persist
+    # cost onto minhash_near_dup/routed_near_dup (their r14 cold rows
+    # were not comparable with r13) while jaccard's own "cold" row ran
+    # with every cache warm. Anchored before the query that took its
+    # catalog slot, the family's cold attribution matches r13 again.
+    _EXTRA_SLOT = {"jaccard_near_dup": "routed_near_dup"}
 
     def _lookup(name):
         return _EXTRA_BENCH.get(name) or CATALOG[name]
 
-    timings: dict[str, float] = {}
     extra = [n for n in CATALOG if n not in BENCH_QUERIES]
     order = [n for n in BENCH_QUERIES + extra if n in CATALOG]
-    order += list(_EXTRA_BENCH)
+    for name in _EXTRA_BENCH:
+        anchor = _EXTRA_SLOT.get(name)
+        if anchor in order:
+            order.insert(order.index(anchor), name)
+        else:
+            order.append(name)
+
+    # Round 15 (VERDICT r14 "What's wrong" #1): optional repeats with
+    # per-query MIN, so ONE contended host window cannot fabricate a
+    # catalog-wide regression (r14's 32-core cold pass measured an
+    # 18-line zero-Exchange projection at 18× its steady cost).
+    # Default 1 = exactly the historical single-pass methodology; the
+    # driver's numbers stay comparable. With N>1 the 2nd..Nth cold
+    # runs execute against warmed shared caches — the reported min is
+    # then a lower bound on the cold cost, which is the point: it
+    # bounds host-contention noise, not the computation.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
+
+    def _timed(name: str) -> tuple[float, int]:
+        best, rows = None, 0
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            rows = _lookup(name).fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3), rows
+
+    timings: dict[str, float] = {}
     for name in order:
-        t0 = time.perf_counter()
-        n_rows = _lookup(name).fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name], n_rows = _timed(name)
         print(f"# {name}: {timings[name]:.3f}s ({n_rows} rows)", file=sys.stderr)
         # NOTE: no clearCache() between queries — deliberate. Spark's
         # CacheManager matches persisted plans structurally, so the
@@ -132,9 +168,7 @@ def main() -> None:
     # and with a fresh-cluster run; "queries_warm" is steady-state.
     warm: dict[str, float] = {}
     for name in order:
-        t0 = time.perf_counter()
-        _lookup(name).fn(spark, sf_dir).count()
-        warm[name] = round(time.perf_counter() - t0, 3)
+        warm[name], _ = _timed(name)
         print(f"# warm {name}: {warm[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -155,6 +189,12 @@ def main() -> None:
         # work — streaming_corpus_clean's ~10 s is ~3-4 s floor plus
         # the batch cascade it shares with web_corpus_clean.
         "notes": {
+            # r15: the EXTRA_CATALOG entry is timed in its pre-rotation
+            # slot (before routed_near_dup) so the dedup family's cold
+            # shared-persist attribution matches r13; r14 appended it
+            # last (see OPTIMIZATION_r15.md "Bench methodology").
+            "extra_entry_slots": {"jaccard_near_dup": "before routed_near_dup"},
+            "bench_repeats": repeats,
             "streaming_trigger_floor_sec": 3.0,
             "streaming_queries": [
                 n for n in order if n.startswith("streaming_")
