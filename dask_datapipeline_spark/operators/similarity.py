@@ -234,11 +234,15 @@ def _lsh_candidate_pairs(
     textbook SRP choice); ``'rademacher'`` uses md5-derived ±1 planes —
     statistically similar, and exactly reproducible in the SQL oracle.
 
-    Shuffle budget: ONE join keyed on (table, bucket) — the posexplode
-    replaces ``num_tables`` separate join+union branches — then one
-    narrow 3-column dedup shuffle. Vectors are projected away in the
-    join output (scored immediately), so the dedup never shuffles the
-    embedding payload."""
+    Shuffle budget (pair-first, round 15 — guide §8): ONE join keyed
+    on (table, bucket) over (id, t, bucket) proxy rows — the
+    posexplode replaces ``num_tables`` separate join+union branches
+    and carries NO vector bytes — then one narrow pair-dedup shuffle,
+    then vectors attach once per side by id-keyed join for the final
+    cosine. The embedding payload never rides the banding exchanges
+    (before: ``2 × num_tables`` vector replicas per corpus row crossed
+    the bucket exchange), and the cosine UDF scores each unique pair
+    once instead of once per collision."""
     if plane_kind == "gaussian":
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((num_tables, bits_per_table, dim))
@@ -252,9 +256,26 @@ def _lsh_candidate_pairs(
         raise ValueError(
             f"multiprobe_bits={multiprobe_bits} must be in [0, {bits_per_table}]"
         )
-    q = fan_out(queries.select(id_col, vec_col)).select(
+    # PAIR-FIRST (round 15, guide §8): every decision up to scoring —
+    # banding, multiprobe, the cap, the lt filter, pair dedup —
+    # depends only on (id, table, bucket), ~20 bytes/row; the
+    # embedding payload is needed ONLY by the final cosine. So the
+    # bucket self-join moves id proxies, and vectors attach ONCE per
+    # side by an id-keyed join AFTER banding+dedup. Before, the
+    # posexplode carried the vector through the bucket exchange
+    # num_tables times PER SIDE (the driver geometry: 16 tables ⇒ 32
+    # corpus-vector replicas crossing the wire); now zero vector bytes
+    # cross it. Dedup also moved AHEAD of scoring, so the cosine UDF
+    # runs once per unique pair instead of once per collision.
+    # Geometry note (the r14 deferral, resolved): per-vector vector
+    # crossings are now 1 (query-keyed attach) + pairs-per-vector/2
+    # (the neighbor-keyed attach carries __qv per pair) versus a flat
+    # 2×num_tables before — strictly fewer at production thresholds
+    # (0.9+: near-dups are rare, multiplicity ≪ 2×tables) and bounded
+    # by tables×(bucket_cap−1) in the adversarial case, while the
+    # bucket join itself is always vector-free.
+    q_ids = fan_out(queries.select(id_col, vec_col)).select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
         F.posexplode(bud(F.col(vec_col))).alias("__t", "__bucket"),
     )
     if corpus is queries:
@@ -263,25 +284,23 @@ def _lsh_candidate_pairs(
         # across separately-built ArrowEvalPython stages — persist the
         # side so the bucket UDF runs over the corpus ONCE and both
         # join inputs read the cache (CacheManager dedupes identical
-        # plans; see the dedup module's cache contract).
+        # plans; see the dedup module's cache contract). The persisted
+        # frame is now id+bucket only — ~20 bytes/row instead of the
+        # full embedding payload (§5 persist discipline).
         from pyspark.storagelevel import StorageLevel
 
-        q = q.persist(StorageLevel.MEMORY_AND_DISK)
-        c = q.select(
-            F.col("query_id").alias("neighbor_id"),
-            F.col("__qv").alias("__cv"),
-            "__t",
-            "__bucket",
+        q_ids = q_ids.persist(StorageLevel.MEMORY_AND_DISK)
+        c_ids = q_ids.select(
+            F.col("query_id").alias("neighbor_id"), "__t", "__bucket"
         )
     else:
-        c = fan_out(corpus.select(id_col, vec_col)).select(
+        c_ids = fan_out(corpus.select(id_col, vec_col)).select(
             F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__cv"),
             F.posexplode(bud(F.col(vec_col))).alias("__t", "__bucket"),
         )
     if multiprobe_bits:
         # expand AFTER the corpus side is derived (self-join path
-        # shares q's projection) and BEFORE the cap semi-join, so a
+        # shares q_ids' projection) and BEFORE the cap semi-join, so a
         # probe aimed at a capped-out cell is trimmed like any other
         probes = F.array(
             F.col("__bucket"),
@@ -290,8 +309,8 @@ def _lsh_candidate_pairs(
                 for b in range(multiprobe_bits)
             ],
         )
-        q = q.select(
-            "query_id", "__qv", "__t", F.explode(probes).alias("__bucket")
+        q_ids = q_ids.select(
+            "query_id", "__t", F.explode(probes).alias("__bucket")
         )
     if bucket_cap is not None:
         # allowed-buckets list is bounded by the bucket-id space
@@ -299,28 +318,69 @@ def _lsh_candidate_pairs(
         # shuffles only (t, bucket, partial count) after map-side
         # combine — the corpus rows themselves don't move for this.
         allowed = (
-            c.groupBy("__t", "__bucket")
+            c_ids.groupBy("__t", "__bucket")
             .agg(F.count(F.lit(1)).alias("__bn"))
             .filter(F.col("__bn") <= bucket_cap)
             .select("__t", "__bucket")
         )
-        q = q.join(F.broadcast(allowed), on=["__t", "__bucket"], how="leftsemi")
-        c = c.join(F.broadcast(allowed), on=["__t", "__bucket"], how="leftsemi")
-    # shuffle_hash, not broadcast: at scale the corpus never fits a
-    # broadcast, and locally a BroadcastExchange built from an
-    # ArrowEvalPython stage serializes the whole UDF stage into the
-    # broadcast-build thread (measured ~3x slower than shuffling).
-    joined = q.join(c.hint("shuffle_hash"), on=["__t", "__bucket"])
+        q_ids = q_ids.join(
+            F.broadcast(allowed), on=["__t", "__bucket"], how="leftsemi"
+        )
+        c_ids = c_ids.join(
+            F.broadcast(allowed), on=["__t", "__bucket"], how="leftsemi"
+        )
+    # shuffle_hash, not broadcast: at scale the corpus-side bucket
+    # table never fits a broadcast, and locally a BroadcastExchange
+    # built from an ArrowEvalPython stage serializes the whole UDF
+    # stage into the broadcast-build thread (measured ~3x slower).
+    joined = q_ids.join(c_ids.hint("shuffle_hash"), on=["__t", "__bucket"])
     if lt_only:
         joined = joined.filter(F.col("query_id") < F.col("neighbor_id"))
-    scored = joined.select(
-        "query_id",
-        "neighbor_id",
-        _cosine_batch_seq(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+    # duplicate collisions (same pair in several tables/probes) carry
+    # no information — dedup the id pairs BEFORE the vectors attach,
+    # so neither the attach joins nor the cosine UDF pay for them.
+    # The EXPLICIT pair-keyed repartition ahead of the dedup does two
+    # jobs at once (guide §2.4 — same-keyed ops share one exchange):
+    # the dropDuplicates aggregate reuses it (no second exchange), and
+    # its explicit numPartitions is exempt from AQE coalescing — the
+    # deduped pair rows are ~16 bytes each, so AQE otherwise coalesces
+    # the exchange to ONE partition at bench scale and the broadcast
+    # attach joins + the cosine UDF run single-threaded (measured
+    # 2.5 → 7.4 s warm). Keyed on the pair it is deterministic (no
+    # sort-before-repartition) and scale-adaptive via
+    # defaultParallelism — the fan_out rationale without its .rdd
+    # probe (this frame has shuffles upstream).
+    pairs = (
+        joined.select("query_id", "neighbor_id")
+        .repartition(
+            queries.sparkSession.sparkContext.defaultParallelism,
+            "query_id",
+            "neighbor_id",
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    # cosine_sim is a pure function of the pair, so any surviving
-    # duplicate row carries the same value — dedup on keys is safe.
-    return scored.dropDuplicates(["query_id", "neighbor_id"])
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    # the ND-marked cosine twin (not the plain UDF): callers filter on
+    # cosine_sim (embedding_near_dup_pairs' threshold), and the
+    # optimizer would otherwise duplicate the Arrow stage below the
+    # pushed filter — every pair scored TWICE (guide §4.4; confirmed
+    # in this plan: two ArrowEvalPython nodes before the mark)
+    return (
+        pairs.join(qv, on="query_id")
+        .join(cv, on="neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_batch_seq_nd(F.col("__qv"), F.col("__cv")).alias(
+                "cosine_sim"
+            ),
+        )
+    )
 
 
 def knn_join_lsh(
@@ -370,6 +430,14 @@ def _cosine_batch_seq(a: pd.Series, b: pd.Series) -> pd.Series:
         na += va[:, k] * va[:, k]
         nb += vb[:, k] * vb[:, k]
     return pd.Series(num / (np.sqrt(na) * np.sqrt(nb)))
+
+
+#: non-deterministic-MARKED twin of the scorer (the function itself is
+#: pure — the mark only tells the optimizer it may not duplicate or
+#: re-order the expression, guide §4.4): used where a filter rides
+#: directly on the scored column, which otherwise plans the Arrow
+#: stage twice (once below the pushed filter, once for the projection)
+_cosine_batch_seq_nd = _cosine_batch_seq.asNondeterministic()
 
 
 def _coarse_codebook(
